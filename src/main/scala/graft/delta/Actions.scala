@@ -1,0 +1,255 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Delta Lake transaction-log actions.
+  *
+  * Mirrors the Delta protocol actions the reference relies on delta-rs for
+  * (reference: dask_deltalake/core.py:29-70 snapshot construction,
+  * dask_deltalake/writer.py:96-131 AddAction assembly). Modelled as plain
+  * case classes with a hand-rolled Jackson codec so that log JSON we emit is
+  * byte-compatible with what Spark/delta writers produce and what the
+  * reference's own golden fixtures contain.
+  *
+  * Scale note: these are driver-side control-plane objects. The data plane
+  * (parquet scan/write) never materializes them per-row on executors; at
+  * 100 TB the bounded JSON tail between checkpoints keeps the driver-side
+  * set small, and checkpoint state is scanned as a DataFrame (see
+  * [[DeltaLog]]).
+  */
+sealed trait Action
+
+/** `metaData` action — table id, schema, partitioning.
+  * schemaString is byte-for-byte Spark StructType JSON (SURVEY.md §1.2). */
+final case class MetadataAction(
+    id: String,
+    name: Option[String] = None,
+    description: Option[String] = None,
+    formatProvider: String = "parquet",
+    formatOptions: Map[String, String] = Map.empty,
+    schemaString: String = "",
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    createdTime: Option[Long] = None
+) extends Action {
+  lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
+}
+
+/** `protocol` action. The reference refuses writer versions > 2
+  * (writer.py:254-259); we enforce the same gate. */
+final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action
+
+/** `add` action — one active data file. partitionValues values may be null
+  * (hive `__HIVE_DEFAULT_PARTITION__` sentinel). stats is a JSON string of
+  * {numRecords, minValues, maxValues, nullCount}. */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    dataChange: Boolean = true,
+    stats: Option[String] = None,
+    tags: Map[String, String] = Map.empty
+) extends Action
+
+/** `remove` action — a tombstone. */
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Option[Long] = None,
+    dataChange: Boolean = true,
+    extendedFileMetadata: Option[Boolean] = None,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Option[Long] = None
+) extends Action
+
+/** `txn` action — idempotent writer bookkeeping. */
+final case class SetTransaction(appId: String, version: Long, lastUpdated: Option[Long] = None)
+    extends Action
+
+/** `commitInfo` — free-form operation metadata; the 9-column history
+  * projection (core.py:88-108) is derived from these fields. */
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String] = Map.empty,
+    operationMetrics: Map[String, String] = Map.empty,
+    readVersion: Option[Long] = None,
+    isBlindAppend: Option[Boolean] = None
+) extends Action
+
+object ActionCodec {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  private val nf = JsonNodeFactory.instance
+
+  private def strMap(node: JsonNode): Map[String, String] =
+    if (node == null || node.isNull) Map.empty
+    else
+      node.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null else v.asText())
+      }.toMap
+
+  private def optStr(node: JsonNode): Option[String] =
+    Option(node).filterNot(_.isNull).map(_.asText())
+  private def optLong(node: JsonNode): Option[Long] =
+    Option(node).filterNot(_.isNull).map(_.asLong())
+  private def optBool(node: JsonNode): Option[Boolean] =
+    Option(node).filterNot(_.isNull).map(_.asBoolean())
+
+  /** Parse one line of a `_delta_log/N.json` commit file. Unknown action
+    * types (cdc, domainMetadata, ...) are ignored for forward compat. */
+  def fromJsonLine(line: String): Option[Action] = {
+    val root = mapper.readTree(line)
+    if (root.has("add")) {
+      val n = root.get("add")
+      Some(
+        AddFile(
+          path = n.get("path").asText(),
+          partitionValues = strMap(n.get("partitionValues")),
+          size = optLong(n.get("size")).getOrElse(0L),
+          modificationTime = optLong(n.get("modificationTime")).getOrElse(0L),
+          dataChange = optBool(n.get("dataChange")).getOrElse(true),
+          stats = optStr(n.get("stats")),
+          tags = strMap(n.get("tags"))
+        ))
+    } else if (root.has("remove")) {
+      val n = root.get("remove")
+      Some(
+        RemoveFile(
+          path = n.get("path").asText(),
+          deletionTimestamp = optLong(n.get("deletionTimestamp")),
+          dataChange = optBool(n.get("dataChange")).getOrElse(true),
+          extendedFileMetadata = optBool(n.get("extendedFileMetadata")),
+          partitionValues = strMap(n.get("partitionValues")),
+          size = optLong(n.get("size"))
+        ))
+    } else if (root.has("metaData")) {
+      val n = root.get("metaData")
+      val fmt = n.get("format")
+      Some(
+        MetadataAction(
+          id = optStr(n.get("id")).getOrElse(""),
+          name = optStr(n.get("name")),
+          description = optStr(n.get("description")),
+          formatProvider =
+            if (fmt != null && fmt.has("provider")) fmt.get("provider").asText() else "parquet",
+          formatOptions = if (fmt != null) strMap(fmt.get("options")) else Map.empty,
+          schemaString = optStr(n.get("schemaString")).getOrElse(""),
+          partitionColumns = Option(n.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil),
+          configuration = strMap(n.get("configuration")),
+          createdTime = optLong(n.get("createdTime"))
+        ))
+    } else if (root.has("protocol")) {
+      val n = root.get("protocol")
+      Some(
+        Protocol(
+          minReaderVersion = optLong(n.get("minReaderVersion")).getOrElse(1L).toInt,
+          minWriterVersion = optLong(n.get("minWriterVersion")).getOrElse(2L).toInt
+        ))
+    } else if (root.has("txn")) {
+      val n = root.get("txn")
+      Some(
+        SetTransaction(
+          appId = n.get("appId").asText(),
+          version = optLong(n.get("version")).getOrElse(0L),
+          lastUpdated = optLong(n.get("lastUpdated"))
+        ))
+    } else if (root.has("commitInfo")) {
+      val n = root.get("commitInfo")
+      Some(
+        CommitInfo(
+          timestamp = optLong(n.get("timestamp")).getOrElse(0L),
+          operation = optStr(n.get("operation")).getOrElse(""),
+          operationParameters = anyMapToStr(n.get("operationParameters")),
+          operationMetrics = anyMapToStr(n.get("operationMetrics")),
+          readVersion = optLong(n.get("readVersion")),
+          isBlindAppend = optBool(n.get("isBlindAppend"))
+        ))
+    } else None
+  }
+
+  /** operationParameters values may be non-string JSON (lists, numbers);
+    * normalize to their JSON text like delta writers do. */
+  private def anyMapToStr(node: JsonNode): Map[String, String] =
+    if (node == null || node.isNull) Map.empty
+    else
+      node.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null
+                     else if (v.isTextual) v.asText()
+                     else mapper.writeValueAsString(v))
+      }.toMap
+
+  private def putStrMap(o: ObjectNode, field: String, m: Map[String, String]): Unit = {
+    val mn = o.putObject(field)
+    m.foreach { case (k, v) => if (v == null) mn.putNull(k) else mn.put(k, v) }
+  }
+
+  /** Serialize one action to a single JSON line for a commit file. */
+  def toJsonLine(a: Action): String = {
+    val root = nf.objectNode()
+    a match {
+      case f: AddFile =>
+        val n = root.putObject("add")
+        n.put("path", f.path)
+        putStrMap(n, "partitionValues", f.partitionValues)
+        n.put("size", f.size)
+        n.put("modificationTime", f.modificationTime)
+        n.put("dataChange", f.dataChange)
+        f.stats.foreach(n.put("stats", _))
+        if (f.tags.nonEmpty) putStrMap(n, "tags", f.tags)
+      case f: RemoveFile =>
+        val n = root.putObject("remove")
+        n.put("path", f.path)
+        f.deletionTimestamp.foreach(n.put("deletionTimestamp", _))
+        n.put("dataChange", f.dataChange)
+        f.extendedFileMetadata.foreach(n.put("extendedFileMetadata", _))
+        if (f.partitionValues.nonEmpty) putStrMap(n, "partitionValues", f.partitionValues)
+        f.size.foreach(n.put("size", _))
+      case m: MetadataAction =>
+        val n = root.putObject("metaData")
+        n.put("id", m.id)
+        m.name.foreach(n.put("name", _))
+        m.description.foreach(n.put("description", _))
+        val fmt = n.putObject("format")
+        fmt.put("provider", m.formatProvider)
+        val fo = fmt.putObject("options")
+        m.formatOptions.foreach { case (k, v) => fo.put(k, v) }
+        n.put("schemaString", m.schemaString)
+        val pc = n.putArray("partitionColumns")
+        m.partitionColumns.foreach(pc.add)
+        putStrMap(n, "configuration", m.configuration)
+        m.createdTime.foreach(n.put("createdTime", _))
+      case p: Protocol =>
+        val n = root.putObject("protocol")
+        n.put("minReaderVersion", p.minReaderVersion)
+        n.put("minWriterVersion", p.minWriterVersion)
+      case t: SetTransaction =>
+        val n = root.putObject("txn")
+        n.put("appId", t.appId)
+        n.put("version", t.version)
+        t.lastUpdated.foreach(n.put("lastUpdated", _))
+      case c: CommitInfo =>
+        val n = root.putObject("commitInfo")
+        n.put("timestamp", c.timestamp)
+        n.put("operation", c.operation)
+        putStrMap(n, "operationParameters", c.operationParameters)
+        if (c.operationMetrics.nonEmpty) putStrMap(n, "operationMetrics", c.operationMetrics)
+        c.readVersion.foreach(n.put("readVersion", _))
+        c.isBlindAppend.foreach(n.put("isBlindAppend", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+}

@@ -1,0 +1,374 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+import scala.io.Source
+
+/** A snapshot of a Delta table pinned at `version`.
+  *
+  * Equivalent of the delta-rs snapshot the reference builds in
+  * DeltaTableWrapper.__init__ (reference core.py:50-57): active file set +
+  * latest metaData/protocol at-or-before the pinned version, plus the
+  * tombstone set (needed by vacuum, core.py:121-141).
+  */
+final case class Snapshot(
+    version: Long,
+    metadata: MetadataAction,
+    protocol: Protocol,
+    activeFiles: Seq[AddFile],
+    tombstones: Seq[RemoveFile]
+) {
+  def schema: StructType = metadata.schema
+  def partitionColumns: Seq[String] = metadata.partitionColumns
+}
+
+final case class LastCheckpoint(version: Long, size: Long, parts: Option[Int])
+
+/** Delta transaction-log reader/writer.
+  *
+  * This is the engine the reference outsources to delta-rs (Rust): list
+  * `_delta_log/`, bound replay with `_last_checkpoint` + parquet
+  * checkpoints, apply newer JSON commits, reconcile add/remove, pin
+  * version/timestamp, and commit new versions atomically
+  * (reference core.py:50-56, writer.py:295-313).
+  *
+  * Scale design: checkpoint parquet (potentially millions of add actions at
+  * 100 TB) is read through Spark's distributed parquet reader, and the
+  * JSON tail between checkpoints is bounded by the checkpoint interval, so
+  * driver-side state stays O(active files) — the same planning-time cost
+  * delta-spark itself pays. Partition pruning happens against
+  * `add.partitionValues` *before* any scan is constructed, so pruned files
+  * are never listed, planned, or opened (SURVEY.md §2 ⑦).
+  */
+class DeltaLog(val spark: SparkSession, val tablePath: String) {
+  import DeltaLog._
+
+  private val hconf = spark.sessionState.newHadoopConf()
+  val logPath = new Path(tablePath, "_delta_log")
+  def fs: FileSystem = logPath.getFileSystem(hconf)
+
+  def tableExists: Boolean =
+    fs.exists(logPath) && listCommitVersions.nonEmpty
+
+  /** Versions of JSON commit files present in the log directory. */
+  def listCommitVersions: Seq[Long] =
+    if (!fs.exists(logPath)) Nil
+    else
+      fs.listStatus(logPath)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case CommitFileRe(v) => v.toLong }
+        .toSeq
+        .sorted
+
+  /** Single-file checkpoint versions present (multi-part unsupported — the
+    * reference's fixtures and classic writers emit single-file). */
+  def listCheckpointVersions: Seq[Long] =
+    if (!fs.exists(logPath)) Nil
+    else
+      fs.listStatus(logPath)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case CheckpointFileRe(v) => v.toLong }
+        .toSeq
+        .sorted
+
+  def readLastCheckpoint(): Option[LastCheckpoint] = {
+    val p = new Path(logPath, "_last_checkpoint")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      Some(
+        LastCheckpoint(
+          node.get("version").asLong(),
+          if (node.has("size")) node.get("size").asLong() else -1L,
+          if (node.has("parts") && !node.get("parts").isNull) Some(node.get("parts").asInt())
+          else None
+        ))
+    }
+  }
+
+  def latestVersion: Long = {
+    val vs = listCommitVersions
+    val cps = listCheckpointVersions
+    if (vs.isEmpty && cps.isEmpty)
+      throw new IllegalArgumentException(s"Not a Delta table (no commits): $tablePath")
+    (vs ++ cps).max
+  }
+
+  /** Commit timestamps for timestamp time travel. The reference (delta-rs
+    * 0.6.4) keys on log-file mtime; we use commitInfo.timestamp — the
+    * protocol-sanctioned clock — falling back to file modification time
+    * when a commit carries no commitInfo (SURVEY.md §2 ③). */
+  def commitTimestamps: Seq[(Long, Long)] =
+    listCommitVersions.map { v =>
+      val acts = readCommitActions(v)
+      val ts = acts.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
+      (v, ts)
+    }
+
+  def versionAtOrBefore(timestampMillis: Long): Long = {
+    val eligible = commitTimestamps.filter(_._2 <= timestampMillis).map(_._1)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"No version of $tablePath at or before timestamp $timestampMillis")
+    eligible.max
+  }
+
+  def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
+  def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.parquet")
+
+  def readCommitActions(v: Long): Seq[Action] = {
+    val in = fs.open(commitFile(v))
+    val lines =
+      try Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+  }
+
+  /** Read a checkpoint parquet into actions. Uses Spark's (distributed,
+    * vectorized) reader; only the projected action structs are collected. */
+  def readCheckpointActions(v: Long): Seq[Action] = {
+    val df = spark.read.parquet(checkpointFile(v).toString)
+    checkpointDfToActions(df)
+  }
+
+  /** Build the snapshot at `version` (None = latest). */
+  def snapshot(version: Option[Long] = None): Snapshot = {
+    val latest = latestVersion
+    val target = version.getOrElse(latest)
+    if (target > latest || target < 0)
+      throw new IllegalArgumentException(
+        s"Invalid version $target for $tablePath (latest: $latest)")
+
+    // Checkpoint-accelerated replay (SURVEY.md §2 ④): prefer
+    // _last_checkpoint, fall back to listed checkpoints ≤ target.
+    val cpVersion: Option[Long] = {
+      val fromPointer = readLastCheckpoint().map(_.version).filter(_ <= target)
+      fromPointer.orElse(listCheckpointVersions.filter(_ <= target).maxOption)
+    }
+
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val removed = mutable.LinkedHashMap.empty[String, RemoveFile]
+    var metadata: Option[MetadataAction] = None
+    var protocol: Protocol = Protocol()
+
+    def apply(a: Action): Unit = a match {
+      case f: AddFile =>
+        removed.remove(f.path); active(f.path) = f
+      case f: RemoveFile =>
+        active.remove(f.path); removed(f.path) = f
+      case m: MetadataAction => metadata = Some(m)
+      case p: Protocol => protocol = p
+      case _           => ()
+    }
+
+    cpVersion.foreach(cv => readCheckpointActions(cv).foreach(apply))
+    val startV = cpVersion.map(_ + 1).getOrElse(0L)
+    val present = listCommitVersions.toSet
+    (startV to target).foreach { v =>
+      if (present.contains(v)) readCommitActions(v).foreach(apply)
+      else if (cpVersion.isEmpty || v > cpVersion.get)
+        throw new IllegalStateException(
+          s"Missing commit file version $v in $tablePath/_delta_log")
+    }
+
+    val meta = metadata.getOrElse(
+      throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
+    Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq)
+  }
+
+  /** All commitInfo actions, newest version first — the history surface
+    * (reference core.py:88-108). Reads only JSON commit files, like
+    * delta-rs `history()`. */
+  def commitInfos: Seq[(Long, Option[CommitInfo])] =
+    listCommitVersions.sorted(Ordering[Long].reverse).map { v =>
+      (v, readCommitActions(v).collectFirst { case c: CommitInfo => c })
+    }
+
+  /** Atomically write commit `version`: create-if-absent so two writers
+    * racing on the same version cannot both succeed (SURVEY.md §7 "What's
+    * hard"). Local/HDFS: FileSystem.create(overwrite=false). */
+  def writeCommit(version: Long, actions: Seq[Action]): Unit = {
+    fs.mkdirs(logPath)
+    val target = commitFile(version)
+    val out =
+      try fs.create(target, /*overwrite=*/ false)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"Concurrent commit: version $version already exists in $tablePath", e)
+        case e: java.io.IOException if fs.exists(target) =>
+          throw new java.util.ConcurrentModificationException(
+            s"Concurrent commit: version $version already exists in $tablePath", e)
+      }
+    try {
+      val body = actions.map(ActionCodec.toJsonLine).mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Write a classic single-file checkpoint for `version` plus
+    * `_last_checkpoint`, bounding future replays (SURVEY.md §2 ④). */
+  def writeCheckpoint(version: Long): Unit = {
+    val snap = snapshot(Some(version))
+    val rows: Seq[Row] =
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null, null) +:
+        Row(null, metadataToRow(snap.metadata), null, null) +:
+        (snap.activeFiles.map(f => Row(null, null, addToRow(f), null)) ++
+          snap.tombstones.map(f => Row(null, null, null, removeToRow(f))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      checkpointSchema)
+    // Spark writes a directory; a classic checkpoint must be a single file:
+    // write to a temp dir, then move the lone part file into place.
+    val tmp = new Path(logPath, s".checkpoint-tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs
+      .listStatus(tmp)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"No part file written under $tmp"))
+    val dest = checkpointFile(version)
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+    val lc = s"""{"version":$version,"size":${rows.size}}"""
+    val lcPath = new Path(logPath, "_last_checkpoint")
+    val out = fs.create(lcPath, true)
+    try out.write(lc.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- checkpoint schema / row conversions ------------------------------
+
+  private def strMapType = MapType(StringType, StringType, valueContainsNull = true)
+
+  private lazy val checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", strMapType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", strMapType),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", strMapType),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("extendedFileMetadata", BooleanType),
+      StructField("partitionValues", strMapType),
+      StructField("size", LongType))))
+  ))
+
+  private def metadataToRow(m: MetadataAction): Row =
+    Row(m.id, m.name.orNull, m.description.orNull, Row(m.formatProvider, m.formatOptions),
+      m.schemaString, m.partitionColumns, m.configuration,
+      m.createdTime.map(Long.box).orNull)
+
+  private def addToRow(f: AddFile): Row =
+    Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange, f.stats.orNull)
+
+  private def removeToRow(f: RemoveFile): Row =
+    Row(f.path, f.deletionTimestamp.map(Long.box).orNull, f.dataChange,
+      f.extendedFileMetadata.map(Boolean.box).orNull, f.partitionValues,
+      f.size.map(Long.box).orNull)
+
+  /** Convert a checkpoint DataFrame (any writer's field superset) into
+    * actions. Collects only the four action structs. */
+  private def checkpointDfToActions(df: DataFrame): Seq[Action] = {
+    val cols = df.columns.toSet
+    val wanted = Seq("protocol", "metaData", "add", "remove").filter(cols.contains)
+    val proj = df.select(wanted.map(col): _*)
+    proj.collect().toSeq.flatMap { row =>
+      wanted.zipWithIndex.flatMap {
+        case (name, i) if !row.isNullAt(i) =>
+          val r = row.getStruct(i)
+          name match {
+            case "protocol" =>
+              Some(Protocol(intField(r, "minReaderVersion", 1), intField(r, "minWriterVersion", 2)))
+            case "metaData" =>
+              val fmt = structField(r, "format")
+              Some(MetadataAction(
+                id = strField(r, "id").getOrElse(""),
+                name = strField(r, "name"),
+                description = strField(r, "description"),
+                formatProvider = fmt.flatMap(strField(_, "provider")).getOrElse("parquet"),
+                formatOptions = fmt.map(mapField(_, "options")).getOrElse(Map.empty),
+                schemaString = strField(r, "schemaString").getOrElse(""),
+                partitionColumns = seqField(r, "partitionColumns"),
+                configuration = mapField(r, "configuration"),
+                createdTime = longField(r, "createdTime")
+              ))
+            case "add" =>
+              Some(AddFile(
+                path = strField(r, "path").getOrElse(""),
+                partitionValues = mapField(r, "partitionValues"),
+                size = longField(r, "size").getOrElse(0L),
+                modificationTime = longField(r, "modificationTime").getOrElse(0L),
+                dataChange = boolField(r, "dataChange").getOrElse(true),
+                stats = strField(r, "stats")
+              ))
+            case "remove" =>
+              Some(RemoveFile(
+                path = strField(r, "path").getOrElse(""),
+                deletionTimestamp = longField(r, "deletionTimestamp"),
+                dataChange = boolField(r, "dataChange").getOrElse(true),
+                extendedFileMetadata = boolField(r, "extendedFileMetadata"),
+                partitionValues = mapField(r, "partitionValues"),
+                size = longField(r, "size")
+              ))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  // Null-safe field access tolerant of absent columns in foreign checkpoints.
+  private def idx(r: Row, name: String): Option[Int] = {
+    val i = r.schema.fieldNames.indexOf(name)
+    if (i >= 0 && !r.isNullAt(i)) Some(i) else None
+  }
+  private def strField(r: Row, n: String): Option[String] = idx(r, n).map(r.getString)
+  private def longField(r: Row, n: String): Option[Long] = idx(r, n).map(i => r.getLong(i))
+  private def intField(r: Row, n: String, d: Int): Int =
+    idx(r, n).map(i => r.getInt(i)).getOrElse(d)
+  private def boolField(r: Row, n: String): Option[Boolean] = idx(r, n).map(r.getBoolean)
+  private def structField(r: Row, n: String): Option[Row] = idx(r, n).map(r.getStruct)
+  private def mapField(r: Row, n: String): Map[String, String] =
+    idx(r, n).map(i => r.getMap[String, String](i).toMap).getOrElse(Map.empty)
+  private def seqField(r: Row, n: String): Seq[String] =
+    idx(r, n).map(i => r.getSeq[String](i)).getOrElse(Nil)
+}
+
+object DeltaLog {
+  private val CommitFileRe = """(\d{20})\.json""".r
+  private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
+
+  def forTable(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
+}

@@ -1,0 +1,218 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** One DNF predicate: (column, op, value). Ops mirror pyarrow's
+  * filters_to_expression contract used by the reference (core.py:75-77,
+  * docstring core.py:209-212): ==, =, !=, <, >, <=, >=, in, not in. */
+final case class Predicate(column: String, op: String, value: Any)
+
+/** Delta snapshot scan — the Spark-native successor of `read_delta`
+  * (reference core.py:158-265).
+  *
+  * Differences by design (SURVEY.md §3.1): the reference drains the whole
+  * scan into client memory at graph-construction time; ours stays lazy —
+  * log replay yields a partition-pruned file list, and Spark's
+  * FileSourceScanExec does distributed, vectorized execution with
+  * projection/predicate pushdown handled by Catalyst. At 100 TB the driver
+  * only ever holds the pruned add-file list, never data.
+  */
+object DeltaRead {
+
+  /** Read a Delta table as a DataFrame.
+    *
+    * @param version    time travel by version (SURVEY.md §2 ②)
+    * @param timestamp  time travel by RFC-3339-ish timestamp string (③)
+    * @param columns    projection pushdown (⑤)
+    * @param filters    DNF: outer Seq = OR of inner AND-lists (⑥ ⑦);
+    *                   partition-column predicates prune the file list
+    *                   before any scan exists, the rest are applied as a
+    *                   Catalyst filter (and pushed to parquet row groups).
+    */
+  def load(
+      spark: SparkSession,
+      path: String,
+      version: Option[Long] = None,
+      timestamp: Option[String] = None,
+      columns: Seq[String] = Nil,
+      filters: Seq[Seq[Predicate]] = Nil
+  ): DataFrame = {
+    val log = DeltaLog.forTable(spark, path)
+    val pinned: Option[Long] = (version, timestamp) match {
+      case (Some(v), _) => Some(v)
+      case (None, Some(ts)) => Some(log.versionAtOrBefore(parseTimestampMillis(ts)))
+      case _ => None
+    }
+    val snap = log.snapshot(pinned)
+    fromSnapshot(spark, path, snap, columns, filters)
+  }
+
+  def fromSnapshot(
+      spark: SparkSession,
+      path: String,
+      snap: Snapshot,
+      columns: Seq[String] = Nil,
+      filters: Seq[Seq[Predicate]] = Nil
+  ): DataFrame = {
+    val schema = snap.schema
+    val partCols = snap.partitionColumns.toSet
+
+    // (a) log-level partition pruning: evaluate partition predicates
+    // against add.partitionValues so pruned files are never planned —
+    // the layer that keeps 100 TB plans small (SURVEY.md §4).
+    val files = prunedFiles(snap, filters)
+
+    val base = if (files.isEmpty) {
+      // Empty-table branch (SURVEY.md §2 ⑨): correct schema, 0 rows.
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val absolute = files.map(f => resolvePath(path, f.path))
+      // basePath restores hive partition columns; the explicit schema makes
+      // pre-evolution files surface absent columns as nulls (⑧) and casts
+      // partition-dir strings to their declared types.
+      spark.read
+        .format("parquet")
+        .schema(schema)
+        .option("basePath", path)
+        .load(absolute: _*)
+    }
+
+    // (b) residual row-level filter → Catalyst → parquet row-group pushdown.
+    val dataFilters = filters
+      .map(_.filterNot(p => partCols.contains(p.column)))
+      .filter(_.nonEmpty)
+    val filtered =
+      if (filters.isEmpty) base
+      else if (dataFilters.isEmpty && filters.forall(_.forall(p => partCols.contains(p.column))))
+        base // fully satisfied by pruning
+      else base.filter(dnfToColumn(filters))
+
+    if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+  }
+
+  /** Evaluate the DNF's partition-column conjuncts against each add's
+    * partitionValues (strings, per protocol), casting to the schema type.
+    * A file survives if any OR-branch's partition conjuncts all hold. */
+  private[delta] def prunedFiles(snap: Snapshot, filters: Seq[Seq[Predicate]]): Seq[AddFile] = {
+    val partCols = snap.partitionColumns.toSet
+    if (filters.isEmpty || !filters.exists(_.exists(p => partCols.contains(p.column))))
+      return snap.activeFiles
+    val fieldTypes: Map[String, DataType] =
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    snap.activeFiles.filter { f =>
+      filters.exists { conj =>
+        conj.filter(p => partCols.contains(p.column)).forall { p =>
+          evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+            fieldTypes.getOrElse(p.column, StringType), p)
+        }
+      }
+    }
+  }
+
+  private def evalPredicate(raw: Option[String], dt: DataType, p: Predicate): Boolean = {
+    def castRaw(s: String): Any = dt match {
+      case LongType | IntegerType | ShortType | ByteType => s.toLong
+      case DoubleType | FloatType => s.toDouble
+      case BooleanType => s.toBoolean
+      case _: DecimalType => BigDecimal(s)
+      case _ => s
+    }
+    def toComparable(v: Any): Any = v match {
+      case n: Number if dt.isInstanceOf[NumericType] => castNum(n)
+      case s: String => castRaw(s)
+      case other => other
+    }
+    def castNum(n: Number): Any = dt match {
+      case LongType | IntegerType | ShortType | ByteType => n.longValue()
+      case DoubleType | FloatType => n.doubleValue()
+      case _ => n
+    }
+    raw match {
+      case None =>
+        // null partition value: only `!=`/`not in` can be satisfied… by
+        // SQL semantics nulls fail all comparisons; mirror arrow behavior
+        // of excluding nulls from comparisons.
+        false
+      case Some(s) =>
+        val lhs = castRaw(s)
+        p.op match {
+          case "==" | "=" => lhs == toComparable(p.value)
+          case "!=" => lhs != toComparable(p.value)
+          case "<" => cmp(lhs, toComparable(p.value)) < 0
+          case ">" => cmp(lhs, toComparable(p.value)) > 0
+          case "<=" => cmp(lhs, toComparable(p.value)) <= 0
+          case ">=" => cmp(lhs, toComparable(p.value)) >= 0
+          case "in" => seqOf(p.value).map(toComparable).contains(lhs)
+          case "not in" => !seqOf(p.value).map(toComparable).contains(lhs)
+          case other => throw new IllegalArgumentException(s"Unsupported filter op: $other")
+        }
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalArgumentException(s"Cannot compare $a with $b")
+  }
+
+  private def seqOf(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case a: Array[_] => a.toSeq
+    case i: java.lang.Iterable[_] => scala.jdk.CollectionConverters.IterableHasAsScala(i).asScala.toSeq
+    case other => Seq(other)
+  }
+
+  /** DNF tuples → one Catalyst Column (OR of ANDs), the row-level
+    * equivalent of pyarrow's filters_to_expression. */
+  def dnfToColumn(filters: Seq[Seq[Predicate]]): Column =
+    filters
+      .map(conj => conj.map(predToColumn).reduce(_ && _))
+      .reduce(_ || _)
+
+  private def predToColumn(p: Predicate): Column = {
+    val c = col(p.column)
+    p.op match {
+      case "==" | "=" => c === lit(p.value)
+      case "!=" => c =!= lit(p.value)
+      case "<" => c < lit(p.value)
+      case ">" => c > lit(p.value)
+      case "<=" => c <= lit(p.value)
+      case ">=" => c >= lit(p.value)
+      case "in" => c.isin(seqOf(p.value): _*)
+      case "not in" => !c.isin(seqOf(p.value): _*)
+      case other => throw new IllegalArgumentException(s"Unsupported filter op: $other")
+    }
+  }
+
+  private[delta] def resolvePath(tablePath: String, filePath: String): String = {
+    val p = new Path(filePath)
+    if (p.isAbsolute) filePath
+    else new Path(tablePath, filePath).toString
+  }
+
+  private[delta] def parseTimestampMillis(ts: String): Long = {
+    val trimmed = ts.trim
+    val attempts: Seq[() => Instant] = Seq(
+      () => Instant.parse(trimmed),
+      () => LocalDateTime
+        .parse(trimmed, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(ZoneOffset.UTC),
+      () => LocalDateTime.parse(trimmed).toInstant(ZoneOffset.UTC),
+      () => LocalDateTime.parse(trimmed + "T00:00:00").toInstant(ZoneOffset.UTC)
+    )
+    attempts.view
+      .flatMap(f => try Some(f()) catch { case _: Exception => None })
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(s"Cannot parse timestamp: $ts"))
+      .toEpochMilli
+  }
+}

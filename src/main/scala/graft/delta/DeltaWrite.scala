@@ -1,0 +1,345 @@
+package graft.delta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.UUID
+import scala.collection.mutable
+
+/** Transactional Delta write — the Spark-native successor of `to_delta`
+  * (reference writer.py:134-313).
+  *
+  * Shape matches the reference: a distributed data plane (Spark parquet
+  * write job, hive-partitioned) and a driver-side single-commit control
+  * plane (collect per-file AddFile actions with footer-derived stats, then
+  * atomically create `_delta_log/%020d.json`). Modes `error`/`append`/
+  * `overwrite`/`ignore` with the same guards (schema equality unless
+  * overwrite+overwriteSchema, partition-column equality, writer-version
+  * ≤ 2; writer.py:233-259).
+  *
+  * Scale notes: files are staged by an ordinary `df.write` job (all
+  * parallelism, compression, and size knobs apply), so the data path is
+  * identical to a plain parquet sink; the commit is O(#files) driver work,
+  * the same asymptotics as delta-spark's commit. Footer-stats harvesting
+  * opens only footers, not data pages. File moves are metadata-only on
+  * HDFS/local; for object stores a direct-write-with-manifest layout would
+  * replace the rename (documented, not built — SURVEY.md §7).
+  */
+object DeltaWrite {
+
+  val MaxSupportedWriterVersion = 2
+
+  def write(
+      df: DataFrame,
+      path: String,
+      mode: String = "error",
+      partitionBy: Seq[String] = Nil,
+      overwriteSchema: Boolean = false,
+      name: Option[String] = None,
+      description: Option[String] = None,
+      configuration: Map[String, String] = Map.empty,
+      checkpointInterval: Int = 10
+  ): Unit = {
+    require(Seq("error", "append", "overwrite", "ignore").contains(mode),
+      s"Unknown mode: $mode")
+    val spark = df.sparkSession
+    val log = DeltaLog.forTable(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+    val existing: Option[Snapshot] =
+      if (log.tableExists) Some(log.snapshot(None)) else None
+
+    if (existing.isDefined && mode == "error")
+      throw new IllegalStateException(s"Delta table already exists at $path (mode=error)")
+    if (existing.isDefined && mode == "ignore") return
+
+    existing.foreach { snap =>
+      if (snap.protocol.minWriterVersion > MaxSupportedWriterVersion)
+        throw new IllegalStateException(
+          s"Table requires writer version ${snap.protocol.minWriterVersion} > $MaxSupportedWriterVersion")
+      if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
+        throw new IllegalArgumentException(
+          s"partitionBy $partitionBy != table partition columns ${snap.partitionColumns}")
+      val schemaMatches = normalize(df.schema) == normalize(snap.schema)
+      if (!schemaMatches && !(mode == "overwrite" && overwriteSchema))
+        throw new IllegalArgumentException(
+          s"Schema mismatch (pass mode=overwrite with overwriteSchema=true to replace):\n" +
+            s"  incoming: ${df.schema.simpleString}\n  table:    ${snap.schema.simpleString}")
+    }
+
+    val effectivePartitionBy =
+      if (existing.isDefined) existing.get.partitionColumns else partitionBy
+    val version = existing.map(_.version + 1).getOrElse(0L)
+
+    // ---- data plane: stage files with a normal Spark write job ----------
+    val stagingDir = new Path(path, s".graft_staging_${UUID.randomUUID().toString.take(12)}")
+    val writer = df.write.mode("overwrite")
+    (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*) else writer)
+      .parquet(stagingDir.toString)
+
+    // ---- move staged files into the table root, harvest footer stats ----
+    val staged = listParquetFiles(fs, stagingDir)
+    val statsSchema = StructType(
+      df.schema.fields.filterNot(f => effectivePartitionBy.contains(f.name)))
+    val adds = mutable.ArrayBuffer.empty[AddFile]
+    staged.zipWithIndex.foreach { case (st, i) =>
+      val rel = relativize(stagingDir, st.getPath) // e.g. col=1/part-...parquet
+      val partitionValues = partitionValuesFromPath(rel, effectivePartitionBy)
+      val partitionDir = parentDirs(rel)
+      val fileName = f"part-$version%05d-${UUID.randomUUID()}-$i%04d.snappy.parquet"
+      val destRel = if (partitionDir.isEmpty) fileName else s"$partitionDir/$fileName"
+      val dest = new Path(path, destRel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(s"Failed to move ${st.getPath} -> $dest")
+      val destStatus = fs.getFileStatus(dest)
+      val stats = harvestStats(fs.getConf, dest, statsSchema)
+      adds += AddFile(
+        path = destRel,
+        partitionValues = partitionValues,
+        size = destStatus.getLen,
+        modificationTime = destStatus.getModificationTime,
+        dataChange = true,
+        stats = Some(stats)
+      )
+    }
+    fs.delete(stagingDir, true)
+
+    // ---- control plane: single atomic commit ---------------------------
+    val now = Instant.now().toEpochMilli
+    val isNew = existing.isEmpty
+    val metadata =
+      if (isNew || (mode == "overwrite" && overwriteSchema))
+        Some(MetadataAction(
+          id = UUID.randomUUID().toString,
+          name = name,
+          description = description,
+          schemaString = normalize(df.schema).json,
+          partitionColumns = effectivePartitionBy,
+          configuration = configuration,
+          createdTime = Some(now)))
+      else None
+
+    val removes: Seq[RemoveFile] =
+      if (mode == "overwrite" && existing.isDefined)
+        existing.get.activeFiles.map(f =>
+          RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+            extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+            size = Some(f.size)))
+      else Nil
+
+    val numRows = adds.flatMap(a => a.stats.flatMap(numRecordsOf)).sum
+    val commitInfo = CommitInfo(
+      timestamp = now,
+      operation = if (isNew) "CREATE TABLE AS SELECT" else "WRITE",
+      operationParameters = Map(
+        "mode" -> (if (isNew) "ErrorIfExists" else modeName(mode)),
+        "partitionBy" -> (if (effectivePartitionBy.isEmpty) "[]"
+                          else effectivePartitionBy.mkString("[\"", "\",\"", "\"]"))),
+      operationMetrics = Map(
+        "numFiles" -> adds.size.toString,
+        "numOutputRows" -> numRows.toString,
+        "numOutputBytes" -> adds.map(_.size).sum.toString),
+      readVersion = existing.map(_.version),
+      isBlindAppend = Some(mode == "append" || isNew)
+    )
+
+    val actions: Seq[Action] =
+      Seq(commitInfo) ++
+        (if (isNew) Seq(Protocol(1, 2)) else Nil) ++
+        metadata.toSeq ++ adds.toSeq ++ removes
+
+    try log.writeCommit(version, actions)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the race — clean up our orphaned files, then rethrow
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+        throw e
+    }
+
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+      log.writeCheckpoint(version)
+  }
+
+  private def modeName(m: String): String = m match {
+    case "append" => "Append"
+    case "overwrite" => "Overwrite"
+    case other => other.capitalize
+  }
+
+  private def numRecordsOf(statsJson: String): Option[Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsJson)
+    if (node.has("numRecords")) Some(node.get("numRecords").asLong()) else None
+  }
+
+  /** Delta's timestamp type is microsecond precision; normalize the Spark
+    * schema we persist the same way the reference coerces Arrow timestamps
+    * to µs (writer.py:39-65). Spark TimestampType is already µs — this
+    * strips non-nullable flags metadata noise for stable comparisons. */
+  private[delta] def normalize(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(f.name, normalizeType(f.dataType), nullable = true)))
+
+  private def normalizeType(dt: DataType): DataType = dt match {
+    case s: StructType => normalize(s)
+    case a: ArrayType => ArrayType(normalizeType(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(normalizeType(m.keyType), normalizeType(m.valueType), valueContainsNull = true)
+    case TimestampNTZType => TimestampType
+    case other => other
+  }
+
+  private def listParquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val out = mutable.ArrayBuffer.empty[FileStatus]
+    def walk(d: Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          out += st
+      }
+    walk(dir)
+    out.sortBy(_.getPath.toString).toSeq
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val baseUri = base.toUri.getPath
+    val pUri = p.toUri.getPath
+    require(pUri.startsWith(baseUri), s"$p not under $base")
+    pUri.stripPrefix(baseUri).stripPrefix("/")
+  }
+
+  private def parentDirs(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Parse `col=val` path segments into partition values; the hive null
+    * sentinel decodes to null (reference writer.py:68-81). */
+  private[delta] def partitionValuesFromPath(
+      rel: String, partitionBy: Seq[String]): Map[String, String] = {
+    if (partitionBy.isEmpty) return Map.empty
+    val segs = rel.split('/').dropRight(1)
+    val kv = segs.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = URLDecoder.decode(s.substring(0, i), "UTF-8")
+        val raw = URLDecoder.decode(s.substring(i + 1), "UTF-8")
+        Some(k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw))
+      }
+    }.toMap
+    partitionBy.map(c => c -> kv.getOrElse(c, null)).toMap
+  }
+
+  /** Per-file column stats from the parquet footer only:
+    * {numRecords, minValues, maxValues, nullCount} in Delta's JSON stats
+    * encoding — what the reference gets from pyarrow's
+    * get_file_stats_from_metadata (writer.py:99-117). Used for future
+    * data skipping; leaf primitive columns only. */
+  private[delta] def harvestStats(
+      conf: Configuration, file: Path, schema: StructType): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var numRecords = 0L
+      val mins = mutable.LinkedHashMap.empty[String, Any]
+      val maxs = mutable.LinkedHashMap.empty[String, Any]
+      val nulls = mutable.LinkedHashMap.empty[String, Long]
+      val fieldType: Map[String, DataType] =
+        schema.fields.map(f => f.name -> f.dataType).toMap
+      blocks.forEach { b =>
+        numRecords += b.getRowCount
+        b.getColumns.forEach { c =>
+          val colPath = c.getPath.toDotString
+          if (fieldType.contains(colPath)) {
+            val st = c.getStatistics
+            if (st != null) {
+              nulls(colPath) = nulls.getOrElse(colPath, 0L) +
+                (if (st.isNumNullsSet) st.getNumNulls else 0L)
+              if (st.hasNonNullValue) {
+                val (mn, mx) = statValues(st, c.getPrimitiveType.getLogicalTypeAnnotation,
+                  fieldType(colPath))
+                (mn, mins.get(colPath)) match {
+                  case (Some(v), None) => mins(colPath) = v
+                  case (Some(v), Some(cur)) => if (lessThan(v, cur)) mins(colPath) = v
+                  case _ => ()
+                }
+                (mx, maxs.get(colPath)) match {
+                  case (Some(v), None) => maxs(colPath) = v
+                  case (Some(v), Some(cur)) => if (lessThan(cur, v)) maxs(colPath) = v
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+      }
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      root.put("numRecords", numRecords)
+      def putVals(field: String, vals: mutable.LinkedHashMap[String, Any]): Unit = {
+        val n = root.putObject(field)
+        vals.foreach {
+          case (k, v: Long) => n.put(k, v)
+          case (k, v: Double) => n.put(k, v)
+          case (k, v: String) => n.put(k, v)
+          case (k, v: Boolean) => n.put(k, v)
+          case (k, v) => n.put(k, v.toString)
+        }
+      }
+      putVals("minValues", mins)
+      putVals("maxValues", maxs)
+      val nn = root.putObject("nullCount")
+      nulls.foreach { case (k, v) => nn.put(k, v) }
+      m.writeValueAsString(root)
+    } finally reader.close()
+  }
+
+  private def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case _ => false
+  }
+
+  /** Decode a parquet Statistics min/max into Delta's stats JSON value
+    * space (numbers, strings, ISO timestamps). */
+  private def statValues(
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      logical: LogicalTypeAnnotation,
+      sparkType: DataType): (Option[Any], Option[Any]) = {
+    def dec(v: Any): Option[Any] = (v, sparkType) match {
+      case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
+        Some(b.toStringUsingUTF8)
+      case (n: java.lang.Long, TimestampType | TimestampNTZType) =>
+        val micros = logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => n * 1000L
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => n / 1000L
+          case _ => n.longValue()
+        }
+        Some(Instant.ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L).toString)
+      case (n: java.lang.Integer, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(n.longValue()).toString)
+      case (n: java.lang.Long, _) => Some(n.longValue())
+      case (n: java.lang.Integer, _) => Some(n.longValue())
+      case (n: java.lang.Double, _) => Some(n.doubleValue())
+      case (n: java.lang.Float, _) => Some(n.doubleValue())
+      case (b: java.lang.Boolean, _) => Some(b.booleanValue())
+      case _ => None
+    }
+    (dec(st.genericGetMin()), dec(st.genericGetMax()))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public API of the engine — the four entry points the reference exports
+  * from dask_deltalake/__init__.py:1-2 (`read_delta`, `read_delta_history`,
+  * `vacuum`, `to_delta`), re-expressed Spark-first. Everything returns or
+  * accepts plain DataFrames so the whole Spark relational surface
+  * (joins/aggs/windows/functions — SURVEY.md §2 ⑮) composes for free.
+  */
+object GraftDelta {
+
+  /** read_delta (reference core.py:158-265). */
+  def readDelta(
+      spark: SparkSession,
+      path: String,
+      version: Option[Long] = None,
+      timestamp: Option[String] = None,
+      columns: Seq[String] = Nil,
+      filters: Seq[Seq[Predicate]] = Nil
+  ): DataFrame = DeltaRead.load(spark, path, version, timestamp, columns, filters)
+
+  /** to_delta (reference writer.py:134-313). */
+  def toDelta(
+      df: DataFrame,
+      path: String,
+      mode: String = "error",
+      partitionBy: Seq[String] = Nil,
+      overwriteSchema: Boolean = false,
+      name: Option[String] = None,
+      description: Option[String] = None,
+      configuration: Map[String, String] = Map.empty,
+      checkpointInterval: Int = 10
+  ): Unit = DeltaWrite.write(df, path, mode, partitionBy, overwriteSchema, name,
+    description, configuration, checkpointInterval)
+
+  /** read_delta_history (reference core.py:268-293). */
+  def readDeltaHistory(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame =
+    DeltaTableOps.history(spark, path, limit)
+
+  /** vacuum (reference core.py:296-324). */
+  def vacuum(
+      spark: SparkSession,
+      path: String,
+      retentionHours: Double = 168.0,
+      dryRun: Boolean = true
+  ): Seq[String] = DeltaTableOps.vacuum(spark, path, retentionHours, dryRun)
+}
