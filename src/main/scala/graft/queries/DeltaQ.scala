@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.delta.{DeltaLog, GraftDelta, Predicate}
+
+/** Harness queries for the Delta engine operators (SURVEY.md §2 ①-⑭).
+  *
+  * Each query stages a temp Delta table from the driver's parquet
+  * testdata via our writer, then exercises one operator via our reader;
+  * the DuckDB oracle expresses the same result against the source
+  * parquet directly, so correctness of BOTH write and read paths is
+  * machine-checked (write bugs corrupt the readback and fail the hash).
+  */
+object DeltaQ {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$prefix")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ① scan + ⑬ transactional write: full roundtrip through the log.
+    "d01_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d01")
+      GraftDelta.toDelta(t(s, dir, "supplier"), path)
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_name", $"s_nationkey", cents($"s_acctbal").as("acctbal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // ② time travel by version: v1 append must be invisible at v0.
+    "d02_travel_version" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d02")
+      val o = t(s, dir, "orders")
+      GraftDelta.toDelta(o.filter($"o_orderkey" < 5000), path)
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 5000), path, mode = "append")
+      GraftDelta.readDelta(s, path, version = Some(0L))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ③ time travel by timestamp: pin to v0's commitInfo timestamp.
+    "d03_travel_timestamp" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d03")
+      val o = t(s, dir, "orders")
+      GraftDelta.toDelta(o.filter($"o_orderkey" < 5000), path)
+      Thread.sleep(20) // ensure v1's commit timestamp is strictly later
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 5000), path, mode = "append")
+      val ts0 = DeltaLog.forTable(s, path).commitTimestamps.head._2
+      GraftDelta.readDelta(s, path,
+          timestamp = Some(java.time.Instant.ofEpochMilli(ts0).toString))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ④ checkpoint-accelerated replay: 12 appends, checkpoints at v5 and
+    // v10; commits ≤ v10 are then DELETED, so the read can only succeed
+    // by starting from the checkpoint.
+    "d04_checkpoint" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d04")
+      val sup = t(s, dir, "supplier")
+      (0 until 12).foreach { i =>
+        GraftDelta.toDelta(sup.filter($"s_suppkey" % 12 === i), path,
+          mode = if (i == 0) "error" else "append", checkpointInterval = 5)
+      }
+      val log = DeltaLog.forTable(s, path)
+      (0L to 10L).foreach(v => log.fs.delete(log.commitFile(v), false))
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // ⑤ projection pushdown through the reader's columns= parameter.
+    "d05_projection" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d05")
+      GraftDelta.toDelta(t(s, dir, "part"), path)
+      GraftDelta.readDelta(s, path, columns = Seq("p_partkey", "p_brand"))
+        .orderBy($"p_partkey")
+    }),
+
+    // ⑥ predicate pushdown (DNF row filter) through filters=.
+    "d06_predicate" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d06")
+      GraftDelta.toDelta(t(s, dir, "customer"), path)
+      GraftDelta.readDelta(s, path,
+          filters = Seq(Seq(Predicate("c_acctbal", ">", 5000), Predicate("c_nationkey", "<=", 10))))
+        .select($"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal").as("acctbal_c"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ⑦ partition pruning: hive-partitioned table, OR-of-ANDs filter
+    // prunes at the log level before any scan exists.
+    "d07_partition_prune" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d07")
+      GraftDelta.toDelta(t(s, dir, "orders"), path, partitionBy = Seq("o_orderstatus"))
+      GraftDelta.readDelta(s, path,
+          filters = Seq(
+            Seq(Predicate("o_orderstatus", "==", "O")),
+            Seq(Predicate("o_orderstatus", "==", "F"))))
+        .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ⑧ schema evolution: after an overwrite adds a column, v0 must still
+    // read with its original 2-column schema.
+    "d08_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d08")
+      val r = t(s, dir, "region")
+      GraftDelta.toDelta(r, path)
+      GraftDelta.toDelta(r.withColumn("r_name_upper", upper($"r_name")), path,
+        mode = "overwrite", overwriteSchema = true)
+      GraftDelta.readDelta(s, path, version = Some(0L)).orderBy($"r_regionkey")
+    }),
+
+    // ⑨ empty-table scan: correct schema, zero rows.
+    "d09_empty" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d09")
+      GraftDelta.toDelta(t(s, dir, "nation").filter(lit(false)), path)
+      GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
+    }),
+
+    // ⑩ history: 9-column projection, desc order; deterministic columns.
+    "d10_history" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d10")
+      val r = t(s, dir, "region").repartition(1)
+      GraftDelta.toDelta(r, path)
+      GraftDelta.toDelta(r, path, mode = "append")
+      GraftDelta.toDelta(r, path, mode = "append")
+      GraftDelta.readDeltaHistory(s, path)
+        .select($"version", $"operation",
+          $"operationParameters_mode".as("mode"),
+          $"operationMetrics_numFiles".as("num_files"))
+        .orderBy($"version".desc)
+    }),
+
+    // ⑪+⑫ vacuum dry-run then delete: tombstone count and files left.
+    "d11_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d11")
+      val r = t(s, dir, "region")
+      GraftDelta.toDelta(r.repartition(2), path)
+      GraftDelta.toDelta(r.repartition(3), path, mode = "overwrite")
+      val dry = GraftDelta.vacuum(s, path, retentionHours = -0.01, dryRun = true)
+      GraftDelta.vacuum(s, path, retentionHours = -0.01, dryRun = false)
+      val left = {
+        val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+        fs.listStatus(new Path(path)).count(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      Seq((dry.size.toLong, left.toLong)).toDF("tombstones", "files_after")
+    }),
+
+    // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
+    "d12_write_modes" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d12")
+      val r = t(s, dir, "region")
+      GraftDelta.toDelta(r, path) // mode=error creates
+      GraftDelta.toDelta(r, path, mode = "append")
+      GraftDelta.toDelta(r, path, mode = "append")
+      GraftDelta.toDelta(r.filter(lit(false)), path, mode = "ignore") // no-op
+      val gotError =
+        try { GraftDelta.toDelta(r, path); false }
+        catch { case _: IllegalStateException => true }
+      require(gotError, "mode=error must refuse an existing table")
+      GraftDelta.readDelta(s, path).orderBy($"r_regionkey", $"r_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d02_travel_version" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin,
+    "d03_travel_timestamp" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin,
+    "d04_checkpoint" ->
+      """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d05_projection" ->
+      "SELECT p_partkey, p_brand FROM part ORDER BY p_partkey",
+    "d06_predicate" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM customer WHERE c_acctbal > 5000 AND c_nationkey <= 10
+        |ORDER BY c_custkey""".stripMargin,
+    "d07_partition_prune" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders WHERE o_orderstatus IN ('O','F') ORDER BY o_orderkey""".stripMargin,
+    "d08_schema_evolution" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "d09_empty" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE 1=0 ORDER BY n_nationkey",
+    "d10_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(2 AS BIGINT), 'WRITE', 'Append', '1'),
+        | (CAST(1 AS BIGINT), 'WRITE', 'Append', '1'),
+        | (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT', 'ErrorIfExists', '1')
+        |) t(version, operation, mode, num_files) ORDER BY version DESC""".stripMargin,
+    "d11_vacuum" ->
+      "SELECT CAST(2 AS BIGINT) AS tombstones, CAST(3 AS BIGINT) AS files_after",
+    "d12_write_modes" ->
+      """SELECT r_regionkey, r_name FROM (
+        | SELECT r_regionkey, r_name FROM region
+        | UNION ALL SELECT r_regionkey, r_name FROM region
+        | UNION ALL SELECT r_regionkey, r_name FROM region) u
+        |ORDER BY r_regionkey, r_name""".stripMargin
+  )
+}
