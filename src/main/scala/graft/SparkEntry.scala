@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DeltaQ, Relational}
+import graft.queries.{DeltaQ, PipelineQ, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ DeltaQ.queries
+    Relational.queries ++ DeltaQ.queries ++ PipelineQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ DeltaQ.oracles
+    Relational.oracles ++ DeltaQ.oracles ++ PipelineQ.oracles
 
   /** Headline subset for Bench (relational + pipeline ops; excludes
     * queries that stage temp Delta tables — those are benched by their

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design: everything is hash-partitioned group work or bucketed
+  * self-joins — never an all-pairs cross join, never driver state. The
+  * MinHash-LSH path is the classic shingle → signature → band-bucket →
+  * candidate-join → exact-verify pipeline; at 100 TB each stage is one
+  * shuffle on bounded keys (band buckets cap candidate fan-out).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `orderCol` per key group
+    * (deterministic, unlike dropDuplicates' arbitrary winner). One shuffle
+    * on the key columns; no driver state. */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---- MinHash-LSH near-dedup -------------------------------------------
+
+  /** Number of minhash functions and the LSH banding (bands × rowsPerBand
+    * = numHashes). 8 bands × 4 rows targets J ≈ 0.5+ candidates. */
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+  private val P = 2147483647L // 2^31-1; keeps a*h+b < 2^62 (ANSI-safe)
+
+  /** Deterministic per-function coefficients (fixed seed). */
+  private val coefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-doc distinct word n-gram shingles of `text`. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => when(size(words) >= n,
+        concat_ws(" ", slice(words, i + 1, lit(n)))).otherwise(text))
+    array_distinct(grams)
+  }
+
+  /** doc_id → 32-wide minhash signature (array<long>), one shuffle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+    val sigCols = coefs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh$j")
+    }
+    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    * Bucketed self-join on (band, bandHash) — never all-pairs. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val rowCols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full near-dedup: LSH candidates verified with EXACT n-gram Jaccard;
+    * only pairs ≥ threshold survive. Jaccard is a ratio of exact ints —
+    * bit-identical in any engine. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh_set"))
+    val pairs = candidatePairs(minhashSignatures(df, idCol, textCol))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** doc_id → 64-bit SimHash over word 3-gram shingles: per-feature hash
+    * votes ±1 on each bit; the sign of each bit-sum forms the fingerprint.
+    * Shingles (not unigrams) are the features — on corpora with a shared
+    * vocabulary unigram sets are near-identical across documents and carry
+    * no signal. One explode + 64 partial-aggregated vote sums: each
+    * feature is hashed exactly once (an inline per-bit fold would
+    * re-evaluate the shingle array 64× per row). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = df
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val agg = e.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Near-dup clusters by identical SimHash band (16-bit quarters):
+    * pairs whose simhashes agree on ≥1 of 4 bands, verified by hamming
+    * distance ≤ maxHamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = simhashSignatures(df, idCol, textCol)
+    val banded = withSig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val hamming = {
+      val x = col("l.sig").bitwiseXOR(col("r.sig"))
+      bit_count(x)
+    }
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` content plus a
+  * typed metadata struct, with decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partition-preserving mapPartitions
+  * batches, feature vector shape) is real and tested; the actual codec
+  * is STUBBED with a deterministic fake (this container ships no
+  * image/audio libraries) — swap `decodeStub` for a real decoder to
+  * productionize. Equivalent of running a vectorized decode UDF per
+  * partition batch; executors stream batches, nothing is collected.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Wrap a text table as a fake media table: content = UTF-8 bytes,
+    * meta derived from length. Stands in for reading real image blobs. */
+  def fromDocuments(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        lit("fake/raw").as("format"),
+        (length(col(textCol)) % 64 + 8).cast("int").as("width"),
+        (length(col(textCol)) % 48 + 8).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: a real implementation would JPEG/PNG-decode `content`;
+    * the deterministic fake treats each byte as one pixel intensity. */
+  private def decodeStub(content: Array[Byte]): Array[Int] =
+    if (content == null) Array.emptyIntArray else content.map(b => b & 0xFF)
+
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Long, byte_sum: Long, hist: Array[Long])
+
+  /** Per-media feature extraction over partition-streamed batches:
+    * byte count, intensity sum, 16-bucket intensity histogram. Runs as
+    * mapPartitions (the Scala analog of a pandas mapInPandas batch UDF):
+    * one JVM pass per partition, no shuffle, no driver data. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, content) =>
+          val px = decodeStub(content)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); hist(px(i) % 16) += 1; i += 1 }
+          MediaFeatures(id, px.length.toLong, sum, hist)
+        }
+      }
+      .toDF()
+  }
+
+  /** "Frame sample": every k-th pixel/byte, as a new binary column —
+    * the shape of video frame-striding without a real codec. */
+  def frameSample(media: DataFrame, k: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val c = if (content == null) Array.emptyByteArray else content
+        (id, c.grouped(k).map(_.head).toArray, c.length.toLong)
+      }
+      .toDF("media_id", "sampled", "orig_bytes")
+  }
+
+  /** "Resize": truncate or zero-pad content to exactly n bytes — the
+    * shape of a resize kernel without a real codec. */
+  def resizeTo(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val c = if (content == null) Array.emptyByteArray else content
+        (id, java.util.Arrays.copyOf(c, n))
+      }
+      .toDF("media_id", "resized")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Determinism contract: embeddings are quantized to integer micro-units
+  * (round(x*1e6)) so dot products and squared norms are EXACT BIGINTs;
+  * cosine = dot / (sqrt(na)*sqrt(nb)) then runs on identical integers in
+  * any engine → bit-identical doubles → identical rankings.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and scans the corpus once — no shuffle of the corpus. The LSH path
+  * buckets by random-hyperplane signature bands so each query only
+  * scores its candidate buckets; at 100 TB the bucket join replaces the
+  * full scan per query.
+  */
+object Similarity {
+
+  /** array<float> → exact integer micro-units (array<long>). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000000d).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def normQ(a: Column): Column = dotQ(a, a)
+
+  /** Exact cosine between two quantized vectors, as a double. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") / (sqrt(normQ(a).cast("double")) * sqrt(normQ(b).cast("double")))
+
+  /** Brute-force top-k cosine neighbors for each query id.
+    * Returns (query_id, rank, vec_id). The query set is broadcast; the
+    * corpus is scanned once (narrow), then one shuffle for the per-query
+    * top-k window. */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = df.filter(col(idCol).isin(queryIds.map(Long.box): _*))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val corpus = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("cv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+
+  // ---- Random-hyperplane LSH (scale path) -------------------------------
+
+  /** Deterministic ±1 hyperplanes: sign of a seeded hash of (plane, dim).
+    * numPlanes bits form the signature. */
+  def signature(vecQ: Column, dim: Int, numPlanes: Int = 16): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      // dot(vec, plane_p) where plane_p[i] = ±1 from a fixed hash
+      val signs = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        if ((h & 1) == 0) 1L else -1L
+      }
+      val planeDot = aggregate(
+        zip_with(vecQ, typedLit(signs), (x, s) => x * s), lit(0L), (acc, x) => acc + x)
+      when(planeDot >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing ≥1 of 4 signature
+    * bands (4 bits each) with the query, then exact cosine rank among
+    * candidates. Approximate — high recall on clustered data. */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, dim: Int): DataFrame = {
+    val numPlanes = 16
+    val bandBits = 4
+    val withSig = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("sig", signature(col("v"), dim, numPlanes))
+    val banded = withSig.select(col("id"), col("v"),
+        explode(array((0 until numPlanes / bandBits).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))): _*))
+          .as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
+    val qb = banded.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("band"), col("bh"))
+    val cands = banded.join(broadcast(qb), Seq("band", "bh"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id").as("vec_id"), col("v").as("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+}

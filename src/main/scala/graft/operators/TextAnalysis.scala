@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, built as
+  * native Catalyst expressions (whole-stage codegen, no UDFs) so they
+  * run at scan speed over 100 TB of documents.
+  *
+  * All outputs are exact integers (or strings) — deterministic across
+  * engines and safe to hash against a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Tokens matching a BPE-ish word/punct regex (letters runs, digit
+    * runs, single punct) — a cheap proxy for subword token budgeting. */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0))
+
+  /** Count of tokens belonging to an English stopword set. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  def stopwordCount(text: Column): Column =
+    size(filter(split(text, " "), t => t.isin(EnStopwords.map(lit): _*)))
+
+  /** Integer quality score in [0, 10000]: stopword density × brevity —
+    * exact integer arithmetic so the oracle can reproduce it bit-for-bit.
+    * score = (stopwords * 10000) DIV tokens  (0 for empty docs). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, 0L)
+      .otherwise((stopwordCount(text).cast("long") * 10000L)
+        .divide(toks.cast("long")).cast("long"))
+  }
+
+  /** Language-ID heuristic: stopword-profile vote over a tiny per-language
+    * lexicon; ties and no-hits fall back to 'und'. Exactly expressible in
+    * the SQL oracle (CASE over the same counts). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "de", "que"),
+    "fr" -> Seq("le", "et", "les"))
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+    }
+    val maxScore = scores.map(_._2).reduce(greatest(_, _))
+    // first language (in profile order) hitting the max wins — mirrors a
+    // SQL CASE chain in the same order
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(maxScore > 0 && s === maxScore, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Position-weighted rolling checksum fingerprint:
+    * (Σ_i code(ch_i) * ((i mod 64)+1)) mod 1_000_000_007 — pure integer
+    * arithmetic, overflow-free, reproducible in any engine. */
+  def fingerprint(text: Column): Column = {
+    val terms = transform(
+      sequence(lit(0), length(text) - 1),
+      i => ascii(substring(text, (i + 1).cast("int"), lit(1))).cast("long") * ((i % 64) + 1).cast("long"))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % 1000000007L
+  }
+
+  /** Convenience: full per-document stats frame. */
+  def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      length(c).cast("long").as("n_chars"),
+      tokenCount(c).cast("long").as("n_tokens"),
+      regexTokenCount(c).cast("long").as("n_word_tokens"),
+      stopwordCount(c).cast("long").as("n_stopwords"),
+      qualityScore(c).cast("long").as("quality_score"),
+      langId(c).as("lang_pred"),
+      fingerprint(c).cast("long").as("fingerprint"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Harness queries for the LLM-training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal) over the
+  * `documents` and `embeddings` testdata tables. */
+object PipelineQ {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on full text: counts in vs out (identity on this corpus).
+    "t01_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val out = Dedup.exact(d, Seq("text"), "doc_id")
+      Seq((d.count(), out.count())).toDF("n_in", "n_out")
+    }),
+
+    // Keyed dedup: deterministic keeper (min doc_id) per (lang, source).
+    "t02_dedup_keyed" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exact(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // MinHash-LSH near-dedup with exact-Jaccard verification; oracle is
+    // the exact all-pairs computation (LSH recall is 1.0 on this corpus's
+    // planted near-dups — J ≥ 0.9 with 8×4 banding).
+    "t03_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // SimHash near-dedup (hash-specific → rows-only check).
+    "t04_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Brute-force cosine top-10 for 5 query vectors.
+    "t05_sim_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // LSH-bucketed ANN top-10 (approximate → rows-only check).
+    "t06_sim_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, dim = 64)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Per-document text stats: counts, quality, lang-ID, fingerprint.
+    "t07_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.stats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // Lang-ID prediction vs metadata lang: confusion counts.
+    "t08_langid_confusion" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", TextAnalysis.langId($"text").as("lang_pred"))
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")
+    }),
+
+    // Multimodal: binary content + stubbed decode → feature extraction.
+    "t09_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select($"media_id", $"n_bytes", $"byte_sum",
+          element_at($"hist", 1).as("h0"), element_at($"hist", 2).as("h1"),
+          element_at($"hist", 3).as("h2"), element_at($"hist", 4).as("h3"))
+        .orderBy($"media_id")
+    }),
+
+    // Multimodal: frame-sample + resize plumbing shapes.
+    "t10_media_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      val sampled = Multimodal.frameSample(media, 7)
+      val resized = Multimodal.resizeTo(media, 32).withColumnRenamed("media_id", "rid")
+      sampled.join(resized, $"media_id" === $"rid")
+        .select($"media_id", $"orig_bytes",
+          length($"sampled").cast("long").as("n_sampled"),
+          length($"resized").cast("long").as("n_resized"),
+          conv(hex(substring($"sampled", 1, 1)), 16, 10).cast("long").as("first_byte"))
+        .orderBy($"media_id")
+    })
+  )
+
+  private val quantList =
+    "[CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
+
+  val oracles: Map[String, String] = Map(
+    "t01_dedup_exact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+        | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_out FROM documents""".stripMargin,
+    "t02_dedup_keyed" ->
+      """SELECT doc_id, lang, source FROM (
+        | SELECT doc_id, lang, source,
+        |  ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        | FROM documents) sub WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "t03_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3
+        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws)-2)])
+        |   ELSE [text] END AS sh FROM w),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+        |       CAST(x.n + y.n - i AS BIGINT) AS uni
+        |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "t05_sim_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+         |c AS (SELECT vec_id, $quantList AS cv FROM embeddings),
+         |s AS (SELECT qid, vec_id,
+         |  CAST(list_sum([qv[i]*cv[i] FOR i IN generate_series(1, len(qv))]) AS DOUBLE)
+         |   / (sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN generate_series(1, len(qv))]) AS DOUBLE))
+         |      * sqrt(CAST(list_sum([cv[i]*cv[i] FOR i IN generate_series(1, len(cv))]) AS DOUBLE))) AS cosv
+         | FROM c, q WHERE vec_id != qid),
+         |r AS (SELECT qid AS query_id, vec_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosv DESC, vec_id ASC) AS BIGINT) AS rank
+         | FROM s)
+         |SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "t07_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_word_tokens,
+         | CAST(len(list_filter(string_split(text, ' '), x -> x IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stopwords,
+         | CAST(CASE WHEN len(string_split(text, ' ')) = 0 THEN 0
+         |  ELSE (len(list_filter(string_split(text, ' '), x -> x IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")}))) * 10000)
+         |        // len(string_split(text, ' ')) END AS BIGINT) AS quality_score,
+         | ${langCase("text")} AS lang_pred,
+         | CAST(list_sum([ascii(text[i+1]) * ((i % 64) + 1) FOR i IN generate_series(0, length(text)-1)]) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t08_langid_confusion" ->
+      s"""SELECT lang, ${langCase("text")} AS lang_pred, COUNT(*) AS n
+         |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "t09_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))]) AS BIGINT) AS byte_sum,
+        | CAST(len(list_filter([ascii(text[i]) FOR i IN generate_series(1, length(text))], c -> c % 16 = 0)) AS BIGINT) AS h0,
+        | CAST(len(list_filter([ascii(text[i]) FOR i IN generate_series(1, length(text))], c -> c % 16 = 1)) AS BIGINT) AS h1,
+        | CAST(len(list_filter([ascii(text[i]) FOR i IN generate_series(1, length(text))], c -> c % 16 = 2)) AS BIGINT) AS h2,
+        | CAST(len(list_filter([ascii(text[i]) FOR i IN generate_series(1, length(text))], c -> c % 16 = 3)) AS BIGINT) AS h3
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "t10_media_sample" ->
+      """SELECT doc_id AS media_id,
+        | CAST(length(text) AS BIGINT) AS orig_bytes,
+        | CAST((length(text) + 6) // 7 AS BIGINT) AS n_sampled,
+        | CAST(32 AS BIGINT) AS n_resized,
+        | CAST(ascii(text) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  /** The langId heuristic as a DuckDB CASE chain (must mirror
+    * TextAnalysis.langId exactly: first profile hitting the max wins). */
+  private def langCase(textCol: String): String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(string_split($textCol, ' '), x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+    val scores = TextAnalysis.LangProfiles.map { case (l, ws) => l -> score(ws) }
+    val maxExpr = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (l, sc) =>
+      s"WHEN $maxExpr > 0 AND $sc = $maxExpr THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+}
