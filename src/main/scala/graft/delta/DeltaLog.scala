@@ -21,7 +21,8 @@ final case class Snapshot(
     metadata: MetadataAction,
     protocol: Protocol,
     activeFiles: Seq[AddFile],
-    tombstones: Seq[RemoveFile]
+    tombstones: Seq[RemoveFile],
+    setTransactions: Seq[SetTransaction] = Nil
 ) {
   def schema: StructType = metadata.schema
   def partitionColumns: Seq[String] = metadata.partitionColumns
@@ -111,18 +112,35 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * when a commit carries no commitInfo (SURVEY.md §2 ③). */
   def commitTimestamps: Seq[(Long, Long)] =
     listCommitVersions.map { v =>
-      val acts = readCommitActions(v)
-      val ts = acts.collectFirst { case c: CommitInfo => c.timestamp }
+      val ts = commitInfoOf(v).map(_.timestamp)
         .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
       (v, ts)
     }
 
+  /** Parse ONLY the commitInfo line of a commit (one line per file) —
+    * timestamp travel and history must not pay for parsing every add
+    * action of every commit. */
+  def commitInfoOf(v: Long): Option[CommitInfo] = {
+    val in = fs.open(commitFile(v))
+    val lines =
+      try Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.iterator
+      .filter(_.contains("\"commitInfo\""))
+      .flatMap(ActionCodec.fromJsonLine)
+      .collectFirst { case c: CommitInfo => c }
+  }
+
+  /** Latest version created at or before the timestamp. A timestamp
+    * before the first commit clamps to the earliest version — the
+    * reference's behavior (delta-rs 0.6.4, exercised by
+    * tests/test_core.py:173-199 with a pre-log datetime expecting v0). */
   def versionAtOrBefore(timestampMillis: Long): Long = {
-    val eligible = commitTimestamps.filter(_._2 <= timestampMillis).map(_._1)
-    if (eligible.isEmpty)
-      throw new IllegalArgumentException(
-        s"No version of $tablePath at or before timestamp $timestampMillis")
-    eligible.max
+    val ts = commitTimestamps
+    if (ts.isEmpty)
+      throw new IllegalArgumentException(s"No commits in $tablePath")
+    val eligible = ts.filter(_._2 <= timestampMillis).map(_._1)
+    if (eligible.isEmpty) ts.map(_._1).min else eligible.max
   }
 
   def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
@@ -160,6 +178,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.LinkedHashMap.empty[String, RemoveFile]
+    val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
     var metadata: Option[MetadataAction] = None
     var protocol: Protocol = Protocol()
 
@@ -170,7 +189,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         active.remove(f.path); removed(f.path) = f
       case m: MetadataAction => metadata = Some(m)
       case p: Protocol => protocol = p
-      case _           => ()
+      // latest per appId — idempotent-writer state (e.g. streaming sinks)
+      // must survive replay and checkpointing or writers re-apply batches
+      case t: SetTransaction => txns(t.appId) = t
+      case _ => ()
     }
 
     cpVersion.foreach(cv => readCheckpointActions(cv).foreach(apply))
@@ -185,16 +207,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
     val meta = metadata.getOrElse(
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
-    Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq)
+    Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
+      txns.values.toSeq)
   }
 
   /** All commitInfo actions, newest version first — the history surface
     * (reference core.py:88-108). Reads only JSON commit files, like
     * delta-rs `history()`. */
   def commitInfos: Seq[(Long, Option[CommitInfo])] =
-    listCommitVersions.sorted(Ordering[Long].reverse).map { v =>
-      (v, readCommitActions(v).collectFirst { case c: CommitInfo => c })
-    }
+    listCommitVersions.sorted(Ordering[Long].reverse).map(v => (v, commitInfoOf(v)))
+
+  /** File-mtime fallback clock for commits lacking commitInfo — the same
+    * clock commitTimestamps uses, so history ordering always matches
+    * time-travel resolution. */
+  def commitFallbackTimestamp(v: Long): Long =
+    fs.getFileStatus(commitFile(v)).getModificationTime
 
   /** Atomically write commit `version`: create-if-absent so two writers
     * racing on the same version cannot both succeed (SURVEY.md §7 "What's
@@ -223,10 +250,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def writeCheckpoint(version: Long): Unit = {
     val snap = snapshot(Some(version))
     val rows: Seq[Row] =
-      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null, null) +:
-        Row(null, metadataToRow(snap.metadata), null, null) +:
-        (snap.activeFiles.map(f => Row(null, null, addToRow(f), null)) ++
-          snap.tombstones.map(f => Row(null, null, null, removeToRow(f))))
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null, null, null) +:
+        Row(null, metadataToRow(snap.metadata), null, null, null) +:
+        (snap.activeFiles.map(f => Row(null, null, addToRow(f), null, null)) ++
+          snap.tombstones.map(f => Row(null, null, null, removeToRow(f), null)) ++
+          snap.setTransactions.map(t => Row(null, null, null, null,
+            Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       checkpointSchema)
@@ -282,7 +311,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       StructField("dataChange", BooleanType),
       StructField("extendedFileMetadata", BooleanType),
       StructField("partitionValues", strMapType),
-      StructField("size", LongType))))
+      StructField("size", LongType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))
   ))
 
   private def metadataToRow(m: MetadataAction): Row =
@@ -299,12 +332,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       f.size.map(Long.box).orNull)
 
   /** Convert a checkpoint DataFrame (any writer's field superset) into
-    * actions. Collects only the four action structs. */
+    * actions. Projects only the action structs and STREAMS rows to the
+    * driver (toLocalIterator) — at millions of checkpoint rows a full
+    * collect() would double-materialize the active set. */
   private def checkpointDfToActions(df: DataFrame): Seq[Action] = {
     val cols = df.columns.toSet
-    val wanted = Seq("protocol", "metaData", "add", "remove").filter(cols.contains)
+    val wanted = Seq("protocol", "metaData", "add", "remove", "txn").filter(cols.contains)
     val proj = df.select(wanted.map(col): _*)
-    proj.collect().toSeq.flatMap { row =>
+    import scala.jdk.CollectionConverters._
+    proj.toLocalIterator().asScala.toSeq.flatMap { row =>
       wanted.zipWithIndex.flatMap {
         case (name, i) if !row.isNullAt(i) =>
           val r = row.getStruct(i)
@@ -341,6 +377,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 extendedFileMetadata = boolField(r, "extendedFileMetadata"),
                 partitionValues = mapField(r, "partitionValues"),
                 size = longField(r, "size")
+              ))
+            case "txn" =>
+              Some(SetTransaction(
+                appId = strField(r, "appId").getOrElse(""),
+                version = longField(r, "version").getOrElse(0L),
+                lastUpdated = longField(r, "lastUpdated")
               ))
             case _ => None
           }

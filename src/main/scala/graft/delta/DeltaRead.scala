@@ -121,10 +121,18 @@ object DeltaRead {
       case DoubleType | FloatType => s.toDouble
       case BooleanType => s.toBoolean
       case _: DecimalType => BigDecimal(s)
+      // partition strings "2020-05-01" / "2020-05-01 00:00:00[.SSS]"
+      case DateType => java.time.LocalDate.parse(s).toEpochDay
+      case TimestampType | TimestampNTZType => parseTimestampMillis(s)
       case _ => s
     }
     def toComparable(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.Instant => t.toEpochMilli
       case n: Number if dt.isInstanceOf[NumericType] => castNum(n)
+      case n: Number if dt == DateType || dt == TimestampType => n.longValue()
       case s: String => castRaw(s)
       case other => other
     }
@@ -193,16 +201,27 @@ object DeltaRead {
     }
   }
 
+  /** `add.path` is URI-encoded per the Delta protocol (delta-spark
+    * behavior) — decode before resolving against the table root. Paths
+    * that fail URI parsing (legacy writers storing raw paths) fall back
+    * to the literal string. */
   private[delta] def resolvePath(tablePath: String, filePath: String): String = {
-    val p = new Path(filePath)
-    if (p.isAbsolute) filePath
-    else new Path(tablePath, filePath).toString
+    val decoded =
+      try {
+        val u = new java.net.URI(filePath)
+        if (u.isAbsolute) filePath // scheme-qualified: keep as-is
+        else Option(u.getPath).filter(_.nonEmpty).getOrElse(filePath)
+      } catch { case _: java.net.URISyntaxException => filePath }
+    val p = new Path(decoded)
+    if (p.isAbsolute) decoded
+    else new Path(tablePath, decoded).toString
   }
 
   private[delta] def parseTimestampMillis(ts: String): Long = {
     val trimmed = ts.trim
     val attempts: Seq[() => Instant] = Seq(
       () => Instant.parse(trimmed),
+      () => java.time.OffsetDateTime.parse(trimmed).toInstant,
       () => LocalDateTime
         .parse(trimmed, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         .toInstant(ZoneOffset.UTC),

@@ -17,7 +17,9 @@ object DeltaTableOps {
     if (!log.fs.exists(new Path(path)))
       throw new IllegalArgumentException(s"Path does not exist: $path")
     val rows = log.commitInfos.map { case (v, ciOpt) =>
-      val ci = ciOpt.getOrElse(CommitInfo(0L, ""))
+      // commits without commitInfo use the same file-mtime fallback clock
+      // as time travel, so the two surfaces order identically
+      val ci = ciOpt.getOrElse(CommitInfo(log.commitFallbackTimestamp(v), ""))
       Row(
         new java.sql.Timestamp(ci.timestamp),
         ci.operation,

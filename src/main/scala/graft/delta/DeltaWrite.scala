@@ -8,8 +8,6 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
-import java.net.URLDecoder
-import java.nio.charset.StandardCharsets
 import java.time.Instant
 import java.util.UUID
 import scala.collection.mutable
@@ -86,31 +84,32 @@ object DeltaWrite {
       .parquet(stagingDir.toString)
 
     // ---- move staged files into the table root, harvest footer stats ----
+    // Serial on the driver below a threshold; above it, one Spark job does
+    // the rename + footer read per file in parallel (at 10^5-10^6 files an
+    // O(#files) serial driver phase is the write-path scale-killer).
     val staged = listParquetFiles(fs, stagingDir)
     val statsSchema = StructType(
       df.schema.fields.filterNot(f => effectivePartitionBy.contains(f.name)))
-    val adds = mutable.ArrayBuffer.empty[AddFile]
-    staged.zipWithIndex.foreach { case (st, i) =>
-      val rel = relativize(stagingDir, st.getPath) // e.g. col=1/part-...parquet
-      val partitionValues = partitionValuesFromPath(rel, effectivePartitionBy)
-      val partitionDir = parentDirs(rel)
-      val fileName = f"part-$version%05d-${UUID.randomUUID()}-$i%04d.snappy.parquet"
-      val destRel = if (partitionDir.isEmpty) fileName else s"$partitionDir/$fileName"
-      val dest = new Path(path, destRel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(st.getPath, dest))
-        throw new java.io.IOException(s"Failed to move ${st.getPath} -> $dest")
-      val destStatus = fs.getFileStatus(dest)
-      val stats = harvestStats(fs.getConf, dest, statsSchema)
-      adds += AddFile(
-        path = destRel,
-        partitionValues = partitionValues,
-        size = destStatus.getLen,
-        modificationTime = destStatus.getModificationTime,
-        dataChange = true,
-        stats = Some(stats)
-      )
-    }
+    val stagingStr = stagingDir.toString
+    val adds: Seq[AddFile] =
+      if (staged.size <= DistributedMoveThreshold) {
+        staged.zipWithIndex.map { case (st, i) =>
+          moveAndStat(fs.getConf, stagingStr, path, version, effectivePartitionBy,
+            statsSchema, st.getPath.toString, i)
+        }
+      } else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val items = staged.zipWithIndex.map { case (st, i) => (st.getPath.toString, i) }
+        spark.sparkContext
+          .parallelize(items, math.min(64, 1 + items.size / 16))
+          .map { case (p, i) =>
+            moveAndStat(confBc.value.value, stagingStr, path, version,
+              effectivePartitionBy, statsSchema, p, i)
+          }
+          .collect().toSeq.sortBy(_.path)
+      }
     fs.delete(stagingDir, true)
 
     // ---- control plane: single atomic commit ---------------------------
@@ -168,6 +167,51 @@ object DeltaWrite {
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       log.writeCheckpoint(version)
   }
+
+  /** Above this many staged files the rename/stat phase runs as a Spark
+    * job instead of a serial driver loop. */
+  val DistributedMoveThreshold = 32
+
+  /** Move one staged file to its final name and build its AddFile with
+    * footer stats. Pure function of (conf, paths) — runs on executors in
+    * the distributed path. */
+  private def moveAndStat(
+      conf: Configuration,
+      stagingDir: String,
+      tablePath: String,
+      version: Long,
+      partitionBy: Seq[String],
+      statsSchema: StructType,
+      stagedPath: String,
+      idx: Int): AddFile = {
+    val staged = new Path(stagedPath)
+    val fs = staged.getFileSystem(conf)
+    val rel = relativize(new Path(stagingDir), staged) // e.g. col=1/part-...parquet
+    val partitionValues = partitionValuesFromPath(rel, partitionBy)
+    val partitionDir = parentDirs(rel)
+    val fileName = f"part-$version%05d-${UUID.randomUUID()}-$idx%04d.snappy.parquet"
+    val destRel = if (partitionDir.isEmpty) fileName else s"$partitionDir/$fileName"
+    val dest = new Path(tablePath, destRel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(staged, dest))
+      throw new java.io.IOException(s"Failed to move $staged -> $dest")
+    val destStatus = fs.getFileStatus(dest)
+    val stats = harvestStats(conf, dest, statsSchema)
+    AddFile(
+      path = uriEncodePath(destRel),
+      partitionValues = partitionValues,
+      size = destStatus.getLen,
+      modificationTime = destStatus.getModificationTime,
+      dataChange = true,
+      stats = Some(stats))
+  }
+
+  /** The Delta protocol stores `add.path` URI-encoded (delta-spark
+    * behavior): encode each segment of the on-disk relative path. */
+  private[delta] def uriEncodePath(rel: String): String =
+    rel.split('/').map { seg =>
+      new java.net.URI(null, null, seg, null).toASCIIString
+    }.mkString("/")
 
   private def modeName(m: String): String = m match {
     case "append" => "Append"
@@ -232,12 +276,32 @@ object DeltaWrite {
       val i = s.indexOf('=')
       if (i <= 0) None
       else {
-        val k = URLDecoder.decode(s.substring(0, i), "UTF-8")
-        val raw = URLDecoder.decode(s.substring(i + 1), "UTF-8")
+        val k = unescapePathName(s.substring(0, i))
+        val raw = unescapePathName(s.substring(i + 1))
         Some(k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw))
       }
     }.toMap
     partitionBy.map(c => c -> kv.getOrElse(c, null)).toMap
+  }
+
+  /** Decode hive path escaping: ONLY %XX sequences (the semantics of
+    * Spark's ExternalCatalogUtils.unescapePathName). URLDecoder would also
+    * turn '+' into a space, which hive escaping does not escape — that
+    * corrupted partition values like "a+b" into "a b". */
+  private[delta] def unescapePathName(path: String): String = {
+    val sb = new StringBuilder(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%' && i + 2 < path.length) {
+        val code =
+          try Integer.parseInt(path.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Per-file column stats from the parquet footer only:

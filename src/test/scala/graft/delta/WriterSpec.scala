@@ -1,0 +1,186 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Write-path pins mirroring tests/test_writer.py plus the protocol
+  * guards of writer.py:233-259 and overwrite/checkpoint semantics. */
+class WriterSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_w")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def sample = {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, i * 1.5, s"name_$i")).toDF("ints", "floats", "strings")
+  }
+
+  test("roundtrip: commit 0 exists and data reads back (test_writer.py:19-27)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    assert(new java.io.File(s"$path/_delta_log/${"0" * 20}.json").exists())
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 100)
+    assert(out.columns.sorted.toSeq == Seq("floats", "ints", "strings"))
+    assert(out.agg(sum("ints")).head.getLong(0) == (0 until 100).sum)
+  }
+
+  test("append accumulates, versions pin (writer.py mode=append)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    GraftDelta.toDelta(sample, path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 200)
+    assert(GraftDelta.readDelta(spark, path, version = Some(0)).count() == 100)
+  }
+
+  test("overwrite tombstones prior files (protocol-correct remove+add)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    GraftDelta.toDelta(sample.limit(10), path, mode = "overwrite")
+    assert(GraftDelta.readDelta(spark, path).count() == 10)
+    assert(GraftDelta.readDelta(spark, path, version = Some(0)).count() == 100)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.tombstones.nonEmpty)
+  }
+
+  test("mode=error refuses, mode=ignore no-ops (writer.py:244-247)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    intercept[IllegalStateException] { GraftDelta.toDelta(sample, path) }
+    GraftDelta.toDelta(sample, path, mode = "ignore")
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+  }
+
+  test("schema mismatch refused unless overwriteSchema (writer.py:236-242)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val other = Seq((1, "x")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraftDelta.toDelta(other, path, mode = "append")
+    }
+    GraftDelta.toDelta(other, path, mode = "overwrite", overwriteSchema = true)
+    assert(GraftDelta.readDelta(spark, path).columns.sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("partitioned write records partitionValues; null partition sentinel") {
+    import spark.implicits._
+    val path = tmp()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("v", "k")
+    GraftDelta.toDelta(df, path, partitionBy = Seq("k"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.partitionColumns == Seq("k"))
+    val pvs = snap.activeFiles.map(_.partitionValues("k")).toSet
+    assert(pvs == Set("a", "b", null))
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 3)
+    assert(out.filter(col("k").isNull).select("v").head.getLong(0) == 3L)
+    // partition pruning on our own table
+    val pruned = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("k", "==", "a"))))
+    assert(pruned.size == 1 && pruned.head.partitionValues("k") == "a")
+  }
+
+  test("partition-column mismatch refused (writer.py:251-252)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path, partitionBy = Seq("strings"))
+    intercept[IllegalArgumentException] {
+      GraftDelta.toDelta(sample, path, mode = "append", partitionBy = Seq("ints"))
+    }
+  }
+
+  test("per-file stats harvested from footers (writer.py:99-117)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val statsJson = snap.activeFiles.flatMap(_.stats)
+    assert(statsJson.nonEmpty)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsJson.head)
+    assert(node.has("numRecords") && node.has("minValues") && node.has("maxValues")
+      && node.has("nullCount"))
+    val total = snap.activeFiles.flatMap(_.stats).map(s =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s).get("numRecords").asLong()).sum
+    assert(total == 100)
+  }
+
+  test("checkpoint write bounds replay: commits before it can be deleted") {
+    val path = tmp()
+    (0 until 7).foreach { i =>
+      GraftDelta.toDelta(sample.limit(10), path,
+        mode = if (i == 0) "error" else "append", checkpointInterval = 3)
+    }
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.listCheckpointVersions == Seq(3L, 6L))
+    (0L to 5L).foreach(v => log.fs.delete(log.commitFile(v), false))
+    assert(GraftDelta.readDelta(spark, path).count() == 70)
+  }
+
+  test("our checkpoint round-trips through our reader after more appends") {
+    val path = tmp()
+    (0 until 4).foreach { i =>
+      GraftDelta.toDelta(sample.limit(5), path,
+        mode = if (i == 0) "error" else "append", checkpointInterval = 3)
+    }
+    // snapshot at checkpoint version itself
+    assert(GraftDelta.readDelta(spark, path, version = Some(3)).count() == 20)
+  }
+
+  test("history of our own writes reports operations and metrics") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(sample.repartition(1), path)
+    GraftDelta.toDelta(sample.repartition(1), path, mode = "append")
+    val h = GraftDelta.readDeltaHistory(spark, path).collect()
+    assert(h.length == 2)
+    assert(h.map(_.getString(1)).toSeq == Seq("WRITE", "CREATE TABLE AS SELECT"))
+    assert(h.head.getString(3) == "1") // numFiles of the append
+    assert(h.head.getString(5) == "100") // numOutputRows
+  }
+
+  test("concurrent commit loses the race cleanly") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val log = DeltaLog.forTable(spark, path)
+    // simulate a racing writer that already claimed version 1
+    log.writeCommit(1L, Seq(CommitInfo(System.currentTimeMillis(), "WRITE")))
+    intercept[java.util.ConcurrentModificationException] {
+      log.writeCommit(1L, Seq(CommitInfo(System.currentTimeMillis(), "WRITE")))
+    }
+  }
+
+  test("writer-version protocol gate (writer.py:254-259)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(1L, Seq(Protocol(1, 5)))
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(sample, path, mode = "append")
+    }
+  }
+
+  test("timestamp travel on our own commits") {
+    val path = tmp()
+    GraftDelta.toDelta(sample.limit(10), path)
+    Thread.sleep(20)
+    GraftDelta.toDelta(sample.limit(10), path, mode = "append")
+    val ts0 = DeltaLog.forTable(spark, path).commitTimestamps.head._2
+    val df = GraftDelta.readDelta(spark, path,
+      timestamp = Some(java.time.Instant.ofEpochMilli(ts0).toString))
+    assert(df.count() == 10)
+  }
+
+  test("vacuum our own overwrite tombstones") {
+    val path = tmp()
+    GraftDelta.toDelta(sample.repartition(2), path)
+    GraftDelta.toDelta(sample.repartition(3), path, mode = "overwrite")
+    assert(GraftDelta.vacuum(spark, path, retentionHours = -0.01, dryRun = true).size == 2)
+    GraftDelta.vacuum(spark, path, retentionHours = -0.01, dryRun = false)
+    def pq(): Int = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(pq() == 3)
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+  }
+}
