@@ -39,20 +39,33 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-doc distinct word n-gram shingles of `text`. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
+  /** Distinct word n-gram shingles from a MATERIALIZED words array.
+    * The words column must be a projected attribute, not an inline
+    * `split(...)` expression — a lambda body referencing an inline split
+    * re-evaluates it per element, turning shingling O(n²) per document. */
+  def shinglesOfWords(words: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => when(size(words) >= n,
-        concat_ws(" ", slice(words, i + 1, lit(n)))).otherwise(text))
+        concat_ws(" ", slice(words, i + 1, lit(n)))).otherwise(array_join(words, " ")))
     array_distinct(grams)
   }
 
+  /** doc_id + shingle set, with the words array materialized first. */
+  def withShingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__words"))
+      .select(col("doc_id"), shinglesOfWords(col("__words")).as("sh_set"))
+
+  /** Per-doc distinct word n-gram shingles of `text`. */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOfWords(split(text, " "), n)
+
   /** doc_id → 32-wide minhash signature (array<long>), one shuffle. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    signaturesFromShingleSets(withShingleSet(df, idCol, textCol))
+
+  private[operators] def signaturesFromShingleSets(sets: DataFrame): DataFrame = {
+    val exploded = sets
+      .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
     val sigCols = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"mh$j")
@@ -67,9 +80,13 @@ object Dedup {
       val rowCols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
     }
+    // persist: the self-join would otherwise recompute the full
+    // shingle->signature pipeline for each side. Signatures are tiny
+    // (docs × 32 longs) relative to the corpus — safe to cache at scale.
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -82,8 +99,8 @@ object Dedup {
     * bit-identical in any engine. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh_set"))
-    val pairs = candidatePairs(minhashSignatures(df, idCol, textCol))
+    val sh = withShingleSet(df, idCol, textCol).persist()
+    val pairs = candidatePairs(signaturesFromShingleSets(sh))
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
@@ -105,8 +122,8 @@ object Dedup {
     * feature is hashed exactly once (an inline per-bit fold would
     * re-evaluate the shingle array 64× per row). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val e = df
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+    val e = withShingleSet(df, idCol, textCol)
+      .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))

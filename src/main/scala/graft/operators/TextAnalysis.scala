@@ -22,16 +22,19 @@ object TextAnalysis {
 
   /** Count of tokens belonging to an English stopword set. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
-  def stopwordCount(text: Column): Column =
-    size(filter(split(text, " "), t => t.isin(EnStopwords.map(lit): _*)))
+  def stopwordCount(text: Column): Column = stopwordCountOfWords(split(text, " "))
+  def stopwordCountOfWords(words: Column): Column =
+    size(filter(words, t => t.isin(EnStopwords.map(lit): _*)))
 
   /** Integer quality score in [0, 10000]: stopword density × brevity —
     * exact integer arithmetic so the oracle can reproduce it bit-for-bit.
     * score = (stopwords * 10000) DIV tokens  (0 for empty docs). */
-  def qualityScore(text: Column): Column = {
-    val toks = tokenCount(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreOfWords(split(text, " "))
+  def qualityScoreOfWords(words: Column): Column = {
+    val toks = size(words)
     when(toks === 0, 0L)
-      .otherwise((stopwordCount(text).cast("long") * 10000L)
+      .otherwise((stopwordCountOfWords(words).cast("long") * 10000L)
         .divide(toks.cast("long")).cast("long"))
   }
 
@@ -43,9 +46,10 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "die"),
     "es" -> Seq("el", "de", "que"),
     "fr" -> Seq("le", "et", "les"))
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOfWords(split(text, " "))
+  def langIdOfWords(tokens: Column): Column = {
     val scores = LangProfiles.map { case (lang, words) =>
-      lang -> size(filter(split(text, " "), t => t.isin(words.map(lit): _*)))
+      lang -> size(filter(tokens, t => t.isin(words.map(lit): _*)))
     }
     val maxScore = scores.map(_._2).reduce(greatest(_, _))
     // first language (in profile order) hitting the max wins — mirrors a
@@ -58,24 +62,34 @@ object TextAnalysis {
   /** Position-weighted rolling checksum fingerprint:
     * (Σ_i code(ch_i) * ((i mod 64)+1)) mod 1_000_000_007 — pure integer
     * arithmetic, overflow-free, reproducible in any engine. */
-  def fingerprint(text: Column): Column = {
-    val terms = transform(
-      sequence(lit(0), length(text) - 1),
-      i => ascii(substring(text, (i + 1).cast("int"), lit(1))).cast("long") * ((i % 64) + 1).cast("long"))
+  def fingerprint(text: Column): Column = fingerprintOfChars(split(text, ""))
+
+  /** Fingerprint from a char array. Single zip_with pass — indexing the
+    * string per position with substring() is O(n²) per document. A
+    * trailing "" element from split contributes ascii("")=0, harmless. */
+  def fingerprintOfChars(chars: Column): Column = {
+    val terms = zip_with(chars, sequence(lit(0), size(chars) - 1),
+      (c, i) => ascii(c).cast("long") * ((i % 64) + 1).cast("long"))
     aggregate(terms, lit(0L), (acc, x) => acc + x) % 1000000007L
   }
 
-  /** Convenience: full per-document stats frame. */
+  /** Convenience: full per-document stats frame. Word/char arrays are
+    * materialized once and every metric reads the attribute — inline
+    * splits inside lambdas re-evaluate per element. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val c = col(textCol)
-    df.select(
+    val base = df.select(
       col(idCol),
-      length(c).cast("long").as("n_chars"),
-      tokenCount(c).cast("long").as("n_tokens"),
-      regexTokenCount(c).cast("long").as("n_word_tokens"),
-      stopwordCount(c).cast("long").as("n_stopwords"),
-      qualityScore(c).cast("long").as("quality_score"),
-      langId(c).as("lang_pred"),
-      fingerprint(c).cast("long").as("fingerprint"))
+      col(textCol).as("__text"),
+      split(col(textCol), " ").as("__w"),
+      split(col(textCol), "").as("__c"))
+    base.select(
+      col(idCol),
+      length(col("__text")).cast("long").as("n_chars"),
+      size(col("__w")).cast("long").as("n_tokens"),
+      regexTokenCount(col("__text")).cast("long").as("n_word_tokens"),
+      stopwordCountOfWords(col("__w")).cast("long").as("n_stopwords"),
+      qualityScoreOfWords(col("__w")).cast("long").as("quality_score"),
+      langIdOfWords(col("__w")).as("lang_pred"),
+      fingerprintOfChars(col("__c")).cast("long").as("fingerprint"))
   }
 }
