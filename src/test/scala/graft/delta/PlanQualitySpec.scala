@@ -1,0 +1,74 @@
+package graft.delta
+
+import graft.queries.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the physical plans must be the ones that
+  * survive a 100× scale-up — filters pushed to the parquet scan, small
+  * dims broadcast, top-k as TakeOrderedAndProject, partition pruning
+  * shrinking the file list before the scan exists. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Relational.queries(name)(spark, sf)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06 filter+projection reach the parquet scan") {
+    val p = plan("q06_filter_proj")
+    // data filters pushed into the scan (list is truncated in toString;
+    // check the leading entries + the DataFilters mirror)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"), p)
+    // column pruning: the scan reads 6 columns, not all 11
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("[l_orderkey") && !scanLine.contains("l_returnflag"), scanLine)
+  }
+
+  test("q02/q03 broadcast the small dimensions (no shuffle of the probe side)") {
+    assert(plan("q02_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q03_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q05 top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q05_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregation is partial (map-side combine before the shuffle)") {
+    val df = Relational.queries("q01_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count") ||
+      p.contains("Partial"), p)
+  }
+
+  test("delta partition pruning shrinks the scanned file set before the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft_plan").toString + "/tbl"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    GraftDelta.toDelta(orders, path, partitionBy = Seq("o_orderstatus"))
+    val all = GraftDelta.readDelta(spark, path)
+    val pruned = GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("o_orderstatus", "==", "O"))))
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.inputFiles.forall(_.contains("o_orderstatus=O")))
+    // row-level predicates still push to parquet below the delta scan
+    val rowFiltered = GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("o_totalprice", ">", 1000))))
+    val p = rowFiltered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("o_totalprice"), p)
+  }
+
+  test("delta snapshot never scans pruned partitions' files at log level") {
+    val path = java.nio.file.Files.createTempDirectory("graft_plan2").toString + "/tbl"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    GraftDelta.toDelta(orders, path, partitionBy = Seq("o_orderstatus"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val files = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("o_orderstatus", "in", Seq("O", "F")))))
+    assert(files.map(_.partitionValues("o_orderstatus")).toSet == Set("O", "F"))
+  }
+}
