@@ -205,7 +205,7 @@ object DeltaRead {
     * behavior) — decode before resolving against the table root. Paths
     * that fail URI parsing (legacy writers storing raw paths) fall back
     * to the literal string. */
-  private[delta] def resolvePath(tablePath: String, filePath: String): String = {
+  def resolvePath(tablePath: String, filePath: String): String = {
     val decoded =
       try {
         val u = new java.net.URI(filePath)

@@ -50,6 +50,39 @@ object Similarity {
       .select("query_id", "rank", "vec_id")
   }
 
+  /** Embedding-cosine near-dup pairs: axis-aligned sign-LSH banding
+    * (8 bands × 8 dims of sign bits) generates candidates, exact
+    * quantized cosine ≥ threshold verifies. Fully deterministic and
+    * mirrorable in SQL — the banding is part of the operator's contract
+    * (documented recall trade-off vs all-pairs). Never an all-pairs join:
+    * candidates are bounded by band buckets. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val bands = 8
+    val width = dim / bands
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat((0 until width).map { i =>
+        when(element_at(col("v"), b * width + i + 1) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+      struct(lit(b).as("band"), sig.as("bh"))
+    }
+    val banded = q
+      .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
+      .persist()
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
+      .withColumn("cos", cosineQ(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   // ---- Random-hyperplane LSH (scale path) -------------------------------
 
   /** Deterministic ±1 hyperplanes: sign of a seeded hash of (plane, dim).

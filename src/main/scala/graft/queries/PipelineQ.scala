@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the
@@ -61,6 +62,16 @@ object PipelineQ {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Embedding-cosine near-dup: sign-band LSH candidates + exact
+    // quantized-cosine verify; the banding is part of the contract and
+    // mirrored exactly in the oracle.
+    "t11_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.42)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
     "t07_text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -75,6 +86,18 @@ object PipelineQ {
         .select($"lang", TextAnalysis.langId($"text").as("lang_pred"))
         .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"lang_pred")
+    }),
+
+    // The streaming windowed-agg operator run in batch mode (same plan
+    // serves readStream incrementally and batch backfills).
+    "t12_stream_backfill" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.hourlyTypeCounts(ev, "ts", "event_type")
+        .select($"event_type", unix_millis($"hour_start").as("hour_ms"), $"n")
+        .orderBy($"event_type", $"hour_ms")
     }),
 
     // Multimodal: binary content + stubbed decode → feature extraction.
@@ -144,6 +167,19 @@ object PipelineQ {
          | FROM s)
          |SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    "t11_dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id AS id, $quantList AS v FROM embeddings),
+         |b AS (SELECT id, v, band,
+         |  array_to_string([CASE WHEN v[band*8 + i] >= 0 THEN '1' ELSE '0' END
+         |                   FOR i IN generate_series(1, 8)], '') AS bh
+         | FROM q, (SELECT unnest(generate_series(0, 7)) AS band) bands),
+         |p AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.v AS va, r.v AS vb
+         |      FROM b l JOIN b r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)
+         |SELECT id_a, id_b FROM p
+         |WHERE CAST(list_sum([va[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE)
+         |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
+         |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
+         |ORDER BY id_a, id_b""".stripMargin,
     "t07_text_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars,
@@ -159,6 +195,12 @@ object PipelineQ {
     "t08_langid_confusion" ->
       s"""SELECT lang, ${langCase("text")} AS lang_pred, COUNT(*) AS n
          |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "t12_stream_backfill" ->
+      """SELECT event_type,
+        | CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type, hour_ms
+        |ORDER BY event_type, hour_ms""".stripMargin,
     "t09_media_features" ->
       """SELECT doc_id AS media_id,
         | CAST(length(text) AS BIGINT) AS n_bytes,

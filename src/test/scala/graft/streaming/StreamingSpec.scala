@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.delta.{GraftDelta, TestBase}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermarked hourly counts over a micro-batched stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = EventStreams.hourlyTypeCounts(mem.toDF(), "ts", "event_type")
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(1, ts(0), "click"), SessionEvent(1, ts(10), "click"),
+        SessionEvent(2, ts(20), "view"), SessionEvent(1, ts(70), "click"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first hour's windows
+      mem.addData(SessionEvent(9, ts(60 * 5), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select($"hour_start", $"event_type", $"n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("gap-based sessionization with event-time timeout state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10 (one session), then 100 (new session)
+      mem.addData(SessionEvent(1, ts(0), "a"), SessionEvent(1, ts(10), "a"))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1, ts(100), "a"))
+      q.processAllAvailable()
+      // push the watermark way forward so open sessions time out
+      mem.addData(SessionEvent(2, ts(60 * 24), "a"))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(3, ts(60 * 48), "a"))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[UserSession].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2)
+      assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(10))
+      assert(sessions(1).n_events == 1 && sessions(1).session_start == ts(100))
+    } finally q.stop()
+  }
+
+  test("delta log tail returns only newly added rows per pull") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tail").toString + "/tbl"
+    val mk = (from: Int, n: Int) =>
+      (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    GraftDelta.toDelta(mk(0, 10), path)
+    val b0 = DeltaTail.changesSince(spark, path, -1L)
+    assert(b0.toVersion == 0 && b0.data.count() == 10)
+    // no new commits -> empty batch, cursor unchanged
+    val b1 = DeltaTail.changesSince(spark, path, b0.toVersion)
+    assert(b1.toVersion == 0 && b1.data.count() == 0)
+    GraftDelta.toDelta(mk(10, 5), path, mode = "append")
+    GraftDelta.toDelta(mk(15, 5), path, mode = "append")
+    val b2 = DeltaTail.changesSince(spark, path, b1.toVersion)
+    assert(b2.toVersion == 2 && b2.data.count() == 10)
+    assert(b2.data.agg(min($"id")).head.getLong(0) == 10)
+    // follow() drains to the head and stops advancing
+    var seen = 0L
+    val cursor = DeltaTail.follow(spark, path, -1L, maxBatches = 3)(b => seen += b.data.count())
+    assert(cursor == 2 && seen == 20)
+  }
+}
