@@ -78,10 +78,23 @@ object DeltaWrite {
     val version = existing.map(_.version + 1).getOrElse(0L)
 
     // ---- data plane: stage files with a normal Spark write job ----------
+    // Delta's timestamp type is microsecond INT64 — stage with
+    // TIMESTAMP_MICROS (Spark's default INT96 is not protocol-portable),
+    // mirroring the reference's µs coercion (writer.py:53-59).
     val stagingDir = new Path(path, s".graft_staging_${UUID.randomUUID().toString.take(12)}")
-    val writer = df.write.mode("overwrite")
-    (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*) else writer)
-      .parquet(stagingDir.toString)
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*) else writer)
+        .parquet(stagingDir.toString)
+    } finally {
+      prevTsType match {
+        case Some(v) => spark.conf.set(tsTypeKey, v)
+        case None => spark.conf.unset(tsTypeKey)
+      }
+    }
 
     // ---- move staged files into the table root, harvest footer stats ----
     // Serial on the driver below a threshold; above it, one Spark job does
