@@ -217,7 +217,7 @@ object DeltaRead {
     else new Path(tablePath, decoded).toString
   }
 
-  private[delta] def parseTimestampMillis(ts: String): Long = {
+  private[graft] def parseTimestampMillis(ts: String): Long = {
     val trimmed = ts.trim
     val attempts: Seq[() => Instant] = Seq(
       () => Instant.parse(trimmed),

@@ -83,6 +83,62 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  // ---- IVF (inverted-file) ANN: KMeans coarse quantizer -----------------
+
+  /** IVF top-k: a KMeans coarse quantizer (fixed seed) partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and ranks candidates by exact quantized cosine. The classic
+    * IVF-Flat layout: at 100 TB the cell assignment is a narrow column
+    * and each query touches nprobe/nlist of the corpus. Approximate by
+    * design (recall depends on nprobe). */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val fv = df.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("v"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(fv)
+    val assigned = model.transform(fv)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .persist()
+
+    // query → nprobe nearest centroids; query set is small by contract,
+    // centroid table is nlist × dim — both driver-side trivial
+    val centers = model.clusterCenters.map(_.toArray)
+    val queries = assigned.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .select("id", "v").as[(Long, Array[Long])].collect()
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      val dv = qv.map(_.toDouble / 1e6)
+      centers.zipWithIndex
+        .map { case (c, ci) =>
+          val d = c.zip(dv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (ci, d)
+        }
+        .sortBy(_._2).take(nprobe)
+        .map { case (ci, _) => (qid, ci) }
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val qv = queries.toSeq.toDF("query_id", "qv")
+
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("id").as("vec_id"), col("v").as("cv"), col("qv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+  }
+
   // ---- Random-hyperplane LSH (scale path) -------------------------------
 
   /** Deterministic ±1 hyperplanes: sign of a seeded hash of (plane, dim).

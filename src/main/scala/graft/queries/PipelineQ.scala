@@ -72,6 +72,14 @@ object PipelineQ {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // IVF ANN top-10 (KMeans coarse quantizer; approximate → rows-only).
+    "t13_sim_ivf" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
     "t07_text_stats" -> ((s, dir) => {
       import s.implicits._

@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.delta.{DeltaLog, DeltaRead, DeltaWrite, Predicate, Snapshot}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * data-source registration for the engine, so the Delta table surface
+  * composes with Spark's own reader/writer API:
+  *
+  * {{{
+  * spark.read.format("graft").option("versionAsOf", 3).load(path)
+  * df.write.format("graft").mode("append").option("partitionBy", "k").save(path)
+  * }}}
+  *
+  * The relation implements PrunedFilteredScan: Catalyst hands it the
+  * required columns and the pushable filters, which are translated into
+  * the engine's DNF predicates — so LOG-LEVEL partition pruning and
+  * parquet row-group pushdown fire through the format() API exactly as
+  * through GraftDelta.readDelta. (Spark re-evaluates all filters above
+  * the scan, so partial translation is always safe.)
+  */
+class GraftSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("Please provide a Delta table path"))
+    GraftRelation(sqlContext, path,
+      version = parameters.get("versionAsOf").map(_.toLong),
+      timestamp = parameters.get("timestampAsOf"))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("Please provide a Delta table path"))
+    val writeMode = mode match {
+      case SaveMode.ErrorIfExists => "error"
+      case SaveMode.Append => "append"
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.Ignore => "ignore"
+    }
+    DeltaWrite.write(data, path, mode = writeMode,
+      partitionBy = parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
+    GraftRelation(sqlContext, path, None, None)
+  }
+}
+
+final case class GraftRelation(
+    sqlContext: SQLContext,
+    path: String,
+    version: Option[Long],
+    timestamp: Option[String])
+    extends BaseRelation
+    with PrunedFilteredScan {
+
+  private lazy val snap: Snapshot = {
+    val spark = sqlContext.sparkSession
+    val log = DeltaLog.forTable(spark, path)
+    val pinned = (version, timestamp) match {
+      case (Some(v), _) => Some(v)
+      case (None, Some(ts)) => Some(log.versionAtOrBefore(DeltaRead.parseTimestampMillis(ts)))
+      case _ => None
+    }
+    log.snapshot(pinned)
+  }
+
+  override def schema: StructType = snap.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val preds = filters.flatMap(toPredicate)
+    val dnf = if (preds.isEmpty) Nil else Seq(preds.toSeq)
+    DeltaRead.fromSnapshot(sqlContext.sparkSession, path, snap,
+      columns = requiredColumns.toSeq, filters = dnf).rdd
+  }
+
+  /** Translate the pushable subset of Spark's source filters into the
+    * engine's predicates; untranslated filters are simply not pushed. */
+  private def toPredicate(f: Filter): Option[Predicate] = f match {
+    case EqualTo(a, v) => Some(Predicate(a, "==", v))
+    case GreaterThan(a, v) => Some(Predicate(a, ">", v))
+    case GreaterThanOrEqual(a, v) => Some(Predicate(a, ">=", v))
+    case LessThan(a, v) => Some(Predicate(a, "<", v))
+    case LessThanOrEqual(a, v) => Some(Predicate(a, "<=", v))
+    case In(a, vs) => Some(Predicate(a, "in", vs.toSeq))
+    case _ => None
+  }
+}

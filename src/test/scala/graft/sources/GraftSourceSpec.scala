@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.delta.TestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The format("graft") surface: read with time travel + pushdown, write
+  * with SaveModes, against the reference golden fixtures and our own
+  * writes. */
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  test("format('graft') reads the golden fixture with time travel options") {
+    val simple = TestBase.fixture("simple")
+    val latest = spark.read.format("graft").load(simple)
+    assert(latest.count() == 200 && latest.columns.length == 4)
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(simple)
+    assert(v0.count() == 100 && v0.columns.length == 3)
+    assert(v0.filter(col("count") > 30).count() == 61)
+  }
+
+  test("format('graft') write roundtrip with SaveModes and partitioning") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_src").toString + "/tbl"
+    val df = (0 until 50).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
+    df.write.format("graft").option("partitionBy", "k").save(path)
+    df.write.format("graft").mode("append").save(path)
+    val back = spark.read.format("graft").load(path)
+    assert(back.count() == 100)
+    assert(back.filter($"k" === "k1").count() > 0)
+    intercept[Exception] { df.write.format("graft").save(path) } // ErrorIfExists
+    df.limit(5).write.format("graft").mode("overwrite").save(path)
+    assert(spark.read.format("graft").load(path).count() == 5)
+  }
+
+  test("filters push through the source API into the engine") {
+    val part = TestBase.fixture("partition")
+    val df = spark.read.format("graft").option("versionAsOf", 0)
+      .load(part).filter(col("col1") === 1)
+    assert(df.count() == 21)
+  }
+}
