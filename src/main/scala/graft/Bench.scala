@@ -27,13 +27,27 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.benchQueries.map { name =>
+    // Two timed passes, min per query: a transient host-load spike during
+    // one pass must not masquerade as a slow query.
+    def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}"; return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.benchQueries.map { name =>
+      val a = timeOnce(name)
+      val b = timeOnce(name)
+      val best = (a, b) match {
+        case (-1.0, x) => x
+        case (x, -1.0) => x
+        case (x, y) => math.min(x, y)
+      }
+      name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -60,7 +60,8 @@ object DeltaTableOps {
       spark: SparkSession,
       path: String,
       retentionHours: Double = 168.0,
-      dryRun: Boolean = true
+      dryRun: Boolean = true,
+      distributedDeleteThreshold: Int = 1000
   ): Seq[String] = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
@@ -70,7 +71,7 @@ object DeltaTableOps {
       .map(_.path)
     if (!dryRun && tombstones.nonEmpty) {
       val tablePath = path
-      if (tombstones.size <= 1000) {
+      if (tombstones.size <= distributedDeleteThreshold) {
         val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
         tombstones.foreach(p => fs.delete(new Path(DeltaRead.resolvePath(tablePath, p)), false))
       } else {

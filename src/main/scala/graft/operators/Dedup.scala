@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines.
@@ -63,21 +64,45 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromShingleSets(withShingleSet(df, idCol, textCol))
 
-  private[operators] def signaturesFromShingleSets(sets: DataFrame): DataFrame = {
-    val exploded = sets
+  /** One typed Aggregator computes all 32 minima in a single buffer —
+    * 32 separate min() aggregate expressions generate a codegen class
+    * large enough to exhaust the JVM code cache across many queries. */
+  private object MinhashSigAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
+    private val as = coefs.map(_._1).toArray
+    private val bs = coefs.map(_._2).toArray
+    override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < NumHashes) {
+        val v = (as(j) * h + bs(j)) % P // h ∈ [0,P): no overflow, % = pmod
+        if (v < buf(j)) buf(j) = v
+        j += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < NumHashes) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    override def finish(v: Array[Long]): Seq[Long] = v.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  private[operators] def signaturesFromShingleSets(sets: DataFrame): DataFrame =
+    sets
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
-    val sigCols = coefs.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"mh$j")
-    }
-    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
+      .groupBy("doc_id")
+      .agg(udaf(MinhashSigAgg).apply(col("h")).as("sig"))
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
     * Bucketed self-join on (band, bandHash) — never all-pairs. */
   def candidatePairs(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
-      val rowCols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      val rowCols = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
     }
     // persist: the self-join would otherwise recompute the full
@@ -87,11 +112,22 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    banded.as("l").join(banded.as("r"),
+    val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    materialized(pairs, banded)
+  }
+
+  /** Persist + materialize a (small) result, then free the (large)
+    * upstream cached frames — operators must not leak executor memory
+    * across invocations. */
+  private def materialized(result: DataFrame, upstream: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    upstream.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Full near-dedup: LSH candidates verified with EXACT n-gram Jaccard;
@@ -101,7 +137,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
     val sh = withShingleSet(df, idCol, textCol).persist()
     val pairs = candidatePairs(signaturesFromShingleSets(sh))
-    pairs
+    val verified = pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -110,6 +146,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
+    materialized(verified, sh, pairs)
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -121,18 +158,34 @@ object Dedup {
     * no signal. One explode + 64 partial-aggregated vote sums: each
     * feature is hashed exactly once (an inline per-bit fold would
     * re-evaluate the shingle array 64× per row). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val e = withShingleSet(df, idCol, textCol)
+  private object SimhashVoteAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(v: Array[Int]): Long = {
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (v(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withShingleSet(df, idCol, textCol)
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val agg = e.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sig.as("sig"))
-  }
+      .groupBy("doc_id")
+      .agg(udaf(SimhashVoteAgg).apply(col("h")).as("sig"))
 
   /** Near-dup clusters by identical SimHash band (16-bit quarters):
     * pairs whose simhashes agree on ≥1 of 4 bands, verified by hamming

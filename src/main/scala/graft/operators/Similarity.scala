@@ -72,7 +72,7 @@ object Similarity {
       .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
       .persist()
-    banded.as("l").join(banded.as("r"),
+    val result = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -81,6 +81,17 @@ object Similarity {
       .withColumn("cos", cosineQ(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
+    materialized(result, banded)
+  }
+
+  /** Persist + materialize a (small) result, then free the (large)
+    * upstream cached frames — operators must not leak executor memory
+    * across invocations. */
+  private def materialized(result: DataFrame, upstream: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    upstream.foreach(_.unpersist(blocking = false))
+    out
   }
 
   // ---- IVF (inverted-file) ANN: KMeans coarse quantizer -----------------
@@ -133,10 +144,11 @@ object Similarity {
       .select(col("query_id"), col("id").as("vec_id"), col("v").as("cv"), col("qv"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
+    val result = cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id")
+    materialized(result, assigned)
   }
 
   // ---- Random-hyperplane LSH (scale path) -------------------------------

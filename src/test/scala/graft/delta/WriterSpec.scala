@@ -173,6 +173,19 @@ class WriterSpec extends GraftSuite {
     assert(df.count() == 10)
   }
 
+  test("vacuum's distributed delete branch removes tombstones via a Spark job") {
+    val path = tmp()
+    GraftDelta.toDelta(sample.repartition(4), path)
+    GraftDelta.toDelta(sample.repartition(2), path, mode = "overwrite")
+    // threshold 1 forces the executor-fan-out branch with 4 tombstones
+    val gone = DeltaTableOps.vacuum(spark, path, retentionHours = -0.01,
+      dryRun = false, distributedDeleteThreshold = 1)
+    assert(gone.size == 4)
+    def pq(): Int = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(pq() == 2)
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+  }
+
   test("vacuum our own overwrite tombstones") {
     val path = tmp()
     GraftDelta.toDelta(sample.repartition(2), path)
