@@ -96,20 +96,27 @@ object DeltaRead {
     if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
   }
 
-  /** Evaluate the DNF's partition-column conjuncts against each add's
-    * partitionValues (strings, per protocol), casting to the schema type.
-    * A file survives if any OR-branch's partition conjuncts all hold. */
+  /** Two-level log-side file pruning, before any scan exists:
+    * (1) partition-column conjuncts evaluated exactly against each add's
+    * partitionValues; (2) data-column conjuncts range-checked against the
+    * per-file min/max stats harvested at write time (data skipping). A
+    * file survives if ANY OR-branch's conjuncts could all hold in it.
+    * Missing stats / untranslatable predicates never prune (conservative).
+    */
   private[delta] def prunedFiles(snap: Snapshot, filters: Seq[Seq[Predicate]]): Seq[AddFile] = {
+    if (filters.isEmpty) return snap.activeFiles
     val partCols = snap.partitionColumns.toSet
-    if (filters.isEmpty || !filters.exists(_.exists(p => partCols.contains(p.column))))
-      return snap.activeFiles
     val fieldTypes: Map[String, DataType] =
       snap.schema.fields.map(f => f.name -> f.dataType).toMap
     snap.activeFiles.filter { f =>
+      lazy val stats = StatsPruning.parse(f.stats)
       filters.exists { conj =>
-        conj.filter(p => partCols.contains(p.column)).forall { p =>
-          evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
-            fieldTypes.getOrElse(p.column, StringType), p)
+        conj.forall { p =>
+          if (partCols.contains(p.column))
+            evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+              fieldTypes.getOrElse(p.column, StringType), p)
+          else
+            StatsPruning.mayMatch(stats, p)
         }
       }
     }

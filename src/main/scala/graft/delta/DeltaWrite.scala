@@ -44,7 +44,8 @@ object DeltaWrite {
       name: Option[String] = None,
       description: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
-      checkpointInterval: Int = 10
+      checkpointInterval: Int = 10,
+      txn: Option[SetTransaction] = None
   ): Unit = {
     require(Seq("error", "append", "overwrite", "ignore").contains(mode),
       s"Unknown mode: $mode")
@@ -167,7 +168,7 @@ object DeltaWrite {
     val actions: Seq[Action] =
       Seq(commitInfo) ++
         (if (isNew) Seq(Protocol(1, 2)) else Nil) ++
-        metadata.toSeq ++ adds.toSeq ++ removes
+        metadata.toSeq ++ txn.toSeq ++ adds.toSeq ++ removes
 
     try log.writeCommit(version, actions)
     catch {

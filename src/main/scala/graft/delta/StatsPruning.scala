@@ -1,0 +1,129 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Data skipping from per-file column statistics: the read-side consumer
+  * of the min/max/nullCount stats the writer harvests from parquet
+  * footers (reference analog: delta-rs stores the same stats JSON,
+  * writer.py:99-117; delta-spark uses them for data skipping).
+  *
+  * Everything is conservative: a file is skipped ONLY when its stats
+  * prove no row can satisfy the predicate. Missing stats, unknown ops,
+  * or type mismatches keep the file. At 100 TB this prunes whole files
+  * at snapshot-construction time — before Spark lists or plans them.
+  */
+object StatsPruning {
+
+  final case class FileStats(
+      numRecords: Option[Long],
+      min: Map[String, Any],
+      max: Map[String, Any],
+      nullCount: Map[String, Long])
+
+  private val mapper = new ObjectMapper()
+
+  def parse(statsJson: Option[String]): Option[FileStats] =
+    statsJson.flatMap { s =>
+      try {
+        val root = mapper.readTree(s)
+        def vals(field: String): Map[String, Any] =
+          Option(root.get(field)).map { n =>
+            import scala.jdk.CollectionConverters._
+            n.properties().asScala.flatMap { e =>
+              decode(e.getValue).map(e.getKey -> _)
+            }.toMap
+          }.getOrElse(Map.empty)
+        def longs(field: String): Map[String, Long] =
+          Option(root.get(field)).map { n =>
+            import scala.jdk.CollectionConverters._
+            n.properties().asScala
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asLong())
+              .toMap
+          }.getOrElse(Map.empty)
+        Some(FileStats(
+          numRecords = Option(root.get("numRecords")).filter(_.isNumber).map(_.asLong()),
+          min = vals("minValues"),
+          max = vals("maxValues"),
+          nullCount = longs("nullCount")))
+      } catch { case _: Exception => None }
+    }
+
+  private def decode(n: JsonNode): Option[Any] =
+    if (n == null || n.isNull) None
+    else if (n.isIntegralNumber) Some(n.asLong())
+    else if (n.isFloatingPointNumber) Some(n.asDouble())
+    else if (n.isTextual) Some(n.asText())
+    else if (n.isBoolean) Some(n.asBoolean())
+    else None
+
+  /** Could any row of a file with these stats satisfy the predicate?
+    * `None` stats → always true (no pruning evidence). */
+  def mayMatch(stats: Option[FileStats], p: Predicate): Boolean = stats match {
+    case None => true
+    case Some(st) =>
+      // all-null column can satisfy nothing in our comparison op set
+      val allNull = (st.numRecords, st.nullCount.get(p.column)) match {
+        case (Some(n), Some(nulls)) => n > 0 && nulls >= n
+        case _ => false
+      }
+      if (allNull) return false
+      (st.min.get(p.column), st.max.get(p.column)) match {
+        case (Some(mn), Some(mx)) => rangeMayMatch(mn, mx, p)
+        case _ => true
+      }
+  }
+
+  private def rangeMayMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
+    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+    def values(v: Any): Seq[Any] = v match {
+      case s: Seq[_] => s
+      case a: Array[_] => a.toSeq
+      case i: java.lang.Iterable[_] =>
+        scala.jdk.CollectionConverters.IterableHasAsScala(i).asScala.toSeq
+      case other => Seq(other)
+    }
+    p.op match {
+      case "==" | "=" =>
+        (cmp(p.value, mn), cmp(p.value, mx)) match {
+          case (Some(a), Some(b)) => a >= 0 && b <= 0
+          case _ => true
+        }
+      case ">" => cmp(mx, p.value).forall(_ > 0)
+      case ">=" => cmp(mx, p.value).forall(_ >= 0)
+      case "<" => cmp(mn, p.value).forall(_ < 0)
+      case "<=" => cmp(mn, p.value).forall(_ <= 0)
+      case "in" =>
+        values(p.value).exists { v =>
+          (cmp(v, mn), cmp(v, mx)) match {
+            case (Some(a), Some(b)) => a >= 0 && b <= 0
+            case _ => true
+          }
+        }
+      // != / not in: only min==max==v proves emptiness; rarely worth it
+      case "!=" | "not in" =>
+        true
+      case _ => true
+    }
+  }
+
+  /** Normalize numerics to Double for range comparison (stats JSON longs
+    * vs predicate ints/doubles). Strings/booleans stay as-is; mixed
+    * types → incomparable → no pruning. */
+  private def norm(v: Any): Any = v match {
+    case n: Byte => n.toDouble
+    case n: Short => n.toDouble
+    case n: Int => n.toDouble
+    case n: Long => n.toDouble
+    case n: Float => n.toDouble
+    case n: Double => n
+    case n: BigDecimal => n.toDouble
+    case n: java.math.BigDecimal => n.doubleValue()
+    case other => other
+  }
+}

@@ -1,0 +1,95 @@
+package graft.delta
+
+import graft.streaming.DeltaSink
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Data skipping, compaction, and the exactly-once streaming sink. */
+class MaintenanceSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_m")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  test("stats-based data skipping prunes files whose range excludes the filter") {
+    import spark.implicits._
+    // repartitionByRange → files with disjoint id ranges → min/max stats prune
+    val path = tmp()
+    val df = (0 until 10000).map(i => (i.toLong, i % 7)).toDF("id", "grp")
+      .repartitionByRange(10, $"id")
+    GraftDelta.toDelta(df, path)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.size == 10)
+    val hi = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("id", ">", 9000))))
+    assert(hi.size < snap.activeFiles.size && hi.nonEmpty, s"pruned to ${hi.size}")
+    val eq = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("id", "==", 5))))
+    assert(eq.size == 1)
+    // correctness preserved end-to-end
+    val out = GraftDelta.readDelta(spark, path, filters = Seq(Seq(Predicate("id", ">", 9000))))
+    assert(out.count() == 999)
+    assert(out.inputFiles.length == hi.size)
+    // conservative: unknown column op / missing stats never prune
+    assert(DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("id", "!=", 1)))).size == 10)
+  }
+
+  test("compaction merges small files, preserves rows, logs OPTIMIZE") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (0 until 1000).map(i => (i.toLong, s"k${i % 2}")).toDF("v", "k")
+    GraftDelta.toDelta(df.repartition(8), path, partitionBy = Seq("k"))
+    GraftDelta.toDelta(df.repartition(8), path, mode = "append", partitionBy = Seq("k"))
+    val before = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(before.activeFiles.size >= 16)
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(after.activeFiles.size == nAfter)
+    assert(after.activeFiles.forall(!_.dataChange))
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 2000)
+    assert(out.agg(sum($"v")).head.getLong(0) == 2L * (0 until 1000).sum)
+    val h = GraftDelta.readDeltaHistory(spark, path).collect()
+    assert(h.head.getString(1) == "OPTIMIZE")
+    // time travel to the pre-compaction version still reads old files
+    assert(GraftDelta.readDelta(spark, path, version = Some(1)).count() == 2000)
+  }
+
+  test("streaming sink is exactly-once: replayed batch ids are skipped") {
+    import spark.implicits._
+    val path = tmp()
+    val batch = (0 until 50).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    assert(DeltaSink.addBatch(batch, path, "app-1", 0L))
+    assert(DeltaSink.addBatch(batch, path, "app-1", 1L))
+    // replay of batch 1 (post-failure rerun) must be a no-op
+    assert(!DeltaSink.addBatch(batch, path, "app-1", 1L))
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+    // a different appId is an independent writer
+    assert(DeltaSink.addBatch(batch, path, "app-2", 0L))
+    assert(GraftDelta.readDelta(spark, path).count() == 150)
+    // txn state survives a checkpoint + commit deletion (replay from cp)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(log.latestVersion)
+    val snap = log.snapshot(None)
+    assert(snap.setTransactions.map(t => t.appId -> t.version).toMap ==
+      Map("app-1" -> 1L, "app-2" -> 0L))
+  }
+
+  test("end-to-end micro-batch stream lands in a delta table exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val ckpt = Files.createTempDirectory("graft_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = DeltaSink.writeStream(mem.toDF().toDF("id", "v"), path, ckpt, "stream-app").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(GraftDelta.readDelta(spark, path).count() == 3)
+    } finally q.stop()
+  }
+}
