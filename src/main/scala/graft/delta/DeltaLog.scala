@@ -67,17 +67,34 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         .toSeq
         .sorted
 
-  /** Single-file checkpoint versions present (multi-part unsupported — the
-    * reference's fixtures and classic writers emit single-file). */
-  def listCheckpointVersions: Seq[Long] =
-    if (!fs.exists(logPath)) Nil
+  /** Checkpoint versions present: classic single-file plus multi-part
+    * (`N.checkpoint.i.n.parquet`) when every declared part exists. */
+  def listCheckpointVersions: Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    val names = fs.listStatus(logPath).iterator.map(_.getPath.getName).toSeq
+    val single = names.collect { case CheckpointFileRe(v) => v.toLong }
+    val multi = names
+      .collect { case MultiPartCheckpointRe(v, _, n) => (v.toLong, n.toInt) }
+      .groupBy(identity)
+      .collect { case ((v, n), parts) if parts.size == n => v }
+    (single ++ multi).distinct.sorted
+  }
+
+  /** All parquet files making up the checkpoint at `v` (1 or N parts). */
+  def checkpointPartFiles(v: Long): Seq[Path] = {
+    val single = checkpointFile(v)
+    if (fs.exists(single)) Seq(single)
     else
       fs.listStatus(logPath)
         .iterator
-        .map(_.getPath.getName)
-        .collect { case CheckpointFileRe(v) => v.toLong }
+        .map(_.getPath)
+        .filter(p => p.getName match {
+          case MultiPartCheckpointRe(cv, _, _) => cv.toLong == v
+          case _ => false
+        })
         .toSeq
-        .sorted
+        .sortBy(_.getName)
+  }
 
   def readLastCheckpoint(): Option[LastCheckpoint] = {
     val p = new Path(logPath, "_last_checkpoint")
@@ -157,8 +174,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   /** Read a checkpoint parquet into actions. Uses Spark's (distributed,
     * vectorized) reader; only the projected action structs are collected. */
   def readCheckpointActions(v: Long): Seq[Action] = {
-    val df = spark.read.parquet(checkpointFile(v).toString)
-    checkpointDfToActions(df)
+    val parts = checkpointPartFiles(v)
+    require(parts.nonEmpty, s"No checkpoint files for version $v in $logPath")
+    checkpointDfToActions(spark.read.parquet(parts.map(_.toString): _*))
   }
 
   /** Build the snapshot at `version` (None = latest). */
@@ -411,6 +429,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 object DeltaLog {
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
   def forTable(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
 }

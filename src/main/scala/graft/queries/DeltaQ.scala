@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.delta.{DeltaLog, GraftDelta, Predicate}
+import graft.delta.{DeltaLog, DeltaMaintenance, GraftDelta, Predicate}
 
 /** Harness queries for the Delta engine operators (SURVEY.md §2 ①-⑭).
   *
@@ -168,6 +168,23 @@ object DeltaQ {
       Seq((dry.size.toLong, left.toLong)).toDF("tombstones", "files_after")
     }),
 
+    // OPTIMIZE: fragment supplier into 8 files, compact, verify file
+    // counts AND that the data is untouched (read the post-compaction
+    // snapshot against the source table).
+    "d13_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d13")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(sup.repartition(4), path)
+      GraftDelta.toDelta(sup.repartition(4), path, mode = "append")
+      val (before, after) = DeltaMaintenance.compact(s, path)
+      val rows = GraftDelta.readDelta(s, path)
+        .groupBy($"s_suppkey").agg(count(lit(1)).as("n"), sum(cents($"s_acctbal")).as("bal_c"))
+      rows.withColumn("files_before", lit(before.toLong))
+        .withColumn("files_after", lit(after.toLong))
+        .orderBy($"s_suppkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -223,6 +240,11 @@ object DeltaQ {
         |) t(version, operation, mode, num_files) ORDER BY version DESC""".stripMargin,
     "d11_vacuum" ->
       "SELECT CAST(2 AS BIGINT) AS tombstones, CAST(3 AS BIGINT) AS files_after",
+    "d13_compaction" ->
+      """SELECT s_suppkey, CAST(2 AS BIGINT) AS n,
+        | CAST(2 * ROUND(s_acctbal*100) AS BIGINT) AS bal_c,
+        | CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d12_write_modes" ->
       """SELECT r_regionkey, r_name FROM (
         | SELECT r_regionkey, r_name FROM region

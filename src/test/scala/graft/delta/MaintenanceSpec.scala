@@ -77,6 +77,46 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("multi-part checkpoints replay like single-file ones (foreign writers)") {
+    import spark.implicits._
+    val path = tmp()
+    (0 until 4).foreach { i =>
+      GraftDelta.toDelta((0 until 25).map(j => (i * 25L + j, s"r$j")).toDF("id", "v"), path,
+        mode = if (i == 0) "error" else "append", checkpointInterval = 3)
+    }
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.listCheckpointVersions == Seq(3L))
+    // split the single-file checkpoint into 2 parts, as a foreign
+    // multi-part writer would lay it out
+    val single = log.checkpointFile(3L)
+    val cp = spark.read.parquet(single.toString)
+    val rows = cp.collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    def part(i: Int): String =
+      f"${log.logPath}/${3L}%020d.checkpoint.${i}%010d.${2}%010d.parquet"
+    spark.createDataFrame(spark.sparkContext.parallelize(h1.toSeq, 1), cp.schema)
+      .coalesce(1).write.mode("overwrite").parquet(part(1) + ".tmp")
+    spark.createDataFrame(spark.sparkContext.parallelize(h2.toSeq, 1), cp.schema)
+      .coalesce(1).write.mode("overwrite").parquet(part(2) + ".tmp")
+    Seq(1, 2).foreach { i =>
+      val dir = new org.apache.hadoop.fs.Path(part(i) + ".tmp")
+      val pf = log.fs.listStatus(dir).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+      log.fs.rename(pf, new org.apache.hadoop.fs.Path(part(i)))
+      log.fs.delete(dir, true)
+    }
+    log.fs.delete(single, false)
+    // update _last_checkpoint to declare 2 parts
+    val lc = new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint")
+    val out = log.fs.create(lc, true)
+    out.write(s"""{"version":3,"size":${rows.length},"parts":2}""".getBytes("UTF-8"))
+    out.close()
+    // delete commits covered by the checkpoint: replay MUST use the parts
+    (0L to 2L).foreach(v => log.fs.delete(log.commitFile(v), false))
+    assert(DeltaLog.forTable(spark, path).listCheckpointVersions == Seq(3L))
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+  }
+
   test("end-to-end micro-batch stream lands in a delta table exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
