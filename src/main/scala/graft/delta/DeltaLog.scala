@@ -263,9 +263,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     } finally out.close()
   }
 
-  /** Write a classic single-file checkpoint for `version` plus
-    * `_last_checkpoint`, bounding future replays (SURVEY.md §2 ④). */
-  def writeCheckpoint(version: Long): Unit = {
+  /** Write a checkpoint for `version` plus `_last_checkpoint`, bounding
+    * future replays (SURVEY.md §2 ④). Small snapshots emit the classic
+    * single file; above `maxActionsPerPart` the write becomes multi-part
+    * (`N.checkpoint.i.n.parquet`) so the parquet encode parallelizes —
+    * a single-file checkpoint is a serial bottleneck exactly when the
+    * active set is large enough for checkpoints to matter. */
+  def writeCheckpoint(version: Long, maxActionsPerPart: Int = 500000): Unit = {
     val snap = snapshot(Some(version))
     val rows: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null, null, null) +:
@@ -274,23 +278,30 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           snap.tombstones.map(f => Row(null, null, null, removeToRow(f), null)) ++
           snap.setTransactions.map(t => Row(null, null, null, null,
             Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      checkpointSchema)
-    // Spark writes a directory; a classic checkpoint must be a single file:
-    // write to a temp dir, then move the lone part file into place.
+    val nParts = math.min(64, 1 + (rows.size - 1) / math.max(1, maxActionsPerPart))
     val tmp = new Path(logPath, s".checkpoint-tmp-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, nParts), checkpointSchema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs
       .listStatus(tmp)
       .map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"No part file written under $tmp"))
-    val dest = checkpointFile(version)
-    fs.delete(dest, false)
-    fs.rename(part, dest)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"No part files written under $tmp")
+    // clear any stale checkpoint files for this version, then move parts
+    checkpointPartFiles(version).foreach(fs.delete(_, false))
+    val lc =
+      if (parts.length == 1) {
+        fs.rename(parts.head, checkpointFile(version))
+        s"""{"version":$version,"size":${rows.size}}"""
+      } else {
+        parts.zipWithIndex.foreach { case (p, i) =>
+          fs.rename(p,
+            new Path(logPath, f"$version%020d.checkpoint.${i + 1}%010d.${parts.length}%010d.parquet"))
+        }
+        s"""{"version":$version,"size":${rows.size},"parts":${parts.length}}"""
+      }
     fs.delete(tmp, true)
-    val lc = s"""{"version":$version,"size":${rows.size}}"""
     val lcPath = new Path(logPath, "_last_checkpoint")
     val out = fs.create(lcPath, true)
     try out.write(lc.getBytes(StandardCharsets.UTF_8))

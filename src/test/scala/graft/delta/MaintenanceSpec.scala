@@ -117,6 +117,24 @@ class MaintenanceSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 100)
   }
 
+  test("large snapshots checkpoint as multi-part and replay after commit deletion") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((0 until 200).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .repartition(10), path, checkpointInterval = 0)
+    GraftDelta.toDelta((200 until 300).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .repartition(5), path, mode = "append", checkpointInterval = 0)
+    val log = DeltaLog.forTable(spark, path)
+    // 15 adds + protocol + metaData = 17 rows; 5 per part -> 4 parts
+    log.writeCheckpoint(1L, maxActionsPerPart = 5)
+    assert(log.checkpointPartFiles(1L).size > 1)
+    assert(log.readLastCheckpoint().exists(_.parts.exists(_ > 1)))
+    (0L to 1L).foreach(v => log.fs.delete(log.commitFile(v), false))
+    val back = GraftDelta.readDelta(spark, path)
+    assert(back.count() == 300)
+    assert(back.agg(sum($"id")).head.getLong(0) == (0 until 300).map(_.toLong).sum)
+  }
+
   test("end-to-end micro-batch stream lands in a delta table exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
