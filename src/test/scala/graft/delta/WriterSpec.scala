@@ -85,6 +85,25 @@ class WriterSpec extends GraftSuite {
     assert(pruned.size == 1 && pruned.head.partitionValues("k") == "a")
   }
 
+  test("date-typed partition values filter with Date/LocalDate/string operands") {
+    import spark.implicits._
+    val path = tmp()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Date.valueOf("2024-02-01")),
+      (3L, java.sql.Date.valueOf("2024-03-01"))).toDF("v", "d")
+    GraftDelta.toDelta(df, path, partitionBy = Seq("d"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    def prune(value: Any, op: String = ">") =
+      DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("d", op, value))))
+    assert(prune(java.sql.Date.valueOf("2024-01-15")).size == 2)
+    assert(prune(java.time.LocalDate.parse("2024-02-15")).size == 1)
+    assert(prune("2024-01-01", "==").size == 1)
+    val out = GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("d", ">", java.sql.Date.valueOf("2024-01-15")))))
+    assert(out.select("v").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("partition-column mismatch refused (writer.py:251-252)") {
     val path = tmp()
     GraftDelta.toDelta(sample, path, partitionBy = Seq("strings"))
