@@ -192,22 +192,26 @@ object Dedup {
     * distance ≤ maxHamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, idCol, textCol)
-    val banded = withSig.select(col("doc_id"), col("sig"),
+    // persist: the banded self-join would otherwise recompute the whole
+    // shingle->vote aggregation per side; signatures are docs × 1 long
+    val banded = simhashSignatures(df, idCol, textCol)
+      .select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      .persist()
     val hamming = {
       val x = col("l.sig").bitwiseXOR(col("r.sig"))
       bit_count(x)
     }
-    banded.as("l").join(banded.as("r"),
+    val result = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    materialized(result, banded)
   }
 }
