@@ -28,7 +28,7 @@ for name in sorted(os.listdir(out_dir)):
         continue
     got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
     if name not in oracles:
-        results[name] = {"rows": len(got), "rows_only": True, "ok": len(got) >= 0}
+        results[name] = {"rows": len(got), "rows_only": True, "ok": len(got) > 0}
         continue
     try:
         want = con.execute(oracles[name]).fetchdf()

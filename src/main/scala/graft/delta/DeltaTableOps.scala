@@ -16,7 +16,14 @@ object DeltaTableOps {
     val log = DeltaLog.forTable(spark, path)
     if (!log.fs.exists(new Path(path)))
       throw new IllegalArgumentException(s"Path does not exist: $path")
-    val rows = log.commitInfos.map { case (v, ciOpt) =>
+    historyOf(log, limit)
+  }
+
+  /** History over an existing log handle (limit pushed down: only the
+    * newest n commit files are parsed — pinned by GoldenReadSpec). */
+  def historyOf(log: DeltaLog, limit: Option[Int]): DataFrame = {
+    val spark = log.spark
+    val rows = log.commitInfos(limit).map { case (v, ciOpt) =>
       // commits without commitInfo use the same file-mtime fallback clock
       // as time travel, so the two surfaces order identically
       val ci = ciOpt.getOrElse(CommitInfo(log.commitFallbackTimestamp(v), ""))

@@ -8,6 +8,7 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
+import java.nio.charset.StandardCharsets
 import java.time.Instant
 import java.util.UUID
 import scala.collection.mutable
@@ -188,7 +189,10 @@ object DeltaWrite {
 
   /** Move one staged file to its final name and build its AddFile with
     * footer stats. Pure function of (conf, paths) — runs on executors in
-    * the distributed path. */
+    * the distributed path. IDEMPOTENT under task retry / speculation: the
+    * destination name is derived deterministically from (version, staged
+    * relative path), and a missing source with an existing destination is
+    * treated as a prior attempt's completed move, not a failure. */
   private def moveAndStat(
       conf: Configuration,
       stagingDir: String,
@@ -203,12 +207,17 @@ object DeltaWrite {
     val rel = relativize(new Path(stagingDir), staged) // e.g. col=1/part-...parquet
     val partitionValues = partitionValuesFromPath(rel, partitionBy)
     val partitionDir = parentDirs(rel)
-    val fileName = f"part-$version%05d-${UUID.randomUUID()}-$idx%04d.snappy.parquet"
+    val nameUuid = UUID.nameUUIDFromBytes(
+      s"graft:$version:$rel".getBytes(StandardCharsets.UTF_8))
+    val fileName = f"part-$version%05d-$nameUuid-$idx%04d.snappy.parquet"
     val destRel = if (partitionDir.isEmpty) fileName else s"$partitionDir/$fileName"
     val dest = new Path(tablePath, destRel)
     fs.mkdirs(dest.getParent)
-    if (!fs.rename(staged, dest))
-      throw new java.io.IOException(s"Failed to move $staged -> $dest")
+    if (!fs.rename(staged, dest)) {
+      val alreadyMoved = !fs.exists(staged) && fs.exists(dest)
+      if (!alreadyMoved)
+        throw new java.io.IOException(s"Failed to move $staged -> $dest")
+    }
     val destStatus = fs.getFileStatus(dest)
     val stats = harvestStats(conf, dest, statsSchema)
     AddFile(

@@ -16,9 +16,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `orderCol` per key group
-    * (deterministic, unlike dropDuplicates' arbitrary winner). One shuffle
-    * on the key columns; no driver state. */
-  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    * (deterministic when `orderCol` is unique within a group — same
+    * contract as the window variant). Implemented as a hash aggregation
+    * with `min_by(struct(*), orderCol)`: partial (map-side) aggregation
+    * means a degenerate hot key — one boilerplate doc duplicated 10^8
+    * times, the realistic text-dedup case — combines locally before one
+    * bounded shuffle, where a window funnels the whole group into a
+    * single task. */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(df.columns.map(col): _*), col(orderCol)).as("__row"))
+      .select(col("__row.*"))
+
+  /** Window-based exact dedup (row_number = 1). Same results as `exact`;
+    * kept as an option for when per-group rank context is needed anyway.
+    * Not skew-safe: each key group lands in a single task. */
+  def exactViaWindow(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -97,9 +110,34 @@ object Dedup {
       .groupBy("doc_id")
       .agg(udaf(MinhashSigAgg).apply(col("h")).as("sig"))
 
+  /** Default cap on band-bucket membership for banded self-joins. On
+    * healthy corpora buckets hold a handful of docs; one viral band value
+    * (identical boilerplate repeated millions of times) makes the
+    * self-join quadratic at scale. */
+  val DefaultMaxBucketSize = 1000
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.operators")
+
+  /** Drop band buckets with more than `cap` members before a banded
+    * self-join, LOGGING what was dropped (no silent caps). Members of a
+    * dropped bucket can still pair through their other bands; truly viral
+    * exact duplicates are exact-dedup's job, not near-dedup's. */
+  private[operators] def capBuckets(
+      banded: DataFrame, keyCols: Seq[String], cap: Int, opName: String): DataFrame = {
+    val over = banded.groupBy(keyCols.map(col): _*).count().filter(col("count") > cap)
+    val st = over.agg(count(lit(1)).as("n"), coalesce(sum("count"), lit(0L)).as("rows")).head()
+    if (st.getLong(0) > 0L) {
+      logger.warn(
+        s"[$opName] dropping ${st.getLong(0)} band buckets with > $cap members " +
+          s"(${st.getLong(1)} banded rows) — near-dup recall may drop on boilerplate-heavy corpora")
+      banded.join(over.select(keyCols.map(col): _*), keyCols, "left_anti")
+    } else banded
+  }
+
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    * Bucketed self-join on (band, bandHash) — never all-pairs. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+    * Bucketed self-join on (band, bandHash) — never all-pairs; buckets
+    * above `maxBucketSize` are dropped (logged). */
+  def candidatePairs(sigs: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val rowCols = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1))
@@ -112,7 +150,8 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    val pairs = banded.as("l").join(banded.as("r"),
+    val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "minhash")
+    val pairs = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -121,8 +160,12 @@ object Dedup {
   }
 
   /** Persist + materialize a (small) result, then free the (large)
-    * upstream cached frames — operators must not leak executor memory
-    * across invocations. */
+    * upstream cached frames. OWNERSHIP CONTRACT: the returned frame is
+    * persisted (it must be — the upstream it derives from is unpersisted
+    * here, so re-evaluation would recompute the full pipeline); the
+    * CALLER owns that cache entry and releases it via `unpersist()` or
+    * `spark.catalog.clearCache()` once consumed. Bench/Verify clear the
+    * cache between queries for exactly this reason. */
   private def materialized(result: DataFrame, upstream: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count()
@@ -134,9 +177,10 @@ object Dedup {
     * only pairs ≥ threshold survive. Jaccard is a ratio of exact ints —
     * bit-identical in any engine. */
   def minhashNearDups(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = withShingleSet(df, idCol, textCol).persist()
-    val pairs = candidatePairs(signaturesFromShingleSets(sh))
+    val pairs = candidatePairs(signaturesFromShingleSets(sh), maxBucketSize)
     val verified = pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
@@ -191,7 +235,7 @@ object Dedup {
     * pairs whose simhashes agree on ≥1 of 4 bands, verified by hamming
     * distance ≤ maxHamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // persist: the banded self-join would otherwise recompute the whole
     // shingle->vote aggregation per side; signatures are docs × 1 long
     val banded = simhashSignatures(df, idCol, textCol)
@@ -201,11 +245,12 @@ object Dedup {
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
       .persist()
+    val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "simhash")
     val hamming = {
       val x = col("l.sig").bitwiseXOR(col("r.sig"))
       bit_count(x)
     }
-    val result = banded.as("l").join(banded.as("r"),
+    val result = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

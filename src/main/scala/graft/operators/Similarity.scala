@@ -58,7 +58,8 @@ object Similarity {
     * candidates are bounded by band buckets. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
+      threshold: Double, dim: Int = 64,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val bands = 8
     val width = dim / bands
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
@@ -72,7 +73,8 @@ object Similarity {
       .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
       .persist()
-    val result = banded.as("l").join(banded.as("r"),
+    val capped = Dedup.capBuckets(banded, Seq("band", "bh"), maxBucketSize, "embeddingNearDups")
+    val result = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -85,8 +87,12 @@ object Similarity {
   }
 
   /** Persist + materialize a (small) result, then free the (large)
-    * upstream cached frames — operators must not leak executor memory
-    * across invocations. */
+    * upstream cached frames. OWNERSHIP CONTRACT: the returned frame is
+    * persisted (it must be — the upstream it derives from is unpersisted
+    * here, so re-evaluation would recompute the full pipeline); the
+    * CALLER owns that cache entry and releases it via `unpersist()` or
+    * `spark.catalog.clearCache()` once consumed. Bench/Verify clear the
+    * cache between queries for exactly this reason. */
   private def materialized(result: DataFrame, upstream: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count()
@@ -95,6 +101,10 @@ object Similarity {
   }
 
   // ---- IVF (inverted-file) ANN: KMeans coarse quantizer -----------------
+
+  /** Max rows the IVF coarse quantizer is fit on — centroids converge on
+    * a sample; assignment (the distributed part) still sees every row. */
+  val IvfFitSampleCap = 100000
 
   /** IVF top-k: a KMeans coarse quantizer (fixed seed) partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
@@ -114,8 +124,12 @@ object Similarity {
     val fv = df.select(col(idCol).as("id"),
       quantize(col(vecCol)).as("v"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    // Fit the coarse quantizer on a bounded sample: KMeans quality needs
+    // only a representative sample, and a full-corpus ML fit at 100 TB
+    // would dwarf the query itself. Cell ASSIGNMENT still covers every row.
+    val fitSample = fv.select("features").limit(IvfFitSampleCap)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(fv)
+      .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(fv)
       .select(col("id"), col("v"), col("prediction").as("cell"))
       .persist()

@@ -28,8 +28,11 @@ object DeltaTail {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           log.snapshot(None).schema))
     val snap = log.snapshot(Some(latest)) // schema as of the head
+    // dataChange=false adds (OPTIMIZE/compaction rewrites) carry no new
+    // rows — re-ingesting them would duplicate the entire compacted data.
+    // Delta streaming sources skip them for exactly this reason.
     val newAdds: Seq[AddFile] = ((fromVersion + 1) to latest).flatMap { v =>
-      log.readCommitActions(v).collect { case a: AddFile => a }
+      log.readCommitActions(v).collect { case a: AddFile if a.dataChange => a }
     }
     val df =
       if (newAdds.isEmpty)

@@ -121,6 +121,18 @@ class GoldenReadSpec extends GraftSuite {
     assert(GraftDelta.readDeltaHistory(spark, cp, limit = Some(5)).count() == 5)
   }
 
+  test("history limit pushdown: history(5) opens only the newest 5 commit files") {
+    val cp = fixture("checkpoint") // 26 commits
+    val log = DeltaLog.forTable(spark, cp)
+    val limited = DeltaTableOps.historyOf(log, Some(5)).collect()
+    assert(limited.length == 5)
+    assert(log.commitInfoReads <= 5,
+      s"history(limit=5) parsed ${log.commitInfoReads} commit files")
+    // the pushed-down result equals the head of the unlimited history
+    val full = DeltaTableOps.historyOf(DeltaLog.forTable(spark, cp), None).collect()
+    assert(limited.toSeq == full.take(5).toSeq)
+  }
+
   test("vacuum dry-run lists 4 tombstones, delete shrinks 7->3 (test_core.py:234-245)") {
     val v = fixture("vacuum")
     val tombstones = GraftDelta.vacuum(spark, v, dryRun = true)
