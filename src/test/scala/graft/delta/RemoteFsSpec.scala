@@ -1,0 +1,86 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.spark.sql.functions._
+
+import java.net.URI
+import scala.jdk.CollectionConverters._
+
+/** A RawLocalFileSystem re-registered under scheme `mockfs:` — stands in
+  * for a remote object store so every path/scheme seam (staging writes,
+  * log replay, scan construction, vacuum's path re-prefixing) is
+  * exercised off `file:`. Mirrors the reference's remote-path semantics
+  * (core.py:59-70, 110-119; writer.py:202-220), which our design
+  * delegates to the Hadoop FileSystem abstraction — this spec proves the
+  * delegation actually holds end-to-end. */
+class MockFs extends RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: URI = URI.create("mockfs:///")
+}
+
+class RemoteFsSpec extends GraftSuite {
+
+  private lazy val table: String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mockfs")
+    dir.toFile.deleteOnExit()
+    s"mockfs:$dir/tbl"
+  }
+
+  test("write/read/time-travel roundtrip on a non-local scheme") {
+    import spark.implicits._
+    val v0 = (1 to 40).map(i => (i.toLong, s"row$i", i % 4)).toDF("id", "payload", "bucket")
+    DeltaWrite.write(v0, table, mode = "error", partitionBy = Seq("bucket"))
+    val v1 = (41 to 60).map(i => (i.toLong, s"row$i", i % 4)).toDF("id", "payload", "bucket")
+    DeltaWrite.write(v1, table, mode = "append")
+
+    val df = GraftDelta.readDelta(spark, table)
+    assert(df.count() == 60)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.startsWith("mockfs:")),
+      s"scan must plan mockfs: URIs, got ${df.inputFiles.take(2).mkString(", ")}")
+    assert(GraftDelta.readDelta(spark, table, version = Some(0)).count() == 40)
+    // partition pruning happens on the remote scheme too
+    val pruned = GraftDelta.readDelta(spark, table,
+      filters = Seq(Seq(Predicate("bucket", "==", 2))))
+    assert(pruned.count() == 15)
+    assert(pruned.inputFiles.forall(f => f.startsWith("mockfs:") && f.contains("bucket=2")))
+  }
+
+  test("history reads the remote log") {
+    val h = GraftDelta.readDeltaHistory(spark, table).collect()
+    assert(h.length == 2)
+    assert(h.head.getString(1) == "WRITE")
+  }
+
+  test("vacuum re-prefixes tombstones with the remote scheme and deletes") {
+    import spark.implicits._
+    val repl = (1 to 10).map(i => (i.toLong, s"new$i", i % 4)).toDF("id", "payload", "bucket")
+    DeltaWrite.write(repl, table, mode = "overwrite")
+    Thread.sleep(5)
+    val tombstones = GraftDelta.vacuum(spark, table, retentionHours = 0.0, dryRun = true)
+    assert(tombstones.nonEmpty, "overwrite must tombstone the previous files")
+
+    val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.isInstanceOf[MockFs], s"resolved ${fs.getClass} for the mockfs scheme")
+    // enumerate data files via the LOCAL backing dir (test bookkeeping only;
+    // the deletes under test go through the mockfs scheme)
+    val backing = java.nio.file.Paths.get(table.stripPrefix("mockfs:"))
+    def liveParquet(): Set[String] = {
+      val s = java.nio.file.Files.walk(backing)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala
+        .map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_delta_log"))
+        .toSet
+      finally s.close()
+    }
+    val before = liveParquet()
+    GraftDelta.vacuum(spark, table, retentionHours = 0.0, dryRun = false)
+    val after = liveParquet()
+    assert(before.size - after.size == tombstones.size,
+      s"expected ${tombstones.size} deletions, got ${before.size} -> ${after.size}")
+    // the surviving table still reads correctly through the remote scheme
+    assert(GraftDelta.readDelta(spark, table).count() == 10)
+  }
+}
