@@ -36,10 +36,26 @@ object Multimodal {
         (length(col(textCol)) % 64 + 8).cast("int").as("width"),
         (length(col(textCol)) % 48 + 8).cast("int").as("height")).as("meta"))
 
-  /** STUB decode: a real implementation would JPEG/PNG-decode `content`;
-    * the deterministic fake treats each byte as one pixel intensity. */
-  private def decodeStub(content: Array[Byte]): Array[Int] =
-    if (content == null) Array.emptyIntArray else content.map(b => b & 0xFF)
+  /** THE DECODER SWAP POINT. Implementations turn opaque media bytes
+    * into pixel/sample intensities; instances are shipped to executors
+    * inside the mapPartitions closure, so they must be Serializable and
+    * must lazily initialize any native codec state per-JVM (an eager
+    * ffmpeg/ImageIO handle would fail to serialize).
+    *
+    * To productionize: implement this over javax.imageio / a JNI ffmpeg
+    * binding and pass it to `extractFeatures` — nothing else changes;
+    * schema, batching, and partitioning are decoder-agnostic. */
+  trait MediaDecoder extends Serializable {
+    def decode(content: Array[Byte]): Array[Int]
+  }
+
+  /** Deterministic stand-in decoder (this container ships no codec
+    * libraries): each byte is one intensity. Keeps the whole pipeline
+    * oracle-checkable end-to-end. */
+  object IdentityBytesDecoder extends MediaDecoder {
+    override def decode(content: Array[Byte]): Array[Int] =
+      if (content == null) Array.emptyIntArray else content.map(b => b & 0xFF)
+  }
 
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, byte_sum: Long, hist: Array[Long])
@@ -48,13 +64,14 @@ object Multimodal {
     * byte count, intensity sum, 16-bucket intensity histogram. Runs as
     * mapPartitions (the Scala analog of a pandas mapInPandas batch UDF):
     * one JVM pass per partition, no shuffle, no driver data. */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(
+      media: DataFrame, decoder: MediaDecoder = IdentityBytesDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, content) =>
-          val px = decodeStub(content)
+          val px = decoder.decode(content)
           val hist = new Array[Long](16)
           var sum = 0L
           var i = 0
