@@ -39,6 +39,16 @@ object PipelineQ {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Near-dup clusters: minhash pairs → connected components; each doc
+    // labeled with its cluster's smallest doc_id. Oracle mirrors with a
+    // recursive transitive closure over the identical exact-Jaccard pairs.
+    "t14_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      Dedup.nearDupClusters(pairs).orderBy($"doc_id")
+    }),
+
     // SimHash near-dedup (hash-specific → rows-only check).
     "t04_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -137,6 +147,20 @@ object PipelineQ {
   private val quantList =
     "[CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
 
+  /** Exact word-3-gram Jaccard pair pipeline shared by the minhash pair
+    * (t03) and cluster (t14) oracles: `it` = intersection counts per
+    * candidate pair, `sz` = shingle-set sizes. */
+  private val minhashPairsCte =
+    """w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws)-2)])
+      |   ELSE [text] END AS sh FROM w),
+      |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+      |it AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t01_dedup_exact" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
@@ -147,20 +171,24 @@ object PipelineQ {
         |  ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         | FROM documents) sub WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "t03_dedup_minhash" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3
-        |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws)-2)])
-        |   ELSE [text] END AS sh FROM w),
-        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-        |       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
-        |       CAST(x.n + y.n - i AS BIGINT) AS uni
-        |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+         |       CAST(x.n + y.n - i AS BIGINT) AS uni
+         |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t14_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |p AS (SELECT da AS a, db AS b
+         |      FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)
+         |SELECT CAST(src AS BIGINT) AS doc_id,
+         |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

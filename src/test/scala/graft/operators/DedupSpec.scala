@@ -89,6 +89,33 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Connected components over pair lists: clique, chain (transitivity
+    * across rounds), and singleton clusters all label with the min
+    * member; end-to-end nearDedup keeps exactly one doc per cluster. */
+  test("nearDupClusters labels components; nearDedup keeps one doc per cluster") {
+    import spark.implicits._
+    // components: {1,2,3} (clique), {10,11,12,13} (chain), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // end-to-end: 3 near-identical docs + 2 distinct docs -> 3 survivors
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (50L, "the quick brown fox jumps over the lazy dog today"),
+      (60L, "completely unrelated content about entirely different things here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 50L, 60L), s"kept $kept")
+    spark.catalog.clearCache()
+  }
+
   /** exact() must partial-aggregate (no Window in the plan) and still
     * match the window variant on a corpus with one severely hot key. */
   test("exact dedup is skew-safe: min_by aggregation, same result as window") {
