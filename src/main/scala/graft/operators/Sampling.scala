@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and splitting for training
+  * data. `df.sample()` is seed-stable only for a fixed partitioning —
+  * repartition the input and the sample changes, which silently breaks
+  * reproducibility contracts ("the eval split must never drift"). These
+  * operators key every decision off a per-row hash of a stable id, so
+  * membership is a pure function of the row — independent of
+  * partitioning, cluster size, or engine.
+  *
+  * The hash is a two-round 31-bit LCG over the sign-folded id: every
+  * intermediate stays below 2^62 (no 64-bit overflow, so it is ANSI-safe
+  * in Spark and exactly expressible in any SQL dialect's BIGINT
+  * arithmetic — the oracle mirrors it bit-for-bit), and the bucket is
+  * taken from the high bits, where LCG output is well mixed. Scale: a
+  * narrow codegen'd projection + filter — no shuffle, no driver state.
+  */
+object Sampling {
+
+  private val A = 1103515245L
+  private val C = 12345L
+  private val Mask31 = 0x7FFFFFFFL
+
+  /** Hash bucket in [0, buckets). Requires buckets ≤ 2^20 (the bucket is
+    * drawn from 20 high bits). */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets must be in [1, 2^20]: $buckets")
+    val idL = id.cast("long")
+    // fold the high 33 bits in by XOR so ids beyond 2^31 don't collide
+    val x0 = idL.bitwiseAND(lit(Mask31))
+      .bitwiseXOR(shiftright(idL, 31).bitwiseAND(lit(Mask31)))
+    val x1 = (x0 * lit(A) + lit(C)).bitwiseAND(lit(Mask31)) // ≤ 2^61: ANSI-safe
+    val x2 = (x1 * lit(A) + lit(C)).bitwiseAND(lit(Mask31))
+    pmod(shiftright(x2, 11), lit(buckets.toLong))
+  }
+
+  /** SQL mirror of [[hashBucket]] for oracle engines (DuckDB et al.):
+    * identical BIGINT arithmetic, no overflow anywhere. */
+  def hashBucketSql(idExpr: String, buckets: Int): String = {
+    val x0 = s"xor(CAST($idExpr AS BIGINT) & 2147483647, (CAST($idExpr AS BIGINT) >> 31) & 2147483647)"
+    val x1 = s"((($x0) * $A + $C) & 2147483647)"
+    val x2 = s"((($x1) * $A + $C) & 2147483647)"
+    s"((($x2) >> 11) % $buckets)"
+  }
+
+  /** Keep rows whose bucket < keepBuckets — deterministically ~keep
+    * keepBuckets/buckets of the corpus, stable under repartitioning. */
+  def deterministicSample(df: DataFrame, idCol: String, keepBuckets: Int,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < keepBuckets)
+
+  /** Stable train/eval/test split: adds a `split` column keyed off the
+    * id hash. Fractions are bucket counts out of `buckets`; rows beyond
+    * train+eval fall into test. A doc keeps its split forever, no matter
+    * how the corpus is repartitioned or grown. */
+  def stableSplit(df: DataFrame, idCol: String, trainBuckets: Int, evalBuckets: Int,
+      buckets: Int = 10000): DataFrame = {
+    val b = hashBucket(col(idCol), buckets)
+    df.withColumn("split",
+      when(b < trainBuckets, lit("train"))
+        .when(b < trainBuckets + evalBuckets, lit("eval"))
+        .otherwise(lit("test")))
+  }
+
+  /** Weighted interleave of sources: per-source deterministic sample at
+    * `weight` buckets out of `buckets`, then union — the mixture step of
+    * a training-data recipe, reproducible end to end. */
+  def weightedMix(sources: Seq[(DataFrame, Int)], idCol: String,
+      buckets: Int = 10000): DataFrame =
+    sources.map { case (df, w) => deterministicSample(df, idCol, w, buckets) }
+      .reduce(_ unionByName _)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -88,6 +88,16 @@ object PipelineQ {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Deterministic 80/10/10 split: per-split counts + membership-
+    // sensitive doc_id sums (a drifted membership can't hide in counts).
+    "t15_stable_split" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.stableSplit(t(s, dir, "documents"), "doc_id", 8000, 1000)
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"split")
     }),
 
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
@@ -216,6 +226,12 @@ object PipelineQ {
          |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
          |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+    "t15_stable_split" ->
+      s"""SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'eval'
+         |            ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT doc_id, ${Sampling.hashBucketSql("doc_id", 10000)} AS b FROM documents)
+         |GROUP BY split ORDER BY split""".stripMargin,
     "t07_text_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars,

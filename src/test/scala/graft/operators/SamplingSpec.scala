@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.delta.TestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reproducibility pins for deterministic sampling: membership must be a
+  * pure function of the id — invariant under repartitioning (the exact
+  * property `df.sample()` lacks) — and splits must partition the corpus
+  * exhaustively with roughly the requested proportions. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  test("sample membership is invariant under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 20000L).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.deterministicSample(d, "id", 1000).select("id")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    val b = ids(df.repartition(17, col("id") % 3))
+    val c = ids(df.coalesce(1))
+    assert(a == b && b == c, "sample drifted under repartitioning")
+    // ~10% requested; LCG bucketing should land within ±2 percentage points
+    assert(math.abs(a.size / 20000.0 - 0.10) < 0.02, s"sample fraction ${a.size / 20000.0}")
+  }
+
+  test("stableSplit partitions exhaustively with requested proportions") {
+    import spark.implicits._
+    val df = (1L to 50000L).toDF("id")
+    val bySplit = Sampling.stableSplit(df, "id", 8000, 1000)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == 50000L)
+    assert(bySplit.keySet == Set("train", "eval", "test"))
+    assert(math.abs(bySplit("train") / 50000.0 - 0.8) < 0.02, bySplit.toString)
+    assert(math.abs(bySplit("eval") / 50000.0 - 0.1) < 0.02, bySplit.toString)
+    // a row's split never changes when the corpus grows
+    val before = Sampling.stableSplit(df.limit(1000), "id", 8000, 1000)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Sampling.stableSplit(df, "id", 8000, 1000)
+      .filter(col("id") <= 1000).select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after, "split drifted as the corpus grew")
+  }
+
+  test("weightedMix samples each source at its weight") {
+    import spark.implicits._
+    val s1 = (1L to 10000L).toDF("id").withColumn("src", lit("a"))
+    val s2 = (10001L to 20000L).toDF("id").withColumn("src", lit("b"))
+    val mixed = Sampling.weightedMix(Seq((s1, 5000), (s2, 1000)), "id")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(mixed("a") / 10000.0 - 0.5) < 0.03, mixed.toString)
+    assert(math.abs(mixed("b") / 10000.0 - 0.1) < 0.03, mixed.toString)
+  }
+}
