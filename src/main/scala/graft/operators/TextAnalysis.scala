@@ -73,6 +73,55 @@ object TextAnalysis {
     aggregate(terms, lit(0L), (acc, x) => acc + x) % 1000000007L
   }
 
+  // ---- Repetition (quality filtering) -----------------------------------
+
+  /** Repetition signals per document — the Gopher/C4-style quality
+    * filters: fraction of duplicate words and duplicate word-3-grams, as
+    * exact integer per-myriad ratios (dup×10000 DIV total; 0 for empty).
+    * High values mark boilerplate/spam for downstream filtering. Single
+    * pass over materialized arrays; scan-speed codegen. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .withColumn("__g", Dedup.shinglesOfWords(col("__w")))
+    def perMyriadDup(all: Column, distinctN: Column): Column =
+      when(size(all) === 0, 0L)
+        .otherwise(((size(all) - distinctN).cast("long") * 10000L)
+          .divide(size(all).cast("long")).cast("long"))
+    base.select(
+      col(idCol),
+      size(col("__w")).cast("long").as("n_tokens"),
+      perMyriadDup(col("__w"), size(array_distinct(col("__w")))).as("dup_word_pm"),
+      // __g holds DISTINCT 3-grams; raw total for n≥3 words is n-2
+      when(size(col("__w")) < 3, lit(0L))
+        .otherwise(((size(col("__w")) - 2 - size(col("__g"))).cast("long") * 10000L)
+          .divide((size(col("__w")) - 2).cast("long")).cast("long"))
+        .as("dup_3gram_pm"))
+  }
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Email pattern shared by redaction and the oracle — kept inside the
+    * common subset of Java regex and RE2 so both engines agree. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (7+) — phone/account-number shaped. */
+  val LongNumberRe = "[0-9]{7,}"
+
+  /** Redact emails and long digit runs with typed placeholders — the
+    * standard PII scrub pass before training. Pure regexp_replace:
+    * codegen'd, scan-speed, engine-portable. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumberRe, "<NUMBER>")
+
+  /** Per-doc PII counts (pre-redaction), for audit metrics. */
+  def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberRe), lit(0))).cast("long")
+        .as("n_long_numbers"),
+      length(redactPii(col(textCol))).cast("long").as("n_chars_redacted"))
+
   /** Convenience: full per-document stats frame. Word/char arrays are
     * materialized once and every metric reads the attribute — inline
     * splits inside lambdas re-evaluate per element. */

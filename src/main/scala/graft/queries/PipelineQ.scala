@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -98,6 +98,26 @@ object PipelineQ {
         .groupBy($"split")
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
         .orderBy($"split")
+    }),
+
+    // Eval-set decontamination: docs sharing a 13-gram with the "eval"
+    // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
+    "t16_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Decontamination.flagContaminated(d, "doc_id", "text",
+          d.filter($"doc_id" < 5), "text", n = 13)
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-filter signals: word/3-gram repetition ratios + PII counts
+    // and redacted length, per document.
+    "t17_quality_pii" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      TextAnalysis.repetitionStats(d, "doc_id", "text")
+        .join(TextAnalysis.piiCounts(d, "doc_id", "text"), "doc_id")
+        .orderBy($"doc_id")
     }),
 
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
@@ -226,6 +246,34 @@ object PipelineQ {
          |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
          |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+    "t16_decontamination" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 13
+        |   THEN list_distinct([array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws)-12)])
+        |   ELSE [array_to_string(ws, ' ')] END AS sh FROM w),
+        |dg AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+        |ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 5)
+        |SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        |FROM dg JOIN ev USING (gram)
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+    "t17_quality_pii" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws)-2)])
+         |   ELSE [text] END AS sh FROM w)
+         |SELECT w.doc_id,
+         | CAST(len(ws) AS BIGINT) AS n_tokens,
+         | CAST(CASE WHEN len(ws) = 0 THEN 0
+         |  ELSE ((len(ws) - len(list_distinct(ws))) * 10000) // len(ws) END AS BIGINT) AS dup_word_pm,
+         | CAST(CASE WHEN len(ws) < 3 THEN 0
+         |  ELSE ((len(ws) - 2 - len(sh)) * 10000) // (len(ws) - 2) END AS BIGINT) AS dup_3gram_pm,
+         | CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${TextAnalysis.LongNumberRe}')) AS BIGINT) AS n_long_numbers,
+         | CAST(length(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |   '${TextAnalysis.LongNumberRe}', '<NUMBER>', 'g')) AS BIGINT) AS n_chars_redacted
+         |FROM w JOIN g ON w.doc_id = g.doc_id ORDER BY w.doc_id""".stripMargin,
     "t15_stable_split" ->
       s"""SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'eval'
          |            ELSE 'test' END AS split,

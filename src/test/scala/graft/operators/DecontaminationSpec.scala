@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.delta.TestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-contamination pins: a training doc embedding an eval passage
+  * must flag (and only it), and decontaminate() must drop exactly the
+  * flagged docs. Repetition stats must separate boilerplate from prose. */
+class DecontaminationSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  private val evalSentence =
+    "the quick brown fox jumps over the lazy dog while seven wizards watch quietly tonight"
+
+  test("13-gram overlap flags the doc embedding an eval passage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"some prefix words here $evalSentence and a suffix tail"),
+      (2L, "a completely clean document with plenty of ordinary words " +
+        "that never quote any benchmark content at all in any way"),
+      (3L, "another clean one talking about cooking recipes and garden tools " +
+        "for a while longer than thirteen words total")
+    ).toDF("doc_id", "text")
+    val evals = Seq(Tuple1(evalSentence)).toDF("text")
+
+    val flagged = Decontamination.flagContaminated(docs, "doc_id", "text", evals, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L), s"flagged $flagged")
+    assert(flagged(1L) >= 1L)
+
+    val kept = Decontamination.decontaminate(docs, "doc_id", "text", evals, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("short eval strings fall back to whole-text matching") {
+    import spark.implicits._
+    val docs = Seq((1L, "short secret"), (2L, "unrelated words")).toDF("doc_id", "text")
+    val evals = Seq(Tuple1("short secret")).toDF("text")
+    val flagged = Decontamination.flagContaminated(docs, "doc_id", "text", evals, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
+  test("repetition stats separate boilerplate from prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(60)("buy now click here").mkString(" ")), // heavy repetition
+      (2L, (1 to 240).map(i => s"tok$i").mkString(" "))       // all-distinct prose
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (dupW1, dupG1) = st(1L)
+    val (dupW2, dupG2) = st(2L)
+    assert(dupW1 > 9000 && dupG1 > 9000, s"boilerplate should score high: $dupW1/$dupG1")
+    assert(dupW2 == 0 && dupG2 == 0, s"distinct prose should score zero: $dupW2/$dupG2")
+  }
+
+  test("PII redaction replaces emails and long numbers") {
+    import spark.implicits._
+    val df = Seq((1L, "contact me at alice.smith+x@example.co.uk or call 41255512345 now"))
+      .toDF("doc_id", "text")
+    val red = df.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(red == "contact me at <EMAIL> or call <NUMBER> now", red)
+    val counts = TextAnalysis.piiCounts(df, "doc_id", "text").head()
+    assert(counts.getLong(1) == 1L && counts.getLong(2) == 1L)
+  }
+}
