@@ -135,6 +135,33 @@ class MaintenanceSpec extends GraftSuite {
     assert(back.agg(sum($"id")).head.getLong(0) == (0 until 300).map(_.toLong).sum)
   }
 
+  test("a missing multi-part checkpoint piece fails loudly, not silently") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((0 until 200).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .repartition(10), path, checkpointInterval = 0)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(0L, maxActionsPerPart = 3)
+    val parts = log.checkpointPartFiles(0L)
+    assert(parts.size > 1)
+    // sever one part: the snapshot would silently lose that part's adds
+    log.fs.delete(parts.head, false)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.forTable(spark, path).readCheckpointActions(0L)
+    }
+    assert(e.getMessage.contains("Incomplete multi-part checkpoint"), e.getMessage)
+    // snapshots routed through the _last_checkpoint pointer fail the same
+    // way — never a silently smaller table
+    val e2 = intercept[IllegalArgumentException] {
+      GraftDelta.readDelta(spark, path).count()
+    }
+    assert(e2.getMessage.contains("Incomplete multi-part checkpoint"), e2.getMessage)
+    // dropping the stale pointer restores reads via JSON replay
+    // (listCheckpointVersions ignores incomplete part sets)
+    log.fs.delete(new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint"), false)
+    assert(GraftDelta.readDelta(spark, path).count() == 200)
+  }
+
   test("end-to-end micro-batch stream lands in a delta table exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

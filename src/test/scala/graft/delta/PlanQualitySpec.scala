@@ -47,6 +47,28 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("Partial"), p)
   }
 
+  test("t16 decontamination broadcasts the eval grams; corpus side never shuffles text") {
+    val df = graft.queries.PipelineQ.queries("t16_decontamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("t15 stable split is a narrow projection + one partial aggregation") {
+    val df = graft.queries.PipelineQ.queries("t15_stable_split")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // one agg exchange + the final orderBy's range partitioning, no more
+    // (count only the AQE final plan, not the echoed initial plan)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$finalPlan")
+  }
+
   test("delta partition pruning shrinks the scanned file set before the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_plan").toString + "/tbl"
     val orders = spark.read.parquet(s"$sf/orders.parquet")

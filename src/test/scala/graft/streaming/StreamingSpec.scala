@@ -85,4 +85,25 @@ class StreamingSpec extends AnyFunSuite {
     val cursor = DeltaTail.follow(spark, path, -1L, maxBatches = 3)(b => seen += b.data.count())
     assert(cursor == 2 && seen == 20)
   }
+
+  test("log tail skips OPTIMIZE rewrites (dataChange=false adds)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tail_opt").toString + "/tbl"
+    val mk = (from: Int, n: Int) =>
+      (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    GraftDelta.toDelta(mk(0, 20).repartition(8), path)
+    val b0 = DeltaTail.changesSince(spark, path, -1L)
+    assert(b0.data.count() == 20)
+    // compaction rewrites every row into fewer files with dataChange=false;
+    // a tail consumer must NOT re-ingest them as new rows
+    graft.delta.DeltaMaintenance.compact(spark, path)
+    val b1 = DeltaTail.changesSince(spark, path, b0.toVersion)
+    assert(b1.toVersion > b0.toVersion, "compaction must commit a new version")
+    assert(b1.data.count() == 0,
+      s"OPTIMIZE rewrite re-ingested ${b1.data.count()} rows as changes")
+    // genuine appends after the compaction still flow
+    GraftDelta.toDelta(mk(20, 5), path, mode = "append")
+    val b2 = DeltaTail.changesSince(spark, path, b1.toVersion)
+    assert(b2.data.count() == 5)
+  }
 }
