@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -118,6 +118,16 @@ object PipelineQ {
       TextAnalysis.repetitionStats(d, "doc_id", "text")
         .join(TextAnalysis.piiCounts(d, "doc_id", "text"), "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // Sequence packing: docs -> 2048-token packs per lang shard; output
+    // is the pack manifest (docs + token totals per pack).
+    "t18_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount($"text").cast("long"))
+      Packing.packManifest(d, "lang", "doc_id", "n_tokens", 2048L)
+        .orderBy($"lang", $"pack_id")
     }),
 
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
@@ -246,6 +256,15 @@ object PipelineQ {
          |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
          |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+    "t18_sequence_packing" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w)
+        |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "t16_decontamination" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
