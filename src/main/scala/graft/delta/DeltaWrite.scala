@@ -174,8 +174,10 @@ object DeltaWrite {
     try log.writeCommit(version, actions)
     catch {
       case e: java.util.ConcurrentModificationException =>
-        // lost the race — clean up our orphaned files, then rethrow
-        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+        // lost the race — clean up our orphaned files, then rethrow.
+        // add.path is URI-encoded; resolvePath decodes exactly like the
+        // read/vacuum paths do, so escaped partition dirs delete correctly
+        adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
         throw e
     }
 
