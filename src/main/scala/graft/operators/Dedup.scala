@@ -25,7 +25,12 @@ object Dedup {
     * single task. */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(df.columns.map(col): _*), col(orderCol)).as("__row"))
+      // ordering key is (isNull, value): min_by skips rows whose ordering
+      // value is NULL, so a group with only-null orderCol would collapse
+      // to one all-null row — the wrapper keeps nulls orderable (last),
+      // matching the window variant's group-preserving behavior
+      .agg(min_by(struct(df.columns.map(col): _*),
+        struct(col(orderCol).isNull.as("n"), col(orderCol).as("v"))).as("__row"))
       .select(col("__row.*"))
 
   /** Window-based exact dedup (row_number = 1). Same results as `exact`;
@@ -124,14 +129,21 @@ object Dedup {
     * exact duplicates are exact-dedup's job, not near-dedup's. */
   private[operators] def capBuckets(
       banded: DataFrame, keyCols: Seq[String], cap: Int, opName: String): DataFrame = {
+    // persisted: the stats head() below materializes it, so the anti-join
+    // reads the cached (tiny: one row per OVERSIZED bucket) frame instead
+    // of re-aggregating the full banded input a second time
     val over = banded.groupBy(keyCols.map(col): _*).count().filter(col("count") > cap)
+      .persist()
     val st = over.agg(count(lit(1)).as("n"), coalesce(sum("count"), lit(0L)).as("rows")).head()
     if (st.getLong(0) > 0L) {
       logger.warn(
         s"[$opName] dropping ${st.getLong(0)} band buckets with > $cap members " +
           s"(${st.getLong(1)} banded rows) — near-dup recall may drop on boilerplate-heavy corpora")
       banded.join(over.select(keyCols.map(col): _*), keyCols, "left_anti")
-    } else banded
+    } else {
+      over.unpersist(blocking = false)
+      banded
+    }
   }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.

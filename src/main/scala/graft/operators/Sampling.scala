@@ -49,8 +49,11 @@ object Sampling {
   /** Keep rows whose bucket < keepBuckets — deterministically ~keep
     * keepBuckets/buckets of the corpus, stable under repartitioning. */
   def deterministicSample(df: DataFrame, idCol: String, keepBuckets: Int,
-      buckets: Int = 10000): DataFrame =
+      buckets: Int = 10000): DataFrame = {
+    require(keepBuckets >= 0 && keepBuckets <= buckets,
+      s"keepBuckets must be in [0, $buckets]: $keepBuckets")
     df.filter(hashBucket(col(idCol), buckets) < keepBuckets)
+  }
 
   /** Stable train/eval/test split: adds a `split` column keyed off the
     * id hash. Fractions are bucket counts out of `buckets`; rows beyond
@@ -58,6 +61,8 @@ object Sampling {
     * how the corpus is repartitioned or grown. */
   def stableSplit(df: DataFrame, idCol: String, trainBuckets: Int, evalBuckets: Int,
       buckets: Int = 10000): DataFrame = {
+    require(trainBuckets >= 0 && evalBuckets >= 0 && trainBuckets + evalBuckets <= buckets,
+      s"train+eval buckets must fit in [0, $buckets]: $trainBuckets + $evalBuckets")
     val b = hashBucket(col(idCol), buckets)
     df.withColumn("split",
       when(b < trainBuckets, lit("train"))

@@ -124,10 +124,15 @@ object Similarity {
     val fv = df.select(col(idCol).as("id"),
       quantize(col(vecCol)).as("v"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
-    // Fit the coarse quantizer on a bounded sample: KMeans quality needs
-    // only a representative sample, and a full-corpus ML fit at 100 TB
-    // would dwarf the query itself. Cell ASSIGNMENT still covers every row.
-    val fitSample = fv.select("features").limit(IvfFitSampleCap)
+    // Fit the coarse quantizer on a bounded DETERMINISTIC sample: KMeans
+    // quality needs only a representative sample, and a full-corpus ML
+    // fit at 100 TB would dwarf the query itself. orderBy(id).limit plans
+    // as a distributed top-k (per-partition heads, no data shuffle), and
+    // unlike a bare limit() the sample is a pure function of the data —
+    // not of partitioning — so fixed-seed results stay reproducible.
+    // Cell ASSIGNMENT still covers every row.
+    val fitSample = fv.select(col("id"), col("features"))
+      .orderBy(col("id")).limit(IvfFitSampleCap).select("features")
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(fv)

@@ -131,4 +131,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"exact() must not plan a Window:\n$plan")
     assert(plan.contains("partial"), s"exact() must partial-aggregate:\n$plan")
   }
+
+  /** A key group whose orderCol is entirely NULL must still keep one of
+    * its real rows — min_by skips null ordering values, so an unwrapped
+    * ordering key would fabricate an all-null row and drop the data. */
+  test("exact dedup keeps a real row when orderCol is all-null in a group") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", Some(5L), "a"), ("k1", None, "b"),     // mixed: non-null ord wins
+      ("k2", None, "c"), ("k2", None, "d")           // all-null ord group
+    ).toDF("key", "ord", "payload")
+    val out = Dedup.exact(df, Seq("key"), "ord")
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), r.getString(2))).toMap
+    assert(out("k1") == (Some(5L), "a"))
+    val (k2ord, k2payload) = out("k2")
+    assert(k2ord.isEmpty && Set("c", "d").contains(k2payload),
+      s"all-null group must keep a real row, got $k2payload")
+  }
 }
