@@ -84,6 +84,35 @@ object DeltaWrite {
     // TIMESTAMP_MICROS (Spark's default INT96 is not protocol-portable),
     // mirroring the reference's µs coercion (writer.py:53-59).
     val stagingDir = new Path(path, s".graft_staging_${UUID.randomUUID().toString.take(12)}")
+    // any failure from here to the commit must not leak the staging dir
+    // (a crashed write otherwise leaves orphan parquet under the table)
+    try {
+      writeStagedAndCommit(df, spark, log, fs, path, stagingDir, mode, effectivePartitionBy,
+        overwriteSchema, name, description, configuration, checkpointInterval, txn,
+        existing, version)
+    } finally {
+      if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    }
+  }
+
+  // Continuation of write(): stage files, harvest stats, commit atomically.
+  private def writeStagedAndCommit(
+      df: DataFrame,
+      spark: SparkSession,
+      log: DeltaLog,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      stagingDir: Path,
+      mode: String,
+      effectivePartitionBy: Seq[String],
+      overwriteSchema: Boolean,
+      name: Option[String],
+      description: Option[String],
+      configuration: Map[String, String],
+      checkpointInterval: Int,
+      txn: Option[SetTransaction],
+      existing: Option[Snapshot],
+      version: Long): Unit = {
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")

@@ -37,6 +37,20 @@ object EventStreams {
         col(typeCol),
         col("n"))
 
+  /** Streaming exactly-once event dedup: at-least-once sources (Kafka
+    * retries, replayed log tails) deliver duplicates; dropDuplicates over
+    * the id WITH a watermark bounds the dedup state store — without the
+    * watermark the state grows forever. Ids older than the watermark can
+    * recur (documented trade-off: state is bounded by the delay window,
+    * the same contract as Spark's own streaming dedup). Batch frames get
+    * plain exact dedup semantics from the identical plan. */
+  def dedupEvents(
+      events: DataFrame, idCols: Seq[String], tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCols :+ tsCol)
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session ends
     * when no event arrives within `gapMinutes` (event time). Emits one
     * row per closed session; open sessions flush on event-time timeout. */

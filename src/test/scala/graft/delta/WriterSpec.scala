@@ -126,6 +126,25 @@ class WriterSpec extends GraftSuite {
     assert(total == 100)
   }
 
+  test("failed write leaves no staging dir and no orphan data files") {
+    import org.apache.spark.sql.functions.udf
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val before = new java.io.File(path).listFiles().map(_.getName).toSet
+    // a dataset that explodes mid-job: the staging dir exists by then and
+    // must be torn down on the way out
+    val boom = udf((i: Long) => { if (i >= 0) throw new RuntimeException("boom"); i })
+    intercept[Exception] {
+      GraftDelta.toDelta(sample.withColumn("ints", boom(col("ints"))), path,
+        mode = "append")
+    }
+    val after = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith(".graft_staging")), s"staging leaked: $after")
+    assert(after == before, s"orphans: ${after -- before}")
+    // the table still reads at its pre-failure version
+    assert(GraftDelta.readDelta(spark, path).count() == 100)
+  }
+
   test("checkpoint write bounds replay: commits before it can be deleted") {
     val path = tmp()
     (0 until 7).foreach { i =>

@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(cursor == 2 && seen == 20)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ded = EventStreams.dedupEvents(
+      in.toDF().toDF("event_id", "ts_ms")
+        .withColumn("ts", timestamp_millis($"ts_ms")),
+      idCols = Seq("event_id"), tsCol = "ts")
+    val q = ded.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1000L), (2L, 2000L), (1L, 1000L)) // dup in-batch
+      q.processAllAvailable()
+      in.addData((2L, 2000L), (3L, 3000L))              // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("log tail skips OPTIMIZE rewrites (dataChange=false adds)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_tail_opt").toString + "/tbl"
