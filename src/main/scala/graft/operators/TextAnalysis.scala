@@ -98,6 +98,22 @@ object TextAnalysis {
         .as("dup_3gram_pm"))
   }
 
+  // ---- Vocabulary extraction --------------------------------------------
+
+  /** Corpus-wide term frequencies, top `k` by (count desc, word asc) —
+    * the tokenizer-training / vocab-building step. explode → partial-
+    * aggregated count (map-side combine collapses each partition to its
+    * distinct words before the shuffle) → TakeOrderedAndProject for the
+    * top-k, so neither the exploded tokens nor the full vocabulary is
+    * ever globally sorted. */
+  def topVocab(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Email pattern shared by redaction and the oracle — kept inside the

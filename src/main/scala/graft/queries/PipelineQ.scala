@@ -130,6 +130,12 @@ object PipelineQ {
         .orderBy($"lang", $"pack_id")
     }),
 
+    // Vocabulary extraction: corpus top-100 term frequencies.
+    "t19_vocab" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.topVocab(t(s, dir, "documents"), "text", 100)
+    }),
+
     // Per-document text stats: counts, quality, lang-ID, fingerprint.
     "t07_text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -256,6 +262,11 @@ object PipelineQ {
          |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
          |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+    "t19_vocab" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
     "t18_sequence_packing" ->
       """WITH w AS (SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
