@@ -122,7 +122,7 @@ object DeltaRead {
     }
   }
 
-  private def evalPredicate(raw: Option[String], dt: DataType, p: Predicate): Boolean = {
+  private[delta] def evalPredicate(raw: Option[String], dt: DataType, p: Predicate): Boolean = {
     def castRaw(s: String): Any = dt match {
       case LongType | IntegerType | ShortType | ByteType => s.toLong
       case DoubleType | FloatType => s.toDouble

@@ -113,48 +113,7 @@ object DeltaWrite {
       txn: Option[SetTransaction],
       existing: Option[Snapshot],
       version: Long): Unit = {
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try {
-      val writer = df.write.mode("overwrite")
-      (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*) else writer)
-        .parquet(stagingDir.toString)
-    } finally {
-      prevTsType match {
-        case Some(v) => spark.conf.set(tsTypeKey, v)
-        case None => spark.conf.unset(tsTypeKey)
-      }
-    }
-
-    // ---- move staged files into the table root, harvest footer stats ----
-    // Serial on the driver below a threshold; above it, one Spark job does
-    // the rename + footer read per file in parallel (at 10^5-10^6 files an
-    // O(#files) serial driver phase is the write-path scale-killer).
-    val staged = listParquetFiles(fs, stagingDir)
-    val statsSchema = StructType(
-      df.schema.fields.filterNot(f => effectivePartitionBy.contains(f.name)))
-    val stagingStr = stagingDir.toString
-    val adds: Seq[AddFile] =
-      if (staged.size <= DistributedMoveThreshold) {
-        staged.zipWithIndex.map { case (st, i) =>
-          moveAndStat(fs.getConf, stagingStr, path, version, effectivePartitionBy,
-            statsSchema, st.getPath.toString, i)
-        }
-      } else {
-        val confBc = spark.sparkContext.broadcast(
-          new org.apache.spark.util.SerializableConfiguration(
-            spark.sessionState.newHadoopConf()))
-        val items = staged.zipWithIndex.map { case (st, i) => (st.getPath.toString, i) }
-        spark.sparkContext
-          .parallelize(items, math.min(64, 1 + items.size / 16))
-          .map { case (p, i) =>
-            moveAndStat(confBc.value.value, stagingStr, path, version,
-              effectivePartitionBy, statsSchema, p, i)
-          }
-          .collect().toSeq.sortBy(_.path)
-      }
-    fs.delete(stagingDir, true)
+    val adds = stageAndMove(df, spark, fs, path, stagingDir, effectivePartitionBy, version)
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli
@@ -212,6 +171,63 @@ object DeltaWrite {
 
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       log.writeCheckpoint(version)
+  }
+
+  /** Stage `df` as (hive-partitioned) parquet under `stagingDir`, move
+    * every staged file into the table root under its protocol name, and
+    * return the AddFile actions with footer stats. The data plane shared
+    * by WRITE and the DML rewrites (DeltaDml delete/update).
+    *
+    * Serial on the driver below a threshold; above it, one Spark job does
+    * the rename + footer read per file in parallel (at 10^5-10^6 files an
+    * O(#files) serial driver phase is the write-path scale-killer). */
+  private[delta] def stageAndMove(
+      df: DataFrame,
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      stagingDir: Path,
+      partitionBy: Seq[String],
+      version: Long): Seq[AddFile] = {
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(stagingDir.toString)
+    } finally {
+      prevTsType match {
+        case Some(v) => spark.conf.set(tsTypeKey, v)
+        case None => spark.conf.unset(tsTypeKey)
+      }
+    }
+
+    val staged = listParquetFiles(fs, stagingDir)
+    val statsSchema = StructType(
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    val stagingStr = stagingDir.toString
+    val adds: Seq[AddFile] =
+      if (staged.size <= DistributedMoveThreshold) {
+        staged.zipWithIndex.map { case (st, i) =>
+          moveAndStat(fs.getConf, stagingStr, path, version, partitionBy,
+            statsSchema, st.getPath.toString, i)
+        }
+      } else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val items = staged.zipWithIndex.map { case (st, i) => (st.getPath.toString, i) }
+        spark.sparkContext
+          .parallelize(items, math.min(64, 1 + items.size / 16))
+          .map { case (p, i) =>
+            moveAndStat(confBc.value.value, stagingStr, path, version,
+              partitionBy, statsSchema, p, i)
+          }
+          .collect().toSeq.sortBy(_.path)
+      }
+    fs.delete(stagingDir, true)
+    adds
   }
 
   /** Above this many staged files the rename/stat phase runs as a Spark

@@ -39,6 +39,21 @@ object GraftDelta {
   def readDeltaHistory(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame =
     DeltaTableOps.history(spark, path, limit)
 
+  /** DELETE FROM … WHERE (beyond the reference's surface; DeltaDml). */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]]
+  ): DeltaDml.DmlResult = DeltaDml.delete(spark, path, filters)
+
+  /** UPDATE … SET … WHERE (beyond the reference's surface; DeltaDml). */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]],
+      set: Map[String, org.apache.spark.sql.Column]
+  ): DeltaDml.DmlResult = DeltaDml.update(spark, path, filters, set)
+
   /** vacuum (reference core.py:296-324). */
   def vacuum(
       spark: SparkSession,

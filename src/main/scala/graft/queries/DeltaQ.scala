@@ -185,6 +185,39 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // DELETE: partition-drop fast path ('F' files removed unread) OR'd
+    // with a data predicate (partial files rewritten); verifies the
+    // surviving rows AND the deleted-row metric against the oracle.
+    "d14_delete" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d14")
+      GraftDelta.toDelta(t(s, dir, "orders"), path, partitionBy = Seq("o_orderstatus"))
+      val res = GraftDelta.deleteWhere(s, path, Seq(
+        Seq(Predicate("o_orderstatus", "==", "F")),
+        Seq(Predicate("o_totalprice", ">", 150000.0))))
+      GraftDelta.readDelta(s, path)
+        .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+        .withColumn("n_deleted", lit(res.affectedRows))
+        .orderBy($"o_orderkey")
+    }),
+
+    // UPDATE: targeted in-place correction; only files containing
+    // matching rows are rewritten. Verifies values AND the updated-row
+    // metric.
+    "d15_update" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d15")
+      GraftDelta.toDelta(
+        t(s, dir, "supplier").repartitionByRange(4, $"s_nationkey"), path)
+      val res = GraftDelta.updateWhere(s, path,
+        Seq(Seq(Predicate("s_nationkey", "<", 5))),
+        Map("s_acctbal" -> ($"s_acctbal" + 100.0)))
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("acctbal_c"))
+        .withColumn("n_updated", lit(res.affectedRows))
+        .orderBy($"s_suppkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -244,6 +277,19 @@ object DeltaQ {
       """SELECT s_suppkey, CAST(2 AS BIGINT) AS n,
         | CAST(2 * ROUND(s_acctbal*100) AS BIGINT) AS bal_c,
         | CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d14_delete" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |  WHERE o_orderstatus = 'F' OR o_totalprice > 150000) AS n_deleted
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 150000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "d15_update" ->
+      """SELECT s_suppkey, s_nationkey,
+        | CAST(ROUND((CASE WHEN s_nationkey < 5 THEN s_acctbal + 100 ELSE s_acctbal END)*100) AS BIGINT) AS acctbal_c,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier WHERE s_nationkey < 5) AS n_updated
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d12_write_modes" ->
       """SELECT r_regionkey, r_name FROM (
