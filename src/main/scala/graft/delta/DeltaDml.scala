@@ -196,6 +196,235 @@ object DeltaDml {
     DmlResult(affected, removes.size, partial.size, adds.size)
   }
 
+  // ---- MERGE ------------------------------------------------------------
+
+  /** What to do with target rows whose key matches a source row. */
+  sealed trait WhenMatched
+  object WhenMatched {
+    /** Replace every column with the source row's value (upsert). */
+    case object UpdateAll extends WhenMatched
+    /** Apply assignments; expressions see target columns by name and
+      * source columns via [[DeltaDml.src]]. */
+    final case class Update(set: Map[String, Column]) extends WhenMatched
+    /** Drop the matched target row. */
+    case object Delete extends WhenMatched
+    /** Leave matched rows untouched (insert-only merge). */
+    case object Ignore extends WhenMatched
+  }
+
+  /** Reference a SOURCE column inside WhenMatched.Update assignments. */
+  def src(name: String): Column = col(s"$SrcPrefix$name")
+  private val SrcPrefix = "__graft_src_"
+
+  final case class MergeResult(
+      matchedRows: Long,
+      insertedRows: Long,
+      removedFiles: Int,
+      addedFiles: Int)
+
+  /** MERGE INTO target USING source ON equi-keys — the incremental-
+    * refresh primitive (upsert a day's crawl into the corpus, apply a
+    * revision feed). Same pruned two-phase shape as delete/update:
+    *
+    *   phase 0: the source's key min/max (one small agg) range-prunes the
+    *     target file list via per-file stats — a merge of a day's delta
+    *     into a key-clustered 100 TB table touches only overlapping files.
+    *   phase 1: one semi-join scan finds files with ≥1 key match.
+    *   phase 2: touched files are rewritten with a left join against the
+    *     source; unmatched source rows are appended. One atomic commit.
+    *
+    * Source keys must be unique (the protocol's multiple-match error).
+    * NULL keys never match and therefore insert. */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      on: Seq[String],
+      whenMatched: WhenMatched = WhenMatched.UpdateAll,
+      insertNotMatched: Boolean = true,
+      checkpointInterval: Int = 10): MergeResult = {
+    require(on.nonEmpty, "MERGE requires at least one join key")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    if (snap.protocol.minWriterVersion > DeltaWrite.MaxSupportedWriterVersion)
+      throw new IllegalStateException(
+        s"Table requires writer version ${snap.protocol.minWriterVersion} > " +
+          s"${DeltaWrite.MaxSupportedWriterVersion}")
+    val targetCols = snap.schema.fieldNames.toSeq
+    on.foreach { k =>
+      require(targetCols.contains(k), s"Join key $k missing from target")
+      require(source.schema.fieldNames.contains(k), s"Join key $k missing from source")
+    }
+    val needsFullSource = insertNotMatched || whenMatched == WhenMatched.UpdateAll
+    if (needsFullSource)
+      require(targetCols.forall(source.schema.fieldNames.contains),
+        s"Source must carry every target column for UpdateAll/insert; missing " +
+          targetCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
+    whenMatched match {
+      case WhenMatched.Update(set) =>
+        set.keys.foreach { c =>
+          require(targetCols.contains(c), s"Unknown column in SET: $c")
+          require(!snap.partitionColumns.contains(c),
+            s"Updating partition column $c is not supported")
+        }
+      case _ => ()
+    }
+
+    // the protocol's unique-source-match guard: >1 source row per key is
+    // an error, checked with one small agg on the source
+    val dupKeys = source.groupBy(on.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dupKeys.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE source has duplicate join keys, e.g. ${dupKeys(0)}")
+
+    // ---- phase 0: range-prune target files by the source's key span ----
+    val keyRanges: Seq[Seq[Predicate]] = {
+      val aggs = on.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+      val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val conj = on.flatMap { k =>
+        (Option(row.getAs[Any](s"mn_$k")), Option(row.getAs[Any](s"mx_$k"))) match {
+          case (Some(mn), Some(mx)) =>
+            Seq(Predicate(k, ">=", mn), Predicate(k, "<=", mx))
+          case _ => Nil // all-null key column: no matches possible
+        }
+      }
+      if (conj.isEmpty) Nil else Seq(conj)
+    }
+    val candidates =
+      if (keyRanges.isEmpty) Seq.empty[AddFile]
+      else DeltaRead.prunedFiles(snap, keyRanges)
+
+    val srcKeyed = source.select(
+      source.schema.fieldNames.map(n => col(n).as(s"$SrcPrefix$n")).toSeq: _*)
+    val joinCond = on.map(k => col(k) === col(s"$SrcPrefix$k")).reduce(_ && _)
+
+    // ---- phase 1: which candidate files contain ≥1 matching key? -------
+    val matchedByFile: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else readFiles(spark, path, snap, candidates)
+        // stamp the file name on the scan side: input_file_name() is
+        // ambiguous once a second file source joins the plan
+        .withColumn("__f", input_file_name())
+        .join(srcKeyed.select(on.map(k => col(s"$SrcPrefix$k")): _*), joinCond, "left_semi")
+        .groupBy(col("__f"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => normalizePath(r.getString(0)) -> r.getLong(1))
+        .toMap
+    val touched = candidates.filter(f =>
+      matchedByFile.contains(normalizePath(DeltaRead.resolvePath(path, f.path))))
+    val matchedRows = matchedByFile.values.sum
+
+    val rewriteNeeded = whenMatched != WhenMatched.Ignore && touched.nonEmpty
+
+    // ---- phase 2: rewrite touched files + append unmatched inserts ------
+    val rewritten: Option[DataFrame] =
+      if (!rewriteNeeded) None
+      else {
+        val joined = readFiles(spark, path, snap, touched).join(srcKeyed, joinCond, "left")
+        val isMatch = col(s"$SrcPrefix${on.head}").isNotNull
+        val out = whenMatched match {
+          case WhenMatched.Delete => joined.filter(!isMatch).select(targetCols.map(col): _*)
+          case WhenMatched.UpdateAll =>
+            joined.select(targetCols.map(c =>
+              when(isMatch, col(s"$SrcPrefix$c")).otherwise(col(c)).as(c)): _*)
+          case WhenMatched.Update(set) =>
+            val shadowed = set.zipWithIndex.foldLeft(joined) {
+              case (d, ((c, expr), i)) =>
+                d.withColumn(s"__set_$i", when(isMatch, expr).otherwise(col(c)))
+            }
+            val swapped = set.zipWithIndex.foldLeft(shadowed) {
+              case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+            }
+            swapped.select(targetCols.map(col): _*)
+          case WhenMatched.Ignore => joined // unreachable
+        }
+        Some(out)
+      }
+
+    val inserts: Option[DataFrame] =
+      if (!insertNotMatched) None
+      else {
+        // a source row matching ANY target row matches inside a candidate
+        // file (phase-0 pruning is key-range-conservative), so the anti
+        // join only needs the candidates' key columns
+        val targetKeys =
+          if (candidates.isEmpty) null
+          else readFiles(spark, path, snap, candidates).select(on.map(col): _*)
+        val unmatched =
+          if (targetKeys == null) source
+          else source.join(targetKeys, on, "left_anti")
+        Some(unmatched.select(targetCols.map(col): _*))
+      }
+
+    val toWrite: Option[DataFrame] = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (Some(r), None) => Some(r)
+      case (None, Some(i)) => Some(i)
+      case (None, None) => None
+    }
+
+    val removes0 = if (rewriteNeeded) touched else Seq.empty[AddFile]
+    if (toWrite.isEmpty && removes0.isEmpty) return MergeResult(matchedRows, 0, 0, 0)
+
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snap.version + 1
+    val adds: Seq[AddFile] = toWrite match {
+      case None => Nil
+      case Some(df) =>
+        val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
+        try DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,
+          snap.partitionColumns, version)
+        finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    }
+
+    // inserted = rows added minus rows carried over from rewrites (stats
+    // arithmetic, no extra job; falls back to 0-safe math when stats are
+    // absent on foreign-written files)
+    def rowsOf(fl: Seq[AddFile]): Option[Long] = {
+      val counts = fl.map(f => StatsPruning.parse(f.stats).flatMap(_.numRecords))
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+    val deleted = if (whenMatched == WhenMatched.Delete) matchedRows else 0L
+    val inserted = (rowsOf(adds), rowsOf(removes0)) match {
+      case (Some(a), Some(r)) => a - (r - deleted)
+      case _ => -1L // unknown (stats-less foreign table)
+    }
+
+    if (adds.isEmpty && removes0.isEmpty) return MergeResult(matchedRows, 0, 0, 0)
+
+    val now = Instant.now().toEpochMilli
+    val removes = removes0.map(f =>
+      RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size)))
+    val commitInfo = CommitInfo(
+      timestamp = now,
+      operation = "MERGE",
+      operationParameters = Map(
+        "predicate" -> on.mkString("[", ",", "]"),
+        "matchedAction" -> whenMatched.toString,
+        "notMatchedAction" -> (if (insertNotMatched) "insert" else "ignore")),
+      operationMetrics = Map(
+        "numTargetRowsMatched" -> matchedRows.toString,
+        "numTargetRowsInserted" -> inserted.toString,
+        "numTargetFilesRemoved" -> removes.size.toString,
+        "numTargetFilesAdded" -> adds.size.toString),
+      readVersion = Some(snap.version),
+      isBlindAppend = Some(false))
+
+    try log.writeCommit(version, Seq(commitInfo) ++ adds ++ removes)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+        throw e
+    }
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      log.writeCheckpoint(version)
+    MergeResult(matchedRows, math.max(inserted, 0L), removes.size, adds.size)
+  }
+
   /** Scan a specific subset of the snapshot's files with the snapshot
     * schema and hive partition columns restored. */
   private def readFiles(

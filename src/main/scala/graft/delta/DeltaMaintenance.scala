@@ -19,14 +19,26 @@ import java.time.Instant
 object DeltaMaintenance {
 
   /** Compact the current snapshot's files. Returns (filesBefore,
-    * filesAfter). Partition boundaries are preserved. */
+    * filesAfter). Partition boundaries are preserved.
+    *
+    * @param sortBy optional clustering columns: the rewrite range-
+    *   partitions and sorts each partition group by these, so the
+    *   compacted files carry disjoint min/max ranges and later scans
+    *   with predicates on them prune whole files (StatsPruning) — the
+    *   OPTIMIZE ... ZORDER role for single-dimension keys. */
   def compact(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      minFilesToCompact: Int = 2): (Int, Int) = {
+      minFilesToCompact: Int = 2,
+      sortBy: Seq[String] = Nil): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
+    sortBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"Unknown sortBy column: $c")
+      require(!snap.partitionColumns.contains(c),
+        s"sortBy column $c is a partition column (constant within a group)")
+    }
     val byPartition = snap.activeFiles.groupBy(_.partitionValues)
     val toCompact = byPartition.filter { case (_, fs) =>
       fs.size >= minFilesToCompact && fs.map(_.size).sum <= targetFileBytes * fs.size
@@ -51,8 +63,14 @@ object DeltaMaintenance {
       // rewrite: read only this partition's files, keep partition columns
       // out of the data (they live in the path)
       val df = spark.read.schema(statsSchema).parquet(paths: _*)
+      val clustered =
+        if (sortBy.isEmpty) df.coalesce(numOut)
+        else {
+          val cols = sortBy.map(org.apache.spark.sql.functions.col)
+          df.repartitionByRange(numOut, cols: _*).sortWithinPartitions(cols: _*)
+        }
       val tmp = new Path(path, s".graft_compact_${java.util.UUID.randomUUID().toString.take(12)}")
-      df.coalesce(numOut).write.parquet(tmp.toString)
+      clustered.write.parquet(tmp.toString)
       fs.listStatus(tmp)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (st, i) =>
@@ -81,7 +99,9 @@ object DeltaMaintenance {
     val commitInfo = CommitInfo(
       timestamp = now,
       operation = "OPTIMIZE",
-      operationParameters = Map("targetFileBytes" -> targetFileBytes.toString),
+      operationParameters = Map("targetFileBytes" -> targetFileBytes.toString) ++
+        (if (sortBy.isEmpty) Map.empty
+         else Map("sortBy" -> sortBy.mkString("[\"", "\",\"", "\"]"))),
       operationMetrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),

@@ -54,6 +54,17 @@ object GraftDelta {
       set: Map[String, org.apache.spark.sql.Column]
   ): DeltaDml.DmlResult = DeltaDml.update(spark, path, filters, set)
 
+  /** MERGE INTO … USING … ON (beyond the reference's surface; DeltaDml). */
+  def mergeInto(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      on: Seq[String],
+      whenMatched: DeltaDml.WhenMatched = DeltaDml.WhenMatched.UpdateAll,
+      insertNotMatched: Boolean = true
+  ): DeltaDml.MergeResult =
+    DeltaDml.merge(spark, path, source, on, whenMatched, insertNotMatched)
+
   /** vacuum (reference core.py:296-324). */
   def vacuum(
       spark: SparkSession,

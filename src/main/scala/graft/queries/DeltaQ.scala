@@ -218,6 +218,27 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // MERGE upsert: updates OR'd with fresh keys in one source; verifies
+    // surviving values plus matched/inserted metrics.
+    "d16_merge" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d16")
+      val c = t(s, dir, "customer")
+      GraftDelta.toDelta(c.repartitionByRange(4, $"c_custkey"), path)
+      val updates = c.filter($"c_custkey" <= 300)
+        .withColumn("c_acctbal", $"c_acctbal" + 1000.0)
+      val inserts = c.filter($"c_custkey" <= 50)
+        .withColumn("c_custkey", $"c_custkey" + 1000000L)
+        .withColumn("c_name", lit("new customer"))
+      val res = GraftDelta.mergeInto(s, path, updates.unionByName(inserts),
+        on = Seq("c_custkey"))
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal").as("acctbal_c"))
+        .withColumn("n_matched", lit(res.matchedRows))
+        .withColumn("n_inserted", lit(res.insertedRows))
+        .orderBy($"c_custkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -291,6 +312,19 @@ object DeltaQ {
         | CAST(ROUND((CASE WHEN s_nationkey < 5 THEN s_acctbal + 100 ELSE s_acctbal END)*100) AS BIGINT) AS acctbal_c,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier WHERE s_nationkey < 5) AS n_updated
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d16_merge" ->
+      """WITH merged AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey <= 300 THEN c_acctbal + 1000 ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new customer', c_nationkey, c_acctbal
+        |  FROM customer WHERE c_custkey <= 50)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(ROUND(bal*100) AS BIGINT) AS acctbal_c,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey <= 300) AS n_matched,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey <= 50) AS n_inserted
+        |FROM merged ORDER BY c_custkey""".stripMargin,
     "d12_write_modes" ->
       """SELECT r_regionkey, r_name FROM (
         | SELECT r_regionkey, r_name FROM region

@@ -57,6 +57,35 @@ class MaintenanceSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path, version = Some(1)).count() == 2000)
   }
 
+  test("sorted compaction clusters files so stats pruning bites afterwards") {
+    import spark.implicits._
+    val path = tmp()
+    // round-robin layout: every file spans the full id range → stats
+    // can't prune anything before compaction
+    val df = (0 until 8000).map(i => (i.toLong, i % 13)).toDF("id", "x")
+      .repartition(8, $"x")
+    GraftDelta.toDelta(df, path, configuration = Map.empty)
+    val snapBefore = DeltaLog.forTable(spark, path).snapshot(None)
+    val pred = Seq(Seq(Predicate("id", "<", 500)))
+    assert(DeltaRead.prunedFiles(snapBefore, pred).size == snapBefore.activeFiles.size,
+      "interleaved files must not prune")
+
+    val (_, nAfter) = DeltaMaintenance.compact(spark, path,
+      targetFileBytes = 16L * 1024, sortBy = Seq("id"))
+    val snapAfter = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(nAfter > 1, s"need multiple output files to show pruning, got $nAfter")
+    val pruned = DeltaRead.prunedFiles(snapAfter, pred)
+    assert(pruned.size < snapAfter.activeFiles.size,
+      s"sorted files must prune: ${pruned.size} of ${snapAfter.activeFiles.size}")
+    // rows intact
+    assert(GraftDelta.readDelta(spark, path).agg(sum($"id")).head.getLong(0) ==
+      (0 until 8000).map(_.toLong).sum)
+    // guards: unknown / partition sortBy refused
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.compact(spark, path, sortBy = Seq("nope"))
+    }
+  }
+
   test("streaming sink is exactly-once: replayed batch ids are skipped") {
     import spark.implicits._
     val path = tmp()

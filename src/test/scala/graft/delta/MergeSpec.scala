@@ -1,0 +1,134 @@
+package graft.delta
+
+import graft.delta.DeltaDml.WhenMatched
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** MERGE INTO semantics and file-level behavior (DeltaDml.merge). */
+class MergeSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_merge")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def activePaths(path: String): Set[String] =
+    DeltaLog.forTable(spark, path).snapshot(None).activeFiles.map(_.path).toSet
+
+  test("upsert: matched rows replaced, unmatched source rows appended") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 100).map(i => (i.toLong, s"old$i")).toDF("k", "v").repartitionByRange(4, $"k"),
+      path)
+    val source = Seq((5L, "new5"), (50L, "new50"), (200L, "ins200")).toDF("k", "v")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"))
+    assert(res.matchedRows == 2 && res.insertedRows == 1)
+
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 101)
+    val got = out.filter($"k".isin(5L, 50L, 200L)).orderBy($"k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((5L, "new5"), (50L, "new50"), (200L, "ins200")), s"got $got")
+    // time travel sees the pre-merge state
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 100)
+    val h = GraftDelta.readDeltaHistory(spark, path).collect()
+    assert(h.head.getString(1) == "MERGE")
+  }
+
+  test("key-range pruning: a narrow source leaves out-of-range files untouched") {
+    import spark.implicits._
+    val path = tmp()
+    // range-clustered files → stats confine keys 10..15 to one file
+    GraftDelta.toDelta(
+      (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartitionByRange(5, $"k"),
+      path)
+    val before = activePaths(path)
+    val source = (10 to 15).map(i => (i.toLong, s"upd$i")).toDF("k", "v")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"))
+    assert(res.matchedRows == 6 && res.insertedRows == 0)
+    assert(res.removedFiles == 1, "only the file overlapping the key span is rewritten")
+    assert((before & activePaths(path)).size == 4)
+    assert(GraftDelta.readDelta(spark, path).count() == 1000)
+  }
+
+  test("insert-only merge (WhenMatched.Ignore) never rewrites target files") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    val before = activePaths(path)
+    val source = Seq((10L, "SHOULD_NOT_APPLY"), (99L, "ins")).toDF("k", "v")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"),
+      whenMatched = WhenMatched.Ignore)
+    assert(res.matchedRows == 1 && res.insertedRows == 1 && res.removedFiles == 0)
+    assert(before.subsetOf(activePaths(path)))
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 51)
+    assert(out.filter($"k" === 10L).select($"v").as[String].head() == "v10")
+  }
+
+  test("matched-delete removes the matched rows and inserts the rest") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, i * 2L)).toDF("k", "x"), path)
+    val source = Seq((3L, 0L), (7L, 0L), (100L, 42L)).toDF("k", "x")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"),
+      whenMatched = WhenMatched.Delete)
+    assert(res.matchedRows == 2 && res.insertedRows == 1)
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 19)
+    assert(out.filter($"k".isin(3L, 7L)).count() == 0)
+    assert(out.filter($"k" === 100L).select($"x").as[Long].head() == 42L)
+  }
+
+  test("WhenMatched.Update assignments see target cols and src() source cols") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, i * 10L, "z")).toDF("k", "total", "tag"),
+      path)
+    val source = Seq((4L, 5L), (6L, 7L)).toDF("k", "delta")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"),
+      whenMatched = WhenMatched.Update(Map(
+        "total" -> (col("total") + DeltaDml.src("delta")),
+        "tag" -> lit("merged"))),
+      insertNotMatched = false)
+    assert(res.matchedRows == 2 && res.insertedRows == 0)
+    val got = GraftDelta.readDelta(spark, path).filter($"tag" === "merged")
+      .orderBy($"k").select($"k", $"total").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 45L), (6L, 67L)), s"got $got")
+  }
+
+  test("duplicate source keys are refused; null source keys insert") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    intercept[IllegalStateException] {
+      GraftDelta.mergeInto(spark, path,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"), on = Seq("k"))
+    }
+    val res = GraftDelta.mergeInto(spark, path,
+      Seq[(java.lang.Long, String)]((null, "nullkey"), (2L, "upd2")).toDF("k", "v"),
+      on = Seq("k"))
+    assert(res.matchedRows == 1 && res.insertedRows == 1,
+      "NULL key must never match and therefore insert")
+    assert(GraftDelta.readDelta(spark, path).count() == 11)
+  }
+
+  test("merge into a hive-partitioned target keeps partition layout") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (0 until 90).map(i => (i.toLong, (i % 3).toString, s"v$i")).toDF("k", "p", "v"),
+      path, partitionBy = Seq("p"))
+    val source = Seq((1L, "1", "UP"), (1000L, "2", "INS")).toDF("k", "p", "v")
+    val res = GraftDelta.mergeInto(spark, path, source, on = Seq("k"))
+    assert(res.matchedRows == 1 && res.insertedRows == 1)
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 91)
+    assert(out.filter($"k" === 1L).select($"v").as[String].head() == "UP")
+    // inserted row landed in its hive partition and reads back typed
+    assert(out.filter($"p" === "2" && $"k" === 1000L).count() == 1)
+  }
+}
