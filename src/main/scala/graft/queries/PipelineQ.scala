@@ -130,6 +130,26 @@ object PipelineQ {
         .orderBy($"lang", $"pack_id")
     }),
 
+    // The flagship composition: the full training-data pipeline in one
+    // plan — exact dedup → repetition-quality filter → eval-set
+    // decontamination → sequence packing. Every stage is the same
+    // operator the standalone queries pin; the oracle rebuilds the
+    // whole chain in SQL, so stage INTERACTIONS are machine-checked too.
+    "t20_pipeline_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val deduped = Dedup.exact(d, Seq("text"), "doc_id")
+      val qualityIds = TextAnalysis.repetitionStats(deduped, "doc_id", "text")
+        .filter($"n_tokens" >= 5 && $"dup_word_pm" <= 3000)
+        .select("doc_id")
+      val kept = deduped.join(qualityIds, "doc_id")
+      val clean = Decontamination.decontaminate(kept, "doc_id", "text",
+          d.filter($"doc_id" < 5), "text", n = 13)
+        .withColumn("n_tokens", TextAnalysis.tokenCount($"text").cast("long"))
+      Packing.packManifest(clean, "lang", "doc_id", "n_tokens", 2048L)
+        .orderBy($"lang", $"pack_id")
+    }),
+
     // Vocabulary extraction: corpus top-100 term frequencies.
     "t19_vocab" -> ((s, dir) => {
       import s.implicits._
@@ -262,6 +282,36 @@ object PipelineQ {
          |  / (sqrt(CAST(list_sum([va[i]*va[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))
          |     * sqrt(CAST(list_sum([vb[i]*vb[i] FOR i IN generate_series(1, 64)]) AS DOUBLE))) >= 0.42
          |ORDER BY id_a, id_b""".stripMargin,
+    "t20_pipeline_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) z
+        |  WHERE rn = 1),
+        |qw AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ws FROM dd),
+        |q AS (SELECT * FROM qw
+        |      WHERE len(ws) >= 5
+        |        AND (CASE WHEN len(ws) = 0 THEN 0
+        |             ELSE ((len(ws) - len(list_distinct(ws))) * 10000) // len(ws) END) <= 3000),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 13
+        |   THEN list_distinct([array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws)-12)])
+        |   ELSE [array_to_string(ws, ' ')] END AS sh FROM q),
+        |dg AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+        |evw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5),
+        |evg AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 13
+        |   THEN list_distinct([array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws)-12)])
+        |   ELSE [array_to_string(ws, ' ')] END) AS gram FROM evw),
+        |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN evg USING (gram)),
+        |clean AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens
+        |          FROM q WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM clean)
+        |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "t19_vocab" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
