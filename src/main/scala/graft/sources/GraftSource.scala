@@ -25,9 +25,32 @@ import org.apache.spark.sql.types.StructType
 class GraftSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("Please provide a Delta table path"))
+
+  // ---- streaming read: spark.readStream.format("graft").load(path) ----
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      graft.delta.DeltaLog.forTable(sqlContext.sparkSession, pathOf(parameters))
+        .snapshot(None).schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new graft.streaming.GraftStreamSource(sqlContext, pathOf(parameters), parameters)
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.delta.{AddFile, DeltaLog, DeltaRead, RemoveFile}
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft").load(path)` — a Structured
+  * Streaming source over the Delta transaction-log tail. Offsets are log
+  * versions; each micro-batch is the set of dataChange `add` files
+  * committed in `(start, end]`, read through the ordinary vectorized
+  * parquet scan. Deterministic replay: a batch is a pure function of the
+  * log, so checkpoint recovery re-reads identical data.
+  *
+  * Options (case-insensitive):
+  *  - `startingVersion` — first commit to stream (`"latest"` = only new
+  *    commits; default 0, i.e. the table's whole history of appends)
+  *  - `ignoreChanges`   — tolerate data-changing removes
+  *    (overwrite/DELETE/UPDATE/MERGE rewrites); their `add` side streams,
+  *    so downstream may see rewritten rows again (delta-spark contract).
+  *    Without it a non-append commit fails the stream loudly.
+  *  - `maxVersionsPerTrigger` — bound how many commits one micro-batch
+  *    covers (backfill pacing).
+  *
+  * Scale: per trigger only the JSON commits past the cursor are parsed
+  * (bounded by checkpoint cadence for any reasonable lag); file scans
+  * cover exactly the new files. OPTIMIZE rewrites (dataChange=false) are
+  * skipped — compaction never re-streams the table.
+  */
+class GraftStreamSource(
+    sqlContext: SQLContext,
+    path: String,
+    options: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private def log = DeltaLog.forTable(spark, path)
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  override val schema: StructType = log.snapshot(None).schema
+
+  private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
+  private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
+
+  /** Versions ≤ this are excluded from the stream. */
+  private val startExclusive: Long = opt("startingVersion") match {
+    case Some(v) if v.equalsIgnoreCase("latest") => log.latestVersion
+    case Some(v) => v.toLong - 1
+    case None => -1L
+  }
+
+  /** Highest version already handed out via getBatch (advances on
+    * recovery replay too, keeping rate-limited getOffset monotonic). */
+  @volatile private var servedThrough: Long = startExclusive
+
+  override def getOffset: Option[Offset] = {
+    val latest = log.latestVersion
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, math.max(servedThrough, startExclusive) + m)
+      case None => latest
+    }
+    if (capped <= startExclusive) None else Some(LongOffset(capped))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(toVersion).getOrElse(startExclusive)
+    val to = toVersion(end)
+    servedThrough = math.max(servedThrough, to)
+    val adds: Seq[AddFile] = ((from + 1) to to).flatMap { v =>
+      val actions = log.readCommitActions(v)
+      if (!ignoreChanges) {
+        val changed = actions.exists {
+          case r: RemoveFile if r.dataChange => true
+          case _ => false
+        }
+        if (changed) throw new IllegalStateException(
+          s"Commit $v of $path removes data (overwrite/DELETE/UPDATE/MERGE). " +
+            "Streaming a non-append table requires option ignoreChanges=true; " +
+            "rewritten rows will then be re-emitted.")
+      }
+      actions.collect { case a: AddFile if a.dataChange => a }
+    }
+    if (adds.isEmpty)
+      org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)
+    else
+      org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+        spark,
+        adds.map(a => DeltaRead.resolvePath(path, a.path)),
+        schema,
+        Map("basePath" -> path))
+  }
+
+  private def toVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset from a checkpoint
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$path]"
+}

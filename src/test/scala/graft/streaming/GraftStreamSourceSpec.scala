@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.delta.{DeltaMaintenance, GraftDelta, Predicate, TestBase}
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end `spark.readStream.format("graft")` — the log-tail
+  * streaming source through the real micro-batch engine. */
+class GraftStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_ss_$tag")
+    d.toFile.deleteOnExit()
+    s"$d/t"
+  }
+
+  test("streams the existing table then follows appends, skipping OPTIMIZE rewrites") {
+    import spark.implicits._
+    val path = tmp("follow")
+    GraftDelta.toDelta((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), path)
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_follow").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_follow").count() == 40, "initial snapshot streams first")
+
+      GraftDelta.toDelta((100 until 110).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+        path, mode = "append")
+      q.processAllAvailable()
+      assert(spark.table("graft_follow").count() == 50)
+
+      // OPTIMIZE rewrites carry dataChange=false: nothing re-streams
+      val (before, after) = DeltaMaintenance.compact(spark, path)
+      assert(after < before)
+      GraftDelta.toDelta(Seq((999L, "last")).toDF("id", "v"), path, mode = "append")
+      q.processAllAvailable()
+      assert(spark.table("graft_follow").count() == 51,
+        "compaction must not duplicate rows into the stream")
+      assert(spark.table("graft_follow").as[(Long, String)].collect().toSet
+        .contains((999L, "last")))
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest emits only post-subscription commits") {
+    import spark.implicits._
+    val path = tmp("latest")
+    GraftDelta.toDelta((0 until 20).map(i => (i.toLong, "old")).toDF("id", "v"), path)
+    val q = spark.readStream.format("graft").option("startingVersion", "latest").load(path)
+      .writeStream.format("memory").queryName("graft_latest").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_latest").count() == 0)
+      GraftDelta.toDelta(Seq((1000L, "new")).toDF("id", "v"), path, mode = "append")
+      q.processAllAvailable()
+      assert(spark.table("graft_latest").as[(Long, String)].collect().toSeq ==
+        Seq((1000L, "new")))
+    } finally q.stop()
+  }
+
+  test("a data-changing remove fails the stream unless ignoreChanges=true") {
+    import spark.implicits._
+    val path = tmp("chg")
+    GraftDelta.toDelta((0 until 30).map(i => (i.toLong, "a")).toDF("id", "v"), path)
+
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_strict").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("id", "<", 10))))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("ignoreChanges"),
+        s"unexpected failure: ${e.getCause}")
+    } finally q.stop()
+
+    // tolerant mode: the rewrite's add side re-emits (documented contract)
+    val q2 = spark.readStream.format("graft").option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("graft_tolerant").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      GraftDelta.updateWhere(spark, path,
+        Seq(Seq(Predicate("id", "==", 15L))),
+        Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+      q2.processAllAvailable()
+      val got = spark.table("graft_tolerant").as[(Long, String)].collect()
+      assert(got.contains((15L, "upd")), "rewritten rows must arrive in tolerant mode")
+    } finally q2.stop()
+  }
+
+  test("checkpoint recovery resumes at the committed version without replay") {
+    import spark.implicits._
+    val path = tmp("ckpt")
+    val ckpt = tmp("ckptdir")
+    GraftDelta.toDelta((0 until 25).map(i => (i.toLong, "a")).toDF("id", "v"), path)
+
+    val sinkPath = tmp("sink")
+    def start() = spark.readStream.format("graft").load(path)
+      .writeStream.format("graft").option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        DeltaSink.addBatch(df, sinkPath, "ss-spec", id): Unit
+      }.start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(GraftDelta.readDelta(spark, sinkPath).count() == 25)
+
+    GraftDelta.toDelta((100 until 105).map(i => (i.toLong, "b")).toDF("id", "v"),
+      path, mode = "append")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = GraftDelta.readDelta(spark, sinkPath).as[(Long, String)].collect()
+    assert(rows.length == 30, s"restart must not replay: ${rows.length} rows")
+    assert(rows.count(_._2 == "b") == 5)
+  }
+
+  test("maxVersionsPerTrigger paces the backfill one commit per batch") {
+    import spark.implicits._
+    val path = tmp("pace")
+    (0 until 4).foreach { i =>
+      GraftDelta.toDelta(Seq((i.toLong, s"c$i")).toDF("id", "v"), path,
+        mode = if (i == 0) "error" else "append")
+    }
+    var batches = 0
+    val q = spark.readStream.format("graft").option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches += 1: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 4, s"expected 4 single-commit batches, got $batches")
+    } finally q.stop()
+  }
+}
