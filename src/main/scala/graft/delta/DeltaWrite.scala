@@ -154,23 +154,71 @@ object DeltaWrite {
       isBlindAppend = Some(mode == "append" || isNew)
     )
 
-    val actions: Seq[Action] =
-      Seq(commitInfo) ++
+    def actionsAt(v: Long): Seq[Action] =
+      Seq(commitInfo.copy(readVersion = if (isNew) None else Some(v - 1))) ++
         (if (isNew) Seq(Protocol(1, 2)) else Nil) ++
         metadata.toSeq ++ txn.toSeq ++ adds.toSeq ++ removes
 
-    try log.writeCommit(version, actions)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        // lost the race — clean up our orphaned files, then rethrow.
-        // add.path is URI-encoded; resolvePath decodes exactly like the
-        // read/vacuum paths do, so escaped partition dirs delete correctly
-        adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
-        throw e
-    }
+    // Blind appends retry past concurrent winners (optimistic concurrency:
+    // re-commit at the new head unless an interleaved commit logically
+    // conflicts). Anything else — create, overwrite, schema change — loses
+    // the race outright; clean up the staged files either way on failure.
+    val retriable = mode == "append" && !isNew && metadata.isEmpty
+    val committedVersion =
+      try commitWithRetry(log, version, actionsAt, retriable, txn)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // add.path is URI-encoded; resolvePath decodes exactly like the
+          // read/vacuum paths do, so escaped partition dirs delete correctly
+          adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          throw e
+      }
 
-    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
-      log.writeCheckpoint(version)
+    if (checkpointInterval > 0 && committedVersion > 0 &&
+      committedVersion % checkpointInterval == 0)
+      log.writeCheckpoint(committedVersion)
+  }
+
+  /** Attempt the commit at `firstVersion`; on a lost race, when
+    * `retriable`, check every interleaved winner for logical conflicts
+    * with a blind append — a metadata (schema) or protocol change, or a
+    * SetTransaction for our own appId (an idempotent sink's duplicate
+    * batch) — and re-commit at the new head. Returns the version that
+    * actually committed. */
+  private[delta] def commitWithRetry(
+      log: DeltaLog,
+      firstVersion: Long,
+      actionsAt: Long => Seq[Action],
+      retriable: Boolean,
+      txn: Option[SetTransaction],
+      maxAttempts: Int = 20): Long = {
+    var v = firstVersion
+    var attempt = 0
+    while (true) {
+      try {
+        log.writeCommit(v, actionsAt(v))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (!retriable || attempt >= maxAttempts) throw e
+          val latest = log.latestVersion
+          (v to latest).foreach { iv =>
+            log.readCommitActions(iv).foreach {
+              case _: MetadataAction => throw new java.util.ConcurrentModificationException(
+                s"Concurrent metadata change at version $iv; append aborted")
+              case _: Protocol => throw new java.util.ConcurrentModificationException(
+                s"Concurrent protocol change at version $iv; append aborted")
+              case t: SetTransaction if txn.exists(_.appId == t.appId) =>
+                throw new java.util.ConcurrentModificationException(
+                  s"Concurrent transaction for appId ${t.appId} at version $iv; append aborted")
+              case _ => ()
+            }
+          }
+          v = latest + 1
+      }
+    }
+    v // unreachable
   }
 
   /** Stage `df` as (hive-partitioned) parquet under `stagingDir`, move

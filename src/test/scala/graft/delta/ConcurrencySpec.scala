@@ -1,0 +1,96 @@
+package graft.delta
+
+import java.nio.file.Files
+import java.time.Instant
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Optimistic concurrency: blind appends retry past concurrent winners;
+  * logical conflicts (schema/protocol/txn) abort. */
+class ConcurrencySpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_cc")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def plainCommit(log: DeltaLog, v: Long, extra: Seq[Action] = Nil): Unit =
+    log.writeCommit(v, Seq(CommitInfo(
+      timestamp = Instant.now().toEpochMilli, operation = "WRITE",
+      operationParameters = Map("mode" -> "Append"),
+      operationMetrics = Map.empty, readVersion = Some(v - 1),
+      isBlindAppend = Some(true))) ++ extra)
+
+  test("a lost append race re-commits at the new head") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    plainCommit(log, 1) // someone else won version 1
+    val got = DeltaWrite.commitWithRetry(log, 1L,
+      v => Seq(CommitInfo(Instant.now().toEpochMilli, "WRITE",
+        Map("mode" -> "Append"), Map.empty, Some(v - 1), Some(true))),
+      retriable = true, txn = None)
+    assert(got == 2L, s"retry must land at version 2, got $got")
+    assert(log.latestVersion == 2L)
+  }
+
+  test("interleaved schema/protocol/txn changes abort the retry") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    val meta = log.snapshot(None)
+    plainCommit(log, 1, Seq(MetadataAction(
+      id = "x", name = None, description = None,
+      schemaString = meta.schema.json, partitionColumns = Nil,
+      configuration = Map.empty, createdTime = None)))
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaWrite.commitWithRetry(log, 1L,
+        v => Seq(CommitInfo(Instant.now().toEpochMilli, "WRITE",
+          Map("mode" -> "Append"), Map.empty, Some(v - 1), Some(true))),
+        retriable = true, txn = None)
+    }
+
+    val path2 = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path2)
+    val log2 = DeltaLog.forTable(spark, path2)
+    plainCommit(log2, 1, Seq(SetTransaction("sink-app", 7L)))
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaWrite.commitWithRetry(log2, 1L,
+        v => Seq(CommitInfo(Instant.now().toEpochMilli, "WRITE",
+          Map("mode" -> "Append"), Map.empty, Some(v - 1), Some(true))),
+        retriable = true, txn = Some(SetTransaction("sink-app", 8L)))
+    }
+    // a different appId does not conflict
+    val ok = DeltaWrite.commitWithRetry(log2, 1L,
+      v => Seq(CommitInfo(Instant.now().toEpochMilli, "WRITE",
+        Map("mode" -> "Append"), Map.empty, Some(v - 1), Some(true))),
+      retriable = true, txn = Some(SetTransaction("other-app", 1L)))
+    assert(ok == 2L)
+  }
+
+  test("concurrent appends from many threads all land; no rows lost") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((-1L, "seed")).toDF("id", "v").repartition(1), path)
+    val writers = 6
+    val futures = (0 until writers).map { w =>
+      Future {
+        val rows = (0 until 10).map(i => ((w * 100 + i).toLong, s"w$w"))
+        GraftDelta.toDelta(rows.toDF("id", "v").repartition(1), path, mode = "append")
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.latestVersion == writers.toLong,
+      s"expected ${writers + 1} contiguous commits, head=${log.latestVersion}")
+    val back = GraftDelta.readDelta(spark, path)
+    assert(back.count() == 1 + writers * 10, "every append's rows must survive the race")
+    // all appends committed exactly once
+    val ids = back.select("id").as[Long].collect().toSet
+    assert((0 until writers).forall(w => ids.contains(w * 100L + 9L)))
+  }
+}
