@@ -42,6 +42,7 @@ object DeltaWrite {
       mode: String = "error",
       partitionBy: Seq[String] = Nil,
       overwriteSchema: Boolean = false,
+      mergeSchema: Boolean = false,
       name: Option[String] = None,
       description: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
@@ -69,9 +70,11 @@ object DeltaWrite {
         throw new IllegalArgumentException(
           s"partitionBy $partitionBy != table partition columns ${snap.partitionColumns}")
       val schemaMatches = normalize(df.schema) == normalize(snap.schema)
-      if (!schemaMatches && !(mode == "overwrite" && overwriteSchema))
+      if (!schemaMatches && !(mode == "overwrite" && overwriteSchema) &&
+        !(mode == "append" && mergeSchema))
         throw new IllegalArgumentException(
-          s"Schema mismatch (pass mode=overwrite with overwriteSchema=true to replace):\n" +
+          s"Schema mismatch (overwrite+overwriteSchema=true replaces; " +
+            s"append+mergeSchema=true widens):\n" +
             s"  incoming: ${df.schema.simpleString}\n  table:    ${snap.schema.simpleString}")
     }
 
@@ -88,7 +91,7 @@ object DeltaWrite {
     // (a crashed write otherwise leaves orphan parquet under the table)
     try {
       writeStagedAndCommit(df, spark, log, fs, path, stagingDir, mode, effectivePartitionBy,
-        overwriteSchema, name, description, configuration, checkpointInterval, txn,
+        overwriteSchema, mergeSchema, name, description, configuration, checkpointInterval, txn,
         existing, version)
     } finally {
       if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
@@ -106,6 +109,7 @@ object DeltaWrite {
       mode: String,
       effectivePartitionBy: Seq[String],
       overwriteSchema: Boolean,
+      mergeSchema: Boolean,
       name: Option[String],
       description: Option[String],
       configuration: Map[String, String],
@@ -128,7 +132,14 @@ object DeltaWrite {
           partitionColumns = effectivePartitionBy,
           configuration = configuration,
           createdTime = Some(now)))
-      else None
+      else if (mode == "append" && mergeSchema && existing.isDefined) {
+        // widen the table schema with the incoming frame's new columns
+        // (same-name columns must agree in type); the table identity —
+        // metadata id, partitioning, configuration — is preserved
+        val merged = mergeSchemas(existing.get.schema, df.schema)
+        if (normalize(merged) == normalize(existing.get.schema)) None
+        else Some(existing.get.metadata.copy(schemaString = normalize(merged).json))
+      } else None
 
     val removes: Seq[RemoveFile] =
       if (mode == "overwrite" && existing.isDefined)
@@ -340,6 +351,23 @@ object DeltaWrite {
   private def numRecordsOf(statsJson: String): Option[Long] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(statsJson)
     if (node.has("numRecords")) Some(node.get("numRecords").asLong()) else None
+  }
+
+  /** Append-side schema evolution: table schema ∪ incoming's new columns
+    * (appended in incoming order, forced nullable). Same-name columns
+    * must agree on (normalized) type — no silent casts. */
+  private[delta] def mergeSchemas(table: StructType, incoming: StructType): StructType = {
+    val tableByName = table.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      tableByName.get(f.name).foreach { tf =>
+        require(normalizeType(tf.dataType) == normalizeType(f.dataType),
+          s"Cannot merge column ${f.name}: table ${tf.dataType.simpleString} " +
+            s"vs incoming ${f.dataType.simpleString}")
+      }
+    }
+    StructType(table.fields ++
+      incoming.fields.filterNot(f => tableByName.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true)))
   }
 
   /** Delta's timestamp type is microsecond precision; normalize the Spark

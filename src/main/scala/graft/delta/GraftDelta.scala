@@ -27,13 +27,14 @@ object GraftDelta {
       mode: String = "error",
       partitionBy: Seq[String] = Nil,
       overwriteSchema: Boolean = false,
+      mergeSchema: Boolean = false,
       name: Option[String] = None,
       description: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
       checkpointInterval: Int = 10,
       txn: Option[SetTransaction] = None
-  ): Unit = DeltaWrite.write(df, path, mode, partitionBy, overwriteSchema, name,
-    description, configuration, checkpointInterval, txn)
+  ): Unit = DeltaWrite.write(df, path, mode, partitionBy, overwriteSchema, mergeSchema,
+    name, description, configuration, checkpointInterval, txn)
 
   /** read_delta_history (reference core.py:268-293). */
   def readDeltaHistory(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame =

@@ -78,7 +78,8 @@ class GraftSource
     DeltaWrite.write(data, path, mode = writeMode,
       partitionBy = parameters.get("partitionBy")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
+      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
     GraftRelation(sqlContext, path, None, None)
   }
 }
