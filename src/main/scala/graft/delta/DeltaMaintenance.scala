@@ -25,13 +25,18 @@ object DeltaMaintenance {
     *   partitions and sorts each partition group by these, so the
     *   compacted files carry disjoint min/max ranges and later scans
     *   with predicates on them prune whole files (StatsPruning) — the
-    *   OPTIMIZE ... ZORDER role for single-dimension keys. */
+    *   OPTIMIZE ... ZORDER role for single-dimension keys.
+    * @param zorder with ≥2 numeric sortBy columns: cluster by the
+    *   interleaved-bit z-value of per-column quantile buckets instead of
+    *   lexicographic order, so predicates on EVERY clustered column
+    *   prune files, not just the leading one. */
   def compact(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2,
-      sortBy: Seq[String] = Nil): (Int, Int) = {
+      sortBy: Seq[String] = Nil,
+      zorder: Boolean = false): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     sortBy.foreach { c =>
@@ -65,7 +70,14 @@ object DeltaMaintenance {
       val df = spark.read.schema(statsSchema).parquet(paths: _*)
       val clustered =
         if (sortBy.isEmpty) df.coalesce(numOut)
-        else {
+        else if (zorder && sortBy.size >= 2) {
+          import org.apache.spark.sql.functions.col
+          val z = zValueColumn(df, sortBy)
+          df.withColumn("__z", z)
+            .repartitionByRange(numOut, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        } else {
           val cols = sortBy.map(org.apache.spark.sql.functions.col)
           df.repartitionByRange(numOut, cols: _*).sortWithinPartitions(cols: _*)
         }
@@ -101,7 +113,8 @@ object DeltaMaintenance {
       operation = "OPTIMIZE",
       operationParameters = Map("targetFileBytes" -> targetFileBytes.toString) ++
         (if (sortBy.isEmpty) Map.empty
-         else Map("sortBy" -> sortBy.mkString("[\"", "\",\"", "\"]"))),
+         else Map("sortBy" -> sortBy.mkString("[\"", "\",\"", "\"]"),
+           "zorder" -> (zorder && sortBy.size >= 2).toString)),
       operationMetrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),
@@ -109,5 +122,33 @@ object DeltaMaintenance {
       isBlindAppend = Some(false))
     log.writeCommit(snap.version + 1, Seq(commitInfo) ++ adds ++ removes)
     (snap.activeFiles.size, snap.activeFiles.size - removes.size + adds.size)
+  }
+
+  /** Interleaved-bit z-value over quantile buckets: each column maps to
+    * a `bits`-bit bucket id via its own approx-quantile boundaries
+    * (skew-robust, unlike min/max-uniform buckets), then bucket bits
+    * interleave so locality is preserved in every dimension. The
+    * boundary arrays are tiny driver-side literals; the per-row mapping
+    * is a codegen'd array-filter count — one narrow projection, no
+    * shuffle beyond the range partition the rewrite needs anyway. */
+  private[delta] def zValueColumn(
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val buckets: Seq[org.apache.spark.sql.Column] = cols.map { c =>
+      val bnds = df.stat.approxQuantile(c, probs, 0.01)
+      val arr = array(bnds.toSeq.map(lit): _*)
+      // bucket id = #boundaries ≤ value (0..nBuckets-1); nulls → bucket 0
+      size(filter(arr, b => b <= col(c).cast("double"))).cast("long")
+    }
+    val k = cols.size
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j))
+    terms.reduce(_ + _) // disjoint bit positions: sum == bitwise OR
   }
 }

@@ -86,6 +86,45 @@ class MaintenanceSpec extends GraftSuite {
     }
   }
 
+  test("z-order compaction prunes on BOTH clustered dimensions") {
+    import spark.implicits._
+    // 64x64 grid, shuffled round-robin: before clustering no predicate
+    // prunes anything; z-ordering must localize x AND y
+    def freshGrid(): String = {
+      val p = tmp()
+      val df = (0 until 4096).map { i => (i % 64.toLong, (i / 64).toLong, i.toLong) }
+        .toDF("x", "y", "payload")
+        .repartition(8, $"payload")
+      GraftDelta.toDelta(df, p)
+      p
+    }
+    def prunedCount(p: String, c: String): (Int, Int) = {
+      val snap = DeltaLog.forTable(spark, p).snapshot(None)
+      (DeltaRead.prunedFiles(snap, Seq(Seq(Predicate(c, "<", 8)))).size,
+        snap.activeFiles.size)
+    }
+
+    val zPath = freshGrid()
+    val (_, nz) = DeltaMaintenance.compact(spark, zPath,
+      targetFileBytes = 6L * 1024, sortBy = Seq("x", "y"), zorder = true)
+    assert(nz >= 4, s"need several output files, got $nz")
+    val (zx, zTotal) = prunedCount(zPath, "x")
+    val (zy, _) = prunedCount(zPath, "y")
+    assert(zx < zTotal && zy < zTotal,
+      s"z-order must prune both dims: x $zx/$zTotal, y $zy/$zTotal")
+
+    // contrast: lexicographic (x, y) sorting cannot prune on y alone
+    val lexPath = freshGrid()
+    DeltaMaintenance.compact(spark, lexPath,
+      targetFileBytes = 6L * 1024, sortBy = Seq("x", "y"))
+    val (ly, lTotal) = prunedCount(lexPath, "y")
+    assert(ly == lTotal, s"lexicographic files all span y: $ly/$lTotal")
+
+    // rows intact after the z-order rewrite
+    assert(GraftDelta.readDelta(spark, zPath).agg(sum($"payload")).head.getLong(0) ==
+      (0 until 4096).map(_.toLong).sum)
+  }
+
   test("streaming sink is exactly-once: replayed batch ids are skipped") {
     import spark.implicits._
     val path = tmp()
