@@ -31,6 +31,35 @@ object Stress {
     val clusters = graft.operators.Dedup.nearDupClusters(pairs)
     val nc = clusters.select("cluster_id").distinct().count()
     println(f"[stress] clusters: $nc in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- DML at scale: a multi-million-row clustered table --------------
+    import graft.delta.{DeltaDml, GraftDelta, Predicate}
+    val rows = 5000000L
+    val path = java.nio.file.Files.createTempDirectory("graft_stress_dml").toString + "/t"
+    t0 = System.nanoTime()
+    GraftDelta.toDelta(
+      spark.range(rows).select($"id",
+        (rand(7) * 1000).cast("long").as("score"),
+        concat(lit("payload-"), $"id").as("v"))
+        .repartitionByRange(64, $"id"),
+      path)
+    println(f"[stress] staged $rows%,d-row table (64 files) in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    t0 = System.nanoTime()
+    val del = GraftDelta.deleteWhere(spark, path,
+      Seq(Seq(Predicate("id", ">=", 1000000L), Predicate("id", "<", 1050000L))))
+    println(f"[stress] DELETE 1%% slice: ${del.affectedRows}%,d rows, " +
+      f"${del.rewrittenFiles} of 64 files rewritten in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    t0 = System.nanoTime()
+    val src = spark.range(2000000L, 2100000L).select($"id",
+      lit(-1L).as("score"), lit("merged").as("v"))
+      .unionByName(spark.range(rows, rows + 100000L).select($"id",
+        lit(-2L).as("score"), lit("inserted").as("v")))
+    val mrg = GraftDelta.mergeInto(spark, path, src, on = Seq("id"))
+    println(f"[stress] MERGE 100k upd + 100k ins: matched ${mrg.matchedRows}%,d, " +
+      f"inserted ${mrg.insertedRows}%,d, ${mrg.removedFiles} files rewritten " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

@@ -249,6 +249,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
     val meta = metadata.getOrElse(
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
+    // Reader-version gate: a table on reader ≥ 2 uses features this replay
+    // does not implement (column mapping, deletion vectors) — reading it
+    // anyway would silently return wrong rows, the worst failure mode.
+    // delta-rs 0.6.4 (the reference's engine) is reader-1-only too.
+    if (protocol.minReaderVersion > DeltaLog.MaxSupportedReaderVersion)
+      throw new IllegalStateException(
+        s"Table $tablePath requires reader version ${protocol.minReaderVersion} > " +
+          s"${DeltaLog.MaxSupportedReaderVersion} (unsupported table features)")
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
       txns.values.toSeq)
   }
@@ -468,6 +476,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 }
 
 object DeltaLog {
+
+  /** Highest protocol reader version this replay implements (no column
+    * mapping / deletion vectors; same ceiling as the reference's
+    * delta-rs 0.6.4). */
+  val MaxSupportedReaderVersion = 1
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r

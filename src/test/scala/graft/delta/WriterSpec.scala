@@ -200,6 +200,20 @@ class WriterSpec extends GraftSuite {
     }
   }
 
+  test("reader-version protocol gate: reader>=2 tables refuse to read") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(1L, Seq(Protocol(2, 5))) // e.g. column mapping
+    val e = intercept[IllegalStateException] {
+      GraftDelta.readDelta(spark, path).count()
+    }
+    assert(e.getMessage.contains("reader version"),
+      s"must fail loudly, not misread: ${e.getMessage}")
+    // pinned pre-upgrade versions still read fine
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == sample.count())
+  }
+
   test("timestamp travel on our own commits") {
     val path = tmp()
     GraftDelta.toDelta(sample.limit(10), path)
