@@ -270,6 +270,26 @@ object DeltaDml {
       case _ => ()
     }
 
+    // the merge consults the source ~5× (dup guard, key-range agg, match
+    // scan, rewrite join, insert anti-join); at scale it is a real query
+    // — materialize it once for the merge's lifetime
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(spark, path, src, on, whenMatched, insertNotMatched,
+      checkpointInterval, log, snap, targetCols)
+    finally src.unpersist()
+  }
+
+  private def mergeImpl(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      on: Seq[String],
+      whenMatched: WhenMatched,
+      insertNotMatched: Boolean,
+      checkpointInterval: Int,
+      log: DeltaLog,
+      snap: Snapshot,
+      targetCols: Seq[String]): MergeResult = {
     // the protocol's unique-source-match guard: >1 source row per key is
     // an error, checked with one small agg on the source
     val dupKeys = source.groupBy(on.map(col): _*).count()
