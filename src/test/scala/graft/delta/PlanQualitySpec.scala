@@ -69,6 +69,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$finalPlan")
   }
 
+  test("t20 e2e pipeline: eval grams broadcast; vocab top-k never sorts globally") {
+    val df = graft.queries.PipelineQ.queries("t20_pipeline_e2e")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // decontamination inside the composed plan still broadcasts the
+    // (tiny) eval-gram side rather than shuffling the corpus against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+
+    val vocab = graft.queries.PipelineQ.queries("t19_vocab")(spark, sf)
+    vocab.collect()
+    val vp = vocab.queryExecution.executedPlan.toString
+    assert(vp.contains("TakeOrderedAndProject"), vp)
+    assert(vp.contains("partial_count"), vp)
+  }
+
   test("delta partition pruning shrinks the scanned file set before the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_plan").toString + "/tbl"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
