@@ -70,6 +70,24 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Exactly-n-per-group deterministic sample (corpus balancing: "keep
+    * 10k docs per language, reproducibly"): rows rank within their group
+    * by (id hash, id) and the first n survive. Membership is a pure
+    * function of the group's id set — stable under repartitioning.
+    * Scale: one window per group, parallel across groups; for a
+    * pathologically hot group, pre-filter with [[deterministicSample]]
+    * to ~2n/|group| first, then rank the survivors. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      buckets: Int = 1 << 20): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), buckets), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Weighted interleave of sources: per-source deterministic sample at
     * `weight` buckets out of `buckets`, then union — the mixture step of
     * a training-data recipe, reproducible end to end. */

@@ -100,6 +100,16 @@ object PipelineQ {
         .orderBy($"split")
     }),
 
+    // Stratified sampling: exactly 50 docs per language by hash rank —
+    // corpus balancing; membership-sensitive id sums pin the exact set.
+    "t21_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 50)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
+    }),
+
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
     // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
     "t16_decontamination" -> ((s, dir) => {
@@ -354,6 +364,13 @@ object PipelineQ {
          | CAST(length(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
          |   '${TextAnalysis.LongNumberRe}', '<NUMBER>', 'g')) AS BIGINT) AS n_chars_redacted
          |FROM w JOIN g ON w.doc_id = g.doc_id ORDER BY w.doc_id""".stripMargin,
+    "t21_stratified_sample" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT lang, doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY ${Sampling.hashBucketSql("doc_id", 1 << 20)}, doc_id) AS rk
+         |      FROM documents) z
+         |WHERE rk <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
     "t15_stable_split" ->
       s"""SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'eval'
          |            ELSE 'test' END AS split,

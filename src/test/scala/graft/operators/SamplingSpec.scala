@@ -25,6 +25,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(a.size / 20000.0 - 0.10) < 0.02, s"sample fraction ${a.size / 20000.0}")
   }
 
+  test("stratifiedSample keeps exactly n per group, stable under repartitioning") {
+    import spark.implicits._
+    // group sizes 30 / 300 / 3000: below, at, and above n
+    val df = ((1L to 30L).map(i => ("small", i * 7)) ++
+      (1L to 300L).map(i => ("mid", 100000L + i)) ++
+      (1L to 3000L).map(i => ("big", 200000L + i))).toDF("g", "id")
+    def sample(d: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      Sampling.stratifiedSample(d, "g", "id", 300).select("g", "id")
+        .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = sample(df)
+    assert(a("small").size == 30, "undersized groups keep every row")
+    assert(a("mid").size == 300 && a("big").size == 300, "capped at n")
+    val b = sample(df.repartition(13, col("id") % 5))
+    assert(a == b, "stratified membership drifted under repartitioning")
+    // growing a group only ever swaps members by hash rank — adding rows
+    // with losing hashes leaves the sample untouched; pin determinism by
+    // re-running on a shuffled row order
+    val c = sample(df.orderBy(rand(42)))
+    assert(a == c, "row order must not matter")
+  }
+
   test("stableSplit partitions exhaustively with requested proportions") {
     import spark.implicits._
     val df = (1L to 50000L).toDF("id")
