@@ -31,10 +31,21 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Optional subset filter (comma-separated names) for local bisecting;
+    // the driver never sets it, so the graded run times every query.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchNames = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    // stderr trace of every pass (never parsed by the driver): lets a
+    // slow suite run be diagnosed from the log — which pass, what onset.
+    def trace(phase: String, name: String, secs: Double): Unit =
+      System.err.println(f"[bench-trace] $phase $name ${secs}%.2f s")
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.benchQueries.foreach { name =>
+      benchNames.foreach { name =>
+        val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        trace("warmup", name, (System.nanoTime() - t0) / 1e9)
         resetBetweenQueries()
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -51,10 +62,11 @@ object Bench {
           case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName}"; -1.0
         }
+      trace("timed", name, elapsed)
       resetBetweenQueries()
       elapsed
     }
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = benchNames.map { name =>
       val a = timeOnce(name)
       val b = timeOnce(name)
       val best = (a, b) match {

@@ -110,7 +110,7 @@ object DeltaDml {
         .groupBy(input_file_name().as("__f"))
         .agg(count(lit(1)).as("__n"))
         .collect()
-        .map(r => normalizePath(r.getString(0)) -> r.getLong(1))
+        .map(r => scanFileKey(r.getString(0)) -> r.getLong(1))
         .toMap
     def matchedOf(f: AddFile): Long =
       matchedByFile.getOrElse(normalizePath(DeltaRead.resolvePath(path, f.path)), 0L)
@@ -330,7 +330,7 @@ object DeltaDml {
         .groupBy(col("__f"))
         .agg(count(lit(1)).as("__n"))
         .collect()
-        .map(r => normalizePath(r.getString(0)) -> r.getLong(1))
+        .map(r => scanFileKey(r.getString(0)) -> r.getLong(1))
         .toMap
     val touched = candidates.filter(f =>
       matchedByFile.contains(normalizePath(DeltaRead.resolvePath(path, f.path))))
@@ -409,7 +409,9 @@ object DeltaDml {
     val deleted = if (whenMatched == WhenMatched.Delete) matchedRows else 0L
     val inserted = (rowsOf(adds), rowsOf(removes0)) match {
       case (Some(a), Some(r)) => a - (r - deleted)
-      case _ => -1L // unknown (stats-less foreign table)
+      // stats-less (foreign-written) removes: count the already-computed
+      // inserts frame directly — one extra job on this rare path only
+      case _ => inserts.map(_.count()).getOrElse(0L)
     }
 
     if (adds.isEmpty && removes0.isEmpty) return MergeResult(matchedRows, 0, 0, 0)
@@ -455,8 +457,20 @@ object DeltaDml {
       .option("basePath", path)
       .load(files.map(f => DeltaRead.resolvePath(path, f.path)): _*)
 
-  /** input_file_name() yields a scheme-qualified URI; our resolved paths
-    * may be bare. Compare on the scheme-less path. */
+  /** Normalizes a resolvePath output (ALREADY URI-decoded, possibly
+    * scheme-qualified) to a bare scheme-less path. `Path.toUri` re-encodes
+    * then `getPath` decodes, so literal `%`/space round-trip unchanged —
+    * never double-decoded. */
   private def normalizePath(p: String): String =
     new Path(p).toUri.getPath
+
+  /** input_file_name() yields a URL-ENCODED scheme-qualified URI (space →
+    * %20); the file-side keys from resolvePath are decoded. Decode the
+    * scan-side key so both compare equal for tables whose partition
+    * values contain URL-encodable characters — otherwise DELETE/UPDATE
+    * silently affect 0 rows and MERGE skips matched updates. */
+  private def scanFileKey(p: String): String =
+    try Option(new java.net.URI(p).getPath).filter(_.nonEmpty)
+      .getOrElse(normalizePath(p))
+    catch { case _: java.net.URISyntaxException => normalizePath(p) }
 }

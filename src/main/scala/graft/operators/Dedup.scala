@@ -82,10 +82,11 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromShingleSets(withShingleSet(df, idCol, textCol))
 
-  /** One typed Aggregator computes all 32 minima in a single buffer —
-    * 32 separate min() aggregate expressions generate a codegen class
-    * large enough to exhaust the JVM code cache across many queries. */
-  private object MinhashSigAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
+  /** Typed Aggregator over exploded (doc_id, shingle-hash) rows — the
+    * shuffle-based signature path. Kept ONLY as the independent oracle for
+    * the row-local path's property pin (DedupSpec): same math, different
+    * execution. */
+  private[operators] object MinhashSigAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
     private val as = coefs.map(_._1).toArray
     private val bs = coefs.map(_._2).toArray
     override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
@@ -108,7 +109,30 @@ object Dedup {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
-  private[operators] def signaturesFromShingleSets(sets: DataFrame): DataFrame =
+  /** Signatures computed ROW-LOCALLY: per doc, h = pmod(xxhash64(sh), P)
+    * per shingle, then sig[j] = min over shingles of (a_j·h + b_j) % P.
+    * No explode, no shuffle, no aggregation — a narrow map over the
+    * corpus, which is the shape that survives 100 TB (the former
+    * explode→groupBy path shuffled docs×shingles rows and fell back to
+    * sort-based object aggregation past 128 groups/partition). Values are
+    * bit-identical to MinhashSigAgg (property-pinned in DedupSpec).
+    * Docs with a NULL/empty shingle set are dropped, mirroring what
+    * explode did on the aggregator path. */
+  private[operators] def signaturesFromShingleSets(sets: DataFrame): DataFrame = {
+    val aArr = array(coefs.map(c => lit(c._1)): _*)
+    val bArr = array(coefs.map(c => lit(c._2)): _*)
+    sets
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("__hs", transform(col("sh_set"), sh => pmod(xxhash64(sh), lit(P))))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+          array_min(transform(col("__hs"), h =>
+            pmod(element_at(aArr, j + 1) * h + element_at(bArr, j + 1), lit(P))))).as("sig"))
+  }
+
+  /** The shuffle-based aggregator path — test oracle for the row-local
+    * signatures (DedupSpec pins bit-equality on a random corpus). */
+  private[operators] def signaturesViaAggregator(sets: DataFrame): DataFrame =
     sets
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
@@ -128,7 +152,8 @@ object Dedup {
     * dropped bucket can still pair through their other bands; truly viral
     * exact duplicates are exact-dedup's job, not near-dedup's. */
   private[operators] def capBuckets(
-      banded: DataFrame, keyCols: Seq[String], cap: Int, opName: String): DataFrame = {
+      banded: DataFrame, keyCols: Seq[String], cap: Int,
+      opName: String): (DataFrame, Option[DataFrame]) = {
     // persisted: the stats head() below materializes it, so the anti-join
     // reads the cached (tiny: one row per OVERSIZED bucket) frame instead
     // of re-aggregating the full banded input a second time
@@ -139,10 +164,12 @@ object Dedup {
       logger.warn(
         s"[$opName] dropping ${st.getLong(0)} band buckets with > $cap members " +
           s"(${st.getLong(1)} banded rows) — near-dup recall may drop on boilerplate-heavy corpora")
-      banded.join(over.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // the cached `over` frame rides back to the caller, which threads it
+      // into materialized() so it is released once the join consumes it
+      (banded.join(over.select(keyCols.map(col): _*), keyCols, "left_anti"), Some(over))
     } else {
       over.unpersist(blocking = false)
-      banded
+      (banded, None)
     }
   }
 
@@ -162,13 +189,13 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "minhash")
+    val (capped, overCache) = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "minhash")
     val pairs = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    materialized(pairs, banded)
+    materialized(pairs, Seq(banded) ++ overCache: _*)
   }
 
   /** Persist + materialize a (small) result, then free the (large)
@@ -271,6 +298,9 @@ object Dedup {
     val clusters = nearDupClusters(pairs)
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val out = df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    // the clusters cache can go now: its labels are localCheckpoint-backed,
+    // so the anti-join re-reads the checkpoint, not the whole CC loop
+    clusters.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     out
   }
@@ -306,7 +336,30 @@ object Dedup {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Row-local SimHash: per doc, hash each shingle once, then per bit i
+    * set the bit iff strictly more shingle hashes have bit i set than
+    * clear (2·pos > total ⇔ pos − neg > 0). Same values as the
+    * explode→vote-aggregator path (property-pinned in DedupSpec), but a
+    * narrow shuffle-free map over the corpus. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = withShingleSet(df, idCol, textCol)
+    val hs = col("__hs")
+    val total = size(hs).cast("long")
+    val sig = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+      val pos = size(filter(hs, h =>
+        call_function("shiftright", h, i).bitwiseAND(lit(1L)) === lit(1L))).cast("long")
+      acc.bitwiseOR(
+        when(pos * 2 > total, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    })
+    sets
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("__hs", transform(col("sh_set"), sh => xxhash64(sh)))
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** The shuffle-based vote-aggregator path — test oracle for the
+    * row-local simhash (DedupSpec pins bit-equality). */
+  private[operators] def simhashViaAggregator(df: DataFrame, idCol: String, textCol: String): DataFrame =
     withShingleSet(df, idCol, textCol)
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
@@ -327,7 +380,7 @@ object Dedup {
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
       .persist()
-    val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "simhash")
+    val (capped, overCache) = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "simhash")
     val hamming = {
       val x = col("l.sig").bitwiseXOR(col("r.sig"))
       bit_count(x)
@@ -339,6 +392,6 @@ object Dedup {
         hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    materialized(result, banded)
+    materialized(result, Seq(banded) ++ overCache: _*)
   }
 }

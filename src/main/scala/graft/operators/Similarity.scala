@@ -73,7 +73,8 @@ object Similarity {
       .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
       .persist()
-    val capped = Dedup.capBuckets(banded, Seq("band", "bh"), maxBucketSize, "embeddingNearDups")
+    val (capped, overCache) =
+      Dedup.capBuckets(banded, Seq("band", "bh"), maxBucketSize, "embeddingNearDups")
     val result = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
@@ -83,7 +84,7 @@ object Similarity {
       .withColumn("cos", cosineQ(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
-    materialized(result, banded)
+    materialized(result, Seq(banded) ++ overCache: _*)
   }
 
   /** Persist + materialize a (small) result, then free the (large)

@@ -38,7 +38,15 @@ class GraftStreamSource(
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  override val schema: StructType = log.snapshot(None).schema
+  /** Schema and the log version it was captured at. Commits ≤ this
+    * version are already reflected in the schema (backfill replays them
+    * with schema-evolution read semantics: absent columns read as null);
+    * a metadata change AFTER it invalidates the running stream. */
+  private val (initSchema, schemaVersion): (StructType, Long) = {
+    val s = log.snapshot(None)
+    (s.schema, s.version)
+  }
+  override val schema: StructType = initSchema
 
   private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
@@ -69,6 +77,19 @@ class GraftStreamSource(
     servedThrough = math.max(servedThrough, to)
     val adds: Seq[AddFile] = ((from + 1) to to).flatMap { v =>
       val actions = log.readCommitActions(v)
+      // A mergeSchema append (or any metadata rewrite) AFTER the captured
+      // snapshot changes the table schema mid-stream; new files would be
+      // read with the stale schema, silently dropping the new columns.
+      // Fail loudly instead — restarting the stream picks up the new
+      // schema (same contract as delta-spark). Commits ≤ schemaVersion are
+      // backfill and already reflected in the captured schema.
+      if (v > schemaVersion) actions.collectFirst {
+        case m: graft.delta.MetadataAction if m.schema != schema => m
+      }.foreach { m =>
+        throw new IllegalStateException(
+          s"Commit $v of $path changes the table schema from ${schema.simpleString} " +
+            s"to ${m.schema.simpleString}. Restart the stream to pick up the new schema.")
+      }
       if (!ignoreChanges) {
         val changed = actions.exists {
           case r: RemoveFile if r.dataChange => true

@@ -133,6 +133,38 @@ class DmlSpec extends GraftSuite {
     }
   }
 
+  test("DML matches rows in partitions with URL-encodable values (space/unicode/percent)") {
+    import spark.implicits._
+    val path = tmp()
+    // partition values that URL-encode differently than they print: the
+    // scan-side input_file_name() key is %-encoded while the log-side
+    // resolvePath key is decoded — regression for the silent 0-row DML
+    val parts = Seq("a b", "café", "100%")
+    val df = (0 until 300).map(i => (i.toLong, parts(i % 3), i * 2L)).toDF("id", "p", "v")
+    GraftDelta.toDelta(df.repartition(1), path, partitionBy = Seq("p"))
+
+    // data-column predicate (not partition-only) so the phase-1 scan —
+    // the buggy path — decides which files are touched
+    val del = GraftDelta.deleteWhere(spark, path, Seq(Seq(
+      Predicate("p", "==", "a b"), Predicate("id", "<", 30))))
+    assert(del.affectedRows == 10, s"expected 10 deleted, got ${del.affectedRows}")
+    assert(GraftDelta.readDelta(spark, path).filter($"p" === "a b").count() == 90)
+
+    val upd = GraftDelta.updateWhere(spark, path,
+      Seq(Seq(Predicate("p", "==", "café"), Predicate("id", "<", 30))),
+      Map("v" -> lit(-1L)))
+    assert(upd.affectedRows == 10, s"expected 10 updated, got ${upd.affectedRows}")
+    assert(GraftDelta.readDelta(spark, path).filter($"v" === -1L).count() == 10)
+
+    // merge matched-update across the encoded partitions
+    val src = Seq((2L, "100%", 999L), (33L, "a b", 998L)).toDF("id", "p", "v")
+    val mr = GraftDelta.mergeInto(spark, path, src, on = Seq("id", "p"),
+      whenMatched = DeltaDml.WhenMatched.UpdateAll, insertNotMatched = false)
+    assert(mr.matchedRows == 2, s"expected 2 matched, got ${mr.matchedRows}")
+    assert(GraftDelta.readDelta(spark, path).filter($"v" >= 998L).count() == 2)
+    assert(GraftDelta.readDelta(spark, path).count() == 290)
+  }
+
   test("delete commit is vacuumable: removed files become tombstones") {
     import spark.implicits._
     val path = tmp()

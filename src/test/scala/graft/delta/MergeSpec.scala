@@ -116,6 +116,29 @@ class MergeSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 11)
   }
 
+  test("merge reports inserted rows on a stats-less (foreign-written) table") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    // simulate a foreign writer: re-add every active file WITHOUT stats
+    // (later add for the same path wins in log replay)
+    log.writeCommit(1L, Seq(CommitInfo(
+      timestamp = java.time.Instant.now().toEpochMilli, operation = "WRITE",
+      operationParameters = Map("mode" -> "Append"),
+      operationMetrics = Map.empty, readVersion = Some(0L),
+      isBlindAppend = Some(true))) ++
+      log.snapshot(None).activeFiles.map(_.copy(stats = None)))
+    assert(log.snapshot(None).activeFiles.forall(_.stats.isEmpty))
+
+    val src = Seq((2L, "UP"), (100L, "INS1"), (101L, "INS2")).toDF("k", "v")
+    val res = GraftDelta.mergeInto(spark, path, src, on = Seq("k"))
+    assert(res.matchedRows == 1)
+    assert(res.insertedRows == 2,
+      s"stats-less removes must not zero the insert count, got ${res.insertedRows}")
+    assert(GraftDelta.readDelta(spark, path).count() == 12)
+  }
+
   test("merge into a hive-partitioned target keeps partition layout") {
     import spark.implicits._
     val path = tmp()

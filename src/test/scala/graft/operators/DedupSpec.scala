@@ -35,6 +35,37 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** The row-local (shuffle-free) signature paths must be BIT-IDENTICAL
+    * to the independent explode→aggregator implementations — same hash
+    * math, different execution. Corpus includes short docs (< n words),
+    * repeated words, and single-word docs to hit the shingling edges. */
+  test("row-local minhash and simhash signatures equal the aggregator paths bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.fill(300)("w" + rnd.nextInt(50000))
+    val texts = (1L to 300L).map { id =>
+      val n = 1 + rnd.nextInt(80)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+
+    val sets = Dedup.withShingleSet(df, "doc_id", "text")
+    val rowLocal = Dedup.signaturesFromShingleSets(sets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.signaturesViaAggregator(sets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowLocal.keySet == viaAgg.keySet)
+    assert(rowLocal.forall { case (k, v) => viaAgg(k) == v },
+      s"first mismatch: ${rowLocal.find { case (k, v) => viaAgg(k) != v }}")
+
+    val simRowLocal = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simViaAgg = Dedup.simhashViaAggregator(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simRowLocal == simViaAgg,
+      s"first mismatch: ${simRowLocal.find { case (k, v) => simViaAgg(k) != v }}")
+  }
+
   /** Planted near-dups must be recovered, and the signature must actually
     * cluster: planted pairs at small hamming distance, unrelated pairs
     * far. A simhash that doesn't separate the two would pass rows-only

@@ -90,6 +90,35 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a mid-stream schema change fails the stream with a restart-required error") {
+    import spark.implicits._
+    val path = tmp("schema")
+    GraftDelta.toDelta((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_schema").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_schema").count() == 10)
+      // widen the table under the running stream: new files carry a column
+      // the stale source schema would silently drop
+      GraftDelta.toDelta(Seq((100L, "w", 3.5)).toDF("id", "v", "extra"),
+        path, mode = "append", mergeSchema = true)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("Restart the stream"),
+        s"unexpected failure: ${e.getCause}")
+    } finally q.stop()
+
+    // a restarted stream picks up the widened schema
+    val q2 = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_schema2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val t = spark.table("graft_schema2")
+      assert(t.columns.toSeq == Seq("id", "v", "extra"))
+      assert(t.count() == 11)
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery resumes at the committed version without replay") {
     import spark.implicits._
     val path = tmp("ckpt")
