@@ -173,22 +173,28 @@ object Dedup {
     }
   }
 
-  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    * Bucketed self-join on (band, bandHash) — never all-pairs; buckets
-    * above `maxBucketSize` are dropped (logged). */
-  def candidatePairs(sigs: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+  /** (doc_id, band, bh) LSH band rows of a signature frame — the banded
+    * index both the self-join (candidatePairs) and the batch-vs-corpus
+    * probe (incrementalNearDups) bucket on. */
+  private[operators] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val rowCols = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
     }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    * Bucketed self-join on (band, bandHash) — never all-pairs; buckets
+    * above `maxBucketSize` are dropped (logged). */
+  def candidatePairs(sigs: DataFrame, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // persist: the self-join would otherwise recompute the full
     // shingle->signature pipeline for each side. Signatures are tiny
     // (docs × 32 longs) relative to the corpus — safe to cache at scale.
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist()
+    val banded = bandedOf(sigs).persist()
     val (capped, overCache) = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "minhash")
     val pairs = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -304,6 +310,60 @@ object Dedup {
     pairs.unpersist(blocking = false)
     out
   }
+
+  /** Incremental near-dedup: batch docs that near-duplicate an EXISTING
+    * corpus. Candidates come from band-bucket matches between the batch's
+    * signatures and the corpus's banded index — never batch×batch, never
+    * corpus×corpus — then exact n-gram Jaccard verifies. This is the
+    * arriving-data shape at 100 TB: the corpus's banded signature index
+    * is computed once (and in production persisted as a table); each
+    * incoming batch shingles+signs only itself (row-local, shuffle-free)
+    * and probes the index with one bounded join. Only CORPUS buckets are
+    * capped — a viral corpus bucket is what makes the probe quadratic.
+    *
+    * Output: (batch_id, corpus_id, inter, uni) for verified pairs with
+    * Jaccard = inter/uni ≥ threshold. */
+  def incrementalNearDups(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val shB = withShingleSet(batch, idCol, textCol).persist()
+    val shC = withShingleSet(corpus, idCol, textCol).persist()
+    val bandedC = bandedOf(signaturesFromShingleSets(shC)).persist()
+    val (cappedC, overCache) =
+      capBuckets(bandedC, Seq("band", "bh"), maxBucketSize, "incremental")
+    val pairs = bandedOf(signaturesFromShingleSets(shB)).as("l")
+      .join(cappedC.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id").as("batch_id"), col("r.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = pairs
+      .join(shB.withColumnRenamed("doc_id", "batch_id").withColumnRenamed("sh_set", "sh_a"),
+        "batch_id")
+      .join(shC.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("sh_set", "sh_b"),
+        "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "inter", "uni")
+    materialized(verified, Seq(shB, shC, bandedC) ++ overCache: _*)
+  }
+
+  /** Per-cluster keeper selection by a PREFERENCE column instead of the
+    * smallest-id default: keeps the doc with the greatest `prefCol`
+    * (ties → smallest doc_id) in each near-dup cluster. One partial-
+    * aggregated max_by per cluster — skew-safe like `exact`. Input is a
+    * (doc_id, cluster_id) labeling (nearDupClusters) joined back to the
+    * corpus for the preference value. */
+  def clusterKeepers(
+      df: DataFrame, clusters: DataFrame, idCol: String, prefCol: String): DataFrame =
+    clusters
+      .join(df.select(col(idCol).as("doc_id"), col(prefCol).as("__pref")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("__pref"), (-col("doc_id")).as("__t"))).as("keeper_id"),
+        count(lit(1)).as("n_docs"))
 
   // ---- SimHash ----------------------------------------------------------
 

@@ -110,6 +110,30 @@ object PipelineQ {
         .orderBy($"lang")
     }),
 
+    // Incremental near-dedup: the "new batch" (doc_id % 10 == 0) probed
+    // against the existing corpus's banded signature index — the arriving-
+    // data dedup shape. Oracle: exact cross-split all-pairs Jaccard.
+    "t22_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          d.filter($"doc_id" % 10 === 0), d.filter($"doc_id" % 10 =!= 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy($"batch_id", $"corpus_id")
+    }),
+
+    // Quality-aware cluster keepers: near-dup clusters keep their LONGEST
+    // member (tie → smallest id) instead of the smallest id — keeper
+    // policy as a first-class, skew-safe aggregation.
+    "t23_cluster_keeper" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+      val clusters = Dedup.nearDupClusters(pairs)
+      Dedup.clusterKeepers(d, clusters, "doc_id", "n_chars")
+        .orderBy($"cluster_id")
+    }),
+
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
     // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
     "t16_decontamination" -> ((s, dir) => {
@@ -265,6 +289,36 @@ object PipelineQ {
          |SELECT CAST(src AS BIGINT) AS doc_id,
          |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "t22_dedup_incremental" ->
+      s"""WITH $minhashPairsCte
+         |SELECT CAST(CASE WHEN da % 10 = 0 THEN da ELSE db END AS BIGINT) AS batch_id,
+         |       CAST(CASE WHEN da % 10 = 0 THEN db ELSE da END AS BIGINT) AS corpus_id,
+         |       CAST(i AS BIGINT) AS inter,
+         |       CAST(x.n + y.n - i AS BIGINT) AS uni
+         |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |  AND ((da % 10 = 0) <> (db % 10 = 0))
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "t23_cluster_keeper" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |p AS (SELECT da AS a, db AS b
+         |      FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |jn AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |        ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |                           ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+         |       FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+         |       CAST(doc_id AS BIGINT) AS keeper_id,
+         |       CAST(n_docs AS BIGINT) AS n_docs
+         |FROM jn WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

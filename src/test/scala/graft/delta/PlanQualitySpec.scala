@@ -85,6 +85,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(vp.contains("partial_count"), vp)
   }
 
+  test("minhash/simhash signatures plan with ZERO exchanges (row-local, shuffle-free)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    sig.collect()
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"minhash signature plan shuffles:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"minhash signature plan aggregates:\n$p")
+
+    val ssig = graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text")
+    ssig.collect()
+    val sp = ssig.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), s"simhash signature plan shuffles:\n$sp")
+    assert(!sp.contains("HashAggregate") && !sp.contains("ObjectHashAggregate"),
+      s"simhash signature plan aggregates:\n$sp")
+  }
+
   test("delta partition pruning shrinks the scanned file set before the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_plan").toString + "/tbl"
     val orders = spark.read.parquet(s"$sf/orders.parquet")

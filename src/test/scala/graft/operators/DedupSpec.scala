@@ -66,6 +66,49 @@ class DedupSpec extends AnyFunSuite {
       s"first mismatch: ${simRowLocal.find { case (k, v) => simViaAgg(k) != v }}")
   }
 
+  /** Incremental dedup reports batch-vs-corpus pairs ONLY: planted
+    * cross-split near-dups are recovered; a near-dup pair entirely inside
+    * the batch (or corpus) is not this operator's job and must not
+    * appear. */
+  test("incrementalNearDups finds cross-split pairs and never batch×batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.fill(500)("w" + rnd.nextInt(90000))
+    def doc(seed: Long) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(120)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val corpus = (1L to 30L).map(id => (id, doc(id))).toDF("doc_id", "text")
+    // batch: ids 1001-1010 near-dup corpus docs 1-10 (one appended word);
+    // ids 2001-2002 near-dup EACH OTHER but nothing in the corpus
+    val batchSelf = doc(999)
+    val batch = ((1L to 10L).map(id => (id + 1000L, doc(id) + " qqq")) ++
+      Seq((2001L, batchSelf), (2002L, batchSelf + " zzz"))).toDF("doc_id", "text")
+
+    val got = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L to 10L).forall(id => got.contains((id + 1000L, id))),
+      s"planted cross-split dups missing: $got")
+    assert(got.forall { case (b, _) => b > 1000L }, s"corpus ids on the batch side: $got")
+    assert(!got.exists { case (b, c) => b >= 2001L || c >= 2001L },
+      s"batch-internal pair leaked into batch-vs-corpus output: $got")
+    spark.catalog.clearCache()
+  }
+
+  test("clusterKeepers keeps the max-preference doc per cluster, ties to smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val corpus = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "len")
+    val got = Dedup.clusterKeepers(corpus, clusters, "doc_id", "len")
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cluster 1: docs 2 and 3 tie at len 50 → keeper 2; cluster 7: tie at 5 → keeper 7
+    assert(got == Seq((1L, 2L, 3L), (7L, 7L, 2L)), got.toString)
+  }
+
   /** Planted near-dups must be recovered, and the signature must actually
     * cluster: planted pairs at small hamming distance, unrelated pairs
     * far. A simhash that doesn't separate the two would pass rows-only
