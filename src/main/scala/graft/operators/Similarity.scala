@@ -23,7 +23,13 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000000d).cast("long"))
 
-  def dotQ(a: Column, b: Column): Column =
+  /** Fused codegen'd dot product (graft.functions.DotProductQ). */
+  def dotQ(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotQ(a, b)
+
+  /** Portable HOF formulation — kept as the semantics oracle for the
+    * native expression (SimilaritySpec pins bit-equality); not on any
+    * hot path (interpreted, allocates per row). */
+  def dotQViaHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   def normQ(a: Column): Column = dotQ(a, a)
@@ -31,6 +37,13 @@ object Similarity {
   /** Exact cosine between two quantized vectors, as a double. */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") / (sqrt(normQ(a).cast("double")) * sqrt(normQ(b).cast("double")))
+
+  /** Cosine from a pairwise dot and per-vector precomputed squared norms —
+    * the pairwise-join form: norms are computed once per VECTOR (narrow,
+    * before the join) instead of once per PAIR. Bit-identical to
+    * `cosineQ` (same integers, same double ops). */
+  private def cosinePre(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Brute-force top-k cosine neighbors for each query id.
     * Returns (query_id, rank, vec_id). The query set is broadcast; the
@@ -41,9 +54,11 @@ object Similarity {
       queryIds: Seq[Long], k: Int): DataFrame = {
     val q = df.filter(col(idCol).isin(queryIds.map(Long.box): _*))
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
     val corpus = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", normQ(col("cv")))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineQ(col("qv"), col("cv")))
+      .withColumn("cos", cosinePre(dotQ(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -63,6 +78,7 @@ object Similarity {
     val bands = 8
     val width = dim / bands
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n", normQ(col("v")))
     val bandStructs = (0 until bands).map { b =>
       val sig = concat((0 until width).map { i =>
         when(element_at(col("v"), b * width + i + 1) >= 0, lit("1")).otherwise(lit("0"))
@@ -70,8 +86,8 @@ object Similarity {
       struct(lit(b).as("band"), sig.as("bh"))
     }
     val banded = q
-      .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("v"), col("n"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("v"), col("n"), col("bb.band"), col("bb.bh"))
       .persist()
     val (capped, overCache) =
       Dedup.capBuckets(banded, Seq("band", "bh"), maxBucketSize, "embeddingNearDups")
@@ -79,9 +95,10 @@ object Similarity {
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+        col("l.v").as("va"), col("r.v").as("vb"),
+        col("l.n").as("na"), col("r.n").as("nb"))
       .distinct()
-      .withColumn("cos", cosineQ(col("va"), col("vb")))
+      .withColumn("cos", cosinePre(dotQ(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
     materialized(result, Seq(banded) ++ overCache: _*)
@@ -125,6 +142,7 @@ object Similarity {
     val fv = df.select(col(idCol).as("id"),
       quantize(col(vecCol)).as("v"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .withColumn("n", normQ(col("v")))
     // Fit the coarse quantizer on a bounded DETERMINISTIC sample: KMeans
     // quality needs only a representative sample, and a full-corpus ML
     // fit at 100 TB would dwarf the query itself. orderBy(id).limit plans
@@ -137,15 +155,15 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitSample)
     val assigned = model.transform(fv)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .select(col("id"), col("v"), col("n"), col("prediction").as("cell"))
       .persist()
 
     // query → nprobe nearest centroids; query set is small by contract,
     // centroid table is nlist × dim — both driver-side trivial
     val centers = model.clusterCenters.map(_.toArray)
     val queries = assigned.filter(col("id").isin(queryIds.map(Long.box): _*))
-      .select("id", "v").as[(Long, Array[Long])].collect()
-    val probePairs = queries.flatMap { case (qid, qv) =>
+      .select("id", "v", "n").as[(Long, Array[Long], Long)].collect()
+    val probePairs = queries.flatMap { case (qid, qv, _) =>
       val dv = qv.map(_.toDouble / 1e6)
       centers.zipWithIndex
         .map { case (c, ci) =>
@@ -156,15 +174,17 @@ object Similarity {
         .map { case (ci, _) => (qid, ci) }
     }.toSeq
     val probes = probePairs.toDF("query_id", "cell")
-    val qv = queries.toSeq.toDF("query_id", "qv")
+    val qv = queries.toSeq.toDF("query_id", "qv", "qn")
 
     val cands = assigned.join(broadcast(probes), "cell")
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("id").as("vec_id"), col("v").as("cv"), col("qv"))
+      .select(col("query_id"), col("id").as("vec_id"), col("v").as("cv"),
+        col("n").as("cn"), col("qv"), col("qn"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    val result = cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
+    val result = cands.withColumn("cos",
+        cosinePre(dotQ(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id")
@@ -182,8 +202,7 @@ object Similarity {
         val h = scala.util.hashing.MurmurHash3.productHash((p, i))
         if ((h & 1) == 0) 1L else -1L
       }
-      val planeDot = aggregate(
-        zip_with(vecQ, typedLit(signs), (x, s) => x * s), lit(0L), (acc, x) => acc + x)
+      val planeDot = dotQ(vecQ, typedLit(signs))
       when(planeDot >= 0, shiftleft(lit(1), p)).otherwise(0)
     }
     bits.reduce(_.bitwiseOR(_))
@@ -198,21 +217,24 @@ object Similarity {
     val numPlanes = 16
     val bandBits = 4
     val withSig = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n", normQ(col("v")))
       .withColumn("sig", signature(col("v"), dim, numPlanes))
-    val banded = withSig.select(col("id"), col("v"),
+    val banded = withSig.select(col("id"), col("v"), col("n"),
         explode(array((0 until numPlanes / bandBits).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))): _*))
           .as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("v"), col("n"), col("bb.band"), col("bb.bh"))
     val qb = banded.filter(col("id").isin(queryIds.map(Long.box): _*))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("band"), col("bh"))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+        col("band"), col("bh"))
     val cands = banded.join(broadcast(qb), Seq("band", "bh"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("id").as("vec_id"), col("v").as("cv"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("id").as("vec_id"), col("v").as("cv"), col("n").as("cn"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cands.withColumn("cos", cosineQ(col("qv"), col("cv")))
+    cands.withColumn("cos", cosinePre(dotQ(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id")
