@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -132,6 +132,29 @@ object PipelineQ {
       val clusters = Dedup.nearDupClusters(pairs)
       Dedup.clusterKeepers(d, clusters, "doc_id", "n_chars")
         .orderBy($"cluster_id")
+    }),
+
+    // As-of join: each 'view' event enriched with the same user's most
+    // recent 'click' at or before it — one union+window sweep (single
+    // shuffle, no join amplification); oracle is DuckDB's native ASOF
+    // LEFT JOIN, an independent implementation of the same contract.
+    "t24_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs granularity on both sides: DuckDB timestamps are µs-native,
+      // so the ns tail of the parquet TIMESTAMP(NANOS) column is not
+      // representable in the oracle.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      val probes = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts_us")
+      val states = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us", $"event_id", $"value")
+      AsofJoin.asofJoin(probes, states, Seq("user_id"), "ts_us", "ts_us",
+          Seq("event_id", "value"), outPrefix = "prior_")
+        .select($"event_id", $"user_id", $"ts_us",
+          $"prior_event_id", $"prior_value")
+        .orderBy($"event_id")
     }),
 
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
@@ -319,6 +342,20 @@ object PipelineQ {
          |       CAST(doc_id AS BIGINT) AS keeper_id,
          |       CAST(n_docs AS BIGINT) AS n_docs
          |FROM jn WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "t24_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+        |            FROM events),
+        |probes AS (SELECT event_id, user_id, tus FROM ev WHERE event_type = 'view'),
+        |states0 AS (SELECT user_id, tus, event_id, value FROM ev WHERE event_type = 'click'),
+        |states AS (SELECT user_id, tus, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, tus
+        |                               ORDER BY event_id DESC) AS rn
+        |  FROM states0) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.tus AS ts_us,
+        |       s.event_id AS prior_event_id, s.value AS prior_value
+        |FROM probes p ASOF LEFT JOIN states s
+        |  ON p.user_id = s.user_id AND p.tus >= s.tus
+        |ORDER BY p.event_id""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
