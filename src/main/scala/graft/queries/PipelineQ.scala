@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -155,6 +155,27 @@ object PipelineQ {
         .select($"event_id", $"user_id", $"ts_us",
           $"prior_event_id", $"prior_value")
         .orderBy($"event_id")
+    }),
+
+    // Binned range join: errors within the hour after each purchase of
+    // the same user. The bin pre-join keeps Catalyst on a hash join —
+    // the naive non-equi predicate would plan a nested-loop/cartesian.
+    // Oracle: DuckDB's own non-equi join over the same rows.
+    "t25_range_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      val hourUs = 3600L * 1000000L
+      val intervals = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ts_us".as("win_start"), ($"ts_us" + hourUs).as("win_end"))
+      val pts = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts_us".as("err_ts"))
+      RangeJoin.pointInInterval(pts, intervals, Seq("user_id"),
+          "err_ts", "win_start", "win_end", binWidth = hourUs)
+        .groupBy($"purchase_id").agg(count(lit(1)).as("n_errors"))
+        .orderBy($"purchase_id")
     }),
 
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
@@ -356,6 +377,18 @@ object PipelineQ {
         |FROM probes p ASOF LEFT JOIN states s
         |  ON p.user_id = s.user_id AND p.tus >= s.tus
         |ORDER BY p.event_id""".stripMargin,
+    "t25_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS ws,
+        |             tus + 3600000000 AS we
+        |      FROM ev WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, tus FROM ev WHERE event_type = 'error')
+        |SELECT purchase_id, COUNT(*) AS n_errors
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |            AND e.tus >= p.ws AND e.tus <= p.we
+        |GROUP BY purchase_id
+        |ORDER BY purchase_id""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
