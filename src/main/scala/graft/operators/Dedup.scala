@@ -365,6 +365,70 @@ object Dedup {
         max_by(col("doc_id"), struct(col("__pref"), (-col("doc_id")).as("__t"))).as("keeper_id"),
         count(lit(1)).as("n_docs"))
 
+  // ---- Exact n-gram Jaccard similarity join (prefix filtering) ----------
+
+  /** EXACT set-similarity self-join: every pair of docs whose word
+    * n-gram Jaccard is ≥ `threshold`, found WITHOUT an all-pairs
+    * comparison via prefix filtering (the PPJoin family). Under any
+    * global total order on tokens, two sets A, B with J(A,B) ≥ τ must
+    * share at least one token inside each one's first
+    * |S| − ⌈τ·|S|⌉ + 1 tokens: if they shared none in A's prefix, the
+    * overlap would fit in A's suffix, o ≤ ⌈τ|A|⌉ − 1 < τ|A|, while
+    * J ≥ τ forces o ≥ τ(|A|+|B|)/(1+τ) ≥ τ|A| (using |B| ≥ τ|A|, itself
+    * implied by J ≥ τ). Ordering tokens by ascending document frequency
+    * makes prefix tokens the RAREST ones, so the candidate buckets the
+    * self-join fans out on stay small on natural corpora.
+    *
+    * Unlike MinHash-LSH this is LOSSLESS — recall is exactly 1 by
+    * construction (the DuckDB oracle is plain all-pairs Jaccard) — at
+    * the cost of one document-frequency pass over the exploded tokens.
+    * Scale shape: explode → partial-agg DF count (bounded by vocabulary)
+    * → per-doc window (group size = tokens of one doc) → bucketed
+    * self-join on prefix tokens (capped + logged, same contract as the
+    * banded joins; a cap only ever drops candidates on adversarial
+    * corpora where a >cap-frequency token lands in prefixes, which
+    * rarity-ordering avoids) → exact verify on the shingle sets.
+    *
+    * Output: (doc_a, doc_b, inter, uni) with inter/uni ≥ threshold,
+    * doc_a < doc_b — the same contract as [[minhashNearDups]]. */
+  def ngramJaccardDups(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sets = withShingleSet(df, idCol, textCol)
+      .filter(size(col("sh_set")) > 0).persist()
+    val tokens = sets.select(
+      col("doc_id"), size(col("sh_set")).as("len"), explode(col("sh_set")).as("sh"))
+    // document frequency per token — partial aggregation combines
+    // map-side, result is vocabulary-sized, not corpus-sized
+    val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc prefix of length len − ⌈τ·len⌉ + 1 under the global
+    // (df, sh) order; the window group is one document's token list
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = tokens.join(dfreq, "sh")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      .select(col("sh"), col("doc_id"), col("len"))
+      .persist()
+    val (capped, overCache) = capBuckets(prefix, Seq("sh"), maxBucketSize, "ngram-jaccard")
+    // candidate pairs share a prefix token and pass the length filter
+    // (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ)
+    val pairs = capped.as("l").join(capped.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id") &&
+          col("r.len") >= ceil(lit(threshold) * col("l.len")) &&
+          col("l.len") >= ceil(lit(threshold) * col("r.len")))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val verified = pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni")
+    materialized(verified, Seq(sets, prefix) ++ overCache: _*)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** doc_id → 64-bit SimHash over word 3-gram shingles: per-feature hash

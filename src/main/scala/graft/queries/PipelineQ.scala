@@ -134,6 +134,16 @@ object PipelineQ {
         .orderBy($"cluster_id")
     }),
 
+    // Exact n-gram Jaccard similarity join via prefix filtering: same
+    // output contract as t03, but LOSSLESS by construction (recall 1
+    // provable, not corpus-dependent) — the oracle is plain all-pairs
+    // Jaccard with no LSH mirroring needed.
+    "t26_dedup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // As-of join: each 'view' event enriched with the same user's most
     // recent 'click' at or before it — one union+window sweep (single
     // shuffle, no join amplification); oracle is DuckDB's native ASOF
@@ -333,6 +343,13 @@ object PipelineQ {
          |SELECT CAST(src AS BIGINT) AS doc_id,
          |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "t26_dedup_ngram" ->
+      s"""WITH $minhashPairsCte
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+         |       CAST(x.n + y.n - i AS BIGINT) AS uni
+         |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "t22_dedup_incremental" ->
       s"""WITH $minhashPairsCte
          |SELECT CAST(CASE WHEN da % 10 = 0 THEN da ELSE db END AS BIGINT) AS batch_id,

@@ -190,6 +190,43 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Prefix filtering is LOSSLESS: the n-gram Jaccard join must equal
+    * brute-force all-pairs Jaccard exactly — on a corpus with planted
+    * near-dups (tight edits), exact duplicates (ties in the global
+    * token order), and unrelated docs. Not a recall bound: set
+    * equality. */
+  test("ngramJaccardDups equals brute-force all-pairs Jaccard exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.fill(400)("w" + rnd.nextInt(60000))
+    def doc(seed: Long, words: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(words)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val base = (1L to 60L).map(id => (id, doc(id, 60 + rnd.nextInt(60))))
+    val edited = (1L to 20L).map(id => (id + 500L, doc(id, 0) + doc(id, 120) + " zzyqx"))
+    val exactDup = Seq((701L, base.head._2))
+    val corpus = (base ++ edited ++ exactDup).toDF("doc_id", "text")
+
+    val got = Dedup.ngramJaccardDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sets = Dedup.withShingleSet(corpus, "doc_id", "text")
+    val brute = sets.as("l").join(sets.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .withColumn("i", size(array_intersect(col("l.sh_set"), col("r.sh_set"))).cast("double"))
+      .withColumn("u", size(col("l.sh_set")) + size(col("r.sh_set")) - col("i"))
+      .filter(col("i") / col("u") >= 0.5)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got == brute,
+      s"got=${got.size} brute=${brute.size}; " +
+        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.contains((1L, 701L)), "exact-dup pair must be present")
+    assert(brute.size >= 10, s"pin is near-vacuous: only ${brute.size} true pairs")
+    spark.catalog.clearCache()
+  }
+
   /** exact() must partial-aggregate (no Window in the plan) and still
     * match the window variant on a corpus with one severely hot key. */
   test("exact dedup is skew-safe: min_by aggregation, same result as window") {
