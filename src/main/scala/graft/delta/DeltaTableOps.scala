@@ -58,6 +58,116 @@ object DeltaTableOps {
     limit.map(df.limit).getOrElse(df)
   }
 
+  final case class RestoreResult(
+      tableVersion: Long, restoredFiles: Long, removedFiles: Long)
+
+  /** RESTORE TABLE … TO VERSION: one new commit that returns the table's
+    * data to what version `toVersion` held, preserving history (the
+    * delta-spark RESTORE contract — not a log rewind). The commit
+    * re-adds the target snapshot's files missing from the head, removes
+    * head files the target lacks, and re-emits the target's metadata if
+    * the schema/partitioning changed in between. Protocol is never
+    * downgraded. Fails fast if any file to restore was already vacuumed
+    * (driver loop below `existsCheckThreshold`, distributed above —
+    * same fan-out shape as vacuum's delete).
+    *
+    * Control-plane cost is O(|target files| + |head files|) driver-side
+    * — identical to the snapshot replay every read already does. */
+  def restore(
+      spark: SparkSession, path: String, toVersion: Long,
+      existsCheckThreshold: Int = 1000): RestoreResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val latest = log.latestVersion
+    require(toVersion >= 0 && toVersion <= latest,
+      s"Cannot restore $path to version $toVersion: log has versions 0..$latest")
+    val target = log.snapshot(Some(toVersion))
+    val current = log.snapshot(None)
+    val now = System.currentTimeMillis()
+
+    val currentPaths = current.activeFiles.map(_.path).toSet
+    val targetPaths = target.activeFiles.map(_.path).toSet
+    val adds = target.activeFiles.filterNot(f => currentPaths.contains(f.path))
+      .map(_.copy(dataChange = true))
+    val removes = current.activeFiles.filterNot(f => targetPaths.contains(f.path))
+      .map(f => RemoveFile(f.path, Some(now), dataChange = true,
+        partitionValues = f.partitionValues, size = Some(f.size)))
+
+    // a restored file may have been vacuumed since its remove — check
+    // before committing a snapshot that cannot be read back
+    val missing: Seq[String] =
+      if (adds.size <= existsCheckThreshold) {
+        val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+        adds.map(a => DeltaRead.resolvePath(path, a.path))
+          .filterNot(p => fs.exists(new Path(p)))
+      } else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        spark.sparkContext
+          .parallelize(adds.map(a => DeltaRead.resolvePath(path, a.path)),
+            math.min(64, 1 + adds.size / 1000))
+          .filter { p =>
+            val hp = new Path(p)
+            !hp.getFileSystem(confBc.value.value).exists(hp)
+          }
+          .collect().toSeq
+      }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"Cannot restore $path to version $toVersion: ${missing.size} data " +
+          s"file(s) were vacuumed, e.g. ${missing.take(3).mkString(", ")}")
+
+    val metaChanged =
+      target.metadata.schemaString != current.metadata.schemaString ||
+        target.metadata.partitionColumns != current.metadata.partitionColumns ||
+        target.metadata.configuration != current.metadata.configuration
+    val ci = CommitInfo(now, "RESTORE",
+      operationParameters = Map("version" -> toVersion.toString),
+      operationMetrics = Map(
+        "numRestoredFiles" -> adds.size.toString,
+        "numRemovedFiles" -> removes.size.toString),
+      readVersion = Some(latest), isBlindAppend = Some(false))
+    val meta = if (metaChanged) Seq(target.metadata) else Nil
+    log.writeCommit(latest + 1, Seq(ci) ++ meta ++ adds ++ removes)
+    RestoreResult(latest + 1, adds.size, removes.size)
+  }
+
+  /** Batch change feed over a commit range: the rows ADDED in versions
+    * (fromVersion, toVersion], stamped with `_commit_version` — the
+    * batch twin of streaming's DeltaTail (append-oriented CDC: deletes
+    * and overwrites surface only their add side; dataChange=false
+    * rewrites — OPTIMIZE — are skipped, they carry no new rows).
+    *
+    * Scale: parses only the commits in the range (never a snapshot
+    * replay) and scans only their files; per-commit file groups become
+    * one union of vectorized parquet scans. */
+  def tableChanges(
+      spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val log = DeltaLog.forTable(spark, path)
+    val hi = toVersion.getOrElse(log.latestVersion)
+    require(fromVersion <= hi,
+      s"tableChanges range is empty: ($fromVersion, $hi]")
+    val schema = log.snapshot(Some(hi)).schema
+    val perCommit = ((fromVersion + 1) to hi).flatMap { v =>
+      val adds = log.readCommitActions(v).collect {
+        case a: AddFile if a.dataChange => a
+      }
+      if (adds.isEmpty) None
+      else Some(spark.read
+        .schema(schema)
+        .option("basePath", path)
+        .parquet(adds.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (perCommit.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+ StructField("_commit_version", LongType, nullable = false)))
+    else perCommit.reduce(_ unionByName _)
+  }
+
   /** Tombstoned file paths older than the retention window
     * (reference core.py:121-151). dryRun returns the list; otherwise the
     * deletes fan out as a Spark job when the list is large (the

@@ -66,6 +66,17 @@ object GraftDelta {
   ): DeltaDml.MergeResult =
     DeltaDml.merge(spark, path, source, on, whenMatched, insertNotMatched)
 
+  /** RESTORE TABLE … TO VERSION (beyond the reference's surface). */
+  def restore(spark: SparkSession, path: String, toVersion: Long): DeltaTableOps.RestoreResult =
+    DeltaTableOps.restore(spark, path, toVersion)
+
+  /** Batch change feed: rows added in versions (from, to], stamped with
+    * `_commit_version` (beyond the reference's surface). */
+  def tableChanges(
+      spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame =
+    DeltaTableOps.tableChanges(spark, path, fromVersion, toVersion)
+
   /** vacuum (reference core.py:296-324). */
   def vacuum(
       spark: SparkSession,

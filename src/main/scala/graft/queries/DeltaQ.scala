@@ -239,6 +239,47 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // RESTORE TO VERSION: append + delete mutate the table, then one
+    // RESTORE commit returns it to the original state — readback must
+    // equal the untouched source table; history is preserved (the
+    // restore is version 3, pinned via the surfaced version column).
+    "d17_restore" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d17")
+      val c = t(s, dir, "customer")
+      GraftDelta.toDelta(c.repartition(4), path)                     // v0
+      GraftDelta.toDelta(
+        c.filter($"c_custkey" <= 200).withColumn("c_custkey", $"c_custkey" + 1000000L),
+        path, mode = "append")                                       // v1
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("c_custkey", ">", 500L))))                 // v2
+      val res = GraftDelta.restore(s, path, 0L)                      // v3
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", $"c_nationkey", cents($"c_acctbal").as("acctbal_c"))
+        .withColumn("restore_version", lit(res.tableVersion))
+        .orderBy($"c_custkey")
+    }),
+
+    // Batch change feed: rows added per commit in (0, head], stamped
+    // with _commit_version; the dataChange=false OPTIMIZE rewrite (v3)
+    // must contribute NO rows — re-ingesting a compaction would
+    // duplicate the whole table.
+    "d18_table_changes" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d18")
+      val o = t(s, dir, "orders")
+      GraftDelta.toDelta(o.filter($"o_orderkey" < 3000).repartition(4), path) // v0
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 3000 && $"o_orderkey" < 6000)
+        .repartition(4), path, mode = "append")                               // v1
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 6000)
+        .repartition(4), path, mode = "append")                               // v2
+      DeltaMaintenance.compact(s, path)                                       // v3
+      GraftDelta.tableChanges(s, path, fromVersion = 0L)
+        .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"),
+          $"_commit_version")
+        .orderBy($"o_orderkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -299,6 +340,16 @@ object DeltaQ {
         | CAST(2 * ROUND(s_acctbal*100) AS BIGINT) AS bal_c,
         | CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d17_restore" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        | CAST(3 AS BIGINT) AS restore_version
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "d18_table_changes" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+        | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
     "d14_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
