@@ -281,24 +281,41 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
   /** Atomically write commit `version`: create-if-absent so two writers
     * racing on the same version cannot both succeed (SURVEY.md §7 "What's
-    * hard"). Local/HDFS: FileSystem.create(overwrite=false). */
+    * hard").
+    *
+    * `file:` scheme gets a dedicated path: Hadoop's RawLocalFileSystem
+    * implements create(overwrite=false) as exists-check-then-create — a
+    * TOCTOU window in which two racing committers BOTH pass the check
+    * and the loser's stream truncates the winner's commit (observed as
+    * a lost append under heavy load). java.nio CREATE_NEW maps to
+    * O_CREAT|O_EXCL — the kernel arbitrates, exactly one creator wins.
+    * Other schemes keep FileSystem.create(overwrite=false), which HDFS
+    * enforces atomically server-side (object stores need their own
+    * log-store arbitration, same as every Delta implementation). */
   def writeCommit(version: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logPath)
     val target = commitFile(version)
-    val out =
-      try fs.create(target, /*overwrite=*/ false)
-      catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"Concurrent commit: version $version already exists in $tablePath", e)
-        case e: java.io.IOException if fs.exists(target) =>
-          throw new java.util.ConcurrentModificationException(
-            s"Concurrent commit: version $version already exists in $tablePath", e)
-      }
-    try {
-      val body = actions.map(ActionCodec.toJsonLine).mkString("", "\n", "\n")
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
+    val body = actions.map(ActionCodec.toJsonLine).mkString("", "\n", "\n")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    def conflict(e: Throwable) = throw new java.util.ConcurrentModificationException(
+      s"Concurrent commit: version $version already exists in $tablePath", e)
+    if ("file" == Option(target.toUri.getScheme).getOrElse(fs.getUri.getScheme)) {
+      val p = java.nio.file.Paths.get(target.toUri.getPath)
+      val out =
+        try java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case e: java.nio.file.FileAlreadyExistsException => conflict(e) }
+      try out.write(bytes) finally out.close()
+    } else {
+      val out =
+        try fs.create(target, /*overwrite=*/ false)
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => conflict(e)
+          case e: java.io.IOException if fs.exists(target) => conflict(e)
+        }
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** Write a checkpoint for `version` plus `_last_checkpoint`, bounding

@@ -83,7 +83,7 @@ class ConcurrencySpec extends GraftSuite {
         GraftDelta.toDelta(rows.toDF("id", "v").repartition(1), path, mode = "append")
       }
     }
-    Await.result(Future.sequence(futures), 120.seconds)
+    Await.result(Future.sequence(futures), 300.seconds)
     val log = DeltaLog.forTable(spark, path)
     assert(log.latestVersion == writers.toLong,
       s"expected ${writers + 1} contiguous commits, head=${log.latestVersion}")
@@ -92,5 +92,44 @@ class ConcurrencySpec extends GraftSuite {
     // all appends committed exactly once
     val ids = back.select("id").as[Long].collect().toSet
     assert((0 until writers).forall(w => ids.contains(w * 100L + 9L)))
+  }
+
+  /** The commit primitive itself must arbitrate atomically: Hadoop's
+    * RawLocalFileSystem.create(overwrite=false) is exists-then-create
+    * (TOCTOU) — under contention two writers could both "win" a version
+    * and the loser's truncate destroyed the winner's commit. writeCommit
+    * now uses O_EXCL on file: URIs; this pins exactly-one-winner and
+    * intact bodies under a much hotter race than the end-to-end test
+    * above (16 threads × every version, no Spark jobs between). */
+  test("writeCommit: exactly one winner per version, winner's body intact") {
+    val path = tmp()
+    new java.io.File(path).mkdirs()
+    val log = DeltaLog.forTable(spark, path)
+    val threads = 16
+    val versions = 30
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = (0 until threads).map { t =>
+      Future {
+        var won = 0
+        (0L until versions.toLong).foreach { v =>
+          try {
+            log.writeCommit(v, Seq(CommitInfo(
+              timestamp = v, operation = s"W$t",
+              operationParameters = Map("writer" -> t.toString))))
+            won += 1
+          } catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        wins.addAndGet(won)
+      }
+    }
+    Await.result(Future.sequence(futures), 300.seconds)
+    assert(wins.get() == versions, s"expected $versions total wins, got ${wins.get()}")
+    // every commit file parses back to exactly one intact CommitInfo
+    (0L until versions.toLong).foreach { v =>
+      val actions = log.readCommitActions(v)
+      val cis = actions.collect { case ci: CommitInfo => ci }
+      assert(cis.length == 1, s"version $v: ${cis.length} commitInfos")
+      assert(cis.head.timestamp == v, s"version $v: torn body")
+    }
   }
 }
