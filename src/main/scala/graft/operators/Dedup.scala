@@ -396,24 +396,31 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sets = withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0).persist()
+    // tokens travel as (hash, string): the 8-byte hash is the shuffle/
+    // join key everywhere (a collision only MERGES buckets — extra
+    // candidates the verify step discards, exactness preserved); the
+    // string rides along solely as the ordering tiebreak, because the
+    // prefix principle needs a total order on tokens and hash-tied
+    // DISTINCT tokens would make "first p elements" ambiguous
     val tokens = sets.select(
       col("doc_id"), size(col("sh_set")).as("len"), explode(col("sh_set")).as("sh"))
-    // document frequency per token — partial aggregation combines
+      .withColumn("h", xxhash64(col("sh")))
+    // document frequency per token hash — partial aggregation combines
     // map-side, result is vocabulary-sized, not corpus-sized
-    val dfreq = tokens.groupBy("sh").agg(count(lit(1)).as("df"))
+    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc prefix of length len − ⌈τ·len⌉ + 1 under the global
     // (df, sh) order; the window group is one document's token list
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = tokens.join(dfreq, "sh")
+    val prefix = tokens.join(dfreq, "h")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
-      .select(col("sh"), col("doc_id"), col("len"))
+      .select(col("h"), col("doc_id"), col("len"))
       .persist()
-    val (capped, overCache) = capBuckets(prefix, Seq("sh"), maxBucketSize, "ngram-jaccard")
+    val (capped, overCache) = capBuckets(prefix, Seq("h"), maxBucketSize, "ngram-jaccard")
     // candidate pairs share a prefix token and pass the length filter
     // (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ)
     val pairs = capped.as("l").join(capped.as("r"),
-        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id") &&
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
           col("r.len") >= ceil(lit(threshold) * col("l.len")) &&
           col("l.len") >= ceil(lit(threshold) * col("r.len")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))

@@ -156,6 +156,8 @@ class DedupSpec extends AnyFunSuite {
     assert(sim.count() == 0)
     val mh = Dedup.minhashNearDups(boiler, "doc_id", "text", threshold = 0.5, maxBucketSize = 20)
     assert(mh.count() == 0)
+    val ng = Dedup.ngramJaccardDups(boiler, "doc_id", "text", threshold = 0.5, maxBucketSize = 20)
+    assert(ng.count() == 0)
     val emb = (1L to 500L).map(i => (i, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
     val en = Similarity.embeddingNearDups(emb, "vec_id", "embedding",
       threshold = 0.9, maxBucketSize = 20)

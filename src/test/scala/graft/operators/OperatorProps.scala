@@ -53,4 +53,38 @@ object OperatorProps extends Properties("Operators") {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       a == b
     }
+
+  /** Random doc: words drawn from a small vocabulary so overlaps happen,
+    * lengths spanning the shingling edge cases (empty handled upstream,
+    * < n words → whole-doc shingle). */
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    vocabSize <- Gen.chooseNum(3, 30)
+    n <- Gen.chooseNum(2, 40)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(1, 25)
+      ws <- Gen.listOfN(len, Gen.chooseNum(0, vocabSize - 1).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  /** Prefix filtering must be LOSSLESS at any threshold on any corpus —
+    * the DedupSpec pin covers one seeded corpus; this sweeps random
+    * ones (high-overlap small vocabularies stress tie handling in the
+    * global token order). */
+  property("ngramJaccardDups equals all-pairs Jaccard on random corpora") =
+    forAll(docsGen, Gen.oneOf(0.3, 0.5, 0.8)) { (docs, threshold) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardDups(df, "doc_id", "text", threshold)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = Dedup.withShingleSet(df, "doc_id", "text")
+      val brute = sets.as("l").join(sets.as("r"), col("l.doc_id") < col("r.doc_id"))
+        .withColumn("i", size(array_intersect(col("l.sh_set"), col("r.sh_set"))).cast("double"))
+        .withColumn("u", size(col("l.sh_set")) + size(col("r.sh_set")) - col("i"))
+        .filter(col("i") / col("u") >= threshold)
+        .select(col("l.doc_id"), col("r.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      got == brute
+    }
 }
