@@ -151,4 +151,42 @@ object DeltaMaintenance {
     } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j))
     terms.reduce(_ + _) // disjoint bit positions: sum == bitwise OR
   }
+
+  /** Log-retention cleanup — the `_delta_log` twin of vacuum (delta's
+    * `delta.logRetentionDuration`). Deletes commit JSONs and checkpoint
+    * files that are BOTH superseded by a newer checkpoint (replay never
+    * needs them: snapshots start from the newest checkpoint ≤ the pinned
+    * version) and older than the retention window by file mtime. Time
+    * travel to cleaned versions stops working — that is the documented
+    * contract, and the reason a retention window exists at all.
+    *
+    * Keeps, always: every commit > the newest checkpoint, the newest
+    * checkpoint itself (all parts), and `_last_checkpoint`. Returns the
+    * deleted (or, with dryRun, deletable) log-file names. Driver-side
+    * deletes: the log directory is control-plane-sized (bounded by the
+    * checkpoint interval × retention), never 100 TB. */
+  def cleanupLog(
+      spark: SparkSession,
+      path: String,
+      retentionHours: Double = 720.0,
+      dryRun: Boolean = true): Seq[String] = {
+    val log = DeltaLog.forTable(spark, path)
+    val cps = log.listCheckpointVersions
+    if (cps.isEmpty) return Nil // nothing supersedes the JSON tail
+    val keepFrom = cps.max
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val fs = log.fs
+    val CommitRe = """(\d{20})\.json""".r
+    val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
+    val candidates = fs.listStatus(log.logPath).iterator.filter { st =>
+      val old = st.getModificationTime < cutoff
+      st.getPath.getName match {
+        case CommitRe(v) => v.toLong < keepFrom && old
+        case CpRe(v, _) => v.toLong < keepFrom && old
+        case _ => false
+      }
+    }.map(_.getPath).toSeq
+    if (!dryRun) candidates.foreach(p => fs.delete(p, false))
+    candidates.map(_.getName).sorted
+  }
 }

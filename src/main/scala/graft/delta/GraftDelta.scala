@@ -84,4 +84,13 @@ object GraftDelta {
       retentionHours: Double = 168.0,
       dryRun: Boolean = true
   ): Seq[String] = DeltaTableOps.vacuum(spark, path, retentionHours, dryRun)
+
+  /** Log-retention cleanup — the `_delta_log` twin of vacuum (delta's
+    * logRetentionDuration; beyond the reference's surface). */
+  def cleanupLog(
+      spark: SparkSession,
+      path: String,
+      retentionHours: Double = 720.0,
+      dryRun: Boolean = true
+  ): Seq[String] = DeltaMaintenance.cleanupLog(spark, path, retentionHours, dryRun)
 }

@@ -394,6 +394,17 @@ object Dedup {
   def ngramJaccardDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (verified, caches) = ngramJaccardFrames(df, idCol, textCol, threshold, maxBucketSize)
+    materialized(verified, caches: _*)
+  }
+
+  /** The un-materialized pipeline behind [[ngramJaccardDups]] — split out
+    * so specs can pin the physical plan of the full join tree (the public
+    * method persists its result, which hides the tree behind a cache
+    * scan). Returns (verified pairs, upstream caches to release). */
+  private[operators] def ngramJaccardFrames(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val sets = withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0).persist()
     // tokens travel as (hash, string): the 8-byte hash is the shuffle/
@@ -433,7 +444,7 @@ object Dedup {
         size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
       .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
-    materialized(verified, Seq(sets, prefix) ++ overCache: _*)
+    (verified, Seq(sets, prefix) ++ overCache)
   }
 
   // ---- SimHash ----------------------------------------------------------

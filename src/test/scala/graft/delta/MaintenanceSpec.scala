@@ -245,4 +245,40 @@ class MaintenanceSpec extends GraftSuite {
       assert(GraftDelta.readDelta(spark, path).count() == 3)
     } finally q.stop()
   }
+
+  test("cleanupLog deletes checkpoint-superseded commits; replay and head reads survive") {
+    import spark.implicits._
+    val path = tmp()
+    // 13 commits with checkpoints every 4 → checkpoints at v4, v8, v12
+    GraftDelta.toDelta(Seq((0L, "v0")).toDF("id", "v"), path, checkpointInterval = 4)
+    (1 to 12).foreach { i =>
+      GraftDelta.toDelta(Seq((i.toLong, s"v$i")).toDF("id", "v"), path,
+        mode = "append", checkpointInterval = 4)
+    }
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.listCheckpointVersions == Seq(4L, 8L, 12L))
+
+    // dry run lists but deletes nothing
+    val dry = DeltaMaintenance.cleanupLog(spark, path, retentionHours = 0.0)
+    assert(dry.nonEmpty && log.listCommitVersions.size == 13)
+    // commits 0-11 and checkpoints 4, 8 are superseded by checkpoint 12
+    val gone = DeltaMaintenance.cleanupLog(spark, path, retentionHours = 0.0, dryRun = false)
+    assert(gone == dry)
+    assert(gone.count(_.endsWith(".json")) == 12, gone.toString)
+    assert(gone.count(_.contains("checkpoint")) == 2, gone.toString)
+    assert(log.listCommitVersions == Seq(12L))
+    assert(log.listCheckpointVersions == Seq(12L))
+
+    // head reads replay from the surviving checkpoint — all rows intact
+    assert(GraftDelta.readDelta(spark, path).count() == 13)
+    // time travel at/after the checkpoint works; before it raises
+    assert(GraftDelta.readDelta(spark, path, version = Some(12L)).count() == 13)
+    intercept[Exception] {
+      GraftDelta.readDelta(spark, path, version = Some(3L)).count()
+    }
+    // a fresh retention window keeps everything
+    GraftDelta.toDelta(Seq((13L, "v13")).toDF("id", "v"), path,
+      mode = "append", checkpointInterval = 4)
+    assert(DeltaMaintenance.cleanupLog(spark, path, retentionHours = 168.0).isEmpty)
+  }
 }

@@ -83,4 +83,28 @@ class RemoteFsSpec extends GraftSuite {
     // the surviving table still reads correctly through the remote scheme
     assert(GraftDelta.readDelta(spark, table).count() == 10)
   }
+
+  test("restore and tableChanges operate through the remote scheme") {
+    import spark.implicits._
+    // the shared table's pre-overwrite files were vacuumed above: restore
+    // must detect the missing remote files and refuse
+    val e = intercept[IllegalStateException](GraftDelta.restore(spark, table, 0L))
+    assert(e.getMessage.contains("vacuumed"))
+
+    // fresh mockfs table: change feed + rewind end-to-end off file:
+    val dir = java.nio.file.Files.createTempDirectory("graft_mockfs2")
+    dir.toFile.deleteOnExit()
+    val t2 = s"mockfs:$dir/tbl"
+    DeltaWrite.write((1 to 20).map(i => (i.toLong, s"a$i")).toDF("id", "v"), t2, mode = "error")
+    DeltaWrite.write((21 to 30).map(i => (i.toLong, s"b$i")).toDF("id", "v"), t2, mode = "append")
+
+    val changes = GraftDelta.tableChanges(spark, t2, fromVersion = 0L)
+    assert(changes.count() == 10)
+    assert(changes.inputFiles.forall(_.startsWith("mockfs:")),
+      s"change feed must scan mockfs: URIs, got ${changes.inputFiles.take(2).mkString(", ")}")
+
+    val res = GraftDelta.restore(spark, t2, 0L)
+    assert(res.removedFiles > 0)
+    assert(GraftDelta.readDelta(spark, t2).count() == 20)
+  }
 }

@@ -227,6 +227,17 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.contains((1L, 701L)), "exact-dup pair must be present")
     assert(brute.size >= 10, s"pin is near-vacuous: only ${brute.size} true pairs")
     spark.catalog.clearCache()
+
+    // plan shape: every join in the pipeline must be a hash/sort-merge
+    // equi-join on the hashed token — a cartesian/nested-loop anywhere
+    // means the prefix bucketing failed to reach Catalyst
+    val (verified, caches) =
+      Dedup.ngramJaccardFrames(corpus, "doc_id", "text", 0.5, Dedup.DefaultMaxBucketSize)
+    val plan = verified.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    spark.catalog.clearCache()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"ngram join must stay equi-join:\n$plan")
   }
 
   /** exact() must partial-aggregate (no Window in the plan) and still
