@@ -39,14 +39,24 @@ object AsofJoin {
     *                     type as `stateTime` — caller aligns units)
     * @param stateTime    state-side event-time column
     * @param statePayload state columns to carry onto each probe
-    * @param inclusive    true = match at-or-before (>=); false = strictly before
+    * @param inclusive    true = a state AT the probe time matches;
+    *                     false = strictly before/after only
+    * @param direction    "backward" (default) = most recent state at or
+    *                     before each probe; "forward" = earliest state
+    *                     at or after it (next-event attribution). Tie
+    *                     among states at one (key, time): backward keeps
+    *                     the max state struct, forward the min — the one
+    *                     nearest the probe in sweep order either way.
     * @param outPrefix    prefix for the carried state columns */
   def asofJoin(
       probes: DataFrame, states: DataFrame,
       keys: Seq[String], probeTime: String, stateTime: String,
       statePayload: Seq[String],
       inclusive: Boolean = true,
+      direction: String = "backward",
       outPrefix: String = "asof_"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward': $direction")
 
     val stateCols = stateTime +: statePayload
     val sStruct = struct(stateCols.map(col): _*)
@@ -62,12 +72,18 @@ object AsofJoin {
       col(stateTime).as("_t"), lit(0).as("_is_probe"),
       lit(null).cast(pType).as("_p"), sStruct.as("_s")): _*)
 
-    // Inclusive: states sort before probes at equal time (visible);
-    // strict: probes first (invisible). Third key = the state struct,
-    // so the frame's LAST state at a tied time is the max struct.
+    // Backward sweeps time ascending; forward sweeps descending, so
+    // "unbounded preceding .. current" holds exactly the states at or
+    // after the probe. Inclusive: states sort before probes at equal
+    // time (visible); strict: probes first (invisible). Third key = the
+    // state struct, so the frame's LAST state at a tied time is the max
+    // struct (backward) / min struct (forward) — nearest in sweep order.
+    val forward = direction == "forward"
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val tieOrder = if (inclusive) col("_is_probe").asc else col("_is_probe").desc
+    val structOrder = if (forward) col("_s").desc else col("_s").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_t").asc, tieOrder, col("_s").asc)
+      .orderBy(timeOrder, tieOrder, structOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = probeU.unionByName(stateU)

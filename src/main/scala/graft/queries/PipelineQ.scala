@@ -188,6 +188,29 @@ object PipelineQ {
         .orderBy($"purchase_id")
     }),
 
+    // Interval-overlap range join: view windows (30 min) × purchase
+    // windows (1 h) of the same user that intersect — each pair emitted
+    // exactly once (from the bin holding the later start, no distinct
+    // pass). Oracle: DuckDB's own non-equi overlap join.
+    "t27_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      val halfUs = 1800L * 1000000L
+      val hourUs = 3600L * 1000000L
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id",
+          $"ts_us".as("v_start"), ($"ts_us" + halfUs).as("v_end"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ts_us".as("p_start"), ($"ts_us" + hourUs).as("p_end"))
+      RangeJoin.intervalOverlap(views, purchases, Seq("user_id"),
+          "v_start", "v_end", "p_start", "p_end", binWidth = hourUs)
+        .select($"view_id", $"purchase_id", $"user_id")
+        .orderBy($"view_id", $"purchase_id")
+    }),
+
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
     // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
     "t16_decontamination" -> ((s, dir) => {
@@ -406,6 +429,19 @@ object PipelineQ {
         |            AND e.tus >= p.ws AND e.tus <= p.we
         |GROUP BY purchase_id
         |ORDER BY purchase_id""".stripMargin,
+    "t27_interval_overlap" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, tus AS vs,
+        |             tus + 1800000000 AS ve
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS ps,
+        |             tus + 3600000000 AS pe
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT view_id, purchase_id, v.user_id AS user_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |            AND vs <= pe AND ps <= ve
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

@@ -53,6 +53,41 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("forward as-of: earliest state at or after; matches brute force on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (probes, states) = fixtures
+    val out = AsofJoin.asofJoin(probes, states, Seq("k"), "t", "t", Seq("sid"),
+        direction = "forward")
+      .select("pid", "asof_sid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(100L) == Some(1L))  // t=5 → next state t=10
+    assert(out(101L) == Some(1L))  // t=10 → equal-time state (inclusive)
+    assert(out(102L) == Some(2L))  // t=15 → next state t=20
+    assert(out(103L).isEmpty)      // t=25: nothing after
+    assert(out(104L).isEmpty)      // key with no states
+
+    // brute force on random corpora: per probe, min state time >= t
+    val rnd = new scala.util.Random(41)
+    val ps = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "t", "pid")
+    val ss = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "t", "sid")
+    val got = AsofJoin.asofJoin(ps, ss, Seq("k"), "t", "t", Seq("sid"),
+        direction = "forward")
+      .select("pid", "asof_sid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    val brute = ps.as("p").join(ss.as("s"),
+        col("p.k") === col("s.k") && col("s.t") >= col("p.t"), "left")
+      .groupBy(col("p.pid"))
+      // nearest future state; ties at one time → min sid (min struct)
+      .agg(min(when(col("s.t").isNotNull, struct(col("s.t"), col("s.sid")))).as("m"))
+      .select(col("pid"), col("m.sid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == brute,
+      s"first diff: ${got.find { case (k, v) => brute(k) != v }}")
+  }
+
   test("plan is one exchange and zero joins") {
     val (probes, states) = fixtures
     val plan = AsofJoin.asofJoin(probes, states, Seq("k"), "t", "t", Seq("sid"))
