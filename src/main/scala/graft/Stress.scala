@@ -21,6 +21,10 @@ object Stress {
       .select(($"doc_id" * k + $"id").as("doc_id"),
         // perturb: append a copy-specific token so copies are near- not exact-dups
         concat($"text", lit(" copytoken"), $"id".cast("string")).as("text"))
+      // the crossJoin plans as a 1-partition BroadcastNestedLoop output —
+      // without this every downstream op ran single-threaded (measured:
+      // minhash 22.7s at 1 partition vs 9.6s at 64)
+      .repartition(64)
     val n = copies.count()
     println(s"[stress] corpus: $n docs")
     var t0 = System.nanoTime()
@@ -60,6 +64,39 @@ object Stress {
     println(f"[stress] MERGE 100k upd + 100k ins: matched ${mrg.matchedRows}%,d, " +
       f"inserted ${mrg.insertedRows}%,d, ${mrg.removedFiles} files rewritten " +
       f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- exact n-gram Jaccard on the replicated corpus ------------------
+    t0 = System.nanoTime()
+    val ngp = graft.operators.Dedup.ngramJaccardDups(copies, "doc_id", "text", 0.5)
+    println(f"[stress] ngram-jaccard pairs: ${ngp.count()}%,d in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    spark.catalog.clearCache()
+
+    // ---- as-of + range joins on replicated events -----------------------
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val evK = spark.range(k).crossJoin(ev)
+      .select(($"event_id" * k + $"id").as("event_id"),
+        ($"user_id" * k + $"id").as("user_id"), $"event_type", $"ts_us", $"value")
+      .repartition(64)
+    val nEv = evK.count()
+    println(f"[stress] events corpus: $nEv%,d rows")
+    t0 = System.nanoTime()
+    val probes = evK.filter($"event_type" === "view").select($"event_id", $"user_id", $"ts_us")
+    val states = evK.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id", $"value")
+    val asof = graft.operators.AsofJoin.asofJoin(probes, states, Seq("user_id"),
+      "ts_us", "ts_us", Seq("event_id", "value"), outPrefix = "prior_")
+    println(f"[stress] as-of join: ${asof.count()}%,d probes in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val hourUs = 3600L * 1000000L
+    val intervals = evK.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts_us".as("win_start"), ($"ts_us" + hourUs).as("win_end"))
+    val pts = evK.filter($"event_type" === "error").select($"user_id", $"ts_us".as("err_ts"))
+    val rj = graft.operators.RangeJoin.pointInInterval(pts, intervals, Seq("user_id"),
+      "err_ts", "win_start", "win_end", binWidth = hourUs)
+    println(f"[stress] range join: ${rj.count()}%,d pairs in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

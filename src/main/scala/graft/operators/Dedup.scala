@@ -389,6 +389,15 @@ object Dedup {
     * corpora where a >cap-frequency token lands in prefixes, which
     * rarity-ordering avoids) → exact verify on the shingle sets.
     *
+    * Cost positioning vs MinHash: a true near-dup pair sharing p prefix
+    * tokens is emitted p times before the distinct (MinHash bounds the
+    * same fan-out at #bands = 8), so on corpora DOMINATED by
+    * near-identical cliques the candidate volume is ~p/8 × MinHash's
+    * (measured ~12× on a 10-clique-replicated stress corpus). Run exact
+    * dedup first and use MinHash as the scale path on dup-heavy data;
+    * this operator is the exactness path — provable recall 1 where LSH
+    * recall is probabilistic.
+    *
     * Output: (doc_a, doc_b, inter, uni) with inter/uni ≥ threshold,
     * doc_a < doc_b — the same contract as [[minhashNearDups]]. */
   def ngramJaccardDups(
