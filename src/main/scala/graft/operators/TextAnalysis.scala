@@ -114,6 +114,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  // ---- Keyword search (TF-IDF-ish relevance) -----------------------------
+
+  /** Top-k docs for a bag of query terms, scored with an integer-exact
+    * TF-IDF variant: score(d) = Σ_t tf(t,d) · ((scale·N) DIV df(t)).
+    * Integer arithmetic end to end — no ln(), so the score is
+    * bit-identical in any engine (the oracle mirrors it) while keeping
+    * the TF-IDF shape (term frequency × inverse document frequency).
+    * Terms absent from the corpus simply contribute nothing (no
+    * divide-by-zero branch: df ≥ 1 for any term that joins).
+    *
+    * Scale shape: the term filter runs scan-side BEFORE any shuffle, so
+    * only matching (doc, term) tokens are aggregated — corpus text is
+    * never shuffled; df/N are tiny aggregates (≤ |terms| rows + 1) that
+    * broadcast into the scoring join; top-k plans TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def keywordSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, scale: Long = 1000000L): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one term")
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfq = tok.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfq, "t").crossJoin(n)
+      .withColumn("idf_q", expr(s"($scale * n) DIV df"))
+      .groupBy("doc_id").agg(sum(col("tf") * col("idf_q")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Email pattern shared by redaction and the oracle — kept inside the

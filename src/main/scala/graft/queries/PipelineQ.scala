@@ -211,6 +211,16 @@ object PipelineQ {
         .orderBy($"view_id", $"purchase_id")
     }),
 
+    // TF-IDF-ish keyword search: integer-exact relevance (tf × quantized
+    // idf ratio — no ln(), so the score hashes identically in DuckDB),
+    // top-20 by (score desc, doc_id).
+    "t28_keyword_search" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.keywordSearch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "vector", "dup"), k = 20)
+        .orderBy($"score".desc, $"doc_id")
+    }),
+
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
     // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
     "t16_decontamination" -> ((s, dir) => {
@@ -442,6 +452,18 @@ object PipelineQ {
         |FROM v JOIN p ON v.user_id = p.user_id
         |            AND vs <= pe AND ps <= ve
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "t28_keyword_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |m AS (SELECT doc_id, t FROM tok WHERE t IN ('join', 'vector', 'dup')),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM m GROUP BY 1, 2),
+        |dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, CAST(SUM(tf * ((1000000 * n.n) // df)) AS BIGINT) AS score
+        |FROM tf JOIN dfq USING (t) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

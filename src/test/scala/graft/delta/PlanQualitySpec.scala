@@ -102,6 +102,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"simhash signature plan aggregates:\n$sp")
   }
 
+  test("t28 keyword search: top-k heaps, partial aggregation, tiny sides broadcast") {
+    val df = graft.queries.PipelineQ.queries("t28_keyword_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // top-k must be per-partition heaps, never a global sort of scores
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // tf aggregation partial-aggregates the filtered tokens map-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    // df/N sides are ≤|terms|+1 rows — they broadcast into the scoring
+    // join; the corpus-sized tf side must never be the build side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("delta partition pruning shrinks the scanned file set before the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft_plan").toString + "/tbl"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
