@@ -173,7 +173,7 @@ object DeltaDml {
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
         size = Some(f.size)))
     val op = if (isDelete) "DELETE" else "UPDATE"
-    val commitInfo = CommitInfo(
+    def mkActions(readVersion: Long): Seq[Action] = CommitInfo(
       timestamp = now,
       operation = op,
       operationParameters = Map("predicate" -> filters.map(_.map(p =>
@@ -182,17 +182,19 @@ object DeltaDml {
         (if (isDelete) "numDeletedRows" else "numUpdatedRows") -> affected.toString,
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),
-      readVersion = Some(snap.version),
-      isBlindAppend = Some(false))
+      readVersion = Some(readVersion),
+      isBlindAppend = Some(false)) +: (adds ++ removes)
 
-    try log.writeCommit(version, Seq(commitInfo) ++ adds ++ removes)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
-        throw e
-    }
-    if (checkpointInterval > 0 && version % checkpointInterval == 0)
-      log.writeCheckpoint(version)
+    val committed =
+      try commitDmlWithRetry(log, path, version, mkActions,
+        removes.map(_.path).toSet, addMatcher(snap, filters))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          throw e
+      }
+    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+      log.writeCheckpoint(committed)
     DmlResult(affected, removes.size, partial.size, adds.size)
   }
 
@@ -421,7 +423,7 @@ object DeltaDml {
       RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
         size = Some(f.size)))
-    val commitInfo = CommitInfo(
+    def mkActions(readVersion: Long): Seq[Action] = CommitInfo(
       timestamp = now,
       operation = "MERGE",
       operationParameters = Map(
@@ -433,18 +435,108 @@ object DeltaDml {
         "numTargetRowsInserted" -> inserted.toString,
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString),
-      readVersion = Some(snap.version),
-      isBlindAppend = Some(false))
+      readVersion = Some(readVersion),
+      isBlindAppend = Some(false)) +: (adds ++ removes)
 
-    try log.writeCommit(version, Seq(commitInfo) ++ adds ++ removes)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
-        throw e
-    }
-    if (checkpointInterval > 0 && version % checkpointInterval == 0)
-      log.writeCheckpoint(version)
+    // phantom check for merge: a concurrent add conflicts iff it may
+    // hold keys inside the source's key span (keyRanges) — the same
+    // range the target pruning used. An all-null-key source (empty
+    // keyRanges) equality-matches nothing, so no add conflicts.
+    val mergeAddMatcher: AddFile => Boolean =
+      if (keyRanges.isEmpty) _ => false else addMatcher(snap, keyRanges)
+    val committed =
+      try commitDmlWithRetry(log, path, version, mkActions,
+        removes.map(_.path).toSet, mergeAddMatcher)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          throw e
+      }
+    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+      log.writeCheckpoint(committed)
     MergeResult(matchedRows, math.max(inserted, 0L), removes.size, adds.size)
+  }
+
+  /** Conflict-aware optimistic commit for DML — the DML twin of
+    * DeltaWrite.commitWithRetry. Losing the race no longer aborts
+    * unconditionally: each interleaved winner is checked for a LOGICAL
+    * conflict with this DML's read/write sets, and disjoint winners
+    * (appends to other partitions/key ranges, OPTIMIZE rewrites of
+    * untouched files, other DML on non-overlapping files) are rebased
+    * past by re-committing the same actions at the new head.
+    *
+    * Conflict matrix (serializable semantics, conservative):
+    *   - metadata / protocol change        → abort (plan is stale)
+    *   - remove of a file THIS DML removes → abort (write-write: the
+    *     file was concurrently rewritten or deleted)
+    *   - dataChange add that MAY contain rows matching this DML's
+    *     predicate (partition values + file stats cannot exclude it)
+    *     → abort (phantom: a serial execution would have processed
+    *     those rows). dataChange=false adds (compactions) carry no new
+    *     rows and never conflict by themselves — their paired removes
+    *     are caught by the write-write rule when they touch our files.
+    *
+    * Returns the version that committed. On abort the staged add files
+    * are the caller's to clean up (same contract as before). */
+  private[delta] def commitDmlWithRetry(
+      log: DeltaLog,
+      path: String,
+      firstVersion: Long,
+      mkActions: Long => Seq[Action], // readVersion → full action list
+      ourRemovedPaths: Set[String],
+      addMayConflict: AddFile => Boolean,
+      maxAttempts: Int = 20): Long = {
+    var v = firstVersion
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        log.writeCommit(v, mkActions(v - 1))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          val head = log.latestVersion
+          (v to head).foreach { w =>
+            log.readCommitActions(w).foreach {
+              case _: MetadataAction | _: Protocol =>
+                throw new java.util.ConcurrentModificationException(
+                  s"DML conflicts with a metadata/protocol change at version $w in $path", e)
+              case r: RemoveFile if ourRemovedPaths.contains(r.path) =>
+                throw new java.util.ConcurrentModificationException(
+                  s"Write-write conflict: ${r.path} was concurrently removed at version $w in $path", e)
+              case a: AddFile if a.dataChange && addMayConflict(a) =>
+                throw new java.util.ConcurrentModificationException(
+                  s"Phantom conflict: version $w added rows this DML's predicate may match in $path", e)
+              case _ => ()
+            }
+          }
+          v = head + 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** File-level "may this add contain predicate-matching rows?" check —
+    * the same partition-exact + stats-range test prunedFiles applies,
+    * evaluated on a single foreign add. Conservative: missing stats or
+    * untranslatable predicates conflict. */
+  private[delta] def addMatcher(snap: Snapshot, filters: Seq[Seq[Predicate]]): AddFile => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val partCols = snap.partitionColumns.toSet
+    val fieldTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    f => {
+      lazy val stats = StatsPruning.parse(f.stats)
+      filters.exists { conj =>
+        conj.forall { p =>
+          if (partCols.contains(p.column))
+            DeltaRead.evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+              fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p)
+          else StatsPruning.mayMatch(stats, p)
+        }
+      }
+    }
   }
 
   /** Scan a specific subset of the snapshot's files with the snapshot

@@ -94,6 +94,56 @@ class ConcurrencySpec extends GraftSuite {
     assert((0 until writers).forall(w => ids.contains(w * 100L + 9L)))
   }
 
+  /** DML optimistic concurrency: a lost race re-commits at the new head
+    * when every interleaved winner is logically disjoint (appends to
+    * other partitions, OPTIMIZE rewrites of untouched files), and
+    * aborts on write-write overlap, predicate-matching phantom adds, or
+    * metadata/protocol changes. Exercised at the arbitration level so
+    * each branch of the conflict matrix is deterministic. */
+  test("DML commit rebases past disjoint winners; aborts on real conflicts") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), path,
+      partitionBy = Seq("p"))
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val fileA = snap.activeFiles.find(_.partitionValues.get("p").contains("a")).get
+    val filters = Seq(Seq(Predicate("p", "==", "a")))
+    val matcher = DeltaDml.addMatcher(snap, filters)
+    def ourActions(rv: Long): Seq[Action] = Seq(
+      CommitInfo(1L, "DELETE", readVersion = Some(rv), isBlindAppend = Some(false)),
+      RemoveFile(fileA.path, Some(1L), dataChange = true,
+        partitionValues = fileA.partitionValues))
+    def attempt(v: Long) = DeltaDml.commitDmlWithRetry(
+      log, path, v, ourActions, Set(fileA.path), matcher)
+
+    // disjoint blind append to partition b → rebase succeeds at head+1
+    plainCommit(log, 1, Seq(AddFile("p=b/w1.parquet", Map("p" -> "b"))))
+    assert(attempt(1) == 2L)
+
+    // phantom: winner adds rows in partition a (matches our predicate)
+    plainCommit(log, 3, Seq(AddFile("p=a/w2.parquet", Map("p" -> "a"))))
+    val e1 = intercept[java.util.ConcurrentModificationException](attempt(3))
+    assert(e1.getMessage.contains("Phantom"), e1.getMessage)
+
+    // write-write: winner removed the same file we remove
+    plainCommit(log, 4, Seq(RemoveFile(fileA.path, Some(2L), dataChange = true)))
+    val e2 = intercept[java.util.ConcurrentModificationException](attempt(4))
+    assert(e2.getMessage.contains("Write-write"), e2.getMessage)
+
+    // metadata change → stale plan, abort
+    plainCommit(log, 5, Seq(MetadataAction(id = "m2",
+      schemaString = snap.schema.json, partitionColumns = Seq("p"))))
+    val e3 = intercept[java.util.ConcurrentModificationException](attempt(5))
+    assert(e3.getMessage.contains("metadata"), e3.getMessage)
+
+    // OPTIMIZE of an untouched file (dataChange=false rewrite) → rebase
+    plainCommit(log, 6, Seq(
+      AddFile("p=b/compact.parquet", Map("p" -> "b"), dataChange = false),
+      RemoveFile("p=b/w1.parquet", Some(3L), dataChange = false)))
+    assert(attempt(6) == 7L)
+  }
+
   /** The commit primitive itself must arbitrate atomically: Hadoop's
     * RawLocalFileSystem.create(overwrite=false) is exists-then-create
     * (TOCTOU) — under contention two writers could both "win" a version
