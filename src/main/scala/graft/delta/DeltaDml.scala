@@ -162,7 +162,8 @@ object DeltaDml {
           }
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
         try DeltaWrite.stageAndMove(rewritten, spark, fs, path, stagingDir,
-          snap.partitionColumns, version)
+          snap.partitionColumns, version,
+          DeltaWrite.checkConstraintsOf(snap.metadata))
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
       }
 
@@ -397,7 +398,8 @@ object DeltaDml {
       case Some(df) =>
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
         try DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,
-          snap.partitionColumns, version)
+          snap.partitionColumns, version,
+          DeltaWrite.checkConstraintsOf(snap.metadata))
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
 

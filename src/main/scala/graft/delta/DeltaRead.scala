@@ -73,14 +73,39 @@ object DeltaRead {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val absolute = files.map(f => resolvePath(path, f.path))
-      // basePath restores hive partition columns; the explicit schema makes
-      // pre-evolution files surface absent columns as nulls (⑧) and casts
-      // partition-dir strings to their declared types.
-      spark.read
-        .format("parquet")
-        .schema(schema)
-        .option("basePath", path)
-        .load(absolute: _*)
+      val rootPrefix = path.stripSuffix("/") + "/"
+      if (absolute.forall(_.startsWith(rootPrefix))) {
+        // basePath restores hive partition columns; the explicit schema makes
+        // pre-evolution files surface absent columns as nulls (⑧) and casts
+        // partition-dir strings to their declared types.
+        spark.read
+          .format("parquet")
+          .schema(schema)
+          .option("basePath", path)
+          .load(absolute: _*)
+      } else if (snap.partitionColumns.isEmpty) {
+        // absolute-path adds (shallow clones) live under ANOTHER table's
+        // root — no basePath; partition columns don't exist, so none of
+        // the hive recovery is needed
+        spark.read.format("parquet").schema(schema).load(absolute: _*)
+      } else {
+        // partitioned table with outside-root files: hive discovery can't
+        // span roots, but the LOG is the source of truth for partition
+        // values anyway (delta protocol) — one scan per partition-value
+        // group with the values attached as typed literals. Group count =
+        // touched partitions, the same cardinality any partition-aware
+        // plan already carries.
+        val partFields = schema.fields.filter(f => partCols.contains(f.name))
+        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+        files.groupBy(_.partitionValues).map { case (pv, group) =>
+          val g = spark.read.format("parquet").schema(dataSchema)
+            .load(group.map(f => resolvePath(path, f.path)): _*)
+          partFields.foldLeft(g) { (d, f) =>
+            d.withColumn(f.name,
+              lit(pv.get(f.name).flatMap(Option(_)).orNull).cast(f.dataType))
+          }.select(schema.fieldNames.map(col).toSeq: _*)
+        }.reduce(_ unionByName _)
+      }
     }
 
     // (b) residual row-level filter → Catalyst → parquet row-group pushdown.

@@ -61,6 +61,115 @@ object DeltaTableOps {
   final case class RestoreResult(
       tableVersion: Long, restoredFiles: Long, removedFiles: Long)
 
+  final case class CloneResult(tableVersion: Long, clonedFiles: Long)
+
+  /** SHALLOW CLONE: create a new Delta table at `targetPath` whose
+    * commit 0 re-adds every active file of the source snapshot by
+    * ABSOLUTE path — metadata-only, no byte of data is copied, O(files)
+    * not O(bytes) (the delta-spark `CREATE TABLE … SHALLOW CLONE`
+    * contract; the Delta protocol sanctions absolute `add.path`).
+    * The clone's history, schema and configuration evolve independently
+    * from commit 0 on; files the clone itself writes (appends, DML
+    * rewrites, OPTIMIZE) land under the clone's root, and [[vacuum]]
+    * never deletes outside a table's own root — so no operation on the
+    * clone can corrupt the source.
+    *
+    * At 100 TB this is what makes experiment forks practical: cloning a
+    * petabyte table is one driver-side log write. */
+  def shallowClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): CloneResult = {
+    val srcLog = DeltaLog.forTable(spark, sourcePath)
+    val snap = srcLog.snapshot(version)
+    val tgtLog = DeltaLog.forTable(spark, targetPath)
+    val exists =
+      try { tgtLog.latestVersion; true }
+      catch { case _: IllegalArgumentException => false }
+    require(!exists, s"Cannot clone into $targetPath: already a Delta table")
+    val now = System.currentTimeMillis()
+    val adds = snap.activeFiles.map { f =>
+      val abs = DeltaRead.resolvePath(sourcePath, f.path)
+      // store scheme-qualified URIs as-is (already URI form); encode the
+      // segments of bare absolute paths so decode on read round-trips
+      val stored =
+        if (hasScheme(abs)) abs
+        else "/" + DeltaWrite.uriEncodePath(abs.stripPrefix("/"))
+      f.copy(path = stored, dataChange = true)
+    }
+    val meta = snap.metadata.copy(
+      id = java.util.UUID.randomUUID().toString, createdTime = Some(now))
+    val ci = CommitInfo(now, "CLONE",
+      operationParameters = Map(
+        "source" -> sourcePath,
+        "sourceVersion" -> snap.version.toString),
+      operationMetrics = Map(
+        "numClonedFiles" -> adds.size.toString,
+        "numOutputRows" -> "0"),
+      isBlindAppend = Some(false))
+    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ adds)
+    CloneResult(0L, adds.size)
+  }
+
+  private def hasScheme(p: String): Boolean =
+    try new java.net.URI(p).isAbsolute
+    catch { case _: java.net.URISyntaxException => false }
+
+  final case class ConstraintResult(tableVersion: Long, name: String)
+
+  /** ALTER TABLE … ADD CONSTRAINT … CHECK (expr): validates the whole
+    * current table against the predicate (one distributed scan counting
+    * violations — the delta-spark contract), then commits the constraint
+    * into metadata configuration (`delta.constraints.<name>`) and raises
+    * the protocol to writer version 3. Every subsequent write — append,
+    * overwrite, DML rewrite — re-validates in-flight
+    * (DeltaWrite.withConstraintsEnforced). */
+  def addCheckConstraint(
+      spark: SparkSession, path: String, name: String, exprSql: String): ConstraintResult = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"Constraint name must be alphanumeric/underscore: '$name'")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    require(!snap.metadata.configuration.contains(key),
+      s"Constraint $name already exists on $path")
+    val violations = DeltaRead.load(spark, path)
+      .filter(!coalesce(expr(exprSql), lit(true))).count()
+    if (violations > 0)
+      throw new IllegalArgumentException(
+        s"Cannot add CHECK constraint $name ($exprSql): " +
+          s"$violations existing row(s) violate it")
+    val now = System.currentTimeMillis()
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration + (key -> exprSql))
+    val proto =
+      if (snap.protocol.minWriterVersion >= 3) Nil
+      else Seq(snap.protocol.copy(minWriterVersion = 3))
+    val ci = CommitInfo(now, "ADD CONSTRAINT",
+      operationParameters = Map("name" -> name, "expr" -> exprSql),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci) ++ proto ++ Seq(meta))
+    ConstraintResult(snap.version + 1, name)
+  }
+
+  /** ALTER TABLE … DROP CONSTRAINT. Protocol is never downgraded (the
+    * delta contract — other constraints or historical commits may still
+    * require it). */
+  def dropConstraint(
+      spark: SparkSession, path: String, name: String): ConstraintResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    require(snap.metadata.configuration.contains(key),
+      s"No constraint named $name on $path")
+    val meta = snap.metadata.copy(
+      configuration = snap.metadata.configuration - key)
+    val ci = CommitInfo(System.currentTimeMillis(), "DROP CONSTRAINT",
+      operationParameters = Map("name" -> name),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    ConstraintResult(snap.version + 1, name)
+  }
+
   /** RESTORE TABLE … TO VERSION: one new commit that returns the table's
     * data to what version `toVersion` held, preserving history (the
     * delta-spark RESTORE contract — not a log rewind). The commit
@@ -183,9 +292,24 @@ object DeltaTableOps {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    val tombstones = snap.tombstones
+    val expired = snap.tombstones
       .filter(_.deletionTimestamp.forall(_ < cutoff))
       .map(_.path)
+    // Files OUTSIDE the table root are never vacuum's to delete — they
+    // belong to another table (shallow-clone sources reference the
+    // original's files by absolute path; deleting them here would
+    // corrupt the source). Same contract as delta-spark's vacuum, which
+    // only ever lists under the table directory. Logged, not silent.
+    val rootFs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPrefix = rootFs.makeQualified(new Path(path)).toString.stripSuffix("/") + "/"
+    val (tombstones, foreign) = expired.partition { p =>
+      rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p))).toString
+        .startsWith(rootPrefix)
+    }
+    if (foreign.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.delta").info(
+        s"vacuum($path): skipping ${foreign.size} expired tombstone(s) outside " +
+          s"the table root (shallow-clone references), e.g. ${foreign.take(3).mkString(", ")}")
     if (!dryRun && tombstones.nonEmpty) {
       val tablePath = path
       if (tombstones.size <= distributedDeleteThreshold) {

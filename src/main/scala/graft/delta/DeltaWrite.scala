@@ -6,6 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -34,7 +35,12 @@ import scala.collection.mutable
   */
 object DeltaWrite {
 
-  val MaxSupportedWriterVersion = 2
+  /** Writer protocol 3 adds CHECK constraints, which this writer both
+    * stores (DeltaTableOps.addCheckConstraint) and enforces in-flight on
+    * every data-file write (stageAndMove) — so 3 is honestly supported.
+    * The reference gates at 2 (writer.py:254-259) because delta-rs 0.6.4
+    * cannot enforce constraints; enforcing is strictly safer. */
+  val MaxSupportedWriterVersion = 3
 
   def write(
       df: DataFrame,
@@ -117,7 +123,8 @@ object DeltaWrite {
       txn: Option[SetTransaction],
       existing: Option[Snapshot],
       version: Long): Unit = {
-    val adds = stageAndMove(df, spark, fs, path, stagingDir, effectivePartitionBy, version)
+    val adds = stageAndMove(df, spark, fs, path, stagingDir, effectivePartitionBy, version,
+      existing.toSeq.flatMap(s => checkConstraintsOf(s.metadata)))
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli
@@ -240,14 +247,37 @@ object DeltaWrite {
     * Serial on the driver below a threshold; above it, one Spark job does
     * the rename + footer read per file in parallel (at 10^5-10^6 files an
     * O(#files) serial driver phase is the write-path scale-killer). */
+  /** The CHECK constraints stored in a table's metadata configuration
+    * (`delta.constraints.<name>` → SQL predicate, the delta-spark
+    * layout). */
+  private[delta] def checkConstraintsOf(meta: MetadataAction): Seq[(String, String)] =
+    meta.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }
+
+  /** Wrap `df` so every row is validated against each CHECK constraint
+    * IN-FLIGHT during the write tasks: assert_true throws on the first
+    * violating row, failing the job before any commit — no extra pass
+    * over the data, no partial table state (NULL predicate values pass,
+    * the SQL CHECK contract). */
+  private[delta] def withConstraintsEnforced(
+      df: DataFrame, constraints: Seq[(String, String)]): DataFrame =
+    constraints.foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(assert_true(coalesce(expr(sql), lit(true)),
+        lit(s"CHECK constraint $n ($sql) violated by a written row")).isNull)
+    }
+
   private[delta] def stageAndMove(
-      df: DataFrame,
+      df0: DataFrame,
       spark: SparkSession,
       fs: FileSystem,
       path: String,
       stagingDir: Path,
       partitionBy: Seq[String],
-      version: Long): Seq[AddFile] = {
+      version: Long,
+      constraints: Seq[(String, String)] = Nil): Seq[AddFile] = {
+    val df = withConstraintsEnforced(df0, constraints)
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")

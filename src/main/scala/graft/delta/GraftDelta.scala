@@ -70,6 +70,25 @@ object GraftDelta {
   def restore(spark: SparkSession, path: String, toVersion: Long): DeltaTableOps.RestoreResult =
     DeltaTableOps.restore(spark, path, toVersion)
 
+  /** SHALLOW CLONE — metadata-only table fork (beyond the reference's
+    * surface). */
+  def shallowClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): DeltaTableOps.CloneResult =
+    DeltaTableOps.shallowClone(spark, sourcePath, targetPath, version)
+
+  /** ALTER TABLE … ADD CONSTRAINT … CHECK (beyond the reference's
+    * surface; writer protocol v3). */
+  def addCheckConstraint(
+      spark: SparkSession, path: String, name: String,
+      exprSql: String): DeltaTableOps.ConstraintResult =
+    DeltaTableOps.addCheckConstraint(spark, path, name, exprSql)
+
+  /** ALTER TABLE … DROP CONSTRAINT. */
+  def dropConstraint(
+      spark: SparkSession, path: String, name: String): DeltaTableOps.ConstraintResult =
+    DeltaTableOps.dropConstraint(spark, path, name)
+
   /** Batch change feed: rows added in versions (from, to], stamped with
     * `_commit_version` (beyond the reference's surface). */
   def tableChanges(

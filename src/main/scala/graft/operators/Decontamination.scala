@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Eval-set decontamination: flag training documents that share word
@@ -44,5 +44,112 @@ object Decontamination {
       .filter(col("n_contaminated_grams") >= minOverlaps)
       .select(col("doc_id").as(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ---- Bloom-filter decontamination (sketch scale path) ------------------
+  //
+  // The exact path above broadcasts the eval grams THEMSELVES — fine for
+  // benchmark-sized eval sets, unbounded when the "do not train on this"
+  // list is itself huge (takedowns, customer opt-outs, web-scale eval
+  // suites). The sketch path compresses the eval side to a fixed
+  // `mBits`-bit Bloom filter; the corpus scan then tests each gram
+  // against the broadcast bitset with pure codegen'd integer arithmetic —
+  // no join, no shuffle of gram text at all. One-sided error by
+  // construction: a member gram ALWAYS hits (no false negatives — nothing
+  // contaminated slips through); a non-member hits with p ≈ (1−e^(−kn/m))^k
+  // (extra docs conservatively flagged). Every ingredient — the
+  // polynomial gram hash, the probe LCGs, the bit positions — is exact
+  // BIGINT arithmetic, so an oracle engine reproduces the sketch (and its
+  // false positives) bit-for-bit.
+
+  /** Fingerprint modulus of the portable gram hash (see
+    * [[TextAnalysis.fingerprintOfChars]]). */
+  val BloomP = 1000000007L
+  private val Mask31 = 0x7FFFFFFFL
+
+  /** Fixed probe-LCG coefficients (a, c, shift) — k = 3 probes, part of
+    * the operator's deterministic contract (mirrored literally in oracle
+    * SQL). Each probe takes mBits-worth of bits at a DIFFERENT offset of
+    * its product: without the shifts every probe is an affine bijection
+    * of `gh mod mBits` — collectively 15 bits of entropy, a degenerate
+    * hash-set with ~100× the design false-positive rate (observed
+    * directly: 140 flagged docs vs 5 real at sf0.01). Distinct shifts
+    * make the probes draw effectively independent bits. */
+  val ProbeCoefs: Seq[(Long, Long, Int)] = Seq(
+    (1103515245L, 12345L, 5), (1225086377L, 54321L, 9), (1664525L, 1013904223L, 13))
+
+  /** Engine-portable per-gram hash in [0, BloomP): the classic
+    * polynomial rolling hash h ← (31·h + code) mod P. Position-sensitive
+    * and full-range — the additive fingerprint checksum
+    * (TextAnalysis.fingerprint) concentrates grams of a shared
+    * vocabulary into a ≈2¹⁸-wide band and collides wholesale (observed:
+    * 126 of 500 docs false-flagged at sf0.01 vs ~5 expected). Every
+    * intermediate < 31·P + 127 < 2³⁵ — ANSI-safe BIGINTs. */
+  def gramHash(gram: Column): Column =
+    // slice to exactly length(gram) chars: split's trailing "" element
+    // (harmless in a SUM) would append a spurious ×31 round here
+    aggregate(slice(split(gram, ""), lit(1), length(gram)), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % BloomP)
+
+  /** The k probe bit-positions of a gram hash: p_j = (((a_j·h + c_j) &
+    * (2³¹−1)) >> s_j) & (mBits−1). All intermediates < 2⁶² and
+    * non-negative — ANSI-safe. */
+  def probePositions(gh: Column, mBits: Int): Seq[Column] =
+    ProbeCoefs.map { case (a, c, s) =>
+      shiftright((lit(a) * gh + lit(c)).bitwiseAND(lit(Mask31)), s)
+        .bitwiseAND(lit((mBits - 1).toLong))
+    }
+
+  /** SQL mirrors of the hash/probe arithmetic for oracle engines. */
+  def gramHashSql(gramExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(($gramExpr)[i]) AS BIGINT) FOR i IN generate_series(1, length($gramExpr))]), " +
+      s"(a, x) -> (a * 31 + x) % $BloomP)"
+  def probeSql(ghExpr: String, j: Int, mBits: Int): String = {
+    val (a, c, s) = ProbeCoefs(j)
+    s"(((($a * ($ghExpr) + $c) & $Mask31) >> $s) & ${mBits - 1})"
+  }
+
+  /** Build the eval-side sketch: distinct eval grams → probe positions →
+    * packed bit words. Runs as a (tiny) Spark job whose DISTINCT bit
+    * positions — at most mBits values, a few KB — come back to the
+    * driver; the corpus is never touched. */
+  def bloomBits(evalDocs: DataFrame, evalTextCol: String, n: Int,
+      mBits: Int): Array[Long] = {
+    val gh = evalDocs
+      .select(explode(Dedup.shinglesOfWords(split(col(evalTextCol), " "), n)).as("gram"))
+      .distinct()
+      .select(gramHash(col("gram")).as("gh"))
+    val pos = gh.select(explode(array(probePositions(col("gh"), mBits): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    words
+  }
+
+  /** (doc_id, n_flagged_grams) for every training doc with ≥1 gram the
+    * sketch cannot rule out — a superset of [[flagContaminated]]'s exact
+    * answer (one-sided error; DecontaminationSpec pins the no-false-
+    * negative direction). `mBits` must be a power of two ≥ 64. */
+  def bloomFlagContaminated(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
+      mBits: Int = 1 << 15): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64: $mBits")
+    val words = bloomBits(evalDocs, evalTextCol, n, mBits)
+    val wl = typedLit(words.toSeq)
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shinglesOfWords(split(col(textCol), " "), n)).as("gram"))
+      .withColumn("gh", gramHash(col("gram")))
+    val mightContain = probePositions(col("gh"), mBits).map { p =>
+      val word = element_at(wl, (p.divide(lit(64))).cast("int") + 1)
+      val bit = pmod(p, lit(64L)).cast("int")
+      call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    docGrams.filter(mightContain)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged_grams"))
   }
 }

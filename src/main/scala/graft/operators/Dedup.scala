@@ -456,6 +456,60 @@ object Dedup {
     (verified, Seq(sets, prefix) ++ overCache)
   }
 
+  // ---- Chunk-level (passage) dedup --------------------------------------
+
+  /** Chunk-level exact dedup — passage/paragraph dedup for corpora whose
+    * documents carry no explicit paragraph breaks (the span-dedup
+    * protocol of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": repeated passages are removed everywhere but their
+    * first occurrence, while the surrounding document survives). Each
+    * document is split into fixed `chunkWords`-word chunks; for every
+    * distinct chunk text only the corpus-first occurrence (smallest
+    * (doc id, chunk index)) survives; documents are reassembled from
+    * their surviving chunks in order.
+    *
+    * Output: (doc_id, n_chunks, n_kept, text_kept) — text_kept is the
+    * space-joined surviving chunks ("" when every chunk of the doc
+    * appeared earlier elsewhere). Integer counts + exact strings: the
+    * whole operator is mirrorable bit-for-bit in SQL.
+    *
+    * Scale: chunks shuffle ONCE on chunk text for the first-occurrence
+    * aggregation — `min(struct(doc, idx))` partial-aggregates, so a
+    * boilerplate chunk duplicated 10^8 times combines map-side instead
+    * of funneling into one task — then once on doc_id for reassembly
+    * (bounded: one row per SURVIVING chunk, at most one per distinct
+    * chunk text corpus-wide). Never a self-join, no candidate blowup. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 32): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive: $chunkWords")
+    val words = split(col(textCol), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("long")
+    val base = df.select(col(idCol).as("doc_id"), words.as("__ws"), nChunks.as("n_chunks"))
+    val chunks = base
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(CAST(0 AS BIGINT), n_chunks - 1), i -> array_join(slice(__ws, CAST(i AS INT) * $chunkWords + 1, $chunkWords), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+    // one row per DISTINCT chunk text: its first (doc, idx) occurrence —
+    // no join-back needed, the survivors ARE the aggregation result
+    val survivors = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.chunk_idx").as("chunk_idx"),
+        col("chunk"))
+    val reassembled = survivors
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_kept"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** doc_id → 64-bit SimHash over word 3-gram shingles: per-feature hash

@@ -95,4 +95,39 @@ object Sampling {
       buckets: Int = 10000): DataFrame =
     sources.map { case (df, w) => deterministicSample(df, idCol, w, buckets) }
       .reduce(_ unionByName _)
+
+  /** Temperature-rebalanced (T = 2, square-root) corpus mix: per group g
+    * of size n_g keep quota m_g = min(n_g, perSqrt · ⌊√n_g⌋) — the
+    * exponent-1/T down-weighting of head domains/languages used in
+    * multilingual sampling (mBERT/XLM style), with the T = 2 case kept
+    * integer-exact: √ of a BIGINT is IEEE-correctly-rounded in every
+    * engine and ⌊·⌋ of it is deterministic (perfect squares are exact in
+    * a double), so any engine computes the identical quota. Members are
+    * the group's first m_g rows by (id-hash, id) rank — the same
+    * partitioning-independent membership as [[stratifiedSample]].
+    *
+    * Scale: one shuffle on the group key; rank window and count window
+    * share that partitioning (single exchange). A pathologically hot
+    * group funnels into one task for the rank — pre-thin it with
+    * [[deterministicSample]] to ~2·m_g/n_g first, as with
+    * [[stratifiedSample]]. */
+  def temperatureRebalance(df: DataFrame, groupCol: String, idCol: String,
+      perSqrt: Int, buckets: Int = 1 << 20): DataFrame = {
+    require(perSqrt > 0, s"perSqrt must be positive: $perSqrt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), buckets), col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val quota = least(count(lit(1)).over(cw),
+      lit(perSqrt.toLong) * floor(sqrt(count(lit(1)).over(cw).cast("double"))).cast("long"))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__quota", quota)
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+  }
+
+  /** SQL mirror of [[temperatureRebalance]]'s quota for oracle engines:
+    * `LEAST(cnt, perSqrt * CAST(FLOOR(SQRT(cnt)) AS BIGINT))`. */
+  def temperatureQuotaSql(cntExpr: String, perSqrt: Int): String =
+    s"LEAST($cntExpr, $perSqrt * CAST(FLOOR(SQRT(CAST($cntExpr AS DOUBLE))) AS BIGINT))"
 }

@@ -239,4 +239,81 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id")
   }
+
+  // ---- Semantic dedup (SemDeDup-style) ----------------------------------
+
+  /** Semantic near-dedup pairs (the SemDeDup recipe, Abbas et al. 2023):
+    * a KMeans coarse quantizer (fixed seed, bounded-sample fit — same
+    * machinery as [[ivfTopK]]) partitions the corpus into `nlist` cells;
+    * each vector is indexed into its `nprobe` NEAREST cells (multi-probe
+    * — a pair is a candidate iff the probe sets intersect), then exact
+    * quantized cosine ≥ threshold verifies. Returns (id_a, id_b, cos)
+    * with id_a < id_b.
+    *
+    * Assignment is pure narrow column work: distances to the (tiny,
+    * literal) centroid table in exact quantized BIGINTs, ties broken by
+    * cell index — no per-row ML pipeline, no shuffle before the bucket
+    * join. Approximate by design: a pair sharing none of its nprobe²
+    * cell combinations is missed (recall pinned in SimilaritySpec).
+    * Scale: never all-pairs — candidates are bounded per cell (nprobe×
+    * corpus rows spread over nlist cells), cells are capped with logged
+    * drops like every banded join here. */
+  def semanticNearDups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, nprobe: Int = 2,
+      maxCellSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]: $nprobe")
+    val fv = df.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("v"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .withColumn("n", normQ(col("v")))
+    val fitSample = fv.select(col("id"), col("features"))
+      .orderBy(col("id")).limit(IvfFitSampleCap).select("features")
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(fitSample)
+    // nprobe nearest cells per vector: exact quantized squared distances
+    // to each centroid, lexicographic (dist, cell) sort — deterministic
+    val centersQ: Seq[Seq[Long]] =
+      model.clusterCenters.map(_.toArray.toSeq.map(d => math.round(d * 1e6)))
+    val dists = centersQ.zipWithIndex.map { case (c, i) =>
+      val d2 = aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(i).as("cell"))
+    }
+    val assigned = fv
+      .withColumn("__cells", slice(array_sort(array(dists: _*)), 1, nprobe))
+      .select(col("id"), col("v"), col("n"),
+        explode(transform(col("__cells"), x => x.getField("cell"))).as("cell"))
+      .persist()
+    val (capped, overCache) =
+      Dedup.capBuckets(assigned, Seq("cell"), maxCellSize, "semanticNearDups")
+    val result = capped.as("l").join(capped.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"),
+        col("l.n").as("na"), col("r.n").as("nb"))
+      .distinct()
+      .withColumn("cos", cosinePre(dotQ(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    materialized(result, Seq(assigned) ++ overCache: _*)
+  }
+
+  /** Semantic dedup end to end: within-cell near-dup pairs → keep only
+    * each connected cluster's smallest id (the SemDeDup pruning step). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, nprobe: Int = 2,
+      maxCellSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val pairs = semanticNearDups(df, idCol, vecCol, threshold, nlist, nprobe, maxCellSize)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val out = df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    clusters.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+    out
+  }
 }

@@ -294,6 +294,50 @@ object DeltaQ {
         catch { case _: IllegalStateException => true }
       require(gotError, "mode=error must refuse an existing table")
       GraftDelta.readDelta(s, path).orderBy($"r_regionkey", $"r_name")
+    }),
+
+    // SHALLOW CLONE: metadata-only fork — clone commit 0 re-adds the
+    // source's files by absolute path; an append to the clone must not
+    // touch the source (its row count rides along as src_rows).
+    "d19_clone" -> ((s, dir) => {
+      import s.implicits._
+      val src = tmp("d19src")
+      val cln = tmp("d19cln")
+      val c = t(s, dir, "customer")
+      GraftDelta.toDelta(c, src)                                     // source v0
+      GraftDelta.shallowClone(s, src, cln)                           // clone v0
+      GraftDelta.toDelta(
+        c.filter($"c_custkey" <= 100).withColumn("c_custkey", $"c_custkey" + 1000000L),
+        cln, mode = "append")                                        // clone v1
+      val srcRows = GraftDelta.readDelta(s, src).count()             // untouched
+      GraftDelta.readDelta(s, cln)
+        .select($"c_custkey", $"c_name", cents($"c_acctbal").as("acctbal_c"))
+        .withColumn("src_rows", lit(srcRows))
+        .orderBy($"c_custkey")
+    }),
+
+    // CHECK constraints (writer protocol v3): add validates the table,
+    // conforming appends pass, a violating append must fail BEFORE any
+    // commit — the readback proves no partial state leaked.
+    "d20_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d20")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(sup.filter($"s_suppkey" % 2 === 0), path)         // v0
+      GraftDelta.addCheckConstraint(s, path, "bal_floor", "s_acctbal >= -1000.0") // v1
+      GraftDelta.toDelta(sup.filter($"s_suppkey" % 2 === 1), path, mode = "append") // v2
+      val rejected =
+        try {
+          GraftDelta.toDelta(
+            sup.limit(3).withColumn("s_acctbal", lit(-999999.0)),
+            path, mode = "append")
+          0L
+        } catch { case _: Exception => 1L }
+      require(rejected == 1L, "violating append must be rejected")
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("acctbal_c"))
+        .withColumn("n_rejected_writes", lit(rejected))
+        .orderBy($"s_suppkey")
     })
   )
 
@@ -345,6 +389,20 @@ object DeltaQ {
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
         | CAST(3 AS BIGINT) AS restore_version
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "d19_clone" ->
+      """SELECT * FROM (
+        | SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS src_rows FROM customer
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+        | FROM customer WHERE c_custkey <= 100
+        |) ORDER BY c_custkey""".stripMargin,
+    "d20_constraints" ->
+      """SELECT s_suppkey, s_nationkey,
+        | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c,
+        | CAST(1 AS BIGINT) AS n_rejected_writes
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

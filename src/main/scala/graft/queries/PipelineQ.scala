@@ -328,6 +328,48 @@ object PipelineQ {
           length($"resized").cast("long").as("n_resized"),
           conv(hex(substring($"sampled", 1, 1)), 16, 10).cast("long").as("first_byte"))
         .orderBy($"media_id")
+    }),
+
+    // Chunk-level (passage) dedup: repeated 32-word chunks removed
+    // everywhere but their corpus-first occurrence, docs reassembled —
+    // span dedup à la Lee et al.; exact strings + counts, strict oracle.
+    "t29_chunk_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text", chunkWords = 32)
+        .orderBy($"doc_id")
+    }),
+
+    // Temperature-rebalanced (T = 2) language mix: per-lang quota
+    // min(n, 4·⌊√n⌋) by hash rank — integer-exact, membership-sensitive
+    // id sums pin the exact surviving set.
+    "t30_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.temperatureRebalance(t(s, dir, "documents"), "lang", "doc_id", perSqrt = 4)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
+    }),
+
+    // Semantic dedup (SemDeDup): KMeans cells → within-cell exact-cosine
+    // pairs (KMeans-dependent → rows-only; recall pinned in
+    // SimilaritySpec against brute-force all-pairs).
+    "t31_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.semanticNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.42, nlist = 16)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Bloom-sketch decontamination: the eval side compressed to a 2^15-bit
+    // filter, corpus grams tested scan-side with integer arithmetic the
+    // oracle reproduces bit-for-bit (false positives included).
+    "t32_bloom_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Decontamination.bloomFlagContaminated(d, "doc_id", "text",
+          d.filter($"doc_id" < 5), "text", n = 13)
+        .orderBy($"doc_id")
     })
   )
 
@@ -546,6 +588,53 @@ object PipelineQ {
         |SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
         |FROM dg JOIN ev USING (gram)
         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+    "t29_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, CAST(CEIL(len(ws) / 32.0) AS BIGINT) AS n_chunks FROM w),
+        |g AS (SELECT doc_id,
+        |  [array_to_string(ws[i*32+1 : i*32+32], ' ')
+        |   FOR i IN generate_series(0, CAST(CEIL(len(ws) / 32.0) AS BIGINT) - 1)] AS cs
+        |  FROM w),
+        |c AS (SELECT doc_id, unnest(cs) AS chunk,
+        |        unnest(generate_series(0, len(cs) - 1)) AS chunk_idx FROM g),
+        |f AS (SELECT chunk, MIN(doc_id * 1000000 + chunk_idx) AS k FROM c GROUP BY chunk),
+        |kept AS (SELECT k // 1000000 AS doc_id, k % 1000000 AS chunk_idx, chunk FROM f),
+        |r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |        string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_kept
+        |      FROM kept GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_chunks,
+        |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_kept, '') AS text_kept
+        |FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin,
+    "t30_temperature_mix" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT lang, doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY ${Sampling.hashBucketSql("doc_id", 1 << 20)}, doc_id) AS rk,
+         |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+         |      FROM documents) z
+         |WHERE rk <= ${Sampling.temperatureQuotaSql("cnt", 4)}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "t32_bloom_decontam" -> {
+      import graft.operators.Decontamination.{gramHashSql, probeSql}
+      val m = 1 << 15
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 13
+         |   THEN list_distinct([array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws)-12)])
+         |   ELSE [array_to_string(ws, ' ')] END AS sh FROM w),
+         |dg AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+         |dh AS (SELECT doc_id, ${gramHashSql("gram")} AS gh FROM dg),
+         |evpos AS (SELECT DISTINCT p FROM (
+         |  SELECT unnest([${probeSql("gh", 0, m)}, ${probeSql("gh", 1, m)},
+         |                 ${probeSql("gh", 2, m)}]) AS p
+         |  FROM (SELECT DISTINCT gh FROM dh WHERE doc_id < 5))),
+         |hits AS (SELECT doc_id FROM dh
+         |         WHERE ${probeSql("gh", 0, m)} IN (SELECT p FROM evpos)
+         |           AND ${probeSql("gh", 1, m)} IN (SELECT p FROM evpos)
+         |           AND ${probeSql("gh", 2, m)} IN (SELECT p FROM evpos))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "t17_quality_pii" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id,

@@ -1,0 +1,133 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** SHALLOW CLONE + CHECK constraint pins.
+  *
+  * Clone: metadata-only (zero parquet under the clone root), reads the
+  * source's bytes, evolves independently, and can never corrupt the
+  * source — vacuum skips outside-root (absolute-path) tombstones.
+  * Constraints: table-scan validation on ADD, in-flight enforcement on
+  * append AND DML rewrites, protocol raised to writer v3, v3 tables
+  * remain writable by us (we enforce), v4+ still refused. */
+class CloneConstraintSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_cc")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def sample = {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, i * 1.5, s"name_$i")).toDF("ints", "floats", "strings")
+  }
+
+  test("shallow clone is metadata-only and reads the source snapshot") {
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(sample, src)
+    val res = GraftDelta.shallowClone(spark, src, cln)
+    assert(res.tableVersion == 0L && res.clonedFiles > 0)
+    // no data file was copied: the clone dir holds only _delta_log
+    val copied = new java.io.File(cln).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(copied.isEmpty, s"clone must not copy data files: ${copied.toSeq}")
+    assert(GraftDelta.readDelta(spark, cln).orderBy("ints").collect().toSeq ==
+      GraftDelta.readDelta(spark, src).orderBy("ints").collect().toSeq)
+  }
+
+  test("clone at a pinned version sees that snapshot, not the head") {
+    import spark.implicits._
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(sample, src)                                  // v0
+    GraftDelta.toDelta(sample.withColumn("ints", $"ints" + 1000L),
+      src, mode = "append")                                          // v1
+    GraftDelta.shallowClone(spark, src, cln, version = Some(0L))
+    assert(GraftDelta.readDelta(spark, cln).count() == 100)
+  }
+
+  test("writes to a clone never touch the source; vacuum skips foreign files") {
+    import spark.implicits._
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(sample, src)
+    GraftDelta.shallowClone(spark, src, cln)
+    // overwrite the clone: every source file becomes a clone tombstone
+    GraftDelta.toDelta(sample.filter($"ints" < 10), cln, mode = "overwrite")
+    // vacuum with zero retention: tombstones are expired but FOREIGN —
+    // they must be skipped, not deleted (and not even listed)
+    val listed = GraftDelta.vacuum(spark, cln, retentionHours = 0.0, dryRun = false)
+    assert(listed.isEmpty, s"foreign tombstones must not be vacuum targets: $listed")
+    assert(GraftDelta.readDelta(spark, src).count() == 100,
+      "source corrupted by vacuuming a clone")
+    // sanity: the clone's own head survives too
+    assert(GraftDelta.readDelta(spark, cln).count() == 10)
+  }
+
+  test("clone refuses an existing delta table target") {
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(sample, src)
+    GraftDelta.toDelta(sample, cln)
+    intercept[IllegalArgumentException] {
+      GraftDelta.shallowClone(spark, src, cln)
+    }
+  }
+
+  test("ADD CONSTRAINT validates existing rows and rejects violating appends") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    // violated by existing rows → refused, no commit
+    intercept[IllegalArgumentException] {
+      GraftDelta.addCheckConstraint(spark, path, "ints_small", "ints < 50")
+    }
+    assert(DeltaLog.forTable(spark, path).latestVersion == 0L)
+    // holds → committed, protocol raised to writer v3
+    GraftDelta.addCheckConstraint(spark, path, "ints_bound", "ints < 1000")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.protocol.minWriterVersion == 3)
+    assert(snap.metadata.configuration("delta.constraints.ints_bound") == "ints < 1000")
+    // conforming append passes
+    GraftDelta.toDelta(sample.withColumn("ints", $"ints" + 500L), path, mode = "append")
+    // violating append fails BEFORE any commit — no partial state
+    val vBefore = DeltaLog.forTable(spark, path).latestVersion
+    intercept[Exception] {
+      GraftDelta.toDelta(sample.withColumn("ints", lit(99999L)), path, mode = "append")
+    }
+    assert(DeltaLog.forTable(spark, path).latestVersion == vBefore,
+      "violating write must not commit")
+    assert(GraftDelta.readDelta(spark, path).count() == 200)
+  }
+
+  test("DML rewrites re-validate constraints (UPDATE cannot break them)") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    GraftDelta.addCheckConstraint(spark, path, "ints_bound", "ints < 1000")
+    val vBefore = DeltaLog.forTable(spark, path).latestVersion
+    intercept[Exception] {
+      GraftDelta.updateWhere(spark, path,
+        Seq(Seq(Predicate("ints", "<", 5L))),
+        Map("ints" -> expr("ints + 100000")))
+    }
+    assert(DeltaLog.forTable(spark, path).latestVersion == vBefore)
+    // NULL constraint values pass (SQL CHECK semantics): a predicate on
+    // a nullable expression admits rows where it evaluates to NULL
+    GraftDelta.dropConstraint(spark, path, "ints_bound")
+    GraftDelta.addCheckConstraint(spark, path, "null_passes",
+      "CASE WHEN ints < 0 THEN NULL ELSE true END")
+    GraftDelta.toDelta(sample, path, mode = "append") // all pass (none negative)
+    assert(GraftDelta.readDelta(spark, path).count() == 200)
+  }
+
+  test("writer v3 tables are writable by us; v4+ still refused") {
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(1L, Seq(Protocol(1, 3)))
+    GraftDelta.toDelta(sample, path, mode = "append") // v3: fine, we enforce
+    log.writeCommit(3L, Seq(Protocol(1, 4)))
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(sample, path, mode = "append")
+    }
+  }
+}

@@ -66,4 +66,40 @@ class DecontaminationSpec extends AnyFunSuite {
     val counts = TextAnalysis.piiCounts(df, "doc_id", "text").head()
     assert(counts.getLong(1) == 1L && counts.getLong(2) == 1L)
   }
+
+  /** Bloom-sketch decontamination is one-sided: every doc (and every
+    * gram) the exact path flags MUST be flagged by the sketch — false
+    * negatives would let contamination through. On the sf0.001 documents
+    * corpus the sketch answer must dominate the exact answer per-doc. */
+  test("bloom decontamination has no false negatives vs the exact path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evals = docs.filter(col("doc_id") < 5)
+    val exact = Decontamination.flagContaminated(docs, "doc_id", "text", evals, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontamination.bloomFlagContaminated(docs, "doc_id", "text", evals, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"false-negative docs: ${exact.keySet.diff(bloom.keySet)}")
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: sketch flagged ${bloom(id)} < exact $n grams")
+    }
+    // eval docs flag themselves entirely (every gram is a member)
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(bloom.contains), s"eval docs missing: $bloom")
+  }
+
+  test("bloom sketch flags a planted contaminated doc and skips clean ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"some prefix words here $evalSentence and a suffix tail"),
+      (2L, "a completely clean document with plenty of ordinary words " +
+        "that never quote any benchmark content at all in any way")
+    ).toDF("doc_id", "text")
+    val evals = Seq(Tuple1(evalSentence)).toDF("text")
+    val flagged = Decontamination.bloomFlagContaminated(docs, "doc_id", "text", evals, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(1L), s"planted contamination missed: $flagged")
+    // doc 2's grams could false-positive only with p ~ 1e-4 per gram —
+    // a hit here means the probe arithmetic is broken, not bad luck
+    assert(!flagged.contains(2L), s"clean doc false-flagged: $flagged")
+  }
 }

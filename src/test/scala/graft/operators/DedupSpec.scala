@@ -272,4 +272,45 @@ class DedupSpec extends AnyFunSuite {
     assert(k2ord.isEmpty && Set("c", "d").contains(k2payload),
       s"all-null group must keep a real row, got $k2payload")
   }
+
+  /** Chunk-level dedup: repeated chunks survive only at their corpus-first
+    * (doc, idx) occurrence; docs reassemble from surviving chunks in
+    * order; a fully-duplicated doc collapses to the empty string. */
+  test("chunkDedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
+    val docs = Seq(
+      (1L, s"$A $B"),        // both chunks first here
+      (2L, s"$A $C"),        // A repeated → only C survives
+      (3L, s"$A $B"),        // fully duplicated → empty
+      (4L, s"d1 d2 d3 d4 d1 d2 d3 d4"), // in-doc repeat → first kept
+      (5L, "e1 e2 e3 e4 e5 e6")         // ragged tail chunk (2 words)
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$A $B")))
+    assert(out(2L) == ((2L, 1L, C)))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((2L, 1L, "d1 d2 d3 d4")))
+    assert(out(5L) == ((2L, 2L, "e1 e2 e3 e4 e5 e6")))
+  }
+
+  /** Chunk first-occurrence must be corpus-global and partitioning-
+    * independent, and the plan must partial-aggregate (a boilerplate
+    * chunk duplicated everywhere combines map-side — no window). */
+  test("chunkDedup is partitioning-independent and partial-aggregates") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, if (i % 5 == 0) "x1 x2 x3 x4" else s"u$i v$i w$i z$i"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.chunkDedup(d, "doc_id", "text", chunkWords = 4)
+        .orderBy("doc_id").collect().toSeq
+    val a = run(docs)
+    assert(a == run(docs.repartition(13, col("doc_id") % 3)), "result drifted with partitioning")
+    val kept = a.filter(_.getLong(2) > 0).map(_.getLong(0))
+    assert(kept.count(_ % 5 == 0) == 1, "exactly one copy of the boilerplate chunk survives")
+    val plan = Dedup.chunkDedup(docs, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chunkDedup must not plan a Window:\n$plan")
+  }
 }

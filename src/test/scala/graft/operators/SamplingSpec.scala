@@ -74,4 +74,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(mixed("a") / 10000.0 - 0.5) < 0.03, mixed.toString)
     assert(math.abs(mixed("b") / 10000.0 - 0.1) < 0.03, mixed.toString)
   }
+
+  test("temperatureRebalance keeps min(n, perSqrt*floor(sqrt(n))) per group, stably") {
+    import spark.implicits._
+    // group sizes 3 / 9 / 10000: quota below size, exactly at the sqrt
+    // knee, and a head group squashed by orders of magnitude
+    val df = ((1L to 3L).map(i => ("tiny", i)) ++
+      (1L to 9L).map(i => ("knee", 100L + i)) ++
+      (1L to 10000L).map(i => ("head", 10000L + i))).toDF("g", "id")
+    def run(d: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      Sampling.temperatureRebalance(d, "g", "id", perSqrt = 2)
+        .select("g", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = run(df)
+    assert(a("tiny").size == 2, s"min(3, 2*floor(sqrt 3)) = 2, got ${a("tiny").size}")
+    assert(a("knee").size == 6, s"min(9, 2*3) = 6, got ${a("knee").size}")
+    assert(a("head").size == 200, s"min(10000, 2*100) = 200, got ${a("head").size}")
+    val b = run(df.repartition(11, col("id") % 7))
+    assert(a == b, "temperature mix membership drifted under repartitioning")
+  }
 }

@@ -67,4 +67,43 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean LSH recall@10 = $mean ($recalls)")
   }
+
+  /** SemDeDup recall pin: within-cell pairs vs brute-force all-pairs
+    * cosine on the sf0.001 embeddings. Planted near-identical pairs sit
+    * almost on top of each other, so the coarse quantizer should put
+    * them in one cell; precision is 1 by construction (every emitted
+    * pair is exact-cosine-verified). */
+  test("semanticNearDups finds most brute-force cosine pairs, precision 1") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(emb)
+    val q = df.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("v"))
+    val exact = q.as("l").join(q.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.cosineQ(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= 0.42)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.semanticNearDups(df, "vec_id", "embedding",
+        threshold = 0.42, nlist = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), s"false positives: ${sem.diff(exact)}")
+    assert(exact.nonEmpty, "corpus must contain planted near-dup pairs")
+    val recall = sem.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"SemDeDup recall = $recall (${sem.size}/${exact.size})")
+  }
+
+  /** semanticDedup drops exactly the non-keeper members of each pair
+    * cluster — the corpus shrinks by the number of losers. */
+  test("semanticDedup removes cluster losers only") {
+    val df = spark.read.parquet(emb)
+    val pairs = Similarity.semanticNearDups(df, "vec_id", "embedding", 0.42, nlist = 16)
+    val losers = pairs.select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet.size -
+      graft.operators.Dedup.nearDupClusters(
+        pairs.withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .select("doc_a", "doc_b"))
+        .select("cluster_id").distinct().count().toInt
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", 0.42, nlist = 16).count()
+    assert(kept == df.count() - losers, s"kept $kept of ${df.count()}, losers $losers")
+  }
 }
