@@ -75,6 +75,7 @@ object DeltaDml {
       throw new IllegalStateException(
         s"Table requires writer version ${snap.protocol.minWriterVersion} > " +
           s"${DeltaWrite.MaxSupportedWriterVersion}")
+    DeltaWrite.requireNotColumnMapped(snap, "DML")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
@@ -253,6 +254,7 @@ object DeltaDml {
       throw new IllegalStateException(
         s"Table requires writer version ${snap.protocol.minWriterVersion} > " +
           s"${DeltaWrite.MaxSupportedWriterVersion}")
+    DeltaWrite.requireNotColumnMapped(snap, "DML")
     val targetCols = snap.schema.fieldNames.toSeq
     on.foreach { k =>
       require(targetCols.contains(k), s"Join key $k missing from target")

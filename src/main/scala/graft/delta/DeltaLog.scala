@@ -249,14 +249,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
     val meta = metadata.getOrElse(
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
-    // Reader-version gate: a table on reader ≥ 2 uses features this replay
-    // does not implement (column mapping, deletion vectors) — reading it
-    // anyway would silently return wrong rows, the worst failure mode.
-    // delta-rs 0.6.4 (the reference's engine) is reader-1-only too.
-    if (protocol.minReaderVersion > DeltaLog.MaxSupportedReaderVersion)
+    // Reader-version gate: reader 2 = column mapping, which this replay
+    // implements for mode `name` (and trivially `none`); `id` mode needs
+    // parquet field-id matching we don't do, and reader ≥ 3 (deletion
+    // vectors, table features) is unimplemented — reading either anyway
+    // would silently return wrong rows, the worst failure mode.
+    val mappingMode =
+      meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val readerSupported =
+      protocol.minReaderVersion <= 1 ||
+        (protocol.minReaderVersion == 2 && (mappingMode == "none" || mappingMode == "name"))
+    if (!readerSupported)
       throw new IllegalStateException(
-        s"Table $tablePath requires reader version ${protocol.minReaderVersion} > " +
-          s"${DeltaLog.MaxSupportedReaderVersion} (unsupported table features)")
+        s"Table $tablePath requires reader version ${protocol.minReaderVersion} " +
+          s"(columnMapping.mode=$mappingMode) — supported: reader ≤ " +
+          s"${DeltaLog.MaxSupportedReaderVersion} with mapping mode none or name")
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
       txns.values.toSeq)
   }
@@ -494,10 +501,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
 object DeltaLog {
 
-  /** Highest protocol reader version this replay implements (no column
-    * mapping / deletion vectors; same ceiling as the reference's
-    * delta-rs 0.6.4). */
-  val MaxSupportedReaderVersion = 1
+  /** Highest protocol reader version this replay implements: 2 = column
+    * mapping (mode `name` — physical↔logical rename at scan time; `id`
+    * mode and reader ≥ 3 deletion vectors refused loudly). The
+    * reference's delta-rs 0.6.4 is reader-1-only. */
+  val MaxSupportedReaderVersion = 2
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r

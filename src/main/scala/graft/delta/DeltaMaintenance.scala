@@ -39,6 +39,7 @@ object DeltaMaintenance {
       zorder: Boolean = false): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
+    DeltaWrite.requireNotColumnMapped(snap, "OPTIMIZE")
     sortBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown sortBy column: $c")
       require(!snap.partitionColumns.contains(c),

@@ -68,6 +68,10 @@ object DeltaRead {
     // the layer that keeps 100 TB plans small (SURVEY.md §4).
     val files = prunedFiles(snap, filters)
 
+    if (mappingModeOf(snap) == "name")
+      return finishProjection(
+        mappedScan(spark, path, snap, files), schema, partCols, columns, filters)
+
     val base = if (files.isEmpty) {
       // Empty-table branch (SURVEY.md §2 ⑨): correct schema, 0 rows.
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -108,7 +112,14 @@ object DeltaRead {
       }
     }
 
-    // (b) residual row-level filter → Catalyst → parquet row-group pushdown.
+    finishProjection(base, schema, partCols, columns, filters)
+  }
+
+  /** (b) residual row-level filter → Catalyst → parquet row-group
+    * pushdown, then the projection. */
+  private def finishProjection(
+      base: DataFrame, schema: StructType, partCols: Set[String],
+      columns: Seq[String], filters: Seq[Seq[Predicate]]): DataFrame = {
     val dataFilters = filters
       .map(_.filterNot(p => partCols.contains(p.column)))
       .filter(_.nonEmpty)
@@ -119,6 +130,61 @@ object DeltaRead {
       else base.filter(dnfToColumn(filters))
 
     if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+  }
+
+  // ---- Column mapping (delta.columnMapping.mode = name) ------------------
+
+  private[delta] def mappingModeOf(snap: Snapshot): String =
+    snap.metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  /** A field's on-disk (parquet) name under column mapping. */
+  private[delta] def physicalNameOf(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Recursively rename a logical type to its physical (on-disk) shape. */
+  private def physicalize(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physicalize(et), n)
+    case MapType(k, v, n) => MapType(physicalize(k), physicalize(v), n)
+    case other => other
+  }
+
+  /** Scan of a column-mapped (mode `name`) table: parquet files carry
+    * PHYSICAL field names (col-<uuid>) at every nesting level and
+    * `add.partitionValues` is keyed by physical partition names, while
+    * `metaData.partitionColumns` and the surfaced schema are logical.
+    * Read with the physical schema, then rename back in one projection —
+    * nested renames ride on struct cast-by-position (same types, same
+    * order, names only). Partition values are attached as typed literals
+    * straight from the log (the hive dirs are physical-named, so
+    * basePath recovery would surface the wrong column names). */
+  private def mappedScan(
+      spark: SparkSession, path: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val schema = snap.schema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val partCols = snap.partitionColumns
+    val physOf: Map[String, String] =
+      schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
+    val partFields = schema.fields.filter(f => partCols.contains(f.name))
+    files.groupBy(_.partitionValues).map { case (pv, group) =>
+      val g = spark.read.format("parquet").schema(physDataSchema)
+        .load(group.map(f => resolvePath(path, f.path)): _*)
+      val renamed = dataFields.map(f =>
+        col(physicalNameOf(f)).cast(f.dataType).as(f.name)) ++
+        partFields.map(f =>
+          lit(pv.get(physOf(f.name)).flatMap(Option(_)).orNull)
+            .cast(f.dataType).as(f.name))
+      g.select(renamed: _*).select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Two-level log-side file pruning, before any scan exists:
@@ -133,15 +199,22 @@ object DeltaRead {
     val partCols = snap.partitionColumns.toSet
     val fieldTypes: Map[String, DataType] =
       snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    // under column mapping the log (partitionValues, stats JSON) is keyed
+    // by PHYSICAL names while predicates arrive logical — translate
+    val physOf: Map[String, String] =
+      if (mappingModeOf(snap) == "name")
+        snap.schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
+      else Map.empty
+    def physName(c: String): String = physOf.getOrElse(c, c)
     snap.activeFiles.filter { f =>
       lazy val stats = StatsPruning.parse(f.stats)
       filters.exists { conj =>
         conj.forall { p =>
           if (partCols.contains(p.column))
-            evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+            evalPredicate(f.partitionValues.get(physName(p.column)).flatMap(Option(_)),
               fieldTypes.getOrElse(p.column, StringType), p)
           else
-            StatsPruning.mayMatch(stats, p)
+            StatsPruning.mayMatch(stats, p.copy(column = physName(p.column)))
         }
       }
     }

@@ -258,7 +258,9 @@ object DeltaTableOps {
     val hi = toVersion.getOrElse(log.latestVersion)
     require(fromVersion <= hi,
       s"tableChanges range is empty: ($fromVersion, $hi]")
-    val schema = log.snapshot(Some(hi)).schema
+    val hiSnap = log.snapshot(Some(hi))
+    DeltaWrite.requireNotColumnMapped(hiSnap, "tableChanges")
+    val schema = hiSnap.schema
     val perCommit = ((fromVersion + 1) to hi).flatMap { v =>
       val adds = log.readCommitActions(v).collect {
         case a: AddFile if a.dataChange => a

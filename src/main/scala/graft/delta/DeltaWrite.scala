@@ -72,6 +72,7 @@ object DeltaWrite {
       if (snap.protocol.minWriterVersion > MaxSupportedWriterVersion)
         throw new IllegalStateException(
           s"Table requires writer version ${snap.protocol.minWriterVersion} > $MaxSupportedWriterVersion")
+      requireNotColumnMapped(snap, "write")
       if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
         throw new IllegalArgumentException(
           s"partitionBy $partitionBy != table partition columns ${snap.partitionColumns}")
@@ -247,6 +248,18 @@ object DeltaWrite {
     * Serial on the driver below a threshold; above it, one Spark job does
     * the rename + footer read per file in parallel (at 10^5-10^6 files an
     * O(#files) serial driver phase is the write-path scale-killer). */
+  /** Column-mapped tables store PHYSICAL field names on disk; every
+    * surface that writes data files would emit logical names and corrupt
+    * the table — those surfaces refuse loudly (reads are mapped-aware,
+    * DeltaRead.mappedScan). */
+  private[graft] def requireNotColumnMapped(snap: Snapshot, surface: String): Unit = {
+    val mode = snap.metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none")
+      throw new IllegalStateException(
+        s"$surface does not support column-mapped tables " +
+          s"(delta.columnMapping.mode=$mode); reading them is supported")
+  }
+
   /** The CHECK constraints stored in a table's metadata configuration
     * (`delta.constraints.<name>` → SQL predicate, the delta-spark
     * layout). */

@@ -28,6 +28,7 @@ object DeltaTail {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           log.snapshot(None).schema))
     val snap = log.snapshot(Some(latest)) // schema as of the head
+    graft.delta.DeltaWrite.requireNotColumnMapped(snap, "log-tail CDC")
     // dataChange=false adds (OPTIMIZE/compaction rewrites) carry no new
     // rows — re-ingesting them would duplicate the entire compacted data.
     // Delta streaming sources skip them for exactly this reason.

@@ -44,6 +44,9 @@ class GraftStreamSource(
     * a metadata change AFTER it invalidates the running stream. */
   private val (initSchema, schemaVersion): (StructType, Long) = {
     val s = log.snapshot(None)
+    // mapped tables store physical names on disk; streaming the raw files
+    // with the logical schema would silently read nulls
+    graft.delta.DeltaWrite.requireNotColumnMapped(s, "streaming source")
     (s.schema, s.version)
   }
   override val schema: StructType = initSchema

@@ -1,0 +1,158 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Column-mapping (reader protocol 2, `delta.columnMapping.mode=name`)
+  * pins against hand-crafted foreign tables: parquet files carry
+  * physical `col-<tag>` names at every nesting level, the log carries
+  * the logical schema with physicalName field metadata, and
+  * partitionValues / hive dirs are physical-keyed. Reads must surface
+  * logical names and values; every data-writing surface must refuse
+  * loudly (it would emit logical names and corrupt the table); `id`
+  * mode and reader ≥ 3 must refuse. */
+class ColumnMappingSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_cm")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def mappedField(logical: String, physical: String, dt: DataType,
+      id: Long): StructField =
+    StructField(logical, dt, nullable = true,
+      new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", physical)
+        .build())
+
+  /** Hand-craft an UNPARTITIONED mapped table: 2 data files with
+    * physical names, one nested struct whose inner field is mapped too. */
+  private def stageUnpartitioned(): String = {
+    import spark.implicits._
+    val path = tmp()
+    val physInner = StructType(Seq(StructField("col-i1", LongType)))
+    val phys = spark.createDataFrame(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "i").rdd.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getString(1),
+            org.apache.spark.sql.Row(r.getLong(2)))),
+      StructType(Seq(
+        StructField("col-k1", LongType), StructField("col-v2", StringType),
+        StructField("col-s3", physInner))))
+    phys.coalesce(1).write.parquet(s"$path/data")
+    val file = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val logicalInner = StructType(Seq(
+      mappedField("inner", "col-i1", LongType, 4)))
+    val logical = StructType(Seq(
+      mappedField("key", "col-k1", LongType, 1),
+      mappedField("value", "col-v2", StringType, 2),
+      mappedField("nested", "col-s3", logicalInner, 3)))
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE"),
+      Protocol(2, 5),
+      MetadataAction(id = "cm-test-1", schemaString = logical.json,
+        configuration = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "4")),
+      AddFile(path = s"data/${file.getName}", size = file.length(),
+        modificationTime = file.lastModified(), dataChange = true)))
+    path
+  }
+
+  /** Hand-craft a PARTITIONED mapped table: hive dirs + partitionValues
+    * keyed by the PHYSICAL partition name, partitionColumns logical. */
+  private def stagePartitioned(): String = {
+    import spark.implicits._
+    val path = tmp()
+    def stagePart(lang: String, rows: Seq[(Long, String)]): AddFile = {
+      val dir = s"$path/col-p9=$lang"
+      rows.toDF("col-k1", "col-v2").coalesce(1).write
+        .mode("append").parquet(dir)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      AddFile(path = s"col-p9=$lang/${f.getName}",
+        partitionValues = Map("col-p9" -> lang),
+        size = f.length(), modificationTime = f.lastModified(), dataChange = true)
+    }
+    val a1 = stagePart("en", Seq((1L, "x"), (2L, "y")))
+    val a2 = stagePart("de", Seq((3L, "z")))
+    val logical = StructType(Seq(
+      mappedField("key", "col-k1", LongType, 1),
+      mappedField("value", "col-v2", StringType, 2),
+      mappedField("lang", "col-p9", StringType, 3)))
+    DeltaLog.forTable(spark, path).writeCommit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE"),
+      Protocol(2, 5),
+      MetadataAction(id = "cm-test-2", schemaString = logical.json,
+        partitionColumns = Seq("lang"),
+        configuration = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      a1, a2))
+    path
+  }
+
+  test("mapped read surfaces logical names and values, nested included") {
+    val path = stageUnpartitioned()
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.columns.toSeq == Seq("key", "value", "nested"))
+    assert(df.schema("nested").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("inner"))
+    val rows = df.selectExpr("key", "value", "nested.inner")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  test("mapped partitioned read attaches logical partition values; log-level pruning prunes") {
+    val path = stagePartitioned()
+    val df = GraftDelta.readDelta(spark, path).orderBy("key")
+    assert(df.columns.toSeq == Seq("key", "value", "lang"))
+    assert(df.select("key", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "en"), (3L, "de")))
+    // partition predicate on the LOGICAL name prunes at the log level:
+    // only the en file is planned
+    val pruned = DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("lang", "==", "en"))))
+    assert(pruned.count() == 2)
+    assert(pruned.inputFiles.length == 1,
+      s"log-level pruning must plan 1 file, planned ${pruned.inputFiles.toSeq}")
+  }
+
+  test("data-writing surfaces refuse mapped tables loudly") {
+    import spark.implicits._
+    val path = stageUnpartitioned()
+    val incoming = GraftDelta.readDelta(spark, path) // right logical schema
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(incoming, path, mode = "append")
+    }
+    intercept[IllegalStateException] {
+      GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("key", "==", 1L))))
+    }
+    intercept[IllegalStateException] {
+      DeltaMaintenance.compact(spark, path)
+    }
+    intercept[IllegalStateException] {
+      graft.streaming.DeltaTail.changesSince(spark, path, -1L)
+    }
+  }
+
+  test("id mapping mode and reader >= 3 refuse loudly") {
+    val path = stageUnpartitioned()
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    log.writeCommit(1L, Seq(snap.metadata.copy(
+      configuration = Map("delta.columnMapping.mode" -> "id"))))
+    val e = intercept[IllegalStateException] {
+      GraftDelta.readDelta(spark, path).count()
+    }
+    assert(e.getMessage.contains("id"), e.getMessage)
+    // version-pinned read of the name-mode snapshot still works
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 3)
+  }
+}

@@ -200,11 +200,11 @@ class WriterSpec extends GraftSuite {
     }
   }
 
-  test("reader-version protocol gate: reader>=2 tables refuse to read") {
+  test("reader-version protocol gate: reader>=3 tables refuse to read") {
     val path = tmp()
     GraftDelta.toDelta(sample, path)
     val log = DeltaLog.forTable(spark, path)
-    log.writeCommit(1L, Seq(Protocol(2, 5))) // e.g. column mapping
+    log.writeCommit(1L, Seq(Protocol(3, 7))) // e.g. deletion vectors
     val e = intercept[IllegalStateException] {
       GraftDelta.readDelta(spark, path).count()
     }
@@ -212,6 +212,11 @@ class WriterSpec extends GraftSuite {
       s"must fail loudly, not misread: ${e.getMessage}")
     // pinned pre-upgrade versions still read fine
     assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == sample.count())
+    // reader 2 WITHOUT column mapping is plain data — reads fine now
+    val path2 = tmp()
+    GraftDelta.toDelta(sample, path2)
+    DeltaLog.forTable(spark, path2).writeCommit(1L, Seq(Protocol(2, 2)))
+    assert(GraftDelta.readDelta(spark, path2).count() == sample.count())
   }
 
   test("timestamp travel on our own commits") {
