@@ -10,4 +10,8 @@ object VectorFunctions {
   /** Exact BIGINT dot product of two quantized vectors (fused codegen loop). */
   def dotQ(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.dotQ(a, b)
+
+  /** 64-bit SimHash of an array of feature hashes (fused codegen loop). */
+  def simhash64(hs: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.simhash64(hs)
 }

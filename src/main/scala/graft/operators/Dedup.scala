@@ -565,9 +565,21 @@ object Dedup {
     * set the bit iff strictly more shingle hashes have bit i set than
     * clear (2·pos > total ⇔ pos − neg > 0). Same values as the
     * explode→vote-aggregator path (property-pinned in DedupSpec), but a
-    * narrow shuffle-free map over the corpus. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sets = withShingleSet(df, idCol, textCol)
+    * narrow shuffle-free map over the corpus, with the 64-bit vote loop
+    * fused into one native codegen'd pass (`simhash64` — the HOF
+    * formulation below re-traverses the hash array 64× per row
+    * interpreted; this was the whole cost of the sf0.1 simhash bench). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withShingleSet(df, idCol, textCol)
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("__hs", transform(col("sh_set"), sh => xxhash64(sh)))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(col("__hs")).as("sig"))
+
+  /** The portable HOF formulation — semantics oracle for the native
+    * expression (DedupSpec pins bit-equality); not on any hot path. */
+  private[operators] def simhashSignaturesViaHof(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hs = col("__hs")
     val total = size(hs).cast("long")
     val sig = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
@@ -576,7 +588,7 @@ object Dedup {
       acc.bitwiseOR(
         when(pos * 2 > total, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
     })
-    sets
+    withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0)
       .withColumn("__hs", transform(col("sh_set"), sh => xxhash64(sh)))
       .select(col("doc_id"), sig.as("sig"))

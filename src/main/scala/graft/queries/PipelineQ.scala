@@ -361,6 +361,25 @@ object PipelineQ {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Skew-safe join: event_id%3 rows collapse onto user 1 (a viral hot
+    // key ~1/3 of the fact table); the salted join must produce EXACTLY
+    // the plain join's rows — the oracle IS the plain join.
+    "t33_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("user_id", when($"event_id" % 3 === 0, lit(1L)).otherwise($"user_id"))
+        .select($"event_id", $"user_id", $"value")
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_nationkey")
+      graft.operators.SkewJoin.skewSafeJoin(ev, dim, Seq("user_id"),
+          salts = 8, hotThreshold = 1000L)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("value_c"))
+        .orderBy($"c_nationkey")
+    }),
+
     // Bloom-sketch decontamination: the eval side compressed to a 2^15-bit
     // filter, corpus grams tested scan-side with integer arithmetic the
     // oracle reproduces bit-for-bit (false positives included).
@@ -605,6 +624,15 @@ object PipelineQ {
         |SELECT n.doc_id, n.n_chunks,
         |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_kept, '') AS text_kept
         |FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin,
+    "t33_skew_join" ->
+      """WITH ev AS (SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE user_id END AS user_id, value
+        |  FROM events),
+        |j AS (SELECT c.c_nationkey, ev.value
+        |      FROM ev JOIN customer c ON ev.user_id = c.c_custkey)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM j GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "t30_temperature_mix" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM (SELECT lang, doc_id,

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
@@ -75,8 +75,80 @@ case class DotProductQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of an array of feature hashes, as one fused pass: each
+  * hash votes ±1 on every bit, bit i of the result is set iff its vote
+  * sum is strictly positive (2·pos > total — the tie-breaks-to-0
+  * contract of the HOF formulation it replaces, pinned bit-equal in
+  * DedupSpec vs the independent explode→Aggregator path).
+  *
+  * The portable formulation folds `sequence(0,63)` with a `filter` over
+  * the hash array per bit — 64 interpreted array traversals with a
+  * lambda allocation each, per ROW. This is the same arithmetic as one
+  * generated O(64·n) primitive loop inside whole-stage codegen. Null
+  * elements are not expected (inputs are xxhash64 outputs); a null
+  * array yields null. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = x.getLong(j)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  final long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $votes[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($votes[$i] > 0) $sig |= (1L << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def simhash64(hs: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hs)))
 }

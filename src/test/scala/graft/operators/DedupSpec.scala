@@ -64,6 +64,11 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(simRowLocal == simViaAgg,
       s"first mismatch: ${simRowLocal.find { case (k, v) => simViaAgg(k) != v }}")
+    // and the native fused expression equals the interpreted HOF fold
+    val simViaHof = Dedup.simhashSignaturesViaHof(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simRowLocal == simViaHof,
+      s"native simhash64 diverges from HOF: ${simRowLocal.find { case (k, v) => simViaHof(k) != v }}")
   }
 
   /** Incremental dedup reports batch-vs-corpus pairs ONLY: planted
