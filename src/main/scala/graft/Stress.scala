@@ -97,6 +97,45 @@ object Stress {
     val rj = graft.operators.RangeJoin.pointInInterval(pts, intervals, Seq("user_id"),
       "err_ts", "win_start", "win_end", binWidth = hourUs)
     println(f"[stress] range join: ${rj.count()}%,d pairs in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- chunk-level dedup on the replicated corpus ---------------------
+    // every replicated doc shares its chunks with k-1 near-copies (only
+    // the appended copytoken differs in the tail chunk) — the worst case
+    // for first-occurrence aggregation: ~1/k of chunks survive
+    t0 = System.nanoTime()
+    val cd = graft.operators.Dedup.chunkDedup(copies, "doc_id", "text", 32)
+    val kept = cd.agg(sum($"n_chunks"), sum($"n_kept")).head()
+    println(f"[stress] chunk dedup: ${kept.getLong(0)}%,d chunks -> ${kept.getLong(1)}%,d kept " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    spark.catalog.clearCache()
+
+    // ---- skew-safe join: one key owns 30% of a 5M-row fact table --------
+    t0 = System.nanoTime()
+    val fact = spark.range(5000000L).select(
+      when($"id" % 10 < 3, lit(7L)).otherwise($"id" % 100000L).as("k"), $"id".as("payload"))
+      .repartition(64)
+    val dim = spark.range(100000L).select($"id".as("k"),
+      concat(lit("attr"), $"id").as("attr"))
+    val plainT0 = System.nanoTime()
+    val nPlain = fact.join(dim, Seq("k")).count()
+    val plainSecs = (System.nanoTime() - plainT0) / 1e9
+    val saltT0 = System.nanoTime()
+    val nSalted = graft.operators.SkewJoin.skewSafeJoin(fact, dim, Seq("k"),
+      salts = 32, hotThreshold = 100000L).count()
+    val saltSecs = (System.nanoTime() - saltT0) / 1e9
+    require(nPlain == nSalted, s"skew join diverged: $nPlain vs $nSalted")
+    println(f"[stress] skew join (30%% hot key): plain $plainSecs%.1f s, " +
+      f"salted $saltSecs%.1f s, $nPlain%,d rows each")
+
+    // ---- shallow clone + constraint on the 5M-row table -----------------
+    t0 = System.nanoTime()
+    val clonePath = java.nio.file.Files.createTempDirectory("graft_stress_clone").toString + "/t"
+    val cr = GraftDelta.shallowClone(spark, path, clonePath)
+    println(f"[stress] shallow clone of the 5M-row table: ${cr.clonedFiles} files " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s (metadata-only)")
+    t0 = System.nanoTime()
+    GraftDelta.addCheckConstraint(spark, clonePath, "score_range", "score >= -2")
+    println(f"[stress] ADD CONSTRAINT validated 5M rows in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

@@ -114,6 +114,79 @@ object DeltaTableOps {
     try new java.net.URI(p).isAbsolute
     catch { case _: java.net.URISyntaxException => false }
 
+  final case class ConvertResult(numFiles: Long, partitionColumns: Seq[String])
+
+  /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat or
+    * hive-partitioned) into a Delta table IN PLACE — no data is moved or
+    * rewritten; commit 0 `add`s every parquet file with footer-harvested
+    * stats, so data skipping works from the first query. Schema and
+    * partition-column types come from Spark's own parquet/hive discovery
+    * (one schema-inference pass); partition columns are parsed from the
+    * first file's `col=val` path segments.
+    *
+    * Scale: the data plane is untouched (converting a petabyte lake is
+    * metadata work); stats harvesting opens footers only and fans out as
+    * a Spark job above the same threshold the writer's move phase uses. */
+  def convertToDelta(spark: SparkSession, path: String): ConvertResult = {
+    val log = DeltaLog.forTable(spark, path)
+    require(!log.tableExists, s"$path is already a Delta table")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"Path does not exist: $path")
+    val files = DeltaWrite.listParquetFiles(fs, root)
+    require(files.nonEmpty, s"No parquet files under $path")
+
+    // schema via Spark's discovery (typed partition columns included)
+    val schema = spark.read.option("basePath", path).parquet(path).schema
+    val rel0 = DeltaWrite.relativize(root, files.head.getPath)
+    val partCols: Seq[String] = rel0.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(seg =>
+        DeltaWrite.unescapePathName(seg.split("=", 2)(0)))
+    val statsSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+
+    val rootStr = path // executor-side closures capture the string, not the Path
+    def toAdd(conf: org.apache.hadoop.conf.Configuration,
+        filePath: String, size: Long, mtime: Long): AddFile = {
+      val p = new Path(filePath)
+      val rel = DeltaWrite.relativize(new Path(rootStr), p)
+      AddFile(
+        path = DeltaWrite.uriEncodePath(rel),
+        partitionValues = DeltaWrite.partitionValuesFromPath(rel, partCols),
+        size = size, modificationTime = mtime, dataChange = true,
+        stats = Some(DeltaWrite.harvestStats(conf, p, statsSchema)))
+    }
+    val adds: Seq[AddFile] =
+      if (files.size <= DeltaWrite.DistributedMoveThreshold) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.map(f => toAdd(conf, f.getPath.toString, f.getLen, f.getModificationTime))
+      } else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val items = files.map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+        spark.sparkContext
+          .parallelize(items, math.min(64, 1 + items.size / 16))
+          .map { case (p, sz, mt) => toAdd(confBc.value.value, p, sz, mt) }
+          .collect().toSeq.sortBy(_.path)
+      }
+
+    val now = System.currentTimeMillis()
+    val meta = MetadataAction(
+      id = java.util.UUID.randomUUID().toString,
+      schemaString = DeltaWrite.normalize(schema).json,
+      partitionColumns = partCols,
+      createdTime = Some(now))
+    val ci = CommitInfo(now, "CONVERT",
+      operationParameters = Map(
+        "numFiles" -> adds.size.toString,
+        "partitionBy" -> (if (partCols.isEmpty) "[]"
+                          else partCols.mkString("[\"", "\",\"", "\"]"))),
+      isBlindAppend = Some(false))
+    log.writeCommit(0L, Seq(ci, Protocol(1, 2), meta) ++ adds)
+    ConvertResult(adds.size, partCols)
+  }
+
   final case class ConstraintResult(tableVersion: Long, name: String)
 
   /** ALTER TABLE … ADD CONSTRAINT … CHECK (expr): validates the whole

@@ -53,7 +53,8 @@ object DeltaWrite {
       description: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
       checkpointInterval: Int = 10,
-      txn: Option[SetTransaction] = None
+      txn: Option[SetTransaction] = None,
+      replaceWhere: Seq[Seq[Predicate]] = Nil
   ): Unit = {
     require(Seq("error", "append", "overwrite", "ignore").contains(mode),
       s"Unknown mode: $mode")
@@ -67,6 +68,29 @@ object DeltaWrite {
     if (existing.isDefined && mode == "error")
       throw new IllegalStateException(s"Delta table already exists at $path (mode=error)")
     if (existing.isDefined && mode == "ignore") return
+
+    // replaceWhere: predicate-scoped overwrite — only files whose
+    // PARTITION values satisfy the predicate are replaced; everything
+    // else is untouched (the delta-spark partition-scoped contract;
+    // arbitrary data-column predicates would need the DML rewrite
+    // machinery and are refused loudly). Incoming rows must all satisfy
+    // the predicate — enforced in-flight during the staging write.
+    if (replaceWhere.nonEmpty) {
+      require(mode == "overwrite", "replaceWhere requires mode=overwrite")
+      require(replaceWhere.forall(_.nonEmpty), "replaceWhere branches must be non-empty")
+      existing.foreach { snap =>
+        val pc = snap.partitionColumns.toSet
+        val bad = replaceWhere.flatten.map(_.column).distinct.filterNot(pc.contains)
+        require(bad.isEmpty,
+          s"replaceWhere supports partition columns only; non-partition: ${bad.mkString(", ")}")
+      }
+    }
+    val dfGuarded =
+      if (replaceWhere.isEmpty) df
+      else df.filter(assert_true(
+        coalesce(DeltaRead.dnfToColumn(replaceWhere), lit(false)),
+        lit(s"replaceWhere violation: a written row falls outside the replaced " +
+          s"predicate ${replaceWhere.map(_.mkString(" AND ")).mkString(" OR ")}")).isNull)
 
     existing.foreach { snap =>
       if (snap.protocol.minWriterVersion > MaxSupportedWriterVersion)
@@ -97,9 +121,9 @@ object DeltaWrite {
     // any failure from here to the commit must not leak the staging dir
     // (a crashed write otherwise leaves orphan parquet under the table)
     try {
-      writeStagedAndCommit(df, spark, log, fs, path, stagingDir, mode, effectivePartitionBy,
-        overwriteSchema, mergeSchema, name, description, configuration, checkpointInterval, txn,
-        existing, version)
+      writeStagedAndCommit(dfGuarded, spark, log, fs, path, stagingDir, mode,
+        effectivePartitionBy, overwriteSchema, mergeSchema, name, description, configuration,
+        checkpointInterval, txn, existing, version, replaceWhere)
     } finally {
       if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
@@ -123,7 +147,8 @@ object DeltaWrite {
       checkpointInterval: Int,
       txn: Option[SetTransaction],
       existing: Option[Snapshot],
-      version: Long): Unit = {
+      version: Long,
+      replaceWhere: Seq[Seq[Predicate]] = Nil): Unit = {
     val adds = stageAndMove(df, spark, fs, path, stagingDir, effectivePartitionBy, version,
       existing.toSeq.flatMap(s => checkConstraintsOf(s.metadata)))
 
@@ -150,12 +175,26 @@ object DeltaWrite {
       } else None
 
     val removes: Seq[RemoveFile] =
-      if (mode == "overwrite" && existing.isDefined)
-        existing.get.activeFiles.map(f =>
+      if (mode == "overwrite" && existing.isDefined) {
+        val replaced: Seq[AddFile] =
+          if (replaceWhere.isEmpty) existing.get.activeFiles
+          else {
+            // partition-scoped: a file is replaced iff its partition
+            // values fully satisfy some OR-branch (exact evaluation —
+            // the predicate columns are all partition columns by the
+            // guard in write())
+            val fieldTypes = existing.get.schema.fields
+              .map(f => f.name -> f.dataType).toMap
+            existing.get.activeFiles.filter(f => replaceWhere.exists(_.forall(p =>
+              DeltaRead.evalPredicate(
+                f.partitionValues.get(p.column).flatMap(Option(_)),
+                fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))))
+          }
+        replaced.map(f =>
           RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
             extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
             size = Some(f.size)))
-      else Nil
+      } else Nil
 
     val numRows = adds.flatMap(a => a.stats.flatMap(numRecordsOf)).sum
     val commitInfo = CommitInfo(
@@ -164,7 +203,10 @@ object DeltaWrite {
       operationParameters = Map(
         "mode" -> (if (isNew) "ErrorIfExists" else modeName(mode)),
         "partitionBy" -> (if (effectivePartitionBy.isEmpty) "[]"
-                          else effectivePartitionBy.mkString("[\"", "\",\"", "\"]"))),
+                          else effectivePartitionBy.mkString("[\"", "\",\"", "\"]"))) ++
+        (if (replaceWhere.isEmpty) Map.empty[String, String]
+         else Map("predicate" ->
+           replaceWhere.map(_.mkString("(", " AND ", ")")).mkString(" OR "))),
       operationMetrics = Map(
         "numFiles" -> adds.size.toString,
         "numOutputRows" -> numRows.toString,
@@ -430,7 +472,7 @@ object DeltaWrite {
     case other => other
   }
 
-  private def listParquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+  private[delta] def listParquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     val out = mutable.ArrayBuffer.empty[FileStatus]
     def walk(d: Path): Unit =
       fs.listStatus(d).foreach { st =>
@@ -443,7 +485,7 @@ object DeltaWrite {
     out.sortBy(_.getPath.toString).toSeq
   }
 
-  private def relativize(base: Path, p: Path): String = {
+  private[delta] def relativize(base: Path, p: Path): String = {
     val baseUri = base.toUri.getPath
     val pUri = p.toUri.getPath
     require(pUri.startsWith(baseUri), s"$p not under $base")

@@ -32,9 +32,10 @@ object GraftDelta {
       description: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
       checkpointInterval: Int = 10,
-      txn: Option[SetTransaction] = None
+      txn: Option[SetTransaction] = None,
+      replaceWhere: Seq[Seq[Predicate]] = Nil
   ): Unit = DeltaWrite.write(df, path, mode, partitionBy, overwriteSchema, mergeSchema,
-    name, description, configuration, checkpointInterval, txn)
+    name, description, configuration, checkpointInterval, txn, replaceWhere)
 
   /** read_delta_history (reference core.py:268-293). */
   def readDeltaHistory(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame =
@@ -88,6 +89,11 @@ object GraftDelta {
   def dropConstraint(
       spark: SparkSession, path: String, name: String): DeltaTableOps.ConstraintResult =
     DeltaTableOps.dropConstraint(spark, path, name)
+
+  /** CONVERT TO DELTA — adopt a plain-parquet directory in place (beyond
+    * the reference's surface). */
+  def convertToDelta(spark: SparkSession, path: String): DeltaTableOps.ConvertResult =
+    DeltaTableOps.convertToDelta(spark, path)
 
   /** Batch change feed: rows added in versions (from, to], stamped with
     * `_commit_version` (beyond the reference's surface). */

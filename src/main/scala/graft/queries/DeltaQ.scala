@@ -338,6 +338,51 @@ object DeltaQ {
         .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("acctbal_c"))
         .withColumn("n_rejected_writes", lit(rejected))
         .orderBy($"s_suppkey")
+    }),
+
+    // replaceWhere: predicate-scoped overwrite — one region's partition
+    // is replaced (values shifted +1000), the others untouched; a row
+    // outside the predicate must fail the write before any commit.
+    "d21_replace_where" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d21")
+      val n = t(s, dir, "nation")
+      GraftDelta.toDelta(n, path, partitionBy = Seq("n_regionkey"))       // v0
+      GraftDelta.toDelta(
+        n.filter($"n_regionkey" === 2)
+          .withColumn("n_nationkey", ($"n_nationkey" + 1000).cast("int")),
+        path, mode = "overwrite",
+        replaceWhere = Seq(Seq(graft.delta.Predicate("n_regionkey", "==", 2L)))) // v1
+      val rejected =
+        try {
+          GraftDelta.toDelta(n.filter($"n_regionkey" === 0), path, mode = "overwrite",
+            replaceWhere = Seq(Seq(graft.delta.Predicate("n_regionkey", "==", 3L))))
+          0L
+        } catch { case _: Exception => 1L }
+      require(rejected == 1L, "out-of-predicate rows must be rejected")
+      GraftDelta.readDelta(s, path)
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
+        .withColumn("n_rejected_writes", lit(rejected))
+        .orderBy($"n_nationkey")
+    }),
+
+    // CONVERT TO DELTA: a plain hive-partitioned parquet directory
+    // becomes a Delta table in place; the readback (incl. partition
+    // pruning through harvested metadata) must equal the source.
+    "d22_convert" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d22")
+      t(s, dir, "orders")
+        .withColumn("bucket", concat(lit("b"), ($"o_orderkey" % 4).cast("string")))
+        .write.partitionBy("bucket").parquet(path)
+      val res = GraftDelta.convertToDelta(s, path)
+      require(res.partitionColumns == Seq("bucket"), s"partition detect: $res")
+      GraftDelta.readDelta(s, path,
+          filters = Seq(Seq(graft.delta.Predicate("bucket", "!=", "b3"))))
+        .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"),
+          $"bucket")
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -403,6 +448,23 @@ object DeltaQ {
         | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c,
         | CAST(1 AS BIGINT) AS n_rejected_writes
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d21_replace_where" ->
+      """SELECT * FROM (
+        | SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(1 AS BIGINT) AS n_rejected_writes
+        | FROM nation WHERE n_regionkey <> 2
+        | UNION ALL
+        | SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name, CAST(n_regionkey AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        | FROM nation WHERE n_regionkey = 2
+        |) ORDER BY n_nationkey""".stripMargin,
+    "d22_convert" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+        | 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+        |FROM orders WHERE o_orderkey % 4 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

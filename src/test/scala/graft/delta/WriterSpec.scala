@@ -253,4 +253,76 @@ class WriterSpec extends GraftSuite {
     assert(pq() == 3)
     assert(GraftDelta.readDelta(spark, path).count() == 100)
   }
+
+  test("replaceWhere overwrites only the matching partitions' files") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (0 until 100).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "p")
+    GraftDelta.toDelta(df, path, partitionBy = Seq("p"))
+    def logFiles(pv: String => Boolean): Set[String] =
+      DeltaLog.forTable(spark, path).snapshot(None).activeFiles
+        .filter(f => pv(f.partitionValues("p"))).map(_.path).toSet
+    val untouchedBefore = logFiles(_ != "1")
+    val p1Before = logFiles(_ == "1")
+    GraftDelta.toDelta(
+      (1000 until 1010).map(i => (i.toLong, 1L)).toDF("id", "p"),
+      path, mode = "overwrite",
+      replaceWhere = Seq(Seq(Predicate("p", "==", 1L))))
+    val after = GraftDelta.readDelta(spark, path)
+    // partition 1 fully replaced, others byte-identical (same log files)
+    assert(after.filter($"p" === 1L).select("id").collect().map(_.getLong(0)).toSet ==
+      (1000L until 1010L).toSet)
+    assert(after.filter($"p" =!= 1L).count() == 75)
+    assert(logFiles(_ != "1") == untouchedBefore,
+      "untouched partitions must keep their exact files")
+    assert(logFiles(_ == "1").intersect(p1Before).isEmpty,
+      "replaced partition must carry only new files")
+    // out-of-predicate rows fail BEFORE any commit
+    val v = DeltaLog.forTable(spark, path).latestVersion
+    intercept[Exception] {
+      GraftDelta.toDelta(Seq((1L, 2L)).toDF("id", "p"), path, mode = "overwrite",
+        replaceWhere = Seq(Seq(Predicate("p", "==", 1L))))
+    }
+    assert(DeltaLog.forTable(spark, path).latestVersion == v)
+    // non-partition predicate columns are refused loudly
+    intercept[IllegalArgumentException] {
+      GraftDelta.toDelta(Seq((1L, 1L)).toDF("id", "p"), path, mode = "overwrite",
+        replaceWhere = Seq(Seq(Predicate("id", ">", 0L))))
+    }
+  }
+
+  test("convertToDelta adopts a parquet dir in place with stats-backed skipping") {
+    import spark.implicits._
+    val path = tmp()
+    (0 until 1000).map(i => (i.toLong, s"p${i % 4}", i * 2.0)).toDF("id", "part", "v")
+      .repartition(2, $"id")
+      .write.partitionBy("part").parquet(path)
+    val res = GraftDelta.convertToDelta(spark, path)
+    assert(res.partitionColumns == Seq("part"))
+    assert(res.numFiles == 8) // 4 partitions x 2 files
+    val all = GraftDelta.readDelta(spark, path)
+    assert(all.count() == 1000)
+    assert(all.schema.fieldNames.toSet == Set("id", "part", "v"))
+    // partition pruning through the converted log
+    val pruned = DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("part", "==", "p1"))))
+    assert(pruned.count() == 250 && pruned.inputFiles.length == 2,
+      s"partition pruning: ${pruned.inputFiles.length} files")
+    // data skipping through harvested footer stats: id is clustered by
+    // repartition(2) only per value-range? use v: every file spans most
+    // values, so pin instead that stats exist on every add
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.forall(_.stats.exists(_.contains("numRecords"))),
+      "every converted file must carry footer stats")
+    // in-place: converting again refuses; the original files are intact
+    intercept[IllegalArgumentException] {
+      GraftDelta.convertToDelta(spark, path)
+    }
+    // and the table behaves like any delta table afterwards (append works;
+    // discovery orders partition columns last, so the table schema is
+    // (id, v, part))
+    GraftDelta.toDelta(Seq((5000L, 1.0, "p0")).toDF("id", "v", "part"),
+      path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 1001)
+  }
 }
