@@ -65,10 +65,22 @@ object Stress {
       f"inserted ${mrg.insertedRows}%,d, ${mrg.removedFiles} files rewritten " +
       f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
 
-    // ---- exact n-gram Jaccard on the replicated corpus ------------------
+    // ---- exact n-gram Jaccard on a 5× clique corpus ---------------------
+    // bounded at 5× (not k×): an EXACT similarity join must emit every
+    // true pair, and a c-clique corpus has c² of them per original —
+    // candidate volume is quadratic in clique size BY THE PROBLEM
+    // STATEMENT, not by the algorithm (prefix filtering caps only the
+    // false-candidate side). 20-clique exact joins belong to minhash
+    // (probabilistic, same output here — measured above); this probe pins
+    // that the exact path's overhead stays proportional to true pairs.
+    val copies5 = spark.range(5).crossJoin(base)
+      .select(($"doc_id" * 5 + $"id").as("doc_id"),
+        concat($"text", lit(" copytoken"), $"id".cast("string")).as("text"))
+      .repartition(64)
     t0 = System.nanoTime()
-    val ngp = graft.operators.Dedup.ngramJaccardDups(copies, "doc_id", "text", 0.5)
-    println(f"[stress] ngram-jaccard pairs: ${ngp.count()}%,d in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val ngp = graft.operators.Dedup.ngramJaccardDups(copies5, "doc_id", "text", 0.5)
+    println(f"[stress] ngram-jaccard pairs (5x corpus): ${ngp.count()}%,d " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.catalog.clearCache()
 
     // ---- as-of + range joins on replicated events -----------------------
@@ -110,22 +122,40 @@ object Stress {
     spark.catalog.clearCache()
 
     // ---- skew-safe join: one key owns 30% of a 5M-row fact table --------
-    t0 = System.nanoTime()
-    val fact = spark.range(5000000L).select(
-      when($"id" % 10 < 3, lit(7L)).otherwise($"id" % 100000L).as("k"), $"id".as("payload"))
-      .repartition(64)
-    val dim = spark.range(100000L).select($"id".as("k"),
-      concat(lit("attr"), $"id").as("attr"))
-    val plainT0 = System.nanoTime()
-    val nPlain = fact.join(dim, Seq("k")).count()
-    val plainSecs = (System.nanoTime() - plainT0) / 1e9
-    val saltT0 = System.nanoTime()
-    val nSalted = graft.operators.SkewJoin.skewSafeJoin(fact, dim, Seq("k"),
-      salts = 32, hotThreshold = 100000L).count()
-    val saltSecs = (System.nanoTime() - saltT0) / 1e9
-    require(nPlain == nSalted, s"skew join diverged: $nPlain vs $nSalted")
-    println(f"[stress] skew join (30%% hot key): plain $plainSecs%.1f s, " +
-      f"salted $saltSecs%.1f s, $nPlain%,d rows each")
+    // broadcast disabled for the probe: a broadcast-hash join has no skew
+    // problem (each task streams its fact rows against the replicated
+    // hash table) — salting exists for the 100 TB case where the dim CAN'T
+    // broadcast and the plain shuffle join funnels the hot key into one
+    // sort-merge task. AQE skew-split off too: measuring OUR mitigation.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeSkewKey = "spark.sql.adaptive.skewJoin.enabled"
+    val (bcPrev, aqePrev) = (spark.conf.get(bcKey), spark.conf.get(aqeSkewKey))
+    spark.conf.set(bcKey, "-1")
+    spark.conf.set(aqeSkewKey, "false")
+    try {
+      // 40M rows, HALF on one key: the hot sort-merge task sorts 20M rows
+      // (the regime where one straggler task dominates the stage — the
+      // small-scale shadow of the 100 TB one-task-sorts-a-terabyte case)
+      val fact = spark.range(40000000L).select(
+        when($"id" % 2 === 0, lit(7L)).otherwise($"id" % 1000000L).as("k"),
+        $"id".as("payload"))
+        .repartition(64)
+      val dim = spark.range(1000000L).select($"id".as("k"),
+        concat(lit("attr"), $"id").as("attr"))
+      val plainT0 = System.nanoTime()
+      val nPlain = fact.join(dim, Seq("k")).count()
+      val plainSecs = (System.nanoTime() - plainT0) / 1e9
+      val saltT0 = System.nanoTime()
+      val nSalted = graft.operators.SkewJoin.skewSafeJoin(fact, dim, Seq("k"),
+        salts = 32, hotThreshold = 1000000L).count()
+      val saltSecs = (System.nanoTime() - saltT0) / 1e9
+      require(nPlain == nSalted, s"skew join diverged: $nPlain vs $nSalted")
+      println(f"[stress] skew join (50%% hot key, 40M rows, no broadcast/AQE): " +
+        f"plain $plainSecs%.1f s, salted $saltSecs%.1f s, $nPlain%,d rows each")
+    } finally {
+      spark.conf.set(bcKey, bcPrev)
+      spark.conf.set(aqeSkewKey, aqePrev)
+    }
 
     // ---- shallow clone + constraint on the 5M-row table -----------------
     t0 = System.nanoTime()

@@ -143,6 +143,47 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("spend_c"))
         .filter($"n_orders" >= 15)
         .orderBy($"o_custkey")
+    }),
+
+    // ROLLUP: subtotals per (returnflag, linestatus), per returnflag, and
+    // grand total in one pass — Expand + partial agg, no extra scans.
+    "q10_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum(cents($"l_quantity")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("<all>")).as("rf"),
+          coalesce($"l_linestatus", lit("<all>")).as("ls"),
+          $"sum_qty_c", $"n")
+        .orderBy($"rf", $"ls")
+    }),
+
+    // Correlated NOT EXISTS as a left-anti join: customers with no open
+    // ('O') order — the anti-join plans one shuffle, no subquery re-scan
+    // per row.
+    "q11_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val open = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+        .select($"o_custkey".as("c_custkey"))
+      t(s, dir, "customer")
+        .join(open, Seq("c_custkey"), "left_anti")
+        .select($"c_custkey", $"c_nationkey", cents($"c_acctbal").as("acctbal_c"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Running (cumulative) spend per customer over order-date order — an
+    // unbounded-preceding window; per-customer groups parallel across the
+    // one shuffle on o_custkey.
+    "q12_running_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum(cents($"o_totalprice")).over(w).as("running_spend_c"))
+        .orderBy($"o_custkey", $"o_orderkey")
     })
   )
 
@@ -204,6 +245,28 @@ object Relational {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_c
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+        | COALESCE(l_linestatus, '<all>') AS ls,
+        | CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_nationkey,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_spend_c
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

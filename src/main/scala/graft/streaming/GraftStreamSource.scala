@@ -20,6 +20,9 @@ import org.apache.spark.sql.types.StructType
   *    (overwrite/DELETE/UPDATE/MERGE rewrites); their `add` side streams,
   *    so downstream may see rewritten rows again (delta-spark contract).
   *    Without it a non-append commit fails the stream loudly.
+  *  - `skipChangeCommits` — skip data-changing commits WHOLESALE (their
+  *    adds are rewritten old rows, not new data) — the delta-spark
+  *    appends-only contract; takes precedence over `ignoreChanges`.
   *  - `maxVersionsPerTrigger` — bound how many commits one micro-batch
   *    covers (backfill pacing).
   *
@@ -52,6 +55,7 @@ class GraftStreamSource(
   override val schema: StructType = initSchema
 
   private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
+  private val skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
 
   /** Versions ≤ this are excluded from the stream. */
@@ -93,17 +97,23 @@ class GraftStreamSource(
           s"Commit $v of $path changes the table schema from ${schema.simpleString} " +
             s"to ${m.schema.simpleString}. Restart the stream to pick up the new schema.")
       }
-      if (!ignoreChanges) {
-        val changed = actions.exists {
-          case r: RemoveFile if r.dataChange => true
-          case _ => false
-        }
-        if (changed) throw new IllegalStateException(
-          s"Commit $v of $path removes data (overwrite/DELETE/UPDATE/MERGE). " +
-            "Streaming a non-append table requires option ignoreChanges=true; " +
-            "rewritten rows will then be re-emitted.")
+      val changed = actions.exists {
+        case r: RemoveFile if r.dataChange => true
+        case _ => false
       }
-      actions.collect { case a: AddFile if a.dataChange => a }
+      if (changed && skipChangeCommits)
+        // delta-spark's skipChangeCommits: a commit that rewrites data
+        // contributes NOTHING to the stream (its adds are rewritten old
+        // rows, not new data) — appends-only consumers skip it wholesale
+        Seq.empty[AddFile]
+      else {
+        if (changed && !ignoreChanges) throw new IllegalStateException(
+          s"Commit $v of $path removes data (overwrite/DELETE/UPDATE/MERGE). " +
+            "Streaming a non-append table requires ignoreChanges=true " +
+            "(re-emit rewritten rows) or skipChangeCommits=true (skip such " +
+            "commits entirely).")
+        actions.collect { case a: AddFile if a.dataChange => a }
+      }
     }
     if (adds.isEmpty)
       org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)

@@ -90,6 +90,30 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("skipChangeCommits skips rewrite commits wholesale, appends still stream") {
+    import spark.implicits._
+    val path = tmp("skipchg")
+    GraftDelta.toDelta((0 until 30).map(i => (i.toLong, "a")).toDF("id", "v"), path)
+    val q = spark.readStream.format("graft").option("skipChangeCommits", "true").load(path)
+      .writeStream.format("memory").queryName("graft_skip").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_skip").count() == 30)
+      // a rewrite commit contributes NOTHING (not even its adds)…
+      GraftDelta.updateWhere(spark, path,
+        Seq(Seq(Predicate("id", "<", 10L))),
+        Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+      q.processAllAvailable()
+      assert(spark.table("graft_skip").count() == 30,
+        "a rewrite commit must not re-emit rows under skipChangeCommits")
+      // …while a later plain append streams normally
+      GraftDelta.toDelta(Seq((1000L, "new")).toDF("id", "v"), path, mode = "append")
+      q.processAllAvailable()
+      val got = spark.table("graft_skip").as[(Long, String)].collect()
+      assert(got.contains((1000L, "new")) && got.length == 31)
+    } finally q.stop()
+  }
+
   test("a mid-stream schema change fails the stream with a restart-required error") {
     import spark.implicits._
     val path = tmp("schema")
