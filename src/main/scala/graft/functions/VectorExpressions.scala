@@ -14,4 +14,8 @@ object VectorFunctions {
   /** 64-bit SimHash of an array of feature hashes (fused codegen loop). */
   def simhash64(hs: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.simhash64(hs)
+
+  /** Polynomial rolling string hash mod 1e9+7 (fused codegen loop). */
+  def polyhash31(s: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.polyhash31(s)
 }

@@ -86,8 +86,14 @@ object Decontamination {
     * 126 of 500 docs false-flagged at sf0.01 vs ~5 expected). Every
     * intermediate < 31·P + 127 < 2³⁵ — ANSI-safe BIGINTs. */
   def gramHash(gram: Column): Column =
-    // slice to exactly length(gram) chars: split's trailing "" element
-    // (harmless in a SUM) would append a spurious ×31 round here
+    graft.functions.VectorFunctions.polyhash31(gram)
+
+  /** The portable HOF formulation of [[gramHash]] — semantics oracle for
+    * the native expression (DecontaminationSpec pins bit-equality); not
+    * on any hot path. The slice to exactly length(gram) chars matters:
+    * split's trailing "" element (harmless in a SUM) would append a
+    * spurious ×31 round. */
+  private[operators] def gramHashViaHof(gram: Column): Column =
     aggregate(slice(split(gram, ""), lit(1), length(gram)), lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % BloomP)
 

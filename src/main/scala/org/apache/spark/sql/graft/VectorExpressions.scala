@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd vector kernel for the similarity operators. Lives in
   * an `org.apache.spark.sql` subpackage (like `StreamingBridge`) because
@@ -144,6 +145,58 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash of a string in [0, 1e9+7): h ← (31·h + cp)
+  * mod P over the string's CODE POINTS — the exact arithmetic of the
+  * portable formulation `aggregate(chars, 0L, (h,c) => (31h+ascii(c))%P)`
+  * (ascii() yields the code point of its first character; DuckDB's
+  * ascii() matches), fused into one generated loop instead of a
+  * per-character lambda round-trip through a split array. The
+  * engine-portable gram hash of the Bloom decontamination sketch. */
+case class PolyHash31(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "polyhash31"
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (31L * h + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final String $s = $a.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int $cp = $s.codePointAt($i);
+         |  $h = (31L * $h + $cp) % ${P}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
@@ -151,4 +204,7 @@ object VectorBridge {
 
   def simhash64(hs: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hs)))
+
+  def polyhash31(s: Column): Column =
+    ExpressionUtils.column(PolyHash31(ExpressionUtils.expression(s)))
 }

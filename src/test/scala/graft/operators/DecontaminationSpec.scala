@@ -67,6 +67,16 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(counts.getLong(1) == 1L && counts.getLong(2) == 1L)
   }
 
+  test("native polyhash31 equals the HOF rolling hash, unicode included") {
+    import spark.implicits._
+    val df = Seq("hello world", "a", "", "tab\tand space", "naïve café",
+      "emoji 😀 tail", "ascii only gram text here").toDF("s")
+    val got = df.select(Decontamination.gramHash(col("s")).as("n"),
+        Decontamination.gramHashViaHof(col("s")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+  }
+
   /** Bloom-sketch decontamination is one-sided: every doc (and every
     * gram) the exact path flags MUST be flagged by the sketch — false
     * negatives would let contamination through. On the sf0.001 documents
