@@ -139,4 +139,43 @@ class PlanQualitySpec extends AnyFunSuite {
     val files = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("o_orderstatus", "in", Seq("O", "F")))))
     assert(files.map(_.partitionValues("o_orderstatus")).toSet == Set("O", "F"))
   }
+
+  test("t30 temperature mix: rank and count windows share ONE exchange") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling.temperatureRebalance(
+      spark.read.parquet(s"$sf/documents.parquet"), "lang", "doc_id", perSqrt = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both windows are partitioned by lang: Catalyst plans them over the
+    // same hashpartitioning — a second Exchange would mean the windows
+    // didn't share their shuffle. (AQE's toString repeats the plan as
+    // "Initial Plan" — count the final section only.)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, found $exchanges:\n$p")
+  }
+
+  test("t32 bloom decontamination never joins or shuffles gram text") {
+    val df = graft.queries.PipelineQ.queries("t32_bloom_decontam")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the sketch is a broadcast literal, not a join side: the only joins
+    // would come from a mis-ported exact path
+    assert(!p.contains("Join"), s"bloom path must be join-free:\n$p")
+    // the gram column is consumed scan-side: every exchange carries only
+    // (doc_id, count) aggregation rows, never the exploded gram strings
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("gram")),
+      s"gram text crossed an exchange:\n${exchangeLines.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
+  test("t33 skew join broadcasts only the hot-key set; both arms hash-join") {
+    val df = graft.queries.PipelineQ.queries("t33_skew_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), s"expected the hot/cold two-arm union:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-key semi/anti must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
 }
