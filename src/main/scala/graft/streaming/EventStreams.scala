@@ -51,6 +51,33 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(idCols :+ tsCol)
 
+  /** Watermarked stream-stream interval join: each left event matched
+    * with the same key's right events whose timestamp falls in
+    * [left_ts, left_ts + `withinSeconds`] — attribution joins (click →
+    * purchase within the hour) as a genuine stream-stream inner join.
+    *
+    * Both sides carry watermarks and the join condition carries the time
+    * bound, so Spark can EVICT state: a buffered left row is droppable
+    * once the right watermark passes left_ts + withinSeconds, and vice
+    * versa — without the bound the state store grows forever (the
+    * documented stream-stream-join requirement). Column names are taken
+    * from the frames; the key columns must match by name. Batch frames
+    * get the identical plan as an ordinary range-predicate join. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      withinSeconds: Long,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val bound = r(rightTsCol) >= l(leftTsCol) &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $withinSeconds SECONDS")
+    val joined = l.join(r, keyEq && bound, "inner")
+    // drop the right side's duplicated key columns
+    keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session ends
     * when no event arrives within `gapMinutes` (event time). Emits one
     * row per closed session; open sessions flush on event-time timeout. */

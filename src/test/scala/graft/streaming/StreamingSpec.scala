@@ -127,4 +127,35 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = DeltaTail.changesSince(spark, path, b1.toVersion)
     assert(b2.data.count() == 5)
   }
+
+  test("watermarked stream-stream interval join matches within the bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[SessionEvent]
+    val buys = MemoryStream[SessionEvent]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts".as("click_ts")),
+      buys.toDF().select($"user_id", $"ts".as("buy_ts")),
+      Seq("user_id"), "click_ts", "buy_ts", withinSeconds = 3600)
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData(SessionEvent(1, ts(0), "click"), SessionEvent(2, ts(5), "click"))
+      buys.addData(
+        SessionEvent(1, ts(30), "buy"),    // within the hour → matches
+        SessionEvent(2, ts(70), "buy"),    // 65 min after → outside bound
+        SessionEvent(3, ts(10), "buy"))    // no click for user 3
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select($"user_id", $"click_ts", $"buy_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts(0), ts(30))), s"got $got")
+      // a second click for user 2 inside the window of its buy matches on
+      // the next micro-batch (state buffered both sides)
+      clicks.addData(SessionEvent(2, ts(40), "click"))
+      q.processAllAvailable()
+      val got2 = spark.table("attr").count()
+      assert(got2 == 2, s"buffered right row must match a later left row: $got2")
+    } finally q.stop()
+  }
 }
