@@ -224,14 +224,29 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val sh = withShingleSet(df, idCol, textCol).persist()
+    // hash arrays ride along for the verify step (8-byte longs vs ~80-byte
+    // gram strings — the same trade the ngram-Jaccard path measured at
+    // ~10×), guarded by the once-per-call corpus-wide collision check:
+    // injective hashes make hash-set intersections EXACTLY the gram-set
+    // intersections; a collision (p < 1e-10) falls back to strings.
+    val sh = withShingleSet(df, idCol, textCol)
+      .withColumn("hs", transform(col("sh_set"), s => xxhash64(s)))
+      .persist()
+    val coll = sh.select(explode(col("sh_set")).as("s"))
+      .agg(countDistinct(col("s")).as("ng"), countDistinct(xxhash64(col("s"))).as("nh"))
+      .head()
+    val vcol = if (coll.getLong(0) == coll.getLong(1)) "hs" else {
+      logger.warn("[minhash] 64-bit gram-hash collision detected — " +
+        "verifying on raw gram strings (slower, still exact)")
+      "sh_set"
+    }
     val pairs = candidatePairs(signaturesFromShingleSets(sh), maxBucketSize)
     val verified = pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh_set", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh_set", "sh_b"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .join(sh.select(col("doc_id").as("doc_a"), col(vcol).as("v_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col(vcol).as("v_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("v_a"), col("v_b"))).cast("long"))
       .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+        size(col("v_a")).cast("long") + size(col("v_b")).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
