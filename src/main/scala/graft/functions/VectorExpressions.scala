@@ -18,4 +18,9 @@ object VectorFunctions {
   /** Polynomial rolling string hash mod 1e9+7 (fused codegen loop). */
   def polyhash31(s: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.polyhash31(s)
+
+  /** Engine-portable 60-bit double-prime polynomial string hash (fused
+    * codegen loop) — oracle-reproducible feature hash for SimHash. */
+  def polyhash60(s: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.polyhash60(s)
 }

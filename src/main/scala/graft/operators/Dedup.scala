@@ -583,13 +583,33 @@ object Dedup {
     * narrow shuffle-free map over the corpus, with the 64-bit vote loop
     * fused into one native codegen'd pass (`simhash64` — the HOF
     * formulation below re-traverses the hash array 64× per row
-    * interpreted; this was the whole cost of the sf0.1 simhash bench). */
+    * interpreted; this was the whole cost of the sf0.1 simhash bench).
+    *
+    * Feature hash is the engine-portable `polyhash60` (exact BIGINT
+    * arithmetic, bits 60-63 always clear) rather than xxhash64 — same
+    * near-dup behavior, but an oracle engine can now rebuild the entire
+    * signature bit-for-bit, which upgrades the simhash harness query from
+    * rows-only to a strict hash-checked oracle. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0)
-      .withColumn("__hs", transform(col("sh_set"), sh => xxhash64(sh)))
+      .withColumn("__hs", transform(col("sh_set"),
+        sh => graft.functions.VectorFunctions.polyhash60(sh)))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash64(col("__hs")).as("sig"))
+
+  /** Portable HOF formulation of the 60-bit feature hash — semantics
+    * oracle for the native `polyhash60` (DedupSpec pins bit-equality);
+    * not on any hot path. Same slice-to-length trick as the Bloom gram
+    * hash (split's trailing "" would add a spurious ×31/×131 round). */
+  private[operators] def polyhash60ViaHof(s: Column): Column = {
+    val chars = slice(split(s, ""), lit(1), length(s))
+    val h1 = aggregate(chars, lit(0L),
+      (a, c) => (a * 31L + ascii(c).cast("long")) % 1000000007L)
+    val h2 = aggregate(chars, lit(0L),
+      (a, c) => (a * 131L + ascii(c).cast("long")) % 998244353L)
+    h2 * 1073741824L + h1
+  }
 
   /** The portable HOF formulation — semantics oracle for the native
     * expression (DedupSpec pins bit-equality); not on any hot path. */
@@ -605,7 +625,7 @@ object Dedup {
     })
     withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0)
-      .withColumn("__hs", transform(col("sh_set"), sh => xxhash64(sh)))
+      .withColumn("__hs", transform(col("sh_set"), sh => polyhash60ViaHof(sh)))
       .select(col("doc_id"), sig.as("sig"))
   }
 
@@ -614,13 +634,17 @@ object Dedup {
   private[operators] def simhashViaAggregator(df: DataFrame, idCol: String, textCol: String): DataFrame =
     withShingleSet(df, idCol, textCol)
       .select(col("doc_id"), explode(col("sh_set")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", graft.functions.VectorFunctions.polyhash60(col("sh")))
       .groupBy("doc_id")
       .agg(udaf(SimhashVoteAgg).apply(col("h")).as("sig"))
 
-  /** Near-dup clusters by identical SimHash band (16-bit quarters):
-    * pairs whose simhashes agree on ≥1 of 4 bands, verified by hamming
-    * distance ≤ maxHamming. */
+  /** Near-dup clusters by identical SimHash band (15-bit quarters over
+    * the 60 effective signature bits — polyhash60 features leave bits
+    * 60-63 always clear, so 16-bit quarters would waste a quarter of
+    * band 3's bucket entropy on constant bits): pairs whose simhashes
+    * agree on ≥1 of 4 bands, verified by hamming distance ≤ maxHamming.
+    * Exactness is unchanged: hamming ≤ 3 over 4 disjoint bands covering
+    * every bit that can differ still pigeonholes into ≥1 equal band. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // persist: the banded self-join would otherwise recompute the whole
@@ -629,7 +653,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bb"))
+            shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
       .persist()
     val (capped, overCache) = capBuckets(banded, Seq("band", "bh"), maxBucketSize, "simhash")

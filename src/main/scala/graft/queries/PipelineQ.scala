@@ -49,10 +49,14 @@ object PipelineQ {
       Dedup.nearDupClusters(pairs).orderBy($"doc_id")
     }),
 
-    // SimHash near-dedup (hash-specific → rows-only check).
+    // SimHash near-dedup — strict oracle: the polyhash60 feature hash is
+    // exact BIGINT arithmetic, so the oracle rebuilds signatures (bit
+    // votes included) and brute-force hamming-joins them; the banded join
+    // here provably equals that brute force for hamming ≤ 3 (DedupSpec).
     "t04_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", $"hamming".cast("long"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -424,6 +428,39 @@ object PipelineQ {
          |       CAST(x.n + y.n - i AS BIGINT) AS uni
          |FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Rebuilds the SimHash pipeline end-to-end in exact BIGINT arithmetic:
+    // word-3-gram shingles → polyhash60 per gram (two prime-modulus
+    // rolling hashes, h2·2^30 + h1) → ±1 bit votes over the 60 effective
+    // bits → signature → brute-force hamming join ≤ 3. The engine's
+    // banded join is provably identical for hamming ≤ 3 (pigeonhole over
+    // 4 disjoint 15-bit bands; pinned in DedupSpec), so strict hash
+    // equality is the right check, not rows-only.
+    "t04_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 3
+         |   THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws)-2)])
+         |   ELSE [text] END AS sh FROM w),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+         |gh AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(ascii(s[i]) AS BIGINT) FOR i IN generate_series(1, length(s))]),
+         |    (a, x) -> (a * 31 + x) % 1000000007)
+         |  + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(ascii(s[i]) AS BIGINT) FOR i IN generate_series(1, length(s))]),
+         |    (a, x) -> (a * 131 + x) % 998244353) AS h FROM e),
+         |v AS (SELECT doc_id, b.i AS bit,
+         |       SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |      FROM gh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) b
+         |      GROUP BY doc_id, b.i),
+         |sg AS (SELECT doc_id,
+         |        CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
+         |       FROM v GROUP BY doc_id)
+         |SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "t14_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,

@@ -86,7 +86,7 @@ case class DotProductQ(left: Expression, right: Expression)
   * the hash array per bit — 64 interpreted array traversals with a
   * lambda allocation each, per ROW. This is the same arithmetic as one
   * generated O(64·n) primitive loop inside whole-stage codegen. Null
-  * elements are not expected (inputs are xxhash64 outputs); a null
+  * elements are not expected (inputs are feature-hash outputs); a null
   * array yields null. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -197,6 +197,64 @@ case class PolyHash31(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-portable 60-bit polynomial string hash: two independent prime-
+  * modulus rolling hashes over the code points in ONE generated pass —
+  * h1 ← (31·h1 + cp) mod 1e9+7, h2 ← (131·h2 + cp) mod 998244353 —
+  * combined as h2·2³⁰ + h1 (< 2⁶⁰, bits 60-63 always clear). Every
+  * intermediate stays < 2³⁷, so an oracle engine reproduces the value
+  * with plain ANSI BIGINT arithmetic (the same portability contract as
+  * [[PolyHash31]], widened to enough bits for SimHash bit votes). */
+case class PolyHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "polyhash60"
+
+  private val P1 = 1000000007L
+  private val P2 = 998244353L
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h1 = (31L * h1 + cp) % P1
+      h2 = (131L * h2 + cp) % P2
+      i += Character.charCount(cp)
+    }
+    h2 * 1073741824L + h1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final String $s = $a.toString();
+         |long $h1 = 0L;
+         |long $h2 = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int $cp = $s.codePointAt($i);
+         |  $h1 = (31L * $h1 + $cp) % ${P1}L;
+         |  $h2 = (131L * $h2 + $cp) % ${P2}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h2 * 1073741824L + $h1;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
@@ -207,4 +265,7 @@ object VectorBridge {
 
   def polyhash31(s: Column): Column =
     ExpressionUtils.column(PolyHash31(ExpressionUtils.expression(s)))
+
+  def polyhash60(s: Column): Column =
+    ExpressionUtils.column(PolyHash60(ExpressionUtils.expression(s)))
 }

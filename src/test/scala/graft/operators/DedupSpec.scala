@@ -69,6 +69,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(simRowLocal == simViaHof,
       s"native simhash64 diverges from HOF: ${simRowLocal.find { case (k, v) => simViaHof(k) != v }}")
+    // and the native polyhash60 feature hash equals its HOF formulation
+    // directly, with bits 60-63 clear (the oracle-portability contract)
+    val hashPairs = df.select(
+        graft.functions.VectorFunctions.polyhash60(col("text")).as("native"),
+        Dedup.polyhash60ViaHof(col("text")).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashPairs.forall { case (n, h) => n == h },
+      s"polyhash60 native vs HOF mismatch: ${hashPairs.find { case (n, h) => n != h }}")
+    assert(hashPairs.forall { case (n, _) => n >= 0L && (n >>> 60) == 0L },
+      "polyhash60 must stay within 60 bits")
   }
 
   /** Incremental dedup reports batch-vs-corpus pairs ONLY: planted
