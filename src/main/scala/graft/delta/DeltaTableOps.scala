@@ -9,6 +9,110 @@ import org.apache.spark.sql.types._
   * (reference core.py:88-151, 268-324). */
 object DeltaTableOps {
 
+  /** Result of [[statsAggregate]]: a one-row frame plus whether it was
+    * answered from log metadata alone (false = exact scan fallback). */
+  final case class StatsAggResult(df: DataFrame, metadataOnly: Boolean)
+
+  /** Metadata-only aggregate: COUNT(*) plus per-column MIN / MAX /
+    * null-count answered from the log's per-file stats without opening a
+    * single data file — the 100 TB shape: O(active-files) log metadata
+    * already resident from snapshot construction vs an O(data) scan.
+    *
+    * Exactness over cleverness — falls back to a real scan (same schema,
+    * same values) whenever the metadata answer could be inexact:
+    *  - a requested column is not integral/floating (string min/max in
+    *    foreign-written logs may be TRUNCATED; delta-spark truncates at
+    *    32 chars) or is a partition column;
+    *  - any active file lacks numRecords, nullCount(c), or — unless the
+    *    file is all-null for c (nullCount == numRecords) — min/max(c).
+    *
+    * Output columns: `n_rows` BIGINT, then `min_<c>`, `max_<c>` (the
+    * column's own type), `nulls_<c>` BIGINT per requested column; MIN/MAX
+    * are NULL when every row is NULL (SQL semantics). */
+  def statsAggregate(
+      spark: SparkSession, path: String, cols: Seq[String],
+      version: Option[Long] = None): StatsAggResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(version)
+    val schema = snap.schema
+    val fieldOf = schema.fields.map(f => f.name -> f).toMap
+
+    def numericField(c: String): Boolean = fieldOf.get(c).exists(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }) && !snap.partitionColumns.contains(c)
+
+    val parsed = snap.activeFiles.map(f => StatsPruning.parse(f.stats))
+    val metaComplete = cols.forall(numericField) && parsed.forall(_.exists { st =>
+      st.numRecords.isDefined && cols.forall { c =>
+        st.nullCount.contains(c) &&
+          (st.nullCount(c) == st.numRecords.get ||
+            (st.min.contains(c) && st.max.contains(c)))
+      }
+    })
+
+    val outSchema = StructType(
+      StructField("n_rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", fieldOf(c).dataType),
+          StructField(s"max_$c", fieldOf(c).dataType),
+          StructField(s"nulls_$c", LongType, nullable = false))))
+
+    if (metaComplete) {
+      val sts = parsed.map(_.get)
+      val nRows = sts.map(_.numRecords.get).sum
+      // stats decode integral JSON as Long and decimal as Double; a
+      // floating column whose file-extreme is integral can legally arrive
+      // as Long — coerce through the schema type, refuse the reverse.
+      def typed(c: String, v: Any): Any = (fieldOf(c).dataType, v) match {
+        case (ByteType, l: Long) => l.toByte
+        case (ShortType, l: Long) => l.toShort
+        case (IntegerType, l: Long) => l.toInt
+        case (LongType, l: Long) => l
+        case (FloatType, l: Long) => l.toFloat
+        case (FloatType, d: Double) => d.toFloat
+        case (DoubleType, l: Long) => l.toDouble
+        case (DoubleType, d: Double) => d
+        case (t, x) => throw new IllegalStateException(s"stats value $x for $t")
+      }
+      def ordered(c: String): Ordering[Any] = {
+        val ord: Ordering[_] = fieldOf(c).dataType match {
+          case ByteType => Ordering.Byte
+          case ShortType => Ordering.Short
+          case IntegerType => Ordering.Int
+          case LongType => Ordering.Long
+          case FloatType => Ordering.Float.TotalOrdering
+          case DoubleType => Ordering.Double.TotalOrdering
+          case t => throw new IllegalStateException(s"unexpected $t")
+        }
+        ord.asInstanceOf[Ordering[Any]]
+      }
+      val vals = cols.flatMap { c =>
+        val withData = sts.filter(s => s.nullCount(c) < s.numRecords.get)
+        val mins = withData.map(s => typed(c, s.min(c)))
+        val maxs = withData.map(s => typed(c, s.max(c)))
+        val o = ordered(c)
+        Seq(
+          if (mins.isEmpty) null else mins.min(o),
+          if (maxs.isEmpty) null else maxs.max(o),
+          sts.map(_.nullCount(c)).sum)
+      }
+      val row = Row.fromSeq(nRows +: vals)
+      StatsAggResult(
+        spark.createDataFrame(
+          java.util.Collections.singletonList(row), outSchema),
+        metadataOnly = true)
+    } else {
+      val df = GraftDelta.readDelta(spark, path, version = version)
+      val aggs = count(lit(1)).cast("long").as("n_rows") +:
+        cols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"nulls_$c")))
+      StatsAggResult(df.agg(aggs.head, aggs.tail: _*), metadataOnly = false)
+    }
+  }
+
   /** The reference's fixed 9-column history projection (core.py:99-107),
     * commitInfo of every commit, timestamp-descending, optional limit.
     * Returns a real (small) DataFrame. */

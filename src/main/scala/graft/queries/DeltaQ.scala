@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.delta.{DeltaLog, DeltaMaintenance, GraftDelta, Predicate}
+import graft.delta.{DeltaLog, DeltaMaintenance, DeltaTableOps, GraftDelta, Predicate}
 
 /** Harness queries for the Delta engine operators (SURVEY.md §2 ①-⑭).
   *
@@ -383,6 +383,32 @@ object DeltaQ {
         .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"),
           $"bucket")
         .orderBy($"o_orderkey")
+    }),
+
+    // Metadata-only aggregate: COUNT/MIN/MAX/null-counts answered from
+    // the log's per-file stats with zero data files opened (require pins
+    // the strategy — a stats regression would fail the harness, not
+    // silently fall back to a scan). o_disc plants deterministic NULLs so
+    // the null-count and null-aware MIN/MAX paths are exercised.
+    "d23_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d23")
+      GraftDelta.toDelta(
+        t(s, dir, "orders")
+          .withColumn("o_disc",
+            when($"o_orderkey" % 7 === 0, lit(null).cast("double"))
+              .otherwise($"o_totalprice"))
+          .repartition(8),
+        path)
+      val r = DeltaTableOps.statsAggregate(
+        s, path, Seq("o_orderkey", "o_totalprice", "o_disc"))
+      require(r.metadataOnly, "stats-complete table must answer from metadata alone")
+      r.df.select($"n_rows",
+        $"min_o_orderkey", $"max_o_orderkey", $"nulls_o_orderkey",
+        cents($"min_o_totalprice").as("min_total_c"),
+        cents($"max_o_totalprice").as("max_total_c"), $"nulls_o_totalprice",
+        cents($"min_o_disc").as("min_disc_c"),
+        cents($"max_o_disc").as("max_disc_c"), $"nulls_o_disc")
     })
   )
 
@@ -465,6 +491,17 @@ object DeltaQ {
         | 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS bucket
         |FROM orders WHERE o_orderkey % 4 <> 3
         |ORDER BY o_orderkey""".stripMargin,
+    "d23_stats_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey,
+        | CAST(0 AS BIGINT) AS nulls_o_orderkey,
+        | CAST(ROUND(MIN(o_totalprice)*100) AS BIGINT) AS min_total_c,
+        | CAST(ROUND(MAX(o_totalprice)*100) AS BIGINT) AS max_total_c,
+        | CAST(0 AS BIGINT) AS nulls_o_totalprice,
+        | CAST(ROUND(MIN(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END)*100) AS BIGINT) AS min_disc_c,
+        | CAST(ROUND(MAX(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END)*100) AS BIGINT) AS max_disc_c,
+        | CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_disc
+        |FROM orders""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

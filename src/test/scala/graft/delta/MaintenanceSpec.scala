@@ -14,6 +14,50 @@ class MaintenanceSpec extends GraftSuite {
     s"$d/tbl"
   }
 
+  test("metadata-only aggregate matches the scan answer and opens no data file") {
+    import spark.implicits._
+    val path = tmp()
+    // 3 files with disjoint ranges; column `d` is ALL-NULL in one file's
+    // rows (ids 1..10 → null) to hit the all-null-file min/max edge
+    val df = (1 to 30).map { i =>
+      (i.toLong, if (i <= 10) None else Some(i * 1.5), s"s$i")
+    }.toDF("id", "d", "s")
+    GraftDelta.toDelta(df.repartitionByRange(3, col("id")), path)
+
+    val meta = DeltaTableOps.statsAggregate(spark, path, Seq("id", "d"))
+    assert(meta.metadataOnly, "stats-complete numeric cols must use metadata")
+    // the metadata answer executes without touching ANY table data file
+    val plan = meta.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"metadata path scanned files:\n$plan")
+    val m = meta.df.collect().head
+    assert(m.getLong(0) == 30L)
+    assert(m.getLong(1) == 1L && m.getLong(2) == 30L && m.getLong(3) == 0L)
+    assert(m.getDouble(4) == 16.5 && m.getDouble(5) == 45.0 && m.getLong(6) == 10L)
+
+    // scan fallback (forced: string col is out of metadata scope) agrees
+    val scan = DeltaTableOps.statsAggregate(spark, path, Seq("id", "d", "s"))
+    assert(!scan.metadataOnly)
+    val sRow = scan.df.select("n_rows", "min_id", "max_id", "nulls_id",
+      "min_d", "max_d", "nulls_d").collect().head
+    assert(sRow.getLong(0) == 30L && sRow.getLong(1) == 1L && sRow.getLong(2) == 30L &&
+      sRow.getLong(3) == 0L && sRow.getDouble(4) == 16.5 && sRow.getDouble(5) == 45.0 &&
+      sRow.getLong(6) == 10L)
+
+    // a stats-less (foreign-written) table falls back and stays correct
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(1L, Seq(CommitInfo(
+      timestamp = java.time.Instant.now().toEpochMilli, operation = "WRITE",
+      operationParameters = Map("mode" -> "Append"),
+      operationMetrics = Map.empty, readVersion = Some(0L),
+      isBlindAppend = Some(true))) ++
+      log.snapshot(None).activeFiles.map(_.copy(stats = None)))
+    val foreign = DeltaTableOps.statsAggregate(spark, path, Seq("id", "d"))
+    assert(!foreign.metadataOnly, "stats-less table must fall back to a scan")
+    val f = foreign.df.collect().head
+    assert(f.getLong(0) == 30L && f.getDouble(4) == 16.5 && f.getLong(6) == 10L)
+  }
+
   test("stats-based data skipping prunes files whose range excludes the filter") {
     import spark.implicits._
     // repartitionByRange → files with disjoint id ranges → min/max stats prune
