@@ -113,6 +113,48 @@ object DeltaTableOps {
     }
   }
 
+  /** Per-partition row counts answered from the log alone: one row per
+    * active partition, `n_rows` summed from per-file numRecords — the
+    * `SELECT pcols, COUNT(*) GROUP BY pcols` a 100 TB pipeline asks
+    * before deciding how to split work, for the cost of metadata already
+    * resident from snapshot construction. Partition values are cast from
+    * their log string form through the table schema (hive semantics, the
+    * same conversion the scan path applies), so the frame is typed
+    * exactly like the scan answer. Falls back to a real grouped scan when
+    * any active file lacks numRecords. */
+  def partitionCounts(
+      spark: SparkSession, path: String,
+      version: Option[Long] = None): StatsAggResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(version)
+    val pcols = snap.partitionColumns
+    require(pcols.nonEmpty, s"table at $path is not partitioned")
+    val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val counts = snap.activeFiles
+      .map(f => f.partitionValues -> StatsPruning.parse(f.stats).flatMap(_.numRecords))
+    if (counts.forall(_._2.isDefined)) {
+      val grouped = counts
+        .groupBy(_._1)
+        .map { case (pv, fs) => pv -> fs.map(_._2.get).sum }
+        .toSeq
+      val raw = StructType(
+        pcols.map(c => StructField(c, StringType)) :+
+          StructField("n_rows", LongType, nullable = false))
+      val rows = grouped.map { case (pv, n) =>
+        Row.fromSeq(pcols.map(c => pv.get(c).flatMap(Option(_)).orNull) :+ n)
+      }
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, raw)
+        .select(pcols.map(c => col(c).cast(typeOf(c)).as(c)) :+ col("n_rows"): _*)
+      StatsAggResult(df, metadataOnly = true)
+    } else
+      StatsAggResult(
+        GraftDelta.readDelta(spark, path, version = version)
+          .groupBy(pcols.map(col): _*)
+          .agg(count(lit(1)).cast("long").as("n_rows")),
+        metadataOnly = false)
+  }
+
   /** The reference's fixed 9-column history projection (core.py:99-107),
     * commitInfo of every commit, timestamp-descending, optional limit.
     * Returns a real (small) DataFrame. */

@@ -409,6 +409,22 @@ object DeltaQ {
         cents($"max_o_totalprice").as("max_total_c"), $"nulls_o_totalprice",
         cents($"min_o_disc").as("min_disc_c"),
         cents($"max_o_disc").as("max_disc_c"), $"nulls_o_disc")
+    }),
+
+    // Per-partition COUNT(*) from the log alone (typed through the table
+    // schema — `bucket` comes back as INT, not the log's string form);
+    // the require pins the metadata-only strategy.
+    "d24_partition_counts" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d24")
+      GraftDelta.toDelta(
+        t(s, dir, "orders")
+          .withColumn("bucket", ($"o_orderkey" % 4).cast("int")),
+        path, partitionBy = Seq("o_orderstatus", "bucket"))
+      val r = DeltaTableOps.partitionCounts(s, path)
+      require(r.metadataOnly, "stats-complete table must count from metadata alone")
+      r.df.select($"o_orderstatus", $"bucket", $"n_rows")
+        .orderBy($"o_orderstatus", $"bucket")
     })
   )
 
@@ -502,6 +518,10 @@ object DeltaQ {
         | CAST(ROUND(MAX(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END)*100) AS BIGINT) AS max_disc_c,
         | CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_disc
         |FROM orders""".stripMargin,
+    "d24_partition_counts" ->
+      """SELECT o_orderstatus, CAST(o_orderkey % 4 AS INTEGER) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

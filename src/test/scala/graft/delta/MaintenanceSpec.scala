@@ -58,6 +58,27 @@ class MaintenanceSpec extends GraftSuite {
     assert(f.getLong(0) == 30L && f.getDouble(4) == 16.5 && f.getLong(6) == 10L)
   }
 
+  test("partitionCounts answers GROUP BY partition from the log, typed, nulls included") {
+    import spark.implicits._
+    val path = tmp()
+    // int partition col incl. a NULL partition (hive default-partition path)
+    val df = (1 to 20).map(i => (i.toLong, if (i % 5 == 0) None else Some(i % 3)))
+      .toDF("id", "b")
+    GraftDelta.toDelta(df, path, partitionBy = Seq("b"))
+    val r = DeltaTableOps.partitionCounts(spark, path)
+    assert(r.metadataOnly)
+    val plan = r.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"metadata path scanned files:\n$plan")
+    assert(r.df.schema("b").dataType == org.apache.spark.sql.types.IntegerType,
+      "partition col must come back typed through the table schema")
+    val got = r.df.collect()
+      .map(x => (if (x.isNullAt(0)) -1 else x.getInt(0)) -> x.getLong(1)).toMap
+    val want = GraftDelta.readDelta(spark, path).groupBy($"b").count().collect()
+      .map(x => (if (x.isNullAt(0)) -1 else x.getInt(0)) -> x.getLong(1)).toMap
+    assert(got == want, s"metadata $got vs scan $want")
+  }
+
   test("stats-based data skipping prunes files whose range excludes the filter") {
     import spark.implicits._
     // repartitionByRange → files with disjoint id ranges → min/max stats prune
