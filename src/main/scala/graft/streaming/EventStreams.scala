@@ -81,6 +81,16 @@ object EventStreams {
   /** Gap-based sessionization via flatMapGroupsWithState: a session ends
     * when no event arrives within `gapMinutes` (event time). Emits one
     * row per closed session; open sessions flush on event-time timeout. */
+  /** Stream-static enrichment join: each micro-batch of the stream hash-
+    * joins a broadcast of the (small-by-contract) static dimension frame
+    * — no streaming state at all, unlike stream-stream joins; the dim is
+    * re-resolved per batch, so a Delta-backed dim picks up new versions
+    * between triggers. Left outer keeps stream rows with no dim match
+    * (enrichment must never drop events). */
+  def enrichWithStatic(
+      stream: DataFrame, dim: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keyCols, "left_outer")
+
   def sessionize(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,

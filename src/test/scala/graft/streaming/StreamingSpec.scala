@@ -128,6 +128,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(b2.data.count() == 5)
   }
 
+  test("stream-static enrichment broadcasts the dim and keeps unmatched events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[SessionEvent]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = EventStreams.enrichWithStatic(events.toDF(), dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        SessionEvent(1, ts(0), "click"),
+        SessionEvent(2, ts(1), "click"),
+        SessionEvent(9, ts(2), "click")) // no dim row → kept, tier null
+      q.processAllAvailable()
+      val got = spark.table("enrich").select($"user_id", $"tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+      assert(got == Set(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None),
+        s"got $got")
+      // the per-batch join must be a broadcast hash join, never a shuffle
+      val plans = q.recentProgress.flatMap(p => Option(p.sources)).nonEmpty
+      assert(plans) // progress recorded; plan shape checked on the batch DF:
+      val batchPlan = EventStreams.enrichWithStatic(
+        Seq(SessionEvent(1, ts(0), "click")).toDF(), dim, Seq("user_id"))
+        .queryExecution.executedPlan.toString
+      assert(batchPlan.contains("BroadcastHashJoin"), s"plan:\n$batchPlan")
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join matches within the bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
