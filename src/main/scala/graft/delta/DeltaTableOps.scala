@@ -155,6 +155,61 @@ object DeltaTableOps {
         metadataOnly = false)
   }
 
+  /** Result of [[countWhere]]: the exact count plus how each active file
+    * was settled — `filesExcluded` pruned by may-match, `filesFromStats`
+    * proven fully-matching and counted from numRecords, `filesScanned`
+    * boundary files that needed a real read. */
+  final case class CountWhereResult(
+      count: Long, filesTotal: Int, filesExcluded: Int,
+      filesFromStats: Int, filesScanned: Int)
+
+  /** Predicate-scoped COUNT(*) as a hybrid metadata/scan query: files the
+    * per-file stats PROVE fully inside the predicate contribute their
+    * numRecords with zero I/O; files provably outside are skipped; only
+    * the boundary files — the ones straddling a predicate edge — are
+    * scanned (with the predicate applied row-level). On a range-clustered
+    * 100 TB table a selective range predicate touches O(boundary) files
+    * instead of O(matching) — the count is exact either way, the proof
+    * obligations (no nulls, stats present, sound under foreign writers'
+    * outward-truncated string stats) live in StatsPruning.mustMatch.
+    * Column-mapped tables take the scan path wholesale (their stats are
+    * keyed physically; correctness first). */
+  def countWhere(
+      spark: SparkSession, path: String, filters: Seq[Seq[Predicate]],
+      version: Option[Long] = None): CountWhereResult = {
+    require(filters.nonEmpty, "countWhere needs a predicate; use statsAggregate for totals")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(version)
+    val partCols = snap.partitionColumns.toSet
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val may = DeltaRead.prunedFiles(snap, filters)
+    val (proven, boundary) =
+      if (DeltaRead.mappingModeOf(snap) != "none") (Nil, may)
+      else may.partition { f =>
+        lazy val stats = StatsPruning.parse(f.stats)
+        stats.exists(_.numRecords.isDefined) && filters.exists(_.forall { p =>
+          if (partCols.contains(p.column))
+            DeltaRead.evalPredicate(
+              f.partitionValues.get(p.column).flatMap(Option(_)),
+              fieldTypes.getOrElse(p.column, StringType), p)
+          else StatsPruning.mustMatch(stats, p)
+        })
+      }
+    val statsCount = proven
+      .map(f => StatsPruning.parse(f.stats).flatMap(_.numRecords).get).sum
+    val scanCount =
+      if (boundary.isEmpty) 0L
+      else DeltaRead.fromSnapshot(
+        spark, path, snap.copy(activeFiles = boundary), filters = filters).count()
+    CountWhereResult(
+      count = statsCount + scanCount,
+      filesTotal = snap.activeFiles.size,
+      filesExcluded = snap.activeFiles.size - may.size,
+      filesFromStats = proven.size,
+      filesScanned = boundary.size)
+  }
+
   /** The reference's fixed 9-column history projection (core.py:99-107),
     * commitInfo of every commit, timestamp-descending, optional limit.
     * Returns a real (small) DataFrame. */

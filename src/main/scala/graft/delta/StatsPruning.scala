@@ -74,6 +74,61 @@ object StatsPruning {
       }
   }
 
+  /** Must EVERY row of a file with these stats satisfy the predicate?
+    * Sound under widened stats (foreign writers may truncate string
+    * min/max, but only outward: truncated min ≤ true min, truncated max
+    * ≥ true max — a widened range inside the predicate region still
+    * proves inclusion). Requires nullCount known-zero: a NULL row
+    * satisfies no comparison, so any possible null forfeits the proof.
+    * `false` = no proof (file must be scanned), never an answer. */
+  def mustMatch(stats: Option[FileStats], p: Predicate): Boolean = stats match {
+    case None => false
+    case Some(st) =>
+      val vacuous = st.numRecords.contains(0L)
+      val noNulls = (st.numRecords, st.nullCount.get(p.column)) match {
+        case (Some(_), Some(z)) => z == 0L
+        case _ => false
+      }
+      if (vacuous) true
+      else if (!noNulls) false
+      else (st.min.get(p.column), st.max.get(p.column)) match {
+        case (Some(mn), Some(mx)) => rangeMustMatch(mn, mx, p)
+        case _ => false
+      }
+  }
+
+  private def rangeMustMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
+    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+    def values(v: Any): Seq[Any] = v match {
+      case s: Seq[_] => s
+      case a: Array[_] => a.toSeq
+      case i: java.lang.Iterable[_] =>
+        scala.jdk.CollectionConverters.IterableHasAsScala(i).asScala.toSeq
+      case other => Seq(other)
+    }
+    p.op match {
+      case "==" | "=" =>
+        cmp(mn, p.value).contains(0) && cmp(mx, p.value).contains(0)
+      case ">" => cmp(mn, p.value).exists(_ > 0)
+      case ">=" => cmp(mn, p.value).exists(_ >= 0)
+      case "<" => cmp(mx, p.value).exists(_ < 0)
+      case "<=" => cmp(mx, p.value).exists(_ <= 0)
+      case "in" =>
+        cmp(mn, mx).contains(0) && values(p.value).exists(v => cmp(mn, v).contains(0))
+      case "!=" =>
+        cmp(mx, p.value).exists(_ < 0) || cmp(mn, p.value).exists(_ > 0)
+      case "not in" =>
+        values(p.value).forall(v =>
+          cmp(mx, v).exists(_ < 0) || cmp(mn, v).exists(_ > 0))
+      case _ => false
+    }
+  }
+
   private def rangeMayMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
     def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))

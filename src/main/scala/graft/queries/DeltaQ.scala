@@ -425,6 +425,23 @@ object DeltaQ {
       require(r.metadataOnly, "stats-complete table must count from metadata alone")
       r.df.select($"o_orderstatus", $"bucket", $"n_rows")
         .orderBy($"o_orderstatus", $"bucket")
+    }),
+
+    // Hybrid predicate count: range-clustered files let stats PROVE full
+    // inclusion, so only boundary files are scanned; the requires pin
+    // that the metadata actually carried weight and the scan stayed
+    // partial. The count itself is oracle-exact regardless of layout.
+    "d25_count_where" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d25")
+      GraftDelta.toDelta(
+        t(s, dir, "orders").repartitionByRange(8, $"o_totalprice"), path)
+      val r = DeltaTableOps.countWhere(s, path,
+        Seq(Seq(graft.delta.Predicate("o_totalprice", ">", 150000.0))))
+      require(r.filesFromStats > 0,
+        s"range-clustered files must prove inclusion from stats: $r")
+      require(r.filesScanned < r.filesTotal, s"only boundary files may scan: $r")
+      Seq(r.count).toDF("n_match")
     })
   )
 
@@ -522,6 +539,9 @@ object DeltaQ {
       """SELECT o_orderstatus, CAST(o_orderkey % 4 AS INTEGER) AS bucket,
         | CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
+    "d25_count_where" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_match
+        |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

@@ -79,6 +79,46 @@ class MaintenanceSpec extends GraftSuite {
     assert(got == want, s"metadata $got vs scan $want")
   }
 
+  test("countWhere proves interior files from stats and scans only the boundary") {
+    import spark.implicits._
+    val path = tmp()
+    // ids 1..100 in 5 disjoint-range files of 20 rows each
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    GraftDelta.toDelta(df.repartitionByRange(5, col("id")), path)
+    // id > 30: file(1..20) excluded, file(21..40) boundary, 3 files proven
+    val r = DeltaTableOps.countWhere(spark, path,
+      Seq(Seq(Predicate("id", ">", 30L))))
+    assert(r.count == 70L, s"$r")
+    assert(r.filesTotal == 5 && r.filesExcluded == 1 &&
+      r.filesFromStats == 3 && r.filesScanned == 1, s"$r")
+
+    // nulls forfeit the inclusion proof: that file scans, count stays exact
+    val path2 = tmp()
+    val df2 = (1 to 40).map(i =>
+      (i.toLong, if (i % 10 == 0) None else Some(i.toLong))).toDF("id", "m")
+    GraftDelta.toDelta(df2.repartitionByRange(2, col("id")), path2)
+    val r2 = DeltaTableOps.countWhere(spark, path2,
+      Seq(Seq(Predicate("m", ">=", 1L))))
+    assert(r2.count == 36L, s"$r2")
+    assert(r2.filesFromStats == 0 && r2.filesScanned == 2,
+      s"files with possible nulls must be scanned, not proven: $r2")
+
+    // partition predicates prove whole partitions without data stats
+    val path3 = tmp()
+    val df3 = (1 to 60).map(i => (i.toLong, i % 3)).toDF("id", "p")
+    GraftDelta.toDelta(df3, path3, partitionBy = Seq("p"))
+    val r3 = DeltaTableOps.countWhere(spark, path3,
+      Seq(Seq(Predicate("p", "==", 1))))
+    assert(r3.count == 20L && r3.filesScanned == 0, s"$r3")
+
+    // DNF across proof regimes: (id <= 20) OR (id > 80) — two proven
+    // extremes, interior excluded
+    val r4 = DeltaTableOps.countWhere(spark, path,
+      Seq(Seq(Predicate("id", "<=", 20L)), Seq(Predicate("id", ">", 80L))))
+    assert(r4.count == 40L, s"$r4")
+    assert(r4.filesFromStats == 2 && r4.filesScanned == 0 && r4.filesExcluded == 3, s"$r4")
+  }
+
   test("stats-based data skipping prunes files whose range excludes the filter") {
     import spark.implicits._
     // repartitionByRange → files with disjoint id ranges → min/max stats prune
