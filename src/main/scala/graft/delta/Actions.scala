@@ -41,8 +41,27 @@ final case class MetadataAction(
 }
 
 /** `protocol` action. The reference refuses writer versions > 2
-  * (writer.py:254-259); we enforce the same gate. */
-final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action
+  * (writer.py:254-259); we enforce the same gate, extended with the
+  * table-features form (reader 3 / writer 7): explicit feature lists the
+  * replay checks against what it actually implements, instead of the
+  * version number alone. */
+final case class Protocol(
+    minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None) extends Action
+
+/** `add.deletionVector` — positions of soft-deleted rows of the file.
+  * storageType "i" = inline (Z85 bitmap bytes in pathOrInlineDv),
+  * "u" = UUID-named sibling file (pathOrInlineDv = Z85 of the 16-byte
+  * UUID, optionally prefix-prepended), "p" = absolute path. offset =
+  * byte position of this DV's blob inside the DV file; sizeInBytes =
+  * serialized bitmap length; cardinality = number of deleted rows. */
+final case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int] = None,
+    sizeInBytes: Int = 0,
+    cardinality: Long = 0L)
 
 /** `add` action — one active data file. partitionValues values may be null
   * (hive `__HIVE_DEFAULT_PARTITION__` sentinel). stats is a JSON string of
@@ -54,8 +73,13 @@ final case class AddFile(
     modificationTime: Long = 0L,
     dataChange: Boolean = true,
     stats: Option[String] = None,
-    tags: Map[String, String] = Map.empty
-) extends Action
+    tags: Map[String, String] = Map.empty,
+    deletionVector: Option[DeletionVectorDescriptor] = None
+) extends Action {
+  /** Live rows = numRecords − DV cardinality (exact: DV positions are
+    * deleted rows of THIS file). */
+  def dvCardinality: Long = deletionVector.map(_.cardinality).getOrElse(0L)
+}
 
 /** `remove` action — a tombstone. */
 final case class RemoveFile(
@@ -120,7 +144,15 @@ object ActionCodec {
           modificationTime = optLong(n.get("modificationTime")).getOrElse(0L),
           dataChange = optBool(n.get("dataChange")).getOrElse(true),
           stats = optStr(n.get("stats")),
-          tags = strMap(n.get("tags"))
+          tags = strMap(n.get("tags")),
+          deletionVector = Option(n.get("deletionVector"))
+            .filterNot(_.isNull)
+            .map(d => DeletionVectorDescriptor(
+              storageType = d.get("storageType").asText(),
+              pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+              offset = optLong(d.get("offset")).map(_.toInt),
+              sizeInBytes = optLong(d.get("sizeInBytes")).getOrElse(0L).toInt,
+              cardinality = optLong(d.get("cardinality")).getOrElse(0L)))
         ))
     } else if (root.has("remove")) {
       val n = root.get("remove")
@@ -156,7 +188,11 @@ object ActionCodec {
       Some(
         Protocol(
           minReaderVersion = optLong(n.get("minReaderVersion")).getOrElse(1L).toInt,
-          minWriterVersion = optLong(n.get("minWriterVersion")).getOrElse(2L).toInt
+          minWriterVersion = optLong(n.get("minWriterVersion")).getOrElse(2L).toInt,
+          readerFeatures = Option(n.get("readerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq),
+          writerFeatures = Option(n.get("writerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq)
         ))
     } else if (root.has("txn")) {
       val n = root.get("txn")
@@ -210,6 +246,14 @@ object ActionCodec {
         n.put("dataChange", f.dataChange)
         f.stats.foreach(n.put("stats", _))
         if (f.tags.nonEmpty) putStrMap(n, "tags", f.tags)
+        f.deletionVector.foreach { dv =>
+          val d = n.putObject("deletionVector")
+          d.put("storageType", dv.storageType)
+          d.put("pathOrInlineDv", dv.pathOrInlineDv)
+          dv.offset.foreach(d.put("offset", _))
+          d.put("sizeInBytes", dv.sizeInBytes)
+          d.put("cardinality", dv.cardinality)
+        }
       case f: RemoveFile =>
         val n = root.putObject("remove")
         n.put("path", f.path)
@@ -236,6 +280,12 @@ object ActionCodec {
         val n = root.putObject("protocol")
         n.put("minReaderVersion", p.minReaderVersion)
         n.put("minWriterVersion", p.minWriterVersion)
+        p.readerFeatures.foreach { fs =>
+          val a = n.putArray("readerFeatures"); fs.foreach(a.add)
+        }
+        p.writerFeatures.foreach { fs =>
+          val a = n.putArray("writerFeatures"); fs.foreach(a.add)
+        }
       case t: SetTransaction =>
         val n = root.putObject("txn")
         n.put("appId", t.appId)

@@ -47,6 +47,159 @@ object DeltaDml {
       checkpointInterval: Int = 10): DmlResult =
     mutate(spark, path, filters, assignments = Map.empty, checkpointInterval)
 
+  /** DELETE FROM … WHERE, deletion-vector flavor: instead of rewriting
+    * partially-matched files, write a per-file bitmap of the matched row
+    * positions and re-add each file with the DV attached — a selective
+    * delete over range-clustered files costs one DV file of a few KB
+    * per commit instead of rewriting terabytes of parquet. Files whose
+    * every LIVE row matches are fully removed (no DV needed); existing
+    * DVs are unioned in, and the protocol is upgraded in the SAME commit
+    * to reader 3 / writer 7 with the deletionVectors feature (legacy
+    * version-implied features enumerated, per the table-features rules).
+    *
+    * Same SQL semantics as [[delete]] — NULL predicates keep rows; the
+    * two flavors are interchangeable result-wise (spec-pinned). */
+  def deleteWithDv(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]],
+      checkpointInterval: Int = 10): DmlResult = {
+    require(filters.nonEmpty && filters.forall(_.nonEmpty),
+      "DML requires a non-empty predicate (refusing an implicit full-table operation)")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    DeltaWrite.requireNotColumnMapped(snap, "DML")
+    val partCols = snap.partitionColumns.toSet
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val candidates = DeltaRead.prunedFiles(snap, filters)
+    if (candidates.isEmpty) return DmlResult(0, 0, 0, 0)
+
+    // partition-full matches drop whole files unread — a DV would only
+    // slow the read side down for no write saving
+    def partitionFullMatch(f: AddFile): Boolean =
+      filters.exists { conj =>
+        conj.forall(p => partCols.contains(p.column) &&
+          DeltaRead.evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+            fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))
+      }
+    val (provenFull, toScan) = candidates.partition(partitionFullMatch)
+
+    // one scan: LIVE matched positions per file (readFiles applies any
+    // existing DVs, so already-deleted rows can't re-match)
+    val cond = DeltaRead.dnfToColumn(filters)
+    val matchedPos: Map[String, Array[Long]] =
+      if (toScan.isEmpty) Map.empty
+      else readFiles(spark, path, snap, toScan)
+        .filter(coalesce(cond, lit(false)))
+        .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__i"))
+        .groupBy(col("__f"))
+        .agg(collect_list(col("__i")).as("__is"))
+        .collect()
+        .map(r => scanFileKey(r.getString(0)) -> r.getSeq[Long](1).toArray)
+        .toMap
+    def posOf(f: AddFile): Array[Long] =
+      matchedPos.getOrElse(normalizePath(DeltaRead.resolvePath(path, f.path)), Array.empty)
+    def numRecords(f: AddFile): Option[Long] =
+      StatsPruning.parse(f.stats).flatMap(_.numRecords)
+
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(path)
+    val touched = toScan.filter(posOf(_).nonEmpty)
+    // a file whose every live row matched is a full remove, not a DV
+    val (dvTargets, scannedFull) = touched.partition { f =>
+      numRecords(f) match {
+        case Some(n) => posOf(f).length < n - f.dvCardinality
+        case None => true // stats-less: keep via DV, exactness over guessing
+      }
+    }
+    val fullRemoves = provenFull ++ scannedFull
+    if (fullRemoves.isEmpty && dvTargets.isEmpty) return DmlResult(0, 0, 0, 0)
+
+    val provenRows: Long = {
+      val (withStats, statless) = provenFull.partition(f => numRecords(f).isDefined)
+      withStats.map(f => numRecords(f).get - f.dvCardinality).sum +
+        (if (statless.isEmpty) 0L else readFiles(spark, path, snap, statless).count())
+    }
+    val affected = provenRows + touched.map(posOf(_).length.toLong).sum
+
+    // merge fresh positions into any existing bitmap; ONE dv file per commit
+    val bitmaps = dvTargets.map { f =>
+      val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      posOf(f).foreach(rb.addLong)
+      f.path -> DeletionVectors.merged(fs, root, f, rb)
+    }
+    val descriptors: Map[String, DeletionVectorDescriptor] =
+      if (bitmaps.isEmpty) Map.empty
+      else DeletionVectors.writeDvFile(fs, root, bitmaps)
+
+    val now = Instant.now().toEpochMilli
+    val removes = (fullRemoves ++ dvTargets).map(f =>
+      RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size)))
+    val readds = dvTargets.map(f =>
+      f.copy(dataChange = true, deletionVector = Some(descriptors(f.path))))
+    val protocolUpgrade = dvProtocolUpgrade(snap.protocol)
+
+    val version = snap.version + 1
+    def mkActions(readVersion: Long): Seq[Action] = (CommitInfo(
+      timestamp = now,
+      operation = "DELETE",
+      operationParameters = Map("predicate" -> filters.map(_.map(p =>
+        s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR ")),
+      operationMetrics = Map(
+        "numDeletedRows" -> affected.toString,
+        "numRemovedFiles" -> fullRemoves.size.toString,
+        "numDeletionVectorsAdded" -> readds.size.toString),
+      readVersion = Some(readVersion),
+      isBlindAppend = Some(false)): Action) +:
+      // removes BEFORE the re-adds: replay is sequential, and the re-add
+      // must end the commit active (it also clears the tombstone)
+      (protocolUpgrade.toSeq ++ removes ++ readds)
+
+    val committed =
+      try commitDmlWithRetry(log, path, version, mkActions,
+        removes.map(_.path).toSet, addMatcher(snap, filters))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          descriptors.headOption.foreach { case (_, d) =>
+            fs.delete(new Path(root,
+              DeletionVectors.dvFileName(DeletionVectors.uuidOfDescriptor(d))), false)
+          }
+          throw e
+      }
+    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+      log.writeCheckpoint(committed)
+    DmlResult(affected, fullRemoves.size, 0, readds.size)
+  }
+
+  /** Protocol action upgrading to reader 3 / writer 7 + deletionVectors,
+    * enumerating the features the current version numbers imply (the
+    * table-features upgrade rule); None when already sufficient. */
+  private def dvProtocolUpgrade(p: Protocol): Option[Protocol] = {
+    val hasReader = p.minReaderVersion >= 3 &&
+      p.readerFeatures.exists(_.contains("deletionVectors"))
+    val hasWriter = p.minWriterVersion >= 7 &&
+      p.writerFeatures.exists(_.contains("deletionVectors"))
+    if (hasReader && hasWriter) None
+    else {
+      val legacyWriter = p.minWriterVersion match {
+        case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
+        case 3 => Seq("appendOnly", "invariants", "checkConstraints")
+        case _ => Seq("appendOnly", "invariants")
+      }
+      val legacyReader =
+        if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
+        else if (p.minReaderVersion == 2) Seq("columnMapping")
+        else Nil
+      Some(Protocol(3, 7,
+        readerFeatures = Some((legacyReader :+ "deletionVectors").distinct),
+        writerFeatures = Some((legacyWriter :+ "deletionVectors").distinct)))
+    }
+  }
+
   /** UPDATE table SET <assignments> WHERE <filters>. Each assignment's
     * expression is evaluated against the pre-update row; non-matching
     * rows pass through byte-identical semantics. */
@@ -71,10 +224,7 @@ object DeltaDml {
     val isDelete = assignments.isEmpty
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
-    if (snap.protocol.minWriterVersion > DeltaWrite.MaxSupportedWriterVersion)
-      throw new IllegalStateException(
-        s"Table requires writer version ${snap.protocol.minWriterVersion} > " +
-          s"${DeltaWrite.MaxSupportedWriterVersion}")
+    DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
@@ -250,10 +400,7 @@ object DeltaDml {
     require(on.nonEmpty, "MERGE requires at least one join key")
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
-    if (snap.protocol.minWriterVersion > DeltaWrite.MaxSupportedWriterVersion)
-      throw new IllegalStateException(
-        s"Table requires writer version ${snap.protocol.minWriterVersion} > " +
-          s"${DeltaWrite.MaxSupportedWriterVersion}")
+    DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
     val targetCols = snap.schema.fieldNames.toSeq
     on.foreach { k =>
@@ -544,14 +691,27 @@ object DeltaDml {
   }
 
   /** Scan a specific subset of the snapshot's files with the snapshot
-    * schema and hive partition columns restored. */
+    * schema and hive partition columns restored. Deletion vectors are
+    * applied so a rewrite of a DV-carrying file can never resurrect its
+    * soft-deleted rows. */
   private def readFiles(
-      spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile]): DataFrame =
-    spark.read
-      .format("parquet")
-      .schema(snap.schema)
-      .option("basePath", path)
-      .load(files.map(f => DeltaRead.resolvePath(path, f.path)): _*)
+      spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val dvFiles = files.filter(_.deletionVector.isDefined)
+    val dvBytes =
+      if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
+      else {
+        val root = new Path(path)
+        DeletionVectors.dvByteMap(
+          root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvFiles)
+      }
+    DeletionVectors.applyFilter(
+      spark.read
+        .format("parquet")
+        .schema(snap.schema)
+        .option("basePath", path)
+        .load(files.map(f => DeltaRead.resolvePath(path, f.path)): _*),
+      dvBytes)
+  }
 
   /** Normalizes a resolvePath output (ALREADY URI-decoded, possibly
     * scheme-qualified) to a bare scheme-less path. `Path.toUri` re-encodes

@@ -251,19 +251,32 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
     // Reader-version gate: reader 2 = column mapping, which this replay
     // implements for mode `name` (and trivially `none`); `id` mode needs
-    // parquet field-id matching we don't do, and reader ≥ 3 (deletion
-    // vectors, table features) is unimplemented — reading either anyway
-    // would silently return wrong rows, the worst failure mode.
+    // parquet field-id matching we don't do. Reader 3 = table features:
+    // the version number says nothing by itself — the readerFeatures list
+    // is checked against what the scan actually implements (deletion
+    // vectors, column mapping). An UNKNOWN feature still refuses loudly:
+    // reading anyway would silently return wrong rows, the worst failure
+    // mode.
     val mappingMode =
       meta.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val readerSupported =
-      protocol.minReaderVersion <= 1 ||
-        (protocol.minReaderVersion == 2 && (mappingMode == "none" || mappingMode == "name"))
+    val mappingOk = mappingMode == "none" || mappingMode == "name"
+    val readerSupported = protocol.minReaderVersion match {
+      case v if v <= 1 => true
+      case 2 => mappingOk
+      case 3 =>
+        // a v3 protocol MUST carry its readerFeatures list; absent =
+        // malformed (or a writer older than table features) — refuse
+        mappingOk && protocol.readerFeatures.exists(
+          _.forall(DeltaLog.SupportedReaderFeatures.contains))
+      case _ => false
+    }
     if (!readerSupported)
       throw new IllegalStateException(
         s"Table $tablePath requires reader version ${protocol.minReaderVersion} " +
-          s"(columnMapping.mode=$mappingMode) — supported: reader ≤ " +
-          s"${DeltaLog.MaxSupportedReaderVersion} with mapping mode none or name")
+          s"(columnMapping.mode=$mappingMode, readerFeatures=" +
+          s"${protocol.readerFeatures.getOrElse(Nil).mkString(",")}) — supported: " +
+          s"reader ≤ 2 with mapping mode none or name, or reader 3 whose features " +
+          s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
       txns.values.toSeq)
   }
@@ -334,7 +347,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def writeCheckpoint(version: Long, maxActionsPerPart: Int = 500000): Unit = {
     val snap = snapshot(Some(version))
     val rows: Seq[Row] =
-      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion), null, null, null, null) +:
+      Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+        snap.protocol.readerFeatures.orNull, snap.protocol.writerFeatures.orNull),
+        null, null, null, null) +:
         Row(null, metadataToRow(snap.metadata), null, null, null) +:
         (snap.activeFiles.map(f => Row(null, null, addToRow(f), null, null)) ++
           snap.tombstones.map(f => Row(null, null, null, removeToRow(f), null)) ++
@@ -377,7 +392,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   private lazy val checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("name", StringType),
@@ -395,7 +412,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -415,7 +438,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       m.createdTime.map(Long.box).orNull)
 
   private def addToRow(f: AddFile): Row =
-    Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange, f.stats.orNull)
+    Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange, f.stats.orNull,
+      f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)
 
   private def removeToRow(f: RemoveFile): Row =
     Row(f.path, f.deletionTimestamp.map(Long.box).orNull, f.dataChange,
@@ -437,7 +462,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           val r = row.getStruct(i)
           name match {
             case "protocol" =>
-              Some(Protocol(intField(r, "minReaderVersion", 1), intField(r, "minWriterVersion", 2)))
+              Some(Protocol(intField(r, "minReaderVersion", 1), intField(r, "minWriterVersion", 2),
+                readerFeatures = optSeqField(r, "readerFeatures"),
+                writerFeatures = optSeqField(r, "writerFeatures")))
             case "metaData" =>
               val fmt = structField(r, "format")
               Some(MetadataAction(
@@ -458,7 +485,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 size = longField(r, "size").getOrElse(0L),
                 modificationTime = longField(r, "modificationTime").getOrElse(0L),
                 dataChange = boolField(r, "dataChange").getOrElse(true),
-                stats = strField(r, "stats")
+                stats = strField(r, "stats"),
+                deletionVector = structField(r, "deletionVector").map(d =>
+                  DeletionVectorDescriptor(
+                    storageType = strField(d, "storageType").getOrElse(""),
+                    pathOrInlineDv = strField(d, "pathOrInlineDv").getOrElse(""),
+                    offset = intOptField(d, "offset"),
+                    sizeInBytes = intField(d, "sizeInBytes", 0),
+                    cardinality = longField(d, "cardinality").getOrElse(0L)))
               ))
             case "remove" =>
               Some(RemoveFile(
@@ -497,15 +531,28 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     idx(r, n).map(i => r.getMap[String, String](i).toMap).getOrElse(Map.empty)
   private def seqField(r: Row, n: String): Seq[String] =
     idx(r, n).map(i => r.getSeq[String](i)).getOrElse(Nil)
+  private def optSeqField(r: Row, n: String): Option[Seq[String]] =
+    idx(r, n).map(i => r.getSeq[String](i))
+  private def intOptField(r: Row, n: String): Option[Int] =
+    idx(r, n).map(i => r.getInt(i))
 }
 
 object DeltaLog {
 
   /** Highest protocol reader version this replay implements: 2 = column
     * mapping (mode `name` — physical↔logical rename at scan time; `id`
-    * mode and reader ≥ 3 deletion vectors refused loudly). The
-    * reference's delta-rs 0.6.4 is reader-1-only. */
-  val MaxSupportedReaderVersion = 2
+    * mode refused loudly), 3 = table features when every listed
+    * readerFeature is in [[SupportedReaderFeatures]] (unknown features
+    * refuse loudly — version 3 alone proves nothing). The reference's
+    * delta-rs 0.6.4 is reader-1-only. */
+  val MaxSupportedReaderVersion = 3
+
+  /** Reader-3 table features the scan implements. */
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+
+  /** Writer-7 table features our write surfaces understand. */
+  val SupportedWriterFeatures: Set[String] =
+    Set("deletionVectors", "checkConstraints", "appendOnly", "invariants", "columnMapping")
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r

@@ -67,8 +67,16 @@ object DeltaMaintenance {
         s"$c=$escaped"
       }.mkString("/")
       // rewrite: read only this partition's files, keep partition columns
-      // out of the data (they live in the path)
-      val df = spark.read.schema(statsSchema).parquet(paths: _*)
+      // out of the data (they live in the path). Deletion vectors are
+      // applied — OPTIMIZE is exactly where DVs get materialized away
+      // (the compacted files carry no DV and no deleted rows).
+      val dvBytes = {
+        val dvFiles = files.filter(_.deletionVector.isDefined)
+        if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
+        else DeletionVectors.dvByteMap(fs, new Path(path), dvFiles)
+      }
+      val df = DeletionVectors.applyFilter(
+        spark.read.schema(statsSchema).parquet(paths: _*), dvBytes)
       val clustered =
         if (sortBy.isEmpty) df.coalesce(numOut)
         else if (zorder && sortBy.size >= 2) {

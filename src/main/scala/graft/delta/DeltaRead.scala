@@ -68,9 +68,27 @@ object DeltaRead {
     // the layer that keeps 100 TB plans small (SURVEY.md §4).
     val files = prunedFiles(snap, filters)
 
-    if (mappingModeOf(snap) == "name")
+    // Deletion vectors: bitmap bytes per DV-carrying file, applied right
+    // on each parquet scan (where `_metadata.row_index` resolves); files
+    // without a DV pay nothing.
+    val dvBytes = {
+      val dvFiles = files.filter(_.deletionVector.isDefined)
+      if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
+      else {
+        val root = new org.apache.hadoop.fs.Path(path)
+        DeletionVectors.dvByteMap(
+          root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvFiles)
+      }
+    }
+
+    if (mappingModeOf(snap) == "name") {
+      if (dvBytes.nonEmpty)
+        throw new IllegalStateException(
+          "deletion vectors on a column-mapped table are not supported — " +
+            "materialize the DVs (rewrite) before reading with column mapping")
       return finishProjection(
         mappedScan(spark, path, snap, files), schema, partCols, columns, filters)
+    }
 
     val base = if (files.isEmpty) {
       // Empty-table branch (SURVEY.md §2 ⑨): correct schema, 0 rows.
@@ -82,16 +100,19 @@ object DeltaRead {
         // basePath restores hive partition columns; the explicit schema makes
         // pre-evolution files surface absent columns as nulls (⑧) and casts
         // partition-dir strings to their declared types.
-        spark.read
-          .format("parquet")
-          .schema(schema)
-          .option("basePath", path)
-          .load(absolute: _*)
+        DeletionVectors.applyFilter(
+          spark.read
+            .format("parquet")
+            .schema(schema)
+            .option("basePath", path)
+            .load(absolute: _*),
+          dvBytes)
       } else if (snap.partitionColumns.isEmpty) {
         // absolute-path adds (shallow clones) live under ANOTHER table's
         // root — no basePath; partition columns don't exist, so none of
         // the hive recovery is needed
-        spark.read.format("parquet").schema(schema).load(absolute: _*)
+        DeletionVectors.applyFilter(
+          spark.read.format("parquet").schema(schema).load(absolute: _*), dvBytes)
       } else {
         // partitioned table with outside-root files: hive discovery can't
         // span roots, but the LOG is the source of truth for partition
@@ -102,8 +123,10 @@ object DeltaRead {
         val partFields = schema.fields.filter(f => partCols.contains(f.name))
         val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
         files.groupBy(_.partitionValues).map { case (pv, group) =>
-          val g = spark.read.format("parquet").schema(dataSchema)
-            .load(group.map(f => resolvePath(path, f.path)): _*)
+          val g = DeletionVectors.applyFilter(
+            spark.read.format("parquet").schema(dataSchema)
+              .load(group.map(f => resolvePath(path, f.path)): _*),
+            dvBytes)
           partFields.foldLeft(g) { (d, f) =>
             d.withColumn(f.name,
               lit(pv.get(f.name).flatMap(Option(_)).orNull).cast(f.dataType))

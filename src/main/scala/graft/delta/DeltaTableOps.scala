@@ -43,13 +43,17 @@ object DeltaTableOps {
     }) && !snap.partitionColumns.contains(c)
 
     val parsed = snap.activeFiles.map(f => StatsPruning.parse(f.stats))
-    val metaComplete = cols.forall(numericField) && parsed.forall(_.exists { st =>
-      st.numRecords.isDefined && cols.forall { c =>
-        st.nullCount.contains(c) &&
-          (st.nullCount(c) == st.numRecords.get ||
-            (st.min.contains(c) && st.max.contains(c)))
-      }
-    })
+    // a deletion vector invalidates per-file min/max/null-counts for the
+    // LIVE rows (the deleted row may have been the extreme) → scan
+    val metaComplete = cols.forall(numericField) &&
+      snap.activeFiles.forall(_.deletionVector.isEmpty) &&
+      parsed.forall(_.exists { st =>
+        st.numRecords.isDefined && cols.forall { c =>
+          st.nullCount.contains(c) &&
+            (st.nullCount(c) == st.numRecords.get ||
+              (st.min.contains(c) && st.max.contains(c)))
+        }
+      })
 
     val outSchema = StructType(
       StructField("n_rows", LongType, nullable = false) +:
@@ -130,8 +134,11 @@ object DeltaTableOps {
     val pcols = snap.partitionColumns
     require(pcols.nonEmpty, s"table at $path is not partitioned")
     val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val counts = snap.activeFiles
-      .map(f => f.partitionValues -> StatsPruning.parse(f.stats).flatMap(_.numRecords))
+    // DV cardinality is exactly the file's deleted-row count, so live
+    // rows = numRecords − cardinality stays metadata-exact
+    val counts = snap.activeFiles.map(f =>
+      f.partitionValues ->
+        StatsPruning.parse(f.stats).flatMap(_.numRecords).map(_ - f.dvCardinality))
     if (counts.forall(_._2.isDefined)) {
       val grouped = counts
         .groupBy(_._1)
@@ -196,8 +203,10 @@ object DeltaTableOps {
           else StatsPruning.mustMatch(stats, p)
         })
       }
+    // proven files with a DV: every LIVE row still matches (live ⊆ all,
+    // and stats proved all) — contribute numRecords − cardinality
     val statsCount = proven
-      .map(f => StatsPruning.parse(f.stats).flatMap(_.numRecords).get).sum
+      .map(f => StatsPruning.parse(f.stats).flatMap(_.numRecords).get - f.dvCardinality).sum
     val scanCount =
       if (boundary.isEmpty) 0L
       else DeltaRead.fromSnapshot(
@@ -295,7 +304,17 @@ object DeltaTableOps {
       val stored =
         if (hasScheme(abs)) abs
         else "/" + DeltaWrite.uriEncodePath(abs.stripPrefix("/"))
-      f.copy(path = stored, dataChange = true)
+      // a UUID-relative deletion vector resolves against the SOURCE root;
+      // pin it absolute ("p") so the clone can never mis-resolve it
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "u")
+          d.copy(storageType = "p",
+            pathOrInlineDv = new Path(sourcePath,
+              DeletionVectors.dvFileName(
+                DeletionVectors.uuidOfDescriptor(d))).toString)
+        else d
+      }
+      f.copy(path = stored, dataChange = true, deletionVector = dv)
     }
     val meta = snap.metadata.copy(
       id = java.util.UUID.randomUUID().toString, createdTime = Some(now))

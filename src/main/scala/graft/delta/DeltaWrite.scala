@@ -42,6 +42,25 @@ object DeltaWrite {
     * cannot enforce constraints; enforcing is strictly safer. */
   val MaxSupportedWriterVersion = 3
 
+  /** Writer gate, table-features aware: version ≤ 3 is the classic path;
+    * version 7 is allowed iff EVERY listed writerFeature is one our
+    * write/DML surfaces actually honor (unknown features refuse loudly —
+    * writing anyway could break an invariant another writer relies on).
+    * Versions 4-6 (generated columns, identity columns, row tracking as
+    * implicit version features) are refused. */
+  private[delta] def requireWriterSupported(snap: Snapshot): Unit = {
+    val p = snap.protocol
+    val ok = p.minWriterVersion <= MaxSupportedWriterVersion ||
+      (p.minWriterVersion == 7 &&
+        p.writerFeatures.exists(_.forall(DeltaLog.SupportedWriterFeatures.contains)))
+    if (!ok)
+      throw new IllegalStateException(
+        s"Table requires writer version ${p.minWriterVersion} " +
+          s"(writerFeatures=${p.writerFeatures.getOrElse(Nil).mkString(",")}) — " +
+          s"supported: ≤ $MaxSupportedWriterVersion, or 7 with features all in " +
+          s"${DeltaLog.SupportedWriterFeatures.mkString("{", ",", "}")}")
+  }
+
   def write(
       df: DataFrame,
       path: String,
@@ -93,9 +112,7 @@ object DeltaWrite {
           s"predicate ${replaceWhere.map(_.mkString(" AND ")).mkString(" OR ")}")).isNull)
 
     existing.foreach { snap =>
-      if (snap.protocol.minWriterVersion > MaxSupportedWriterVersion)
-        throw new IllegalStateException(
-          s"Table requires writer version ${snap.protocol.minWriterVersion} > $MaxSupportedWriterVersion")
+      requireWriterSupported(snap)
       requireNotColumnMapped(snap, "write")
       if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
         throw new IllegalArgumentException(

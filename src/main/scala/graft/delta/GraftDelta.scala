@@ -48,6 +48,14 @@ object GraftDelta {
       filters: Seq[Seq[Predicate]]
   ): DeltaDml.DmlResult = DeltaDml.delete(spark, path, filters)
 
+  /** DELETE via deletion vectors: soft-delete bitmap instead of a file
+    * rewrite (beyond the reference's surface; DeltaDml). */
+  def deleteWhereWithDv(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]]
+  ): DeltaDml.DmlResult = DeltaDml.deleteWithDv(spark, path, filters)
+
   /** UPDATE … SET … WHERE (beyond the reference's surface; DeltaDml). */
   def updateWhere(
       spark: SparkSession,

@@ -442,6 +442,25 @@ object DeltaQ {
         s"range-clustered files must prove inclusion from stats: $r")
       require(r.filesScanned < r.filesTotal, s"only boundary files may scan: $r")
       Seq(r.count).toDF("n_match")
+    }),
+
+    // Deletion-vector DELETE: soft-delete bitmaps instead of file
+    // rewrites (reader 3 / writer 7 table feature); the require pins
+    // zero rewrites, and the strict readback proves the scan applies the
+    // bitmaps exactly.
+    "d26_dv_delete" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d26")
+      GraftDelta.toDelta(
+        t(s, dir, "customer").repartitionByRange(4, $"c_custkey"), path)
+      val r = GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(graft.delta.Predicate("c_acctbal", "<", 0.0))))
+      require(r.rewrittenFiles == 0, s"DV delete must not rewrite data files: $r")
+      require(r.addedFiles + r.removedFiles > 0, s"delete must touch files: $r")
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", cents($"c_acctbal").as("acctbal_c"))
+        .withColumn("n_deleted", lit(r.affectedRows))
+        .orderBy($"c_custkey")
     })
   )
 
@@ -542,6 +561,11 @@ object DeltaQ {
     "d25_count_where" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_match
         |FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
+    "d26_dv_delete" ->
+      """SELECT c_custkey, c_name,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_acctbal < 0) AS n_deleted
+        |FROM customer WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
