@@ -81,14 +81,17 @@ final case class AddFile(
   def dvCardinality: Long = deletionVector.map(_.cardinality).getOrElse(0L)
 }
 
-/** `remove` action — a tombstone. */
+/** `remove` action — a tombstone. Carries the removed add's deletion
+  * vector (when it had one) so vacuum can reclaim the DV file on the
+  * same retention clock as the data file it belonged to. */
 final case class RemoveFile(
     path: String,
     deletionTimestamp: Option[Long] = None,
     dataChange: Boolean = true,
     extendedFileMetadata: Option[Boolean] = None,
     partitionValues: Map[String, String] = Map.empty,
-    size: Option[Long] = None
+    size: Option[Long] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None
 ) extends Action
 
 /** `txn` action — idempotent writer bookkeeping. */
@@ -163,7 +166,15 @@ object ActionCodec {
           dataChange = optBool(n.get("dataChange")).getOrElse(true),
           extendedFileMetadata = optBool(n.get("extendedFileMetadata")),
           partitionValues = strMap(n.get("partitionValues")),
-          size = optLong(n.get("size"))
+          size = optLong(n.get("size")),
+          deletionVector = Option(n.get("deletionVector"))
+            .filterNot(_.isNull)
+            .map(d => DeletionVectorDescriptor(
+              storageType = d.get("storageType").asText(),
+              pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+              offset = optLong(d.get("offset")).map(_.toInt),
+              sizeInBytes = optLong(d.get("sizeInBytes")).getOrElse(0L).toInt,
+              cardinality = optLong(d.get("cardinality")).getOrElse(0L)))
         ))
     } else if (root.has("metaData")) {
       val n = root.get("metaData")
@@ -262,6 +273,14 @@ object ActionCodec {
         f.extendedFileMetadata.foreach(n.put("extendedFileMetadata", _))
         if (f.partitionValues.nonEmpty) putStrMap(n, "partitionValues", f.partitionValues)
         f.size.foreach(n.put("size", _))
+        f.deletionVector.foreach { dv =>
+          val d = n.putObject("deletionVector")
+          d.put("storageType", dv.storageType)
+          d.put("pathOrInlineDv", dv.pathOrInlineDv)
+          dv.offset.foreach(d.put("offset", _))
+          d.put("sizeInBytes", dv.sizeInBytes)
+          d.put("cardinality", dv.cardinality)
+        }
       case m: MetadataAction =>
         val n = root.putObject("metaData")
         n.put("id", m.id)

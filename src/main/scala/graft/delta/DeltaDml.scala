@@ -138,7 +138,7 @@ object DeltaDml {
     val removes = (fullRemoves ++ dvTargets).map(f =>
       RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-        size = Some(f.size)))
+        size = Some(f.size), deletionVector = f.deletionVector))
     val readds = dvTargets.map(f =>
       f.copy(dataChange = true, deletionVector = Some(descriptors(f.path))))
     val protocolUpgrade = dvProtocolUpgrade(snap.protocol)
@@ -323,7 +323,7 @@ object DeltaDml {
     val removes = (fullRemoves ++ partial).map(f =>
       RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-        size = Some(f.size)))
+        size = Some(f.size), deletionVector = f.deletionVector))
     val op = if (isDelete) "DELETE" else "UPDATE"
     def mkActions(readVersion: Long): Seq[Action] = CommitInfo(
       timestamp = now,
@@ -573,7 +573,7 @@ object DeltaDml {
     val removes = removes0.map(f =>
       RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-        size = Some(f.size)))
+        size = Some(f.size), deletionVector = f.deletionVector))
     def mkActions(readVersion: Long): Seq[Action] = CommitInfo(
       timestamp = now,
       operation = "MERGE",

@@ -224,11 +224,29 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     var metadata: Option[MetadataAction] = None
     var protocol: Protocol = Protocol()
 
+    // With deletion vectors a path can have several INCARNATIONS (same
+    // data file, different bitmap): reconciliation is keyed by
+    // (path, DV identity), per the protocol's DV uniqueness rule. A
+    // remove only evicts the active entry when it names the SAME
+    // incarnation — so a DV-supersede commit (remove old incarnation +
+    // re-add with the union bitmap) keeps the new add active in EITHER
+    // action order (commit JSON emits remove-then-add; checkpoints emit
+    // adds before tombstones), and the superseded incarnation's
+    // tombstone survives for vacuum's DV-file reclamation.
+    def dvIdOf(d: Option[DeletionVectorDescriptor]): String =
+      d.map(x => s"${x.storageType}:${x.pathOrInlineDv}:${x.offset.getOrElse(0)}")
+        .getOrElse("")
     def apply(a: Action): Unit = a match {
       case f: AddFile =>
-        removed.remove(f.path); active(f.path) = f
+        removed.remove(f.path + " " + dvIdOf(f.deletionVector))
+        active(f.path) = f
       case f: RemoveFile =>
-        active.remove(f.path); removed(f.path) = f
+        val rid = dvIdOf(f.deletionVector)
+        active.get(f.path) match {
+          case Some(a0) if dvIdOf(a0.deletionVector) == rid => active.remove(f.path)
+          case _ => ()
+        }
+        removed(f.path + " " + rid) = f
       case m: MetadataAction => metadata = Some(m)
       case p: Protocol => protocol = p
       // latest per appId — idempotent-writer state (e.g. streaming sinks)
@@ -425,7 +443,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       StructField("dataChange", BooleanType),
       StructField("extendedFileMetadata", BooleanType),
       StructField("partitionValues", strMapType),
-      StructField("size", LongType)))),
+      StructField("size", LongType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),
@@ -445,7 +469,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   private def removeToRow(f: RemoveFile): Row =
     Row(f.path, f.deletionTimestamp.map(Long.box).orNull, f.dataChange,
       f.extendedFileMetadata.map(Boolean.box).orNull, f.partitionValues,
-      f.size.map(Long.box).orNull)
+      f.size.map(Long.box).orNull,
+      f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)
 
   /** Convert a checkpoint DataFrame (any writer's field superset) into
     * actions. Projects only the action structs and STREAMS rows to the
@@ -501,7 +527,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 dataChange = boolField(r, "dataChange").getOrElse(true),
                 extendedFileMetadata = boolField(r, "extendedFileMetadata"),
                 partitionValues = mapField(r, "partitionValues"),
-                size = longField(r, "size")
+                size = longField(r, "size"),
+                deletionVector = structField(r, "deletionVector").map(d =>
+                  DeletionVectorDescriptor(
+                    storageType = strField(d, "storageType").getOrElse(""),
+                    pathOrInlineDv = strField(d, "pathOrInlineDv").getOrElse(""),
+                    offset = intOptField(d, "offset"),
+                    sizeInBytes = intField(d, "sizeInBytes", 0),
+                    cardinality = longField(d, "cardinality").getOrElse(0L)))
               ))
             case "txn" =>
               Some(SetTransaction(

@@ -114,7 +114,7 @@ object DeltaMaintenance {
       fs.delete(tmp, true)
       removes :::= files.map(f => RemoveFile(f.path, Some(now), dataChange = false,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-        size = Some(f.size))).toList
+        size = Some(f.size), deletionVector = f.deletionVector)).toList
     }
 
     val commitInfo = CommitInfo(

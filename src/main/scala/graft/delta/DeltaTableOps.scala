@@ -492,7 +492,8 @@ object DeltaTableOps {
       .map(_.copy(dataChange = true))
     val removes = current.activeFiles.filterNot(f => targetPaths.contains(f.path))
       .map(f => RemoveFile(f.path, Some(now), dataChange = true,
-        partitionValues = f.partitionValues, size = Some(f.size)))
+        partitionValues = f.partitionValues, size = Some(f.size),
+        deletionVector = f.deletionVector))
 
     // a restored file may have been vacuumed since its remove — check
     // before committing a snapshot that cannot be read back
@@ -587,9 +588,15 @@ object DeltaTableOps {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    // a DV-superseded incarnation tombstones the OLD bitmap while the
+    // data file itself stays active under a new incarnation — its data
+    // path must never be deleted, only its DV file is reclaimable
+    val activePaths = snap.activeFiles.map(_.path).toSet
     val expired = snap.tombstones
       .filter(_.deletionTimestamp.forall(_ < cutoff))
       .map(_.path)
+      .filterNot(activePaths.contains)
+      .distinct
     // Files OUTSIDE the table root are never vacuum's to delete — they
     // belong to another table (shallow-clone sources reference the
     // original's files by absolute path; deleting them here would
@@ -597,10 +604,32 @@ object DeltaTableOps {
     // only ever lists under the table directory. Logged, not silent.
     val rootFs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val rootPrefix = rootFs.makeQualified(new Path(path)).toString.stripSuffix("/") + "/"
-    val (tombstones, foreign) = expired.partition { p =>
+    val (tombstones0, foreign) = expired.partition { p =>
       rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p))).toString
         .startsWith(rootPrefix)
     }
+    // Deletion-vector files expire on the SAME retention clock: a remove
+    // carries its add's descriptor, so an expired tombstone releases its
+    // DV file — unless a still-active add shares it (one DV file per
+    // commit serves many adds) or a not-yet-expired tombstone does (time
+    // travel within retention still needs it). Inline DVs hold no file.
+    val dvOf: DeletionVectorDescriptor => Option[String] = d => d.storageType match {
+      case "u" => Some(DeletionVectors.dvFileName(DeletionVectors.uuidOfDescriptor(d)))
+      case "p" => Some(d.pathOrInlineDv)
+      case _ => None
+    }
+    val liveDvRefs: Set[String] =
+      (snap.activeFiles.flatMap(_.deletionVector).flatMap(dvOf(_)) ++
+        snap.tombstones.filterNot(_.deletionTimestamp.forall(_ < cutoff))
+          .flatMap(_.deletionVector).flatMap(dvOf(_))).toSet
+    val expiredDvFiles = snap.tombstones
+      .filter(_.deletionTimestamp.forall(_ < cutoff))
+      .flatMap(_.deletionVector).flatMap(dvOf(_))
+      .distinct
+      .filterNot(liveDvRefs.contains)
+      .filter(p => rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p)))
+        .toString.startsWith(rootPrefix))
+    val tombstones = tombstones0 ++ expiredDvFiles
     if (foreign.nonEmpty)
       org.slf4j.LoggerFactory.getLogger("graft.delta").info(
         s"vacuum($path): skipping ${foreign.size} expired tombstone(s) outside " +

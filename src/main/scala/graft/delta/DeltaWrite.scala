@@ -210,7 +210,7 @@ object DeltaWrite {
         replaced.map(f =>
           RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
             extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-            size = Some(f.size)))
+            size = Some(f.size), deletionVector = f.deletionVector))
       } else Nil
 
     val numRows = adds.flatMap(a => a.stats.flatMap(numRecordsOf)).sum

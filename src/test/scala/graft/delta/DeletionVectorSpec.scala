@@ -167,6 +167,33 @@ class DeletionVectorSpec extends GraftSuite {
     assert(pc.df.agg(sum("n_rows")).collect().head.getLong(0) == 72L)
   }
 
+  test("vacuum reclaims DV files on the tombstone retention clock, never live ones") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 40).map(i => (i.toLong, "x")).toDF("k", "v").repartitionByRange(2, $"k"),
+      path)
+    // v1: DV on both files; v2: supersede file 1's DV (union) — v1's DV
+    // file becomes unreferenced by ACTIVE adds but the v2 remove holds it
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 5L))))
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 7L))))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dvFilesOnDisk: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("deletion_vector_")).toSet
+    assert(dvFilesOnDisk.size == 2)
+
+    // within retention nothing is reclaimable
+    assert(DeltaTableOps.vacuum(spark, path, retentionHours = 168.0, dryRun = true).isEmpty)
+    // at retention 0 the superseded v1 DV file (and no other) expires
+    val dry = DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = true)
+    assert(dry.count(_.startsWith("deletion_vector_")) == 1, s"$dry")
+    DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = false)
+    assert(dvFilesOnDisk.size == 1, "the live DV file must survive vacuum")
+    // reads still correct after reclaim
+    assert(GraftDelta.readDelta(spark, path).count() == 38L)
+  }
+
   test("unknown reader-3 features refuse; known features pass the gate") {
     import spark.implicits._
     val path = tmp()
