@@ -63,13 +63,43 @@ object DeltaDml {
       spark: SparkSession,
       path: String,
       filters: Seq[Seq[Predicate]],
+      checkpointInterval: Int = 10): DmlResult =
+    dvMutate(spark, path, filters, assignments = Map.empty, checkpointInterval)
+
+  /** UPDATE via deletion vectors: the matched rows are DV'd out of their
+    * files and their UPDATED versions are appended as new files — the
+    * write cost is O(matched rows), not O(touched files): a 10-row
+    * update of a terabyte of range-clustered parquet appends one tiny
+    * file plus a KB of bitmap. Same SQL semantics as [[update]]
+    * (assignments see the pre-update row; NULL predicates keep rows). */
+  def updateWithDv(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]],
+      assignments: Map[String, Column],
       checkpointInterval: Int = 10): DmlResult = {
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    dvMutate(spark, path, filters, assignments, checkpointInterval)
+  }
+
+  private def dvMutate(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]],
+      assignments: Map[String, Column],
+      checkpointInterval: Int): DmlResult = {
     require(filters.nonEmpty && filters.forall(_.nonEmpty),
       "DML requires a non-empty predicate (refusing an implicit full-table operation)")
+    val isDelete = assignments.isEmpty
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
+    assignments.keys.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
+      require(!snap.partitionColumns.contains(c),
+        s"Updating partition column $c is not supported (would move rows across files)")
+    }
     val partCols = snap.partitionColumns.toSet
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -77,7 +107,8 @@ object DeltaDml {
     if (candidates.isEmpty) return DmlResult(0, 0, 0, 0)
 
     // partition-full matches drop whole files unread — a DV would only
-    // slow the read side down for no write saving
+    // slow the read side down for no write saving (update still reads
+    // them once below, to produce the rewritten rows)
     def partitionFullMatch(f: AddFile): Boolean =
       filters.exists { conj =>
         conj.forall(p => partCols.contains(p.column) &&
@@ -134,6 +165,30 @@ object DeltaDml {
       if (bitmaps.isEmpty) Map.empty
       else DeletionVectors.writeDvFile(fs, root, bitmaps)
 
+    val version = snap.version + 1
+    // UPDATE: the matched rows (now DV'd out of their files) come back as
+    // NEW files with the assignments applied — O(matched rows) written,
+    // not O(touched files). Shadow columns keep cross-column SETs
+    // (a = b, b = a) order-independent, like the rewrite flavor.
+    val newAdds: Seq[AddFile] =
+      if (isDelete || (provenFull.isEmpty && touched.isEmpty)) Nil
+      else {
+        val src = readFiles(spark, path, snap, provenFull ++ touched)
+          .filter(coalesce(cond, lit(false)))
+        val shadowed = assignments.zipWithIndex.foldLeft(src) {
+          case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
+        }
+        val swapped = assignments.zipWithIndex.foldLeft(shadowed) {
+          case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+        }
+        val rewritten = swapped.select(snap.schema.fieldNames.map(col).toSeq: _*)
+        val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
+        try DeltaWrite.stageAndMove(rewritten, spark, fs, path, stagingDir,
+          snap.partitionColumns, version,
+          DeltaWrite.checkConstraintsOf(snap.metadata))
+        finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+      }
+
     val now = Instant.now().toEpochMilli
     val removes = (fullRemoves ++ dvTargets).map(f =>
       RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
@@ -143,21 +198,22 @@ object DeltaDml {
       f.copy(dataChange = true, deletionVector = Some(descriptors(f.path))))
     val protocolUpgrade = dvProtocolUpgrade(snap.protocol)
 
-    val version = snap.version + 1
+    val op = if (isDelete) "DELETE" else "UPDATE"
     def mkActions(readVersion: Long): Seq[Action] = (CommitInfo(
       timestamp = now,
-      operation = "DELETE",
+      operation = op,
       operationParameters = Map("predicate" -> filters.map(_.map(p =>
         s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR ")),
       operationMetrics = Map(
-        "numDeletedRows" -> affected.toString,
+        (if (isDelete) "numDeletedRows" else "numUpdatedRows") -> affected.toString,
         "numRemovedFiles" -> fullRemoves.size.toString,
-        "numDeletionVectorsAdded" -> readds.size.toString),
+        "numDeletionVectorsAdded" -> readds.size.toString,
+        "numAddedFiles" -> newAdds.size.toString),
       readVersion = Some(readVersion),
       isBlindAppend = Some(false)): Action) +:
       // removes BEFORE the re-adds: replay is sequential, and the re-add
       // must end the commit active (it also clears the tombstone)
-      (protocolUpgrade.toSeq ++ removes ++ readds)
+      (protocolUpgrade.toSeq ++ removes ++ readds ++ newAdds)
 
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
@@ -168,11 +224,13 @@ object DeltaDml {
             fs.delete(new Path(root,
               DeletionVectors.dvFileName(DeletionVectors.uuidOfDescriptor(d))), false)
           }
+          newAdds.foreach(a =>
+            fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
           throw e
       }
     if (checkpointInterval > 0 && committed % checkpointInterval == 0)
       log.writeCheckpoint(committed)
-    DmlResult(affected, fullRemoves.size, 0, readds.size)
+    DmlResult(affected, fullRemoves.size, 0, readds.size + newAdds.size)
   }
 
   /** Protocol action upgrading to reader 3 / writer 7 + deletionVectors,

@@ -56,6 +56,15 @@ object GraftDelta {
       filters: Seq[Seq[Predicate]]
   ): DeltaDml.DmlResult = DeltaDml.deleteWithDv(spark, path, filters)
 
+  /** UPDATE via deletion vectors: DV the old rows, append only the
+    * updated ones (beyond the reference's surface; DeltaDml). */
+  def updateWhereWithDv(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[Seq[Predicate]],
+      set: Map[String, org.apache.spark.sql.Column]
+  ): DeltaDml.DmlResult = DeltaDml.updateWithDv(spark, path, filters, set)
+
   /** UPDATE … SET … WHERE (beyond the reference's surface; DeltaDml). */
   def updateWhere(
       spark: SparkSession,

@@ -461,6 +461,23 @@ object DeltaQ {
         .select($"c_custkey", $"c_name", cents($"c_acctbal").as("acctbal_c"))
         .withColumn("n_deleted", lit(r.affectedRows))
         .orderBy($"c_custkey")
+    }),
+
+    // Deletion-vector UPDATE: matched rows DV'd out, updated versions
+    // appended — write cost O(matched rows), zero file rewrites (pinned).
+    "d27_dv_update" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d27")
+      GraftDelta.toDelta(
+        t(s, dir, "supplier").repartitionByRange(4, $"s_nationkey"), path)
+      val r = GraftDelta.updateWhereWithDv(s, path,
+        Seq(Seq(Predicate("s_nationkey", "<", 5))),
+        Map("s_acctbal" -> ($"s_acctbal" + 100.0)))
+      require(r.rewrittenFiles == 0, s"DV update must not rewrite files: $r")
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("acctbal_c"))
+        .withColumn("n_updated", lit(r.affectedRows))
+        .orderBy($"s_suppkey")
     })
   )
 
@@ -566,6 +583,11 @@ object DeltaQ {
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_acctbal < 0) AS n_deleted
         |FROM customer WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin,
+    "d27_dv_update" ->
+      """SELECT s_suppkey, s_nationkey,
+        | CAST(ROUND((CASE WHEN s_nationkey < 5 THEN s_acctbal + 100 ELSE s_acctbal END)*100) AS BIGINT) AS acctbal_c,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier WHERE s_nationkey < 5) AS n_updated
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

@@ -167,6 +167,36 @@ class DeletionVectorSpec extends GraftSuite {
     assert(pc.df.agg(sum("n_rows")).collect().head.getLong(0) == 72L)
   }
 
+  test("DV update appends only updated rows and equals the rewrite flavor") {
+    import spark.implicits._
+    val pA = tmp(); val pB = tmp()
+    val df = (1 to 60).map(i => (i.toLong, i * 10L, s"v$i")).toDF("k", "x", "v")
+    GraftDelta.toDelta(df.repartitionByRange(3, $"k"), pA)
+    GraftDelta.toDelta(df.repartitionByRange(3, $"k"), pB)
+    val filt = Seq(Seq(Predicate("k", ">", 50L)))
+    // cross-column swap through the DV path: pre-update row semantics
+    val set = Map("x" -> ($"x" + $"k"), "v" -> concat(lit("u"), $"v"))
+    val ra = GraftDelta.updateWhereWithDv(spark, pA, filt, set)
+    val rb2 = GraftDelta.updateWhere(spark, pB, filt, set)
+    assert(ra.affectedRows == 10L && ra.affectedRows == rb2.affectedRows)
+    assert(ra.rewrittenFiles == 0, s"$ra")
+    val a = GraftDelta.readDelta(spark, pA).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val b = GraftDelta.readDelta(spark, pB).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(a == b)
+    assert(a.count(_._3.startsWith("u")) == 10)
+    // the untouched files were not rewritten: original adds still active
+    val snapA = DeltaLog.forTable(spark, pA).snapshot(None)
+    assert(snapA.activeFiles.count(_.deletionVector.isDefined) == 1,
+      "only the boundary file carries a DV")
+    // a fully-matched file promotes to remove + fresh rows (no DV)
+    val rFull = GraftDelta.updateWhereWithDv(spark, pA, Seq(Seq(Predicate("k", "<=", 20L))),
+      Map("v" -> lit("W")))
+    assert(rFull.affectedRows == 20L, s"$rFull")
+    assert(GraftDelta.readDelta(spark, pA).filter($"v" === "W").count() == 20L)
+  }
+
   test("vacuum reclaims DV files on the tombstone retention clock, never live ones") {
     import spark.implicits._
     val path = tmp()
