@@ -117,12 +117,25 @@ class GraftStreamSource(
     }
     if (adds.isEmpty)
       org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)
-    else
-      org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
-        spark,
-        adds.map(a => DeltaRead.resolvePath(path, a.path)),
-        schema,
-        Map("basePath" -> path))
+    else {
+      // A DV-carrying add re-emitted under ignoreChanges must not leak
+      // its soft-deleted rows — apply the bitmap exactly like batch scans
+      val dvAdds = adds.filter(_.deletionVector.isDefined)
+      val dvBytes =
+        if (dvAdds.isEmpty) Map.empty[String, Array[Byte]]
+        else {
+          val root = new org.apache.hadoop.fs.Path(path)
+          graft.delta.DeletionVectors.dvByteMap(
+            root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvAdds)
+        }
+      graft.delta.DeletionVectors.applyFilter(
+        org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+          spark,
+          adds.map(a => DeltaRead.resolvePath(path, a.path)),
+          schema,
+          Map("basePath" -> path)),
+        dvBytes)
+    }
   }
 
   private def toVersion(o: Offset): Long = o match {

@@ -90,6 +90,39 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("DV delete commits stream like change commits and never leak deleted rows") {
+    import spark.implicits._
+    val path = tmp("dv")
+    GraftDelta.toDelta((0 until 30).map(i => (i.toLong, "a")).toDF("id", "v"), path)
+
+    // default: a DV delete is a data-changing commit → fail loudly
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_dv_strict").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "<", 5))))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("ignoreChanges"), s"${e.getCause}")
+    } finally q.stop()
+
+    // ignoreChanges + startingVersion=latest: the commit's re-emitted
+    // DV'd file arrives WITHOUT its soft-deleted rows (old and new alike)
+    val q2 = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").option("startingVersion", "latest").load(path)
+      .writeStream.format("memory").queryName("graft_dv_tolerant").outputMode("append").start()
+    try {
+      q2.processAllAvailable() // nothing yet — subscribed at latest
+      GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "==", 10L))))
+      q2.processAllAvailable() // re-emit of the re-DV'd file(s)
+      val ids = spark.table("graft_dv_tolerant").as[(Long, String)].collect().map(_._1)
+      assert(ids.nonEmpty, "the DV'd file must re-emit under ignoreChanges")
+      assert(!ids.contains(10L),
+        s"row 10 (deleted in this commit) must not stream: ${ids.sorted.toSeq}")
+      assert(ids.forall(_ >= 5L),
+        s"rows deleted by the EARLIER DV must stay deleted in the union: ${ids.sorted.toSeq}")
+    } finally q2.stop()
+  }
+
   test("skipChangeCommits skips rewrite commits wholesale, appends still stream") {
     import spark.implicits._
     val path = tmp("skipchg")
