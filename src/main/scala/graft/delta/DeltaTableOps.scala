@@ -559,6 +559,15 @@ object DeltaTableOps {
       val adds = log.readCommitActions(v).collect {
         case a: AddFile if a.dataChange => a
       }
+      // A DV commit's "change" is a bitmap of deleted positions — its
+      // re-added file is overwhelmingly UNCHANGED rows. Emitting them as
+      // changes would be silently wrong; refuse loudly instead.
+      adds.find(_.deletionVector.isDefined).foreach { a =>
+        throw new IllegalStateException(
+          s"tableChanges cannot express deletion-vector commits: version $v of $path " +
+            s"soft-deletes rows of ${a.path} via bitmap. Diff snapshots at the bounding " +
+            "versions, or use the rewrite DML flavor on CDC-consumed tables.")
+      }
       if (adds.isEmpty) None
       else Some(spark.read
         .schema(schema)

@@ -224,6 +224,22 @@ class DeletionVectorSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 38L)
   }
 
+  test("tableChanges refuses DV commits instead of mis-reporting them") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, "x")).toDF("k", "v"), path)
+    GraftDelta.toDelta((21 to 25).map(i => (i.toLong, "y")).toDF("k", "v"), path,
+      mode = "append")
+    // append-only ranges still work
+    assert(DeltaTableOps.tableChanges(spark, path, 0L).count() == 5L)
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 3L))))
+    val e = intercept[IllegalStateException](
+      DeltaTableOps.tableChanges(spark, path, 0L).count())
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    // a range that excludes the DV commit is unaffected
+    assert(DeltaTableOps.tableChanges(spark, path, 0L, Some(1L)).count() == 5L)
+  }
+
   test("unknown reader-3 features refuse; known features pass the gate") {
     import spark.implicits._
     val path = tmp()
