@@ -189,4 +189,43 @@ object TextAnalysis {
       langIdOfWords(col("__w")).as("lang_pred"),
       fingerprintOfChars(col("__c")).cast("long").as("fingerprint"))
   }
+
+  /** Per-group EXACT percentiles (linear interpolation, the R-7 / SQL
+    * PERCENTILE_CONT definition) of an integral column — length/token
+    * distributions per language or source, the stats a mixture designer
+    * reads before setting sampling weights. DYADIC quantile points
+    * (k/2^m: .25/.5/.75) over integral values make the interpolated
+    * doubles EXACT rationals, so any engine computing the same
+    * definition produces bit-identical results — the strict-oracle
+    * trick. Exact percentile sorts each group in one aggregate buffer:
+    * fine for group-per-language cardinalities; for huge groups use
+    * [[approxGroupPercentiles]]. */
+  def groupPercentiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val named = ps.map(p => p -> s"p${(p * 100).toInt}")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        percentile(col(valueCol), lit(ps.toArray)).as("__ps"))
+      .select(col(groupCol) +: count1(named): _*)
+  }
+  private def count1(named: Seq[(Double, String)]): Seq[Column] =
+    col("n") +: named.zipWithIndex.map { case ((_, name), i) =>
+      col("__ps").getItem(i).as(name)
+    }
+
+  /** The 100 TB path: t-digest-style approximate percentiles in bounded
+    * memory per group (`approx_percentile`); accuracy trades memory for
+    * rank error ≤ 1/accuracy. */
+  def approxGroupPercentiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75), accuracy: Int = 10000): DataFrame = {
+    val named = ps.map(p => p -> s"p${(p * 100).toInt}")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        approx_percentile(col(valueCol), lit(ps.toArray), lit(accuracy)).as("__ps"))
+      .select(col(groupCol) +: (col("n") +: named.zipWithIndex.map {
+        case ((_, name), i) => col("__ps").getItem(i).cast("double").as(name)
+      }): _*)
+  }
 }

@@ -368,6 +368,15 @@ object PipelineQ {
     // Skew-safe join: event_id%3 rows collapse onto user 1 (a viral hot
     // key ~1/3 of the fact table); the salted join must produce EXACTLY
     // the plain join's rows — the oracle IS the plain join.
+    // Per-language length percentiles — exact, with dyadic quantile
+    // points so the interpolated doubles hash-match the oracle.
+    "t34_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalysis.groupPercentiles(
+          t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy($"lang")
+    }),
+
     "t33_skew_join" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -670,6 +679,15 @@ object PipelineQ {
         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM j GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // PERCENTILE_CONT (R-7 linear interpolation) at dyadic points over
+    // BIGINT values is exact rational arithmetic → bit-identical doubles
+    // across engines.
+    "t34_percentiles" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        | quantile_cont(n_chars, 0.25) AS p25,
+        | quantile_cont(n_chars, 0.5) AS p50,
+        | quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t30_temperature_mix" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM (SELECT lang, doc_id,

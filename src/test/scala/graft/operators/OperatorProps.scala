@@ -87,4 +87,33 @@ object OperatorProps extends Properties("Operators") {
       spark.catalog.clearCache()
       got == brute
     }
+
+  /** R-7 linear interpolation in plain Scala — the cross-engine
+    * contract of TextAnalysis.groupPercentiles. */
+  private def refPercentile(xs: Seq[Long], p: Double): Double = {
+    val s = xs.sorted
+    val rank = p * (s.length - 1)
+    val lo = rank.toInt
+    val hi = math.min(lo + 1, s.length - 1)
+    s(lo) + (rank - lo) * (s(hi) - s(lo))
+  }
+
+  property("groupPercentiles equals the R-7 reference, repartition-invariant") =
+    forAll(Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)),
+           Gen.chooseNum(2, 16)) { (vals, parts) =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 3}", v) }
+        .toDF("g", "x")
+      val got = TextAnalysis.groupPercentiles(df.repartition(parts), "g", "x")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val want = vals.zipWithIndex.groupBy { case (_, i) => s"g${i % 3}" }
+        .map { case (g, vs0) =>
+          val vs = vs0.map(_._1)
+          g -> (vs.length.toLong,
+            refPercentile(vs, 0.25), refPercentile(vs, 0.5), refPercentile(vs, 0.75))
+        }
+      // bit-exact equality — dyadic points over integrals are exact
+      got == want
+    }
 }
