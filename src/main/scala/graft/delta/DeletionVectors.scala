@@ -29,9 +29,11 @@ import java.util.zip.CRC32
   *
   * Scan-side application: files with DVs are read with parquet's
   * `_metadata.row_index` and filtered by bitmap membership; the bitmap
-  * map rides the closure (a few KB per file by construction) and each
-  * executor deserializes it once (@transient lazy). Only DV-carrying
-  * files pay this; DV-free files keep their plain vectorized scan.
+  * bytes ride a Broadcast[DvIndex] (fetched once per executor, not once
+  * per task closure) and the per-row probe is a codegen'd expression
+  * (org.apache.spark.sql.graft.DvProbe — no ScalaUDF boxing). Only
+  * DV-carrying files pay this; DV-free files keep their plain
+  * vectorized scan.
   */
 object DeletionVectors {
 
@@ -183,7 +185,7 @@ object DeletionVectors {
       case "u" | "p" =>
         val p =
           if (d.storageType == "p") new Path(d.pathOrInlineDv)
-          else new Path(tableRoot, dvFileName(uuidFromBytes(z85Decode(d.pathOrInlineDv))))
+          else relativeDvPath(tableRoot, d.pathOrInlineDv)
         val in = fs.open(p)
         try {
           val off = d.offset.getOrElse(
@@ -207,54 +209,100 @@ object DeletionVectors {
   def loadBitmap(fs: FileSystem, tableRoot: Path, d: DeletionVectorDescriptor): Roaring64NavigableMap =
     deserializeBitmap(loadBytes(fs, tableRoot, d))
 
-  /** UUID of a storageType-"u" descriptor. */
+  /** Resolve a storageType-"u" pathOrInlineDv: the LAST 20 chars are the
+    * Z85 of the 16-byte UUID; the spec allows an optional random prefix
+    * before them, which is a directory under the table root (foreign
+    * writers use it to spread object-store key load). */
+  private[delta] def relativeDvName(pathOrInlineDv: String): String = {
+    require(pathOrInlineDv.length >= 20,
+      s"storageType-u DV pathOrInlineDv too short for a UUID: '$pathOrInlineDv'")
+    val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val name = dvFileName(uuidFromBytes(z85Decode(enc)))
+    if (prefix.isEmpty) name else s"${prefix.stripSuffix("/")}/$name"
+  }
+
+  private[delta] def relativeDvPath(tableRoot: Path, pathOrInlineDv: String): Path =
+    new Path(tableRoot, relativeDvName(pathOrInlineDv))
+
+  /** UUID of a storageType-"u" descriptor (prefix, if any, ignored). */
   def uuidOfDescriptor(d: DeletionVectorDescriptor): java.util.UUID = {
     require(d.storageType == "u", s"not a UUID-relative DV: $d")
-    uuidFromBytes(z85Decode(d.pathOrInlineDv))
+    uuidFromBytes(z85Decode(d.pathOrInlineDv.takeRight(20)))
   }
 
   // ---- scan-side application --------------------------------------------
 
-  /** Serializable holder: raw bytes ship in the closure, each executor
-    * deserializes the bitmaps once. Keyed by data-file NAME (delta file
-    * names embed a UUID, unique within a table). */
-  private class DvFilter(dvBytes: Map[String, Array[Byte]]) extends Serializable {
-    @transient private lazy val bitmaps: Map[String, Roaring64NavigableMap] =
-      dvBytes.map { case (k, b) => k -> deserializeBitmap(b) }
-    def live(filePath: String, rowIndex: Long): Boolean = {
-      val name = filePath.substring(filePath.lastIndexOf('/') + 1)
-      bitmaps.get(name) match {
-        case Some(rb) => !rb.contains(rowIndex)
-        case None => true
-      }
+  /** Above this many DV-carrying files the byte loading fans out as a
+    * Spark job — a serial driver loop over 10^4+ object-store reads is
+    * plan-time latency nobody should pay. */
+  val DistributedLoadThreshold = 64
+
+  /** Collect name → bitmap bytes for every DV-carrying file, or empty.
+    * Driver-side serial loop — fine for a handful of DVs; prefer the
+    * SparkSession overload on read paths, which distributes large loads. */
+  def dvByteMap(fs: FileSystem, tableRoot: Path, files: Seq[AddFile]): Map[String, Array[Byte]] =
+    files.flatMap { f =>
+      f.deletionVector.map(d => dataFileName(tableRoot, f.path) -> loadBytes(fs, tableRoot, d))
+    }.toMap
+
+  /** name → bitmap bytes, loading with a Spark job when the DV-carrying
+    * file count is large (each task re-opens its own FileSystem from the
+    * broadcast Hadoop conf; one DV file per COMMIT means tasks mostly hit
+    * distinct objects). */
+  def dvByteMap(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: Path,
+      files: Seq[AddFile]): Map[String, Array[Byte]] = {
+    val carriers = files.filter(_.deletionVector.isDefined)
+    if (carriers.size <= DistributedLoadThreshold)
+      dvByteMap(tableRoot.getFileSystem(spark.sessionState.newHadoopConf()), tableRoot, carriers)
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val rootStr = tableRoot.toString
+      val items = carriers.map(f => (f.path, f.deletionVector.get))
+      spark.sparkContext
+        .parallelize(items, math.min(64, 1 + items.size / 32))
+        .map { case (p, d) =>
+          val root = new Path(rootStr)
+          val fs = root.getFileSystem(confBc.value.value)
+          dataFileName(root, p) -> loadBytes(fs, root, d)
+        }
+        .collect().toMap
     }
   }
 
-  /** Collect name → bitmap bytes for every DV-carrying file, or empty. */
-  def dvByteMap(fs: FileSystem, tableRoot: Path, files: Seq[AddFile]): Map[String, Array[Byte]] =
-    files.flatMap { f =>
-      f.deletionVector.map { d =>
-        val name = {
-          val raw = DeltaRead.resolvePath(tableRoot.toString, f.path)
-          raw.substring(raw.lastIndexOf('/') + 1)
-        }
-        name -> loadBytes(fs, tableRoot, d)
-      }
-    }.toMap
+  private def dataFileName(tableRoot: Path, addPath: String): String = {
+    val raw = DeltaRead.resolvePath(tableRoot.toString, addPath)
+    raw.substring(raw.lastIndexOf('/') + 1)
+  }
+
+  private def probeFilter(df: DataFrame, dvBytes: Map[String, Array[Byte]],
+      keepDeleted: Boolean): DataFrame = {
+    val bcast = df.sparkSession.sparkContext.broadcast(new DvIndex(dvBytes))
+    df.withColumn("__dv_path", col("_metadata.file_path"))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+      .filter(org.apache.spark.sql.graft.DvExpressions.probe(
+        bcast, col("__dv_path"), col("__dv_idx"), keepDeleted))
+      .drop("__dv_path", "__dv_idx")
+  }
 
   /** Filter a freshly-loaded parquet scan down to live rows. MUST be
     * applied directly on the scan (before joins/aggregates) — that is
-    * where `_metadata` resolves. No-op for an empty map. */
+    * where `_metadata` resolves. No-op for an empty map. The bitmap
+    * bytes broadcast once per executor and the per-row probe is a
+    * codegen'd expression (DvProbe) — no ScalaUDF, no closure-shipped
+    * bitmap bytes. */
   def applyFilter(df: DataFrame, dvBytes: Map[String, Array[Byte]]): DataFrame =
     if (dvBytes.isEmpty) df
-    else {
-      val f = new DvFilter(dvBytes)
-      val liveUdf = udf((p: String, i: Long) => f.live(p, i))
-      df.withColumn("__dv_path", col("_metadata.file_path"))
-        .withColumn("__dv_idx", col("_metadata.row_index"))
-        .filter(liveUdf(col("__dv_path"), col("__dv_idx")))
-        .drop("__dv_path", "__dv_idx")
-    }
+    else probeFilter(df, dvBytes, keepDeleted = false)
+
+  /** Inverse polarity: ONLY the rows the bitmaps mark deleted — the
+    * change-feed primitive (scan a file at the positions of a DV diff).
+    * Files absent from the map contribute nothing. */
+  def selectDeleted(df: DataFrame, dvBytes: Map[String, Array[Byte]]): DataFrame =
+    if (dvBytes.isEmpty) df.limit(0)
+    else probeFilter(df, dvBytes, keepDeleted = true)
 
   /** Union of an existing DV (if any) with newly-deleted positions. */
   def merged(

@@ -95,6 +95,7 @@ object DeltaDml {
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
+    DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
@@ -284,6 +285,7 @@ object DeltaDml {
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
+    DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
@@ -460,6 +462,10 @@ object DeltaDml {
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotColumnMapped(snap, "DML")
+    // matched-row mutation removes committed rows; an insert-only merge
+    // (WhenMatched.Ignore) is a legal append
+    if (whenMatched != WhenMatched.Ignore)
+      DeltaWrite.requireNotAppendOnly(snap, "MERGE with matched-row updates/deletes")
     val targetCols = snap.schema.fieldNames.toSeq
     on.foreach { k =>
       require(targetCols.contains(k), s"Join key $k missing from target")
@@ -757,11 +763,7 @@ object DeltaDml {
     val dvFiles = files.filter(_.deletionVector.isDefined)
     val dvBytes =
       if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
-      else {
-        val root = new Path(path)
-        DeletionVectors.dvByteMap(
-          root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvFiles)
-      }
+      else DeletionVectors.dvByteMap(spark, new Path(path), dvFiles)
     DeletionVectors.applyFilter(
       spark.read
         .format("parquet")

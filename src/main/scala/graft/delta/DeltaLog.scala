@@ -219,47 +219,54 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
-    val removed = mutable.LinkedHashMap.empty[String, RemoveFile]
+    val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
     val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
     var metadata: Option[MetadataAction] = None
     var protocol: Protocol = Protocol()
 
     // With deletion vectors a path can have several INCARNATIONS (same
     // data file, different bitmap): reconciliation is keyed by
-    // (path, DV identity), per the protocol's DV uniqueness rule. A
-    // remove only evicts the active entry when it names the SAME
-    // incarnation — so a DV-supersede commit (remove old incarnation +
-    // re-add with the union bitmap) keeps the new add active in EITHER
-    // action order (commit JSON emits remove-then-add; checkpoints emit
-    // adds before tombstones), and the superseded incarnation's
-    // tombstone survives for vacuum's DV-file reclamation.
-    def dvIdOf(d: Option[DeletionVectorDescriptor]): String =
-      d.map(x => s"${x.storageType}:${x.pathOrInlineDv}:${x.offset.getOrElse(0)}")
-        .getOrElse("")
-    def apply(a: Action): Unit = a match {
-      case f: AddFile =>
-        removed.remove(f.path + " " + dvIdOf(f.deletionVector))
-        active(f.path) = f
-      case f: RemoveFile =>
-        val rid = dvIdOf(f.deletionVector)
-        active.get(f.path) match {
-          case Some(a0) if dvIdOf(a0.deletionVector) == rid => active.remove(f.path)
-          case _ => ()
-        }
-        removed(f.path + " " + rid) = f
-      case m: MetadataAction => metadata = Some(m)
-      case p: Protocol => protocol = p
-      // latest per appId — idempotent-writer state (e.g. streaming sinks)
-      // must survive replay and checkpointing or writers re-apply batches
-      case t: SetTransaction => txns(t.appId) = t
-      case _ => ()
+    // (path, DV uniqueId) — the protocol's logical-file identity. Each
+    // commit (and the checkpoint) is reconciled as a BATCH, removes
+    // before adds, because the protocol declares actions within a commit
+    // unordered: a DV-supersede commit (remove old incarnation + re-add
+    // with the union bitmap) must keep the new add active whichever order
+    // a writer emitted the lines in, and a checkpoint's tombstones must
+    // never cancel the reconciled adds beside them. A remove WITH a
+    // descriptor evicts only the same incarnation; a remove WITHOUT one
+    // (a foreign full-file delete that didn't copy the DV descriptor)
+    // evicts the path outright — leaving it active would silently
+    // resurrect deleted rows. Superseded incarnations' tombstones
+    // survive for vacuum's DV-file reclamation.
+    def dvIdOf(d: Option[DeletionVectorDescriptor]): String = d.map(DeltaLog.dvUniqueId).getOrElse("")
+    def applyBatch(actions: Seq[Action]): Unit = {
+      actions.foreach {
+        case f: RemoveFile =>
+          val rid = dvIdOf(f.deletionVector)
+          if (f.deletionVector.isEmpty ||
+              active.get(f.path).exists(a0 => dvIdOf(a0.deletionVector) == rid))
+            active.remove(f.path)
+          removed((f.path, rid)) = f
+        case m: MetadataAction => metadata = Some(m)
+        case p: Protocol => protocol = p
+        // latest per appId — idempotent-writer state (e.g. streaming sinks)
+        // must survive replay and checkpointing or writers re-apply batches
+        case t: SetTransaction => txns(t.appId) = t
+        case _ => ()
+      }
+      actions.foreach {
+        case f: AddFile =>
+          removed.remove((f.path, dvIdOf(f.deletionVector)))
+          active(f.path) = f
+        case _ => ()
+      }
     }
 
-    cpVersion.foreach(cv => readCheckpointActions(cv).foreach(apply))
+    cpVersion.foreach(cv => applyBatch(readCheckpointActions(cv)))
     val startV = cpVersion.map(_ + 1).getOrElse(0L)
     val present = listCommitVersions.toSet
     (startV to target).foreach { v =>
-      if (present.contains(v)) readCommitActions(v).foreach(apply)
+      if (present.contains(v)) applyBatch(readCommitActions(v))
       else if (cpVersion.isEmpty || v > cpVersion.get)
         throw new IllegalStateException(
           s"Missing commit file version $v in $tablePath/_delta_log")
@@ -579,6 +586,12 @@ object DeltaLog {
     * refuse loudly — version 3 alone proves nothing). The reference's
     * delta-rs 0.6.4 is reader-1-only. */
   val MaxSupportedReaderVersion = 3
+
+  /** The protocol's DV uniqueId — `storageType + pathOrInlineDv [@offset]`
+    * — with the canonical default offset 0, so a writer that omits a zero
+    * offset and one that writes it explicitly name the same incarnation. */
+  def dvUniqueId(d: DeletionVectorDescriptor): String =
+    s"${d.storageType}${d.pathOrInlineDv}@${d.offset.getOrElse(0)}"
 
   /** Reader-3 table features the scan implements. */
   val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")

@@ -74,11 +74,7 @@ object DeltaRead {
     val dvBytes = {
       val dvFiles = files.filter(_.deletionVector.isDefined)
       if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
-      else {
-        val root = new org.apache.hadoop.fs.Path(path)
-        DeletionVectors.dvByteMap(
-          root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvFiles)
-      }
+      else DeletionVectors.dvByteMap(spark, new org.apache.hadoop.fs.Path(path), dvFiles)
     }
 
     if (mappingModeOf(snap) == "name") {

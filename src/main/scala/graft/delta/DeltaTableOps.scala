@@ -434,8 +434,16 @@ object DeltaTableOps {
     val now = System.currentTimeMillis()
     val meta = snap.metadata.copy(
       configuration = snap.metadata.configuration + (key -> exprSql))
+    // Legacy protocols: writer ≥ 3 implies constraints. Table-features
+    // protocols (writer 7) imply NOTHING by version — the feature must be
+    // listed, or a feature-aware foreign writer that supports writer 7
+    // but not checkConstraints would legally write unvalidated rows.
     val proto =
-      if (snap.protocol.minWriterVersion >= 3) Nil
+      if (snap.protocol.minWriterVersion >= 7) {
+        val feats = snap.protocol.writerFeatures.getOrElse(Nil)
+        if (feats.contains("checkConstraints")) Nil
+        else Seq(snap.protocol.copy(writerFeatures = Some(feats :+ "checkConstraints")))
+      } else if (snap.protocol.minWriterVersion >= 3) Nil
       else Seq(snap.protocol.copy(minWriterVersion = 3))
     val ci = CommitInfo(now, "ADD CONSTRAINT",
       operationParameters = Map("name" -> name, "expr" -> exprSql),
@@ -466,8 +474,10 @@ object DeltaTableOps {
   /** RESTORE TABLE … TO VERSION: one new commit that returns the table's
     * data to what version `toVersion` held, preserving history (the
     * delta-spark RESTORE contract — not a log rewind). The commit
-    * re-adds the target snapshot's files missing from the head, removes
-    * head files the target lacks, and re-emits the target's metadata if
+    * re-adds the target snapshot's file incarnations — (path, DV id) —
+    * missing from the head, removes head incarnations the target lacks
+    * (so a DV DELETE is undone by re-adding the DV-free incarnation),
+    * and re-emits the target's metadata if
     * the schema/partitioning changed in between. Protocol is never
     * downgraded. Fails fast if any file to restore was already vacuumed
     * (driver loop below `existsCheckThreshold`, distributed above —
@@ -486,29 +496,47 @@ object DeltaTableOps {
     val current = log.snapshot(None)
     val now = System.currentTimeMillis()
 
-    val currentPaths = current.activeFiles.map(_.path).toSet
-    val targetPaths = target.activeFiles.map(_.path).toSet
-    val adds = target.activeFiles.filterNot(f => currentPaths.contains(f.path))
+    // Diff by INCARNATION — (path, DV uniqueId) — not by path: after a
+    // DV DELETE/UPDATE the same path is active in both snapshots with
+    // different bitmaps, and a path-only diff would silently keep the
+    // soft-deleted rows hidden. A changed incarnation restores as
+    // remove(current) + add(target); replay reconciles removes-first so
+    // the re-add ends the commit active.
+    def incarnation(p: String, d: Option[DeletionVectorDescriptor]): (String, String) =
+      (p, d.map(DeltaLog.dvUniqueId).getOrElse(""))
+    val currentIncs = current.activeFiles.map(f => incarnation(f.path, f.deletionVector)).toSet
+    val targetIncs = target.activeFiles.map(f => incarnation(f.path, f.deletionVector)).toSet
+    val adds = target.activeFiles
+      .filterNot(f => currentIncs.contains(incarnation(f.path, f.deletionVector)))
       .map(_.copy(dataChange = true))
-    val removes = current.activeFiles.filterNot(f => targetPaths.contains(f.path))
+    val removes = current.activeFiles
+      .filterNot(f => targetIncs.contains(incarnation(f.path, f.deletionVector)))
       .map(f => RemoveFile(f.path, Some(now), dataChange = true,
         partitionValues = f.partitionValues, size = Some(f.size),
         deletionVector = f.deletionVector))
+    if (removes.nonEmpty) DeltaWrite.requireNotAppendOnly(current, "RESTORE")
 
-    // a restored file may have been vacuumed since its remove — check
-    // before committing a snapshot that cannot be read back
+    // a restored file — or its target incarnation's DV file — may have
+    // been vacuumed since its remove: check before committing a snapshot
+    // that cannot be read back
+    val checkPaths: Seq[String] =
+      adds.map(a => DeltaRead.resolvePath(path, a.path)) ++
+        adds.flatMap(_.deletionVector).flatMap(d => d.storageType match {
+          case "u" => Some(DeltaRead.resolvePath(path,
+            DeletionVectors.relativeDvName(d.pathOrInlineDv)))
+          case "p" => Some(DeltaRead.resolvePath(path, d.pathOrInlineDv))
+          case _ => None
+        }).distinct
     val missing: Seq[String] =
-      if (adds.size <= existsCheckThreshold) {
+      if (checkPaths.size <= existsCheckThreshold) {
         val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-        adds.map(a => DeltaRead.resolvePath(path, a.path))
-          .filterNot(p => fs.exists(new Path(p)))
+        checkPaths.filterNot(p => fs.exists(new Path(p)))
       } else {
         val confBc = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(
             spark.sessionState.newHadoopConf()))
         spark.sparkContext
-          .parallelize(adds.map(a => DeltaRead.resolvePath(path, a.path)),
-            math.min(64, 1 + adds.size / 1000))
+          .parallelize(checkPaths, math.min(64, 1 + checkPaths.size / 1000))
           .filter { p =>
             val hp = new Path(p)
             !hp.getFileSystem(confBc.value.value).exists(hp)
@@ -623,7 +651,7 @@ object DeltaTableOps {
     // commit serves many adds) or a not-yet-expired tombstone does (time
     // travel within retention still needs it). Inline DVs hold no file.
     val dvOf: DeletionVectorDescriptor => Option[String] = d => d.storageType match {
-      case "u" => Some(DeletionVectors.dvFileName(DeletionVectors.uuidOfDescriptor(d)))
+      case "u" => Some(DeletionVectors.relativeDvName(d.pathOrInlineDv))
       case "p" => Some(d.pathOrInlineDv)
       case _ => None
     }

@@ -114,6 +114,8 @@ object DeltaWrite {
     existing.foreach { snap =>
       requireWriterSupported(snap)
       requireNotColumnMapped(snap, "write")
+      if (mode == "overwrite") requireNotAppendOnly(snap,
+        if (replaceWhere.nonEmpty) "replaceWhere overwrite" else "overwrite")
       if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
         throw new IllegalArgumentException(
           s"partitionBy $partitionBy != table partition columns ${snap.partitionColumns}")
@@ -319,14 +321,58 @@ object DeltaWrite {
           s"(delta.columnMapping.mode=$mode); reading them is supported")
   }
 
+  /** `delta.appendOnly=true` forbids removing committed rows — DML
+    * rewrites, DV soft-deletes, overwrite, restore all refuse (anything
+    * that would emit a dataChange=true remove); OPTIMIZE's
+    * dataChange=false rewrites stay legal. Enforced because the writer
+    * feature set declares `appendOnly` supported — declaring without
+    * enforcing would let this engine mutate a table another writer
+    * relies on being immutable. */
+  private[graft] def requireNotAppendOnly(snap: Snapshot, surface: String): Unit =
+    if (snap.metadata.configuration.get("delta.appendOnly")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      throw new IllegalStateException(
+        s"Table is append-only (delta.appendOnly=true): $surface would remove existing rows")
+
   /** The CHECK constraints stored in a table's metadata configuration
     * (`delta.constraints.<name>` → SQL predicate, the delta-spark
-    * layout). */
+    * layout), plus column INVARIANTS from schema-field metadata
+    * (`delta.invariants` → {"expression":{"expression":"<sql>"}}, the
+    * protocol's legacy writer-2 form) — both enforce through the same
+    * in-flight assert (withConstraintsEnforced), so declaring the
+    * `invariants` writer feature is honest. */
   private[delta] def checkConstraintsOf(meta: MetadataAction): Seq[(String, String)] =
     meta.configuration.toSeq.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         (k.stripPrefix("delta.constraints."), v)
-    }
+    } ++ invariantsOf(meta)
+
+  /** Column invariants harvested recursively (nested struct fields
+    * carry them too); an unparseable invariant refuses rather than
+    * writes unvalidated rows. */
+  private[delta] def invariantsOf(meta: MetadataAction): Seq[(String, String)] = {
+    def walk(st: StructType, prefix: String): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val here =
+          if (f.metadata.contains("delta.invariants")) {
+            val json = f.metadata.getString("delta.invariants")
+            val sql = try {
+              val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+              Option(node.get("expression")).map(e =>
+                Option(e.get("expression")).map(_.asText())
+                  .getOrElse(e.asText())).filter(_.nonEmpty)
+            } catch { case _: Exception => None }
+            Seq((s"invariant(${prefix}${f.name})", sql.getOrElse(
+              throw new IllegalStateException(
+                s"Unparseable column invariant on ${prefix}${f.name}: $json"))))
+          } else Nil
+        here ++ (f.dataType match {
+          case s: StructType => walk(s, s"$prefix${f.name}.")
+          case _ => Nil
+        })
+      }
+    walk(meta.schema, "")
+  }
 
   /** Wrap `df` so every row is validated against each CHECK constraint
     * IN-FLIGHT during the write tasks: assert_true throws on the first

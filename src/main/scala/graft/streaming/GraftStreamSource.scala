@@ -123,11 +123,8 @@ class GraftStreamSource(
       val dvAdds = adds.filter(_.deletionVector.isDefined)
       val dvBytes =
         if (dvAdds.isEmpty) Map.empty[String, Array[Byte]]
-        else {
-          val root = new org.apache.hadoop.fs.Path(path)
-          graft.delta.DeletionVectors.dvByteMap(
-            root.getFileSystem(spark.sessionState.newHadoopConf()), root, dvAdds)
-        }
+        else graft.delta.DeletionVectors.dvByteMap(
+          spark, new org.apache.hadoop.fs.Path(path), dvAdds)
       graft.delta.DeletionVectors.applyFilter(
         org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
           spark,

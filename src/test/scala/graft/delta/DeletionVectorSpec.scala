@@ -240,6 +240,29 @@ class DeletionVectorSpec extends GraftSuite {
     assert(DeltaTableOps.tableChanges(spark, path, 0L, Some(1L)).count() == 5L)
   }
 
+  test("DV scan probe is codegen'd and broadcast — no ScalaUDF in the plan") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartitionByRange(4, $"k"),
+      path)
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", ">", 90L))))
+    val df = GraftDelta.readDelta(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"DV probe must not be a ScalaUDF:\n$plan")
+    assert(plan.contains("dv_live"), s"expected the DvProbe expression in the plan:\n$plan")
+    assert(df.count() == 90L)
+    // polarity twin: selectDeleted returns exactly the bitmap rows
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val bytes = DeletionVectors.dvByteMap(spark, root, snap.activeFiles)
+    val deleted = DeletionVectors.selectDeleted(
+      spark.read.schema(snap.schema).option("basePath", path).parquet(
+        snap.activeFiles.map(f => DeltaRead.resolvePath(path, f.path)): _*),
+      bytes)
+    assert(deleted.select($"k").as[Long].collect().sorted.toSeq == (91L to 100L))
+  }
+
   test("unknown reader-3 features refuse; known features pass the gate") {
     import spark.implicits._
     val path = tmp()

@@ -1,0 +1,239 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+import java.nio.file.Files
+
+/** Round-5 protocol-surface pins: RESTORE over deletion-vector
+  * incarnations, append-only / invariant writer-feature enforcement,
+  * checkConstraints on table-features protocols, order-independent
+  * replay reconciliation, and foreign DV descriptor shapes. */
+class ProtocolFeatureSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_pf")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  // ---- RESTORE over DV incarnations (r4 ADVICE high) ----------------------
+
+  test("restore to a pre-DV-delete version resurrects soft-deleted rows") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      path)                                                               // v0
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 5L)))) // v1
+    assert(GraftDelta.readDelta(spark, path).count() == 45L)
+
+    val res = GraftDelta.restore(spark, path, 0L)                         // v2
+    assert(res.restoredFiles > 0 && res.removedFiles > 0,
+      s"a changed incarnation must emit remove+add: $res")
+    assert(GraftDelta.readDelta(spark, path).count() == 50L,
+      "restore must resurrect DV-soft-deleted rows")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.forall(_.deletionVector.isEmpty),
+      "restored incarnations are the DV-free ones")
+    // pre-restore DV state still reachable by version
+    assert(GraftDelta.readDelta(spark, path, version = Some(1L)).count() == 45L)
+  }
+
+  test("restore forward onto a DV incarnation re-applies its bitmap") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 40).map(i => (i.toLong, "x")).toDF("k", "v").repartitionByRange(2, $"k"),
+      path)                                                               // v0
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 3L)))) // v1
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 7L)))) // v2
+    assert(GraftDelta.readDelta(spark, path).count() == 38L)
+    // rewind to the one-deletion incarnation, then forward again
+    GraftDelta.restore(spark, path, 1L)                                   // v3
+    assert(GraftDelta.readDelta(spark, path).count() == 39L)
+    GraftDelta.restore(spark, path, 2L)                                   // v4
+    assert(GraftDelta.readDelta(spark, path).count() == 38L)
+    // restoring to the state we are already at moves nothing
+    val noop = GraftDelta.restore(spark, path, 4L)
+    assert(noop.restoredFiles == 0L && noop.removedFiles == 0L)
+  }
+
+  test("restore refuses when a target incarnation's DV file was vacuumed") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 30).map(i => (i.toLong, "x")).toDF("k", "v").repartitionByRange(2, $"k"),
+      path)                                                               // v0
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 2L)))) // v1
+    // supersede v1's DV so its file becomes a reclaimable tombstone
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 9L)))) // v2
+    DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = false)
+    val e = intercept[IllegalStateException](GraftDelta.restore(spark, path, 1L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // the head still reads fine
+    assert(GraftDelta.readDelta(spark, path).count() == 28L)
+  }
+
+  // ---- delta.appendOnly enforcement (r4 ADVICE medium) --------------------
+
+  test("delta.appendOnly=true: appends pass, row-removing surfaces refuse") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, "x")).toDF("k", "v"), path,
+      configuration = Map("delta.appendOnly" -> "true"))                  // v0
+    GraftDelta.toDelta((11 to 15).map(i => (i.toLong, "y")).toDF("k", "v"), path,
+      mode = "append")                                                    // v1
+    assert(GraftDelta.readDelta(spark, path).count() == 15L)
+
+    def refused(op: => Any): String =
+      intercept[IllegalStateException](op).getMessage
+    assert(refused(GraftDelta.deleteWhere(spark, path,
+      Seq(Seq(Predicate("k", "==", 1L))))).contains("append-only"))
+    assert(refused(GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("k", "==", 1L))))).contains("append-only"))
+    assert(refused(GraftDelta.updateWhere(spark, path,
+      Seq(Seq(Predicate("k", "==", 1L))), Map("v" -> lit("z")))).contains("append-only"))
+    assert(refused(GraftDelta.toDelta((1 to 3).map(i => (i.toLong, "z")).toDF("k", "v"),
+      path, mode = "overwrite")).contains("append-only"))
+    assert(refused(GraftDelta.mergeInto(spark, path,
+      Seq((1L, "m")).toDF("k", "v"), Seq("k"))).contains("append-only"))
+    // insert-only merge is a legal append
+    val m = GraftDelta.mergeInto(spark, path, Seq((16L, "m"), (1L, "dup")).toDF("k", "v"),
+      Seq("k"), whenMatched = DeltaDml.WhenMatched.Ignore)
+    assert(m.insertedRows == 1L, s"$m")
+    assert(refused(GraftDelta.restore(spark, path, 0L)).contains("append-only"))
+    // OPTIMIZE (dataChange=false) stays legal on an append-only table
+    DeltaMaintenance.compact(spark, path)
+    assert(GraftDelta.readDelta(spark, path).count() == 16L)
+  }
+
+  // ---- column invariants enforcement (r4 ADVICE medium) -------------------
+
+  test("column invariants in schema metadata are enforced on every write") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, "x")).toDF("k", "v"), path)
+    // stamp an invariant into the schema the way a foreign writer-2 does
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val schema = org.apache.spark.sql.types.StructType(snap.schema.fields.map { f =>
+      if (f.name == "k")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.invariants", """{"expression":{"expression":"k > 0"}}""")
+          .build())
+      else f
+    })
+    log.writeCommit(1L, Seq(
+      snap.metadata.copy(schemaString = schema.json), Protocol(1, 2)))
+
+    // conforming append passes
+    GraftDelta.toDelta(Seq((6L, "y")).toDF("k", "v"), path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 6L)
+    // violating append fails before any commit
+    val before = DeltaLog.forTable(spark, path).latestVersion
+    intercept[Exception] {
+      GraftDelta.toDelta(Seq((-1L, "bad")).toDF("k", "v"), path, mode = "append")
+    }
+    assert(DeltaLog.forTable(spark, path).latestVersion == before,
+      "failed write must not commit")
+    assert(GraftDelta.readDelta(spark, path).count() == 6L)
+  }
+
+  // ---- checkConstraints on table-features protocols (r4 ADVICE medium) ----
+
+  test("addCheckConstraint on a writer-7 table lists the feature in the protocol") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, "x")).toDF("k", "v"), path)
+    // DV delete upgrades to table features (reader 3 / writer 7)
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 1L))))
+    val p1 = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p1.minWriterVersion == 7 && !p1.writerFeatures.get.contains("checkConstraints"))
+
+    GraftDelta.addCheckConstraint(spark, path, "k_pos", "k > 0")
+    val p2 = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p2.writerFeatures.get.contains("checkConstraints"),
+      s"writer-7 protocol must list checkConstraints: $p2")
+    // and the constraint actually enforces
+    intercept[Exception] {
+      GraftDelta.toDelta(Seq((-5L, "bad")).toDF("k", "v"), path, mode = "append")
+    }
+    // legacy path unchanged: fresh table bumps to writer 3, no features
+    val path2 = tmp()
+    GraftDelta.toDelta((1 to 3).map(i => (i.toLong, "x")).toDF("k", "v"), path2)
+    GraftDelta.addCheckConstraint(spark, path2, "k_pos", "k > 0")
+    val p3 = DeltaLog.forTable(spark, path2).snapshot(None).protocol
+    assert(p3.minWriterVersion == 3 && p3.writerFeatures.isEmpty)
+  }
+
+  // ---- replay reconciliation (r4 ADVICE low) ------------------------------
+
+  test("replay is order-independent within a commit and honors descriptor-less removes") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 20).map(i => (i.toLong, "x")).toDF("k", "v").coalesce(1), path) // v0
+    val log = DeltaLog.forTable(spark, path)
+    val add0 = log.snapshot(None).activeFiles.head
+
+    // v1: a foreign DV-supersede commit written ADD-BEFORE-REMOVE (the
+    // protocol declares intra-commit order meaningless)
+    val bm = new Roaring64NavigableMap(); bm.addLong(0L)
+    val dvAdd = add0.copy(dataChange = true,
+      deletionVector = Some(DeletionVectors.inlineDescriptor(bm)))
+    log.writeCommit(1L, Seq(
+      Protocol(3, 7, readerFeatures = Some(Seq("deletionVectors")),
+        writerFeatures = Some(Seq("deletionVectors"))),
+      dvAdd,
+      RemoveFile(add0.path, Some(1L), dataChange = true)))
+    assert(GraftDelta.readDelta(spark, path).count() == 19L,
+      "add-before-remove DV supersede must keep the DV incarnation active")
+
+    // v2: a foreign full remove WITHOUT the DV descriptor must still
+    // evict the DV-carrying incarnation (no silent resurrection)
+    log.writeCommit(2L, Seq(RemoveFile(add0.path, Some(2L), dataChange = true)))
+    assert(DeltaLog.forTable(spark, path).snapshot(None).activeFiles.isEmpty,
+      "descriptor-less remove must evict the path outright")
+  }
+
+  test("offset-absent and offset-0 descriptors name the same incarnation") {
+    val d0 = DeletionVectorDescriptor("u", "0" * 20, offset = None,
+      sizeInBytes = 8, cardinality = 1L)
+    assert(DeltaLog.dvUniqueId(d0) == DeltaLog.dvUniqueId(d0.copy(offset = Some(0))))
+    assert(DeltaLog.dvUniqueId(d0) != DeltaLog.dvUniqueId(d0.copy(offset = Some(1))))
+  }
+
+  // ---- storageType "u" with a random path prefix (r4 ADVICE low) ----------
+
+  test("a prefixed storageType-u descriptor resolves under the table root") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i.toLong, "x")).toDF("k", "v").coalesce(1), path) // v0
+    val log = DeltaLog.forTable(spark, path)
+    val add0 = log.snapshot(None).activeFiles.head
+
+    // write the DV file under ab/cd/ the way a spreading foreign writer does
+    val bm = new Roaring64NavigableMap(); bm.addLong(1L); bm.addLong(3L)
+    val fs = log.fs
+    val prefixDir = new org.apache.hadoop.fs.Path(path, "ab/cd")
+    fs.mkdirs(prefixDir)
+    val descByKey = DeletionVectors.writeDvFile(fs, prefixDir, Seq("f" -> bm))
+    val plain = descByKey("f")
+    val prefixed = plain.copy(pathOrInlineDv = "ab/cd/" + plain.pathOrInlineDv)
+    log.writeCommit(1L, Seq(
+      Protocol(3, 7, readerFeatures = Some(Seq("deletionVectors")),
+        writerFeatures = Some(Seq("deletionVectors"))),
+      add0.copy(dataChange = true, deletionVector = Some(prefixed)),
+      RemoveFile(add0.path, Some(1L), dataChange = true)))
+
+    assert(GraftDelta.readDelta(spark, path).count() == 8L,
+      "prefixed u-descriptor must resolve <root>/<prefix>/deletion_vector_<uuid>.bin")
+    // vacuum resolves the same prefixed path for reclamation bookkeeping
+    val dry = DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = true)
+    assert(!dry.exists(_.contains("deletion_vector")),
+      s"the live prefixed DV file must never be reclaimable: $dry")
+  }
+}
