@@ -563,15 +563,21 @@ object DeltaTableOps {
     RestoreResult(latest + 1, adds.size, removes.size)
   }
 
-  /** Batch change feed over a commit range: the rows ADDED in versions
-    * (fromVersion, toVersion], stamped with `_commit_version` — the
-    * batch twin of streaming's DeltaTail (append-oriented CDC: deletes
-    * and overwrites surface only their add side; dataChange=false
-    * rewrites — OPTIMIZE — are skipped, they carry no new rows).
+  /** Batch change feed over a commit range: per version in
+    * (fromVersion, toVersion], the rows ADDED (`_change_type='insert'`)
+    * and the rows a deletion-vector commit soft-deleted
+    * (`_change_type='delete'` — the `newDV ∖ oldDV` bitmap diff, scanned
+    * back out of the immutable data file at those `_metadata.row_index`
+    * positions; see [[ChangeFeed]]), each stamped with
+    * `_commit_version`. Rewrite DML / overwrite / restore surface only
+    * their add side (append-oriented CDC, the delta-spark
+    * non-CDF-stream contract); dataChange=false rewrites — OPTIMIZE —
+    * contribute nothing.
     *
     * Scale: parses only the commits in the range (never a snapshot
     * replay) and scans only their files; per-commit file groups become
-    * one union of vectorized parquet scans. */
+    * one union of vectorized parquet scans, and DV diffs probe through
+    * the broadcast codegen'd DvProbe. */
   def tableChanges(
       spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
@@ -583,30 +589,33 @@ object DeltaTableOps {
     val hiSnap = log.snapshot(Some(hi))
     DeltaWrite.requireNotColumnMapped(hiSnap, "tableChanges")
     val schema = hiSnap.schema
-    val perCommit = ((fromVersion + 1) to hi).flatMap { v =>
-      val adds = log.readCommitActions(v).collect {
-        case a: AddFile if a.dataChange => a
-      }
-      // A DV commit's "change" is a bitmap of deleted positions — its
-      // re-added file is overwhelmingly UNCHANGED rows. Emitting them as
-      // changes would be silently wrong; refuse loudly instead.
-      adds.find(_.deletionVector.isDefined).foreach { a =>
-        throw new IllegalStateException(
-          s"tableChanges cannot express deletion-vector commits: version $v of $path " +
-            s"soft-deletes rows of ${a.path} via bitmap. Diff snapshots at the bounding " +
-            "versions, or use the rewrite DML flavor on CDC-consumed tables.")
-      }
-      if (adds.isEmpty) None
-      else Some(spark.read
-        .schema(schema)
-        .option("basePath", path)
-        .parquet(adds.map(a => DeltaRead.resolvePath(path, a.path)): _*)
-        .withColumn("_commit_version", lit(v)))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def scan(files: Seq[AddFile]) = spark.read
+      .schema(schema)
+      .option("basePath", path)
+      .parquet(files.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+    val perCommit: Seq[DataFrame] = ((fromVersion + 1) to hi).flatMap { v =>
+      val plan = ChangeFeed.planVersion(fs, root, v, log.readCommitActions(v))
+      val inserts =
+        if (plan.insertFiles.isEmpty) None
+        else Some(scan(plan.insertFiles)
+          .withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
+          .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+      val deletes =
+        if (plan.deleteCarriers.isEmpty) None
+        else Some(
+          DeletionVectors.selectDeleted(scan(plan.deleteCarriers), plan.deleteDiffs)
+            .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
+            .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+      inserts.toSeq ++ deletes.toSeq
     }
     if (perCommit.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        StructType(schema.fields :+ StructField("_commit_version", LongType, nullable = false)))
+        StructType(schema.fields :+
+          StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false) :+
+          StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false)))
     else perCommit.reduce(_ unionByName _)
   }
 

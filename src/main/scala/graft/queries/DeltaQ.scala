@@ -276,8 +276,31 @@ object DeltaQ {
       DeltaMaintenance.compact(s, path)                                       // v3
       GraftDelta.tableChanges(s, path, fromVersion = 0L)
         .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"),
-          $"_commit_version")
+          $"_change_type", $"_commit_version")
         .orderBy($"o_orderkey")
+    }),
+
+    // Change feed over DELETION-VECTOR commits (the 100 TB DML flavor):
+    // v1 DV-deletes negative-balance customers, v2 DV-updates low-nation
+    // ones — the feed emits exactly the soft-deleted rows (newDV ∖ oldDV
+    // bitmap diff scanned back out of the immutable files) as 'delete'
+    // and the v2 appended postimages as 'insert'. Predicates are spread
+    // across every custkey-ranged file, so no file fully matches (a full
+    // match would legally promote to a rewrite remove).
+    "d28_dv_changes" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d28")
+      val c = t(s, dir, "customer")
+      GraftDelta.toDelta(c.repartitionByRange(4, $"c_custkey"), path)     // v0
+      GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("c_acctbal", "<", 0.0))))                       // v1
+      GraftDelta.updateWhereWithDv(s, path,
+        Seq(Seq(Predicate("c_nationkey", "<", 5))),
+        Map("c_acctbal" -> (col("c_acctbal") + 100)))                     // v2
+      GraftDelta.tableChanges(s, path, fromVersion = 0L)
+        .select($"c_custkey", $"c_nationkey", cents($"c_acctbal").as("acctbal_c"),
+          $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"_change_type", $"c_custkey")
     }),
 
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
@@ -591,8 +614,27 @@ object DeltaQ {
     "d18_table_changes" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+        | 'insert' AS _change_type,
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
+    "d28_dv_changes" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        |    'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM customer WHERE c_acctbal < 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND(c_acctbal*100) AS BIGINT),
+        |    'delete', CAST(2 AS BIGINT)
+        |  FROM customer WHERE NOT (c_acctbal < 0) AND c_nationkey < 5
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND((c_acctbal+100)*100) AS BIGINT),
+        |    'insert', CAST(2 AS BIGINT)
+        |  FROM customer WHERE NOT (c_acctbal < 0) AND c_nationkey < 5)
+        |SELECT * FROM chg
+        |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
     "d14_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

@@ -40,9 +40,24 @@ class GraftSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      graft.delta.DeltaLog.forTable(sqlContext.sparkSession, pathOf(parameters))
-        .snapshot(None).schema))
+    (shortName(), schema.getOrElse {
+      val base = graft.delta.DeltaLog
+        .forTable(sqlContext.sparkSession, pathOf(parameters))
+        .snapshot(None).schema
+      // changeFeed mode appends the CDC columns — must match what the
+      // created GraftStreamSource will declare, or batches are rejected
+      val cf = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("changeFeed") => v.toBoolean
+      }.getOrElse(false)
+      if (!cf) base
+      else StructType(base.fields :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    })
 
   override def createSource(
       sqlContext: SQLContext,

@@ -38,11 +38,18 @@ object DeltaTail {
     val df =
       if (newAdds.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else
-        spark.read
-          .schema(snap.schema)
-          .option("basePath", path)
-          .parquet(newAdds.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+      else {
+        // a DV-carrying re-add must not leak its soft-deleted rows —
+        // apply the bitmap exactly like batch scans do
+        val dvBytes = graft.delta.DeletionVectors.dvByteMap(
+          spark, new org.apache.hadoop.fs.Path(path), newAdds)
+        graft.delta.DeletionVectors.applyFilter(
+          spark.read
+            .schema(snap.schema)
+            .option("basePath", path)
+            .parquet(newAdds.map(a => DeltaRead.resolvePath(path, a.path)): _*),
+          dvBytes)
+      }
     Batch(fromVersion, latest, df)
   }
 

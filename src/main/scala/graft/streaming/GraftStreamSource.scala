@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.StructType
   *  - `skipChangeCommits` — skip data-changing commits WHOLESALE (their
   *    adds are rewritten old rows, not new data) — the delta-spark
   *    appends-only contract; takes precedence over `ignoreChanges`.
+  *  - `changeFeed` — CDC mode: rows carry `_change_type`
+  *    ('insert' | 'delete') and `_commit_version`. Deletion-vector
+  *    commits emit exactly the soft-deleted rows (the `newDV ∖ oldDV`
+  *    bitmap diff, graft.delta.ChangeFeed) as deletes and any appended
+  *    files as inserts — no ignoreChanges needed for DV DML. Rewrite
+  *    commits still surface only their add side (append-CDC stance)
+  *    and keep requiring ignoreChanges/skipChangeCommits.
   *  - `maxVersionsPerTrigger` — bound how many commits one micro-batch
   *    covers (backfill pacing).
   *
@@ -52,10 +59,20 @@ class GraftStreamSource(
     graft.delta.DeltaWrite.requireNotColumnMapped(s, "streaming source")
     (s.schema, s.version)
   }
-  override val schema: StructType = initSchema
+  override val schema: StructType =
+    if (opt("changeFeed").exists(_.toBoolean))
+      StructType(initSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    else initSchema
 
   private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
   private val skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean)
+  private val changeFeed = opt("changeFeed").exists(_.toBoolean)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
 
   /** Versions ≤ this are excluded from the stream. */
@@ -82,21 +99,29 @@ class GraftStreamSource(
     val from = start.map(toVersion).getOrElse(startExclusive)
     val to = toVersion(end)
     servedThrough = math.max(servedThrough, to)
+    if (changeFeed) getChangeFeedBatch(from, to)
+    else getAppendBatch(from, to)
+  }
+
+  /** A mergeSchema append (or any metadata rewrite) AFTER the captured
+    * snapshot changes the table schema mid-stream; new files would be
+    * read with the stale schema, silently dropping the new columns.
+    * Fail loudly instead — restarting the stream picks up the new
+    * schema (same contract as delta-spark). Commits ≤ schemaVersion are
+    * backfill and already reflected in the captured schema. */
+  private def checkSchemaStable(v: Long, actions: Seq[graft.delta.Action]): Unit =
+    if (v > schemaVersion) actions.collectFirst {
+      case m: graft.delta.MetadataAction if m.schema != initSchema => m
+    }.foreach { m =>
+      throw new IllegalStateException(
+        s"Commit $v of $path changes the table schema from ${initSchema.simpleString} " +
+          s"to ${m.schema.simpleString}. Restart the stream to pick up the new schema.")
+    }
+
+  private def getAppendBatch(from: Long, to: Long): DataFrame = {
     val adds: Seq[AddFile] = ((from + 1) to to).flatMap { v =>
       val actions = log.readCommitActions(v)
-      // A mergeSchema append (or any metadata rewrite) AFTER the captured
-      // snapshot changes the table schema mid-stream; new files would be
-      // read with the stale schema, silently dropping the new columns.
-      // Fail loudly instead — restarting the stream picks up the new
-      // schema (same contract as delta-spark). Commits ≤ schemaVersion are
-      // backfill and already reflected in the captured schema.
-      if (v > schemaVersion) actions.collectFirst {
-        case m: graft.delta.MetadataAction if m.schema != schema => m
-      }.foreach { m =>
-        throw new IllegalStateException(
-          s"Commit $v of $path changes the table schema from ${schema.simpleString} " +
-            s"to ${m.schema.simpleString}. Restart the stream to pick up the new schema.")
-      }
+      checkSchemaStable(v, actions)
       val changed = actions.exists {
         case r: RemoveFile if r.dataChange => true
         case _ => false
@@ -110,8 +135,8 @@ class GraftStreamSource(
         if (changed && !ignoreChanges) throw new IllegalStateException(
           s"Commit $v of $path removes data (overwrite/DELETE/UPDATE/MERGE). " +
             "Streaming a non-append table requires ignoreChanges=true " +
-            "(re-emit rewritten rows) or skipChangeCommits=true (skip such " +
-            "commits entirely).")
+            "(re-emit rewritten rows), skipChangeCommits=true (skip such " +
+            "commits entirely), or changeFeed=true (emit per-row changes).")
         actions.collect { case a: AddFile if a.dataChange => a }
       }
     }
@@ -133,6 +158,58 @@ class GraftStreamSource(
           Map("basePath" -> path)),
         dvBytes)
     }
+  }
+
+  /** CDC batches: one frame per version carrying inserts (plain
+    * dataChange adds) and deletes (DV bitmap diffs, graft.delta
+    * .ChangeFeed). A DV supersede's remove is fully expressed by the
+    * diff; any OTHER dataChange remove is a rewrite, which this
+    * append-CDC feed cannot express per-row — the usual
+    * ignoreChanges/skipChangeCommits escape hatches apply to those. */
+  private def getChangeFeedBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def scan(files: Seq[AddFile]) =
+      org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+        spark, files.map(a => DeltaRead.resolvePath(path, a.path)),
+        initSchema, Map("basePath" -> path))
+    val frames: Seq[DataFrame] = ((from + 1) to to).flatMap { v =>
+      val actions = log.readCommitActions(v)
+      checkSchemaStable(v, actions)
+      val plan = graft.delta.ChangeFeed.planVersion(fs, root, v, actions)
+      val dvReadds = actions.collect {
+        case a: AddFile if a.dataChange && a.deletionVector.isDefined => a.path
+      }.toSet
+      val rewrite = actions.exists {
+        case r: RemoveFile if r.dataChange && !dvReadds.contains(r.path) => true
+        case _ => false
+      }
+      if (rewrite && skipChangeCommits) Nil
+      else {
+        if (rewrite && !ignoreChanges) throw new IllegalStateException(
+          s"Commit $v of $path rewrites data files (overwrite/rewrite DML); the " +
+            "change feed can only express deletion-vector commits per-row. Use " +
+            "ignoreChanges=true (rewritten rows re-emit as inserts) or " +
+            "skipChangeCommits=true, or run DML in the deletion-vector flavor.")
+        val inserts =
+          if (plan.insertFiles.isEmpty) None
+          else Some(scan(plan.insertFiles)
+            .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("insert"))
+            .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+        val deletes =
+          if (plan.deleteCarriers.isEmpty) None
+          else Some(
+            graft.delta.DeletionVectors.selectDeleted(
+              scan(plan.deleteCarriers), plan.deleteDiffs)
+              .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("delete"))
+              .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+        inserts.toSeq ++ deletes.toSeq
+      }
+    }
+    if (frames.isEmpty)
+      org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)
+    else frames.reduce(_ unionByName _)
   }
 
   private def toVersion(o: Offset): Long = o match {

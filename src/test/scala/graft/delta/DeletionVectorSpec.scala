@@ -224,20 +224,62 @@ class DeletionVectorSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 38L)
   }
 
-  test("tableChanges refuses DV commits instead of mis-reporting them") {
+  test("tableChanges emits DV commits as per-row deletes (bitmap diff)") {
     import spark.implicits._
     val path = tmp()
-    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, "x")).toDF("k", "v"), path)
-    GraftDelta.toDelta((21 to 25).map(i => (i.toLong, "y")).toDF("k", "v"), path,
-      mode = "append")
-    // append-only ranges still work
-    assert(DeltaTableOps.tableChanges(spark, path, 0L).count() == 5L)
-    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 3L))))
-    val e = intercept[IllegalStateException](
-      DeltaTableOps.tableChanges(spark, path, 0L).count())
-    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
-    // a range that excludes the DV commit is unaffected
+    GraftDelta.toDelta(
+      (1 to 20).map(i => (i.toLong, s"x$i")).toDF("k", "v").coalesce(1), path) // v0
+    GraftDelta.toDelta((21 to 25).map(i => (i.toLong, s"y$i")).toDF("k", "v"), path,
+      mode = "append")                                                    // v1
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("k", ">=", 3L), Predicate("k", "<=", 5L))))       // v2
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 9L)))) // v3
+    GraftDelta.updateWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 12L))),
+      Map("v" -> lit("updated")))                                         // v4
+
+    val cf = DeltaTableOps.tableChanges(spark, path, 0L)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expected: Set[(Long, String, String, Long)] =
+      (21L to 25L).map(i => (i, s"y$i", "insert", 1L)).toSet ++
+        (3L to 5L).map(i => (i, s"x$i", "delete", 2L)).toSet +
+        ((9L, "x9", "delete", 3L)) +
+        ((12L, "x12", "delete", 4L)) +          // preimage
+        ((12L, "updated", "insert", 4L))        // postimage
+    assert(cf == expected, s"got $cf")
+    // a DV-superseding commit only emits its OWN diff (v3 ∌ 3..5);
+    // pinned above by v3 containing exactly k=9
+    // a range that excludes DV commits is plain inserts
     assert(DeltaTableOps.tableChanges(spark, path, 0L, Some(1L)).count() == 5L)
+  }
+
+  test("readStream changeFeed mode streams DV deletes and inserts") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 30).map(i => (i.toLong, s"x$i")).toDF("k", "v").coalesce(1), path) // v0
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("k", "<=", 4L))))                                 // v1
+    GraftDelta.updateWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 20L))),
+      Map("v" -> lit("u20")))                                             // v2
+
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true")
+      .load(path)
+      .writeStream.format("memory").queryName("dv_cf").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dv_cf")
+        .select($"k", $"v", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val expected: Set[(Long, String, String, Long)] =
+        (1L to 30L).map(i => (i, s"x$i", "insert", 0L)).toSet ++
+          (1L to 4L).map(i => (i, s"x$i", "delete", 1L)).toSet +
+          ((20L, "x20", "delete", 2L)) + ((20L, "u20", "insert", 2L))
+      assert(got == expected, s"got $got")
+    } finally q.stop()
   }
 
   test("DV scan probe is codegen'd and broadcast — no ScalaUDF in the plan") {
