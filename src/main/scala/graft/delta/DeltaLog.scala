@@ -275,16 +275,17 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val meta = metadata.getOrElse(
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
     // Reader-version gate: reader 2 = column mapping, which this replay
-    // implements for mode `name` (and trivially `none`); `id` mode needs
-    // parquet field-id matching we don't do. Reader 3 = table features:
-    // the version number says nothing by itself — the readerFeatures list
-    // is checked against what the scan actually implements (deletion
-    // vectors, column mapping). An UNKNOWN feature still refuses loudly:
-    // reading anyway would silently return wrong rows, the worst failure
-    // mode.
+    // implements for mode `name` (physical-name scan + rename projection)
+    // and mode `id` (Spark's parquet field-id matching). Reader 3 = table
+    // features: the version number says nothing by itself — the
+    // readerFeatures list is checked against what the scan actually
+    // implements (deletion vectors, column mapping). An UNKNOWN feature
+    // still refuses loudly: reading anyway would silently return wrong
+    // rows, the worst failure mode.
     val mappingMode =
       meta.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val mappingOk = mappingMode == "none" || mappingMode == "name"
+    val mappingOk =
+      mappingMode == "none" || mappingMode == "name" || mappingMode == "id"
     val readerSupported = protocol.minReaderVersion match {
       case v if v <= 1 => true
       case 2 => mappingOk
@@ -300,7 +301,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         s"Table $tablePath requires reader version ${protocol.minReaderVersion} " +
           s"(columnMapping.mode=$mappingMode, readerFeatures=" +
           s"${protocol.readerFeatures.getOrElse(Nil).mkString(",")}) — supported: " +
-          s"reader ≤ 2 with mapping mode none or name, or reader 3 whose features " +
+          s"reader ≤ 2 with mapping mode none/name/id, or reader 3 whose features " +
           s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
       txns.values.toSeq)

@@ -77,7 +77,7 @@ object DeltaRead {
       else DeletionVectors.dvByteMap(spark, new org.apache.hadoop.fs.Path(path), dvFiles)
     }
 
-    if (mappingModeOf(snap) == "name") {
+    if (mappingModeOf(snap) == "name" || mappingModeOf(snap) == "id") {
       if (dvBytes.nonEmpty)
         throw new IllegalStateException(
           "deletion vectors on a column-mapped table are not supported — " +
@@ -162,6 +162,12 @@ object DeltaRead {
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
+  /** A field's column-mapping id (mode `id` matches parquet field ids). */
+  private[delta] def mappingIdOf(f: StructField): Option[Long] =
+    if (f.metadata.contains("delta.columnMapping.id"))
+      Some(f.metadata.getLong("delta.columnMapping.id"))
+    else None
+
   /** Recursively rename a logical type to its physical (on-disk) shape. */
   private def physicalize(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
@@ -171,15 +177,36 @@ object DeltaRead {
     case other => other
   }
 
-  /** Scan of a column-mapped (mode `name`) table: parquet files carry
-    * PHYSICAL field names (col-<uuid>) at every nesting level and
-    * `add.partitionValues` is keyed by physical partition names, while
-    * `metaData.partitionColumns` and the surfaced schema are logical.
-    * Read with the physical schema, then rename back in one projection —
-    * nested renames ride on struct cast-by-position (same types, same
-    * order, names only). Partition values are attached as typed literals
-    * straight from the log (the hive dirs are physical-named, so
-    * basePath recovery would surface the wrong column names). */
+  /** Recursively stamp `parquet.field.id` metadata from the mapping ids,
+    * keeping LOGICAL names: with `spark.sql.parquet.fieldId.read.enabled`
+    * Spark's vectorized reader matches requested fields to parquet
+    * columns by FIELD ID, ignoring names — exactly the `id`-mode
+    * contract, with no rename projection needed. A mapped field missing
+    * its id refuses (reading by name would silently mis-bind after a
+    * foreign rename). */
+  private def fieldIdSchema(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      val id = mappingIdOf(f).getOrElse(throw new IllegalStateException(
+        s"column-mapping mode 'id' but field ${f.name} carries no delta.columnMapping.id"))
+      val dt = f.dataType match {
+        case s: StructType => fieldIdSchema(s)
+        case other => other
+      }
+      StructField(f.name, dt, f.nullable,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    })
+
+  /** Scan of a column-mapped table. Mode `name`: parquet files carry
+    * PHYSICAL field names (col-<uuid>) at every nesting level — read
+    * with the physical schema, then rename back in one projection
+    * (nested renames ride on struct cast-by-position). Mode `id`:
+    * parquet files carry FIELD IDS — read with the logical schema
+    * stamped with `parquet.field.id` under Spark's field-id matching, no
+    * rename needed. In both modes `add.partitionValues` is keyed by
+    * physical partition names while `metaData.partitionColumns` and the
+    * surfaced schema are logical; partition values are attached as typed
+    * literals straight from the log (the hive dirs are physical-named,
+    * so basePath recovery would surface the wrong column names). */
   private def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame = {
@@ -187,18 +214,22 @@ object DeltaRead {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val byId = mappingModeOf(snap) == "id"
+    if (byId) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val partCols = snap.partitionColumns
     val physOf: Map[String, String] =
       schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
-    val physDataSchema = StructType(dataFields.map(f =>
-      StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
+    val readSchema =
+      if (byId) fieldIdSchema(StructType(dataFields))
+      else StructType(dataFields.map(f =>
+        StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
     val partFields = schema.fields.filter(f => partCols.contains(f.name))
     files.groupBy(_.partitionValues).map { case (pv, group) =>
-      val g = spark.read.format("parquet").schema(physDataSchema)
+      val g = spark.read.format("parquet").schema(readSchema)
         .load(group.map(f => resolvePath(path, f.path)): _*)
       val renamed = dataFields.map(f =>
-        col(physicalNameOf(f)).cast(f.dataType).as(f.name)) ++
+        (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
         partFields.map(f =>
           lit(pv.get(physOf(f.name)).flatMap(Option(_)).orNull)
             .cast(f.dataType).as(f.name))
@@ -221,7 +252,7 @@ object DeltaRead {
     // under column mapping the log (partitionValues, stats JSON) is keyed
     // by PHYSICAL names while predicates arrive logical — translate
     val physOf: Map[String, String] =
-      if (mappingModeOf(snap) == "name")
+      if (mappingModeOf(snap) != "none")
         snap.schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
       else Map.empty
     def physName(c: String): String = physOf.getOrElse(c, c)

@@ -471,6 +471,127 @@ object DeltaTableOps {
     ConstraintResult(snap.version + 1, name)
   }
 
+  final case class MappingResult(tableVersion: Long, maxColumnId: Long)
+
+  /** ALTER TABLE … SET TBLPROPERTIES delta.columnMapping.mode=name — the
+    * upgrade that makes RENAME/DROP COLUMN legal. Stamps every field
+    * (nested included) with a columnMapping id and physicalName = its
+    * CURRENT name (existing parquet files store today's names, so the
+    * identity mapping keeps them readable — the delta-spark upgrade
+    * contract), records maxColumnId, and raises the protocol to
+    * reader 2 / writer 5 (or lists the columnMapping feature when the
+    * table already runs table features). Metadata-only: no data file is
+    * touched, at any table size. */
+  def enableColumnMapping(spark: SparkSession, path: String): MappingResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(DeltaRead.mappingModeOf(snap) == "none",
+      s"columnMapping.mode is already '${DeltaRead.mappingModeOf(snap)}' on $path")
+    // mapped scans refuse DV tables; enabling mapping over live DVs would
+    // commit a table this engine then refuses to read
+    require(snap.activeFiles.forall(_.deletionVector.isEmpty),
+      s"Cannot enable column mapping on $path while deletion vectors are active — " +
+        "materialize them first (OPTIMIZE)")
+    var nextId = 0L
+    def stampType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: StructType => StructType(st.fields.map(stampField))
+        case ArrayType(et, n) => ArrayType(stampType(et), n)
+        case MapType(k, v, n) => MapType(stampType(k), stampType(v), n)
+        case other => other
+      }
+    def stampField(f: StructField): StructField = {
+      nextId += 1
+      val id = nextId
+      StructField(f.name, stampType(f.dataType), f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+    }
+    val newSchema = StructType(snap.schema.fields.map(stampField))
+    val meta = snap.metadata.copy(
+      schemaString = newSchema.json,
+      configuration = snap.metadata.configuration ++ Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> nextId.toString))
+    val proto: Seq[Action] = {
+      val p = snap.protocol
+      if (p.minReaderVersion >= 3 || p.minWriterVersion >= 7) {
+        val rf = p.readerFeatures.getOrElse(Nil)
+        val wf = p.writerFeatures.getOrElse(Nil)
+        if (rf.contains("columnMapping") && wf.contains("columnMapping")) Nil
+        else Seq(Protocol(3, 7,
+          readerFeatures = Some((rf :+ "columnMapping").distinct),
+          writerFeatures = Some((wf :+ "columnMapping").distinct)))
+      } else if (p.minReaderVersion >= 2 && p.minWriterVersion >= 5) Nil
+      else Seq(p.copy(
+        minReaderVersion = math.max(2, p.minReaderVersion),
+        minWriterVersion = math.max(5, p.minWriterVersion)))
+    }
+    val ci = CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+      operationParameters = Map("delta.columnMapping.mode" -> "name"),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci) ++ proto ++ Seq(meta))
+    MappingResult(snap.version + 1, nextId)
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — metadata-only under column mapping:
+    * the field keeps its id and physicalName, so no data file changes;
+    * a renamed partition column also updates partitionColumns (the
+    * partitionValues stay physical-keyed). Refuses unmapped tables
+    * loudly (a raw rename would orphan every existing file's column). */
+  def renameColumn(
+      spark: SparkSession, path: String, oldName: String, newName: String): MappingResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(DeltaRead.mappingModeOf(snap) != "none",
+      s"RENAME COLUMN requires column mapping — run enableColumnMapping($path) first")
+    require(snap.schema.fieldNames.contains(oldName),
+      s"No column $oldName in ${snap.schema.fieldNames.mkString(", ")}")
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"Column $newName already exists")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val meta = snap.metadata.copy(
+      schemaString = newSchema.json,
+      partitionColumns = snap.metadata.partitionColumns
+        .map(c => if (c == oldName) newName else c))
+    val ci = CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+      operationParameters = Map("from" -> oldName, "to" -> newName),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    MappingResult(snap.version + 1,
+      snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L))
+  }
+
+  /** ALTER TABLE … DROP COLUMN — metadata-only under column mapping: the
+    * field leaves the logical schema, existing files keep the physical
+    * column and every read projects it away. Partition columns refuse
+    * (their values live in the file layout, not a droppable column). */
+  def dropColumn(spark: SparkSession, path: String, name: String): MappingResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(DeltaRead.mappingModeOf(snap) != "none",
+      s"DROP COLUMN requires column mapping — run enableColumnMapping($path) first")
+    require(snap.schema.fieldNames.contains(name),
+      s"No column $name in ${snap.schema.fieldNames.mkString(", ")}")
+    require(!snap.partitionColumns.contains(name),
+      s"Cannot drop partition column $name")
+    require(snap.schema.fields.length > 1,
+      s"Cannot drop the last column of $path")
+    val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    val meta = snap.metadata.copy(schemaString = newSchema.json)
+    val ci = CommitInfo(System.currentTimeMillis(), "DROP COLUMN",
+      operationParameters = Map("column" -> name),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    MappingResult(snap.version + 1,
+      snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L))
+  }
+
   /** RESTORE TABLE … TO VERSION: one new commit that returns the table's
     * data to what version `toVersion` held, preserving history (the
     * delta-spark RESTORE contract — not a log rewind). The commit

@@ -107,6 +107,21 @@ object GraftDelta {
       spark: SparkSession, path: String, name: String): DeltaTableOps.ConstraintResult =
     DeltaTableOps.dropConstraint(spark, path, name)
 
+  /** Enable column mapping (mode `name`) — the metadata-only upgrade
+    * that makes RENAME/DROP COLUMN legal. */
+  def enableColumnMapping(spark: SparkSession, path: String): DeltaTableOps.MappingResult =
+    DeltaTableOps.enableColumnMapping(spark, path)
+
+  /** ALTER TABLE … RENAME COLUMN (requires column mapping). */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String): DeltaTableOps.MappingResult =
+    DeltaTableOps.renameColumn(spark, path, oldName, newName)
+
+  /** ALTER TABLE … DROP COLUMN (requires column mapping). */
+  def dropColumn(spark: SparkSession, path: String,
+      name: String): DeltaTableOps.MappingResult =
+    DeltaTableOps.dropColumn(spark, path, name)
+
   /** CONVERT TO DELTA — adopt a plain-parquet directory in place (beyond
     * the reference's surface). */
   def convertToDelta(spark: SparkSession, path: String): DeltaTableOps.ConvertResult =

@@ -303,6 +303,60 @@ object DeltaQ {
         .orderBy($"_commit_version", $"_change_type", $"c_custkey")
     }),
 
+    // Column-mapping write surface: (a) name mode — our table upgraded
+    // in place (enableColumnMapping stamps ids + physicalName=old name),
+    // then RENAME + DROP COLUMN as metadata-only commits; (b) id mode —
+    // a foreign-shaped table whose parquet files carry FIELD IDS under
+    // arbitrary physical names, read via Spark's field-id matching and
+    // renamed the same metadata-only way. Both read back logically.
+    "d29_column_rename" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val c = t(s, dir, "customer")
+      // (a) name mode
+      val p1 = tmp("d29a")
+      GraftDelta.toDelta(c.repartition(2), p1)                        // v0
+      GraftDelta.enableColumnMapping(s, p1)                           // v1
+      GraftDelta.renameColumn(s, p1, "c_acctbal", "balance")          // v2
+      GraftDelta.dropColumn(s, p1, "c_mktsegment")                       // v3
+      val nameMode = GraftDelta.readDelta(s, p1)
+        .select($"c_custkey".cast("long").as("key"),
+          cents($"balance").as("bal_c"))
+        .withColumn("mode", lit("name"))
+      // (b) id mode (foreign fixture: field ids are the binding contract)
+      val p2 = tmp("d29b")
+      val fid = (n: Long) => new MetadataBuilder().putLong("parquet.field.id", n).build()
+      val writeSchema = StructType(Seq(
+        StructField("col-1", LongType, nullable = true, fid(1)),
+        StructField("col-2", DoubleType, nullable = true, fid(2))))
+      val phys = s.createDataFrame(
+        c.select($"c_custkey".cast("long"), $"c_acctbal".cast("double")).rdd, writeSchema)
+      phys.coalesce(2).write.parquet(s"$p2/data")
+      val cmField = (logical: String, physical: String, dt: DataType, id: Long) =>
+        StructField(logical, dt, nullable = true,
+          new MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", physical).build())
+      val logical = StructType(Seq(
+        cmField("custkey", "col-1", LongType, 1),
+        cmField("acctbal", "col-2", DoubleType, 2)))
+      val adds = new java.io.File(s"$p2/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => graft.delta.AddFile(path = s"data/${f.getName}", size = f.length(),
+          modificationTime = f.lastModified(), dataChange = true)).toSeq
+      DeltaLog.forTable(s, p2).writeCommit(0L,
+        Seq(graft.delta.CommitInfo(System.currentTimeMillis(), "CREATE"),
+          graft.delta.Protocol(2, 5),
+          graft.delta.MetadataAction(id = "d29-id-mode", schemaString = logical.json,
+            configuration = Map("delta.columnMapping.mode" -> "id",
+              "delta.columnMapping.maxColumnId" -> "2"))) ++ adds)     // v0
+      GraftDelta.renameColumn(s, p2, "acctbal", "balance")             // v1
+      val idMode = GraftDelta.readDelta(s, p2)
+        .select($"custkey".as("key"), cents($"balance").as("bal_c"))
+        .withColumn("mode", lit("id"))
+      nameMode.unionByName(idMode).orderBy($"mode", $"key")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -617,6 +671,14 @@ object DeltaQ {
         | 'insert' AS _change_type,
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
+    "d29_column_rename" ->
+      """SELECT c_custkey AS key,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c, 'name' AS mode
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT), 'id'
+        |FROM customer
+        |ORDER BY mode, key""".stripMargin,
     "d28_dv_changes" ->
       """WITH chg AS (
         |  SELECT c_custkey, c_nationkey,

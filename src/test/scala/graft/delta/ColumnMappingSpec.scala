@@ -142,17 +142,76 @@ class ColumnMappingSpec extends GraftSuite {
     }
   }
 
-  test("id mapping mode and reader >= 3 refuse loudly") {
-    val path = stageUnpartitioned()
-    val log = DeltaLog.forTable(spark, path)
-    val snap = log.snapshot(None)
-    log.writeCommit(1L, Seq(snap.metadata.copy(
-      configuration = Map("delta.columnMapping.mode" -> "id"))))
-    val e = intercept[IllegalStateException] {
-      GraftDelta.readDelta(spark, path).count()
-    }
-    assert(e.getMessage.contains("id"), e.getMessage)
-    // version-pinned read of the name-mode snapshot still works
-    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 3)
+  test("id mapping mode reads through parquet field ids, rename-proof") {
+    import spark.implicits._
+    val path = tmp()
+    // physical files: arbitrary on-disk names, FIELD IDS are the contract
+    val writeSchema = StructType(Seq(
+      StructField("col-a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("col-b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val phys = spark.createDataFrame(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("x", "y").rdd, writeSchema)
+    phys.coalesce(1).write.parquet(s"$path/data")
+    val file = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val logical = StructType(Seq(
+      mappedField("key", "col-a", LongType, 1),
+      mappedField("value", "col-b", StringType, 2)))
+    DeltaLog.forTable(spark, path).writeCommit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE"),
+      Protocol(2, 5),
+      MetadataAction(id = "cm-test-id", schemaString = logical.json,
+        configuration = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "2")),
+      AddFile(path = s"data/${file.getName}", size = file.length(),
+        modificationTime = file.lastModified(), dataChange = true)))
+
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.columns.toSeq == Seq("key", "value"))
+    assert(df.orderBy("key").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a foreign logical rename is metadata-only: the field id still binds
+    GraftDelta.renameColumn(spark, path, "value", "name")
+    val df2 = GraftDelta.readDelta(spark, path)
+    assert(df2.columns.toSeq == Seq("key", "name"))
+    assert(df2.filter($"name" === "b").count() == 1)
+  }
+
+  test("enable + rename + drop column are metadata-only; time travel keeps old names") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i.toLong, s"v$i", i * 2L)).toDF("k", "v", "w"), path) // v0
+    val filesBefore = DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.map(_.path).toSet
+
+    // rename without mapping refuses with a pointer to the upgrade
+    val e = intercept[IllegalArgumentException](
+      GraftDelta.renameColumn(spark, path, "k", "id"))
+    assert(e.getMessage.contains("enableColumnMapping"), e.getMessage)
+
+    val up = GraftDelta.enableColumnMapping(spark, path)                  // v1
+    assert(up.maxColumnId == 3L)
+    val p1 = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p1.minReaderVersion == 2 && p1.minWriterVersion == 5)
+    // physicalName = old name keeps existing files readable unchanged
+    assert(GraftDelta.readDelta(spark, path).columns.toSeq == Seq("k", "v", "w"))
+
+    GraftDelta.renameColumn(spark, path, "k", "id")                       // v2
+    GraftDelta.dropColumn(spark, path, "w")                               // v3
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.orderBy("id").select("id").as[Long].collect().toSeq == (1L to 10L))
+    // metadata-only: the SAME data files are active, none rewritten
+    val snap3 = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap3.activeFiles.map(_.path).toSet == filesBefore)
+    // pre-upgrade versions still read with their own schema
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).columns.toSeq ==
+      Seq("k", "v", "w"))
+    // dropped-column data is projected away, not destroyed: restore sees it
+    GraftDelta.restore(spark, path, 1L)                                   // v4
+    assert(GraftDelta.readDelta(spark, path).columns.toSeq == Seq("k", "v", "w"))
   }
 }

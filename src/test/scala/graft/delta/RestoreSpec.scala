@@ -89,9 +89,9 @@ class RestoreSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(ranged == (11L to 20L).toSet)
 
-    // empty range → empty frame with the schema + version column
+    // empty range → empty frame with the schema + CDC columns
     val empty = GraftDelta.tableChanges(spark, path, 3L)
     assert(empty.count() == 0L)
-    assert(empty.columns.toSeq == Seq("id", "name", "_commit_version"))
+    assert(empty.columns.toSeq == Seq("id", "name", "_change_type", "_commit_version"))
   }
 }
