@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side plumbing (schema, partition-preserving mapPartitions
-  * batches, feature vector shape) is real and tested; the actual codec
-  * is STUBBED with a deterministic fake (this container ships no
-  * image/audio libraries) — swap `decodeStub` for a real decoder to
-  * productionize. Equivalent of running a vectorized decode UDF per
-  * partition batch; executors stream batches, nothing is collected.
+  * batches, feature vector shape) is decoder-agnostic. Two decoders
+  * ship: [[ImageIoDecoder]] — a REAL image decode over the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF, no external libraries) — and the
+  * [[IdentityBytesDecoder]] stand-in for non-image bytes. Equivalent of
+  * running a vectorized decode UDF per partition batch; executors
+  * stream batches, nothing is collected.
   */
 object Multimodal {
 
@@ -40,21 +41,88 @@ object Multimodal {
     * into pixel/sample intensities; instances are shipped to executors
     * inside the mapPartitions closure, so they must be Serializable and
     * must lazily initialize any native codec state per-JVM (an eager
-    * ffmpeg/ImageIO handle would fail to serialize).
-    *
-    * To productionize: implement this over javax.imageio / a JNI ffmpeg
-    * binding and pass it to `extractFeatures` — nothing else changes;
-    * schema, batching, and partitioning are decoder-agnostic. */
+    * ffmpeg handle would fail to serialize; `javax.imageio`'s static
+    * entry points carry no instance state and just work). */
   trait MediaDecoder extends Serializable {
     def decode(content: Array[Byte]): Array[Int]
   }
 
-  /** Deterministic stand-in decoder (this container ships no codec
-    * libraries): each byte is one intensity. Keeps the whole pipeline
-    * oracle-checkable end-to-end. */
+  /** Stand-in decoder for non-image bytes: each byte is one intensity.
+    * Keeps byte-level pipelines oracle-checkable end-to-end. */
   object IdentityBytesDecoder extends MediaDecoder {
     override def decode(content: Array[Byte]): Array[Int] =
       if (content == null) Array.emptyIntArray else content.map(b => b & 0xFF)
+  }
+
+  /** REAL image decode over the JDK's `javax.imageio` — pure JVM, no
+    * external codec libraries. Pixels surface as 0-255 luminance in
+    * row-major order: grayscale rasters read their sample directly (so
+    * a gray PNG round-trips bytes exactly — PNG is lossless); color
+    * images reduce via the integer BT.601 weights
+    * (299·R + 587·G + 114·B) / 1000 — deterministic across JVMs, no
+    * floating point. Undecodable bytes fail LOUDLY: silently treating a
+    * corrupt image as empty would poison downstream feature stats. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(content: Array[Byte]): Array[Int] = {
+      if (content == null || content.isEmpty) return Array.emptyIntArray
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"javax.imageio found no decoder for ${content.length} content bytes")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Encode each row's content bytes as a REAL one-row 8-bit grayscale
+    * PNG (pixel i = byte i): turns any byte column into genuine image
+    * bytes whose decode is exact (PNG is lossless), so decode-based
+    * operators stay oracle-checkable against byte-level SQL. Runs
+    * executor-side per row; empty content stays empty. */
+  def encodeGrayPng(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        if (content == null || content.isEmpty) (id, Array.emptyByteArray, 0)
+        else {
+          val img = new java.awt.image.BufferedImage(
+            content.length, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, content.length, 1, content)
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG encoder")
+          (id, bos.toByteArray, content.length)
+        }
+      }
+      .toDF("media_id", "png", "n_px")
+      .select($"media_id", $"png".as("content"),
+        struct(lit("image/png").as("format"),
+          $"n_px".cast("int").as("width"), lit(1).as("height")).as("meta"))
   }
 
   final case class MediaFeatures(
@@ -104,6 +172,41 @@ object Multimodal {
       .map { case (id, content) =>
         val c = if (content == null) Array.emptyByteArray else content
         (id, java.util.Arrays.copyOf(c, n))
+      }
+      .toDF("media_id", "resized")
+  }
+
+  /** Frame sample over DECODED pixels: every k-th intensity after a real
+    * decode (video frame-striding over actual image content). */
+  def frameSampleDecoded(
+      media: DataFrame, k: Int, decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val px = decoder.decode(content)
+        (id, px.indices.by(k).map(px).toArray, px.length.toLong)
+      }
+      .toDF("media_id", "sampled", "orig_px")
+  }
+
+  /** Nearest-neighbor resize over DECODED pixels to exactly n samples:
+    * out(j) = px(⌊j·L/n⌋) — the integer-exact NN kernel, deterministic
+    * across JVMs (no float interpolation). Empty decodes yield zeros,
+    * mirroring resizeTo's zero-pad contract. */
+  def resizeDecoded(
+      media: DataFrame, n: Int, decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val px = decoder.decode(content)
+        val out = new Array[Int](n)
+        if (px.nonEmpty) {
+          var j = 0
+          while (j < n) { out(j) = px((j.toLong * px.length / n).toInt); j += 1 }
+        }
+        (id, out)
       }
       .toDF("media_id", "resized")
   }

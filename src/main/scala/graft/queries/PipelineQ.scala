@@ -310,27 +310,34 @@ object PipelineQ {
     }),
 
     // Multimodal: binary content + stubbed decode → feature extraction.
+    // Multimodal with a REAL codec: text bytes become genuine one-row
+    // grayscale PNGs (pixel i = byte i, lossless), decoded back through
+    // javax.imageio on the executors — so the byte-level DuckDB oracle
+    // checks an actual encode→decode round trip, not a stub.
     "t09_media_features" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media)
+      val media = Multimodal.encodeGrayPng(
+        Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text"))
+      Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
         .select($"media_id", $"n_bytes", $"byte_sum",
           element_at($"hist", 1).as("h0"), element_at($"hist", 2).as("h1"),
           element_at($"hist", 3).as("h2"), element_at($"hist", 4).as("h3"))
         .orderBy($"media_id")
     }),
 
-    // Multimodal: frame-sample + resize plumbing shapes.
+    // Multimodal: frame-sample + nearest-neighbor resize over DECODED
+    // pixels of the real PNGs.
     "t10_media_sample" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
-      val sampled = Multimodal.frameSample(media, 7)
-      val resized = Multimodal.resizeTo(media, 32).withColumnRenamed("media_id", "rid")
+      val media = Multimodal.encodeGrayPng(
+        Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text"))
+      val sampled = Multimodal.frameSampleDecoded(media, 7)
+      val resized = Multimodal.resizeDecoded(media, 32).withColumnRenamed("media_id", "rid")
       sampled.join(resized, $"media_id" === $"rid")
-        .select($"media_id", $"orig_bytes",
-          length($"sampled").cast("long").as("n_sampled"),
-          length($"resized").cast("long").as("n_resized"),
-          conv(hex(substring($"sampled", 1, 1)), 16, 10).cast("long").as("first_byte"))
+        .select($"media_id", $"orig_px".as("orig_bytes"),
+          size($"sampled").cast("long").as("n_sampled"),
+          size($"resized").cast("long").as("n_resized"),
+          element_at($"sampled", 1).cast("long").as("first_byte"))
         .orderBy($"media_id")
     }),
 

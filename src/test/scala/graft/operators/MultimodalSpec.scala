@@ -4,10 +4,67 @@ import graft.delta.TestBase
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The decoder seam is pluggable: a custom MediaDecoder flows through
-  * extractFeatures' executor-side closure and changes the features,
-  * while the default stub stays the oracle-checked contract. */
+  * extractFeatures' executor-side closure and changes the features.
+  * ImageIoDecoder is a REAL javax.imageio decode — pinned against
+  * in-memory PNG fixtures whose pixels are deterministic by
+  * construction (PNG is lossless, so gray round-trips are byte-exact
+  * and the BT.601 luminance of known RGB pixels is integer-exact). */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestBase.spark
+
+  test("ImageIoDecoder round-trips a gray PNG byte-exactly") {
+    val bytes = (0 until 256).map(_.toByte).toArray
+    val img = new java.awt.image.BufferedImage(
+      64, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 64, 4, bytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val decoded = Multimodal.ImageIoDecoder.decode(bos.toByteArray)
+    assert(decoded.toSeq == bytes.map(_ & 0xFF).toSeq,
+      "gray PNG decode must be the identity on pixel bytes")
+  }
+
+  test("ImageIoDecoder reduces RGB PNGs with integer BT.601 luminance") {
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // pure red   → 299*255/1000 = 76
+    img.setRGB(1, 0, 0x00FF00) // pure green → 587*255/1000 = 149
+    img.setRGB(2, 0, 0x0000FF) // pure blue  → 114*255/1000 = 29
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(Multimodal.ImageIoDecoder.decode(bos.toByteArray).toSeq == Seq(76, 149, 29))
+  }
+
+  test("undecodable bytes fail loudly; empty content decodes empty") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("not an image".getBytes)
+    }
+    assert(Multimodal.ImageIoDecoder.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.ImageIoDecoder.decode(null).isEmpty)
+  }
+
+  test("encodeGrayPng → decode pipeline equals byte stats; NN resize is exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "hello world!"), (3L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.encodeGrayPng(
+      Multimodal.fromDocuments(docs, "doc_id", "text"))
+    // content is a genuine PNG (magic bytes), not raw text
+    val first = media.select("content").as[Array[Byte]].head()
+    assert(first.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .select("media_id", "n_bytes", "byte_sum").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(feats(1L) == (3L, "abc".getBytes.map(_.toLong).sum))
+    assert(feats(2L) == (12L, "hello world!".getBytes.map(_.toLong).sum))
+    // NN resize of "abc" (L=3) to n=6: out(j) = px(j*3/6) = a,a,b,b,c,c
+    val resized = Multimodal.resizeDecoded(media, 6)
+      .filter($"media_id" === 1L).select("resized").as[Array[Int]].head()
+    assert(resized.toSeq == "aabbcc".getBytes.map(_.toInt).toSeq)
+    // frame-sample every 2nd decoded pixel of "hello world!"
+    val sampled = Multimodal.frameSampleDecoded(media, 2)
+      .filter($"media_id" === 2L).select("sampled").as[Array[Int]].head()
+    assert(sampled.toSeq == "hlowrd".getBytes.map(_.toInt).toSeq)
+  }
 
   test("custom MediaDecoder replaces the stub end-to-end") {
     import spark.implicits._
