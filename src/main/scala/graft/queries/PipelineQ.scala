@@ -68,12 +68,23 @@ object PipelineQ {
         .orderBy($"query_id", $"rank")
     }),
 
-    // LSH-bucketed ANN top-10 (approximate → rows-only check).
+    // LSH-bucketed ANN top-10, STRICT: recall@10 vs the in-query brute
+    // force is machine-checked (require ≥ 30%) and the emitted row is a
+    // pinned constant — an ANN regression fails the query itself, not a
+    // side spec. The brute-force truth is one broadcast corpus scan.
     "t06_sim_lsh" -> ((s, dir) => {
       import s.implicits._
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, dim = 64)
-        .orderBy($"query_id", $"rank")
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val ann = Similarity.lshTopK(emb, "vec_id", "embedding", qids, k = 10, dim = 64)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+      val hits = ann.select($"query_id", $"vec_id")
+        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+        .count()
+      val recallPct = hits * 100.0 / (qids.size * 10)
+      require(recallPct >= 30.0, s"LSH recall@10 = $recallPct% < 30%")
+      Seq((qids.size.toLong, 10L, 30L, 1L))
+        .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
 
     // Embedding-cosine near-dup: sign-band LSH candidates + exact
@@ -86,12 +97,22 @@ object PipelineQ {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // IVF ANN top-10 (KMeans coarse quantizer; approximate → rows-only).
+    // IVF ANN top-10, STRICT: mean recall@10 vs in-query brute force
+    // require ≥ 50% (KMeans is fixed-seed), emitted row is a pinned
+    // constant checked by a VALUES oracle.
     "t13_sim_ivf" -> ((s, dir) => {
       import s.implicits._
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-        .orderBy($"query_id", $"rank")
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, k = 10)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+      val hits = ann.select($"query_id", $"vec_id")
+        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+        .count()
+      val recallPct = hits * 100.0 / (qids.size * 10)
+      require(recallPct >= 50.0, s"IVF recall@10 = $recallPct% < 50%")
+      Seq((qids.size.toLong, 10L, 50L, 1L))
+        .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
 
     // Deterministic 80/10/10 split: per-split counts + membership-
@@ -361,15 +382,29 @@ object PipelineQ {
         .orderBy($"lang")
     }),
 
-    // Semantic dedup (SemDeDup): KMeans cells → within-cell exact-cosine
-    // pairs (KMeans-dependent → rows-only; recall pinned in
-    // SimilaritySpec against brute-force all-pairs).
+    // Semantic dedup (SemDeDup), STRICT: within-cell pairs checked
+    // in-query against brute-force all-pairs cosine (≤ 2000 vectors at
+    // bench SFs — the all-pairs truth is 4M codegen'd dots, cheap):
+    // precision must be 100% (every emitted pair is a true pair) and
+    // recall ≥ 50%; the emitted row is a pinned constant.
     "t31_semantic_dedup" -> ((s, dir) => {
       import s.implicits._
-      Similarity.semanticNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.semanticNearDups(emb, "vec_id", "embedding",
           threshold = 0.42, nlist = 16)
         .select($"id_a", $"id_b")
-        .orderBy($"id_a", $"id_b")
+      val q = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("v"))
+      val exact = q.as("l").join(q.as("r"), $"l.id" < $"r.id")
+        .filter(Similarity.cosineQ($"l.v", $"r.v") >= 0.42)
+        .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      val nExact = exact.count()
+      val nSem = sem.count()
+      val nHit = sem.join(exact, Seq("id_a", "id_b")).count()
+      require(nExact > 0, "degenerate fixture: no true near-dup pairs")
+      require(nHit == nSem, s"precision violated: $nSem emitted, only $nHit are true pairs")
+      val recallPct = nHit * 100.0 / nExact
+      require(recallPct >= 50.0, s"SemDeDup recall = $recallPct% < 50%")
+      Seq((100L, 50L, 1L)).toDF("precision_pct", "recall_floor_pct", "meets_floor")
     }),
 
     // Skew-safe join: event_id%3 rows collapse onto user 1 (a viral hot
@@ -578,6 +613,18 @@ object PipelineQ {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    // t06/t13/t31 verify themselves in-query (require on recall/
+    // precision vs an in-query brute force); the oracle pins the
+    // constants the query may only emit by passing those checks.
+    "t06_sim_lsh" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        | CAST(30 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    "t13_sim_ivf" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        | CAST(50 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    "t31_semantic_dedup" ->
+      """SELECT CAST(100 AS BIGINT) AS precision_pct,
+        | CAST(50 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
     "t05_sim_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, $quantList AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
