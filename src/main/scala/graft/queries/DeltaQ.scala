@@ -26,6 +26,9 @@ object DeltaQ {
     s"$d/tbl"
   }
 
+  /** d04's staged table per sf dir — see the query's comment. */
+  private val d04Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ① scan + ⑬ transactional write: full roundtrip through the log.
     "d01_roundtrip" -> ((s, dir) => {
@@ -66,17 +69,23 @@ object DeltaQ {
 
     // ④ checkpoint-accelerated replay: 12 appends, checkpoints at v5 and
     // v10; commits ≤ v10 are then DELETED, so the read can only succeed
-    // by starting from the checkpoint.
+    // by starting from the checkpoint. The 12-commit staging is memoized
+    // per (sf dir, JVM): it is setup, not the operator under test — with
+    // min-of-two bench passes the reported time is the checkpoint-replay
+    // READ, not the staging writes (r4 VERDICT bench-hygiene item).
     "d04_checkpoint" -> ((s, dir) => {
       import s.implicits._
-      val path = tmp("d04")
-      val sup = t(s, dir, "supplier")
-      (0 until 12).foreach { i =>
-        GraftDelta.toDelta(sup.filter($"s_suppkey" % 12 === i), path,
-          mode = if (i == 0) "error" else "append", checkpointInterval = 5)
-      }
-      val log = DeltaLog.forTable(s, path)
-      (0L to 10L).foreach(v => log.fs.delete(log.commitFile(v), false))
+      val path = d04Staged.computeIfAbsent(dir, { d =>
+        val p = tmp("d04")
+        val sup = t(s, d, "supplier")
+        (0 until 12).foreach { i =>
+          GraftDelta.toDelta(sup.filter($"s_suppkey" % 12 === i), p,
+            mode = if (i == 0) "error" else "append", checkpointInterval = 5)
+        }
+        val log = DeltaLog.forTable(s, p)
+        (0L to 10L).foreach(v => log.fs.delete(log.commitFile(v), false))
+        p
+      })
       GraftDelta.readDelta(s, path)
         .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
         .orderBy($"s_suppkey")
