@@ -169,7 +169,7 @@ object DeltaRead {
     else None
 
   /** Recursively rename a logical type to its physical (on-disk) shape. */
-  private def physicalize(dt: DataType): DataType = dt match {
+  private[delta] def physicalize(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
       StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
     case ArrayType(et, n) => ArrayType(physicalize(et), n)

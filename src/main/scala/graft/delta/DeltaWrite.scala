@@ -6,7 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -35,19 +35,24 @@ import scala.collection.mutable
   */
 object DeltaWrite {
 
-  /** Writer protocol 3 adds CHECK constraints, which this writer both
-    * stores (DeltaTableOps.addCheckConstraint) and enforces in-flight on
-    * every data-file write (stageAndMove) — so 3 is honestly supported.
-    * The reference gates at 2 (writer.py:254-259) because delta-rs 0.6.4
-    * cannot enforce constraints; enforcing is strictly safer. */
-  val MaxSupportedWriterVersion = 3
+  /** Writer protocol 3 adds CHECK constraints (stored + enforced
+    * in-flight, so honestly supported; the reference gates at 2,
+    * writer.py:254-259, because delta-rs 0.6.4 cannot enforce them);
+    * 4 adds change data feed + generated columns — legal to accept as a
+    * VERSION because both are table-property/metadata-triggered, and
+    * the triggers are guarded below; 5 adds column mapping, which
+    * writes honor via physicalizeForWrite. 6 (identity columns) is
+    * refused — an identity column silently not advanced corrupts the
+    * table's contract. */
+  val MaxSupportedWriterVersion = 5
 
-  /** Writer gate, table-features aware: version ≤ 3 is the classic path;
-    * version 7 is allowed iff EVERY listed writerFeature is one our
-    * write/DML surfaces actually honor (unknown features refuse loudly —
-    * writing anyway could break an invariant another writer relies on).
-    * Versions 4-6 (generated columns, identity columns, row tracking as
-    * implicit version features) are refused. */
+  /** Writer gate, table-features aware: version ≤ 5 is the classic path
+    * (with the version-implied OBLIGATIONS we don't implement guarded
+    * by table property / field metadata below — a version alone demands
+    * nothing until its trigger appears); version 7 is allowed iff EVERY
+    * listed writerFeature is one our write/DML surfaces actually honor
+    * (unknown features refuse loudly — writing anyway could break an
+    * invariant another writer relies on). */
   private[delta] def requireWriterSupported(snap: Snapshot): Unit = {
     val p = snap.protocol
     val ok = p.minWriterVersion <= MaxSupportedWriterVersion ||
@@ -59,6 +64,24 @@ object DeltaWrite {
           s"(writerFeatures=${p.writerFeatures.getOrElse(Nil).mkString(",")}) — " +
           s"supported: ≤ $MaxSupportedWriterVersion, or 7 with features all in " +
           s"${DeltaLog.SupportedWriterFeatures.mkString("{", ",", "}")}")
+    // change data feed obliges writers to emit _change_data files —
+    // appending without them silently corrupts downstream CDF reads
+    if (snap.metadata.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      throw new IllegalStateException(
+        "Table enables delta.enableChangeDataFeed; this writer does not emit " +
+          "change-data files and refuses rather than corrupt the change feed")
+    // generated columns oblige writers to compute/validate the expression
+    def hasGenerated(st: StructType): Boolean = st.fields.exists { f =>
+      f.metadata.contains("delta.generationExpression") || (f.dataType match {
+        case s: StructType => hasGenerated(s)
+        case _ => false
+      })
+    }
+    if (hasGenerated(snap.schema))
+      throw new IllegalStateException(
+        "Table has generated columns (delta.generationExpression); this writer " +
+          "does not compute them and refuses rather than write stale values")
   }
 
   def write(
@@ -113,7 +136,10 @@ object DeltaWrite {
 
     existing.foreach { snap =>
       requireWriterSupported(snap)
-      requireNotColumnMapped(snap, "write")
+      if (DeltaRead.mappingModeOf(snap) != "none" && (overwriteSchema || mergeSchema))
+        throw new IllegalStateException(
+          "schema-changing writes (overwriteSchema/mergeSchema) on a column-mapped " +
+            "table are not supported — new columns would need fresh column-mapping ids")
       if (mode == "overwrite") requireNotAppendOnly(snap,
         if (replaceWhere.nonEmpty) "replaceWhere overwrite" else "overwrite")
       if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
@@ -127,10 +153,34 @@ object DeltaWrite {
             s"append+mergeSchema=true widens):\n" +
             s"  incoming: ${df.schema.simpleString}\n  table:    ${snap.schema.simpleString}")
     }
+    // creating a mapped table directly would commit fields without ids —
+    // an unreadable table; the upgrade path assigns them
+    if (existing.isEmpty && configuration.keys.exists(_.startsWith("delta.columnMapping")))
+      throw new IllegalStateException(
+        "Cannot create a table with delta.columnMapping.* set — create it plain, " +
+          "then DeltaTableOps.enableColumnMapping assigns ids and physical names")
 
     val effectivePartitionBy =
       if (existing.isDefined) existing.get.partitionColumns else partitionBy
     val version = existing.map(_.version + 1).getOrElse(0L)
+
+    // Column-mapped tables store PHYSICAL names (and, in id mode, parquet
+    // field ids) on disk: enforce constraints/invariants against the
+    // LOGICAL frame first, then rename/stamp in one projection; staging
+    // then partitions by the physical partition-column names so hive dirs
+    // and partitionValues come out physical-keyed, like delta-spark's.
+    val mappedSnap = existing.filter(s => DeltaRead.mappingModeOf(s) != "none")
+    val physOf: Map[String, String] = mappedSnap
+      .map(_.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap)
+      .getOrElse(Map.empty)
+    val tableConstraints = existing.toSeq.flatMap(s => checkConstraintsOf(s.metadata))
+    val (dfStage, stagePartitionBy, stageConstraints) = mappedSnap match {
+      case Some(snap) =>
+        (physicalizeForWrite(withConstraintsEnforced(dfGuarded, tableConstraints), snap),
+          effectivePartitionBy.map(c => physOf.getOrElse(c, c)),
+          Nil)
+      case None => (dfGuarded, effectivePartitionBy, tableConstraints)
+    }
 
     // ---- data plane: stage files with a normal Spark write job ----------
     // Delta's timestamp type is microsecond INT64 — stage with
@@ -140,12 +190,38 @@ object DeltaWrite {
     // any failure from here to the commit must not leak the staging dir
     // (a crashed write otherwise leaves orphan parquet under the table)
     try {
-      writeStagedAndCommit(dfGuarded, spark, log, fs, path, stagingDir, mode,
+      writeStagedAndCommit(dfStage, spark, log, fs, path, stagingDir, mode,
         effectivePartitionBy, overwriteSchema, mergeSchema, name, description, configuration,
-        checkpointInterval, txn, existing, version, replaceWhere)
+        checkpointInterval, txn, existing, version, replaceWhere,
+        stagePartitionBy, stageConstraints, physOf)
     } finally {
       if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
+  }
+
+  /** Rename a logical frame to its on-disk shape under column mapping:
+    * top-level columns take their physicalName (with `parquet.field.id`
+    * stamped from the mapping id, so id-mode readers — ours and
+    * foreign — can bind by id), nested struct fields rename via a cast
+    * to the physicalized type. id-mode tables with nested structs
+    * refuse: nested parquet field ids can't ride a cast, and a file
+    * without them would be unreadable under field-id matching. */
+  private def physicalizeForWrite(df: DataFrame, snap: Snapshot): DataFrame = {
+    val byId = DeltaRead.mappingModeOf(snap) == "id"
+    val cols = snap.schema.fields.map { f =>
+      if (byId && f.dataType.isInstanceOf[StructType])
+        throw new IllegalStateException(
+          s"id-mode write with nested struct column ${f.name} is not supported " +
+            "(nested parquet field ids)")
+      val c = col(f.name).cast(DeltaRead.physicalize(f.dataType))
+      if (f.metadata.contains("delta.columnMapping.id"))
+        c.as(DeltaRead.physicalNameOf(f),
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+      else c.as(DeltaRead.physicalNameOf(f))
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   // Continuation of write(): stage files, harvest stats, commit atomically.
@@ -167,9 +243,12 @@ object DeltaWrite {
       txn: Option[SetTransaction],
       existing: Option[Snapshot],
       version: Long,
-      replaceWhere: Seq[Seq[Predicate]] = Nil): Unit = {
-    val adds = stageAndMove(df, spark, fs, path, stagingDir, effectivePartitionBy, version,
-      existing.toSeq.flatMap(s => checkConstraintsOf(s.metadata)))
+      replaceWhere: Seq[Seq[Predicate]],
+      stagePartitionBy: Seq[String],
+      stageConstraints: Seq[(String, String)],
+      physOf: Map[String, String]): Unit = {
+    val adds = stageAndMove(df, spark, fs, path, stagingDir, stagePartitionBy, version,
+      stageConstraints)
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli
@@ -204,9 +283,10 @@ object DeltaWrite {
             // guard in write())
             val fieldTypes = existing.get.schema.fields
               .map(f => f.name -> f.dataType).toMap
+            // partitionValues are physical-keyed under column mapping
             existing.get.activeFiles.filter(f => replaceWhere.exists(_.forall(p =>
               DeltaRead.evalPredicate(
-                f.partitionValues.get(p.column).flatMap(Option(_)),
+                f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
                 fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))))
           }
         replaced.map(f =>
@@ -309,16 +389,17 @@ object DeltaWrite {
     * Serial on the driver below a threshold; above it, one Spark job does
     * the rename + footer read per file in parallel (at 10^5-10^6 files an
     * O(#files) serial driver phase is the write-path scale-killer). */
-  /** Column-mapped tables store PHYSICAL field names on disk; every
-    * surface that writes data files would emit logical names and corrupt
-    * the table — those surfaces refuse loudly (reads are mapped-aware,
-    * DeltaRead.mappedScan). */
+  /** Column-mapped tables store PHYSICAL field names on disk; surfaces
+    * that rewrite or re-emit data files without the logical→physical
+    * translation would corrupt or mis-read the table — they refuse
+    * loudly. Reads (DeltaRead.mappedScan), plain writes
+    * (physicalizeForWrite), and RENAME/DROP COLUMN are mapped-aware. */
   private[graft] def requireNotColumnMapped(snap: Snapshot, surface: String): Unit = {
     val mode = snap.metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (mode != "none")
       throw new IllegalStateException(
         s"$surface does not support column-mapped tables " +
-          s"(delta.columnMapping.mode=$mode); reading them is supported")
+          s"(delta.columnMapping.mode=$mode); reads and plain writes are supported")
   }
 
   /** `delta.appendOnly=true` forbids removing committed rows — DML

@@ -327,7 +327,14 @@ object DeltaQ {
       GraftDelta.toDelta(c.repartition(2), p1)                        // v0
       GraftDelta.enableColumnMapping(s, p1)                           // v1
       GraftDelta.renameColumn(s, p1, "c_acctbal", "balance")          // v2
-      GraftDelta.dropColumn(s, p1, "c_mktsegment")                       // v3
+      GraftDelta.dropColumn(s, p1, "c_mktsegment")                    // v3
+      // mapped APPEND with the post-rename logical schema: the staged
+      // file carries physical names; read-back must re-surface logical
+      GraftDelta.toDelta(
+        c.filter($"c_custkey" <= 100)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name",
+            $"c_nationkey", ($"c_acctbal" + 50).as("balance")),
+        p1, mode = "append")                                          // v4
       val nameMode = GraftDelta.readDelta(s, p1)
         .select($"c_custkey".cast("long").as("key"),
           cents($"balance").as("bal_c"))
@@ -681,12 +688,17 @@ object DeltaQ {
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
     "d29_column_rename" ->
-      """SELECT c_custkey AS key,
-        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c, 'name' AS mode
-        |FROM customer
-        |UNION ALL
-        |SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT), 'id'
-        |FROM customer
+      """SELECT key, bal_c, mode FROM (
+        | SELECT c_custkey AS key,
+        |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c, 'name' AS mode
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey + 1000000,
+        |  CAST(ROUND((c_acctbal+50)*100) AS BIGINT), 'name'
+        | FROM customer WHERE c_custkey <= 100
+        | UNION ALL
+        | SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT), 'id'
+        | FROM customer)
         |ORDER BY mode, key""".stripMargin,
     "d28_dv_changes" ->
       """WITH chg AS (

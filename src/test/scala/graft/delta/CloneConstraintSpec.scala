@@ -119,15 +119,32 @@ class CloneConstraintSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 200)
   }
 
-  test("writer v3 tables are writable by us; v4+ still refused") {
+  test("writer ≤5 writable; version-implied obligations and v6 refuse") {
     val path = tmp()
     GraftDelta.toDelta(sample, path)
     val log = DeltaLog.forTable(spark, path)
     log.writeCommit(1L, Seq(Protocol(1, 3)))
     GraftDelta.toDelta(sample, path, mode = "append") // v3: fine, we enforce
-    log.writeCommit(3L, Seq(Protocol(1, 4)))
-    intercept[IllegalStateException] {
+    // v4/v5 are version-accepted — their obligations (CDF, generated
+    // columns, column mapping) only bind when the trigger appears
+    log.writeCommit(3L, Seq(Protocol(1, 5)))
+    GraftDelta.toDelta(sample, path, mode = "append")
+    // the CDF table property is such a trigger: refuse rather than
+    // corrupt downstream change-feed reads
+    val snap = log.snapshot(None)
+    log.writeCommit(snap.version + 1, Seq(snap.metadata.copy(
+      configuration = snap.metadata.configuration +
+        ("delta.enableChangeDataFeed" -> "true"))))
+    val e = intercept[IllegalStateException] {
       GraftDelta.toDelta(sample, path, mode = "append")
+    }
+    assert(e.getMessage.contains("ChangeDataFeed"), e.getMessage)
+    // identity columns (v6) refuse outright
+    val path2 = tmp()
+    GraftDelta.toDelta(sample, path2)
+    DeltaLog.forTable(spark, path2).writeCommit(1L, Seq(Protocol(1, 6)))
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(sample, path2, mode = "append")
     }
   }
 }

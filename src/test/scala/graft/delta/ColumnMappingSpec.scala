@@ -124,13 +124,9 @@ class ColumnMappingSpec extends GraftSuite {
       s"log-level pruning must plan 1 file, planned ${pruned.inputFiles.toSeq}")
   }
 
-  test("data-writing surfaces refuse mapped tables loudly") {
+  test("rewriting surfaces refuse mapped tables; plain writes are mapped-aware") {
     import spark.implicits._
     val path = stageUnpartitioned()
-    val incoming = GraftDelta.readDelta(spark, path) // right logical schema
-    intercept[IllegalStateException] {
-      GraftDelta.toDelta(incoming, path, mode = "append")
-    }
     intercept[IllegalStateException] {
       GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("key", "==", 1L))))
     }
@@ -140,6 +136,68 @@ class ColumnMappingSpec extends GraftSuite {
     intercept[IllegalStateException] {
       graft.streaming.DeltaTail.changesSince(spark, path, -1L)
     }
+    // schema-changing writes refuse (new columns would need fresh ids)
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(GraftDelta.readDelta(spark, path).withColumn("extra", lit(1)),
+        path, mode = "append", mergeSchema = true)
+    }
+    // creating a mapped table directly refuses (fields would lack ids)
+    intercept[IllegalStateException] {
+      GraftDelta.toDelta(Seq((1L, "x")).toDF("k", "v"), tmp(),
+        configuration = Map("delta.columnMapping.mode" -> "name"))
+    }
+  }
+
+  test("append to a foreign name-mode table writes physical names, nested included") {
+    import spark.implicits._
+    val path = stageUnpartitioned()
+    val add = GraftDelta.readDelta(spark, path)
+      .filter($"key" === 1L)
+      .withColumn("key", $"key" + 100L) // (101, "a", {110}) with nested struct
+      .withColumn("nested", struct(($"nested.inner" + 100L).as("inner")))
+    GraftDelta.toDelta(add, path, mode = "append")
+
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.count() == 4)
+    assert(df.filter($"key" === 101L).selectExpr("nested.inner")
+      .as[Long].head() == 110L)
+    // the staged file itself carries PHYSICAL names at both levels
+    val newAdd = DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.sortBy(_.modificationTime).last
+    val raw = spark.read.parquet(s"$path/${newAdd.path}")
+    assert(raw.columns.toSeq == Seq("col-k1", "col-v2", "col-s3"), raw.columns.toSeq)
+    assert(raw.schema("col-s3").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("col-i1"))
+    // stats harvested from the physical footer still prune logically
+    val pruned = DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("key", ">", 100L))))
+    assert(pruned.count() == 1)
+  }
+
+  test("append to an id-mode table stamps parquet field ids") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    GraftDelta.enableColumnMapping(spark, path)
+    // switch the upgraded table to id mode (files carry no ids yet, but
+    // physicalName == logical keeps name-based access working for them —
+    // this test only reads back the NEW file through the id path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    log.writeCommit(snap.version + 1, Seq(snap.metadata.copy(
+      configuration = snap.metadata.configuration +
+        ("delta.columnMapping.mode" -> "id"))))
+    GraftDelta.toDelta(Seq((6L, "v6")).toDF("k", "v"), path, mode = "append")
+    val newAdd = DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.sortBy(_.modificationTime).last
+    // the new footer carries field ids (read it back by id alone)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val idSchema = StructType(Seq(
+      StructField("anything", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build())))
+    val byId = spark.read.schema(idSchema).parquet(s"$path/${newAdd.path}")
+    assert(byId.as[Long].collect().toSeq == Seq(6L),
+      "new file must be readable by field id regardless of names")
   }
 
   test("id mapping mode reads through parquet field ids, rename-proof") {

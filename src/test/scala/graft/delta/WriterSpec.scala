@@ -194,10 +194,30 @@ class WriterSpec extends GraftSuite {
     val path = tmp()
     GraftDelta.toDelta(sample, path)
     val log = DeltaLog.forTable(spark, path)
-    log.writeCommit(1L, Seq(Protocol(1, 5)))
+    log.writeCommit(1L, Seq(Protocol(1, 6))) // identity columns: unsupported
     intercept[IllegalStateException] {
       GraftDelta.toDelta(sample, path, mode = "append")
     }
+  }
+
+  test("generated-column metadata refuses writes (v4 obligation trigger)") {
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    GraftDelta.toDelta(sample, path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val schema = StructType(snap.schema.fields.map { f =>
+      if (f.name == snap.schema.fieldNames.head)
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.generationExpression", "1 + 1").build())
+      else f
+    })
+    log.writeCommit(1L, Seq(Protocol(1, 4),
+      snap.metadata.copy(schemaString = schema.json)))
+    val e = intercept[IllegalStateException] {
+      GraftDelta.toDelta(sample, path, mode = "append")
+    }
+    assert(e.getMessage.contains("generated"), e.getMessage)
   }
 
   test("reader-version protocol gate: reader>=3 tables refuse to read") {
