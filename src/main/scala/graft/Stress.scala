@@ -166,6 +166,39 @@ object Stress {
     t0 = System.nanoTime()
     GraftDelta.addCheckConstraint(spark, clonePath, "score_range", "score >= -2")
     println(f"[stress] ADD CONSTRAINT validated 5M rows in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- deletion-vector DML + bitmap-diff CDC on the 5M-row table ------
+    // score==7 hits ~0.1% of rows scattered across EVERY file: the worst
+    // case for rewrite DML (all 64 files touched) and the best case for
+    // DVs (64 bitmaps of ~5k total positions, one DV file). Then the
+    // whole-table scan pays the broadcast DvProbe on every file, and the
+    // change feed recovers exactly the deleted rows from the bitmap diff
+    // — never a snapshot diff of 5M rows.
+    import graft.delta.{DeltaLog, DeltaTableOps}
+    val vBeforeDv = DeltaLog.forTable(spark, path).latestVersion
+    t0 = System.nanoTime()
+    val dv = GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("score", "==", 7L))))
+    println(f"[stress] DV DELETE scattered 0.1%%: ${dv.affectedRows}%,d rows across " +
+      f"${dv.addedFiles} files (0 rewrites) in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(dv.rewrittenFiles == 0, s"DV delete must not rewrite: $dv")
+    t0 = System.nanoTime()
+    val live = GraftDelta.readDelta(spark, path).count()
+    println(f"[stress] full scan through the broadcast DV probe: $live%,d live rows " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val cdcDeletes = DeltaTableOps.tableChanges(spark, path, fromVersion = vBeforeDv)
+      .filter($"_change_type" === "delete").count()
+    println(f"[stress] bitmap-diff CDC over the DV commit: $cdcDeletes%,d delete rows " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(cdcDeletes == dv.affectedRows,
+      s"CDC must recover exactly the deleted rows: $cdcDeletes vs ${dv.affectedRows}")
+    t0 = System.nanoTime()
+    GraftDelta.restore(spark, path, vBeforeDv)
+    val restored = GraftDelta.readDelta(spark, path).count()
+    println(f"[stress] incarnation-keyed RESTORE over the DV commit: $restored%,d rows " +
+      f"back in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(restored == live + dv.affectedRows, s"restore lost rows: $restored")
     spark.stop()
   }
 }
