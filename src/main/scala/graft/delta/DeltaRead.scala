@@ -77,14 +77,9 @@ object DeltaRead {
       else DeletionVectors.dvByteMap(spark, new org.apache.hadoop.fs.Path(path), dvFiles)
     }
 
-    if (mappingModeOf(snap) == "name" || mappingModeOf(snap) == "id") {
-      if (dvBytes.nonEmpty)
-        throw new IllegalStateException(
-          "deletion vectors on a column-mapped table are not supported — " +
-            "materialize the DVs (rewrite) before reading with column mapping")
+    if (mappingModeOf(snap) == "name" || mappingModeOf(snap) == "id")
       return finishProjection(
-        mappedScan(spark, path, snap, files), schema, partCols, columns, filters)
-    }
+        mappedScan(spark, path, snap, files, dvBytes), schema, partCols, columns, filters)
 
     val base = if (files.isEmpty) {
       // Empty-table branch (SURVEY.md §2 ⑨): correct schema, 0 rows.
@@ -209,7 +204,7 @@ object DeltaRead {
     * so basePath recovery would surface the wrong column names). */
   private def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -226,8 +221,12 @@ object DeltaRead {
         StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
     val partFields = schema.fields.filter(f => partCols.contains(f.name))
     files.groupBy(_.partitionValues).map { case (pv, group) =>
-      val g = spark.read.format("parquet").schema(readSchema)
-        .load(group.map(f => resolvePath(path, f.path)): _*)
+      // DVs apply on the raw physical scan, where _metadata resolves —
+      // bitmaps are keyed by file NAME, independent of column mapping
+      val g = DeletionVectors.applyFilter(
+        spark.read.format("parquet").schema(readSchema)
+          .load(group.map(f => resolvePath(path, f.path)): _*),
+        dvBytes)
       val renamed = dataFields.map(f =>
         (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
         partFields.map(f =>

@@ -487,11 +487,8 @@ object DeltaTableOps {
     val snap = log.snapshot(None)
     require(DeltaRead.mappingModeOf(snap) == "none",
       s"columnMapping.mode is already '${DeltaRead.mappingModeOf(snap)}' on $path")
-    // mapped scans refuse DV tables; enabling mapping over live DVs would
-    // commit a table this engine then refuses to read
-    require(snap.activeFiles.forall(_.deletionVector.isEmpty),
-      s"Cannot enable column mapping on $path while deletion vectors are active — " +
-        "materialize them first (OPTIMIZE)")
+    // mapped scans apply DVs on the raw physical scan (bitmaps are keyed
+    // by file name, independent of mapping) — live DVs are fine here
     var nextId = 0L
     def stampType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
       dt match {

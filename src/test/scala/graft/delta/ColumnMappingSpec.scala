@@ -174,6 +174,35 @@ class ColumnMappingSpec extends GraftSuite {
     assert(pruned.count() == 1)
   }
 
+  test("deletion vectors apply on mapped scans; mapping can enable over live DVs") {
+    import spark.implicits._
+    // (a) foreign shape: a name-mapped add carrying an inline DV
+    val path = stageUnpartitioned()
+    val log = DeltaLog.forTable(spark, path)
+    val add0 = log.snapshot(None).activeFiles.head
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    bm.addLong(1L) // kill row index 1 → key==2
+    log.writeCommit(1L, Seq(
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("deletionVectors", "columnMapping")),
+        writerFeatures = Some(Seq("deletionVectors", "columnMapping"))),
+      add0.copy(dataChange = true,
+        deletionVector = Some(DeletionVectors.inlineDescriptor(bm))),
+      RemoveFile(add0.path, Some(1L), dataChange = true)))
+    val got = GraftDelta.readDelta(spark, path).select($"key").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L), s"DV must apply under column mapping: ${got.toSeq}")
+
+    // (b) our table: DV delete first, then enable mapping + rename
+    val p2 = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), p2)
+    GraftDelta.deleteWhereWithDv(spark, p2, Seq(Seq(Predicate("k", "<=", 3L))))
+    GraftDelta.enableColumnMapping(spark, p2)
+    GraftDelta.renameColumn(spark, p2, "k", "id")
+    val df = GraftDelta.readDelta(spark, p2)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == (4L to 20L))
+  }
+
   test("append to an id-mode table stamps parquet field ids") {
     import spark.implicits._
     val path = tmp()
