@@ -94,7 +94,6 @@ object DeltaDml {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
-    DeltaWrite.requireNotColumnMapped(snap, "DML")
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
@@ -110,10 +109,13 @@ object DeltaDml {
     // partition-full matches drop whole files unread — a DV would only
     // slow the read side down for no write saving (update still reads
     // them once below, to produce the rewritten rows)
+    // partitionValues are physical-keyed under column mapping
+    val physOf = snap.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
     def partitionFullMatch(f: AddFile): Boolean =
       filters.exists { conj =>
         conj.forall(p => partCols.contains(p.column) &&
-          DeltaRead.evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+          DeltaRead.evalPredicate(
+            f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
             fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))
       }
     val (provenFull, toScan) = candidates.partition(partitionFullMatch)
@@ -123,7 +125,7 @@ object DeltaDml {
     val cond = DeltaRead.dnfToColumn(filters)
     val matchedPos: Map[String, Array[Long]] =
       if (toScan.isEmpty) Map.empty
-      else readFiles(spark, path, snap, toScan)
+      else readFiles(spark, path, snap, toScan, keepMeta = true)
         .filter(coalesce(cond, lit(false)))
         .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__i"))
         .groupBy(col("__f"))
@@ -184,9 +186,7 @@ object DeltaDml {
         }
         val rewritten = swapped.select(snap.schema.fieldNames.map(col).toSeq: _*)
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
-        try DeltaWrite.stageAndMove(rewritten, spark, fs, path, stagingDir,
-          snap.partitionColumns, version,
-          DeltaWrite.checkConstraintsOf(snap.metadata))
+        try stageDml(rewritten, spark, fs, path, stagingDir, snap, version)
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
       }
 
@@ -244,10 +244,16 @@ object DeltaDml {
       p.writerFeatures.exists(_.contains("deletionVectors"))
     if (hasReader && hasWriter) None
     else {
+      // the table-features upgrade rule: enumerate EVERY feature the
+      // legacy version implied, or a feature-aware foreign writer could
+      // legally skip an obligation the version used to carry (writer 6
+      // never reaches here — identity columns are refused upfront)
       val legacyWriter = p.minWriterVersion match {
         case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
-        case 3 => Seq("appendOnly", "invariants", "checkConstraints")
-        case _ => Seq("appendOnly", "invariants")
+        case v => Seq(
+          "appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+          "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5)
+          .collect { case (f, mv) if v >= mv => f }
       }
       val legacyReader =
         if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
@@ -284,7 +290,6 @@ object DeltaDml {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
-    DeltaWrite.requireNotColumnMapped(snap, "DML")
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
@@ -302,10 +307,13 @@ object DeltaDml {
     // Files whose partition values satisfy a whole OR-branch of
     // partition-only conjuncts match on EVERY row — a delete removes them
     // without ever reading them (the partition-drop fast path).
+    // partitionValues are physical-keyed under column mapping
+    val physOf = snap.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
     def partitionFullMatch(f: AddFile): Boolean =
       filters.exists { conj =>
         conj.forall(p => partCols.contains(p.column) &&
-          DeltaRead.evalPredicate(f.partitionValues.get(p.column).flatMap(Option(_)),
+          DeltaRead.evalPredicate(
+            f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
             fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))
       }
     val (provenFull, toScan) =
@@ -372,9 +380,7 @@ object DeltaDml {
             swapped.select(snap.schema.fieldNames.map(col).toSeq: _*)
           }
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
-        try DeltaWrite.stageAndMove(rewritten, spark, fs, path, stagingDir,
-          snap.partitionColumns, version,
-          DeltaWrite.checkConstraintsOf(snap.metadata))
+        try stageDml(rewritten, spark, fs, path, stagingDir, snap, version)
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
       }
 
@@ -461,7 +467,6 @@ object DeltaDml {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
-    DeltaWrite.requireNotColumnMapped(snap, "DML")
     // matched-row mutation removes committed rows; an insert-only merge
     // (WhenMatched.Ignore) is a legal append
     if (whenMatched != WhenMatched.Ignore)
@@ -610,9 +615,7 @@ object DeltaDml {
       case None => Nil
       case Some(df) =>
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
-        try DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,
-          snap.partitionColumns, version,
-          DeltaWrite.checkConstraintsOf(snap.metadata))
+        try stageDml(df, spark, fs, path, stagingDir, snap, version)
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
 
@@ -758,19 +761,52 @@ object DeltaDml {
     * schema and hive partition columns restored. Deletion vectors are
     * applied so a rewrite of a DV-carrying file can never resurrect its
     * soft-deleted rows. */
+  /** Physical partition-column names of a (possibly mapped) snapshot. */
+  private def stagePartCols(snap: Snapshot): Seq[String] = {
+    val physOf = snap.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+    if (DeltaRead.mappingModeOf(snap) == "none") snap.partitionColumns
+    else snap.partitionColumns.map(c => physOf.getOrElse(c, c))
+  }
+
+  /** Stage a LOGICAL rewrite/insert frame for this table: constraints and
+    * invariants enforce against logical names, then column-mapped tables
+    * rename/stamp to their physical on-disk shape (DeltaWrite
+    * .physicalizeForWrite) and partition by physical dir names — the DML
+    * twin of the plain write path's mapped staging. */
+  private def stageDml(
+      df: DataFrame, spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: String, stagingDir: Path, snap: Snapshot, version: Long): Seq[AddFile] = {
+    val constraints = DeltaWrite.checkConstraintsOf(snap.metadata)
+    if (DeltaRead.mappingModeOf(snap) == "none")
+      DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,
+        snap.partitionColumns, version, constraints)
+    else
+      DeltaWrite.stageAndMove(
+        DeltaWrite.physicalizeForWrite(
+          DeltaWrite.withConstraintsEnforced(df, constraints), snap),
+        spark, fs, path, stagingDir, stagePartCols(snap), version, Nil)
+  }
+
   private def readFiles(
-      spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+      spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile],
+      keepMeta: Boolean = false): DataFrame = {
     val dvFiles = files.filter(_.deletionVector.isDefined)
     val dvBytes =
       if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
       else DeletionVectors.dvByteMap(spark, new Path(path), dvFiles)
-    DeletionVectors.applyFilter(
-      spark.read
-        .format("parquet")
-        .schema(snap.schema)
-        .option("basePath", path)
-        .load(files.map(f => DeltaRead.resolvePath(path, f.path)): _*),
-      dvBytes)
+    if (DeltaRead.mappingModeOf(snap) != "none")
+      // mapped tables read physical names + log-sourced partition values,
+      // renamed back to the logical schema (DV bitmaps apply on the raw
+      // scan inside); DML's predicates/assignments stay logical
+      DeltaRead.mappedScan(spark, path, snap, files, dvBytes, keepMeta)
+    else
+      DeletionVectors.applyFilter(
+        spark.read
+          .format("parquet")
+          .schema(snap.schema)
+          .option("basePath", path)
+          .load(files.map(f => DeltaRead.resolvePath(path, f.path)): _*),
+        dvBytes)
   }
 
   /** Normalizes a resolvePath output (ALREADY URI-decoded, possibly

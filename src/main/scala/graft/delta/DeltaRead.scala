@@ -202,9 +202,13 @@ object DeltaRead {
     * surfaced schema are logical; partition values are attached as typed
     * literals straight from the log (the hive dirs are physical-named,
     * so basePath recovery would surface the wrong column names). */
-  private def mappedScan(
+  /** `keepMeta` additionally surfaces the scan's `_metadata` struct as a
+    * regular column (the DML paths need file_path/row_index through the
+    * logical rename projection, which would otherwise drop it). */
+  private[delta] def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
-      files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty): DataFrame = {
+      files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty,
+      keepMeta: Boolean = false): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -231,8 +235,10 @@ object DeltaRead {
         (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
         partFields.map(f =>
           lit(pv.get(physOf(f.name)).flatMap(Option(_)).orNull)
-            .cast(f.dataType).as(f.name))
-      g.select(renamed: _*).select(schema.fieldNames.map(col).toSeq: _*)
+            .cast(f.dataType).as(f.name)) ++
+        (if (keepMeta) Seq(col("_metadata").as("_metadata")) else Nil)
+      val ordered = schema.fieldNames.toSeq ++ (if (keepMeta) Seq("_metadata") else Nil)
+      g.select(renamed: _*).select(ordered.map(col): _*)
     }.reduce(_ unionByName _)
   }
 

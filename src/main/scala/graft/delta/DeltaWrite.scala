@@ -206,7 +206,7 @@ object DeltaWrite {
     * to the physicalized type. id-mode tables with nested structs
     * refuse: nested parquet field ids can't ride a cast, and a file
     * without them would be unreadable under field-id matching. */
-  private def physicalizeForWrite(df: DataFrame, snap: Snapshot): DataFrame = {
+  private[delta] def physicalizeForWrite(df: DataFrame, snap: Snapshot): DataFrame = {
     val byId = DeltaRead.mappingModeOf(snap) == "id"
     val cols = snap.schema.fields.map { f =>
       if (byId && f.dataType.isInstanceOf[StructType])

@@ -128,9 +128,6 @@ class ColumnMappingSpec extends GraftSuite {
     import spark.implicits._
     val path = stageUnpartitioned()
     intercept[IllegalStateException] {
-      GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("key", "==", 1L))))
-    }
-    intercept[IllegalStateException] {
       DeltaMaintenance.compact(spark, path)
     }
     intercept[IllegalStateException] {
@@ -172,6 +169,55 @@ class ColumnMappingSpec extends GraftSuite {
     val pruned = DeltaRead.load(spark, path,
       filters = Seq(Seq(Predicate("key", ">", 100L))))
     assert(pruned.count() == 1)
+  }
+
+  test("DML on mapped tables: rewrite + DV flavors, merge, logical predicates") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 20).map(i => (i.toLong, s"v$i", i * 10L)).toDF("k", "v", "w"), path)
+    GraftDelta.enableColumnMapping(spark, path)
+    GraftDelta.renameColumn(spark, path, "k", "id")
+
+    // UPDATE with logical predicate + assignment on the renamed column
+    val up = GraftDelta.updateWhere(spark, path,
+      Seq(Seq(Predicate("id", "<=", 5L))), Map("v" -> lit("updated")))
+    assert(up.affectedRows == 5L, s"$up")
+    assert(GraftDelta.readDelta(spark, path).filter($"v" === "updated").count() == 5L)
+    // rewritten files carry PHYSICAL names ("k" was the physical name of "id")
+    val lastAdd = DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.sortBy(_.modificationTime).last
+    assert(spark.read.parquet(s"$path/${lastAdd.path}").columns.toSeq == Seq("k", "v", "w"))
+
+    // DELETE
+    val del = GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("id", "<=", 3L))))
+    assert(del.affectedRows == 3L, s"$del")
+    assert(GraftDelta.readDelta(spark, path).count() == 17L)
+
+    // MERGE upsert through the mapped path
+    val src = Seq((10L, "merged", 0L), (100L, "inserted", 0L)).toDF("id", "v", "w")
+    val m = GraftDelta.mergeInto(spark, path, src, Seq("id"))
+    assert(m.matchedRows == 1L && m.insertedRows == 1L, s"$m")
+    assert(GraftDelta.readDelta(spark, path).filter($"v" === "merged").count() == 1L)
+
+    // DV DELETE: bitmap soft-delete on the mapped table; protocol grows
+    // to table features enumerating the legacy writer-5 obligations
+    val dv = GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "==", 7L))))
+    assert(dv.affectedRows == 1L && dv.rewrittenFiles == 0, s"$dv")
+    assert(GraftDelta.readDelta(spark, path).filter($"id" === 7L).count() == 0L)
+    val p = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p.writerFeatures.get.toSet.intersect(
+      Set("deletionVectors", "columnMapping", "checkConstraints", "changeDataFeed",
+        "generatedColumns")).size == 5, s"$p")
+  }
+
+  test("partition-scoped DELETE on a mapped partitioned table drops files unread") {
+    import spark.implicits._
+    val path = stagePartitioned()
+    val del = GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("lang", "==", "en"))))
+    assert(del.affectedRows == 2L && del.rewrittenFiles == 0, s"$del")
+    val left = GraftDelta.readDelta(spark, path)
+    assert(left.select($"key").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("deletion vectors apply on mapped scans; mapping can enable over live DVs") {
