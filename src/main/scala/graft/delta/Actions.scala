@@ -94,6 +94,20 @@ final case class RemoveFile(
     deletionVector: Option[DeletionVectorDescriptor] = None
 ) extends Action
 
+/** `cdc` action — one change-data file under `_change_data/`, holding a
+  * commit's row-level changes with a physical `_change_type` column
+  * ('insert' | 'update_preimage' | 'update_postimage' | 'delete').
+  * Never contributes to table state (replay ignores it); CDF readers
+  * use a commit's cdc files EXCLUSIVELY when any are present — the
+  * add/remove fallback interpretation applies only to cdc-less commits
+  * (Delta protocol, Add CDC File). */
+final case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    tags: Map[String, String] = Map.empty
+) extends Action
+
 /** `txn` action — idempotent writer bookkeeping. */
 final case class SetTransaction(appId: String, version: Long, lastUpdated: Option[Long] = None)
     extends Action
@@ -134,7 +148,7 @@ object ActionCodec {
     Option(node).filterNot(_.isNull).map(_.asBoolean())
 
   /** Parse one line of a `_delta_log/N.json` commit file. Unknown action
-    * types (cdc, domainMetadata, ...) are ignored for forward compat. */
+    * types (domainMetadata, ...) are ignored for forward compat. */
   def fromJsonLine(line: String): Option[Action] = {
     val root = mapper.readTree(line)
     if (root.has("add")) {
@@ -204,6 +218,15 @@ object ActionCodec {
             .map(_.elements().asScala.map(_.asText()).toSeq),
           writerFeatures = Option(n.get("writerFeatures")).filterNot(_.isNull)
             .map(_.elements().asScala.map(_.asText()).toSeq)
+        ))
+    } else if (root.has("cdc")) {
+      val n = root.get("cdc")
+      Some(
+        AddCDCFile(
+          path = n.get("path").asText(),
+          partitionValues = strMap(n.get("partitionValues")),
+          size = optLong(n.get("size")).getOrElse(0L),
+          tags = strMap(n.get("tags"))
         ))
     } else if (root.has("txn")) {
       val n = root.get("txn")
@@ -305,6 +328,13 @@ object ActionCodec {
         p.writerFeatures.foreach { fs =>
           val a = n.putArray("writerFeatures"); fs.foreach(a.add)
         }
+      case c: AddCDCFile =>
+        val n = root.putObject("cdc")
+        n.put("path", c.path)
+        putStrMap(n, "partitionValues", c.partitionValues)
+        n.put("size", c.size)
+        n.put("dataChange", false) // by spec: cdc never changes table state
+        if (c.tags.nonEmpty) putStrMap(n, "tags", c.tags)
       case t: SetTransaction =>
         val n = root.putObject("txn")
         n.put("appId", t.appId)

@@ -28,12 +28,17 @@ object ChangeFeed {
 
   /** One commit's change plan: files whose full content inserts, plus
     * data-file-name → serialized bitmap of the positions deleted in
-    * exactly this commit. */
+    * exactly this commit. When the commit carries `cdc` actions
+    * (a CDF-enabled writer recorded its exact row changes), those files
+    * ARE the plan — the protocol obliges readers to use them
+    * exclusively, since the add/remove interpretation of such a commit
+    * (e.g. a rewritten file re-adding its surviving rows) double-counts. */
   final case class VersionPlan(
       version: Long,
       insertFiles: Seq[AddFile],
       deleteDiffs: Map[String, Array[Byte]],
-      deleteCarriers: Seq[AddFile])
+      deleteCarriers: Seq[AddFile],
+      cdcFiles: Seq[AddCDCFile])
 
   /** Classify one commit's actions. dataChange=false rewrites
     * (OPTIMIZE) plan nothing. A DV-carrying add contributes its bitmap
@@ -42,6 +47,9 @@ object ChangeFeed {
     * rewrite DML / overwrite / restore, documented at the call sites). */
   def planVersion(
       fs: FileSystem, root: Path, version: Long, actions: Seq[Action]): VersionPlan = {
+    val cdc = actions.collect { case c: AddCDCFile => c }
+    if (cdc.nonEmpty)
+      return VersionPlan(version, Nil, Map.empty, Nil, cdc)
     val adds = actions.collect { case a: AddFile if a.dataChange => a }
     val removesByPath: Map[String, RemoveFile] =
       actions.collect { case r: RemoveFile => r.path -> r }.toMap
@@ -60,7 +68,8 @@ object ChangeFeed {
       version,
       plainAdds,
       diffs.map { case (a, b) => fileNameOf(root, a) -> b }.toMap,
-      diffs.map(_._1))
+      diffs.map(_._1),
+      Nil)
   }
 
   private def fileNameOf(root: Path, a: AddFile): String = {

@@ -169,25 +169,44 @@ object DeltaDml {
       else DeletionVectors.writeDvFile(fs, root, bitmaps)
 
     val version = snap.version + 1
+    // the matched LIVE rows (existing DVs applied inside readFiles)
+    def matchedRows(): DataFrame =
+      readFiles(spark, path, snap, provenFull ++ touched)
+        .filter(coalesce(cond, lit(false)))
+    // Shadow columns keep cross-column SETs (a = b, b = a)
+    // order-independent, like the rewrite flavor.
+    def withAssignments(src: DataFrame): DataFrame = {
+      val shadowed = assignments.zipWithIndex.foldLeft(src) {
+        case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
+      }
+      val swapped = assignments.zipWithIndex.foldLeft(shadowed) {
+        case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+      }
+      swapped.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    }
     // UPDATE: the matched rows (now DV'd out of their files) come back as
     // NEW files with the assignments applied — O(matched rows) written,
-    // not O(touched files). Shadow columns keep cross-column SETs
-    // (a = b, b = a) order-independent, like the rewrite flavor.
+    // not O(touched files).
     val newAdds: Seq[AddFile] =
       if (isDelete || (provenFull.isEmpty && touched.isEmpty)) Nil
       else {
-        val src = readFiles(spark, path, snap, provenFull ++ touched)
-          .filter(coalesce(cond, lit(false)))
-        val shadowed = assignments.zipWithIndex.foldLeft(src) {
-          case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
-        }
-        val swapped = assignments.zipWithIndex.foldLeft(shadowed) {
-          case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
-        }
-        val rewritten = swapped.select(snap.schema.fieldNames.map(col).toSeq: _*)
         val stagingDir = new Path(path, s".graft_dml_${UUID.randomUUID().toString.take(12)}")
-        try stageDml(rewritten, spark, fs, path, stagingDir, snap, version)
+        try stageDml(withAssignments(matchedRows()), spark, fs, path, stagingDir, snap, version)
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+      }
+
+    // CDF: the DV flavor's row-level changes are exactly the matched
+    // live rows — one extra scan of the touched files, the price of
+    // change capture, paid only on CDF tables
+    val cdcActions: Seq[AddCDCFile] =
+      if (!DeltaWrite.cdfEnabled(snap)) Nil
+      else {
+        val ct = ChangeFeed.ChangeTypeCol
+        val changes =
+          if (isDelete) matchedRows().withColumn(ct, lit("delete"))
+          else matchedRows().withColumn(ct, lit("update_preimage")).unionByName(
+            withAssignments(matchedRows()).withColumn(ct, lit("update_postimage")))
+        DeltaWrite.stageCdc(changes, spark, fs, path, version, snap.partitionColumns)
       }
 
     val now = Instant.now().toEpochMilli
@@ -214,7 +233,7 @@ object DeltaDml {
       isBlindAppend = Some(false)): Action) +:
       // removes BEFORE the re-adds: replay is sequential, and the re-add
       // must end the commit active (it also clears the tombstone)
-      (protocolUpgrade.toSeq ++ removes ++ readds ++ newAdds)
+      (protocolUpgrade.toSeq ++ cdcActions ++ removes ++ readds ++ newAdds)
 
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
@@ -227,6 +246,7 @@ object DeltaDml {
           }
           newAdds.foreach(a =>
             fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
     if (checkpointInterval > 0 && committed % checkpointInterval == 0)
@@ -384,6 +404,30 @@ object DeltaDml {
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
       }
 
+    // CDF: record exactly the matched rows (proven-full files are read
+    // HERE for the first time — change capture needs their content, the
+    // one case where a CDF delete costs more than a plain one)
+    val cdcActions: Seq[AddCDCFile] =
+      if (!DeltaWrite.cdfEnabled(snap)) Nil
+      else {
+        val ct = ChangeFeed.ChangeTypeCol
+        val matchedRows = readFiles(spark, path, snap, fullRemoves ++ partial)
+          .filter(coalesce(cond, lit(false)))
+        val changes =
+          if (isDelete) matchedRows.withColumn(ct, lit("delete"))
+          else {
+            val shadowed = assignments.zipWithIndex.foldLeft(matchedRows) {
+              case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
+            }
+            val post = assignments.zipWithIndex.foldLeft(shadowed) {
+              case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+            }.select(snap.schema.fieldNames.map(col).toSeq: _*)
+            matchedRows.withColumn(ct, lit("update_preimage"))
+              .unionByName(post.withColumn(ct, lit("update_postimage")))
+          }
+        DeltaWrite.stageCdc(changes, spark, fs, path, version, snap.partitionColumns)
+      }
+
     // ---- commit ---------------------------------------------------------
     val now = Instant.now().toEpochMilli
     val removes = (fullRemoves ++ partial).map(f =>
@@ -401,7 +445,7 @@ object DeltaDml {
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)) +: (adds ++ removes)
+      isBlindAppend = Some(false)) +: (cdcActions ++ adds ++ removes)
 
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
@@ -409,6 +453,7 @@ object DeltaDml {
       catch {
         case e: java.util.ConcurrentModificationException =>
           adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
     if (checkpointInterval > 0 && committed % checkpointInterval == 0)
@@ -619,6 +664,50 @@ object DeltaDml {
         finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
 
+    // CDF: one frame per change kind, every branch conformed to the
+    // target schema (source-typed columns must not fork the cdc file
+    // schema). The matched join re-runs against the persisted source —
+    // bounded by the touched files, the change-capture price.
+    val cdcActions: Seq[AddCDCFile] =
+      if (!DeltaWrite.cdfEnabled(snap)) Nil
+      else {
+        val ct = ChangeFeed.ChangeTypeCol
+        def conform(d: DataFrame): DataFrame =
+          d.select(snap.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq :+ col(ct): _*)
+        val frames = Seq.newBuilder[DataFrame]
+        if (rewriteNeeded) {
+          val matched =
+            readFiles(spark, path, snap, touched).join(srcKeyed, joinCond, "inner")
+          whenMatched match {
+            case WhenMatched.Delete =>
+              frames += conform(matched.select(targetCols.map(col): _*)
+                .withColumn(ct, lit("delete")))
+            case WhenMatched.UpdateAll =>
+              frames += conform(matched.select(targetCols.map(col): _*)
+                .withColumn(ct, lit("update_preimage")))
+              frames += conform(matched.select(targetCols.map(c =>
+                col(s"$SrcPrefix$c").as(c)): _*).withColumn(ct, lit("update_postimage")))
+            case WhenMatched.Update(set) =>
+              frames += conform(matched.select(targetCols.map(col): _*)
+                .withColumn(ct, lit("update_preimage")))
+              val shadowed = set.zipWithIndex.foldLeft(matched) {
+                case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
+              }
+              val post = set.zipWithIndex.foldLeft(shadowed) {
+                case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
+              }.select(targetCols.map(col): _*)
+              frames += conform(post.withColumn(ct, lit("update_postimage")))
+            case WhenMatched.Ignore => ()
+          }
+        }
+        inserts.foreach(i => frames += conform(i.withColumn(ct, lit("insert"))))
+        val all = frames.result()
+        if (all.isEmpty) Nil
+        else DeltaWrite.stageCdc(all.reduce(_ unionByName _),
+          spark, fs, path, version, snap.partitionColumns)
+      }
+
     // inserted = rows added minus rows carried over from rewrites (stats
     // arithmetic, no extra job; falls back to 0-safe math when stats are
     // absent on foreign-written files)
@@ -634,7 +723,10 @@ object DeltaDml {
       case _ => inserts.map(_.count()).getOrElse(0L)
     }
 
-    if (adds.isEmpty && removes0.isEmpty) return MergeResult(matchedRows, 0, 0, 0)
+    if (adds.isEmpty && removes0.isEmpty) {
+      DeltaWrite.deleteCdc(fs, path, cdcActions) // no commit will reference them
+      return MergeResult(matchedRows, 0, 0, 0)
+    }
 
     val now = Instant.now().toEpochMilli
     val removes = removes0.map(f =>
@@ -654,7 +746,7 @@ object DeltaDml {
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)) +: (adds ++ removes)
+      isBlindAppend = Some(false)) +: (cdcActions ++ adds ++ removes)
 
     // phantom check for merge: a concurrent add conflicts iff it may
     // hold keys inside the source's key span (keyRanges) — the same
@@ -668,6 +760,7 @@ object DeltaDml {
       catch {
         case e: java.util.ConcurrentModificationException =>
           adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
     if (checkpointInterval > 0 && committed % checkpointInterval == 0)
@@ -787,7 +880,7 @@ object DeltaDml {
         spark, fs, path, stagingDir, stagePartCols(snap), version, Nil)
   }
 
-  private def readFiles(
+  private[delta] def readFiles(
       spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile],
       keepMeta: Boolean = false): DataFrame = {
     val dvFiles = files.filter(_.deletionVector.isDefined)

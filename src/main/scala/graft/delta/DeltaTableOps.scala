@@ -416,6 +416,44 @@ object DeltaTableOps {
     * the protocol to writer version 3. Every subsequent write — append,
     * overwrite, DML rewrite — re-validates in-flight
     * (DeltaWrite.withConstraintsEnforced). */
+  /** ALTER TABLE … SET TBLPROPERTIES (delta.enableChangeDataFeed=true):
+    * metadata-only commit; from the NEXT commit on, every row-removing
+    * write records its exact changes as `cdc` actions (DeltaWrite
+    * .stageCdc) and [[tableChanges]] serves them per-row. Upgrades the
+    * protocol the addCheckConstraint way: legacy writers bump to 4,
+    * table-features writers list 'changeDataFeed' explicitly. Refused on
+    * column-mapped tables (the cdc plane is not mapped-aware) and on
+    * schemas that collide with the feed's reserved column names. */
+  def enableChangeDataFeed(spark: SparkSession, path: String): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    require(DeltaRead.mappingModeOf(snap) == "none",
+      "delta.enableChangeDataFeed on a column-mapped table is not supported")
+    val reserved =
+      Set(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol, "_commit_timestamp")
+    val clash = snap.schema.fieldNames.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Cannot enable the change data feed: column(s) ${clash.mkString(", ")} " +
+        "collide with the feed's reserved names")
+    if (DeltaWrite.cdfEnabled(snap)) return snap.version // idempotent
+    val meta = snap.metadata.copy(configuration =
+      snap.metadata.configuration + ("delta.enableChangeDataFeed" -> "true"))
+    val proto =
+      if (snap.protocol.minWriterVersion >= 7) {
+        val feats = snap.protocol.writerFeatures.getOrElse(Nil)
+        if (feats.contains("changeDataFeed")) Nil
+        else Seq(snap.protocol.copy(writerFeatures = Some(feats :+ "changeDataFeed")))
+      } else if (snap.protocol.minWriterVersion >= 4) Nil
+      else Seq(snap.protocol.copy(minWriterVersion = 4))
+    val ci = CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+      operationParameters =
+        Map("properties" -> """{"delta.enableChangeDataFeed":"true"}"""),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci) ++ proto ++ Seq(meta))
+    snap.version + 1
+  }
+
   def addCheckConstraint(
       spark: SparkSession, path: String, name: String, exprSql: String): ConstraintResult = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
@@ -670,6 +708,36 @@ object DeltaTableOps {
       target.metadata.schemaString != current.metadata.schemaString ||
         target.metadata.partitionColumns != current.metadata.partitionColumns ||
         target.metadata.configuration != current.metadata.configuration
+
+    // CDF restore: the feed's add/remove fallback would read the
+    // re-added incarnations as plain inserts and miss the removals —
+    // record exact row changes instead: each removed current
+    // incarnation's live rows as deletes, each re-added target
+    // incarnation's live rows as inserts. An incarnation swap of one
+    // path emits delete(old live) + insert(new live): coarse per-file
+    // churn, exact final state per row (the delta-spark CDC stance for
+    // rewrites). Files are immutable, so scanning both sides now is
+    // exact regardless of when the feed is read.
+    val cdcActions: Seq[AddCDCFile] =
+      if (!DeltaWrite.cdfEnabled(current) || (adds.isEmpty && removes.isEmpty)) Nil
+      else {
+        require(target.metadata.schemaString == current.metadata.schemaString,
+          "Cannot RESTORE a change-data-feed table across a schema change " +
+            "(the feed cannot mix pre- and post-schema rows in one commit)")
+        val ct = ChangeFeed.ChangeTypeCol
+        val removedAdds = current.activeFiles
+          .filterNot(f => targetIncs.contains(incarnation(f.path, f.deletionVector)))
+        val fsc = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+        val frames = Seq.newBuilder[DataFrame]
+        if (removedAdds.nonEmpty)
+          frames += DeltaDml.readFiles(spark, path, current, removedAdds)
+            .withColumn(ct, lit("delete"))
+        if (adds.nonEmpty)
+          frames += DeltaDml.readFiles(spark, path, target, adds)
+            .withColumn(ct, lit("insert"))
+        DeltaWrite.stageCdc(frames.result().reduce(_ unionByName _),
+          spark, fsc, path, latest + 1, current.partitionColumns)
+      }
     val ci = CommitInfo(now, "RESTORE",
       operationParameters = Map("version" -> toVersion.toString),
       operationMetrics = Map(
@@ -677,7 +745,7 @@ object DeltaTableOps {
         "numRemovedFiles" -> removes.size.toString),
       readVersion = Some(latest), isBlindAppend = Some(false))
     val meta = if (metaChanged) Seq(target.metadata) else Nil
-    log.writeCommit(latest + 1, Seq(ci) ++ meta ++ adds ++ removes)
+    log.writeCommit(latest + 1, Seq(ci) ++ meta ++ cdcActions ++ adds ++ removes)
     RestoreResult(latest + 1, adds.size, removes.size)
   }
 
@@ -713,20 +781,34 @@ object DeltaTableOps {
       .schema(schema)
       .option("basePath", path)
       .parquet(files.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+    // cdc files carry _change_type physically; partition columns ride
+    // the hive dirs under _change_data/ exactly like the data plane
+    def scanCdc(files: Seq[AddCDCFile]) = spark.read
+      .schema(StructType(schema.fields :+
+        StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false)))
+      .option("basePath", new Path(path, "_change_data").toString)
+      .parquet(files.map(c => DeltaRead.resolvePath(path, c.path)): _*)
     val perCommit: Seq[DataFrame] = ((fromVersion + 1) to hi).flatMap { v =>
       val plan = ChangeFeed.planVersion(fs, root, v, log.readCommitActions(v))
-      val inserts =
-        if (plan.insertFiles.isEmpty) None
-        else Some(scan(plan.insertFiles)
-          .withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
-          .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
-      val deletes =
-        if (plan.deleteCarriers.isEmpty) None
-        else Some(
-          DeletionVectors.selectDeleted(scan(plan.deleteCarriers), plan.deleteDiffs)
-            .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
+      if (plan.cdcFiles.nonEmpty)
+        // a CDF writer recorded this commit's exact changes — use them
+        // EXCLUSIVELY (the add/remove reading of a rewrite commit would
+        // double-count its surviving rows)
+        Seq(scanCdc(plan.cdcFiles).withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+      else {
+        val inserts =
+          if (plan.insertFiles.isEmpty) None
+          else Some(scan(plan.insertFiles)
+            .withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
             .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
-      inserts.toSeq ++ deletes.toSeq
+        val deletes =
+          if (plan.deleteCarriers.isEmpty) None
+          else Some(
+            DeletionVectors.selectDeleted(scan(plan.deleteCarriers), plan.deleteDiffs)
+              .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
+              .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+        inserts.toSeq ++ deletes.toSeq
+      }
     }
     if (perCommit.isEmpty)
       spark.createDataFrame(
@@ -793,7 +875,28 @@ object DeltaTableOps {
       .filterNot(liveDvRefs.contains)
       .filter(p => rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p)))
         .toString.startsWith(rootPrefix))
-    val tombstones = tombstones0 ++ expiredDvFiles
+    // Change-data files age out on the SAME retention clock, by
+    // modification time: they are never referenced by table state (only
+    // by the feed), so once a cdc file is older than the window — i.e.
+    // tableChanges over its commit is no longer retention-guaranteed —
+    // it is reclaimable, mirroring delta-spark's vacuum of _change_data.
+    val expiredCdc: Seq[String] = {
+      val cdcDir = new Path(path, "_change_data")
+      if (!rootFs.exists(cdcDir)) Nil
+      else {
+        val it = rootFs.listFiles(cdcDir, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            st.getModificationTime < cutoff)
+            out += DeltaWrite.uriEncodePath(
+              rootFs.makeQualified(st.getPath).toString.stripPrefix(rootPrefix))
+        }
+        out.result()
+      }
+    }
+    val tombstones = tombstones0 ++ expiredDvFiles ++ expiredCdc
     if (foreign.nonEmpty)
       org.slf4j.LoggerFactory.getLogger("graft.delta").info(
         s"vacuum($path): skipping ${foreign.size} expired tombstone(s) outside " +

@@ -64,13 +64,15 @@ object DeltaWrite {
           s"(writerFeatures=${p.writerFeatures.getOrElse(Nil).mkString(",")}) — " +
           s"supported: ≤ $MaxSupportedWriterVersion, or 7 with features all in " +
           s"${DeltaLog.SupportedWriterFeatures.mkString("{", ",", "}")}")
-    // change data feed obliges writers to emit _change_data files —
-    // appending without them silently corrupts downstream CDF reads
-    if (snap.metadata.configuration.get("delta.enableChangeDataFeed")
-        .exists(_.trim.equalsIgnoreCase("true")))
+    // change data feed is implemented (DML/overwrite stage _change_data
+    // files, stageCdc), but the cdc plane writes LOGICAL column names —
+    // on a column-mapped table those wouldn't line up with the physical
+    // data files, so the combination refuses rather than emit a feed a
+    // mapped-aware reader can't reconcile
+    if (cdfEnabled(snap) && DeltaRead.mappingModeOf(snap) != "none")
       throw new IllegalStateException(
-        "Table enables delta.enableChangeDataFeed; this writer does not emit " +
-          "change-data files and refuses rather than corrupt the change feed")
+        "delta.enableChangeDataFeed on a column-mapped table is not supported " +
+          "(the change-data plane is not mapped-aware)")
     // generated columns oblige writers to compute/validate the expression
     def hasGenerated(st: StructType): Boolean = st.fields.exists { f =>
       f.metadata.contains("delta.generationExpression") || (f.dataType match {
@@ -272,28 +274,50 @@ object DeltaWrite {
         else Some(existing.get.metadata.copy(schemaString = normalize(merged).json))
       } else None
 
+    val replaced: Seq[AddFile] =
+      if (mode != "overwrite" || existing.isEmpty) Nil
+      else if (replaceWhere.isEmpty) existing.get.activeFiles
+      else {
+        // partition-scoped: a file is replaced iff its partition
+        // values fully satisfy some OR-branch (exact evaluation —
+        // the predicate columns are all partition columns by the
+        // guard in write())
+        val fieldTypes = existing.get.schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        // partitionValues are physical-keyed under column mapping
+        existing.get.activeFiles.filter(f => replaceWhere.exists(_.forall(p =>
+          DeltaRead.evalPredicate(
+            f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
+            fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))))
+      }
     val removes: Seq[RemoveFile] =
-      if (mode == "overwrite" && existing.isDefined) {
-        val replaced: Seq[AddFile] =
-          if (replaceWhere.isEmpty) existing.get.activeFiles
-          else {
-            // partition-scoped: a file is replaced iff its partition
-            // values fully satisfy some OR-branch (exact evaluation —
-            // the predicate columns are all partition columns by the
-            // guard in write())
-            val fieldTypes = existing.get.schema.fields
-              .map(f => f.name -> f.dataType).toMap
-            // partitionValues are physical-keyed under column mapping
-            existing.get.activeFiles.filter(f => replaceWhere.exists(_.forall(p =>
-              DeltaRead.evalPredicate(
-                f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
-                fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))))
-          }
-        replaced.map(f =>
-          RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
-            extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
-            size = Some(f.size), deletionVector = f.deletionVector))
-      } else Nil
+      replaced.map(f =>
+        RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+          extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+          size = Some(f.size), deletionVector = f.deletionVector))
+
+    // CDF overwrite: a cdc-less overwrite commit would read back as pure
+    // inserts (the removes are invisible to the feed's fallback), so the
+    // replaced files' live rows are recorded as deletes and the incoming
+    // frame as inserts. One extra scan of exactly the replaced files —
+    // the price of change capture, paid only on CDF tables. An overwrite
+    // that replaces nothing is a blind insert and needs no cdc.
+    val cdcActions: Seq[AddCDCFile] = existing match {
+      case Some(snap) if cdfEnabled(snap) && replaced.nonEmpty =>
+        require(normalize(df.schema) == normalize(snap.schema),
+          "overwriteSchema on a change-data-feed table is not supported: the " +
+            "feed cannot mix pre- and post-schema rows in one commit")
+        val ct = ChangeFeed.ChangeTypeCol
+        val deletes = DeltaDml.readFiles(spark, path, snap, replaced)
+          .withColumn(ct, lit("delete"))
+        // insert side: scan the just-staged adds instead of re-executing
+        // the caller's (possibly expensive) input plan a second time
+        val inserts = DeltaDml.readFiles(spark, path, snap, adds)
+          .withColumn(ct, lit("insert"))
+        stageCdc(deletes.unionByName(inserts),
+          spark, fs, path, version, effectivePartitionBy)
+      case _ => Nil
+    }
 
     val numRows = adds.flatMap(a => a.stats.flatMap(numRecordsOf)).sum
     val commitInfo = CommitInfo(
@@ -317,7 +341,7 @@ object DeltaWrite {
     def actionsAt(v: Long): Seq[Action] =
       Seq(commitInfo.copy(readVersion = if (isNew) None else Some(v - 1))) ++
         (if (isNew) Seq(Protocol(1, 2)) else Nil) ++
-        metadata.toSeq ++ txn.toSeq ++ adds.toSeq ++ removes
+        metadata.toSeq ++ txn.toSeq ++ cdcActions ++ adds.toSeq ++ removes
 
     // Blind appends retry past concurrent winners (optimistic concurrency:
     // re-commit at the new head unless an interleaved commit logically
@@ -331,6 +355,7 @@ object DeltaWrite {
           // add.path is URI-encoded; resolvePath decodes exactly like the
           // read/vacuum paths do, so escaped partition dirs delete correctly
           adds.foreach(a => fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+          deleteCdc(fs, path, cdcActions)
           throw e
       }
 
@@ -521,6 +546,85 @@ object DeltaWrite {
   /** Above this many staged files the rename/stat phase runs as a Spark
     * job instead of a serial driver loop. */
   val DistributedMoveThreshold = 32
+
+  /** True when delta.enableChangeDataFeed obliges every dataChange
+    * commit that removes rows to also record its exact row-level
+    * changes as `cdc` actions (appends need none: a cdc-less commit's
+    * adds read as inserts). */
+  private[delta] def cdfEnabled(snap: Snapshot): Boolean =
+    snap.metadata.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Stage `changes` — the table's columns plus a `_change_type` string
+    * column — as parquet and move the files under `_change_data/`,
+    * returning the commit's cdc actions. Hive-partitioned exactly like
+    * the data plane (partition columns live in the action's
+    * partitionValues and the dir name, not the file), so a foreign CDF
+    * reader resolves them the same way it does for data files. The
+    * changes frame is a normal distributed plan — nothing is collected;
+    * the move phase reuses the data plane's serial/distributed split. */
+  private[delta] def stageCdc(
+      changes: DataFrame,
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      version: Long,
+      partitionBy: Seq[String]): Seq[AddCDCFile] = {
+    val stagingDir = new Path(path, s".graft_cdc_${UUID.randomUUID().toString.take(12)}")
+    try {
+      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+      val prevTsType = spark.conf.getOption(tsTypeKey)
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      try {
+        val w = changes.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(stagingDir.toString)
+      } finally prevTsType match {
+        case Some(v) => spark.conf.set(tsTypeKey, v)
+        case None => spark.conf.unset(tsTypeKey)
+      }
+      val staged = listParquetFiles(fs, stagingDir)
+      val moveOne: (Configuration, String, Int) => AddCDCFile = (conf, stagedPath, i) => {
+        val st = new Path(stagedPath)
+        val sfs = st.getFileSystem(conf)
+        val rel = relativize(stagingDir, st)
+        val pv = partitionValuesFromPath(rel, partitionBy)
+        val dirs = parentDirs(rel)
+        val nameUuid = UUID.nameUUIDFromBytes(
+          s"graft-cdc:$version:$rel".getBytes(StandardCharsets.UTF_8))
+        val fileName = f"cdc-$version%05d-$nameUuid-$i%04d.snappy.parquet"
+        val destRel =
+          "_change_data/" + (if (dirs.isEmpty) fileName else s"$dirs/$fileName")
+        val dest = new Path(path, destRel)
+        sfs.mkdirs(dest.getParent)
+        if (!sfs.rename(st, dest) && !(!sfs.exists(st) && sfs.exists(dest)))
+          throw new java.io.IOException(s"Failed to move $st -> $dest")
+        AddCDCFile(uriEncodePath(destRel), pv, sfs.getFileStatus(dest).getLen)
+      }
+      if (staged.size <= DistributedMoveThreshold)
+        staged.zipWithIndex.map { case (st, i) =>
+          moveOne(fs.getConf, st.getPath.toString, i)
+        }
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val items = staged.zipWithIndex.map { case (st, i) => (st.getPath.toString, i) }
+        spark.sparkContext
+          .parallelize(items, math.min(64, 1 + items.size / 16))
+          .map { case (sp, i) => moveOne(confBc.value.value, sp, i) }
+          .collect().toSeq.sortBy(_.path)
+      }
+    } finally if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+  }
+
+  /** Best-effort removal of already-moved cdc files after a failed
+    * commit (the commit is the only thing that makes them reachable). */
+  private[delta] def deleteCdc(
+      fs: FileSystem, path: String, cdc: Seq[AddCDCFile]): Unit =
+    cdc.foreach(c =>
+      try fs.delete(new Path(DeltaRead.resolvePath(path, c.path)), false)
+      catch { case _: java.io.IOException => () })
 
   /** Move one staged file to its final name and build its AddFile with
     * footer stats. Pure function of (conf, paths) — runs on executors in

@@ -127,8 +127,19 @@ object GraftDelta {
   def convertToDelta(spark: SparkSession, path: String): DeltaTableOps.ConvertResult =
     DeltaTableOps.convertToDelta(spark, path)
 
-  /** Batch change feed: rows added in versions (from, to], stamped with
-    * `_commit_version` (beyond the reference's surface). */
+  /** ALTER TABLE … SET TBLPROPERTIES (delta.enableChangeDataFeed=true):
+    * subsequent row-removing writes record exact per-row changes as
+    * `cdc` actions, served by [[tableChanges]]. Returns the commit
+    * version (beyond the reference's surface). */
+  def enableChangeDataFeed(spark: SparkSession, path: String): Long =
+    DeltaTableOps.enableChangeDataFeed(spark, path)
+
+  /** Batch change feed: per-row changes in versions (from, to], stamped
+    * with `_change_type` and `_commit_version`. Commits carrying `cdc`
+    * actions (CDF-enabled writers) serve exact insert / delete /
+    * update_preimage / update_postimage rows; cdc-less commits fall back
+    * to adds-as-inserts + DV-diffs-as-deletes (beyond the reference's
+    * surface). */
   def tableChanges(
       spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame =

@@ -373,6 +373,36 @@ object DeltaQ {
       nameMode.unionByName(idMode).orderBy($"mode", $"key")
     }),
 
+    // CHANGE DATA FEED: delta.enableChangeDataFeed=true makes every
+    // row-removing write record its exact changes as `cdc` actions under
+    // _change_data/ — v2 is a REWRITE delete (previously inexpressible
+    // per-row: the rewritten file's surviving rows would read back as
+    // inserts), v3 a DV update with pre/postimages, v4 a MERGE mixing
+    // updates and inserts. tableChanges serves the cdc files exclusively
+    // for those commits; the oracle reconstructs all three change sets
+    // from the source parquet.
+    "d30_cdf" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d30")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(sup.repartition(4), path)                     // v0
+      GraftDelta.enableChangeDataFeed(s, path)                         // v1
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("s_acctbal", "<", 0.0))))                    // v2 rewrite
+      GraftDelta.updateWhereWithDv(s, path,
+        Seq(Seq(Predicate("s_nationkey", "<", 5))),
+        Map("s_acctbal" -> (col("s_acctbal") + 10)))                   // v3 DV
+      val mergeBase = sup.filter($"s_suppkey" <= 10 && $"s_acctbal" >= 0)
+      GraftDelta.mergeInto(s, path,
+        mergeBase.withColumn("s_acctbal", lit(55.0)).unionByName(
+          mergeBase.withColumn("s_suppkey", $"s_suppkey" + 100000)),
+        on = Seq("s_suppkey"))                                         // v4 merge
+      GraftDelta.tableChanges(s, path, fromVersion = 1L)
+        .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("bal_c"),
+          $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"_change_type", $"s_suppkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -718,6 +748,36 @@ object DeltaQ {
         |  FROM customer WHERE NOT (c_acctbal < 0) AND c_nationkey < 5)
         |SELECT * FROM chg
         |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
+    "d30_cdf" ->
+      """WITH chg AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c,
+        |    'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM supplier WHERE s_acctbal < 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, CAST(ROUND(s_acctbal*100) AS BIGINT),
+        |    'update_preimage', CAST(3 AS BIGINT)
+        |  FROM supplier WHERE NOT (s_acctbal < 0) AND s_nationkey < 5
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, CAST(ROUND((s_acctbal+10)*100) AS BIGINT),
+        |    'update_postimage', CAST(3 AS BIGINT)
+        |  FROM supplier WHERE NOT (s_acctbal < 0) AND s_nationkey < 5
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(ROUND((s_acctbal + CASE WHEN s_nationkey < 5 THEN 10 ELSE 0 END)*100)
+        |      AS BIGINT),
+        |    'update_preimage', CAST(4 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey <= 10 AND s_acctbal >= 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, CAST(5500 AS BIGINT),
+        |    'update_postimage', CAST(4 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey <= 10 AND s_acctbal >= 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_nationkey, CAST(ROUND(s_acctbal*100) AS BIGINT),
+        |    'insert', CAST(4 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey <= 10 AND s_acctbal >= 0)
+        |SELECT * FROM chg
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
     "d14_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

@@ -178,6 +178,20 @@ class GraftStreamSource(
       val actions = log.readCommitActions(v)
       checkSchemaStable(v, actions)
       val plan = graft.delta.ChangeFeed.planVersion(fs, root, v, actions)
+      if (plan.cdcFiles.nonEmpty) {
+        // a CDF writer recorded this commit's exact row changes — serve
+        // them exclusively; no rewrite guard applies (the cdc files ARE
+        // the per-row expression of the rewrite)
+        val cdcSchema = org.apache.spark.sql.types.StructType(
+          initSchema.fields :+ org.apache.spark.sql.types.StructField(
+            graft.delta.ChangeFeed.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false))
+        Seq(org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+          spark, plan.cdcFiles.map(c => DeltaRead.resolvePath(path, c.path)),
+          cdcSchema,
+          Map("basePath" -> new org.apache.hadoop.fs.Path(path, "_change_data").toString))
+          .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+      } else {
       val dvReadds = actions.collect {
         case a: AddFile if a.dataChange && a.deletionVector.isDefined => a.path
       }.toSet
@@ -205,6 +219,7 @@ class GraftStreamSource(
               .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("delete"))
               .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
         inserts.toSeq ++ deletes.toSeq
+      }
       }
     }
     if (frames.isEmpty)

@@ -129,16 +129,18 @@ class CloneConstraintSpec extends GraftSuite {
     // columns, column mapping) only bind when the trigger appears
     log.writeCommit(3L, Seq(Protocol(1, 5)))
     GraftDelta.toDelta(sample, path, mode = "append")
-    // the CDF table property is such a trigger: refuse rather than
-    // corrupt downstream change-feed reads
+    // the CDF table property is such a trigger — and the obligation is
+    // HONORED (r5): a blind append legally carries no cdc (its adds read
+    // as inserts), while a row-removing write stages _change_data files
+    // (ChangeDataFeedSpec pins those); both write cleanly
     val snap = log.snapshot(None)
     log.writeCommit(snap.version + 1, Seq(snap.metadata.copy(
       configuration = snap.metadata.configuration +
         ("delta.enableChangeDataFeed" -> "true"))))
-    val e = intercept[IllegalStateException] {
-      GraftDelta.toDelta(sample, path, mode = "append")
-    }
-    assert(e.getMessage.contains("ChangeDataFeed"), e.getMessage)
+    GraftDelta.toDelta(sample, path, mode = "append")
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("ints", "==", 1L))))
+    assert(DeltaLog.forTable(spark, path).readCommitActions(log.latestVersion)
+      .exists(_.isInstanceOf[AddCDCFile]))
     // identity columns (v6) refuse outright
     val path2 = tmp()
     GraftDelta.toDelta(sample, path2)

@@ -41,8 +41,10 @@ class CodecSpec extends AnyFunSuite {
     assert(ActionCodec.fromJsonLine(json).get.asInstanceOf[AddFile].partitionValues("k") == null)
   }
 
-  test("unknown action types are ignored for forward compat") {
-    assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""").isEmpty)
+  test("unknown action types are ignored for forward compat; cdc parses") {
+    assert(ActionCodec.fromJsonLine("""{"domainMetadata":{"domain":"x"}}""").isEmpty)
+    assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""")
+      .contains(AddCDCFile("x")))
   }
 
   test("partition values parse from hive paths incl null sentinel") {
