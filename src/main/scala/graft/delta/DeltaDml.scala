@@ -95,10 +95,14 @@ object DeltaDml {
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
+    val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
         s"Updating partition column $c is not supported (would move rows across files)")
+      require(!generatedCols.contains(c),
+        s"Column $c is generated (delta.generationExpression) — it re-derives " +
+          "from its expression and cannot be SET directly")
     }
     val partCols = snap.partitionColumns.toSet
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -206,7 +210,10 @@ object DeltaDml {
           if (isDelete) matchedRows().withColumn(ct, lit("delete"))
           else matchedRows().withColumn(ct, lit("update_preimage")).unionByName(
             withAssignments(matchedRows()).withColumn(ct, lit("update_postimage")))
-        DeltaWrite.stageCdc(changes, spark, fs, path, version, snap.partitionColumns)
+        // postimages re-derive generated columns exactly like stageDml
+        // (identity on every already-valid pre/delete row)
+        DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
+          spark, fs, path, version, snap.partitionColumns)
       }
 
     val now = Instant.now().toEpochMilli
@@ -311,10 +318,14 @@ object DeltaDml {
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
+    val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
         s"Updating partition column $c is not supported (would move rows across files)")
+      require(!generatedCols.contains(c),
+        s"Column $c is generated (delta.generationExpression) — it re-derives " +
+          "from its expression and cannot be SET directly")
     }
 
     val partCols = snap.partitionColumns.toSet
@@ -425,7 +436,9 @@ object DeltaDml {
             matchedRows.withColumn(ct, lit("update_preimage"))
               .unionByName(post.withColumn(ct, lit("update_postimage")))
           }
-        DeltaWrite.stageCdc(changes, spark, fs, path, version, snap.partitionColumns)
+        // postimages re-derive generated columns exactly like stageDml
+        DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
+          spark, fs, path, version, snap.partitionColumns)
       }
 
     // ---- commit ---------------------------------------------------------
@@ -528,10 +541,14 @@ object DeltaDml {
           targetCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
     whenMatched match {
       case WhenMatched.Update(set) =>
+        val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
         set.keys.foreach { c =>
           require(targetCols.contains(c), s"Unknown column in SET: $c")
           require(!snap.partitionColumns.contains(c),
             s"Updating partition column $c is not supported")
+          require(!generatedCols.contains(c),
+            s"Column $c is generated (delta.generationExpression) — it re-derives " +
+              "from its expression and cannot be SET directly")
         }
       case _ => ()
     }
@@ -704,7 +721,8 @@ object DeltaDml {
         inserts.foreach(i => frames += conform(i.withColumn(ct, lit("insert"))))
         val all = frames.result()
         if (all.isEmpty) Nil
-        else DeltaWrite.stageCdc(all.reduce(_ unionByName _),
+        else DeltaWrite.stageCdc(
+          DeltaWrite.withGeneratedRecomputed(all.reduce(_ unionByName _), snap.schema),
           spark, fs, path, version, snap.partitionColumns)
       }
 
@@ -867,8 +885,12 @@ object DeltaDml {
     * .physicalizeForWrite) and partition by physical dir names — the DML
     * twin of the plain write path's mapped staging. */
   private def stageDml(
-      df: DataFrame, spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      df0: DataFrame, spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       path: String, stagingDir: Path, snap: Snapshot, version: Long): Seq[AddFile] = {
+    // generated columns re-derive from the post-update row — an UPDATE
+    // of a dependency can't leave them stale (the generatedEqualityOf
+    // constraint below then holds trivially)
+    val df = DeltaWrite.withGeneratedRecomputed(df0, snap.schema)
     val constraints = DeltaWrite.checkConstraintsOf(snap.metadata)
     if (DeltaRead.mappingModeOf(snap) == "none")
       DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,

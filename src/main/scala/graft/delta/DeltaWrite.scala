@@ -73,17 +73,24 @@ object DeltaWrite {
       throw new IllegalStateException(
         "delta.enableChangeDataFeed on a column-mapped table is not supported " +
           "(the change-data plane is not mapped-aware)")
-    // generated columns oblige writers to compute/validate the expression
-    def hasGenerated(st: StructType): Boolean = st.fields.exists { f =>
-      f.metadata.contains("delta.generationExpression") || (f.dataType match {
-        case s: StructType => hasGenerated(s)
-        case _ => false
-      })
+    // generated columns are computed/validated for TOP-LEVEL fields
+    // (write() computes missing ones, checkConstraintsOf enforces
+    // provided ones, stageDml recomputes on rewrite); a generation
+    // expression on a NESTED field can't be computed into its struct
+    // without rebuilding the parent, so those still refuse
+    def hasNestedGenerated(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          hasNestedGenerated(f.dataType))
+      case a: ArrayType => hasNestedGenerated(a.elementType)
+      case m: MapType => hasNestedGenerated(m.valueType)
+      case _ => false
     }
-    if (hasGenerated(snap.schema))
+    if (snap.schema.fields.exists(f => hasNestedGenerated(f.dataType)))
       throw new IllegalStateException(
-        "Table has generated columns (delta.generationExpression); this writer " +
-          "does not compute them and refuses rather than write stale values")
+        "Table has NESTED generated columns (delta.generationExpression on a " +
+          "struct field); this writer computes top-level generated columns only " +
+          "and refuses rather than write stale nested values")
   }
 
   def write(
@@ -129,12 +136,31 @@ object DeltaWrite {
           s"replaceWhere supports partition columns only; non-partition: ${bad.mkString(", ")}")
       }
     }
-    val dfGuarded =
+    val dfGuarded0 =
       if (replaceWhere.isEmpty) df
       else df.filter(assert_true(
         coalesce(DeltaRead.dnfToColumn(replaceWhere), lit(false)),
         lit(s"replaceWhere violation: a written row falls outside the replaced " +
           s"predicate ${replaceWhere.map(_.mkString(" AND ")).mkString(" OR ")}")).isNull)
+
+    // generated columns absent from the incoming frame are COMPUTED here
+    // (the delta-spark writer contract); present ones pass through and
+    // are validated in-flight by the generatedEqualityOf constraints.
+    // Reordered to the table layout only when the column sets then agree
+    // exactly — mergeSchema appends keep their extra columns.
+    val dfGuarded = existing match {
+      case Some(snap) =>
+        val missing = generatedColumnsOf(snap.schema)
+          .filterNot { case (c, _) => dfGuarded0.columns.contains(c) }
+        val computed = missing.foldLeft(dfGuarded0) { case (d, (c, sql)) =>
+          d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+        }
+        if (missing.nonEmpty &&
+          computed.columns.sorted.sameElements(snap.schema.fieldNames.sorted))
+          computed.select(snap.schema.fieldNames.map(col).toSeq: _*)
+        else computed
+      case None => dfGuarded0
+    }
 
     existing.foreach { snap =>
       requireWriterSupported(snap)
@@ -147,13 +173,13 @@ object DeltaWrite {
       if (partitionBy.nonEmpty && partitionBy != snap.partitionColumns)
         throw new IllegalArgumentException(
           s"partitionBy $partitionBy != table partition columns ${snap.partitionColumns}")
-      val schemaMatches = normalize(df.schema) == normalize(snap.schema)
+      val schemaMatches = normalize(dfGuarded.schema) == normalize(snap.schema)
       if (!schemaMatches && !(mode == "overwrite" && overwriteSchema) &&
         !(mode == "append" && mergeSchema))
         throw new IllegalArgumentException(
           s"Schema mismatch (overwrite+overwriteSchema=true replaces; " +
             s"append+mergeSchema=true widens):\n" +
-            s"  incoming: ${df.schema.simpleString}\n  table:    ${snap.schema.simpleString}")
+            s"  incoming: ${dfGuarded.schema.simpleString}\n  table:    ${snap.schema.simpleString}")
     }
     // creating a mapped table directly would commit fields without ids —
     // an unreadable table; the upgrade path assigns them
@@ -175,7 +201,12 @@ object DeltaWrite {
     val physOf: Map[String, String] = mappedSnap
       .map(_.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap)
       .getOrElse(Map.empty)
-    val tableConstraints = existing.toSeq.flatMap(s => checkConstraintsOf(s.metadata))
+    val tableConstraints = existing match {
+      case Some(s0) => checkConstraintsOf(s0.metadata)
+      // a NEW table's schema comes from the frame itself — validate any
+      // provided generated values against their expressions
+      case None => generatedEqualityOf(dfGuarded.schema)
+    }
     val (dfStage, stagePartitionBy, stageConstraints) = mappedSnap match {
       case Some(snap) =>
         (physicalizeForWrite(withConstraintsEnforced(dfGuarded, tableConstraints), snap),
@@ -261,7 +292,7 @@ object DeltaWrite {
           id = UUID.randomUUID().toString,
           name = name,
           description = description,
-          schemaString = normalize(df.schema).json,
+          schemaString = normalizeKeepMeta(df.schema).json,
           partitionColumns = effectivePartitionBy,
           configuration = configuration,
           createdTime = Some(now)))
@@ -338,9 +369,17 @@ object DeltaWrite {
       isBlindAppend = Some(mode == "append" || isNew)
     )
 
+    // a new table's protocol reflects what its metadata demands: writer 4
+    // covers generated columns and the change data feed; plain tables
+    // stay at the reference-compatible (1, 2)
+    val createProtocol =
+      if (generatedColumnsOf(df.schema).nonEmpty ||
+        configuration.get("delta.enableChangeDataFeed")
+          .exists(_.trim.equalsIgnoreCase("true"))) Protocol(1, 4)
+      else Protocol(1, 2)
     def actionsAt(v: Long): Seq[Action] =
       Seq(commitInfo.copy(readVersion = if (isNew) None else Some(v - 1))) ++
-        (if (isNew) Seq(Protocol(1, 2)) else Nil) ++
+        (if (isNew) Seq(createProtocol) else Nil) ++
         metadata.toSeq ++ txn.toSeq ++ cdcActions ++ adds.toSeq ++ removes
 
     // Blind appends retry past concurrent winners (optimistic concurrency:
@@ -451,7 +490,7 @@ object DeltaWrite {
     meta.configuration.toSeq.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         (k.stripPrefix("delta.constraints."), v)
-    } ++ invariantsOf(meta)
+    } ++ invariantsOf(meta) ++ generatedEqualityOf(meta.schema)
 
   /** Column invariants harvested recursively (nested struct fields
     * carry them too); an unparseable invariant refuses rather than
@@ -546,6 +585,30 @@ object DeltaWrite {
   /** Above this many staged files the rename/stat phase runs as a Spark
     * job instead of a serial driver loop. */
   val DistributedMoveThreshold = 32
+
+  /** Top-level generated columns: (name, generation-expression SQL). */
+  private[delta] def generatedColumnsOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq
+      .filter(_.metadata.contains("delta.generationExpression"))
+      .map(f => f.name -> f.metadata.getString("delta.generationExpression"))
+
+  /** Overwrite each generated column with its expression over the row —
+    * the DML-rewrite contract: post-update rows re-derive their
+    * generated values (an UPDATE of a dependency can't leave them
+    * stale). Identity on already-valid rows. */
+  private[delta] def withGeneratedRecomputed(df: DataFrame, schema: StructType): DataFrame =
+    generatedColumnsOf(schema).foldLeft(df) { case (d, (c, sql)) =>
+      d.withColumn(c, expr(sql).cast(schema(c).dataType))
+    }
+
+  /** The in-flight assertion form of the generation contract, enforced
+    * through the same machinery as CHECK constraints: a PROVIDED value
+    * must null-safely equal the expression (the delta-spark stance —
+    * compute when absent, validate when present). */
+  private[delta] def generatedEqualityOf(schema: StructType): Seq[(String, String)] =
+    generatedColumnsOf(schema).map { case (c, sql) =>
+      (s"generated_$c", s"`$c` <=> (CAST(($sql) AS ${schema(c).dataType.sql}))")
+    }
 
   /** True when delta.enableChangeDataFeed obliges every dataChange
     * commit that removes rows to also record its exact row-level
@@ -710,6 +773,15 @@ object DeltaWrite {
   private[delta] def normalize(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
       StructField(f.name, normalizeType(f.dataType), nullable = true)))
+
+  /** normalize, but KEEPING field metadata — for the committed
+    * schemaString (generation expressions, column-mapping ids, and any
+    * user metadata must survive into the log; plain `normalize` stays
+    * metadata-free because it backs schema EQUALITY checks, where an
+    * incoming frame without metadata must still match). */
+  private[delta] def normalizeKeepMeta(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(f.name, normalizeType(f.dataType), nullable = true, f.metadata)))
 
   private def normalizeType(dt: DataType): DataType = dt match {
     case s: StructType => normalize(s)

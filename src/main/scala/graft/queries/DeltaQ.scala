@@ -403,6 +403,34 @@ object DeltaQ {
         .orderBy($"_commit_version", $"_change_type", $"s_suppkey")
     }),
 
+    // GENERATED COLUMNS (delta.generationExpression): v0 creates with
+    // o_year provided (validated in-flight against year(o_orderdate)),
+    // v1 appends WITHOUT the column (the writer computes it), v2 UPDATEs
+    // the dependency o_orderdate on a slice — the rewrite must re-derive
+    // o_year, not carry the stale value. Oracle recomputes end-state
+    // years from the source parquet.
+    "d31_generated" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.MetadataBuilder
+      val path = tmp("d31")
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+      val genMeta = new MetadataBuilder()
+        .putString("delta.generationExpression", "year(o_orderdate)").build()
+      GraftDelta.toDelta(
+        o.filter($"o_orderkey" < 3000)
+          .withColumn("o_year", year($"o_orderdate").as("o_year", genMeta)),
+        path)                                                            // v0
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 3000), path,
+        mode = "append")                                                 // v1 computed
+      GraftDelta.updateWhere(s, path,
+        Seq(Seq(Predicate("o_orderkey", "<", 100L))),
+        Map("o_orderdate" -> date_add($"o_orderdate", 400)))             // v2 re-derive
+      GraftDelta.readDelta(s, path)
+        .select($"o_orderkey", $"o_year", cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -778,6 +806,13 @@ object DeltaQ {
         |  FROM supplier WHERE s_suppkey <= 10 AND s_acctbal >= 0)
         |SELECT * FROM chg
         |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
+    "d31_generated" ->
+      """SELECT o_orderkey,
+        | CAST(year(CASE WHEN o_orderkey < 100
+        |   THEN o_orderdate + INTERVAL 400 DAY ELSE o_orderdate END) AS INT)
+        |   AS o_year,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "d14_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

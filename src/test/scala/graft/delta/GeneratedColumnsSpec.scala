@@ -1,0 +1,117 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+import java.nio.file.Files
+
+/** Generated columns (delta.generationExpression): compute-when-absent,
+  * validate-when-present, recompute-on-rewrite, SET refusal, protocol
+  * stamping, and CDF postimage consistency. */
+class GeneratedColumnsSpec extends GraftSuite {
+
+  import TestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_gen")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private val genMeta = new MetadataBuilder()
+    .putString("delta.generationExpression", "k * 2").build()
+
+  /** (k, v, doubled = k*2 with the generation expression attached). */
+  private def frame(ks: Seq[Long]) =
+    ks.map(k => (k, k * 10L)).toDF("k", "v")
+      .withColumn("doubled", (col("k") * 2).as("doubled", genMeta))
+
+  test("create stamps metadata + protocol 4; appends compute or validate") {
+    val path = tmp()
+    GraftDelta.toDelta(frame(1L to 5L), path)                            // v0
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    assert(snap.protocol.minWriterVersion == 4)
+    assert(snap.schema("doubled").metadata.getString("delta.generationExpression") == "k * 2")
+
+    // absent generated column: computed by the writer
+    GraftDelta.toDelta((6L to 8L).map(k => (k, k * 10L)).toDF("k", "v"),
+      path, mode = "append")                                             // v1
+    val got = GraftDelta.readDelta(spark, path)
+      .select($"k", $"doubled").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == (1L to 8L).map(k => (k, k * 2)))
+
+    // present-but-wrong values refuse loudly mid-flight
+    intercept[Exception] {
+      GraftDelta.toDelta(Seq((9L, 90L, 999L)).toDF("k", "v", "doubled"),
+        path, mode = "append")
+    }
+    // present-and-right values pass
+    GraftDelta.toDelta(Seq((9L, 90L, 18L)).toDF("k", "v", "doubled"),
+      path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 9)
+  }
+
+  test("UPDATE refuses SET on a generated column and recomputes on dependency change") {
+    for (dv <- Seq(false, true)) {
+      val path = tmp()
+      GraftDelta.toDelta(frame(1L to 20L).repartition(2), path)
+      val e = intercept[IllegalArgumentException] {
+        GraftDelta.updateWhere(spark, path,
+          Seq(Seq(Predicate("k", "==", 1L))), Map("doubled" -> lit(0L)))
+      }
+      assert(e.getMessage.contains("generated"))
+      // SET k is refused only when k is a partition column — here it
+      // isn't, so the dependency change must re-derive doubled
+      val filters = Seq(Seq(Predicate("k", "<=", 3L)))
+      val set = Map("k" -> (col("k") + 100L))
+      if (dv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
+      else GraftDelta.updateWhere(spark, path, filters, set)
+      val got = GraftDelta.readDelta(spark, path)
+        .filter($"k" > 100L).select($"k", $"doubled")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == (101L to 103L).map(k => (k, k * 2)), s"dv=$dv")
+    }
+  }
+
+  test("MERGE recomputes generated columns over stale source values") {
+    val path = tmp()
+    GraftDelta.toDelta(frame(1L to 10L), path)
+    // source claims doubled=0 — the rewrite must re-derive, not trust it
+    GraftDelta.mergeInto(spark, path,
+      Seq((1L, 111L, 0L), (11L, 110L, 0L)).toDF("k", "v", "doubled"),
+      on = Seq("k"))
+    val got = GraftDelta.readDelta(spark, path)
+      .select($"k", $"doubled").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == (1L to 11L).map(k => (k, k * 2)))
+  }
+
+  test("nested generated columns refuse; CDF postimages carry recomputed values") {
+    val path = tmp()
+    GraftDelta.toDelta(frame(1L to 10L).repartition(2), path)            // v0
+    GraftDelta.enableChangeDataFeed(spark, path)                         // v1
+    GraftDelta.updateWhere(spark, path,
+      Seq(Seq(Predicate("k", "==", 2L))), Map("k" -> lit(50L)))          // v2
+    val post = GraftDelta.tableChanges(spark, path, 1L)
+      .filter($"_change_type" === "update_postimage")
+      .select($"k", $"doubled").as[(Long, Long)].collect().toSeq
+    assert(post == Seq((50L, 100L)))
+
+    // nested generation expressions refuse at write time
+    val p2 = tmp()
+    val nestedMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "1").build()
+    val nested = Seq((1L, 2L)).toDF("k", "x")
+      .withColumn("x", col("x").as("x", nestedMeta))
+      .select($"k", struct($"x").as("s"))
+    // the struct FIELD carries the metadata
+    GraftDelta.toDelta(nested, p2)
+    val s2 = DeltaLog.forTable(spark, p2).snapshot(None)
+    if (s2.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .apply("x").metadata.contains("delta.generationExpression"))
+      intercept[IllegalStateException] {
+        GraftDelta.toDelta(nested, p2, mode = "append")
+      }
+  }
+}

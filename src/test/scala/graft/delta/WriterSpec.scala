@@ -200,24 +200,37 @@ class WriterSpec extends GraftSuite {
     }
   }
 
-  test("generated-column metadata refuses writes (v4 obligation trigger)") {
+  test("generated-column metadata is HONORED on writes (v4 obligation)") {
     import org.apache.spark.sql.types._
     val path = tmp()
     GraftDelta.toDelta(sample, path)
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
+    // a foreign writer stamps ints with a generation expression
     val schema = StructType(snap.schema.fields.map { f =>
-      if (f.name == snap.schema.fieldNames.head)
+      if (f.name == "ints")
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putString("delta.generationExpression", "1 + 1").build())
+          .putString("delta.generationExpression", "CAST(floats / 1.5 AS BIGINT)").build())
       else f
     })
     log.writeCommit(1L, Seq(Protocol(1, 4),
       snap.metadata.copy(schemaString = schema.json)))
-    val e = intercept[IllegalStateException] {
-      GraftDelta.toDelta(sample, path, mode = "append")
+    // provided-and-consistent values append cleanly (sample satisfies
+    // ints = floats/1.5 by construction)...
+    GraftDelta.toDelta(sample, path, mode = "append")
+    // ...inconsistent ones fail the in-flight validation (r5: the
+    // obligation is computed/validated, no longer a refusal)...
+    import spark.implicits._
+    intercept[Exception] {
+      GraftDelta.toDelta(Seq((999L, 1.5, "x")).toDF("ints", "floats", "strings"),
+        path, mode = "append")
     }
-    assert(e.getMessage.contains("generated"), e.getMessage)
+    // ...and an absent generated column is computed by the writer
+    GraftDelta.toDelta(Seq((3.0, "computed")).toDF("floats", "strings"),
+      path, mode = "append")
+    val got = GraftDelta.readDelta(spark, path)
+      .filter($"strings" === "computed").select($"ints").as[Long].collect()
+    assert(got.toSeq == Seq(2L))
   }
 
   test("reader-version protocol gate: reader>=3 tables refuse to read") {
