@@ -789,24 +789,27 @@ object DeltaTableOps {
       .option("basePath", new Path(path, "_change_data").toString)
       .parquet(files.map(c => DeltaRead.resolvePath(path, c.path)): _*)
     val perCommit: Seq[DataFrame] = ((fromVersion + 1) to hi).flatMap { v =>
-      val plan = ChangeFeed.planVersion(fs, root, v, log.readCommitActions(v))
+      val actions = log.readCommitActions(v)
+      val plan = ChangeFeed.planVersion(fs, root, v, actions)
+      val ts = ChangeFeed.commitTimestamp(fs, log.commitFile(v), actions)
+      def stamp(d: DataFrame) = d
+        .withColumn(ChangeFeed.CommitVersionCol, lit(v))
+        .withColumn(ChangeFeed.CommitTimestampCol, lit(ts))
       if (plan.cdcFiles.nonEmpty)
         // a CDF writer recorded this commit's exact changes — use them
         // EXCLUSIVELY (the add/remove reading of a rewrite commit would
         // double-count its surviving rows)
-        Seq(scanCdc(plan.cdcFiles).withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+        Seq(stamp(scanCdc(plan.cdcFiles)))
       else {
         val inserts =
           if (plan.insertFiles.isEmpty) None
-          else Some(scan(plan.insertFiles)
-            .withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
-            .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+          else Some(stamp(scan(plan.insertFiles)
+            .withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))))
         val deletes =
           if (plan.deleteCarriers.isEmpty) None
-          else Some(
+          else Some(stamp(
             DeletionVectors.selectDeleted(scan(plan.deleteCarriers), plan.deleteDiffs)
-              .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
-              .withColumn(ChangeFeed.CommitVersionCol, lit(v)))
+              .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))))
         inserts.toSeq ++ deletes.toSeq
       }
     }
@@ -815,7 +818,8 @@ object DeltaTableOps {
         spark.sparkContext.emptyRDD[Row],
         StructType(schema.fields :+
           StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false) :+
-          StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false)))
+          StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false) :+
+          StructField(ChangeFeed.CommitTimestampCol, TimestampType, nullable = false)))
     else perCommit.reduce(_ unionByName _)
   }
 

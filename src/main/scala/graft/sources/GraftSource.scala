@@ -56,7 +56,10 @@ class GraftSource
           org.apache.spark.sql.types.StringType, nullable = false) :+
         org.apache.spark.sql.types.StructField(
           graft.delta.ChangeFeed.CommitVersionCol,
-          org.apache.spark.sql.types.LongType, nullable = false))
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.CommitTimestampCol,
+          org.apache.spark.sql.types.TimestampType, nullable = false))
     })
 
   override def createSource(

@@ -67,7 +67,10 @@ class GraftStreamSource(
           org.apache.spark.sql.types.StringType, nullable = false) :+
         org.apache.spark.sql.types.StructField(
           graft.delta.ChangeFeed.CommitVersionCol,
-          org.apache.spark.sql.types.LongType, nullable = false))
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          graft.delta.ChangeFeed.CommitTimestampCol,
+          org.apache.spark.sql.types.TimestampType, nullable = false))
     else initSchema
 
   private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
@@ -190,7 +193,9 @@ class GraftStreamSource(
           spark, plan.cdcFiles.map(c => DeltaRead.resolvePath(path, c.path)),
           cdcSchema,
           Map("basePath" -> new org.apache.hadoop.fs.Path(path, "_change_data").toString))
-          .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+          .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v))
+          .withColumn(graft.delta.ChangeFeed.CommitTimestampCol,
+            lit(graft.delta.ChangeFeed.commitTimestamp(fs, log.commitFile(v), actions))))
       } else {
       val dvReadds = actions.collect {
         case a: AddFile if a.dataChange && a.deletionVector.isDefined => a.path
@@ -206,18 +211,21 @@ class GraftStreamSource(
             "change feed can only express deletion-vector commits per-row. Use " +
             "ignoreChanges=true (rewritten rows re-emit as inserts) or " +
             "skipChangeCommits=true, or run DML in the deletion-vector flavor.")
+        val ts = graft.delta.ChangeFeed.commitTimestamp(fs, log.commitFile(v), actions)
         val inserts =
           if (plan.insertFiles.isEmpty) None
           else Some(scan(plan.insertFiles)
             .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("insert"))
-            .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+            .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v))
+            .withColumn(graft.delta.ChangeFeed.CommitTimestampCol, lit(ts)))
         val deletes =
           if (plan.deleteCarriers.isEmpty) None
           else Some(
             graft.delta.DeletionVectors.selectDeleted(
               scan(plan.deleteCarriers), plan.deleteDiffs)
               .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("delete"))
-              .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v)))
+              .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v))
+              .withColumn(graft.delta.ChangeFeed.CommitTimestampCol, lit(ts)))
         inserts.toSeq ++ deletes.toSeq
       }
       }

@@ -70,6 +70,12 @@ class ChangeDataFeedSpec extends GraftSuite {
     assert(chg == (1L to 10L).map(k => (k, "delete", 2L)))
     // the table itself still reads correctly
     assert(GraftDelta.readDelta(spark, path).count() == 90L)
+    // _commit_timestamp rides along, carrying the commitInfo clock
+    val tsRows = GraftDelta.tableChanges(spark, path, 1L)
+      .select(col("_commit_version"), col("_commit_timestamp")).distinct().collect()
+    val ciTs = DeltaLog.forTable(spark, path).commitInfoOf(2L).get.timestamp
+    assert(tsRows.map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+      == Seq((2L, ciTs)))
   }
 
   test("UPDATE emits pre/postimages in both rewrite and DV flavors") {

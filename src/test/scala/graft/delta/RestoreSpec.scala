@@ -92,6 +92,7 @@ class RestoreSpec extends AnyFunSuite {
     // empty range → empty frame with the schema + CDC columns
     val empty = GraftDelta.tableChanges(spark, path, 3L)
     assert(empty.count() == 0L)
-    assert(empty.columns.toSeq == Seq("id", "name", "_change_type", "_commit_version"))
+    assert(empty.columns.toSeq ==
+      Seq("id", "name", "_change_type", "_commit_version", "_commit_timestamp"))
   }
 }
