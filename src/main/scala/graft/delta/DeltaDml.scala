@@ -173,10 +173,22 @@ object DeltaDml {
       else DeletionVectors.writeDvFile(fs, root, bitmaps)
 
     val version = snap.version + 1
-    // the matched LIVE rows (existing DVs applied inside readFiles)
-    def matchedRows(): DataFrame =
-      readFiles(spark, path, snap, provenFull ++ touched)
+    // The matched LIVE rows (existing DVs applied inside readFiles).
+    // UPDATE staging, the cdc preimage, and the cdc postimage each
+    // consume this frame — persist it when more than one consumer
+    // exists so the touched files are scanned ONCE, not up to 3×
+    // (the frame is O(matched rows); MEMORY_AND_DISK spills rather
+    // than recomputing a 100 TB-scale rescan).
+    val matchedUses =
+      (if (isDelete) 0 else 1) + (if (DeltaWrite.cdfEnabled(snap)) { if (isDelete) 1 else 2 } else 0)
+    lazy val matchedCached: DataFrame = {
+      val m = readFiles(spark, path, snap, provenFull ++ touched)
         .filter(coalesce(cond, lit(false)))
+      if (matchedUses > 1)
+        m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else m
+    }
+    def matchedRows(): DataFrame = matchedCached
     // Shadow columns keep cross-column SETs (a = b, b = a)
     // order-independent, like the rewrite flavor.
     def withAssignments(src: DataFrame): DataFrame = {
@@ -215,6 +227,7 @@ object DeltaDml {
         DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
           spark, fs, path, version, snap.partitionColumns)
       }
+    if (matchedUses > 1) matchedCached.unpersist(blocking = false)
 
     val now = Instant.now().toEpochMilli
     val removes = (fullRemoves ++ dvTargets).map(f =>
@@ -390,10 +403,21 @@ object DeltaDml {
     // ---- phase 2: rewrite partially-matched files -----------------------
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
+    // On CDF tables the partial files feed BOTH the rewrite staging and
+    // the cdc capture — persist the scan so they're read once, not twice
+    // (O(touched-file rows), spills rather than rescanning at scale).
+    val partialSrc: Option[DataFrame] =
+      if (partial.isEmpty) None
+      else {
+        val s = readFiles(spark, path, snap, partial)
+        Some(if (DeltaWrite.cdfEnabled(snap))
+          s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else s)
+      }
     val adds: Seq[AddFile] =
       if (partial.isEmpty) Nil
       else {
-        val src = readFiles(spark, path, snap, partial)
+        val src = partialSrc.get
         val matched = coalesce(cond, lit(false)) // NULL predicate = no match
         val rewritten =
           if (isDelete) src.filter(!matched)
@@ -422,8 +446,20 @@ object DeltaDml {
       if (!DeltaWrite.cdfEnabled(snap)) Nil
       else {
         val ct = ChangeFeed.ChangeTypeCol
-        val matchedRows = readFiles(spark, path, snap, fullRemoves ++ partial)
-          .filter(coalesce(cond, lit(false)))
+        // partial files come from the persisted scan (filtered to the
+        // matched rows); fully-matched files are read here for the first
+        // time and need no filter — stats/counts proved every row matches
+        val fullRows =
+          if (fullRemoves.isEmpty) None
+          else Some(readFiles(spark, path, snap, fullRemoves))
+        val partRows = partialSrc.map(_.filter(coalesce(cond, lit(false))))
+        val matchedRows = (fullRows, partRows) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) =>
+            readFiles(spark, path, snap, Nil).filter(lit(false))
+        }
         val changes =
           if (isDelete) matchedRows.withColumn(ct, lit("delete"))
           else {
@@ -440,6 +476,8 @@ object DeltaDml {
         DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
           spark, fs, path, version, snap.partitionColumns)
       }
+    if (DeltaWrite.cdfEnabled(snap))
+      partialSrc.foreach(_.unpersist(blocking = false))
 
     // ---- commit ---------------------------------------------------------
     val now = Instant.now().toEpochMilli
@@ -621,11 +659,22 @@ object DeltaDml {
 
     val rewriteNeeded = whenMatched != WhenMatched.Ignore && touched.nonEmpty
 
+    // On CDF tables the touched files feed BOTH the rewrite join and the
+    // cdc capture join — persist the scan so they're read once, not twice
+    val touchedSrc: Option[DataFrame] =
+      if (!rewriteNeeded) None
+      else {
+        val s = readFiles(spark, path, snap, touched)
+        Some(if (DeltaWrite.cdfEnabled(snap))
+          s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else s)
+      }
+
     // ---- phase 2: rewrite touched files + append unmatched inserts ------
     val rewritten: Option[DataFrame] =
       if (!rewriteNeeded) None
       else {
-        val joined = readFiles(spark, path, snap, touched).join(srcKeyed, joinCond, "left")
+        val joined = touchedSrc.get.join(srcKeyed, joinCond, "left")
         val isMatch = col(s"$SrcPrefix${on.head}").isNotNull
         val out = whenMatched match {
           case WhenMatched.Delete => joined.filter(!isMatch).select(targetCols.map(col): _*)
@@ -658,7 +707,12 @@ object DeltaDml {
         val unmatched =
           if (targetKeys == null) source
           else source.join(targetKeys, on, "left_anti")
-        Some(unmatched.select(targetCols.map(col): _*))
+        val frame = unmatched.select(targetCols.map(col): _*)
+        // on CDF tables the inserts feed staging, the cdc capture, and
+        // (stats-less tables) the inserted-count — compute the anti-join once
+        Some(if (DeltaWrite.cdfEnabled(snap))
+          frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else frame)
       }
 
     val toWrite: Option[DataFrame] = (rewritten, inserts) match {
@@ -694,8 +748,7 @@ object DeltaDml {
             col(f.name).cast(f.dataType).as(f.name)).toSeq :+ col(ct): _*)
         val frames = Seq.newBuilder[DataFrame]
         if (rewriteNeeded) {
-          val matched =
-            readFiles(spark, path, snap, touched).join(srcKeyed, joinCond, "inner")
+          val matched = touchedSrc.get.join(srcKeyed, joinCond, "inner")
           whenMatched match {
             case WhenMatched.Delete =>
               frames += conform(matched.select(targetCols.map(col): _*)
@@ -739,6 +792,10 @@ object DeltaDml {
       // stats-less (foreign-written) removes: count the already-computed
       // inserts frame directly — one extra job on this rare path only
       case _ => inserts.map(_.count()).getOrElse(0L)
+    }
+    if (DeltaWrite.cdfEnabled(snap)) {
+      touchedSrc.foreach(_.unpersist(blocking = false))
+      inserts.foreach(_.unpersist(blocking = false))
     }
 
     if (adds.isEmpty && removes0.isEmpty) {
