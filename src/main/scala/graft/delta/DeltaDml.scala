@@ -96,6 +96,7 @@ object DeltaDml {
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
+    val identityCols = DeltaWrite.identityColumnsOf(snap.schema).map(_.name).toSet
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
@@ -103,6 +104,9 @@ object DeltaDml {
       require(!generatedCols.contains(c),
         s"Column $c is generated (delta.generationExpression) — it re-derives " +
           "from its expression and cannot be SET directly")
+      require(!identityCols.contains(c),
+        s"Column $c is an identity column (delta.identity.*) — its values are " +
+          "writer-allocated and cannot be SET")
     }
     val partCols = snap.partitionColumns.toSet
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -332,6 +336,7 @@ object DeltaDml {
     DeltaWrite.requireWriterSupported(snap)
     DeltaWrite.requireNotAppendOnly(snap, if (isDelete) "DELETE" else "UPDATE")
     val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
+    val identityCols = DeltaWrite.identityColumnsOf(snap.schema).map(_.name).toSet
     assignments.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown column in SET: $c")
       require(!snap.partitionColumns.contains(c),
@@ -339,6 +344,9 @@ object DeltaDml {
       require(!generatedCols.contains(c),
         s"Column $c is generated (delta.generationExpression) — it re-derives " +
           "from its expression and cannot be SET directly")
+      require(!identityCols.contains(c),
+        s"Column $c is an identity column (delta.identity.*) — its values are " +
+          "writer-allocated and cannot be SET")
     }
 
     val partCols = snap.partitionColumns.toSet
@@ -572,14 +580,30 @@ object DeltaDml {
       require(targetCols.contains(k), s"Join key $k missing from target")
       require(source.schema.fieldNames.contains(k), s"Join key $k missing from source")
     }
+    // identity columns: a source that CARRIES a GENERATED ALWAYS column
+    // refuses (explicit values are illegal); one that OMITS an identity
+    // column is fine — inserts allocate fresh values, UpdateAll keeps the
+    // target's (identity is stable under update by contract)
+    val identityInfo = DeltaWrite.identityColumnsOf(snap.schema)
+    identityInfo.filter(ic => source.schema.fieldNames.contains(ic.name))
+      .filterNot(_.allowExplicitInsert).foreach { ic =>
+        throw new IllegalStateException(
+          s"MERGE source carries GENERATED ALWAYS AS IDENTITY column ${ic.name} — " +
+            "explicit values refuse; omit the column and the writer allocates " +
+            "(inserts) or keeps (updates) its values")
+      }
     val needsFullSource = insertNotMatched || whenMatched == WhenMatched.UpdateAll
+    val identityOmitted = identityInfo.map(_.name)
+      .filterNot(source.schema.fieldNames.contains).toSet
     if (needsFullSource)
-      require(targetCols.forall(source.schema.fieldNames.contains),
+      require(targetCols.filterNot(identityOmitted).forall(source.schema.fieldNames.contains),
         s"Source must carry every target column for UpdateAll/insert; missing " +
-          targetCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
+          targetCols.filterNot(identityOmitted)
+            .filterNot(source.schema.fieldNames.contains).mkString(", "))
     whenMatched match {
       case WhenMatched.Update(set) =>
         val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
+        val identityCols = DeltaWrite.identityColumnsOf(snap.schema).map(_.name).toSet
         set.keys.foreach { c =>
           require(targetCols.contains(c), s"Unknown column in SET: $c")
           require(!snap.partitionColumns.contains(c),
@@ -587,6 +611,9 @@ object DeltaDml {
           require(!generatedCols.contains(c),
             s"Column $c is generated (delta.generationExpression) — it re-derives " +
               "from its expression and cannot be SET directly")
+          require(!identityCols.contains(c),
+            s"Column $c is an identity column (delta.identity.*) — its values are " +
+              "writer-allocated and cannot be SET")
         }
       case _ => ()
     }
@@ -670,6 +697,12 @@ object DeltaDml {
         else s)
       }
 
+    // identity columns the source omits: UpdateAll keeps the target's
+    // values (identity is stable under update), inserts allocate fresh
+    // ones above the watermark
+    val identityOmitted: Set[String] = DeltaWrite.identityColumnsOf(snap.schema)
+      .map(_.name).filterNot(source.schema.fieldNames.contains).toSet
+
     // ---- phase 2: rewrite touched files + append unmatched inserts ------
     val rewritten: Option[DataFrame] =
       if (!rewriteNeeded) None
@@ -680,7 +713,8 @@ object DeltaDml {
           case WhenMatched.Delete => joined.filter(!isMatch).select(targetCols.map(col): _*)
           case WhenMatched.UpdateAll =>
             joined.select(targetCols.map(c =>
-              when(isMatch, col(s"$SrcPrefix$c")).otherwise(col(c)).as(c)): _*)
+              (if (identityOmitted(c)) col(c)
+               else when(isMatch, col(s"$SrcPrefix$c")).otherwise(col(c))).as(c)): _*)
           case WhenMatched.Update(set) =>
             val shadowed = set.zipWithIndex.foldLeft(joined) {
               case (d, ((c, expr), i)) =>
@@ -707,10 +741,15 @@ object DeltaDml {
         val unmatched =
           if (targetKeys == null) source
           else source.join(targetKeys, on, "left_anti")
-        val frame = unmatched.select(targetCols.map(col): _*)
+        val withIds = DeltaWrite.identityColumnsOf(snap.schema)
+          .filter(ic => identityOmitted(ic.name))
+          .foldLeft(unmatched)((d, ic) => d.withColumn(ic.name, DeltaWrite.identityAlloc(ic)))
+        val frame = withIds.select(targetCols.map(col): _*)
         // on CDF tables the inserts feed staging, the cdc capture, and
-        // (stats-less tables) the inserted-count — compute the anti-join once
-        Some(if (DeltaWrite.cdfEnabled(snap))
+        // (stats-less tables) the inserted-count — compute the anti-join
+        // once. Allocated identity values are NONDETERMINISTIC, so any
+        // potential second consumer must read the cached evaluation.
+        Some(if (DeltaWrite.cdfEnabled(snap) || identityOmitted.nonEmpty)
           frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else frame)
       }
@@ -757,7 +796,8 @@ object DeltaDml {
               frames += conform(matched.select(targetCols.map(col): _*)
                 .withColumn(ct, lit("update_preimage")))
               frames += conform(matched.select(targetCols.map(c =>
-                col(s"$SrcPrefix$c").as(c)): _*).withColumn(ct, lit("update_postimage")))
+                (if (identityOmitted(c)) col(c) else col(s"$SrcPrefix$c")).as(c)): _*)
+                .withColumn(ct, lit("update_postimage")))
             case WhenMatched.Update(set) =>
               frames += conform(matched.select(targetCols.map(col): _*)
                 .withColumn(ct, lit("update_preimage")))
@@ -793,15 +833,23 @@ object DeltaDml {
       // inserts frame directly — one extra job on this rare path only
       case _ => inserts.map(_.count()).getOrElse(0L)
     }
-    if (DeltaWrite.cdfEnabled(snap)) {
+    if (DeltaWrite.cdfEnabled(snap))
       touchedSrc.foreach(_.unpersist(blocking = false))
+    if (DeltaWrite.cdfEnabled(snap) || identityOmitted.nonEmpty)
       inserts.foreach(_.unpersist(blocking = false))
-    }
 
     if (adds.isEmpty && removes0.isEmpty) {
       DeltaWrite.deleteCdc(fs, path, cdcActions) // no commit will reference them
       return MergeResult(matchedRows, 0, 0, 0)
     }
+
+    // merge-allocated identity values advance the table's high watermark
+    // in the same commit (harvested from the adds' footer stats; the
+    // rewritten files' carried-over ids sit at or below it already)
+    val identityMeta: Option[MetadataAction] =
+      if (identityOmitted.isEmpty || !insertNotMatched) None
+      else DeltaWrite.identityRebase(spark, path, snap.schema, adds)
+        .map(s => snap.metadata.copy(schemaString = s.json))
 
     val now = Instant.now().toEpochMilli
     val removes = removes0.map(f =>
@@ -821,7 +869,7 @@ object DeltaDml {
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)) +: (cdcActions ++ adds ++ removes)
+      isBlindAppend = Some(false)) +: (identityMeta.toSeq ++ cdcActions ++ adds ++ removes)
 
     // phantom check for merge: a concurrent add conflicts iff it may
     // hold keys inside the source's key span (keyRanges) — the same

@@ -597,16 +597,16 @@ object DeltaLog {
   /** Reader-3 table features the scan implements. */
   val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
 
-  /** Writer-7 table features our write surfaces understand.
-    * changeDataFeed and generatedColumns are supported in the same
-    * conditional sense as their legacy versions: the feature may be
-    * listed, but the moment its TRIGGER appears (the CDF table property
-    * / generation-expression field metadata) writes refuse loudly
-    * (DeltaWrite.requireWriterSupported) — listed-but-untriggered
-    * demands nothing of a writer. */
+  /** Writer-7 table features our write surfaces understand — each is
+    * honored, not merely tolerated: cdc staging (changeDataFeed),
+    * compute/validate/recompute (generatedColumns), watermarked
+    * allocation (identityColumns), in-flight asserts (checkConstraints,
+    * invariants), row-removal refusal (appendOnly), physicalized staging
+    * (columnMapping), bitmap scans + incarnation replay
+    * (deletionVectors). */
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "checkConstraints", "appendOnly", "invariants",
-      "columnMapping", "changeDataFeed", "generatedColumns")
+      "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns")
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r

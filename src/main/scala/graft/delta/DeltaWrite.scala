@@ -5,8 +5,8 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit, max, min, monotonically_increasing_id}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -38,13 +38,12 @@ object DeltaWrite {
   /** Writer protocol 3 adds CHECK constraints (stored + enforced
     * in-flight, so honestly supported; the reference gates at 2,
     * writer.py:254-259, because delta-rs 0.6.4 cannot enforce them);
-    * 4 adds change data feed + generated columns — legal to accept as a
-    * VERSION because both are table-property/metadata-triggered, and
-    * the triggers are guarded below; 5 adds column mapping, which
-    * writes honor via physicalizeForWrite. 6 (identity columns) is
-    * refused — an identity column silently not advanced corrupts the
-    * table's contract. */
-  val MaxSupportedWriterVersion = 5
+    * 4 adds change data feed + generated columns (computed-when-absent /
+    * validated-when-present); 5 adds column mapping, which writes honor
+    * via physicalizeForWrite; 6 adds identity columns — allocated above
+    * the recorded high watermark, which every allocating commit
+    * advances (identityRebase). */
+  val MaxSupportedWriterVersion = 6
 
   /** Writer gate, table-features aware: version ≤ 5 is the classic path
     * (with the version-implied OBLIGATIONS we don't implement guarded
@@ -91,6 +90,13 @@ object DeltaWrite {
         "Table has NESTED generated columns (delta.generationExpression on a " +
           "struct field); this writer computes top-level generated columns only " +
           "and refuses rather than write stale nested values")
+    // identity watermark harvesting reads footer stats, which are keyed
+    // by PHYSICAL names on mapped tables — refuse the combination rather
+    // than silently fail to advance the watermark
+    if (identityColumnsOf(snap.schema).nonEmpty && DeltaRead.mappingModeOf(snap) != "none")
+      throw new IllegalStateException(
+        "identity columns on a column-mapped table are not supported " +
+          "(watermark harvesting is not mapped-aware)")
   }
 
   def write(
@@ -146,16 +152,30 @@ object DeltaWrite {
     // generated columns absent from the incoming frame are COMPUTED here
     // (the delta-spark writer contract); present ones pass through and
     // are validated in-flight by the generatedEqualityOf constraints.
-    // Reordered to the table layout only when the column sets then agree
-    // exactly — mergeSchema appends keep their extra columns.
+    // Identity columns likewise: absent ones are allocated above the
+    // table's high watermark; present ones pass through only under
+    // allowExplicitInsert (GENERATED BY DEFAULT) — GENERATED ALWAYS
+    // refuses explicit values. Reordered to the table layout only when
+    // the column sets then agree exactly — mergeSchema appends keep
+    // their extra columns.
     val dfGuarded = existing match {
       case Some(snap) =>
         val missing = generatedColumnsOf(snap.schema)
           .filterNot { case (c, _) => dfGuarded0.columns.contains(c) }
-        val computed = missing.foldLeft(dfGuarded0) { case (d, (c, sql)) =>
+        val withGen = missing.foldLeft(dfGuarded0) { case (d, (c, sql)) =>
           d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
         }
-        if (missing.nonEmpty &&
+        val (icMissing, icPresent) = identityColumnsOf(snap.schema)
+          .partition(ic => !dfGuarded0.columns.contains(ic.name))
+        icPresent.filterNot(_.allowExplicitInsert).foreach { ic =>
+          throw new IllegalStateException(
+            s"Column ${ic.name} is GENERATED ALWAYS AS IDENTITY " +
+              "(delta.identity.allowExplicitInsert=false) — explicit values refuse; " +
+              "omit the column and the writer allocates them")
+        }
+        val computed = icMissing.foldLeft(withGen)(
+          (d, ic) => d.withColumn(ic.name, identityAlloc(ic)))
+        if ((missing.nonEmpty || icMissing.nonEmpty) &&
           computed.columns.sorted.sameElements(snap.schema.fieldNames.sorted))
           computed.select(snap.schema.fieldNames.map(col).toSeq: _*)
         else computed
@@ -286,24 +306,39 @@ object DeltaWrite {
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli
     val isNew = existing.isEmpty
+    // widen the table schema with the incoming frame's new columns
+    // (same-name columns must agree in type); the table identity —
+    // metadata id, partitioning, configuration — is preserved. The
+    // committed schema keeps field METADATA (generation expressions,
+    // identity state) — only the equality check is metadata-free.
+    val mergedSchema: Option[StructType] =
+      if (mode == "append" && mergeSchema && existing.isDefined) {
+        val merged = mergeSchemas(existing.get.schema, df.schema)
+        if (normalize(merged) == normalize(existing.get.schema)) None
+        else Some(normalizeKeepMeta(merged))
+      } else None
+    // the schema this commit is responsible for; identity allocation then
+    // advances the high watermark INSIDE it, harvested from the adds'
+    // footer stats — no extra scan, and any change emits ONE metadata
+    // action alongside the adds
+    val baseSchema: StructType =
+      if (isNew || (mode == "overwrite" && overwriteSchema)) normalizeKeepMeta(df.schema)
+      else mergedSchema.getOrElse(existing.map(_.schema).getOrElse(normalizeKeepMeta(df.schema)))
+    val rebased: Option[StructType] = identityRebase(spark, path, baseSchema, adds)
+    val commitSchema = rebased.getOrElse(baseSchema)
     val metadata =
       if (isNew || (mode == "overwrite" && overwriteSchema))
         Some(MetadataAction(
           id = UUID.randomUUID().toString,
           name = name,
           description = description,
-          schemaString = normalizeKeepMeta(df.schema).json,
+          schemaString = commitSchema.json,
           partitionColumns = effectivePartitionBy,
           configuration = configuration,
           createdTime = Some(now)))
-      else if (mode == "append" && mergeSchema && existing.isDefined) {
-        // widen the table schema with the incoming frame's new columns
-        // (same-name columns must agree in type); the table identity —
-        // metadata id, partitioning, configuration — is preserved
-        val merged = mergeSchemas(existing.get.schema, df.schema)
-        if (normalize(merged) == normalize(existing.get.schema)) None
-        else Some(existing.get.metadata.copy(schemaString = normalize(merged).json))
-      } else None
+      else if (mergedSchema.isDefined || rebased.isDefined)
+        Some(existing.get.metadata.copy(schemaString = commitSchema.json))
+      else None
 
     val replaced: Seq[AddFile] =
       if (mode != "overwrite" || existing.isEmpty) Nil
@@ -369,11 +404,12 @@ object DeltaWrite {
       isBlindAppend = Some(mode == "append" || isNew)
     )
 
-    // a new table's protocol reflects what its metadata demands: writer 4
-    // covers generated columns and the change data feed; plain tables
-    // stay at the reference-compatible (1, 2)
+    // a new table's protocol reflects what its metadata demands: writer 6
+    // covers identity columns, 4 covers generated columns and the change
+    // data feed; plain tables stay at the reference-compatible (1, 2)
     val createProtocol =
-      if (generatedColumnsOf(df.schema).nonEmpty ||
+      if (identityColumnsOf(df.schema).nonEmpty) Protocol(1, 6)
+      else if (generatedColumnsOf(df.schema).nonEmpty ||
         configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true"))) Protocol(1, 4)
       else Protocol(1, 2)
@@ -609,6 +645,96 @@ object DeltaWrite {
     generatedColumnsOf(schema).map { case (c, sql) =>
       (s"generated_$c", s"`$c` <=> (CAST(($sql) AS ${schema(c).dataType.sql}))")
     }
+
+  /** An identity column (delta.identity.* field metadata, writer
+    * protocol 6): the writer allocates values above the recorded high
+    * watermark. Spec obligations: BIGINT only, step ≠ 0, values aligned
+    * ((v − start) % step == 0) and unique; gaps are allowed. */
+  final case class IdentityCol(
+      name: String, start: Long, step: Long,
+      highWaterMark: Option[Long], allowExplicitInsert: Boolean) {
+    /** The last allocated value (start − step before any allocation) —
+      * the next allocation counts from base + step. */
+    def base: Long = highWaterMark.getOrElse(start - step)
+  }
+
+  private[delta] def identityColumnsOf(schema: StructType): Seq[IdentityCol] =
+    schema.fields.toSeq
+      .filter(f => f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step"))
+      .map { f =>
+        val m = f.metadata
+        def longOr(k: String, d: Long) = if (m.contains(k)) m.getLong(k) else d
+        require(f.dataType == LongType,
+          s"identity column ${f.name} must be BIGINT (got ${f.dataType.sql})")
+        val step = longOr("delta.identity.step", 1L)
+        require(step != 0L, s"identity column ${f.name} has step 0")
+        IdentityCol(f.name, longOr("delta.identity.start", 1L), step,
+          if (m.contains("delta.identity.highWaterMark"))
+            Some(m.getLong("delta.identity.highWaterMark")) else None,
+          m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert"))
+      }
+
+  /** Allocation expression: base + (monotonically_increasing_id()+1)·step.
+    * mono-id = partitionIndex·2^33 + rowIndex, so values are unique
+    * across the whole job with NO shuffle and NO count pass, at the
+    * price of gaps (the identity contract allows them). The expression
+    * is NONDETERMINISTIC across re-executions — any frame consumed more
+    * than once must be persisted by the caller first. */
+  private[delta] def identityAlloc(ic: IdentityCol): Column =
+    lit(ic.base) + ((monotonically_increasing_id() + lit(1L)) * lit(ic.step))
+
+  /** The schema with every identity column's high watermark advanced to
+    * cover this write's values, read from the adds' footer stats (already
+    * harvested at staging — zero extra I/O; a stats-less add falls back
+    * to ONE narrow scan of just those files). None when nothing moved —
+    * i.e. no identity columns, or a rewrite that only re-staged existing
+    * values. Explicitly-inserted values advance it too: the spec only
+    * asks for >= all generated values, and covering provided ones keeps
+    * future allocations collision-free. */
+  private[delta] def identityRebase(
+      spark: SparkSession, path: String, schema: StructType,
+      adds: Seq[AddFile]): Option[StructType] = {
+    val ics = identityColumnsOf(schema)
+    if (ics.isEmpty || adds.isEmpty) return None
+    val parsed = adds.map(a => StatsPruning.parse(a.stats))
+    def observed(ic: IdentityCol): Option[Long] = {
+      val nonEmpty = adds.zip(parsed)
+        .filter { case (_, st) => !st.flatMap(_.numRecords).contains(0L) }
+      if (nonEmpty.isEmpty) return None
+      val perFile: Seq[Option[Long]] = nonEmpty.map { case (_, st) =>
+        st.flatMap(s => (if (ic.step > 0) s.max else s.min).get(ic.name))
+          .collect { case l: Long => l }
+      }
+      if (perFile.forall(_.isDefined))
+        Some(if (ic.step > 0) perFile.flatten.max else perFile.flatten.min)
+      else {
+        val paths = nonEmpty.map { case (a, _) => DeltaRead.resolvePath(path, a.path) }
+        val agg = if (ic.step > 0) max(col(ic.name)) else min(col(ic.name))
+        val row = spark.read.schema(StructType(Seq(StructField(ic.name, LongType))))
+          .parquet(paths: _*).agg(agg).collect()(0)
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      }
+    }
+    var changed = false
+    val newFields = schema.fields.map { f =>
+      ics.find(_.name == f.name).flatMap(ic => observed(ic).map((ic, _))) match {
+        case Some((ic, obs)) =>
+          val advances = ic.highWaterMark match {
+            case Some(h) => if (ic.step > 0) obs > h else obs < h
+            case None => true
+          }
+          if (advances) {
+            changed = true
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", obs).build())
+          } else f
+        case None => f
+      }
+    }
+    if (changed) Some(StructType(newFields)) else None
+  }
 
   /** True when delta.enableChangeDataFeed obliges every dataChange
     * commit that removes rows to also record its exact row-level

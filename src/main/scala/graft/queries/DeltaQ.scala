@@ -431,6 +431,40 @@ object DeltaQ {
         .orderBy($"o_orderkey")
     }),
 
+    // IDENTITY COLUMNS (delta.identity.*, writer protocol 6): v0 creates
+    // with seeded ids (BY DEFAULT accepts them; the create commit's
+    // watermark covers the seed), v1 appends WITHOUT the column — the
+    // writer allocates unique, step-aligned values above the watermark.
+    // Allocation is nondeterministic by contract (gaps allowed), so the
+    // query pins the STRUCTURE: totals, uniqueness, alignment, watermark
+    // clearance — every one a constant DuckDB derives from orders alone.
+    "d32_identity" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.MetadataBuilder
+      val path = tmp("d32")
+      val idMeta = new MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 2L)
+        .putBoolean("delta.identity.allowExplicitInsert", true).build()
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      val part1 = o.filter($"o_orderkey" < 3000)
+      GraftDelta.toDelta(
+        part1.withColumn("row_id",
+          (lit(1L) + $"o_orderkey".cast("long") * 2L).as("row_id", idMeta)),
+        path)                                                            // v0 seeded
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 3000), path,
+        mode = "append")                                                 // v1 allocated
+      // the create commit's watermark: 1 + 2·max(seed orderkey)
+      val seedHwm = part1.agg(max($"o_orderkey".cast("long"))).as[Long].head * 2L + 1L
+      GraftDelta.readDelta(s, path).agg(
+        count(lit(1)).as("n_total"),
+        countDistinct($"row_id").as("n_distinct_ids"),
+        sum(when(($"row_id" - 1L) % 2L === 0L, 1L).otherwise(0L)).as("n_aligned"),
+        sum(when($"o_orderkey" >= 3000 && $"row_id" > seedHwm, 1L).otherwise(0L))
+          .as("n_alloc_above"),
+        sum(cents($"o_totalprice")).as("total_c"))
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -813,6 +847,14 @@ object DeltaQ {
         |   AS o_year,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d32_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(count(*) AS BIGINT) AS n_distinct_ids,
+        | CAST(count(*) AS BIGINT) AS n_aligned,
+        | CAST(SUM(CASE WHEN o_orderkey >= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_alloc_above,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders""".stripMargin,
     "d14_delete" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,

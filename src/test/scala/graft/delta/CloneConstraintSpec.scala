@@ -141,12 +141,18 @@ class CloneConstraintSpec extends GraftSuite {
     GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("ints", "==", 1L))))
     assert(DeltaLog.forTable(spark, path).readCommitActions(log.latestVersion)
       .exists(_.isInstanceOf[AddCDCFile]))
-    // identity columns (v6) refuse outright
+    // identity columns (v6) are honored now (r5, IdentityColumnsSpec);
+    // a v6 table with no identity metadata appends cleanly
     val path2 = tmp()
     GraftDelta.toDelta(sample, path2)
     DeltaLog.forTable(spark, path2).writeCommit(1L, Seq(Protocol(1, 6)))
+    GraftDelta.toDelta(sample, path2, mode = "append")
+    // version 7 WITHOUT a writerFeatures list proves nothing — refuse
+    val path3 = tmp()
+    GraftDelta.toDelta(sample, path3)
+    DeltaLog.forTable(spark, path3).writeCommit(1L, Seq(Protocol(1, 7)))
     intercept[IllegalStateException] {
-      GraftDelta.toDelta(sample, path2, mode = "append")
+      GraftDelta.toDelta(sample, path3, mode = "append")
     }
   }
 }

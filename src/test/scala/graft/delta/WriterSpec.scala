@@ -194,7 +194,8 @@ class WriterSpec extends GraftSuite {
     val path = tmp()
     GraftDelta.toDelta(sample, path)
     val log = DeltaLog.forTable(spark, path)
-    log.writeCommit(1L, Seq(Protocol(1, 6))) // identity columns: unsupported
+    // version 8 doesn't exist in the spec — far above anything supported
+    log.writeCommit(1L, Seq(Protocol(1, 8)))
     intercept[IllegalStateException] {
       GraftDelta.toDelta(sample, path, mode = "append")
     }
