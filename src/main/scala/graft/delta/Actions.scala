@@ -113,14 +113,19 @@ final case class SetTransaction(appId: String, version: Long, lastUpdated: Optio
     extends Action
 
 /** `commitInfo` — free-form operation metadata; the 9-column history
-  * projection (core.py:88-108) is derived from these fields. */
+  * projection (core.py:88-108) is derived from these fields.
+  * `inCommitTimestamp` is the table-feature clock (delta
+  * .enableInCommitTimestamps): strictly monotonic across commits and
+  * authoritative over file mtimes for timestamp travel, history, and
+  * the change feed. Stamped by DeltaLog.writeCommit. */
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
     operationParameters: Map[String, String] = Map.empty,
     operationMetrics: Map[String, String] = Map.empty,
     readVersion: Option[Long] = None,
-    isBlindAppend: Option[Boolean] = None
+    isBlindAppend: Option[Boolean] = None,
+    inCommitTimestamp: Option[Long] = None
 ) extends Action
 
 object ActionCodec {
@@ -245,7 +250,8 @@ object ActionCodec {
           operationParameters = anyMapToStr(n.get("operationParameters")),
           operationMetrics = anyMapToStr(n.get("operationMetrics")),
           readVersion = optLong(n.get("readVersion")),
-          isBlindAppend = optBool(n.get("isBlindAppend"))
+          isBlindAppend = optBool(n.get("isBlindAppend")),
+          inCommitTimestamp = optLong(n.get("inCommitTimestamp"))
         ))
     } else None
   }
@@ -348,6 +354,7 @@ object ActionCodec {
         if (c.operationMetrics.nonEmpty) putStrMap(n, "operationMetrics", c.operationMetrics)
         c.readVersion.foreach(n.put("readVersion", _))
         c.isBlindAppend.foreach(n.put("isBlindAppend", _))
+        c.inCommitTimestamp.foreach(n.put("inCommitTimestamp", _))
     }
     mapper.writeValueAsString(root)
   }

@@ -28,13 +28,15 @@ object ChangeFeed {
   val CommitTimestampCol = "_commit_timestamp"
 
   /** A commit's wall-clock for the feed's `_commit_timestamp` — the
+    * monotonic in-commit clock when the table carries one, else the
     * commitInfo clock (already parsed with the commit's actions, zero
     * extra I/O), file mtime for foreign commitInfo-less commits. */
   def commitTimestamp(
       fs: FileSystem, commitFile: Path, actions: Seq[Action]): java.sql.Timestamp =
     new java.sql.Timestamp(
-      actions.collectFirst { case ci: CommitInfo => ci.timestamp }
-        .getOrElse(fs.getFileStatus(commitFile).getModificationTime))
+      actions.collectFirst { case ci: CommitInfo =>
+        ci.inCommitTimestamp.getOrElse(ci.timestamp)
+      }.getOrElse(fs.getFileStatus(commitFile).getModificationTime))
 
   /** One commit's change plan: files whose full content inserts, plus
     * data-file-name → serialized bitmap of the positions deleted in

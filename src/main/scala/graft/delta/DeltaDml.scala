@@ -290,15 +290,8 @@ object DeltaDml {
     else {
       // the table-features upgrade rule: enumerate EVERY feature the
       // legacy version implied, or a feature-aware foreign writer could
-      // legally skip an obligation the version used to carry (writer 6
-      // never reaches here — identity columns are refused upfront)
-      val legacyWriter = p.minWriterVersion match {
-        case v if v >= 7 => p.writerFeatures.getOrElse(Nil)
-        case v => Seq(
-          "appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
-          "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5)
-          .collect { case (f, mv) if v >= mv => f }
-      }
+      // legally skip an obligation the version used to carry
+      val legacyWriter = DeltaLog.legacyWriterFeatures(p)
       val legacyReader =
         if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
         else if (p.minReaderVersion == 2) Seq("columnMapping")

@@ -129,7 +129,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * when a commit carries no commitInfo (SURVEY.md §2 ③). */
   def commitTimestamps: Seq[(Long, Long)] =
     listCommitVersions.map { v =>
-      val ts = commitInfoOf(v).map(_.timestamp)
+      // the in-commit clock (monotonic by construction) is authoritative
+      // over the commitInfo wall clock, which beats the file mtime
+      val ts = commitInfoOf(v).map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
         .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
       (v, ts)
     }
@@ -338,7 +340,37 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * Other schemes keep FileSystem.create(overwrite=false), which HDFS
     * enforces atomically server-side (object stores need their own
     * log-store arbitration, same as every Delta implementation). */
-  def writeCommit(version: Long, actions: Seq[Action]): Unit = {
+  /** Is the in-commit-timestamp clock live for the commit about to be
+    * written at `version`? Decided without a snapshot replay: a metadata
+    * action IN the commit is authoritative (covers create-with-config
+    * and the enable/disable commits); otherwise the previous commit's
+    * commitInfo tells — once enabled, every commit carries the stamp, so
+    * presence chains forward. One small file read, only on metadata-less
+    * commits. */
+  private def ictLive(version: Long, actions: Seq[Action]): Boolean =
+    actions.collectFirst { case m: MetadataAction => m } match {
+      case Some(m) => m.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.trim.equalsIgnoreCase("true"))
+      case None =>
+        version > 0 && commitInfoOf(version - 1).exists(_.inCommitTimestamp.isDefined)
+    }
+
+  def writeCommit(version: Long, actions0: Seq[Action]): Unit = {
+    // in-commit timestamps: strictly monotonic — max(wall clock,
+    // previous ICT + 1) — so travel-by-timestamp stays correct even when
+    // the committing host's clock regresses
+    val actions =
+      if (!actions0.exists(_.isInstanceOf[CommitInfo]) || !ictLive(version, actions0)) actions0
+      else {
+        val prev =
+          if (version == 0) None
+          else commitInfoOf(version - 1).flatMap(_.inCommitTimestamp)
+        val ict = math.max(System.currentTimeMillis(), prev.map(_ + 1L).getOrElse(Long.MinValue))
+        actions0.map {
+          case ci: CommitInfo => ci.copy(inCommitTimestamp = Some(ict))
+          case a => a
+        }
+      }
     fs.mkdirs(logPath)
     val target = commitFile(version)
     val body = actions.map(ActionCodec.toJsonLine).mkString("", "\n", "\n")
@@ -606,7 +638,20 @@ object DeltaLog {
     * (deletionVectors). */
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "checkConstraints", "appendOnly", "invariants",
-      "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns")
+      "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns",
+      "inCommitTimestamp")
+
+  /** The writer features a legacy protocol version IMPLIES — a
+    * features-upgrade must enumerate every one, or a feature-aware
+    * foreign writer could legally skip an obligation the version used
+    * to carry. Already-featured protocols return their own list. */
+  def legacyWriterFeatures(p: Protocol): Seq[String] =
+    if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Nil)
+    else Seq(
+      "appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+      "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5,
+      "identityColumns" -> 6)
+      .collect { case (f, mv) if p.minWriterVersion >= mv => f }
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r

@@ -238,7 +238,9 @@ object DeltaTableOps {
       // as time travel, so the two surfaces order identically
       val ci = ciOpt.getOrElse(CommitInfo(log.commitFallbackTimestamp(v), ""))
       Row(
-        new java.sql.Timestamp(ci.timestamp),
+        // the monotonic in-commit clock is authoritative when present,
+        // matching time travel and the change feed
+        new java.sql.Timestamp(ci.inCommitTimestamp.getOrElse(ci.timestamp)),
         ci.operation,
         ci.operationParameters.get("mode").orNull,
         ci.operationMetrics.get("numFiles").orNull,
@@ -452,6 +454,44 @@ object DeltaTableOps {
       readVersion = Some(snap.version), isBlindAppend = Some(false))
     log.writeCommit(snap.version + 1, Seq(ci) ++ proto ++ Seq(meta))
     snap.version + 1
+  }
+
+  /** Enable in-commit timestamps (delta.enableInCommitTimestamps): from
+    * this commit on, every commitInfo carries a strictly monotonic
+    * `inCommitTimestamp` (stamped in DeltaLog.writeCommit) that time
+    * travel, history, and the change feed treat as authoritative over
+    * file mtimes — the clock survives log copies/restores that rewrite
+    * mtimes. Metadata-only; the enablement commit itself is the first
+    * stamped one, and its version/clock are recorded as the provenance
+    * properties the spec defines for mixed-history tables. ICT is a
+    * writer-7 table feature (no legacy version), so enabling upgrades
+    * the protocol, enumerating every legacy-implied feature. */
+  def enableInCommitTimestamps(spark: SparkSession, path: String): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    if (snap.metadata.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      return snap.version // idempotent
+    val version = snap.version + 1
+    val now = System.currentTimeMillis()
+    val meta = snap.metadata.copy(configuration =
+      snap.metadata.configuration +
+        ("delta.enableInCommitTimestamps" -> "true") +
+        ("delta.inCommitTimestampEnablementVersion" -> version.toString) +
+        ("delta.inCommitTimestampEnablementTimestamp" -> now.toString))
+    val proto = {
+      val feats = DeltaLog.legacyWriterFeatures(snap.protocol)
+      if (feats.contains("inCommitTimestamp")) Nil
+      else Seq(snap.protocol.copy(minWriterVersion = 7,
+        writerFeatures = Some((feats :+ "inCommitTimestamp").distinct)))
+    }
+    val ci = CommitInfo(now, "SET TBLPROPERTIES",
+      operationParameters =
+        Map("properties" -> """{"delta.enableInCommitTimestamps":"true"}"""),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(version, Seq(ci) ++ proto ++ Seq(meta))
+    version
   }
 
   def addCheckConstraint(
@@ -764,6 +804,34 @@ object DeltaTableOps {
     * replay) and scans only their files; per-commit file groups become
     * one union of vectorized parquet scans, and DV diffs probe through
     * the broadcast codegen'd DvProbe. */
+  /** tableChanges with TIMESTAMP bounds: the window covers every commit
+    * whose clock falls in [startingTs, endingTs]. Resolution uses the
+    * same per-commit clock as time travel — the monotonic in-commit
+    * timestamp when the table carries one, commitInfo/mtime otherwise —
+    * so the three surfaces can never disagree about what happened when.
+    * O(#commits) small commitInfo reads, no data I/O. */
+  def tableChangesByTimestamp(
+      spark: SparkSession, path: String, startingTs: Long,
+      endingTs: Option[Long] = None): DataFrame = {
+    val log = DeltaLog.forTable(spark, path)
+    val ts = log.commitTimestamps
+    require(ts.nonEmpty, s"No commits in $path")
+    // first version with clock >= startingTs; the exclusive from-version
+    // is its predecessor
+    val firstIn = ts.filter(_._2 >= startingTs).map(_._1).minOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"No commit at or after timestamp $startingTs in $path"))
+    val hi = endingTs match {
+      case None => None
+      case Some(e) =>
+        require(e >= startingTs, s"endingTs $e < startingTs $startingTs")
+        Some(ts.filter(_._2 <= e).map(_._1).maxOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"No commit at or before timestamp $e in $path")))
+    }
+    tableChanges(spark, path, firstIn - 1, hi)
+  }
+
   def tableChanges(
       spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {

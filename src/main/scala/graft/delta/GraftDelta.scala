@@ -131,6 +131,9 @@ object GraftDelta {
     * subsequent row-removing writes record exact per-row changes as
     * `cdc` actions, served by [[tableChanges]]. Returns the commit
     * version (beyond the reference's surface). */
+  def enableInCommitTimestamps(spark: SparkSession, path: String): Long =
+    DeltaTableOps.enableInCommitTimestamps(spark, path)
+
   def enableChangeDataFeed(spark: SparkSession, path: String): Long =
     DeltaTableOps.enableChangeDataFeed(spark, path)
 
@@ -144,6 +147,11 @@ object GraftDelta {
       spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame =
     DeltaTableOps.tableChanges(spark, path, fromVersion, toVersion)
+
+  def tableChangesByTimestamp(
+      spark: SparkSession, path: String, startingTs: Long,
+      endingTs: Option[Long] = None): DataFrame =
+    DeltaTableOps.tableChangesByTimestamp(spark, path, startingTs, endingTs)
 
   /** vacuum (reference core.py:296-324). */
   def vacuum(

@@ -465,6 +465,38 @@ object DeltaQ {
         sum(cents($"o_totalprice")).as("total_c"))
     }),
 
+    // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
+    // feature): three commits on an ICT table; every commitInfo must be
+    // stamped, strictly monotonically, and travel-by-the-middle-ICT must
+    // resolve version 1 — pinned as integers (wall-clock values are not
+    // oracle-able, their ORDERING and AUTHORITY are).
+    "d33_ict" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d33")
+      val n = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      GraftDelta.toDelta(n.filter($"n_nationkey" < 10), path,
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))  // v0
+      GraftDelta.toDelta(
+        n.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20), path,
+        mode = "append")                                                  // v1
+      GraftDelta.toDelta(n.filter($"n_nationkey" >= 20), path,
+        mode = "append")                                                  // v2
+      val log = graft.delta.DeltaLog.forTable(s, path)
+      val icts = (0L to 2L).flatMap(v =>
+        log.commitInfoOf(v).flatMap(_.inCommitTimestamp))
+      val stamped = icts.length.toLong
+      val monotonic = if (icts == icts.sorted && icts.distinct == icts) 1L else 0L
+      // travel to the middle commit BY ITS ICT
+      val atV1 = GraftDelta.readDelta(s, path,
+        timestamp = Some(
+          java.time.Instant.ofEpochMilli(icts(1)).toString)).count()
+      GraftDelta.readDelta(s, path)
+        .agg(count(lit(1)).as("n_total"))
+        .withColumn("n_stamped", lit(stamped))
+        .withColumn("monotonic_ok", lit(monotonic))
+        .withColumn("n_at_v1", lit(atV1))
+    }),
+
     // ⑭ write modes: error-create, append×2, ignore no-op → 3× the rows.
     "d12_write_modes" -> ((s, dir) => {
       import s.implicits._
@@ -847,6 +879,13 @@ object DeltaQ {
         |   AS o_year,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d33_ict" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(3 AS BIGINT) AS n_stamped,
+        | CAST(1 AS BIGINT) AS monotonic_ok,
+        | CAST(SUM(CASE WHEN n_nationkey < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_at_v1
+        |FROM nation""".stripMargin,
     "d32_identity" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         | CAST(count(*) AS BIGINT) AS n_distinct_ids,
