@@ -74,7 +74,9 @@ final case class AddFile(
     dataChange: Boolean = true,
     stats: Option[String] = None,
     tags: Map[String, String] = Map.empty,
-    deletionVector: Option[DeletionVectorDescriptor] = None
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None
 ) extends Action {
   /** Live rows = numRecords − DV cardinality (exact: DV positions are
     * deleted rows of THIS file). */
@@ -111,6 +113,16 @@ final case class AddCDCFile(
 /** `txn` action — idempotent writer bookkeeping. */
 final case class SetTransaction(appId: String, version: Long, lastUpdated: Option[Long] = None)
     extends Action
+
+/** `domainMetadata` action — named per-table system metadata (writer
+  * feature `domainMetadata`): replay keeps the LATEST configuration per
+  * domain; `removed=true` evicts it. Row tracking stores its id high
+  * watermark under the `delta.rowTracking` domain. */
+final case class DomainMetadata(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false
+) extends Action
 
 /** `commitInfo` — free-form operation metadata; the 9-column history
   * projection (core.py:88-108) is derived from these fields.
@@ -153,7 +165,7 @@ object ActionCodec {
     Option(node).filterNot(_.isNull).map(_.asBoolean())
 
   /** Parse one line of a `_delta_log/N.json` commit file. Unknown action
-    * types (domainMetadata, ...) are ignored for forward compat. */
+    * types are ignored for forward compat. */
   def fromJsonLine(line: String): Option[Action] = {
     val root = mapper.readTree(line)
     if (root.has("add")) {
@@ -174,7 +186,9 @@ object ActionCodec {
               pathOrInlineDv = d.get("pathOrInlineDv").asText(),
               offset = optLong(d.get("offset")).map(_.toInt),
               sizeInBytes = optLong(d.get("sizeInBytes")).getOrElse(0L).toInt,
-              cardinality = optLong(d.get("cardinality")).getOrElse(0L)))
+              cardinality = optLong(d.get("cardinality")).getOrElse(0L))),
+          baseRowId = optLong(n.get("baseRowId")),
+          defaultRowCommitVersion = optLong(n.get("defaultRowCommitVersion"))
         ))
     } else if (root.has("remove")) {
       val n = root.get("remove")
@@ -241,6 +255,14 @@ object ActionCodec {
           version = optLong(n.get("version")).getOrElse(0L),
           lastUpdated = optLong(n.get("lastUpdated"))
         ))
+    } else if (root.has("domainMetadata")) {
+      val n = root.get("domainMetadata")
+      Some(
+        DomainMetadata(
+          domain = n.get("domain").asText(),
+          configuration = optStr(n.get("configuration")).getOrElse(""),
+          removed = optBool(n.get("removed")).getOrElse(false)
+        ))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       Some(
@@ -294,6 +316,8 @@ object ActionCodec {
           d.put("sizeInBytes", dv.sizeInBytes)
           d.put("cardinality", dv.cardinality)
         }
+        f.baseRowId.foreach(n.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(n.put("defaultRowCommitVersion", _))
       case f: RemoveFile =>
         val n = root.putObject("remove")
         n.put("path", f.path)
@@ -346,6 +370,11 @@ object ActionCodec {
         n.put("appId", t.appId)
         n.put("version", t.version)
         t.lastUpdated.foreach(n.put("lastUpdated", _))
+      case d: DomainMetadata =>
+        val n = root.putObject("domainMetadata")
+        n.put("domain", d.domain)
+        n.put("configuration", d.configuration)
+        n.put("removed", d.removed)
       case c: CommitInfo =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", c.timestamp)

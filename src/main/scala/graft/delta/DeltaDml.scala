@@ -254,10 +254,16 @@ object DeltaDml {
         "numDeletionVectorsAdded" -> readds.size.toString,
         "numAddedFiles" -> newAdds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)): Action) +:
+      isBlindAppend = Some(false)): Action) +: {
+      // row tracking: UPDATE's appended rows get fresh ids; the DV
+      // re-adds keep theirs (same file, same rows — the DV flavor is
+      // exactly the DML shape under which row ids are stable)
+      val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
+        RowTracking.highWaterMark(snap), newAdds, readVersion + 1)
       // removes BEFORE the re-adds: replay is sequential, and the re-add
       // must end the commit active (it also clears the tombstone)
-      (protocolUpgrade.toSeq ++ cdcActions ++ removes ++ readds ++ newAdds)
+      protocolUpgrade.toSeq ++ rtDomain ++ cdcActions ++ removes ++ readds ++ rtAdds
+    }
 
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
@@ -497,7 +503,14 @@ object DeltaDml {
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)) +: (cdcActions ++ adds ++ removes)
+      isBlindAppend = Some(false)) +: {
+      // rewrite-flavor DML re-homes surviving rows into new files — they
+      // get FRESH row ids (no materialized-column preservation; the DV
+      // flavor is the stable-id path)
+      val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
+        RowTracking.highWaterMark(snap), adds, readVersion + 1)
+      rtDomain ++ cdcActions ++ rtAdds ++ removes
+    }
 
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
@@ -862,7 +875,11 @@ object DeltaDml {
         "numTargetFilesRemoved" -> removes.size.toString,
         "numTargetFilesAdded" -> adds.size.toString),
       readVersion = Some(readVersion),
-      isBlindAppend = Some(false)) +: (identityMeta.toSeq ++ cdcActions ++ adds ++ removes)
+      isBlindAppend = Some(false)) +: {
+      val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
+        RowTracking.highWaterMark(snap), adds, readVersion + 1)
+      identityMeta.toSeq ++ rtDomain ++ cdcActions ++ rtAdds ++ removes
+    }
 
     // phantom check for merge: a concurrent add conflicts iff it may
     // hold keys inside the source's key span (keyRanges) — the same
@@ -929,6 +946,12 @@ object DeltaDml {
               case _: MetadataAction | _: Protocol =>
                 throw new java.util.ConcurrentModificationException(
                   s"DML conflicts with a metadata/protocol change at version $w in $path", e)
+              // a concurrent domain-metadata change (e.g. a row-id
+              // allocation moving the delta.rowTracking watermark) makes
+              // our pre-computed domain state stale — abort, don't rebase
+              case _: DomainMetadata =>
+                throw new java.util.ConcurrentModificationException(
+                  s"DML conflicts with a domain-metadata change at version $w in $path", e)
               case r: RemoveFile if ourRemovedPaths.contains(r.path) =>
                 throw new java.util.ConcurrentModificationException(
                   s"Write-write conflict: ${r.path} was concurrently removed at version $w in $path", e)

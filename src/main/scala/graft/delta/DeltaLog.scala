@@ -22,7 +22,8 @@ final case class Snapshot(
     protocol: Protocol,
     activeFiles: Seq[AddFile],
     tombstones: Seq[RemoveFile],
-    setTransactions: Seq[SetTransaction] = Nil
+    setTransactions: Seq[SetTransaction] = Nil,
+    domainMetadata: Map[String, String] = Map.empty
 ) {
   def schema: StructType = metadata.schema
   def partitionColumns: Seq[String] = metadata.partitionColumns
@@ -223,6 +224,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
     val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
+    val domains = mutable.LinkedHashMap.empty[String, String]
     var metadata: Option[MetadataAction] = None
     var protocol: Protocol = Protocol()
 
@@ -254,6 +256,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         // latest per appId — idempotent-writer state (e.g. streaming sinks)
         // must survive replay and checkpointing or writers re-apply batches
         case t: SetTransaction => txns(t.appId) = t
+        // latest per domain; removed=true evicts (row tracking's id
+        // watermark and any foreign system metadata ride these)
+        case d: DomainMetadata =>
+          if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
         case _ => ()
       }
       actions.foreach {
@@ -306,7 +312,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           s"reader ≤ 2 with mapping mode none/name/id, or reader 3 whose features " +
           s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
-      txns.values.toSeq)
+      txns.values.toSeq, domains.toMap)
   }
 
   /** CommitInfo actions, newest version first — the history surface
@@ -407,12 +413,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val rows: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         snap.protocol.readerFeatures.orNull, snap.protocol.writerFeatures.orNull),
-        null, null, null, null) +:
-        Row(null, metadataToRow(snap.metadata), null, null, null) +:
-        (snap.activeFiles.map(f => Row(null, null, addToRow(f), null, null)) ++
-          snap.tombstones.map(f => Row(null, null, null, removeToRow(f), null)) ++
+        null, null, null, null, null) +:
+        Row(null, metadataToRow(snap.metadata), null, null, null, null) +:
+        (snap.activeFiles.map(f => Row(null, null, addToRow(f), null, null, null)) ++
+          snap.tombstones.map(f => Row(null, null, null, removeToRow(f), null, null)) ++
           snap.setTransactions.map(t => Row(null, null, null, null,
-            Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))))
+            Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull), null)) ++
+          snap.domainMetadata.toSeq.map { case (dom, cfg) =>
+            Row(null, null, null, null, null, Row(dom, cfg, false)) })
     val nParts = math.min(64, 1 + (rows.size - 1) / math.max(1, maxActionsPerPart))
     val tmp = new Path(logPath, s".checkpoint-tmp-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, nParts), checkpointSchema)
@@ -476,7 +484,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -493,7 +503,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),
-      StructField("lastUpdated", LongType))))
+      StructField("lastUpdated", LongType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))
   ))
 
   private def metadataToRow(m: MetadataAction): Row =
@@ -504,7 +518,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   private def addToRow(f: AddFile): Row =
     Row(f.path, f.partitionValues, f.size, f.modificationTime, f.dataChange, f.stats.orNull,
       f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
-        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull)
 
   private def removeToRow(f: RemoveFile): Row =
     Row(f.path, f.deletionTimestamp.map(Long.box).orNull, f.dataChange,
@@ -519,7 +535,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * collect() would double-materialize the active set. */
   private def checkpointDfToActions(df: DataFrame): Seq[Action] = {
     val cols = df.columns.toSet
-    val wanted = Seq("protocol", "metaData", "add", "remove", "txn").filter(cols.contains)
+    val wanted = Seq("protocol", "metaData", "add", "remove", "txn", "domainMetadata")
+      .filter(cols.contains)
     val proj = df.select(wanted.map(col): _*)
     import scala.jdk.CollectionConverters._
     proj.toLocalIterator().asScala.toSeq.flatMap { row =>
@@ -558,7 +575,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                     pathOrInlineDv = strField(d, "pathOrInlineDv").getOrElse(""),
                     offset = intOptField(d, "offset"),
                     sizeInBytes = intField(d, "sizeInBytes", 0),
-                    cardinality = longField(d, "cardinality").getOrElse(0L)))
+                    cardinality = longField(d, "cardinality").getOrElse(0L))),
+                baseRowId = longField(r, "baseRowId"),
+                defaultRowCommitVersion = longField(r, "defaultRowCommitVersion")
               ))
             case "remove" =>
               Some(RemoveFile(
@@ -581,6 +600,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 appId = strField(r, "appId").getOrElse(""),
                 version = longField(r, "version").getOrElse(0L),
                 lastUpdated = longField(r, "lastUpdated")
+              ))
+            case "domainMetadata" =>
+              Some(DomainMetadata(
+                domain = strField(r, "domain").getOrElse(""),
+                configuration = strField(r, "configuration").getOrElse(""),
+                removed = boolField(r, "removed").getOrElse(false)
               ))
             case _ => None
           }
@@ -639,7 +664,7 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "checkConstraints", "appendOnly", "invariants",
       "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "domainMetadata", "rowTracking")
 
   /** The writer features a legacy protocol version IMPLIES — a
     * features-upgrade must enumerate every one, or a feature-aware

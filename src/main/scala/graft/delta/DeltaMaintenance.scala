@@ -129,7 +129,11 @@ object DeltaMaintenance {
         "numAddedFiles" -> adds.size.toString),
       readVersion = Some(snap.version),
       isBlindAppend = Some(false))
-    log.writeCommit(snap.version + 1, Seq(commitInfo) ++ adds ++ removes)
+    // row tracking: compacted files are NEW physical files — their rows
+    // get fresh ids (no materialized preservation), watermark advances
+    val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
+      RowTracking.highWaterMark(snap), adds, snap.version + 1)
+    log.writeCommit(snap.version + 1, Seq(commitInfo) ++ rtDomain ++ rtAdds ++ removes)
     (snap.activeFiles.size, snap.activeFiles.size - removes.size + adds.size)
   }
 

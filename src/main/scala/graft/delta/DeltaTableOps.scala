@@ -328,7 +328,13 @@ object DeltaTableOps {
         "numClonedFiles" -> adds.size.toString,
         "numOutputRows" -> "0"),
       isBlindAppend = Some(false))
-    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ adds)
+    // a clone of a row-tracking table carries the id watermark too —
+    // without it the clone's next append would re-allocate ids the
+    // cloned files already hold
+    val domainActs = snap.domainMetadata.toSeq.map { case (d, cfg) =>
+      DomainMetadata(d, cfg)
+    }
+    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds)
     CloneResult(0L, adds.size)
   }
 

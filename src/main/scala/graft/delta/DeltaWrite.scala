@@ -406,23 +406,40 @@ object DeltaWrite {
 
     // a new table's protocol reflects what its metadata demands: writer 6
     // covers identity columns, 4 covers generated columns and the change
-    // data feed; plain tables stay at the reference-compatible (1, 2)
-    val createProtocol =
+    // data feed; plain tables stay at the reference-compatible (1, 2).
+    // Row tracking has NO legacy version — a create that asks for it
+    // jumps straight to writer-7 features, enumerating the implied set.
+    val legacyCreateProtocol =
       if (identityColumnsOf(df.schema).nonEmpty) Protocol(1, 6)
       else if (generatedColumnsOf(df.schema).nonEmpty ||
         configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true"))) Protocol(1, 4)
       else Protocol(1, 2)
-    def actionsAt(v: Long): Seq[Action] =
+    val rtEnabled = existing.map(RowTracking.enabled)
+      .getOrElse(RowTracking.enabledIn(configuration))
+    val createProtocol =
+      if (!rtEnabled || existing.isDefined) legacyCreateProtocol
+      else Protocol(1, 7, writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(legacyCreateProtocol) ++
+          Seq("rowTracking", "domainMetadata")).distinct))
+    def actionsAt(v: Long): Seq[Action] = {
+      // row-id allocation is version-dependent (defaultRowCommitVersion)
+      // — computed per attempt; the watermark base is stable because
+      // row-tracking appends never rebase (retriable excludes them)
+      val (rtAdds, rtDomain) =
+        RowTracking.assignForCommit(existing, configuration, adds.toSeq, v)
       Seq(commitInfo.copy(readVersion = if (isNew) None else Some(v - 1))) ++
         (if (isNew) Seq(createProtocol) else Nil) ++
-        metadata.toSeq ++ txn.toSeq ++ cdcActions ++ adds.toSeq ++ removes
+        metadata.toSeq ++ txn.toSeq ++ rtDomain ++ cdcActions ++ rtAdds ++ removes
+    }
 
     // Blind appends retry past concurrent winners (optimistic concurrency:
     // re-commit at the new head unless an interleaved commit logically
-    // conflicts). Anything else — create, overwrite, schema change — loses
-    // the race outright; clean up the staged files either way on failure.
-    val retriable = mode == "append" && !isNew && metadata.isEmpty
+    // conflicts). Anything else — create, overwrite, schema change, a
+    // row-id allocation (whose watermark base a concurrent allocator
+    // would invalidate) — loses the race outright; clean up the staged
+    // files either way on failure.
+    val retriable = mode == "append" && !isNew && metadata.isEmpty && !rtEnabled
     val committedVersion =
       try commitWithRetry(log, version, actionsAt, retriable, txn)
       catch {

@@ -134,6 +134,13 @@ object GraftDelta {
   def enableInCommitTimestamps(spark: SparkSession, path: String): Long =
     DeltaTableOps.enableInCommitTimestamps(spark, path)
 
+  def enableRowTracking(spark: SparkSession, path: String): Long =
+    RowTracking.enable(spark, path)
+
+  /** Snapshot read with `_row_id`/`_row_commit_version` columns. */
+  def readDeltaWithRowIds(spark: SparkSession, path: String): DataFrame =
+    RowTracking.readWithRowIds(spark, path)
+
   def enableChangeDataFeed(spark: SparkSession, path: String): Long =
     DeltaTableOps.enableChangeDataFeed(spark, path)
 

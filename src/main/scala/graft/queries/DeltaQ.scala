@@ -465,6 +465,36 @@ object DeltaQ {
         sum(cents($"o_totalprice")).as("total_c"))
     }),
 
+    // ROW TRACKING (writer features rowTracking + domainMetadata): two
+    // commits allocate disjoint watermarked id ranges; a DV DELETE hides
+    // rows WITHOUT rewriting files, so every surviving row must keep the
+    // exact id it had before — pinned by joining the pre- and post-delete
+    // id maps (both scans capture their file/DV state eagerly). Raw id
+    // VALUES depend on physical file layout, so the pins are structural:
+    // counts, uniqueness, zero re-homed rows, business checksum.
+    "d34_row_tracking" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d34")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      GraftDelta.toDelta(o.filter($"o_orderkey" < 3000), path,
+        configuration = Map("delta.enableRowTracking" -> "true"))         // v0
+      GraftDelta.toDelta(o.filter($"o_orderkey" >= 3000), path,
+        mode = "append")                                                  // v1
+      val before = GraftDelta.readDeltaWithRowIds(s, path)
+        .select($"o_orderkey", $"_row_id".as("id_before"))
+      GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("o_orderkey", ">=", 1000L),
+          Predicate("o_orderkey", "<", 2000L))))                          // v2
+      val after = GraftDelta.readDeltaWithRowIds(s, path)
+        .select($"o_orderkey", $"_row_id".as("id_after"),
+          cents($"o_totalprice").as("c"))
+      after.join(before, Seq("o_orderkey")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"id_after").as("n_distinct_ids"),
+        sum(when($"id_after" =!= $"id_before", 1L).otherwise(0L)).as("n_rehomed"),
+        sum($"c").as("total_c"))
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -879,6 +909,13 @@ object DeltaQ {
         |   AS o_year,
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d34_row_tracking" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_distinct_ids,
+        | CAST(0 AS BIGINT) AS n_rehomed,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 2000)""".stripMargin,
     "d33_ict" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         | CAST(3 AS BIGINT) AS n_stamped,

@@ -41,10 +41,14 @@ class CodecSpec extends AnyFunSuite {
     assert(ActionCodec.fromJsonLine(json).get.asInstanceOf[AddFile].partitionValues("k") == null)
   }
 
-  test("unknown action types are ignored for forward compat; cdc parses") {
-    assert(ActionCodec.fromJsonLine("""{"domainMetadata":{"domain":"x"}}""").isEmpty)
+  test("unknown action types are ignored for forward compat; cdc + domainMetadata parse") {
+    assert(ActionCodec.fromJsonLine("""{"sidecar":{"path":"x"}}""").isEmpty)
     assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""")
       .contains(AddCDCFile("x")))
+    // r5: domainMetadata is a first-class action (row tracking watermark)
+    assert(ActionCodec.fromJsonLine(
+      """{"domainMetadata":{"domain":"x","configuration":"{}","removed":false}}""")
+      .contains(DomainMetadata("x", "{}", false)))
   }
 
   test("partition values parse from hive paths incl null sentinel") {

