@@ -78,11 +78,22 @@ class GraftStreamSource(
   private val changeFeed = opt("changeFeed").exists(_.toBoolean)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
 
-  /** Versions ≤ this are excluded from the stream. */
-  private val startExclusive: Long = opt("startingVersion") match {
-    case Some(v) if v.equalsIgnoreCase("latest") => log.latestVersion
-    case Some(v) => v.toLong - 1
-    case None => -1L
+  /** Versions ≤ this are excluded from the stream. `startingTimestamp`
+    * resolves on the SAME per-commit clock as time travel (the monotonic
+    * in-commit timestamp when the table carries one): the stream begins
+    * at the first commit whose clock is at or after the bound. */
+  private val startExclusive: Long = (opt("startingVersion"), opt("startingTimestamp")) match {
+    case (Some(_), Some(_)) =>
+      throw new IllegalArgumentException(
+        "Set startingVersion OR startingTimestamp, not both")
+    case (Some(v), None) if v.equalsIgnoreCase("latest") => log.latestVersion
+    case (Some(v), None) => v.toLong - 1
+    case (None, Some(ts)) =>
+      val bound = graft.delta.DeltaRead.parseTimestampMillis(ts)
+      log.commitTimestamps.filter(_._2 >= bound).map(_._1).minOption
+        .map(_ - 1)
+        .getOrElse(log.latestVersion) // nothing at/after the bound: only new commits
+    case (None, None) => -1L
   }
 
   /** Highest version already handed out via getBatch (advances on

@@ -61,6 +61,38 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp begins at the first commit at/after the bound (ICT clock)") {
+    import spark.implicits._
+    val path = tmp("ts")
+    GraftDelta.toDelta((0 until 5).map(i => (i.toLong, "v0")).toDF("id", "v"), path,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))    // v0
+    Thread.sleep(15)
+    GraftDelta.toDelta(Seq((100L, "v1")).toDF("id", "v"), path, mode = "append") // v1
+    Thread.sleep(15)
+    GraftDelta.toDelta(Seq((200L, "v2")).toDF("id", "v"), path, mode = "append") // v2
+    val ictV1 = graft.delta.DeltaLog.forTable(spark, path)
+      .commitInfoOf(1L).get.inCommitTimestamp.get
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp",
+        java.time.Instant.ofEpochMilli(ictV1).toString)
+      .load(path)
+      .writeStream.format("memory").queryName("graft_ts").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_ts").as[(Long, String)].collect().toSet ==
+        Set((100L, "v1"), (200L, "v2")))
+    } finally q.stop()
+    // both options together refuse (surfaced through the stream thread)
+    val e = intercept[StreamingQueryException] {
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", "0").option("startingTimestamp", "2020-01-01")
+        .load(path)
+        .writeStream.format("memory").queryName("graft_ts2").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("not both"), e.getCause.getMessage)
+  }
+
   test("a data-changing remove fails the stream unless ignoreChanges=true") {
     import spark.implicits._
     val path = tmp("chg")
