@@ -70,6 +70,50 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Seed-keyed 31-bit shuffle key — same ANSI-safe LCG family as
+    * [[hashBucket]], with the seed XOR-mixed into the fold round so
+    * every seed induces an independent permutation. */
+  def shuffleKey(id: Column, seed: Long): Column = {
+    val idL = id.cast("long")
+    val x0 = idL.bitwiseAND(lit(Mask31))
+      .bitwiseXOR(shiftright(idL, 31).bitwiseAND(lit(Mask31)))
+      .bitwiseXOR(lit(seed & Mask31))
+    val x1 = (x0 * lit(A) + lit(C)).bitwiseAND(lit(Mask31))
+    val x2 = (x1 * lit(A) + lit(C)).bitwiseAND(lit(Mask31))
+    x2
+  }
+
+  /** SQL mirror of [[shuffleKey]] — identical BIGINT arithmetic. */
+  def shuffleKeySql(idExpr: String, seed: Long): String = {
+    val s = seed & Mask31
+    val x0 = s"xor(xor(CAST($idExpr AS BIGINT) & 2147483647, " +
+      s"(CAST($idExpr AS BIGINT) >> 31) & 2147483647), $s)"
+    val x1 = s"((($x0) * $A + $C) & 2147483647)"
+    s"((($x1) * $A + $C) & 2147483647)"
+  }
+
+  /** Deterministic global shuffle: a reproducible corpus-level ordering
+    * that is a pure function of (id, seed) — independent of input
+    * partitioning, cluster size, and engine, unlike `orderBy(rand(seed))`
+    * (whose draw depends on row-to-partition placement). Training runs
+    * re-create byte-identical epoch orders from just the seed; changing
+    * the seed re-permutes. Adds `shuffle_key` (the sort key) and `shard`
+    * (contiguous slice of the shuffled order out of `shards` — the
+    * deterministic output-file assignment a sharded writer needs).
+    *
+    * Scale: Spark executes the sort as a range-partitioned exchange with
+    * sampled boundaries — the canonical distributed total order; no
+    * single-task sort, each partition sorts its own key range. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: Long, shards: Int = 1): DataFrame = {
+    require(shards > 0 && shards <= (1 << 20), s"shards must be in [1, 2^20]: $shards")
+    val key = shuffleKey(col(idCol), seed)
+    df.withColumn("shuffle_key", key)
+      // key < 2^31 and shards ≤ 2^20 → the product stays below 2^51
+      .withColumn("shard", shiftright(col("shuffle_key") * lit(shards.toLong), 31))
+      .orderBy(col("shuffle_key"), col(idCol))
+  }
+
   /** Exactly-n-per-group deterministic sample (corpus balancing: "keep
     * 10k docs per language, reproducibly"): rows rank within their group
     * by (id hash, id) and the first n survive. Membership is a pure

@@ -374,6 +374,29 @@ object PipelineQ {
     // Temperature-rebalanced (T = 2) language mix: per-lang quota
     // min(n, 4·⌊√n⌋) by hash rank — integer-exact, membership-sensitive
     // id sums pin the exact surviving set.
+    // Deterministic global shuffle: a reproducible epoch order that is a
+    // pure function of (doc_id, seed) — unlike orderBy(rand(seed)), whose
+    // draw depends on row-to-partition placement. Shards are CONTIGUOUS
+    // slices of the shuffled order (the sharded-writer contract); the
+    // within-shard rank-weighted id sum pins the total order bit-for-bit,
+    // computed with a per-shard window (parallel across shards — no
+    // global single-partition window in the plan).
+    "t35_deterministic_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sh = Sampling.deterministicShuffle(
+        t(s, dir, "documents").select($"doc_id"), "doc_id", seed = 42L, shards = 8)
+      sh.withColumn("rk", row_number().over(
+          Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")))
+        .groupBy($"shard").agg(
+          count(lit(1)).as("n"),
+          sum($"doc_id").as("id_sum"),
+          sum($"rk" * $"doc_id").as("order_sum"),
+          min($"shuffle_key").as("key_min"),
+          max($"shuffle_key").as("key_max"))
+        .orderBy($"shard")
+    }),
+
     "t30_temperature_mix" -> ((s, dir) => {
       import s.implicits._
       Sampling.temperatureRebalance(t(s, dir, "documents"), "lang", "doc_id", perSqrt = 4)
@@ -796,6 +819,19 @@ object PipelineQ {
          |          ORDER BY ${Sampling.hashBucketSql("doc_id", 1 << 20)}, doc_id) AS rk
          |      FROM documents) z
          |WHERE rk <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    "t35_deterministic_shuffle" ->
+      s"""SELECT shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(SUM(rk * doc_id) AS BIGINT) AS order_sum,
+         |  CAST(MIN(k) AS BIGINT) AS key_min,
+         |  CAST(MAX(k) AS BIGINT) AS key_max
+         |FROM (SELECT doc_id, k, (k * 8) >> 31 AS shard,
+         |        ROW_NUMBER() OVER (PARTITION BY ((k * 8) >> 31)
+         |          ORDER BY k, doc_id) AS rk
+         |      FROM (SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 42L)} AS k
+         |            FROM documents))
+         |GROUP BY shard ORDER BY shard""".stripMargin,
     "t15_stable_split" ->
       s"""SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'eval'
          |            ELSE 'test' END AS split,

@@ -93,4 +93,27 @@ class SamplingSpec extends AnyFunSuite {
     val b = run(df.repartition(11, col("id") % 7))
     assert(a == b, "temperature mix membership drifted under repartitioning")
   }
+
+  test("deterministicShuffle: order is a pure function of (id, seed); shards are contiguous") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("id")
+    def order(d: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(d, "id", seed, shards = 4)
+        .select("id").as[Long].collect().toSeq
+    val a = order(df, 42L)
+    // repartition-proof: identical order from any input layout
+    assert(a == order(df.repartition(13, col("id") % 5), 42L),
+      "shuffle order drifted under repartitioning")
+    // a different seed is a different permutation of the same set
+    val c = order(df, 43L)
+    assert(c != a && c.toSet == a.toSet)
+    // actually shuffled: not the identity order
+    assert(a != (1L to 5000L).toSeq)
+    // shards are CONTIGUOUS slices of the shuffled order: walking the
+    // order, the shard number never decreases
+    val shards = Sampling.deterministicShuffle(df, "id", 42L, shards = 4)
+      .select("shard").as[Long].collect().toSeq
+    assert(shards == shards.sorted, "shards must slice the shuffled order contiguously")
+    assert(shards.distinct.sorted == Seq(0L, 1L, 2L, 3L))
+  }
 }
