@@ -51,6 +51,27 @@ class CodecSpec extends AnyFunSuite {
       .contains(DomainMetadata("x", "{}", false)))
   }
 
+  test("r5 protocol fields serialize under the spec's exact names (golden lines)") {
+    val add = AddFile("f.parquet", Map.empty, 10, 20, dataChange = true,
+      stats = Some("""{"numRecords":3}"""), baseRowId = Some(100L),
+      defaultRowCommitVersion = Some(7L))
+    val j = ActionCodec.toJsonLine(add)
+    assert(j.contains(""""baseRowId":100""") &&
+      j.contains(""""defaultRowCommitVersion":7"""), j)
+    assert(ActionCodec.fromJsonLine(j).contains(add))
+
+    val ci = CommitInfo(1000L, "WRITE", inCommitTimestamp = Some(2000L))
+    val cj = ActionCodec.toJsonLine(ci)
+    assert(cj.contains(""""inCommitTimestamp":2000"""), cj)
+    assert(ActionCodec.fromJsonLine(cj).contains(ci))
+
+    val dm = DomainMetadata("delta.rowTracking", """{"rowIdHighWaterMark":41}""")
+    assert(ActionCodec.toJsonLine(dm) ==
+      """{"domainMetadata":{"domain":"delta.rowTracking",""" +
+        """"configuration":"{\"rowIdHighWaterMark\":41}","removed":false}}""")
+    assert(ActionCodec.fromJsonLine(ActionCodec.toJsonLine(dm)).contains(dm))
+  }
+
   test("partition values parse from hive paths incl null sentinel") {
     val pv = DeltaWrite.partitionValuesFromPath(
       "k=a/j=__HIVE_DEFAULT_PARTITION__/part-0.parquet", Seq("k", "j"))

@@ -144,6 +144,62 @@ class ConcurrencySpec extends GraftSuite {
     assert(attempt(6) == 7L)
   }
 
+  /** Identity allocation and row-id allocation are version-dependent and
+    * watermark-based, so their appends are NON-retriable by design: a
+    * racing allocator either wins its version or aborts loudly — it can
+    * never rebase past a winner and hand out the same ids twice. The
+    * invariant pinned here is the one that matters downstream: whatever
+    * subset of racers commits, every id in the table is unique and the
+    * watermark covers the maximum. */
+  test("racing identity and row-tracking appends never duplicate an id") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.MetadataBuilder
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L).putLong("delta.identity.step", 1L)
+      .build()
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 10L).map(i => (i, s"seed$i")).toDF("row_no", "v")
+        .withColumn("row_no", org.apache.spark.sql.functions.col("row_no").as("row_no", idMeta)),
+      path)
+    val threads = 6
+    val outcomes = Await.result(Future.sequence((0 until threads).map { t =>
+      Future {
+        try {
+          GraftDelta.toDelta(
+            (1 to 5).map(i => s"w$t-$i").toDF("v"), path, mode = "append")
+          1
+        } catch { case _: java.util.ConcurrentModificationException => 0 }
+      }
+    }), 300.seconds).sum
+    assert(outcomes >= 1, "at least one racer must win")
+    val got = GraftDelta.readDelta(spark, path).select($"row_no").as[Long].collect()
+    assert(got.length == 10 + outcomes * 5)
+    assert(got.distinct.length == got.length, s"duplicate identity ids: ${got.sorted.toSeq}")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(DeltaWrite.identityColumnsOf(snap.schema).head.highWaterMark.contains(got.max))
+
+    // row tracking: same race, same invariant on _row_id
+    val rt = tmp()
+    GraftDelta.toDelta((1L to 10L).map(i => (i, "s")).toDF("k", "v"), rt)
+    GraftDelta.enableRowTracking(spark, rt)
+    val rtWins = Await.result(Future.sequence((0 until threads).map { t =>
+      Future {
+        try {
+          GraftDelta.toDelta(
+            (1 to 5).map(i => (100L * t + i, "w")).toDF("k", "v"), rt, mode = "append")
+          1
+        } catch { case _: java.util.ConcurrentModificationException => 0 }
+      }
+    }), 300.seconds).sum
+    assert(rtWins >= 1)
+    val rowIds = GraftDelta.readDeltaWithRowIds(spark, rt)
+      .select($"_row_id").as[Long].collect()
+    assert(rowIds.length == 10 + rtWins * 5)
+    assert(rowIds.distinct.length == rowIds.length,
+      s"duplicate row ids under race: ${rowIds.sorted.toSeq}")
+  }
+
   /** The commit primitive itself must arbitrate atomically: Hadoop's
     * RawLocalFileSystem.create(overwrite=false) is exists-then-create
     * (TOCTOU) — under contention two writers could both "win" a version
