@@ -36,7 +36,8 @@ object DeltaMaintenance {
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2,
       sortBy: Seq[String] = Nil,
-      zorder: Boolean = false): (Int, Int) = {
+      zorder: Boolean = false,
+      where: Seq[Seq[Predicate]] = Nil): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireNotColumnMapped(snap, "OPTIMIZE")
@@ -45,8 +46,27 @@ object DeltaMaintenance {
       require(!snap.partitionColumns.contains(c),
         s"sortBy column $c is a partition column (constant within a group)")
     }
+    // OPTIMIZE WHERE: partition predicates scope the compaction — on a
+    // 100 TB table only the hot partition (today's ingest) rewrites, the
+    // cold history is untouched. Exact evaluation on log-carried
+    // partition values (the replaceWhere contract); data-column
+    // predicates refuse loudly.
+    if (where.nonEmpty) {
+      val pc = snap.partitionColumns.toSet
+      val bad = where.flatten.map(_.column).distinct.filterNot(pc.contains)
+      require(bad.isEmpty,
+        s"OPTIMIZE WHERE supports partition columns only; non-partition: ${bad.mkString(", ")}")
+    }
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val byPartition = snap.activeFiles.groupBy(_.partitionValues)
-    val toCompact = byPartition.filter { case (_, fs) =>
+    val inScope =
+      if (where.isEmpty) byPartition
+      else byPartition.filter { case (pv, _) =>
+        where.exists(_.forall(p => DeltaRead.evalPredicate(
+          pv.get(p.column).flatMap(Option(_)),
+          fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p)))
+      }
+    val toCompact = inScope.filter { case (_, fs) =>
       fs.size >= minFilesToCompact && fs.map(_.size).sum <= targetFileBytes * fs.size
     }
     if (toCompact.isEmpty) return (snap.activeFiles.size, snap.activeFiles.size)

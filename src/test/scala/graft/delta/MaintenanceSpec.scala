@@ -162,6 +162,30 @@ class MaintenanceSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path, version = Some(1)).count() == 2000)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (0 until 1000).map(i => (i.toLong, s"k${i % 2}")).toDF("v", "k")
+    GraftDelta.toDelta(df.repartition(8), path, partitionBy = Seq("k"))
+    GraftDelta.toDelta(df.repartition(8), path, mode = "append", partitionBy = Seq("k"))
+    val before = DeltaLog.forTable(spark, path).snapshot(None)
+    val untouchedBefore = before.activeFiles
+      .filter(_.partitionValues.get("k").contains("k1")).map(_.path).toSet
+    DeltaMaintenance.compact(spark, path,
+      where = Seq(Seq(Predicate("k", "==", "k0"))))
+    val after = DeltaLog.forTable(spark, path).snapshot(None)
+    // k0 compacted, k1 keeps its EXACT file set
+    assert(after.activeFiles.count(_.partitionValues.get("k").contains("k0")) <
+      before.activeFiles.count(_.partitionValues.get("k").contains("k0")))
+    assert(after.activeFiles.filter(_.partitionValues.get("k").contains("k1"))
+      .map(_.path).toSet == untouchedBefore)
+    assert(GraftDelta.readDelta(spark, path).count() == 2000)
+    // data-column predicates refuse
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.compact(spark, path, where = Seq(Seq(Predicate("v", ">", 10L))))
+    }
+  }
+
   test("sorted compaction clusters files so stats pruning bites afterwards") {
     import spark.implicits._
     val path = tmp()
