@@ -462,6 +462,46 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** DESCRIBE DETAIL: a one-row table summary straight from the snapshot
+    * — table identity, location, partitioning, file count and bytes,
+    * properties, protocol (features included). O(log replay) driver
+    * work, zero data I/O at any table size. */
+  def tableDetail(spark: SparkSession, path: String): DataFrame = {
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val row = Row(
+      "delta",
+      snap.metadata.id,
+      snap.metadata.name.orNull,
+      snap.metadata.description.orNull,
+      path,
+      snap.metadata.createdTime.map(new java.sql.Timestamp(_)).orNull,
+      snap.partitionColumns,
+      snap.activeFiles.size.toLong,
+      snap.activeFiles.map(_.size).sum,
+      snap.metadata.configuration,
+      snap.protocol.minReaderVersion,
+      snap.protocol.minWriterVersion,
+      snap.protocol.readerFeatures.getOrElse(Nil),
+      snap.protocol.writerFeatures.getOrElse(Nil))
+    val schema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("location", StringType),
+      StructField("createdAt", TimestampType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
+
   /** Enable in-commit timestamps (delta.enableInCommitTimestamps): from
     * this commit on, every commitInfo carries a strictly monotonic
     * `inCommitTimestamp` (stamped in DeltaLog.writeCommit) that time

@@ -137,6 +137,10 @@ object GraftDelta {
   def enableRowTracking(spark: SparkSession, path: String): Long =
     RowTracking.enable(spark, path)
 
+  /** DESCRIBE DETAIL — one-row table summary from the log alone. */
+  def tableDetail(spark: SparkSession, path: String): DataFrame =
+    DeltaTableOps.tableDetail(spark, path)
+
   /** Snapshot read with `_row_id`/`_row_commit_version` columns. */
   def readDeltaWithRowIds(spark: SparkSession, path: String): DataFrame =
     RowTracking.readWithRowIds(spark, path)

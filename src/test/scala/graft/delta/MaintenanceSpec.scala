@@ -162,6 +162,25 @@ class MaintenanceSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path, version = Some(1)).count() == 2000)
   }
 
+  test("tableDetail summarizes the snapshot from the log alone") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (0 until 100).map(i => (i.toLong, s"k${i % 2}")).toDF("v", "k").repartition(4),
+      path, partitionBy = Seq("k"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val d = GraftDelta.tableDetail(spark, path).collect()(0)
+    assert(d.getAs[String]("format") == "delta")
+    assert(d.getAs[String]("id") == snap.metadata.id)
+    assert(d.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq == Seq("k"))
+    assert(d.getAs[Long]("numFiles") == snap.activeFiles.size.toLong)
+    assert(d.getAs[Long]("sizeInBytes") == snap.activeFiles.map(_.size).sum)
+    assert(d.getAs[Map[String, String]]("properties")
+      .get("delta.enableChangeDataFeed").contains("true"))
+    assert(d.getAs[Int]("minWriterVersion") == 4)
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partitions") {
     import spark.implicits._
     val path = tmp()
