@@ -249,8 +249,82 @@ object DeltaRead {
     * file survives if ANY OR-branch's conjuncts could all hold in it.
     * Missing stats / untranslatable predicates never prune (conservative).
     */
-  private[delta] def prunedFiles(snap: Snapshot, filters: Seq[Seq[Predicate]]): Seq[AddFile] = {
-    if (filters.isEmpty) return snap.activeFiles
+  // ---- partition pruning THROUGH generated columns ----------------------
+  private val YearGenRe = """(?i)^\s*year\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
+  private val DateGenRe =
+    ("""(?i)^\s*(?:CAST\s*\(\s*`?([A-Za-z0-9_]+)`?\s+AS\s+DATE\s*\)""" +
+      """|to_date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
+      """|date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\))\s*$""").r
+
+  /** Partition conjuncts IMPLIED by data-column predicates through
+    * MONOTONE generation expressions — the pattern that makes
+    * `WHERE event_ts > T` prune date/year partitions generated from the
+    * timestamp. Whitelist: `year(x)` and the date truncations
+    * `CAST(x AS DATE)` / `to_date(x)` / `date(x)` (monotone
+    * non-decreasing; `month`/`day` alone wrap and derive nothing).
+    * Derived bounds are WIDENED by one unit in the conservative
+    * direction, so the implication holds under any session timezone
+    * (offsets are < 1 day < 1 unit) — at scale the pruning still drops
+    * all but the boundary partitions, and correctness never depends on
+    * the derivation (pruning-only). */
+  private[delta] def derivedPartitionConjuncts(
+      snap: Snapshot, conj: Seq[Predicate]): Seq[Predicate] = {
+    val partCols = snap.partitionColumns.toSet
+    val gens: Seq[(String, String, String)] =
+      DeltaWrite.generatedColumnsOf(snap.schema).flatMap { case (p, sql) =>
+        if (!partCols.contains(p)) None
+        else sql match {
+          case YearGenRe(src) => Some((p, src, "year"))
+          case DateGenRe(a, b, c) =>
+            Some((p, Seq(a, b, c).find(_ != null).get, "date"))
+          case _ => None
+        }
+      }
+    if (gens.isEmpty) return Nil
+    def millisOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000L)
+      case d: java.time.LocalDate => Some(d.toEpochDay * 86400000L)
+      case i: java.time.Instant => Some(i.toEpochMilli)
+      case n: Number => Some(n.longValue())
+      case s: String =>
+        try Some(parseTimestampMillis(s)) catch { case _: Exception => None }
+      case _ => None
+    }
+    def gLo(kind: String, ms: Long): Any = kind match { // g(v) − 1 unit
+      case "year" =>
+        java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+          .getYear.toLong - 1L
+      case _ => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(ms, 86400000L) - 1L))
+    }
+    def gHi(kind: String, ms: Long): Any = kind match { // g(v) + 1 unit
+      case "year" =>
+        java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+          .getYear.toLong + 1L
+      case _ => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(ms, 86400000L) + 1L))
+    }
+    gens.flatMap { case (p, src, kind) =>
+      conj.filter(_.column == src).flatMap { q =>
+        millisOf(q.value).toSeq.flatMap { ms =>
+          q.op match {
+            case ">" | ">=" => Seq(Predicate(p, ">=", gLo(kind, ms)))
+            case "<" | "<=" => Seq(Predicate(p, "<=", gHi(kind, ms)))
+            case "==" | "=" =>
+              Seq(Predicate(p, ">=", gLo(kind, ms)), Predicate(p, "<=", gHi(kind, ms)))
+            case _ => Nil
+          }
+        }
+      }
+    }
+  }
+
+  private[delta] def prunedFiles(snap: Snapshot, filters0: Seq[Seq[Predicate]]): Seq[AddFile] = {
+    if (filters0.isEmpty) return snap.activeFiles
+    // data-column predicates imply partition bounds through monotone
+    // generation expressions — augment each conjunction before pruning
+    val filters = filters0.map(c => c ++ derivedPartitionConjuncts(snap, c))
     val partCols = snap.partitionColumns.toSet
     val fieldTypes: Map[String, DataType] =
       snap.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -87,6 +87,46 @@ class GeneratedColumnsSpec extends GraftSuite {
     assert(got == (1L to 11L).map(k => (k, k * 2)))
   }
 
+  test("predicates on the source column prune generated partitions at the log level") {
+    import java.sql.Timestamp
+    val path = tmp()
+    val yearMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "year(ts)").build()
+    val rows = (2000 to 2003).flatMap(y =>
+      (1 to 10).map(i => (Timestamp.valueOf(f"$y-06-${(i % 9) + 1}%02d 12:00:00"), y * 100L + i)))
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v").withColumn("o_year", year($"ts").as("o_year", yearMeta)),
+      path, partitionBy = Seq("o_year"))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.size >= 4)
+    // a predicate on ts ALONE derives o_year bounds (widened ±1 — the
+    // timezone-proof margin) and drops far-away partitions before any scan
+    val pruned = DeltaRead.prunedFiles(snap,
+      Seq(Seq(Predicate("ts", ">", Timestamp.valueOf("2003-01-01 00:00:00")))))
+    val years = pruned.flatMap(_.partitionValues.get("o_year")).map(_.toInt).toSet
+    assert(!years.contains(2000) && !years.contains(2001), s"far years must prune: $years")
+    assert(years.contains(2003), s"the matching year must survive: $years")
+    // and the read through the same filters stays correct (pruning-only)
+    val got = GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("ts", ">", Timestamp.valueOf("2003-01-01 00:00:00")))))
+    assert(got.count() == 10)
+
+    // the date-truncation flavor: p = CAST(ts AS DATE)
+    val p2 = tmp()
+    val dateMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(ts AS DATE)").build()
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v")
+        .withColumn("d", $"ts".cast("date").as("d", dateMeta)),
+      p2, partitionBy = Seq("d"))
+    val snap2 = DeltaLog.forTable(spark, p2).snapshot(None)
+    val pruned2 = DeltaRead.prunedFiles(snap2,
+      Seq(Seq(Predicate("ts", ">=", Timestamp.valueOf("2003-06-05 00:00:00")))))
+    val dates = pruned2.flatMap(_.partitionValues.get("d")).toSet
+    assert(!dates.exists(_.startsWith("2000-")) && !dates.exists(_.startsWith("2001-")),
+      s"old date partitions must prune: $dates")
+  }
+
   test("nested generated columns refuse; CDF postimages carry recomputed values") {
     val path = tmp()
     GraftDelta.toDelta(frame(1L to 10L).repartition(2), path)            // v0
