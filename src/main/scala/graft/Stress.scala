@@ -200,6 +200,26 @@ object Stress {
       f"back in ${(System.nanoTime()-t0)/1e9}%.1f s")
     require(restored == live + dv.affectedRows, s"restore lost rows: $restored")
 
+    // ---- broad scattered DV delete: ~30% of 5M rows, every file ---------
+    // The r5 verdict's named driver bottleneck: phase 1 used to
+    // collect_list every matched position to the driver (~1.5M boxed
+    // longs here; multi-GB at 100 TB). Positions now fold into per-file
+    // Roaring bitmaps executor-side and only 64 compressed blobs come
+    // back — this probe is the scale witness.
+    val vBeforeBroad = DeltaLog.forTable(spark, path).latestVersion
+    t0 = System.nanoTime()
+    val broad = GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("score", "<", 300L))))
+    println(f"[stress] DV DELETE scattered 30%%: ${broad.affectedRows}%,d rows across " +
+      f"${broad.addedFiles} files (0 rewrites, blobs-only collect) " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(broad.rewrittenFiles == 0, s"DV delete must not rewrite: $broad")
+    require(broad.affectedRows > 1000000L, s"expected ~1.5M matched: $broad")
+    val liveBroad = GraftDelta.readDelta(spark, path).count()
+    require(liveBroad == restored - broad.affectedRows,
+      s"scan after broad DV delete: $liveBroad vs ${restored - broad.affectedRows}")
+    GraftDelta.restore(spark, path, vBeforeBroad)
+
     // ---- row tracking + identity at 5M rows -----------------------------
     // enable() backfills all 64 files in ONE metadata commit (zero data
     // I/O — allocation is driver arithmetic over footer stats); the

@@ -311,4 +311,33 @@ object DeletionVectors {
     add.deletionVector.foreach(d => fresh.or(loadBitmap(fs, tableRoot, d)))
     fresh
   }
+
+  // ---- executor-side position aggregation --------------------------------
+
+  /** Typed aggregator folding matched row positions into a per-file
+    * Roaring bitmap ON THE EXECUTORS, with map-side partial aggregation:
+    * the shuffle carries serialized partial bitmaps, and the driver
+    * receives one compressed blob per touched file (KBs) instead of every
+    * matched position. This is what keeps a scattered 1 % DELETE over a
+    * 100 TB table (~10^9 matched rows) out of driver memory — a
+    * collect_list(row_index) would materialize every position as a boxed
+    * Long on the driver before any bitmap existed, and the plan would die
+    * before the protocol did. Buffer serde is Java serialization:
+    * Roaring64NavigableMap is Externalizable and its wire form is the
+    * same compressed container layout the finish() payload uses. */
+  object PositionBitmapAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Roaring64NavigableMap, Array[Byte]] {
+    override def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
+    override def reduce(b: Roaring64NavigableMap, pos: Long): Roaring64NavigableMap = {
+      b.addLong(pos); b
+    }
+    override def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = {
+      a.or(b); a
+    }
+    override def finish(b: Roaring64NavigableMap): Array[Byte] = serializeBitmap(b)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Roaring64NavigableMap] =
+      org.apache.spark.sql.Encoders.javaSerialization(classOf[Roaring64NavigableMap])
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
 }

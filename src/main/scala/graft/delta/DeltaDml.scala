@@ -129,30 +129,32 @@ object DeltaDml {
     val (provenFull, toScan) = candidates.partition(partitionFullMatch)
 
     // one scan: LIVE matched positions per file (readFiles applies any
-    // existing DVs, so already-deleted rows can't re-match)
+    // existing DVs, so already-deleted rows can't re-match). Positions
+    // fold into per-file Roaring bitmaps ON THE EXECUTORS
+    // (PositionBitmapAgg, map-side combine); the driver collects one
+    // compressed blob + count per touched file — O(#files × KB), never
+    // O(matched rows).
     val cond = DeltaRead.dnfToColumn(filters)
-    val matchedPos: Map[String, Array[Long]] =
+    val matched: Map[String, (Array[Byte], Long)] =
       if (toScan.isEmpty) Map.empty
-      else readFiles(spark, path, snap, toScan, keepMeta = true)
-        .filter(coalesce(cond, lit(false)))
-        .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__i"))
-        .groupBy(col("__f"))
-        .agg(collect_list(col("__i")).as("__is"))
+      else matchedBitmapFrame(
+          readFiles(spark, path, snap, toScan, keepMeta = true)
+            .filter(coalesce(cond, lit(false))))
         .collect()
-        .map(r => scanFileKey(r.getString(0)) -> r.getSeq[Long](1).toArray)
+        .map(r => scanFileKey(r.getString(0)) -> ((r.getAs[Array[Byte]](1), r.getLong(2))))
         .toMap
-    def posOf(f: AddFile): Array[Long] =
-      matchedPos.getOrElse(normalizePath(DeltaRead.resolvePath(path, f.path)), Array.empty)
+    def fileKey(f: AddFile): String = normalizePath(DeltaRead.resolvePath(path, f.path))
+    def countOf(f: AddFile): Long = matched.get(fileKey(f)).fold(0L)(_._2)
     def numRecords(f: AddFile): Option[Long] =
       StatsPruning.parse(f.stats).flatMap(_.numRecords)
 
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val root = new Path(path)
-    val touched = toScan.filter(posOf(_).nonEmpty)
+    val touched = toScan.filter(countOf(_) > 0)
     // a file whose every live row matched is a full remove, not a DV
     val (dvTargets, scannedFull) = touched.partition { f =>
       numRecords(f) match {
-        case Some(n) => posOf(f).length < n - f.dvCardinality
+        case Some(n) => countOf(f) < n - f.dvCardinality
         case None => true // stats-less: keep via DV, exactness over guessing
       }
     }
@@ -164,12 +166,11 @@ object DeltaDml {
       withStats.map(f => numRecords(f).get - f.dvCardinality).sum +
         (if (statless.isEmpty) 0L else readFiles(spark, path, snap, statless).count())
     }
-    val affected = provenRows + touched.map(posOf(_).length.toLong).sum
+    val affected = provenRows + touched.map(countOf).sum
 
     // merge fresh positions into any existing bitmap; ONE dv file per commit
     val bitmaps = dvTargets.map { f =>
-      val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-      posOf(f).foreach(rb.addLong)
+      val rb = DeletionVectors.deserializeBitmap(matched(fileKey(f))._1)
       f.path -> DeletionVectors.merged(fs, root, f, rb)
     }
     val descriptors: Map[String, DeletionVectorDescriptor] =
@@ -1022,6 +1023,21 @@ object DeltaDml {
           DeltaWrite.withConstraintsEnforced(df, constraints), snap),
         spark, fs, path, stagingDir, stagePartCols(snap), version, Nil)
   }
+
+  /** Per-file matched positions aggregated executor-side into serialized
+    * Roaring bitmaps plus counts: (file_path, dv_blob, n). Exposed as a
+    * FRAME (collected by dvMutate) so specs can pin the plan shape — the
+    * aggregate is a partial ObjectHashAggregate over
+    * [[DeletionVectors.PositionBitmapAgg]]; no collect_list of positions
+    * appears anywhere in the plan. Input must carry `_metadata`
+    * (readFiles with keepMeta = true). */
+  private[delta] def matchedBitmapFrame(matchedScan: DataFrame): DataFrame =
+    matchedScan
+      .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__i"))
+      .groupBy(col("__f"))
+      .agg(
+        udaf(DeletionVectors.PositionBitmapAgg).apply(col("__i")).as("__dv"),
+        count(lit(1)).as("__n"))
 
   private[delta] def readFiles(
       spark: SparkSession, path: String, snap: Snapshot, files: Seq[AddFile],

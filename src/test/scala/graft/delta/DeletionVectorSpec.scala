@@ -305,6 +305,41 @@ class DeletionVectorSpec extends GraftSuite {
     assert(deleted.select($"k").as[Long].collect().sorted.toSeq == (91L to 100L))
   }
 
+  test("DV DML positions aggregate executor-side: bitmap aggregator, no collect_list") {
+    // semantics: reduce/merge/finish over an arbitrary split equals the
+    // bitmap of all positions (the aggregator is the distributed replacement
+    // for driver-side bitmap building)
+    val agg = DeletionVectors.PositionBitmapAgg
+    val positions = Seq(0L, 1L, 7L, 1000L, (1L << 34) + 3L, 42L)
+    val (l, r) = positions.splitAt(2)
+    val b1 = l.foldLeft(agg.zero)(agg.reduce)
+    val b2 = r.foldLeft(agg.zero)(agg.reduce)
+    val merged = DeletionVectors.deserializeBitmap(agg.finish(agg.merge(b1, b2)))
+    assert(positions.forall(merged.contains) &&
+      merged.getLongCardinality == positions.size)
+
+    // plan pin: the phase-1 aggregate is a TWO-PHASE ObjectHashAggregate
+    // over the typed aggregator — partial bitmaps combine map-side and no
+    // collect_list of positions appears anywhere in the plan
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(4), path)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val frame = DeltaDml.matchedBitmapFrame(
+      DeltaDml.readFiles(spark, path, snap, snap.activeFiles, keepMeta = true)
+        .filter(col("k") > 10L))
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    val rows = frame.collect()
+    assert(rows.map(_.getLong(2)).sum == 40L)
+    rows.foreach { r0 =>
+      val bm = DeletionVectors.deserializeBitmap(r0.getAs[Array[Byte]](1))
+      assert(bm.getLongCardinality == r0.getLong(2))
+    }
+  }
+
   test("unknown reader-3 features refuse; known features pass the gate") {
     import spark.implicits._
     val path = tmp()
