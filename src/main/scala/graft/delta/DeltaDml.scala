@@ -850,11 +850,17 @@ object DeltaDml {
       return MergeResult(matchedRows, 0, 0, 0)
     }
 
-    // merge-allocated identity values advance the table's high watermark
-    // in the same commit (harvested from the adds' footer stats; the
-    // rewritten files' carried-over ids sit at or below it already)
+    // identity values observed in this commit's adds advance the table's
+    // high watermark in the same commit (harvested from footer stats).
+    // This must run whenever the schema has identity columns — not only
+    // for merge-ALLOCATED values: a source that carries the identity
+    // column explicitly can insert (or UpdateAll in) values above the
+    // stale watermark, and write()'s identityRebase policy is "cover
+    // provided values too" so later appends never allocate collisions.
+    // identityRebase itself returns None when nothing advanced (e.g. a
+    // rewrite that only re-staged existing at-or-below values).
     val identityMeta: Option[MetadataAction] =
-      if (identityOmitted.isEmpty || !insertNotMatched) None
+      if (DeltaWrite.identityColumnsOf(snap.schema).isEmpty) None
       else DeltaWrite.identityRebase(spark, path, snap.schema, adds)
         .map(s => snap.metadata.copy(schemaString = s.json))
 

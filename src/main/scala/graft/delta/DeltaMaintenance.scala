@@ -2,6 +2,7 @@ package graft.delta
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import java.time.Instant
 
@@ -76,6 +77,43 @@ object DeltaMaintenance {
     val statsSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
 
+    // Row tracking: OPTIMIZE only COPIES rows (dataChange=false), so the
+    // protocol requires each surviving row to keep its id. The compacted
+    // files carry physical materialized columns (names minted once and
+    // pinned in table config) holding the old id/commit-version; readers
+    // coalesce(materialized, baseRowId + row_index). Fresh baseRowIds
+    // are still assigned to the new files (spec-required on every add)
+    // but never surface for copied rows.
+    val rtEnabled = RowTracking.enabled(snap)
+    val matCols: Option[(String, String)] =
+      if (!rtEnabled) None
+      else Some(RowTracking.materializedColNames(snap).getOrElse {
+        val sfx = java.util.UUID.randomUUID().toString
+        (s"_row-id-col-$sfx", s"_row-commit-version-col-$sfx")
+      })
+    val mintedMatCols = rtEnabled && RowTracking.materializedColNames(snap).isEmpty
+    val rtBcast = if (!rtEnabled) None else {
+      val inScopeFiles = toCompact.values.flatten.toSeq
+      inScopeFiles.find(_.baseRowId.isEmpty).foreach(f =>
+        throw new IllegalStateException(
+          s"OPTIMIZE with row tracking: active file ${f.path} has no baseRowId — " +
+            "re-run RowTracking.enable() to backfill"))
+      Some(spark.sparkContext.broadcast(new RowIdIndex(inScopeFiles.map { f =>
+        val resolved = DeltaRead.resolvePath(path, f.path)
+        val name = resolved.substring(resolved.lastIndexOf('/') + 1)
+        name -> (f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(-1L))
+      }.toMap)))
+    }
+    val readSchema = matCols match {
+      case Some((rid, rcv)) => org.apache.spark.sql.types.StructType(
+        statsSchema.fields :+
+          org.apache.spark.sql.types.StructField(rid,
+            org.apache.spark.sql.types.LongType, nullable = true) :+
+          org.apache.spark.sql.types.StructField(rcv,
+            org.apache.spark.sql.types.LongType, nullable = true))
+      case None => statsSchema
+    }
+
     var adds = List.empty[AddFile]
     var removes = List.empty[RemoveFile]
     toCompact.foreach { case (pv, files) =>
@@ -95,8 +133,25 @@ object DeltaMaintenance {
         if (dvFiles.isEmpty) Map.empty[String, Array[Byte]]
         else DeletionVectors.dvByteMap(fs, new Path(path), dvFiles)
       }
-      val df = DeletionVectors.applyFilter(
-        spark.read.schema(statsSchema).parquet(paths: _*), dvBytes)
+      val df = (matCols, rtBcast) match {
+        case (Some((rid, rcv)), Some(bcast)) =>
+          import org.apache.spark.sql.functions.coalesce
+          // preserved id = materialized value if a previous OPTIMIZE
+          // already stamped one, else the file's baseRowId arithmetic
+          val scan = spark.read.schema(readSchema).parquet(paths: _*)
+            .withColumn("__rt_path", col("_metadata.file_path"))
+            .withColumn("__rt_idx", col("_metadata.row_index"))
+          DeletionVectors.applyFilter(scan, dvBytes)
+            .withColumn(rid, coalesce(col(rid),
+              org.apache.spark.sql.graft.RowIdExpressions
+                .rowId(bcast, col("__rt_path"), col("__rt_idx"))))
+            .withColumn(rcv, coalesce(col(rcv),
+              org.apache.spark.sql.graft.RowIdExpressions
+                .commitVersion(bcast, col("__rt_path"))))
+            .drop("__rt_path", "__rt_idx")
+        case _ => DeletionVectors.applyFilter(
+          spark.read.schema(statsSchema).parquet(paths: _*), dvBytes)
+      }
       val clustered =
         if (sortBy.isEmpty) df.coalesce(numOut)
         else if (zorder && sortBy.size >= 2) {
@@ -149,11 +204,21 @@ object DeltaMaintenance {
         "numAddedFiles" -> adds.size.toString),
       readVersion = Some(snap.version),
       isBlindAppend = Some(false))
-    // row tracking: compacted files are NEW physical files — their rows
-    // get fresh ids (no materialized preservation), watermark advances
-    val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
+    // row tracking: compacted files are NEW physical files and get fresh
+    // baseRowIds (spec-required on every add; watermark advances), but
+    // every copied row's OLD id rides the materialized columns written
+    // above, so reader-visible ids are preserved. First preserving
+    // OPTIMIZE also pins the minted column names in table config.
+    val (rtAdds, rtDomain) = RowTracking.assign(rtEnabled,
       RowTracking.highWaterMark(snap), adds, snap.version + 1)
-    log.writeCommit(snap.version + 1, Seq(commitInfo) ++ rtDomain ++ rtAdds ++ removes)
+    val metaActs = if (!mintedMatCols) Nil else {
+      val (rid, rcv) = matCols.get
+      Seq(snap.metadata.copy(configuration = snap.metadata.configuration +
+        (RowTracking.MaterializedRowIdProp -> rid) +
+        (RowTracking.MaterializedCommitVersionProp -> rcv)))
+    }
+    log.writeCommit(snap.version + 1,
+      Seq(commitInfo) ++ metaActs ++ rtDomain ++ rtAdds ++ removes)
     (snap.activeFiles.size, snap.activeFiles.size - removes.size + adds.size)
   }
 

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions.col
   * watermark lives in the `delta.rowTracking` domain-metadata action and
   * advances in the same commit as the adds it covers.
   *
-  * Scope (documented, spec-legal): ids are FRESH per physical file —
-  * rewriting DML (rewrite-flavor DELETE/UPDATE, MERGE on matched files,
-  * OPTIMIZE) re-assigns ids to the rows it rewrites, exactly like a
-  * writer that does not implement the optional materialized-column
-  * preservation. Readers needing stable ids under arbitrary rewrites
-  * should use the DV DML flavor, whose scans never re-home a row.
+  * Preservation: OPTIMIZE (a dataChange=false copy) preserves every
+  * surviving row's id and commit version through the protocol's
+  * MATERIALIZED columns — the compacted files carry physical
+  * `delta.rowTracking.materializedRowIdColumnName` /
+  * `...materializedRowCommitVersionColumnName` columns holding the old
+  * values, and readers coalesce(materialized, baseRowId + row_index).
+  * Scope (documented): rewriting DML (rewrite-flavor DELETE/UPDATE,
+  * MERGE on matched files) still re-assigns ids to the rows it
+  * rewrites; readers needing stable ids under DML should use the DV
+  * flavor, whose scans never re-home a row.
   *
   * Scale: allocation is driver-side arithmetic over the commit's adds
   * (cumulative numRecords from footer stats — zero data I/O); the scan
@@ -27,6 +31,17 @@ object RowTracking {
 
   val Domain = "delta.rowTracking"
   val Prop = "delta.enableRowTracking"
+  val MaterializedRowIdProp = "delta.rowTracking.materializedRowIdColumnName"
+  val MaterializedCommitVersionProp =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  /** Physical column names used to materialize preserved row ids in
+    * copied files (set lazily by the first preserving OPTIMIZE). */
+  def materializedColNames(snap: Snapshot): Option[(String, String)] =
+    for {
+      rid <- snap.metadata.configuration.get(MaterializedRowIdProp)
+      rcv <- snap.metadata.configuration.get(MaterializedCommitVersionProp)
+    } yield (rid, rcv)
 
   def enabled(snap: Snapshot): Boolean = enabledIn(snap.metadata.configuration)
 
@@ -158,7 +173,20 @@ object RowTracking {
       val rootStr = root.toUri.getPath
       absolute.forall(p => new Path(p).toUri.getPath.startsWith(rootStr))
     }
-    val reader = spark.read.schema(snap.schema)
+    // OPTIMIZE-compacted files carry materialized id columns (preserved
+    // ids of copied rows); older files read them as null and fall back
+    // to the baseRowId arithmetic via coalesce — one read schema for all
+    val matCols = materializedColNames(snap)
+    val readSchema = matCols match {
+      case Some((rid, rcv)) => org.apache.spark.sql.types.StructType(
+        snap.schema.fields :+
+          org.apache.spark.sql.types.StructField(rid,
+            org.apache.spark.sql.types.LongType, nullable = true) :+
+          org.apache.spark.sql.types.StructField(rcv,
+            org.apache.spark.sql.types.LongType, nullable = true))
+      case None => snap.schema
+    }
+    val reader = spark.read.schema(readSchema)
     val base =
       if (underRoot) reader.option("basePath", path).parquet(absolute: _*)
       else if (snap.partitionColumns.isEmpty) reader.parquet(absolute: _*)
@@ -169,11 +197,20 @@ object RowTracking {
       .withColumn("__rt_path", col("_metadata.file_path"))
       .withColumn("__rt_idx", col("_metadata.row_index"))
     val live = DeletionVectors.applyFilter(scan, dvBytes)
+    val freshId = org.apache.spark.sql.graft.RowIdExpressions
+      .rowId(bcast, col("__rt_path"), col("__rt_idx"))
+    val freshVer = org.apache.spark.sql.graft.RowIdExpressions
+      .commitVersion(bcast, col("__rt_path"))
+    val (idCol, verCol) = matCols match {
+      case Some((rid, rcv)) =>
+        (org.apache.spark.sql.functions.coalesce(col(rid), freshId),
+          org.apache.spark.sql.functions.coalesce(col(rcv), freshVer))
+      case None => (freshId, freshVer)
+    }
     live
-      .withColumn("_row_id", org.apache.spark.sql.graft.RowIdExpressions
-        .rowId(bcast, col("__rt_path"), col("__rt_idx")))
-      .withColumn("_row_commit_version", org.apache.spark.sql.graft.RowIdExpressions
-        .commitVersion(bcast, col("__rt_path")))
-      .drop("__rt_path", "__rt_idx")
+      .withColumn("_row_id", idCol)
+      .withColumn("_row_commit_version", verCol)
+      .drop("__rt_path" +: "__rt_idx" +:
+        matCols.toSeq.flatMap(c => Seq(c._1, c._2)): _*)
   }
 }

@@ -122,10 +122,32 @@ class GraftStreamSource(
     * read with the stale schema, silently dropping the new columns.
     * Fail loudly instead — restarting the stream picks up the new
     * schema (same contract as delta-spark). Commits ≤ schemaVersion are
-    * backfill and already reflected in the captured schema. */
+    * backfill and already reflected in the captured schema.
+    *
+    * Comparison strips VOLATILE per-field metadata first: every
+    * identity-allocating append commits a MetadataAction that differs
+    * only in delta.identity.highWaterMark — bookkeeping that changes how
+    * the NEXT writer allocates, not how any existing file reads. Without
+    * the strip, a running stream over an identity table would abort
+    * spuriously after each allocating append. Metadata that does affect
+    * reads (column-mapping ids/physical names, generation expressions)
+    * still participates via full equality of the stripped schemas. */
+  private def stripVolatileFieldMetadata(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      val cleaned = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("delta.identity.highWaterMark")
+        .build()
+      f.copy(metadata = cleaned, dataType = f.dataType match {
+        case st: StructType => stripVolatileFieldMetadata(st)
+        case dt => dt
+      })
+    })
+  private lazy val initSchemaStable = stripVolatileFieldMetadata(initSchema)
   private def checkSchemaStable(v: Long, actions: Seq[graft.delta.Action]): Unit =
     if (v > schemaVersion) actions.collectFirst {
-      case m: graft.delta.MetadataAction if m.schema != initSchema => m
+      case m: graft.delta.MetadataAction
+        if stripVolatileFieldMetadata(m.schema) != initSchemaStable => m
     }.foreach { m =>
       throw new IllegalStateException(
         s"Commit $v of $path changes the table schema from ${initSchema.simpleString} " +

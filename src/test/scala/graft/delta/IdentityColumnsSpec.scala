@@ -146,6 +146,25 @@ class IdentityColumnsSpec extends GraftSuite {
     assert(e.getMessage.contains("IDENTITY"), e.getMessage)
   }
 
+  test("merge with EXPLICIT identity values advances the watermark — later appends never collide") {
+    val path = tmp()
+    GraftDelta.toDelta(seed(1L to 5L), path) // hwm = 5
+    // source CARRIES the identity column (allowExplicitInsert=true) and
+    // inserts a value far above the stale watermark; pre-fix the merge
+    // path only rebased when the source OMITTED the column, so the
+    // watermark stayed at 5 and a later append would march toward 50
+    // and silently collide
+    GraftDelta.mergeInto(spark, path,
+      Seq((50L, "explicit"), (3L, "upd")).toDF("id", "v"), on = Seq("id"))
+    assert(hwmOf(path).contains(50L),
+      s"merge must cover explicitly-provided ids, got ${hwmOf(path)}")
+    GraftDelta.toDelta(Seq("later").toDF("v"), path, mode = "append")
+    val got = GraftDelta.readDelta(spark, path).select($"id").as[Long].collect()
+    assert(got.distinct.length == got.length,
+      s"append after explicit-id merge produced a collision: ${got.sorted.toSeq}")
+    assert(got.max > 50L, "allocation must continue above the covered value")
+  }
+
   test("foreign writer-6 table is writable; identity + CDF inserts agree") {
     // foreign protocol: stamp (1,6) via a manual commit, then append
     val path = tmp()

@@ -6,8 +6,9 @@ import java.nio.file.Files
 
 /** Row tracking (writer features rowTracking + domainMetadata): backfill
   * on enable, watermarked allocation per commit, id stability under DV
-  * DML, fresh ids under rewrites/OPTIMIZE, watermark survival through
-  * checkpoints and clones, and the scan surface's uniqueness guarantee. */
+  * DML, fresh ids under rewriting DML, id PRESERVATION through OPTIMIZE
+  * (materialized columns), watermark survival through checkpoints and
+  * clones, and the scan surface's uniqueness guarantee. */
 class RowTrackingSpec extends GraftSuite {
 
   import TestBase.spark
@@ -88,13 +89,51 @@ class RowTrackingSpec extends GraftSuite {
       afterRw.values.toSet.subsetOf(allBefore.union(afterRw.values.toSet)),
       "sanity")
     assert(afterRw.values.toSeq.distinct.length == afterRw.size, "ids stay unique")
-    // OPTIMIZE materializes DVs into fresh files — fresh unique ids
+    // OPTIMIZE is a dataChange=false copy — every surviving row KEEPS
+    // its id through the materialized columns
     DeltaMaintenance.compact(spark, path)
     val afterOpt = ids(path)
-    assert(afterOpt.keySet == afterRw.keySet)
-    assert(afterOpt.values.toSeq.distinct.length == afterOpt.size)
+    assert(afterOpt == afterRw, "OPTIMIZE must preserve every surviving row's id")
     val snap = DeltaLog.forTable(spark, path).snapshot(None)
-    assert(RowTracking.highWaterMark(snap) >= afterOpt.values.max)
+    assert(RowTracking.materializedColNames(snap).isDefined,
+      "first preserving OPTIMIZE pins the materialized column names")
+  }
+
+  test("OPTIMIZE preserves ids and commit versions; later appends never collide") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4), path, configuration = Map(RowTracking.Prop -> "true"))
+    GraftDelta.toDelta((21L to 25L).map(i => (i, "b")).toDF("k", "v"),
+      path, mode = "append")                                              // v1
+    def idsAndVers(): Map[Long, (Long, Long)] =
+      GraftDelta.readDeltaWithRowIds(spark, path)
+        .select($"k", $"_row_id", $"_row_commit_version")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val before = idsAndVers()
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)         // v2
+    assert(nAfter < nBefore, "compaction must actually merge files")
+    assert(idsAndVers() == before,
+      "OPTIMIZE must preserve both _row_id and _row_commit_version")
+    // a second OPTIMIZE reuses the pinned materialized columns (the
+    // already-materialized values coalesce through unchanged)
+    GraftDelta.toDelta((26L to 40L).map(i => (i, "c")).toDF("k", "v")
+      .repartition(3), path, mode = "append")                             // v3
+    val with3 = idsAndVers()
+    assert(before.forall { case (k, iv) => with3(k) == iv })
+    DeltaMaintenance.compact(spark, path)                                 // v4
+    val after2 = idsAndVers()
+    assert(after2 == with3, "second OPTIMIZE must preserve through minted columns")
+    assert(after2.values.map(_._1).toSeq.distinct.length == after2.size)
+    // plain reads never surface the physical materialized columns
+    val plain = GraftDelta.readDelta(spark, path)
+    assert(plain.columns.toSet == Set("k", "v"),
+      s"materialized columns leaked into the logical schema: ${plain.columns.mkString(",")}")
+    assert(plain.count() == 40)
+    // appends after preservation allocate above the (advanced) watermark
+    GraftDelta.toDelta(Seq((99L, "z")).toDF("k", "v"), path, mode = "append")
+    val all = idsAndVers()
+    assert(all.values.map(_._1).toSeq.distinct.length == all.size,
+      "post-OPTIMIZE append must not collide with preserved ids")
   }
 
   test("watermark survives checkpoints and rides clones") {
