@@ -84,9 +84,7 @@ object Stress {
     spark.catalog.clearCache()
 
     // ---- as-of + range joins on replicated events -----------------------
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val ev = graft.queries.EventsIO.withTsUs(spark, "/root/testdata/sf0.1")
     val evK = spark.range(k).crossJoin(ev)
       .select(($"event_id" * k + $"id").as("event_id"),
         ($"user_id" * k + $"id").as("user_id"), $"event_type", $"ts_us", $"value")

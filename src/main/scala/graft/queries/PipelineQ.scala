@@ -175,12 +175,9 @@ object PipelineQ {
     // LEFT JOIN, an independent implementation of the same contract.
     "t24_asof_join" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs granularity on both sides: DuckDB timestamps are µs-native,
-      // so the ns tail of the parquet TIMESTAMP(NANOS) column is not
-      // representable in the oracle.
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts DIV 1000"))
+      // and EventsIO normalizes ts to epoch-µs whatever the physical type.
+      val ev = EventsIO.withTsUs(s, dir)
       val probes = ev.filter($"event_type" === "view")
         .select($"event_id", $"user_id", $"ts_us")
       val states = ev.filter($"event_type" === "click")
@@ -198,9 +195,7 @@ object PipelineQ {
     // Oracle: DuckDB's own non-equi join over the same rows.
     "t25_range_join" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = EventsIO.withTsUs(s, dir)
       val hourUs = 3600L * 1000000L
       val intervals = ev.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id",
@@ -219,9 +214,7 @@ object PipelineQ {
     // pass). Oracle: DuckDB's own non-equi overlap join.
     "t27_interval_overlap" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = EventsIO.withTsUs(s, dir)
       val halfUs = 1800L * 1000000L
       val hourUs = 3600L * 1000000L
       val views = ev.filter($"event_type" === "view")
@@ -322,9 +315,8 @@ object PipelineQ {
     // serves readStream incrementally and batch backfills).
     "t12_stream_backfill" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val ev = EventsIO.withTsUs(s, dir)
+        .withColumn("ts", timestamp_micros($"ts_us"))
       EventStreams.hourlyTypeCounts(ev, "ts", "event_type")
         .select($"event_type", unix_millis($"hour_start").as("hour_ms"), $"n")
         .orderBy($"event_type", $"hour_ms")
@@ -444,8 +436,7 @@ object PipelineQ {
 
     "t33_skew_join" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EventsIO.raw(s, dir)
         .withColumn("user_id", when($"event_id" % 3 === 0, lit(1L)).otherwise($"user_id"))
         .select($"event_id", $"user_id", $"value")
       val dim = t(s, dir, "customer")

@@ -26,12 +26,10 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long of epoch nanos instead. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  /** events with `ts` normalized to an epoch-µs long `ts_us`, whatever
+    * physical type the generator used this round (see [[EventsIO]]). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    EventsIO.withTsUs(s, dir)
 
   /** Exact integer cents from a 2-decimal double column. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -128,7 +126,7 @@ object Relational {
       import s.implicits._
       events(s, dir)
         .groupBy($"event_type",
-          (expr("ts DIV 3600000000000") * 3600000L).as("hour_ms"))
+          (expr("ts_us DIV 3600000000") * 3600000L).as("hour_ms"))
         .agg(count(lit(1)).as("n"),
           milli(min($"value")).as("min_v3"),
           milli(max($"value")).as("max_v3"))
