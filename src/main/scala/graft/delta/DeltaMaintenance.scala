@@ -98,6 +98,13 @@ object DeltaMaintenance {
         throw new IllegalStateException(
           s"OPTIMIZE with row tracking: active file ${f.path} has no baseRowId — " +
             "re-run RowTracking.enable() to backfill"))
+      // same loudness for a missing commit version (possible from a
+      // foreign writer): materializing the -1 read-time sentinel would
+      // bake "unknown" into the compacted file forever
+      inScopeFiles.find(_.defaultRowCommitVersion.isEmpty).foreach(f =>
+        throw new IllegalStateException(
+          s"OPTIMIZE with row tracking: active file ${f.path} has no " +
+            "defaultRowCommitVersion — re-run RowTracking.enable() to backfill"))
       Some(spark.sparkContext.broadcast(new RowIdIndex(inScopeFiles.map { f =>
         val resolved = DeltaRead.resolvePath(path, f.path)
         val name = resolved.substring(resolved.lastIndexOf('/') + 1)

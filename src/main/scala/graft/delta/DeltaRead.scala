@@ -191,6 +191,21 @@ object DeltaRead {
         new MetadataBuilder().putLong("parquet.field.id", id).build())
     })
 
+  /** A sibling session (same SparkContext, shared SharedState/cache) that
+    * mirrors the caller's runtime conf plus field-id parquet matching.
+    * Scans rooted here keep the flag for their whole lifetime without
+    * mutating the caller's session. Static/read-only keys that refuse
+    * runtime assignment are skipped — they are identical across sessions
+    * of one context anyway. */
+  private def fieldIdReadSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    s2
+  }
+
   /** Scan of a column-mapped table. Mode `name`: parquet files carry
     * PHYSICAL field names (col-<uuid>) at every nesting level — read
     * with the physical schema, then rename back in one projection
@@ -214,7 +229,14 @@ object DeltaRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val byId = mappingModeOf(snap) == "id"
-    if (byId) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // Field-id matching must be ON when this scan's parquet reader is
+    // built (at physical planning, from the scan relation's session conf)
+    // — but flipping the caller's session conf as a read side effect
+    // would leak. Instead the scan is rooted in a derived session carrying
+    // the flag: HadoopFsRelation captures its SparkSession at read time,
+    // so the flag travels with the plan even when the frame is later
+    // combined and executed under the caller's session.
+    val readSession = if (byId) fieldIdReadSession(spark) else spark
     val partCols = snap.partitionColumns
     val physOf: Map[String, String] =
       schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
@@ -228,7 +250,7 @@ object DeltaRead {
       // DVs apply on the raw physical scan, where _metadata resolves —
       // bitmaps are keyed by file NAME, independent of column mapping
       val g = DeletionVectors.applyFilter(
-        spark.read.format("parquet").schema(readSchema)
+        readSession.read.format("parquet").schema(readSchema)
           .load(group.map(f => resolvePath(path, f.path)): _*),
         dvBytes)
       val renamed = dataFields.map(f =>

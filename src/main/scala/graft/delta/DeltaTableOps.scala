@@ -611,6 +611,16 @@ object DeltaTableOps {
     val snap = log.snapshot(None)
     require(DeltaRead.mappingModeOf(snap) == "none",
       s"columnMapping.mode is already '${DeltaRead.mappingModeOf(snap)}' on $path")
+    // mirror of the one-way guards in RowTracking.enable and the identity
+    // write path: mapping-then-rename would silently re-bind the
+    // materialized row-id columns and the identity watermark harvest,
+    // so the combination refuses in BOTH directions
+    require(!RowTracking.enabled(snap),
+      "column mapping on a row-tracked table is not supported " +
+        "(materialized row-id columns bind by name)")
+    require(DeltaWrite.identityColumnsOf(snap.schema).isEmpty,
+      "column mapping on a table with identity columns is not supported " +
+        "(watermark harvesting binds by name)")
     // mapped scans apply DVs on the raw physical scan (bitmaps are keyed
     // by file name, independent of mapping) — live DVs are fine here
     var nextId = 0L

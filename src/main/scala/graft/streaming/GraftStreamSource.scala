@@ -132,17 +132,22 @@ class GraftStreamSource(
     * spuriously after each allocating append. Metadata that does affect
     * reads (column-mapping ids/physical names, generation expressions)
     * still participates via full equality of the stripped schemas. */
-  private def stripVolatileFieldMetadata(s: StructType): StructType =
+  private def stripVolatileFieldMetadata(s: StructType): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def stripType(dt: DataType): DataType = dt match {
+      case st: StructType => stripVolatileFieldMetadata(st)
+      case ArrayType(et, n) => ArrayType(stripType(et), n)
+      case MapType(k, v, n) => MapType(stripType(k), stripType(v), n)
+      case other => other
+    }
     StructType(s.fields.map { f =>
       val cleaned = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .remove("delta.identity.highWaterMark")
         .build()
-      f.copy(metadata = cleaned, dataType = f.dataType match {
-        case st: StructType => stripVolatileFieldMetadata(st)
-        case dt => dt
-      })
+      f.copy(metadata = cleaned, dataType = stripType(f.dataType))
     })
+  }
   private lazy val initSchemaStable = stripVolatileFieldMetadata(initSchema)
   private def checkSchemaStable(v: Long, actions: Seq[graft.delta.Action]): Unit =
     if (v > schemaVersion) actions.collectFirst {

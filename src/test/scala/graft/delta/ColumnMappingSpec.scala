@@ -265,14 +265,17 @@ class ColumnMappingSpec extends GraftSuite {
     GraftDelta.toDelta(Seq((6L, "v6")).toDF("k", "v"), path, mode = "append")
     val newAdd = DeltaLog.forTable(spark, path).snapshot(None)
       .activeFiles.sortBy(_.modificationTime).last
-    // the new footer carries field ids (read it back by id alone)
+    // the new footer carries field ids (read it back by id alone) —
+    // restore the conf afterwards so no other test inherits it
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val idSchema = StructType(Seq(
-      StructField("anything", LongType, nullable = true,
-        new MetadataBuilder().putLong("parquet.field.id", 1).build())))
-    val byId = spark.read.schema(idSchema).parquet(s"$path/${newAdd.path}")
-    assert(byId.as[Long].collect().toSeq == Seq(6L),
-      "new file must be readable by field id regardless of names")
+    try {
+      val idSchema = StructType(Seq(
+        StructField("anything", LongType, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", 1).build())))
+      val byId = spark.read.schema(idSchema).parquet(s"$path/${newAdd.path}")
+      assert(byId.as[Long].collect().toSeq == Seq(6L),
+        "new file must be readable by field id regardless of names")
+    } finally spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
   }
 
   test("id mapping mode reads through parquet field ids, rename-proof") {
@@ -301,10 +304,14 @@ class ColumnMappingSpec extends GraftSuite {
       AddFile(path = s"data/${file.getName}", size = file.length(),
         modificationTime = file.lastModified(), dataChange = true)))
 
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
     val df = GraftDelta.readDelta(spark, path)
     assert(df.columns.toSeq == Seq("key", "value"))
     assert(df.orderBy("key").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the id-mode scan must not leak its field-id conf into this session
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") == "false",
+      "id-mode read mutated the caller's session conf")
     // a foreign logical rename is metadata-only: the field id still binds
     GraftDelta.renameColumn(spark, path, "value", "name")
     val df2 = GraftDelta.readDelta(spark, path)
@@ -346,5 +353,30 @@ class ColumnMappingSpec extends GraftSuite {
     // dropped-column data is projected away, not destroyed: restore sees it
     GraftDelta.restore(spark, path, 1L)                                   // v4
     assert(GraftDelta.readDelta(spark, path).columns.toSeq == Seq("k", "v", "w"))
+  }
+
+  test("enableColumnMapping refuses row-tracked tables (guard mirrors enable)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    RowTracking.enable(spark, path)
+    val e = intercept[IllegalArgumentException](
+      GraftDelta.enableColumnMapping(spark, path))
+    assert(e.getMessage.contains("row-tracked"), e.getMessage)
+  }
+
+  test("enableColumnMapping refuses tables with identity columns") {
+    import spark.implicits._
+    val path = tmp()
+    val ident = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    GraftDelta.toDelta(
+      (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .withColumn("id", col("id").as("id", ident)), path)
+    val e = intercept[IllegalArgumentException](
+      GraftDelta.enableColumnMapping(spark, path))
+    assert(e.getMessage.contains("identity"), e.getMessage)
   }
 }
