@@ -912,9 +912,15 @@ object DeltaTableOps {
         StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false)))
       .option("basePath", new Path(path, "_change_data").toString)
       .parquet(files.map(c => DeltaRead.resolvePath(path, c.path)): _*)
+    val commits = ((fromVersion + 1) to hi).map(v => v -> log.readCommitActions(v))
+    // all DV bitmap diffs across the range load in one batched pass
+    // (one Spark job beyond the threshold) instead of per-commit
+    // driver-side loops
+    val plans = ChangeFeed.planRange(spark, root, commits).map(p => p.version -> p).toMap
+    val actionsByV = commits.toMap
     val perCommit: Seq[DataFrame] = ((fromVersion + 1) to hi).flatMap { v =>
-      val actions = log.readCommitActions(v)
-      val plan = ChangeFeed.planVersion(fs, root, v, actions)
+      val actions = actionsByV(v)
+      val plan = plans(v)
       val ts = ChangeFeed.commitTimestamp(fs, log.commitFile(v), actions)
       def stamp(d: DataFrame) = d
         .withColumn(ChangeFeed.CommitVersionCol, lit(v))

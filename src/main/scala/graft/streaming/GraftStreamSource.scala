@@ -215,10 +215,17 @@ class GraftStreamSource(
       org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
         spark, files.map(a => DeltaRead.resolvePath(path, a.path)),
         initSchema, Map("basePath" -> path))
-    val frames: Seq[DataFrame] = ((from + 1) to to).flatMap { v =>
+    val commits = ((from + 1) to to).map { v =>
       val actions = log.readCommitActions(v)
       checkSchemaStable(v, actions)
-      val plan = graft.delta.ChangeFeed.planVersion(fs, root, v, actions)
+      v -> actions
+    }
+    // batched DV-diff loading across the whole batch range (a wide
+    // backfill batch over a DV-heavy history plans in one Spark job)
+    val plans = graft.delta.ChangeFeed.planRange(spark, root, commits)
+      .map(p => p.version -> p).toMap
+    val frames: Seq[DataFrame] = commits.flatMap { case (v, actions) =>
+      val plan = plans(v)
       if (plan.cdcFiles.nonEmpty) {
         // a CDF writer recorded this commit's exact row changes — serve
         // them exclusively; no rewrite guard applies (the cdc files ARE

@@ -202,4 +202,31 @@ class ChangeDataFeedSpec extends GraftSuite {
     assert(!cdcDir.exists() || parquets(cdcDir).isEmpty)
     assert(GraftDelta.readDelta(spark, path).count() == 18L)
   }
+
+  test("planRange distributed DV-diff loading matches the driver-side path") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 30L).toDF("k").repartition(1), path)       // v0
+    // three DV commits on the same incarnation chain: each diff is only
+    // that commit's newly-deleted positions
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 3L))))  // v1
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 6L))))  // v2
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 9L))))  // v3
+    val log = DeltaLog.forTable(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = (1L to 3L).map(v => v -> log.readCommitActions(v))
+    val driverSide = commits.map { case (v, a) => ChangeFeed.planVersion(fs, root, v, a) }
+    // threshold 0 forces the Spark-job branch on the same range
+    val distributed = ChangeFeed.planRange(spark, root, commits, distributedThreshold = 0)
+    assert(distributed.map(_.version) == driverSide.map(_.version))
+    driverSide.zip(distributed).foreach { case (d, x) =>
+      assert(x.insertFiles.map(_.path) == d.insertFiles.map(_.path))
+      assert(x.deleteCarriers.map(_.path) == d.deleteCarriers.map(_.path))
+      assert(x.deleteDiffs.keySet == d.deleteDiffs.keySet)
+      x.deleteDiffs.foreach { case (name, bytes) =>
+        assert(java.util.Arrays.equals(bytes, d.deleteDiffs(name)),
+          s"diff bitmap for $name differs between the two paths")
+      }
+    }
+  }
 }
