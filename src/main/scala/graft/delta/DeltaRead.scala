@@ -277,6 +277,77 @@ object DeltaRead {
     ("""(?i)^\s*(?:CAST\s*\(\s*`?([A-Za-z0-9_]+)`?\s+AS\s+DATE\s*\)""" +
       """|to_date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
       """|date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\))\s*$""").r
+  private val MonthGenRe = """(?i)^\s*month\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
+  private val DateTruncRe =
+    """(?i)^\s*date_trunc\s*\(\s*['"](year|quarter|month|week|day|hour|minute|second)['"]\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
+  private val TruncRe =
+    """(?i)^\s*trunc\s*\(\s*`?([A-Za-z0-9_]+)`?\s*,\s*['"](year|yyyy|yy|quarter|month|mon|mm|week)['"]\s*\)\s*$""".r
+  private val DateFormatRe =
+    """(?i)^\s*date_format\s*\(\s*`?([A-Za-z0-9_]+)`?\s*,\s*['"]([^'"]+)['"]\s*\)\s*$""".r
+  /** date_format patterns whose output sorts lexicographically in time
+    * order — exactly the prefixes of the ISO-ish layout. */
+  private val MonotoneFormats = Set(
+    "yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd HH", "yyyy-MM-dd-HH",
+    "yyyy-MM-dd HH:mm", "yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd", "yyyyMMdd", "yyyyMM")
+
+  /** Widening slack for the trunc/format/month kernels: larger than any
+    * UTC offset (±14 h) plus DST shifts, so a derivation computed in UTC
+    * bounds a partition value computed under ANY writer session
+    * timezone. (The year/date kernels above predate this and widen by a
+    * full unit instead — also safe, ≥ 1 day.) */
+  private val SlackMs = 26L * 3600 * 1000
+
+  private def utcAt(ms: Long): java.time.ZonedDateTime =
+    java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+
+  private def truncUtc(unit: String, ms: Long): java.time.ZonedDateTime = {
+    val z = utcAt(ms)
+    unit match {
+      case "year" => z.toLocalDate.withDayOfYear(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      case "quarter" => z.toLocalDate.withDayOfMonth(1)
+        .withMonth(((z.getMonthValue - 1) / 3) * 3 + 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      case "month" => z.toLocalDate.withDayOfMonth(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      case "week" => z.toLocalDate
+        .`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      case "day" => z.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case "hour" => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+      case "minute" => z.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+      case "second" => z.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+    }
+  }
+
+  /** One derivation kernel: partition conjuncts implied by a data-column
+    * comparison at epoch-millis `ms` through the generation expression. */
+  private sealed trait GenKernel {
+    def derive(partCol: String, op: String, ms: Long): Seq[Predicate]
+  }
+  /** Monotone g: ranges and equality both derive (bounds widened by
+    * [[SlackMs]] in the conservative direction). */
+  private final case class MonotoneKernel(g: Long => Any) extends GenKernel {
+    def derive(p: String, op: String, ms: Long): Seq[Predicate] = op match {
+      case ">" | ">=" => Seq(Predicate(p, ">=", g(ms - SlackMs)))
+      case "<" | "<=" => Seq(Predicate(p, "<=", g(ms + SlackMs)))
+      case "==" | "=" =>
+        Seq(Predicate(p, ">=", g(ms - SlackMs)), Predicate(p, "<=", g(ms + SlackMs)))
+      case _ => Nil
+    }
+  }
+  /** month(x) wraps across years, so only EQUALITY derives — and only
+    * when the slack window stays inside one year (no Dec→Jan wrap). */
+  private case object MonthKernel extends GenKernel {
+    def derive(p: String, op: String, ms: Long): Seq[Predicate] = op match {
+      case "==" | "=" =>
+        val lo = utcAt(ms - SlackMs).getMonthValue.toLong
+        val hi = utcAt(ms + SlackMs).getMonthValue.toLong
+        if (lo <= hi) Seq(Predicate(p, ">=", lo), Predicate(p, "<=", hi)) else Nil
+      case _ => Nil
+    }
+  }
 
   /** Partition conjuncts IMPLIED by data-column predicates through
     * MONOTONE generation expressions — the pattern that makes
@@ -292,13 +363,55 @@ object DeltaRead {
   private[delta] def derivedPartitionConjuncts(
       snap: Snapshot, conj: Seq[Predicate]): Seq[Predicate] = {
     val partCols = snap.partitionColumns.toSet
-    val gens: Seq[(String, String, String)] =
+    // year/date keep their original one-unit widening; the newer kernels
+    // (month / date_trunc / trunc / date_format) widen by SlackMs
+    def yearKernel: GenKernel = new GenKernel {
+      def derive(p: String, op: String, ms: Long): Seq[Predicate] = {
+        def y(m: Long, d: Long) = utcAt(m).getYear.toLong + d
+        op match {
+          case ">" | ">=" => Seq(Predicate(p, ">=", y(ms, -1L)))
+          case "<" | "<=" => Seq(Predicate(p, "<=", y(ms, 1L)))
+          case "==" | "=" => Seq(Predicate(p, ">=", y(ms, -1L)), Predicate(p, "<=", y(ms, 1L)))
+          case _ => Nil
+        }
+      }
+    }
+    def dateKernel: GenKernel = new GenKernel {
+      def derive(p: String, op: String, ms: Long): Seq[Predicate] = {
+        def d(m: Long, delta: Long) = java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(Math.floorDiv(m, 86400000L) + delta))
+        op match {
+          case ">" | ">=" => Seq(Predicate(p, ">=", d(ms, -1L)))
+          case "<" | "<=" => Seq(Predicate(p, "<=", d(ms, 1L)))
+          case "==" | "=" => Seq(Predicate(p, ">=", d(ms, -1L)), Predicate(p, "<=", d(ms, 1L)))
+          case _ => Nil
+        }
+      }
+    }
+    val gens: Seq[(String, String, GenKernel)] =
       DeltaWrite.generatedColumnsOf(snap.schema).flatMap { case (p, sql) =>
         if (!partCols.contains(p)) None
         else sql match {
-          case YearGenRe(src) => Some((p, src, "year"))
+          case YearGenRe(src) => Some((p, src, yearKernel))
           case DateGenRe(a, b, c) =>
-            Some((p, Seq(a, b, c).find(_ != null).get, "date"))
+            Some((p, Seq(a, b, c).find(_ != null).get, dateKernel))
+          case MonthGenRe(src) => Some((p, src, MonthKernel))
+          case DateTruncRe(unit, src) =>
+            val u = unit.toLowerCase
+            Some((p, src, MonotoneKernel(ms =>
+              new java.sql.Timestamp(truncUtc(u, ms).toInstant.toEpochMilli))))
+          case TruncRe(src, fmt) =>
+            // trunc() returns DATE; yyyy/yy → year, mon/mm → month
+            val u = fmt.toLowerCase match {
+              case "yyyy" | "yy" | "year" => "year"
+              case "mon" | "mm" | "month" => "month"
+              case other => other
+            }
+            Some((p, src, MonotoneKernel(ms =>
+              java.sql.Date.valueOf(truncUtc(u, ms).toLocalDate))))
+          case DateFormatRe(src, fmt) if MonotoneFormats.contains(fmt) =>
+            val formatter = java.time.format.DateTimeFormatter.ofPattern(fmt)
+            Some((p, src, MonotoneKernel(ms => utcAt(ms).format(formatter))))
           case _ => None
         }
       }
@@ -313,31 +426,9 @@ object DeltaRead {
         try Some(parseTimestampMillis(s)) catch { case _: Exception => None }
       case _ => None
     }
-    def gLo(kind: String, ms: Long): Any = kind match { // g(v) − 1 unit
-      case "year" =>
-        java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
-          .getYear.toLong - 1L
-      case _ => java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(Math.floorDiv(ms, 86400000L) - 1L))
-    }
-    def gHi(kind: String, ms: Long): Any = kind match { // g(v) + 1 unit
-      case "year" =>
-        java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
-          .getYear.toLong + 1L
-      case _ => java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(Math.floorDiv(ms, 86400000L) + 1L))
-    }
-    gens.flatMap { case (p, src, kind) =>
+    gens.flatMap { case (p, src, kernel) =>
       conj.filter(_.column == src).flatMap { q =>
-        millisOf(q.value).toSeq.flatMap { ms =>
-          q.op match {
-            case ">" | ">=" => Seq(Predicate(p, ">=", gLo(kind, ms)))
-            case "<" | "<=" => Seq(Predicate(p, "<=", gHi(kind, ms)))
-            case "==" | "=" =>
-              Seq(Predicate(p, ">=", gLo(kind, ms)), Predicate(p, "<=", gHi(kind, ms)))
-            case _ => Nil
-          }
-        }
+        millisOf(q.value).toSeq.flatMap(ms => kernel.derive(p, q.op, ms))
       }
     }
   }

@@ -127,6 +127,67 @@ class GeneratedColumnsSpec extends GraftSuite {
       s"old date partitions must prune: $dates")
   }
 
+  test("month/date_trunc/date_format generation expressions prune partitions") {
+    import java.sql.Timestamp
+    val rows = (1 to 12).flatMap(m =>
+      (1 to 5).map(i => (Timestamp.valueOf(f"2021-$m%02d-${i + 3}%02d 12:00:00"), m * 10L + i)))
+
+    // month(ts) partitions: equality on ts derives month bounds
+    val p1 = tmp()
+    val monthMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "month(ts)").build()
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v").withColumn("m", month($"ts").as("m", monthMeta)),
+      p1, partitionBy = Seq("m"))
+    val snap1 = DeltaLog.forTable(spark, p1).snapshot(None)
+    val pruned1 = DeltaRead.prunedFiles(snap1,
+      Seq(Seq(Predicate("ts", "==", Timestamp.valueOf("2021-06-15 08:00:00")))))
+    val months = pruned1.flatMap(_.partitionValues.get("m")).map(_.toInt).toSet
+    assert(months.subsetOf(Set(5, 6, 7)), s"only near months may survive: $months")
+    assert(months.contains(6), s"the matching month must survive: $months")
+    // a RANGE on ts derives nothing through month (wraps) — all survive
+    val noDerive = DeltaRead.prunedFiles(snap1,
+      Seq(Seq(Predicate("ts", ">", Timestamp.valueOf("2021-06-15 08:00:00")))))
+    assert(noDerive.size == snap1.activeFiles.size)
+
+    // date_trunc('month', ts) partitions: ranges derive truncated bounds
+    val p2 = tmp()
+    val truncMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "date_trunc('month', ts)").build()
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v")
+        .withColumn("mon", date_trunc("month", $"ts").as("mon", truncMeta)),
+      p2, partitionBy = Seq("mon"))
+    val snap2 = DeltaLog.forTable(spark, p2).snapshot(None)
+    assert(snap2.activeFiles.size >= 12)
+    val pruned2 = DeltaRead.prunedFiles(snap2,
+      Seq(Seq(Predicate("ts", ">=", Timestamp.valueOf("2021-10-02 00:00:00")))))
+    val mons = pruned2.flatMap(_.partitionValues.get("mon")).toSet
+    assert(!mons.exists(_.startsWith("2021-01")) && !mons.exists(_.startsWith("2021-06")),
+      s"early months must prune: $mons")
+    assert(mons.exists(_.startsWith("2021-10")), s"matching month must survive: $mons")
+    // correctness unaffected (pruning-only)
+    assert(GraftDelta.readDelta(spark, p2,
+      filters = Seq(Seq(Predicate("ts", ">=",
+        Timestamp.valueOf("2021-10-02 00:00:00"))))).count() ==
+      rows.count(_._1.getTime >= Timestamp.valueOf("2021-10-02 00:00:00").getTime))
+
+    // date_format(ts, 'yyyy-MM-dd') string partitions: lexicographic bounds
+    val p3 = tmp()
+    val fmtMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "date_format(ts, 'yyyy-MM-dd')").build()
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v")
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd").as("day", fmtMeta)),
+      p3, partitionBy = Seq("day"))
+    val snap3 = DeltaLog.forTable(spark, p3).snapshot(None)
+    val pruned3 = DeltaRead.prunedFiles(snap3,
+      Seq(Seq(Predicate("ts", "<", Timestamp.valueOf("2021-03-01 00:00:00")))))
+    val days = pruned3.flatMap(_.partitionValues.get("day")).toSet
+    assert(!days.exists(_ >= "2021-04"), s"later day-partitions must prune: $days")
+    assert(days.exists(_.startsWith("2021-02")), s"matching days must survive: $days")
+  }
+
   test("nested generated columns refuse; CDF postimages carry recomputed values") {
     val path = tmp()
     GraftDelta.toDelta(frame(1L to 10L).repartition(2), path)            // v0
