@@ -124,6 +124,25 @@ final case class DomainMetadata(
     removed: Boolean = false
 ) extends Action
 
+/** `checkpointMetadata` action — a V2 checkpoint's self-description
+  * (reader feature `v2Checkpoint`): the version the checkpoint
+  * captures. Lives only inside checkpoint files, never in commits;
+  * replay ignores it. */
+final case class CheckpointMetadata(
+    version: Long,
+    tags: Map[String, String] = Map.empty
+) extends Action
+
+/** `sidecar` action — one sidecar parquet under `_delta_log/_sidecars/`
+  * holding part of a V2 checkpoint's add/remove actions. Paths are file
+  * names relative to the `_sidecars/` directory per the protocol. */
+final case class Sidecar(
+    path: String,
+    sizeInBytes: Long = 0L,
+    modificationTime: Long = 0L,
+    tags: Map[String, String] = Map.empty
+) extends Action
+
 /** `commitInfo` — free-form operation metadata; the 9-column history
   * projection (core.py:88-108) is derived from these fields.
   * `inCommitTimestamp` is the table-feature clock (delta
@@ -263,6 +282,22 @@ object ActionCodec {
           configuration = optStr(n.get("configuration")).getOrElse(""),
           removed = optBool(n.get("removed")).getOrElse(false)
         ))
+    } else if (root.has("checkpointMetadata")) {
+      val n = root.get("checkpointMetadata")
+      Some(
+        CheckpointMetadata(
+          version = optLong(n.get("version")).getOrElse(-1L),
+          tags = strMap(n.get("tags"))
+        ))
+    } else if (root.has("sidecar")) {
+      val n = root.get("sidecar")
+      Some(
+        Sidecar(
+          path = n.get("path").asText(),
+          sizeInBytes = optLong(n.get("sizeInBytes")).getOrElse(0L),
+          modificationTime = optLong(n.get("modificationTime")).getOrElse(0L),
+          tags = strMap(n.get("tags"))
+        ))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       Some(
@@ -375,6 +410,16 @@ object ActionCodec {
         n.put("domain", d.domain)
         n.put("configuration", d.configuration)
         n.put("removed", d.removed)
+      case c: CheckpointMetadata =>
+        val n = root.putObject("checkpointMetadata")
+        n.put("version", c.version)
+        if (c.tags.nonEmpty) putStrMap(n, "tags", c.tags)
+      case s: Sidecar =>
+        val n = root.putObject("sidecar")
+        n.put("path", s.path)
+        n.put("sizeInBytes", s.sizeInBytes)
+        n.put("modificationTime", s.modificationTime)
+        if (s.tags.nonEmpty) putStrMap(n, "tags", s.tags)
       case c: CommitInfo =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", c.timestamp)

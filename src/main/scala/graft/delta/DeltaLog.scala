@@ -68,8 +68,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         .toSeq
         .sorted
 
-  /** Checkpoint versions present: classic single-file plus multi-part
-    * (`N.checkpoint.i.n.parquet`) when every declared part exists. */
+  /** Checkpoint versions present: classic single-file, multi-part
+    * (`N.checkpoint.i.n.parquet`) when every declared part exists, and
+    * V2 uuid-named (`N.checkpoint.<uuid>.parquet|json`). */
   def listCheckpointVersions: Seq[Long] = {
     if (!fs.exists(logPath)) return Nil
     val names = fs.listStatus(logPath).iterator.map(_.getPath.getName).toSeq
@@ -78,8 +79,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       .collect { case MultiPartCheckpointRe(v, _, n) => (v.toLong, n.toInt) }
       .groupBy(identity)
       .collect { case ((v, n), parts) if parts.size == n => v }
-    (single ++ multi).distinct.sorted
+    val v2 = names.collect { case V2CheckpointFileRe(v, _, _) => v.toLong }
+    (single ++ multi ++ v2).distinct.sorted
   }
+
+  /** V2 top-level checkpoint files for `v` (several uuids possible when
+    * writers raced — any one is a complete, equivalent checkpoint). */
+  private def v2CheckpointFiles(v: Long): Seq[Path] =
+    if (!fs.exists(logPath)) Nil
+    else fs.listStatus(logPath).iterator.map(_.getPath).filter(_.getName match {
+      case V2CheckpointFileRe(cv, _, _) => cv.toLong == v
+      case _ => false
+    }).toSeq.sortBy(_.getName)
 
   /** All parquet files making up the checkpoint at `v` (1 or N parts). */
   def checkpointPartFiles(v: Long): Seq[Path] = {
@@ -187,6 +198,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * — an incomplete snapshot a later writeCheckpoint would persist. */
   def readCheckpointActions(v: Long): Seq[Action] = {
     val parts = checkpointPartFiles(v)
+    if (parts.isEmpty) {
+      val v2 = v2CheckpointFiles(v)
+      if (v2.nonEmpty) return readV2CheckpointActions(v, v2.head)
+    }
     require(parts.nonEmpty, s"No checkpoint files for version $v in $logPath")
     val declared: Set[Int] = parts.flatMap(_.getName match {
       case MultiPartCheckpointRe(_, _, n) => Some(n.toInt)
@@ -204,6 +219,45 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     }
     checkpointDfToActions(spark.read.parquet(parts.map(_.toString): _*))
+  }
+
+  /** Read a V2 (uuid-named) checkpoint: the top-level file carries the
+    * non-file actions plus `checkpointMetadata` and `sidecar` refs; the
+    * add/remove actions live in sidecar parquets under
+    * `_delta_log/_sidecars/` (or inline when the writer chose to).
+    * The declared checkpointMetadata.version must match — a top file
+    * copied across versions would silently replay the wrong state. */
+  private def readV2CheckpointActions(v: Long, top: Path): Seq[Action] = {
+    val topActions: Seq[Action] =
+      if (top.getName.endsWith(".json")) {
+        val in = fs.open(top)
+        val lines =
+          try Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+      } else checkpointDfToActions(spark.read.parquet(top.toString))
+    val cm = topActions.collectFirst { case c: CheckpointMetadata => c }
+    require(cm.nonEmpty,
+      s"V2 checkpoint ${top.getName} carries no checkpointMetadata action")
+    require(cm.get.version == v,
+      s"V2 checkpoint ${top.getName} declares version ${cm.get.version}, expected $v")
+    val sidecars = topActions.collect { case s: Sidecar => s }
+    val sidecarActions: Seq[Action] =
+      if (sidecars.isEmpty) Nil
+      else {
+        val dir = new Path(logPath, "_sidecars")
+        val paths = sidecars.map { s =>
+          val p = new Path(s.path)
+          if (p.isAbsolute) p else new Path(dir, s.path)
+        }
+        paths.foreach(p => require(fs.exists(p),
+          s"V2 checkpoint ${top.getName} references missing sidecar $p"))
+        checkpointDfToActions(spark.read.parquet(paths.map(_.toString): _*))
+      }
+    (topActions ++ sidecarActions).filter {
+      case _: CheckpointMetadata | _: Sidecar => false
+      case _ => true
+    }
   }
 
   /** Build the snapshot at `version` (None = latest). */
@@ -410,6 +464,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * active set is large enough for checkpoints to matter. */
   def writeCheckpoint(version: Long, maxActionsPerPart: Int = 500000): Unit = {
     val snap = snapshot(Some(version))
+    // a table carrying the v2Checkpoint reader feature obliges writers
+    // to emit V2 checkpoints only — a classic one would be read by
+    // v2-only readers as authoritative without its sidecar contract
+    if (snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))) {
+      writeV2Checkpoint(version, snap, maxActionsPerPart)
+      return
+    }
     val rows: Seq[Row] =
       Row(Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
         snap.protocol.readerFeatures.orNull, snap.protocol.writerFeatures.orNull),
@@ -446,6 +507,83 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     fs.delete(tmp, true)
     val lcPath = new Path(logPath, "_last_checkpoint")
+    val out = fs.create(lcPath, true)
+    try out.write(lc.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** V2 checkpoint write: add/remove actions go to sidecar parquet(s)
+    * under `_delta_log/_sidecars/`, the uuid-named top-level file keeps
+    * the non-file actions plus checkpointMetadata and the sidecar refs.
+    * Sidecar encode parallelizes exactly like multi-part classic
+    * checkpoints (the file actions ARE the bulk at scale). */
+  private def writeV2Checkpoint(
+      version: Long, snap: Snapshot, maxActionsPerPart: Int): Unit = {
+    val sidecarDir = new Path(logPath, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val fileRows: Seq[Row] =
+      snap.activeFiles.map(f => Row(addToRow(f), null)) ++
+        snap.tombstones.map(f => Row(null, removeToRow(f)))
+    val sidecarSchema = StructType(
+      checkpointSchema.fields.filter(f => f.name == "add" || f.name == "remove"))
+    val sidecarRefs: Seq[Sidecar] =
+      if (fileRows.isEmpty) Nil
+      else {
+        val nParts = math.min(64, 1 + (fileRows.size - 1) / math.max(1, maxActionsPerPart))
+        val tmp = new Path(logPath, s".checkpoint-tmp-${java.util.UUID.randomUUID()}")
+        spark.createDataFrame(spark.sparkContext.parallelize(fileRows, nParts), sidecarSchema)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val parts = fs.listStatus(tmp).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        require(parts.nonEmpty, s"No sidecar part files written under $tmp")
+        val refs = parts.map { p =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val dest = new Path(sidecarDir, name)
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"Failed to move $p -> $dest")
+          val st = fs.getFileStatus(dest)
+          Sidecar(name, st.getLen, st.getModificationTime)
+        }.toSeq
+        fs.delete(tmp, true)
+        refs
+      }
+    val v2Schema = StructType(checkpointSchema.fields ++ Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType),
+        StructField("tags", strMapType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType),
+        StructField("tags", strMapType))))))
+    def topRow(proto: Row = null, meta: Row = null, txn: Row = null,
+        domain: Row = null, cm: Row = null, sc: Row = null): Row =
+      Row(proto, meta, null, null, txn, domain, cm, sc)
+    val topRows: Seq[Row] =
+      topRow(cm = Row(version, Map.empty[String, String])) +:
+        topRow(proto = Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+          snap.protocol.readerFeatures.orNull, snap.protocol.writerFeatures.orNull)) +:
+        topRow(meta = metadataToRow(snap.metadata)) +:
+        (snap.setTransactions.map(t => topRow(txn =
+          Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))) ++
+          snap.domainMetadata.toSeq.map { case (dom, cfg) =>
+            topRow(domain = Row(dom, cfg, false)) } ++
+          sidecarRefs.map(s => topRow(sc =
+            Row(s.path, s.sizeInBytes, s.modificationTime, Map.empty[String, String]))))
+    val tmpTop = new Path(logPath, s".checkpoint-tmp-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(topRows, 1), v2Schema)
+      .write.mode("overwrite").parquet(tmpTop.toString)
+    val topPart = fs.listStatus(tmpTop).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .head
+    val topDest = new Path(logPath,
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+    if (!fs.rename(topPart, topDest))
+      throw new java.io.IOException(s"Failed to move $topPart -> $topDest")
+    fs.delete(tmpTop, true)
+    val lcPath = new Path(logPath, "_last_checkpoint")
+    val lc = s"""{"version":$version,"size":${topRows.size + fileRows.size}}"""
     val out = fs.create(lcPath, true)
     try out.write(lc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -535,7 +673,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * collect() would double-materialize the active set. */
   private def checkpointDfToActions(df: DataFrame): Seq[Action] = {
     val cols = df.columns.toSet
-    val wanted = Seq("protocol", "metaData", "add", "remove", "txn", "domainMetadata")
+    val wanted = Seq("protocol", "metaData", "add", "remove", "txn", "domainMetadata",
+      "checkpointMetadata", "sidecar")
       .filter(cols.contains)
     val proj = df.select(wanted.map(col): _*)
     import scala.jdk.CollectionConverters._
@@ -607,6 +746,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 configuration = strField(r, "configuration").getOrElse(""),
                 removed = boolField(r, "removed").getOrElse(false)
               ))
+            case "checkpointMetadata" =>
+              Some(CheckpointMetadata(
+                version = longField(r, "version").getOrElse(-1L),
+                tags = mapField(r, "tags")))
+            case "sidecar" =>
+              Some(Sidecar(
+                path = strField(r, "path").getOrElse(""),
+                sizeInBytes = longField(r, "sizeInBytes").getOrElse(0L),
+                modificationTime = longField(r, "modificationTime").getOrElse(0L),
+                tags = mapField(r, "tags")))
             case _ => None
           }
         case _ => None
@@ -652,7 +801,8 @@ object DeltaLog {
     s"${d.storageType}${d.pathOrInlineDv}@${d.offset.getOrElse(0)}"
 
   /** Reader-3 table features the scan implements. */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Writer-7 table features our write surfaces understand — each is
     * honored, not merely tolerated: cdc staging (changeDataFeed),
@@ -680,6 +830,13 @@ object DeltaLog {
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  /** V2 (uuid-named) checkpoint: `N.checkpoint.<uuid>.parquet|json`
+    * (reader feature v2Checkpoint). The uuid's hyphens keep this
+    * disjoint from the two-numeric-token multi-part form. */
+  private val V2CheckpointFileRe =
+    ("""(\d{20})\.checkpoint\.""" +
+      """([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})""" +
+      """\.(parquet|json)""").r
 
   def forTable(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.delta.{DeltaLog, DeltaMaintenance, DeltaTableOps, GraftDelta, Predicate}
+import graft.delta.{CommitInfo, DeltaLog, DeltaMaintenance, DeltaTableOps, GraftDelta, Predicate, Protocol}
 
 /** Harness queries for the Delta engine operators (SURVEY.md §2 ①-⑭).
   *
@@ -495,6 +495,34 @@ object DeltaQ {
         sum($"c").as("total_c"))
     }),
 
+    // V2 CHECKPOINTS (reader feature v2Checkpoint): upgrade to reader-3,
+    // checkpoint → uuid-named top file + sidecars under _sidecars/,
+    // delete the pre-checkpoint JSON tail — the read can only succeed by
+    // replaying through the v2 checkpoint (top → sidecar adds).
+    "d35_v2_checkpoint" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d35")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(sup.filter($"s_suppkey" % 3 === 0), path)        // v0
+      GraftDelta.toDelta(sup.filter($"s_suppkey" % 3 === 1), path,
+        mode = "append")                                                  // v1
+      val log0 = DeltaLog.forTable(s, path)
+      val snap = log0.snapshot(None)
+      log0.writeCommit(snap.version + 1, Seq(
+        CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+        Protocol(3, 7,
+          readerFeatures = Some(Seq("v2Checkpoint")),
+          writerFeatures = Some(DeltaLog.legacyWriterFeatures(snap.protocol))))) // v2
+      GraftDelta.toDelta(sup.filter($"s_suppkey" % 3 === 2), path,
+        mode = "append")                                                  // v3
+      val log = DeltaLog.forTable(s, path)
+      log.writeCheckpoint(3L)
+      (0L to 2L).foreach(v => log.fs.delete(log.commitFile(v), false))
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -742,6 +770,9 @@ object DeltaQ {
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin,
     "d04_checkpoint" ->
+      """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d35_v2_checkpoint" ->
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d05_projection" ->

@@ -42,7 +42,12 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("unknown action types are ignored for forward compat; cdc + domainMetadata parse") {
-    assert(ActionCodec.fromJsonLine("""{"sidecar":{"path":"x"}}""").isEmpty)
+    assert(ActionCodec.fromJsonLine("""{"someFutureAction":{"path":"x"}}""").isEmpty)
+    // r7: v2Checkpoint actions are first-class now
+    assert(ActionCodec.fromJsonLine("""{"sidecar":{"path":"x","sizeInBytes":9}}""")
+      .contains(Sidecar("x", 9L)))
+    assert(ActionCodec.fromJsonLine("""{"checkpointMetadata":{"version":4}}""")
+      .contains(CheckpointMetadata(4L)))
     assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""")
       .contains(AddCDCFile("x")))
     // r5: domainMetadata is a first-class action (row tracking watermark)
