@@ -523,6 +523,24 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // SQL-STRING COMMAND SURFACE: the same DML semantics driven through
+    // GraftSql.sql statements (DELETE + UPDATE with WHERE → DNF), read
+    // back and mirrored by DuckDB applying the equivalent transforms.
+    "d36_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d36")
+      GraftDelta.toDelta(t(s, dir, "customer"), path)                     // v0
+      graft.sql.GraftSql.sql(s,
+        s"DELETE FROM delta.`$path` WHERE c_acctbal < 0")                 // v1
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE delta.`$path` SET c_mktsegment = 'SQLSEG' " +
+          "WHERE c_nationkey = 3 OR c_nationkey = 7")                     // v2
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+          cents($"c_acctbal").as("acctbal_c"))
+        .orderBy($"c_custkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -775,6 +793,11 @@ object DeltaQ {
     "d35_v2_checkpoint" ->
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d36_sql_dml" ->
+      """SELECT c_custkey, c_nationkey,
+        | CASE WHEN c_nationkey IN (3, 7) THEN 'SQLSEG' ELSE c_mktsegment END AS c_mktsegment,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
     "d05_projection" ->
       "SELECT p_partkey, p_brand FROM part ORDER BY p_partkey",
     "d06_predicate" ->

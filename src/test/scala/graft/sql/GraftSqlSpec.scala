@@ -1,0 +1,140 @@
+package graft.sql
+
+import graft.delta.{DeltaLog, GraftDelta, TestBase}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** SQL-string command surface: every Delta command statement dispatches
+  * to the engine API it names, WHERE clauses lower to the pruning DNF,
+  * unsupported predicate shapes refuse, and non-command SQL falls
+  * through to spark.sql. */
+class GraftSqlSpec extends graft.delta.GraftSuite {
+
+  import TestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_sql")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private def seed(path: String): Unit =
+    GraftDelta.toDelta(
+      (1L to 20L).map(i => (i, s"v$i", i % 4)).toDF("k", "v", "g"), path)
+
+  test("DELETE with WHERE lowers to DNF; DV hint picks deletion vectors") {
+    val path = tmp()
+    seed(path)
+    val r = GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE k <= 3 OR k > 18")
+    assert(r.select("affectedRows").as[Long].head() == 5L)
+    assert(GraftDelta.readDelta(spark, path).count() == 15L)
+
+    val p2 = tmp()
+    seed(p2)
+    GraftSql.sql(spark, s"/*+ DV */ DELETE FROM delta.`$p2` WHERE k IN (1, 2)")
+    assert(GraftDelta.readDelta(spark, p2).count() == 18L)
+    // the DV flavor rewrites nothing: v1 carries a DV add, no rewritten file
+    val snap = DeltaLog.forTable(spark, p2).snapshot(None)
+    assert(snap.activeFiles.exists(_.deletionVector.isDefined),
+      "DV hint must route to the deletion-vector flavor")
+  }
+
+  test("UPDATE SET with WHERE; literal-first comparisons normalize") {
+    val path = tmp()
+    seed(path)
+    GraftSql.sql(spark,
+      s"UPDATE `$path` SET v = 'patched', g = g + 10 WHERE 5 >= k")
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.filter($"v" === "patched").count() == 5L)
+    assert(got.filter($"g" >= 10).count() == 5L)
+    assert(got.filter($"k" > 5 && $"v" === "patched").count() == 0L)
+  }
+
+  test("MERGE INTO with UPDATE SET * / source refs / insert") {
+    val path = tmp()
+    seed(path)
+    Seq((19L, "merged", 99L), (100L, "inserted", 1L)).toDF("k", "v", "g")
+      .createOrReplaceTempView("merge_src")
+    val r = GraftSql.sql(spark,
+      s"MERGE INTO delta.`$path` AS t USING merge_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(r.select("matchedRows").as[Long].head() == 1L)
+    assert(r.select("insertedRows").as[Long].head() == 1L)
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.filter($"k" === 19L).select("v").as[String].head() == "merged")
+    assert(got.filter($"k" === 100L).count() == 1L)
+
+    // assignment flavor with a source-column reference
+    val p2 = tmp()
+    seed(p2)
+    GraftSql.sql(spark,
+      s"MERGE INTO `$p2` AS t USING merge_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    assert(GraftDelta.readDelta(spark, p2)
+      .filter($"k" === 19L).select("v").as[String].head() == "merged")
+    // no NOT-MATCHED clause → no insert
+    assert(GraftDelta.readDelta(spark, p2).filter($"k" === 100L).count() == 0L)
+  }
+
+  test("OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL round-trip") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k").repartition(4), path)        // v0
+    GraftDelta.toDelta((11L to 20L).toDF("k").repartition(4), path,
+      mode = "append")                                                    // v1
+    val opt = GraftSql.sql(spark, s"OPTIMIZE '$path'")
+    assert(opt.select("filesBefore").as[Int].head() == 8)
+    assert(opt.select("filesAfter").as[Int].head() < 8)
+
+    val dry = GraftSql.sql(spark, s"VACUUM `$path` RETAIN 0 HOURS DRY RUN")
+    assert(dry.count() == 8L, "dry run lists the compacted-away files")
+    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet")) > 8 - 1)
+    GraftSql.sql(spark, s"VACUUM `$path` RETAIN 0 HOURS")
+    assert(GraftDelta.readDelta(spark, path).count() == 20L)
+
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY delta.`$path` LIMIT 2")
+    assert(hist.count() == 2L)
+    val detail = GraftSql.sql(spark, s"DESCRIBE DETAIL delta.`$path`")
+    assert(detail.count() == 1L)
+
+    val p2 = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), p2)                         // v0
+    GraftDelta.toDelta((11L to 20L).toDF("k"), p2, mode = "append")       // v1
+    GraftSql.sql(spark, s"RESTORE TABLE delta.`$p2` TO VERSION AS OF 0")
+    assert(GraftDelta.readDelta(spark, p2).count() == 10L)
+  }
+
+  test("ALTER TABLE constraints and unsupported WHERE refuse loudly") {
+    val path = tmp()
+    seed(path)
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` ADD CONSTRAINT k_pos CHECK (k > 0)")
+    val e = intercept[Exception](
+      GraftDelta.toDelta(Seq((-5L, "bad", 0L)).toDF("k", "v", "g"), path,
+        mode = "append"))
+    assert(e.getMessage != null)
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` DROP CONSTRAINT k_pos")
+    GraftDelta.toDelta(Seq((-5L, "ok", 0L)).toDF("k", "v", "g"), path,
+      mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 21L)
+
+    // IS NULL is outside the DNF language → loud refusal, not wrong rows
+    val bad = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE v IS NULL"))
+    assert(bad.getMessage.contains("Unsupported WHERE"), bad.getMessage)
+  }
+
+  test("CONVERT TO DELTA and spark.sql fall-through") {
+    val dir = Files.createTempDirectory("graft_sql_conv")
+    dir.toFile.deleteOnExit()
+    val p = s"$dir/plain"
+    (1L to 12L).toDF("k").write.parquet(p)
+    val r = GraftSql.sql(spark, s"CONVERT TO DELTA parquet.`$p`")
+    assert(r.select("operation").as[String].head() == "CONVERT")
+    assert(GraftDelta.readDelta(spark, p).count() == 12L)
+
+    // plain SELECT goes straight to spark.sql
+    assert(GraftSql.sql(spark, "SELECT 1 + 1 AS two").as[Int].head() == 2)
+  }
+}
