@@ -190,6 +190,34 @@ object Multimodal {
       .toDF("media_id", "sampled", "orig_px")
   }
 
+  /** Fused frame-sample + nearest-neighbor resize in ONE decode pass:
+    * the codec dominates multimodal cost, so chaining
+    * [[frameSampleDecoded]] and [[resizeDecoded]] (two decodes of every
+    * image plus a join) is twice the work of this single
+    * partition-streamed map — same outputs, half the decode budget, no
+    * shuffle. At 100 TB of media the decode pass IS the pipeline cost;
+    * every derived output must ride one pass. */
+  def sampleAndResizeDecoded(
+      media: DataFrame, k: Int, n: Int,
+      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, content) =>
+          val px = decoder.decode(content)
+          val sampled = px.indices.by(k).map(px).toArray
+          val resized = new Array[Int](n)
+          if (px.nonEmpty) {
+            var j = 0
+            while (j < n) { resized(j) = px((j.toLong * px.length / n).toInt); j += 1 }
+          }
+          (id, px.length.toLong, sampled, resized)
+        }
+      }
+      .toDF("media_id", "orig_px", "sampled", "resized")
+  }
+
   /** Nearest-neighbor resize over DECODED pixels to exactly n samples:
     * out(j) = px(⌊j·L/n⌋) — the integer-exact NN kernel, deterministic
     * across JVMs (no float interpolation). Empty decodes yield zeros,

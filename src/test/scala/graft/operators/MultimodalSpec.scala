@@ -64,6 +64,15 @@ class MultimodalSpec extends AnyFunSuite {
     val sampled = Multimodal.frameSampleDecoded(media, 2)
       .filter($"media_id" === 2L).select("sampled").as[Array[Int]].head()
     assert(sampled.toSeq == "hlowrd".getBytes.map(_.toInt).toSeq)
+    // the fused single-decode pass produces the SAME outputs as the
+    // two-pass chain
+    val fused = Multimodal.sampleAndResizeDecoded(media, k = 2, n = 6)
+      .select("media_id", "orig_px", "sampled", "resized")
+      .as[(Long, Long, Array[Int], Array[Int])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(fused(2L)._3.toSeq == "hlowrd".getBytes.map(_.toInt).toSeq)
+    assert(fused(1L)._4.toSeq == "aabbcc".getBytes.map(_.toInt).toSeq)
+    assert(fused(1L)._2 == 3L && fused(2L)._2 == 12L)
   }
 
   test("custom MediaDecoder replaces the stub end-to-end") {
