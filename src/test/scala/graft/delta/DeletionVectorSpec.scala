@@ -347,10 +347,10 @@ class DeletionVectorSpec extends GraftSuite {
     val log = DeltaLog.forTable(spark, path)
     log.writeCommit(1L, Seq(
       Protocol(3, 7,
-        readerFeatures = Some(Seq("deletionVectors", "v2Checkpoint")),
+        readerFeatures = Some(Seq("deletionVectors", "someFutureFeature")),
         writerFeatures = Some(Seq("deletionVectors")))))
     val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, path).count())
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("someFutureFeature"), e.getMessage)
     // a supported feature set at reader 3 reads fine
     log.writeCommit(2L, Seq(
       Protocol(3, 7,
