@@ -260,6 +260,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
   }
 
+  /** Sidecar file names referenced by a v2 top-level checkpoint file —
+    * log-cleanup needs them to GC orphaned sidecars without touching
+    * the live checkpoint's. */
+  private[delta] def v2SidecarRefs(top: Path): Seq[String] = {
+    val actions: Seq[Action] =
+      if (top.getName.endsWith(".json")) {
+        val in = fs.open(top)
+        val lines =
+          try Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+      } else checkpointDfToActions(spark.read.parquet(top.toString))
+    actions.collect { case s: Sidecar => new Path(s.path).getName }
+  }
+
   /** Build the snapshot at `version` (None = latest). */
   def snapshot(version: Option[Long] = None): Snapshot = {
     val latest = latestVersion

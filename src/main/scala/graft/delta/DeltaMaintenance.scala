@@ -283,15 +283,39 @@ object DeltaMaintenance {
     val fs = log.fs
     val CommitRe = """(\d{20})\.json""".r
     val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
-    val candidates = fs.listStatus(log.logPath).iterator.filter { st =>
+    val V2JsonRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.json""".r
+    val V2AnyRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(?:parquet|json)""".r
+    val allLog = fs.listStatus(log.logPath).toSeq
+    val candidates = allLog.iterator.filter { st =>
       val old = st.getModificationTime < cutoff
       st.getPath.getName match {
         case CommitRe(v) => v.toLong < keepFrom && old
         case CpRe(v, _) => v.toLong < keepFrom && old
+        case V2JsonRe(v) => v.toLong < keepFrom && old
         case _ => false
       }
     }.map(_.getPath).toSeq
-    if (!dryRun) candidates.foreach(p => fs.delete(p, false))
-    candidates.map(_.getName).sorted
+    // v2 sidecar GC: sidecars referenced by any SURVIVING v2 top file
+    // stay (the live checkpoint reads through them); the rest, aged
+    // past retention, are orphans of superseded checkpoints
+    val candidateNames = candidates.map(_.getName).toSet
+    val survivingTops = allLog.map(_.getPath).filter(p => p.getName match {
+      case V2AnyRe(_) => !candidateNames.contains(p.getName)
+      case _ => false
+    })
+    val referenced: Set[String] =
+      survivingTops.flatMap(t => log.v2SidecarRefs(t)).toSet
+    val sidecarDir = new org.apache.hadoop.fs.Path(log.logPath, "_sidecars")
+    val orphanSidecars =
+      if (!fs.exists(sidecarDir)) Nil
+      else fs.listStatus(sidecarDir).toSeq
+        .filter(st => st.getModificationTime < cutoff &&
+          !referenced.contains(st.getPath.getName))
+        .map(_.getPath)
+    val all = candidates ++ orphanSidecars
+    if (!dryRun) all.foreach(p => fs.delete(p, false))
+    all.map(p =>
+      if (p.getParent.getName == "_sidecars") s"_sidecars/${p.getName}"
+      else p.getName).sorted
   }
 }

@@ -130,6 +130,40 @@ class V2CheckpointSpec extends GraftSuite {
     assert(e2.getMessage.contains("missing sidecar"), e2.getMessage)
   }
 
+  test("log cleanup reclaims superseded v2 tops + orphan sidecars, keeps live ones") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    enableV2(path)                                                        // v1
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(1L)                                               // cp A
+    GraftDelta.toDelta((11L to 20L).toDF("k"), path, mode = "append")     // v2
+    DeltaLog.forTable(spark, path).writeCheckpoint(2L)                    // cp B
+    // age everything; cp B and its sidecars must still survive (they are
+    // the newest checkpoint), cp A's top + sidecars must go
+    val logDir = new java.io.File(s"$path/_delta_log")
+    def ageAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(ageAll)
+      else f.setLastModified(System.currentTimeMillis() - 100L * 3600 * 1000)
+    }
+    ageAll(logDir)
+    val live = DeltaLog.forTable(spark, path)
+    val liveRefs = logDir.listFiles()
+      .filter(_.getName.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+      .filter(_.getName.startsWith(f"${2L}%020d"))
+      .flatMap(t => live.v2SidecarRefs(new org.apache.hadoop.fs.Path(t.getPath))).toSet
+    val removed = GraftDelta.cleanupLog(spark, path, retentionHours = 1.0, dryRun = false)
+    assert(removed.exists(_.startsWith(f"${1L}%020d.checkpoint.")),
+      s"superseded v2 top must be reclaimed: $removed")
+    assert(removed.exists(_.startsWith("_sidecars/")),
+      s"orphan sidecars must be reclaimed: $removed")
+    val sidecarsLeft = new java.io.File(s"$path/_delta_log/_sidecars")
+      .listFiles().map(_.getName).toSet
+    assert(liveRefs.subsetOf(sidecarsLeft),
+      s"live checkpoint's sidecars must survive: refs=$liveRefs left=$sidecarsLeft")
+    // the table still reads through the surviving checkpoint
+    assert(GraftDelta.readDelta(spark, path).count() == 20L)
+  }
+
   test("v2 checkpoint preserves txn, domainMetadata, and DV descriptors") {
     val path = tmp()
     GraftDelta.toDelta((1L to 20L).toDF("k").repartition(1), path)        // v0
