@@ -149,9 +149,29 @@ object GraftSql {
         val r = GraftDelta.convertToDelta(spark, path)
         oneRow(spark, Seq("operation", "numFiles", "partitionColumns"),
           Row("CONVERT", r.numFiles, r.partitionColumns.mkString(",")))
-      case other => spark.sql(other)
+      case other => spark.sql(rewriteDeltaRefs(spark, other))
     }
   }
+
+  // SELECT-side support: delta.`/path` table refs (with optional
+  // VERSION/TIMESTAMP AS OF time travel) register as temp views over the
+  // engine's reader, then the statement runs through spark.sql — the
+  // full Spark SELECT surface over graft tables, time travel included.
+  private val DeltaRefRe =
+    ("""(?is)(?:delta|graft)\.`([^`]+)`""" +
+      """(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""").r
+
+  private def rewriteDeltaRefs(spark: SparkSession, statement: String): String =
+    DeltaRefRe.replaceAllIn(statement, m => {
+      val path = m.group(1)
+      val version = Option(m.group(3)).map(_.toLong)
+      val ts = Option(m.group(4))
+      val view = "graft_ref_" + java.lang.Integer.toHexString(
+        (path, version, ts).hashCode()).replace('-', '_')
+      GraftDelta.readDelta(spark, path, version = version, timestamp = ts)
+        .createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
 
   // ---- MERGE ------------------------------------------------------------
 

@@ -137,4 +137,19 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     // plain SELECT goes straight to spark.sql
     assert(GraftSql.sql(spark, "SELECT 1 + 1 AS two").as[Int].head() == 2)
   }
+
+  test("SELECT over delta.`path` refs resolves through the engine, time travel included") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((11L to 30L).toDF("k"), path, mode = "append")     // v1
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM delta.`$path`").as[Long].head() == 30L)
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM delta.`$path` VERSION AS OF 0").as[Long].head() == 10L)
+    // joins between two travel points of the same table work (distinct views)
+    val joined = GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM delta.`$path` a " +
+        s"JOIN delta.`$path` VERSION AS OF 0 b ON a.k = b.k")
+    assert(joined.as[Long].head() == 10L)
+  }
 }
