@@ -121,9 +121,15 @@ object DeltaMaintenance {
       case None => statsSchema
     }
 
-    var adds = List.empty[AddFile]
-    var removes = List.empty[RemoveFile]
-    toCompact.foreach { case (pv, files) =>
+    // Each partition group rewrites as its OWN Spark job; running them
+    // from one driver thread serializes the cluster. A bounded pool
+    // submits groups concurrently — with many small partitions the jobs
+    // overlap and OPTIMIZE wall time approaches the largest group, not
+    // the sum (the delta-spark thread-pool shape).
+    def rewriteGroup(pv: Map[String, String], files: Seq[AddFile])
+        : (List[AddFile], List[RemoveFile]) = {
+      var adds = List.empty[AddFile]
+      var removes = List.empty[RemoveFile]
       val paths = files.map(f => DeltaRead.resolvePath(path, f.path))
       val numOut = math.max(1, (files.map(_.size).sum / targetFileBytes).toInt)
       val partitionDir = snap.partitionColumns.map { c =>
@@ -197,7 +203,26 @@ object DeltaMaintenance {
       removes :::= files.map(f => RemoveFile(f.path, Some(now), dataChange = false,
         extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
         size = Some(f.size), deletionVector = f.deletionVector)).toList
+      (adds, removes)
     }
+
+    val groups = toCompact.toSeq
+    val parallelism = math.max(1, math.min(8, groups.size))
+    val (adds, removes) =
+      if (parallelism == 1) {
+        val rs = groups.map { case (pv, files) => rewriteGroup(pv, files) }
+        (rs.flatMap(_._1).toList, rs.flatMap(_._2).toList)
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val fut = Future.sequence(groups.map { case (pv, files) =>
+            Future(rewriteGroup(pv, files)) })
+          val rs = Await.result(fut, scala.concurrent.duration.Duration.Inf)
+          (rs.flatMap(_._1).toList, rs.flatMap(_._2).toList)
+        } finally pool.shutdown()
+      }
 
     val commitInfo = CommitInfo(
       timestamp = now,
