@@ -817,7 +817,7 @@ object DeltaLog {
 
   /** Reader-3 table features the scan implements. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   /** Writer-7 table features our write surfaces understand — each is
     * honored, not merely tolerated: cdc staging (changeDataFeed),
@@ -829,7 +829,14 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "checkConstraints", "appendOnly", "invariants",
       "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns",
-      "inCommitTimestamp", "domainMetadata", "rowTracking")
+      "inCommitTimestamp", "domainMetadata", "rowTracking", "timestampNtz")
+
+  /** The reader features a legacy protocol version IMPLIES (the
+    * reader-side twin of [[legacyWriterFeatures]]). */
+  def legacyReaderFeatures(p: Protocol): Seq[String] =
+    if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Nil)
+    else if (p.minReaderVersion >= 2) Seq("columnMapping")
+    else Nil
 
   /** The writer features a legacy protocol version IMPLIES — a
     * features-upgrade must enumerate every one, or a feature-aware

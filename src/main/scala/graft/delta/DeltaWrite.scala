@@ -417,11 +417,30 @@ object DeltaWrite {
       else Protocol(1, 2)
     val rtEnabled = existing.map(RowTracking.enabled)
       .getOrElse(RowTracking.enabledIn(configuration))
-    val createProtocol =
+    val createProtocol0 =
       if (!rtEnabled || existing.isDefined) legacyCreateProtocol
       else Protocol(1, 7, writerFeatures = Some(
         (DeltaLog.legacyWriterFeatures(legacyCreateProtocol) ++
           Seq("rowTracking", "domainMetadata")).distinct))
+    // TIMESTAMP_NTZ anywhere in the schema requires the timestampNtz
+    // reader+writer feature (Delta protocol): legacy versions cannot
+    // express it, so the protocol jumps to (3, 7) enumerating every
+    // feature the legacy form implied
+    val schemaNtz = hasTimestampNtz(commitSchema)
+    def withNtz(p: Protocol): Protocol = Protocol(3, 7,
+      readerFeatures = Some(
+        (DeltaLog.legacyReaderFeatures(p) :+ "timestampNtz").distinct),
+      writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(p) :+ "timestampNtz").distinct))
+    val createProtocol =
+      if (schemaNtz && isNew) withNtz(createProtocol0) else createProtocol0
+    // an existing table gaining its first NTZ column (mergeSchema /
+    // overwriteSchema) upgrades in the SAME commit as the new schema
+    val protocolUpgrade: Option[Protocol] =
+      if (isNew || !schemaNtz || metadata.isEmpty) None
+      else existing.map(_.protocol)
+        .filterNot(_.readerFeatures.exists(_.contains("timestampNtz")))
+        .map(withNtz)
     def actionsAt(v: Long): Seq[Action] = {
       // row-id allocation is version-dependent (defaultRowCommitVersion)
       // — computed per attempt; the watermark base is stable because
@@ -429,7 +448,7 @@ object DeltaWrite {
       val (rtAdds, rtDomain) =
         RowTracking.assignForCommit(existing, configuration, adds.toSeq, v)
       Seq(commitInfo.copy(readVersion = if (isNew) None else Some(v - 1))) ++
-        (if (isNew) Seq(createProtocol) else Nil) ++
+        (if (isNew) Seq(createProtocol) else Nil) ++ protocolUpgrade.toSeq ++
         metadata.toSeq ++ txn.toSeq ++ rtDomain ++ cdcActions ++ rtAdds ++ removes
     }
 
@@ -931,8 +950,20 @@ object DeltaWrite {
     case a: ArrayType => ArrayType(normalizeType(a.elementType), containsNull = true)
     case m: MapType =>
       MapType(normalizeType(m.keyType), normalizeType(m.valueType), valueContainsNull = true)
-    case TimestampNTZType => TimestampType
+    // TimestampNTZ is a first-class Delta type (reader+writer feature
+    // `timestampNtz`, stamped by the write path) — coercing it to
+    // TimestampType would shift values under any non-UTC session while
+    // the parquet files keep isAdjustedToUTC=false
     case other => other
+  }
+
+  /** Does the schema carry TIMESTAMP_NTZ anywhere (nested included)? */
+  private[delta] def hasTimestampNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasTimestampNtz(f.dataType))
+    case a: ArrayType => hasTimestampNtz(a.elementType)
+    case m: MapType => hasTimestampNtz(m.keyType) || hasTimestampNtz(m.valueType)
+    case _ => false
   }
 
   private[delta] def listParquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
