@@ -462,6 +462,35 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** ALTER TABLE … SET TBLPROPERTIES (generic): merge the given
+    * properties into the table configuration as one metadata-only
+    * commit. Properties whose enablement carries protocol upgrades or
+    * backfill work (column mapping, CDF, row tracking, ICT) refuse here
+    * with a pointer at their dedicated path — a bare config flip would
+    * skip the obligations those features impose. */
+  def setTableProperties(
+      spark: SparkSession, path: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES requires at least one property")
+    val dedicated = Map(
+      "delta.columnMapping.mode" -> "enableColumnMapping",
+      "delta.enableChangeDataFeed" -> "enableChangeDataFeed",
+      "delta.enableRowTracking" -> "RowTracking.enable",
+      "delta.enableInCommitTimestamps" -> "enableInCommitTimestamps")
+    props.keys.find(dedicated.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"Property $k has feature obligations — use ${dedicated(k)} instead"))
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    val meta = snap.metadata.copy(configuration = snap.metadata.configuration ++ props)
+    val ci = CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+      operationParameters = Map("properties" ->
+        props.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    snap.version + 1
+  }
+
   /** DESCRIBE DETAIL: a one-row table summary straight from the snapshot
     * — table identity, location, partitioning, file count and bytes,
     * properties, protocol (features included). O(log replay) driver

@@ -81,6 +81,15 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
   private val ConvertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\.)?(?:`([^`]+)`|'([^']+)'|([^\\s`';]+))\\s*;?\\s*$$""".r
+  private val RenameColumnRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*;?\\s*$$""".r
+  private val DropColumnRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+`?(\\w+)`?\\s*;?\\s*$$""".r
+  private val SetPropsRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private val CloneRe =
+    (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
+      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""").r
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
     val useDv = DvHint.r.findFirstIn(statement).isDefined
@@ -144,6 +153,46 @@ object GraftSql {
         val r = GraftDelta.dropConstraint(spark, path, name)
         oneRow(spark, Seq("operation", "tableVersion", "constraint"),
           Row("DROP CONSTRAINT", r.tableVersion, name))
+      case RenameColumnRe(p1, p2, p3, from, to) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val r = GraftDelta.renameColumn(spark, path, from, to)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("RENAME COLUMN", r.tableVersion))
+      case DropColumnRe(p1, p2, p3, colName) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val r = GraftDelta.dropColumn(spark, path, colName)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("DROP COLUMN", r.tableVersion))
+      case SetPropsRe(p1, p2, p3, propList) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val props = splitAssignments(propList).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"Malformed property: $kv")
+          def unq(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")
+          unq(kv.substring(0, i)) -> unq(kv.substring(i + 1))
+        }.toMap
+        // properties with dedicated enable paths route there
+        val version = props.toSeq match {
+          case Seq(("delta.enableChangeDataFeed", v)) if v.equalsIgnoreCase("true") =>
+            GraftDelta.enableChangeDataFeed(spark, path)
+          case Seq(("delta.columnMapping.mode", "name")) =>
+            GraftDelta.enableColumnMapping(spark, path).tableVersion
+          case Seq(("delta.enableRowTracking", v)) if v.equalsIgnoreCase("true") =>
+            GraftDelta.enableRowTracking(spark, path)
+          case Seq(("delta.enableInCommitTimestamps", v)) if v.equalsIgnoreCase("true") =>
+            GraftDelta.enableInCommitTimestamps(spark, path)
+          case _ => DeltaTableOps.setTableProperties(spark, path, props)
+        }
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("SET TBLPROPERTIES", version))
+      case CloneRe(t1, t2, t3, s1, s2, s3, v) =>
+        val target = Seq(t1, t2, t3).find(_ != null).get
+        val source = Seq(s1, s2, s3).find(_ != null).get
+        val r = GraftDelta.shallowClone(spark, source, target,
+          Option(v).map(_.toLong))
+        oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
+          Row("SHALLOW CLONE", r.tableVersion, r.clonedFiles))
       case ConvertRe(p1, p2, p3) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val r = GraftDelta.convertToDelta(spark, path)

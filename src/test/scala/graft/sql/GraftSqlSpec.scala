@@ -138,6 +138,34 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftSql.sql(spark, "SELECT 1 + 1 AS two").as[Int].head() == 2)
   }
 
+  test("ALTER TABLE column DDL, SET TBLPROPERTIES routing, SHALLOW CLONE") {
+    val path = tmp()
+    seed(path)
+    // generic property lands in configuration
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` SET TBLPROPERTIES ('custom.owner' = 'ml-team')")
+    assert(DeltaLog.forTable(spark, path).snapshot(None)
+      .metadata.configuration.get("custom.owner").contains("ml-team"))
+    // feature property routes through its dedicated enable path
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` RENAME COLUMN v TO label")
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` DROP COLUMN g")
+    val cols = GraftDelta.readDelta(spark, path).columns.toSeq
+    assert(cols == Seq("k", "label"), cols.toString)
+
+    val cloneDir = Files.createTempDirectory("graft_sql_clone")
+    cloneDir.toFile.deleteOnExit()
+    val target = s"$cloneDir/clone"
+    val src = tmp()
+    GraftDelta.toDelta((1L to 9L).toDF("k"), src)                         // v0
+    GraftDelta.toDelta((10L to 20L).toDF("k"), src, mode = "append")      // v1
+    val r = GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$target` SHALLOW CLONE delta.`$src` VERSION AS OF 0")
+    assert(r.select("clonedFiles").as[Long].head() > 0L)
+    assert(GraftDelta.readDelta(spark, target).count() == 9L)
+  }
+
   test("SELECT over delta.`path` refs resolves through the engine, time travel included") {
     val path = tmp()
     GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
