@@ -82,8 +82,15 @@ object Bench {
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    // headline fields lead AND trail: downstream log capture keeps only
+    // the tail of the line, and the per-query map is wider than that
+    // window — duplicating the totals at the end keeps them recoverable
+    // from either side (duplicate JSON keys resolve to the last value,
+    // identical here).
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
