@@ -189,6 +189,24 @@ object PipelineQ {
         .orderBy($"event_id")
     }),
 
+    // FORWARD as-of: each 'view' attributed to the same user's EARLIEST
+    // 'purchase' at or after it (next-event attribution) — same
+    // union+window sweep, descending; oracle is DuckDB's ASOF with the
+    // comparison reversed, an independent implementation.
+    "t36_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventsIO.withTsUs(s, dir)
+      val probes = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts_us")
+      val states = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us", $"event_id", $"value")
+      AsofJoin.asofJoin(probes, states, Seq("user_id"), "ts_us", "ts_us",
+          Seq("event_id", "value"), direction = "forward", outPrefix = "next_")
+        .select($"event_id", $"user_id", $"ts_us",
+          $"next_event_id", $"next_value")
+        .orderBy($"event_id")
+    }),
+
     // Binned range join: errors within the hour after each purchase of
     // the same user. The bin pre-join keeps Catalyst on a hash join —
     // the naive non-equi predicate would plan a nested-loop/cartesian.
@@ -590,6 +608,20 @@ object PipelineQ {
         |       s.event_id AS prior_event_id, s.value AS prior_value
         |FROM probes p ASOF LEFT JOIN states s
         |  ON p.user_id = s.user_id AND p.tus >= s.tus
+        |ORDER BY p.event_id""".stripMargin,
+    "t36_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+        |            FROM events),
+        |probes AS (SELECT event_id, user_id, tus FROM ev WHERE event_type = 'view'),
+        |states0 AS (SELECT user_id, tus, event_id, value FROM ev WHERE event_type = 'purchase'),
+        |states AS (SELECT user_id, tus, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, tus
+        |                               ORDER BY event_id ASC) AS rn
+        |  FROM states0) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.tus AS ts_us,
+        |       s.event_id AS next_event_id, s.value AS next_value
+        |FROM probes p ASOF LEFT JOIN states s
+        |  ON p.user_id = s.user_id AND p.tus <= s.tus
         |ORDER BY p.event_id""".stripMargin,
     "t25_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
