@@ -90,6 +90,11 @@ object GraftSql {
   private val CloneRe =
     (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""").r
+  private val InsertRe =
+    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""".r
+  private val CtasRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
+      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""").r
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
     val useDv = DvHint.r.findFirstIn(statement).isDefined
@@ -193,6 +198,33 @@ object GraftSql {
           Option(v).map(_.toLong))
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
           Row("SHALLOW CLONE", r.tableVersion, r.clonedFiles))
+      case InsertRe(kind, p1, p2, p3, query) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val raw = spark.sql(rewriteDeltaRefs(spark,
+          if (query.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($query)"
+          else query))
+        // SQL INSERT binds columns by POSITION against the table schema
+        val target = DeltaLog.forTable(spark, path).snapshot(None).schema
+        require(raw.columns.length == target.fields.length,
+          s"INSERT arity mismatch: query returns ${raw.columns.length} columns, " +
+            s"table has ${target.fields.length}")
+        val frame = raw.toDF(target.fieldNames.toIndexedSeq: _*)
+          .select(target.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        val mode = if (kind.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append"
+        GraftDelta.toDelta(frame, path, mode = mode)
+        val v = DeltaLog.forTable(spark, path).latestVersion
+        oneRow(spark, Seq("operation", "tableVersion", "rows"),
+          Row(s"INSERT ${kind.toUpperCase}", v, frame.count()))
+      case CtasRe(p1, p2, p3, partCols, query) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val frame = spark.sql(rewriteDeltaRefs(spark, query))
+        val partitionBy = Option(partCols).toSeq
+          .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        GraftDelta.toDelta(frame, path, partitionBy = partitionBy)
+        oneRow(spark, Seq("operation", "tableVersion", "rows"),
+          Row("CREATE TABLE AS SELECT", 0L, frame.count()))
       case ConvertRe(p1, p2, p3) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val r = GraftDelta.convertToDelta(spark, path)

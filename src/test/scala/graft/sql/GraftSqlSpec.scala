@@ -166,6 +166,27 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftDelta.readDelta(spark, target).count() == 9L)
   }
 
+  test("INSERT INTO/OVERWRITE and CTAS write through the engine") {
+    val dir = Files.createTempDirectory("graft_sql_ins")
+    dir.toFile.deleteOnExit()
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    GraftDelta.toDelta((1L to 10L).map(i => (i, i % 3)).toDF("k", "g"), src)
+    // CTAS with partitioning, reading a delta ref
+    GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$dst` PARTITIONED BY (g) AS SELECT * FROM delta.`$src` WHERE k <= 5")
+    assert(GraftDelta.readDelta(spark, dst).count() == 5L)
+    assert(DeltaLog.forTable(spark, dst).snapshot(None)
+      .metadata.partitionColumns == Seq("g"))
+    // INSERT INTO appends, INSERT OVERWRITE replaces
+    GraftSql.sql(spark,
+      s"INSERT INTO delta.`$dst` SELECT * FROM delta.`$src` WHERE k > 5")
+    assert(GraftDelta.readDelta(spark, dst).count() == 10L)
+    GraftSql.sql(spark, s"INSERT OVERWRITE delta.`$dst` VALUES (99, 0), (100, 1)")
+    assert(GraftDelta.readDelta(spark, dst).orderBy("k")
+      .select("k").as[Long].collect().toSeq == Seq(99L, 100L))
+  }
+
   test("SELECT over delta.`path` refs resolves through the engine, time travel included") {
     val path = tmp()
     GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
