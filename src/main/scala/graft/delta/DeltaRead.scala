@@ -278,6 +278,12 @@ object DeltaRead {
       """|to_date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""" +
       """|date\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\))\s*$""").r
   private val MonthGenRe = """(?i)^\s*month\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
+  private val DayGenRe =
+    """(?i)^\s*(?:day|dayofmonth)\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
+  // NO hour(x) kernel: the timezone-safety window (±26 h) spans more
+  // than a day, so every hour value is reachable from any instant —
+  // nothing derives soundly. Hour-grained layouts prune through the
+  // monotone date_format('yyyy-MM-dd-HH') / date_trunc('hour') kernels.
   private val DateTruncRe =
     """(?i)^\s*date_trunc\s*\(\s*['"](year|quarter|month|week|day|hour|minute|second)['"]\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)\s*$""".r
   private val TruncRe =
@@ -337,17 +343,24 @@ object DeltaRead {
       case _ => Nil
     }
   }
-  /** month(x) wraps across years, so only EQUALITY derives — and only
-    * when the slack window stays inside one year (no Dec→Jan wrap). */
-  private case object MonthKernel extends GenKernel {
+  /** Wrapping extractors (month / day-of-month) are not monotone in x,
+    * so only EQUALITY derives — and only when the slack window doesn't
+    * wrap the unit (no Dec→Jan, 31st→1st). Sound because the window
+    * (±26 h) is far shorter than the unit's period, so reachable values
+    * form the contiguous range [g(ms−slack), g(ms+slack)] whenever that
+    * range doesn't wrap. (No hour kernel — see above.) */
+  private final case class WrappingKernel(part: java.time.ZonedDateTime => Long)
+      extends GenKernel {
     def derive(p: String, op: String, ms: Long): Seq[Predicate] = op match {
       case "==" | "=" =>
-        val lo = utcAt(ms - SlackMs).getMonthValue.toLong
-        val hi = utcAt(ms + SlackMs).getMonthValue.toLong
+        val lo = part(utcAt(ms - SlackMs))
+        val hi = part(utcAt(ms + SlackMs))
         if (lo <= hi) Seq(Predicate(p, ">=", lo), Predicate(p, "<=", hi)) else Nil
       case _ => Nil
     }
   }
+  private val MonthKernel = WrappingKernel(_.getMonthValue.toLong)
+  private val DayKernel = WrappingKernel(_.getDayOfMonth.toLong)
 
   /** Partition conjuncts IMPLIED by data-column predicates through
     * MONOTONE generation expressions — the pattern that makes
@@ -396,6 +409,7 @@ object DeltaRead {
           case DateGenRe(a, b, c) =>
             Some((p, Seq(a, b, c).find(_ != null).get, dateKernel))
           case MonthGenRe(src) => Some((p, src, MonthKernel))
+          case DayGenRe(src) => Some((p, src, DayKernel))
           case DateTruncRe(unit, src) =>
             val u = unit.toLowerCase
             Some((p, src, MonotoneKernel(ms =>

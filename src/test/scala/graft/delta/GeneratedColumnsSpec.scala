@@ -150,6 +150,21 @@ class GeneratedColumnsSpec extends GraftSuite {
       Seq(Seq(Predicate("ts", ">", Timestamp.valueOf("2021-06-15 08:00:00")))))
     assert(noDerive.size == snap1.activeFiles.size)
 
+    // day(ts) partitions: equality derives a contiguous day window; a
+    // mid-month probe keeps only adjacent days
+    val pDay = tmp()
+    val dayMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "day(ts)").build()
+    GraftDelta.toDelta(
+      rows.toDF("ts", "v").withColumn("dom", dayofmonth($"ts").as("dom", dayMeta)),
+      pDay, partitionBy = Seq("dom"))
+    val snapDay = DeltaLog.forTable(spark, pDay).snapshot(None)
+    val prunedDay = DeltaRead.prunedFiles(snapDay,
+      Seq(Seq(Predicate("ts", "==", Timestamp.valueOf("2021-06-06 12:00:00")))))
+    val doms = prunedDay.flatMap(_.partitionValues.get("dom")).map(_.toInt).toSet
+    assert(doms.subsetOf(Set(5, 6, 7)), s"only adjacent days may survive: $doms")
+    assert(doms.contains(6), s"the matching day must survive: $doms")
+
     // date_trunc('month', ts) partitions: ranges derive truncated bounds
     val p2 = tmp()
     val truncMeta = new MetadataBuilder()
