@@ -54,8 +54,12 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
     cfg <- Gen.chooseNum(0, 9).map(n => s"""{"n":$n}""")
   } yield DomainMetadata(d, cfg, removed)
 
+  private val cdcGen: Gen[Action] = Gen.oneOf(paths).map(p =>
+    AddCDCFile(s"_change_data/$p", size = 5L))
+
   private val actionGen: Gen[Action] =
-    Gen.frequency(5 -> addGen, 3 -> removeGen, 1 -> txnGen, 1 -> domainGen)
+    Gen.frequency(5 -> addGen, 3 -> removeGen, 1 -> txnGen, 1 -> domainGen,
+      1 -> cdcGen) // cdc never contributes to table state — replay ignores it
 
   private val commitGen: Gen[Seq[Action]] =
     Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, actionGen))
