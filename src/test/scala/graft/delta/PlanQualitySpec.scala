@@ -102,6 +102,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"simhash signature plan aggregates:\n$sp")
   }
 
+  test("as-of join sweeps with ONE exchange in both directions — no join operator") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.queries.EventsIO.withTsUs(spark, sf)
+    val probes = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val states = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    Seq("backward", "forward").foreach { dir =>
+      val out = graft.operators.AsofJoin.asofJoin(probes, states,
+        Seq("user_id"), "ts_us", "ts_us", Seq("event_id", "value"), direction = dir)
+      out.collect()
+      // AQE's toString repeats the plan under "== Initial Plan ==" —
+      // count exchanges in the final section only
+      val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$dir as-of join should shuffle once:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+        s"$dir as-of join must not plan a join operator:\n$p")
+    }
+  }
+
   test("t28 keyword search: top-k heaps, partial aggregation, tiny sides broadcast") {
     val df = graft.queries.PipelineQ.queries("t28_keyword_search")(spark, sf)
     df.collect()
