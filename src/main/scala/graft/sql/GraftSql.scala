@@ -215,7 +215,7 @@ object GraftSql {
         GraftDelta.toDelta(frame, path, mode = mode)
         val v = DeltaLog.forTable(spark, path).latestVersion
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
-          Row(s"INSERT ${kind.toUpperCase}", v, frame.count()))
+          Row(s"INSERT ${kind.toUpperCase}", v, committedRows(spark, path, v)))
       case CtasRe(p1, p2, p3, partCols, query) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val frame = spark.sql(rewriteDeltaRefs(spark, query))
@@ -224,7 +224,7 @@ object GraftSql {
           .filter(_.nonEmpty)
         GraftDelta.toDelta(frame, path, partitionBy = partitionBy)
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
-          Row("CREATE TABLE AS SELECT", 0L, frame.count()))
+          Row("CREATE TABLE AS SELECT", 0L, committedRows(spark, path, 0L)))
       case ConvertRe(p1, p2, p3) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val r = GraftDelta.convertToDelta(spark, path)
@@ -308,6 +308,13 @@ object GraftSql {
       Seq("operation", "matchedRows", "insertedRows", "removedFiles", "addedFiles"),
       Row("MERGE", r.matchedRows, r.insertedRows, r.removedFiles, r.addedFiles))
   }
+
+  /** Row count the write itself committed (commitInfo numOutputRows) —
+    * re-running the source query just to report a count would double
+    * its cost. */
+  private def committedRows(spark: SparkSession, path: String, v: Long): Long =
+    DeltaLog.forTable(spark, path).commitInfoOf(v)
+      .flatMap(_.operationMetrics.get("numOutputRows")).map(_.toLong).getOrElse(-1L)
 
   /** Resolve a MERGE source: a Delta table dir, a parquet path, or a
     * catalog/temp-view name. */
