@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.StructType
   *    and keep requiring ignoreChanges/skipChangeCommits.
   *  - `maxVersionsPerTrigger` — bound how many commits one micro-batch
   *    covers (backfill pacing).
+  *  - `maxFilesPerTrigger` — bound how many data FILES one micro-batch
+  *    reads, splitting a large commit across batches when needed (a
+  *    10k-file backfill commit must not become one giant batch).
+  *    Offsets become `{"v":L,"k":n}` — commits ≤ L fully served plus
+  *    the first n eligible adds of L+1; plain-long offsets from older
+  *    checkpoints keep parsing (k=0). Ignored in changeFeed mode (a
+  *    commit's change semantics never split).
   *
   * Scale: per trigger only the JSON commits past the cursor are parsed
   * (bounded by checkpoint cadence for any reasonable lag); file scans
@@ -77,6 +84,47 @@ class GraftStreamSource(
   private val skipChangeCommits = opt("skipChangeCommits").exists(_.toBoolean)
   private val changeFeed = opt("changeFeed").exists(_.toBoolean)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
+  private val maxFilesPerTrigger: Option[Long] =
+    opt("maxFilesPerTrigger").map(_.toLong).filterNot(_ => changeFeed)
+
+  /** File-granular stream position: commits ≤ `v` fully served, plus the
+    * first `k` eligible adds of commit v+1. k=0 is the canonical commit
+    * boundary and serializes as a legacy plain-long offset, so
+    * checkpoints stay interchangeable until a partial commit occurs. */
+  private[streaming] case class FilePos(v: Long, k: Long) extends Offset {
+    override def json: String = if (k == 0L) v.toString else s"""{"v":$v,"k":$k}"""
+  }
+  private object FilePos {
+    def parse(o: Offset): FilePos = o match {
+      case fp: FilePos => fp
+      case LongOffset(v) => FilePos(v, 0L)
+      case other =>
+        val s = other.json.trim
+        if (s.startsWith("{")) {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+          FilePos(node.get("v").asLong(), node.get("k").asLong())
+        } else FilePos(s.toLong, 0L)
+    }
+  }
+  private implicit val filePosOrdering: Ordering[FilePos] =
+    Ordering.by(fp => (fp.v, fp.k))
+
+  /** Eligible (streamable) adds of one commit, in action order — the
+    * unit both admission control and batch slicing count in. Commits are
+    * immutable, so counts memoize. */
+  private val eligibleCountCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Long]
+  private def eligibleAdds(actions: Seq[graft.delta.Action]): Seq[AddFile] = {
+    val changed = actions.exists {
+      case r: RemoveFile if r.dataChange => true
+      case _ => false
+    }
+    if (changed && skipChangeCommits) Nil
+    else actions.collect { case a: AddFile if a.dataChange => a }
+  }
+  private def eligibleCount(v: Long): Long =
+    eligibleCountCache.getOrElseUpdate(v,
+      eligibleAdds(log.readCommitActions(v)).size.toLong)
 
   /** Versions ≤ this are excluded from the stream. `startingTimestamp`
     * resolves on the SAME per-commit clock as time travel (the monotonic
@@ -96,25 +144,48 @@ class GraftStreamSource(
     case (None, None) => -1L
   }
 
-  /** Highest version already handed out via getBatch (advances on
+  /** Highest position already handed out via getBatch (advances on
     * recovery replay too, keeping rate-limited getOffset monotonic). */
-  @volatile private var servedThrough: Long = startExclusive
+  @volatile private var servedThrough: FilePos = FilePos(startExclusive, 0L)
 
   override def getOffset: Option[Offset] = {
-    val latest = log.latestVersion
-    val capped = maxVersionsPerTrigger match {
-      case Some(m) => math.min(latest, math.max(servedThrough, startExclusive) + m)
-      case None => latest
+    val latestAll = log.latestVersion
+    val cur = filePosOrdering.max(servedThrough, FilePos(startExclusive, 0L))
+    val latest = maxVersionsPerTrigger match {
+      case Some(m) => math.min(latestAll, cur.v + m)
+      case None => latestAll
     }
-    if (capped <= startExclusive) None else Some(LongOffset(capped))
+    val next = maxFilesPerTrigger match {
+      case None => FilePos(latest, 0L)
+      case Some(m) =>
+        // walk pending commits spending the file budget; zero-eligible
+        // commits advance for free, an oversized commit splits
+        var lastFull = cur.v
+        var extra = cur.k
+        var budget = m
+        while (budget > 0 && lastFull < latest) {
+          val rem = eligibleCount(lastFull + 1) - extra
+          if (rem <= budget) { budget -= rem; lastFull += 1; extra = 0L }
+          else { extra += budget; budget = 0L }
+        }
+        FilePos(lastFull, extra)
+    }
+    if (filePosOrdering.lteq(next, FilePos(startExclusive, 0L)) ||
+        filePosOrdering.lteq(next, cur)) None
+    else Some(next)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(toVersion).getOrElse(startExclusive)
-    val to = toVersion(end)
-    servedThrough = math.max(servedThrough, to)
-    if (changeFeed) getChangeFeedBatch(from, to)
-    else getAppendBatch(from, to)
+    val from = start.map(FilePos.parse).getOrElse(FilePos(startExclusive, 0L))
+    val to = FilePos.parse(end)
+    servedThrough = filePosOrdering.max(servedThrough, to)
+    if (changeFeed) {
+      require(from.k == 0L && to.k == 0L,
+        "changeFeed offsets are version-granular; found a mid-commit position " +
+          s"(from=$from, to=$to) — was the checkpoint written with maxFilesPerTrigger " +
+          "in append mode?")
+      getChangeFeedBatch(from.v, to.v)
+    } else getAppendBatch(from, to)
   }
 
   /** A mergeSchema append (or any metadata rewrite) AFTER the captured
@@ -159,8 +230,11 @@ class GraftStreamSource(
           s"to ${m.schema.simpleString}. Restart the stream to pick up the new schema.")
     }
 
-  private def getAppendBatch(from: Long, to: Long): DataFrame = {
-    val adds: Seq[AddFile] = ((from + 1) to to).flatMap { v =>
+  private def getAppendBatch(from: FilePos, to: FilePos): DataFrame = {
+    // the batch covers (from, to] at FILE granularity: the unserved tail
+    // of commit from.v+1, every commit in between, and the first to.k
+    // eligible adds of commit to.v+1
+    def commitAdds(v: Long): Seq[AddFile] = {
       val actions = log.readCommitActions(v)
       checkSchemaStable(v, actions)
       val changed = actions.exists {
@@ -181,6 +255,15 @@ class GraftStreamSource(
         actions.collect { case a: AddFile if a.dataChange => a }
       }
     }
+    val adds: Seq[AddFile] =
+      if (from.v == to.v) {
+        if (to.k <= from.k) Nil
+        else commitAdds(from.v + 1).slice(from.k.toInt, to.k.toInt)
+      } else {
+        commitAdds(from.v + 1).drop(from.k.toInt) ++
+          ((from.v + 2) to to.v).flatMap(commitAdds) ++
+          (if (to.k == 0L) Nil else commitAdds(to.v + 1).take(to.k.toInt))
+      }
     if (adds.isEmpty)
       org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)
     else {
@@ -278,11 +361,6 @@ class GraftStreamSource(
     if (frames.isEmpty)
       org.apache.spark.sql.graft.StreamingBridge.emptyStreamingBatch(spark, schema)
     else frames.reduce(_ unionByName _)
-  }
-
-  private def toVersion(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset from a checkpoint
   }
 
   override def stop(): Unit = ()

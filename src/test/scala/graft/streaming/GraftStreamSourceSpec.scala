@@ -252,4 +252,50 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       assert(batches == 4, s"expected 4 single-commit batches, got $batches")
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger splits an oversized commit; no row lost or duplicated") {
+    import spark.implicits._
+    val path = tmp("fpace")
+    // one commit with 6 files, then a 2-file append
+    GraftDelta.toDelta((1L to 12L).toDF("id").repartition(6), path)
+    GraftDelta.toDelta((13L to 16L).toDF("id").repartition(2), path, mode = "append")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft").option("maxFilesPerTrigger", "2").load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("id").as[Long].collect()
+        if (rows.nonEmpty) { sizes += rows.length.toLong; seen ++= rows }: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == (1L to 16L), s"rows lost/duplicated: ${seen.sorted}")
+      // 8 files at ≤2 per trigger → at least 4 batches; the 6-file commit split
+      assert(sizes.length >= 4, s"expected the commit to split: batches=$sizes")
+    } finally q.stop()
+  }
+
+  test("mid-commit offsets survive checkpoint recovery") {
+    import spark.implicits._
+    val path = tmp("frec")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_frec_ck").toString
+    GraftDelta.toDelta((1L to 12L).toDF("id").repartition(6), path)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").option("maxFilesPerTrigger", "2").load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= df.select("id").as[Long].collect(): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterFirst = seen.sorted.toSeq
+    assert(afterFirst == (1L to 12L), s"first run incomplete: $afterFirst")
+    // append more and restart from the checkpoint: only the new rows arrive
+    GraftDelta.toDelta((13L to 14L).toDF("id"), path, mode = "append")
+    run()
+    assert(seen.sorted.toSeq == (1L to 14L),
+      s"recovery replayed or dropped rows: ${seen.sorted}")
+  }
 }
