@@ -411,7 +411,16 @@ object DeltaTableOps {
         "partitionBy" -> (if (partCols.isEmpty) "[]"
                           else partCols.mkString("[\"", "\",\"", "\"]"))),
       isBlindAppend = Some(false))
-    log.writeCommit(0L, Seq(ci, Protocol(1, 2), meta) ++ adds)
+    // a discovered TIMESTAMP_NTZ column carries the same protocol
+    // obligation as a written one (see DeltaWrite)
+    val proto =
+      if (DeltaWrite.hasTimestampNtz(DeltaWrite.normalize(schema)))
+        Protocol(3, 7,
+          readerFeatures = Some(Seq("timestampNtz")),
+          writerFeatures = Some(
+            (DeltaLog.legacyWriterFeatures(Protocol(1, 2)) :+ "timestampNtz").distinct))
+      else Protocol(1, 2)
+    log.writeCommit(0L, Seq(ci, proto, meta) ++ adds)
     ConvertResult(adds.size, partCols)
   }
 

@@ -72,6 +72,18 @@ class TimestampNtzSpec extends GraftSuite {
     assert(e.getMessage.contains("Cannot merge column ts"), e.getMessage)
   }
 
+  test("CONVERT TO DELTA on an NTZ lake stamps the feature") {
+    val dir = Files.createTempDirectory("graft_ntz_conv")
+    dir.toFile.deleteOnExit()
+    val p = s"$dir/lake"
+    ntzFrame.write.parquet(p)
+    GraftDelta.convertToDelta(spark, p)
+    val snap = DeltaLog.forTable(spark, p).snapshot(None)
+    assert(snap.protocol.readerFeatures.exists(_.contains("timestampNtz")),
+      s"converted NTZ table must declare the feature: ${snap.protocol}")
+    assert(GraftDelta.readDelta(spark, p).schema("ts").dataType == TimestampNTZType)
+  }
+
   test("NTZ survives checkpoint replay and DML") {
     val path = tmp()
     GraftDelta.toDelta(ntzFrame, path)                                    // v0
