@@ -541,6 +541,30 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // TIMESTAMP_NTZ (reader+writer feature timestampNtz): lineitem's
+    // l_shipdate is physically NTZ — the staged table must keep the
+    // type (no UTC coercion), stamp the feature, and survive predicate
+    // DML on the NTZ column; the readback hash covers the raw values.
+    "d37_ntz" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d37")
+      val li = t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+          cents($"l_quantity").as("qty_c"))
+      GraftDelta.toDelta(li, path)                                        // v0
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("l_shipdate", "<", "1995-01-01 00:00:00"))))    // v1
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      require(snap.protocol.readerFeatures.exists(_.contains("timestampNtz")),
+        s"NTZ table must declare the feature: ${snap.protocol}")
+      require(snap.schema("l_shipdate").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        s"schema must keep timestamp_ntz: ${snap.schema("l_shipdate").dataType}")
+      GraftDelta.readDelta(s, path)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -793,6 +817,12 @@ object DeltaQ {
     "d35_v2_checkpoint" ->
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d37_ntz" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        | CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "d36_sql_dml" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_nationkey IN (3, 7) THEN 'SQLSEG' ELSE c_mktsegment END AS c_mktsegment,
