@@ -39,6 +39,11 @@ import org.apache.spark.sql.types.StructType
   *    the first n eligible adds of L+1; plain-long offsets from older
   *    checkpoints keep parsing (k=0). Ignored in changeFeed mode (a
   *    commit's change semantics never split).
+  *  - `maxBytesPerTrigger` — same admission control budgeted on the
+  *    adds' log-carried sizes instead of their count (file counts are a
+  *    crude proxy when sizes vary 1 MB–1 GB); a batch always admits at
+  *    least one file so the stream can never stall on an oversized
+  *    file. Composes with maxFilesPerTrigger (both bounds hold).
   *
   * Scale: per trigger only the JSON commits past the cursor are parsed
   * (bounded by checkpoint cadence for any reasonable lag); file scans
@@ -86,6 +91,8 @@ class GraftStreamSource(
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
   private val maxFilesPerTrigger: Option[Long] =
     opt("maxFilesPerTrigger").map(_.toLong).filterNot(_ => changeFeed)
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map(_.toLong).filterNot(_ => changeFeed)
 
   /** File-granular stream position: commits ≤ `v` fully served, plus the
     * first `k` eligible adds of commit v+1. k=0 is the canonical commit
@@ -110,10 +117,10 @@ class GraftStreamSource(
     Ordering.by(fp => (fp.v, fp.k))
 
   /** Eligible (streamable) adds of one commit, in action order — the
-    * unit both admission control and batch slicing count in. Commits are
-    * immutable, so counts memoize. */
-  private val eligibleCountCache =
-    scala.collection.concurrent.TrieMap.empty[Long, Long]
+    * unit admission control and batch slicing count in. Commits are
+    * immutable, so the per-file sizes memoize. */
+  private val eligibleSizesCache =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[Long]]
   private def eligibleAdds(actions: Seq[graft.delta.Action]): Seq[AddFile] = {
     val changed = actions.exists {
       case r: RemoveFile if r.dataChange => true
@@ -122,9 +129,9 @@ class GraftStreamSource(
     if (changed && skipChangeCommits) Nil
     else actions.collect { case a: AddFile if a.dataChange => a }
   }
-  private def eligibleCount(v: Long): Long =
-    eligibleCountCache.getOrElseUpdate(v,
-      eligibleAdds(log.readCommitActions(v)).size.toLong)
+  private def eligibleSizes(v: Long): IndexedSeq[Long] =
+    eligibleSizesCache.getOrElseUpdate(v,
+      eligibleAdds(log.readCommitActions(v)).map(_.size).toIndexedSeq)
 
   /** Versions ≤ this are excluded from the stream. `startingTimestamp`
     * resolves on the SAME per-commit clock as time travel (the monotonic
@@ -155,18 +162,28 @@ class GraftStreamSource(
       case Some(m) => math.min(latestAll, cur.v + m)
       case None => latestAll
     }
-    val next = maxFilesPerTrigger match {
-      case None => FilePos(latest, 0L)
-      case Some(m) =>
-        // walk pending commits spending the file budget; zero-eligible
-        // commits advance for free, an oversized commit splits
+    val next = (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (None, None) => FilePos(latest, 0L)
+      case (fLim, bLim) =>
+        // walk pending files spending both budgets; zero-eligible
+        // commits advance for free, an oversized commit splits, and the
+        // FIRST file always admits so an oversized file can't stall
         var lastFull = cur.v
         var extra = cur.k
-        var budget = m
-        while (budget > 0 && lastFull < latest) {
-          val rem = eligibleCount(lastFull + 1) - extra
-          if (rem <= budget) { budget -= rem; lastFull += 1; extra = 0L }
-          else { extra += budget; budget = 0L }
+        var files = fLim.getOrElse(Long.MaxValue)
+        var bytes = bLim.getOrElse(Long.MaxValue)
+        var admitted = 0L
+        var full = false
+        while (!full && lastFull < latest) {
+          val sizes = eligibleSizes(lastFull + 1)
+          var i = extra
+          while (!full && i < sizes.length) {
+            val sz = sizes(i.toInt)
+            if (files >= 1 && (bytes >= sz || admitted == 0)) {
+              files -= 1; bytes -= sz; admitted += 1; i += 1
+            } else full = true
+          }
+          if (!full) { lastFull += 1; extra = 0L } else extra = i
         }
         FilePos(lastFull, extra)
     }

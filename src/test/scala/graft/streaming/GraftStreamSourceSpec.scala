@@ -275,6 +275,27 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger budgets on file sizes; an oversized file still admits") {
+    import spark.implicits._
+    val path = tmp("bpace")
+    GraftDelta.toDelta((1L to 12L).toDF("id").repartition(6), path)
+    // budget of 1 byte: every file is oversized, so each batch admits
+    // exactly one file — progress is guaranteed, nothing is lost
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft").option("maxBytesPerTrigger", "1").load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("id").as[Long].collect()
+        if (rows.nonEmpty) { sizes += rows.length.toLong; seen ++= rows }: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == (1L to 12L), s"rows lost/duplicated: ${seen.sorted}")
+      assert(sizes.length == 6, s"expected one file per batch: $sizes")
+    } finally q.stop()
+  }
+
   test("mid-commit offsets survive checkpoint recovery") {
     import spark.implicits._
     val path = tmp("frec")
