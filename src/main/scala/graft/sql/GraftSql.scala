@@ -230,8 +230,36 @@ object GraftSql {
         val r = GraftDelta.convertToDelta(spark, path)
         oneRow(spark, Seq("operation", "numFiles", "partitionColumns"),
           Row("CONVERT", r.numFiles, r.partitionColumns.mkString(",")))
+      case s if CountStarRe.pattern.matcher(s).matches() =>
+        metadataCount(spark, CountStarRe.findFirstMatchIn(s).get)
+          .getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
       case other => spark.sql(rewriteDeltaRefs(spark, other))
     }
+  }
+
+  // `SELECT COUNT(*) FROM delta.`p` [WHERE dnf]` answers from log
+  // metadata (statsAggregate / the hybrid countWhere) — the most common
+  // query against a lake table becomes O(active-files) driver work
+  // instead of a full scan. Non-DNF predicates fall through to the
+  // ordinary SELECT path: this is an exact-answer optimization, never a
+  // semantic change.
+  private val CountStarRe =
+    (s"""(?is)^\\s*SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s*(?:AS\\s+(\\w+))?""" +
+      s"""\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""").r
+
+  private def metadataCount(spark: SparkSession, m: Regex.Match): Option[DataFrame] = {
+    val alias = Option(m.group(1)).getOrElse("count(1)")
+    val path = refOf(m, 2)
+    val where = Option(m.group(5))
+    try {
+      val n = where.map(_.trim).filter(_.nonEmpty) match {
+        case None =>
+          val r = DeltaTableOps.statsAggregate(spark, path, Nil)
+          r.df.select("n_rows").head().getLong(0)
+        case Some(w) => DeltaTableOps.countWhere(spark, path, dnfOf(spark, Some(w))).count
+      }
+      Some(oneRow(spark, Seq(alias), Row(n)))
+    } catch { case _: Exception => None } // not a graft table / non-DNF WHERE
   }
 
   // SELECT-side support: delta.`/path` table refs (with optional

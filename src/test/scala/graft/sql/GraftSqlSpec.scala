@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.delta.{DeltaLog, GraftDelta, TestBase}
+import graft.delta.{DeltaLog, GraftDelta, Predicate, TestBase}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -193,12 +193,22 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     GraftDelta.toDelta((11L to 30L).toDF("k"), path, mode = "append")     // v1
     assert(GraftSql.sql(spark,
       s"SELECT count(*) AS n FROM delta.`$path`").as[Long].head() == 30L)
+    // COUNT(*) routes to metadata (statsAggregate / countWhere) — exact
+    // under DML, and non-DNF predicates fall through to the scan path
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 5L))))
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path`").as[Long].head() == 25L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE k > 20").as[Long].head() == 10L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE k % 2 = 0").as[Long].head() == 13L)
     assert(GraftSql.sql(spark,
       s"SELECT count(*) AS n FROM delta.`$path` VERSION AS OF 0").as[Long].head() == 10L)
-    // joins between two travel points of the same table work (distinct views)
+    // joins between two travel points of the same table work (distinct
+    // views): latest (6..30 after the delete) ∩ v0 (1..10) = {6..10}
     val joined = GraftSql.sql(spark,
       s"SELECT count(*) AS n FROM delta.`$path` a " +
         s"JOIN delta.`$path` VERSION AS OF 0 b ON a.k = b.k")
-    assert(joined.as[Long].head() == 10L)
+    assert(joined.as[Long].head() == 5L)
   }
 }
