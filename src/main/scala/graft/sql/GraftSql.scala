@@ -46,59 +46,111 @@ import scala.util.matching.Regex
   */
 object GraftSql {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.sql")
+
   // table reference: delta.`p` | graft.`p` | `p` | 'p' | bare-token
   private val Ref = """(?:(?:delta|graft)\.)?(?:`([^`]+)`|'([^']+)'|([^\s`';]+))"""
-  private def refOf(m: Regex.Match, g: Int): String =
-    Seq(m.group(g), m.group(g + 1), m.group(g + 2)).find(_ != null).get
 
   private val DvHint = """(?is)/\*\+\s*DV\s*\*/"""
 
-  private val DeleteRe =
-    s"""(?is)^\\s*DELETE\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
-  private val UpdateRe =
-    s"""(?is)^\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*(?:\\bWHERE\\s+(.+?))?\\s*;?\\s*$$""".r
-  private val MergeRe =
-    (s"""(?is)^\\s*MERGE\\s+INTO\\s+$Ref(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+$Ref""" +
-      s"""(?:\\s+AS\\s+(\\w+))?\\s+ON\\s+(.+?)((?:\\s+WHEN\\s+.+?)?)\\s*;?\\s*$$""").r
-  private val OptimizeRe =
-    (s"""(?is)^\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?))?""" +
-      s"""\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w,\\s`]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
-  private val VacuumRe =
-    (s"""(?is)^\\s*VACUUM\\s+$Ref""" +
-      s"""\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""").r
-  private val RestoreVersionRe =
-    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
-  private val RestoreTimestampRe =
-    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
-  private val HistoryRe =
-    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*(?:LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
-  private val DetailRe =
-    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""".r
-  private val AddConstraintRe =
-    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
-      s"""\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""").r
-  private val DropConstraintRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
-  private val ConvertRe =
-    s"""(?is)^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\.)?(?:`([^`]+)`|'([^']+)'|([^\\s`';]+))\\s*;?\\s*$$""".r
-  private val RenameColumnRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*;?\\s*$$""".r
-  private val DropColumnRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+`?(\\w+)`?\\s*;?\\s*$$""".r
-  private val SetPropsRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""".r
-  private val CloneRe =
-    (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
-      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""").r
-  private val InsertRe =
-    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""".r
-  private val CtasRe =
-    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
-      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""").r
+  /** Mask the contents of '…' and "…" literals with , preserving
+    * length, so the statement-shape regexes can't match keywords hiding
+    * inside string literals (`UPDATE t SET s = 'a WHERE b'` must not
+    * split at the quoted WHERE). Positions in the masked text equal
+    * positions in the original, so capture groups are extracted from the
+    * ORIGINAL statement and literal values flow through intact. Doubled
+    * quotes ('it''s') read as two adjacent literals — same chars masked. */
+  private[sql] def maskQuoted(s: String): String = {
+    val sb = new java.lang.StringBuilder(s)
+    var inQ: Char = 0
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 else sb.setCharAt(i, '') }
+      else if (c == '\'' || c == '"') inQ = c
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Anchored-regex extractor that matches the quote-masked statement but
+    * yields capture groups from the original text (see [[maskQuoted]]). */
+  private final class Q(pattern: String) {
+    private val re = pattern.r
+    def unapplySeq(stmt: String): Option[List[String]] = {
+      val m = re.pattern.matcher(maskQuoted(stmt))
+      if (!m.matches()) None
+      else Some(List.tabulate(m.groupCount)(i =>
+        if (m.start(i + 1) >= 0) stmt.substring(m.start(i + 1), m.end(i + 1))
+        else null))
+    }
+  }
+
+  /** Non-anchored quote-masked find: groups from the original text. */
+  private def findIn(re: Regex, s: String): Option[IndexedSeq[String]] = {
+    val m = re.pattern.matcher(maskQuoted(s))
+    if (!m.find()) None
+    else Some((1 to m.groupCount).map(g =>
+      if (m.start(g) >= 0) s.substring(m.start(g), m.end(g)) else null).toIndexedSeq)
+  }
+
+  private def existsIn(re: Regex, s: String): Boolean =
+    re.pattern.matcher(maskQuoted(s)).find()
+
+  private val DeleteRe = new Q(
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val UpdateRe = new Q(
+    s"""(?is)^\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*(?:\\bWHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val MergeRe = new Q(
+    s"""(?is)^\\s*MERGE\\s+INTO\\s+$Ref(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+$Ref""" +
+      s"""(?:\\s+AS\\s+(\\w+))?\\s+ON\\s+(.+?)((?:\\s+WHEN\\s+.+?)?)\\s*;?\\s*$$""")
+  private val OptimizeRe = new Q(
+    s"""(?is)^\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?))?""" +
+      s"""\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w,\\s`]+?)\\s*\\)?)?\\s*;?\\s*$$""")
+  private val VacuumRe = new Q(
+    s"""(?is)^\\s*VACUUM\\s+$Ref""" +
+      s"""\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""")
+  private val RestoreVersionRe = new Q(
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+  private val RestoreTimestampRe = new Q(
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""")
+  private val HistoryRe = new Q(
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*(?:LIMIT\\s+(\\d+))?\\s*;?\\s*$$""")
+  private val DetailRe = new Q(
+    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""")
+  private val AddConstraintRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
+      s"""\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val DropConstraintRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
+  private val ConvertRe = new Q(
+    s"""(?is)^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\.)?(?:`([^`]+)`|'([^']+)'|([^\\s`';]+))\\s*;?\\s*$$""")
+  private val RenameColumnRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*;?\\s*$$""")
+  private val DropColumnRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+`?(\\w+)`?\\s*;?\\s*$$""")
+  private val SetPropsRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val CloneRe = new Q(
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
+      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
+  private val InsertRe = new Q(
+    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
+  private val CtasRe = new Q(
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
+      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""")
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
-    val useDv = DvHint.r.findFirstIn(statement).isDefined
-    val stmt = statement.replaceAll(DvHint, " ")
+    // strip DV hints by masked position so a hint-shaped substring inside
+    // a string literal is left alone
+    var stmt = statement
+    var useDv = false
+    var hint = DvHint.r.pattern.matcher(maskQuoted(stmt))
+    while (hint.find()) {
+      useDv = true
+      stmt = stmt.substring(0, hint.start) + " " + stmt.substring(hint.end)
+      hint = DvHint.r.pattern.matcher(maskQuoted(stmt))
+    }
     stmt match {
       case DeleteRe(p1, p2, p3, where) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
@@ -113,8 +165,10 @@ object GraftSql {
         val r = if (useDv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
                 else GraftDelta.updateWhere(spark, path, filters, set)
         dmlFrame(spark, "UPDATE", r)
-      case s if MergeRe.pattern.matcher(s).matches() =>
-        runMerge(spark, MergeRe.findFirstMatchIn(s).get)
+      case MergeRe(t1, t2, t3, tAlias, s1, s2, s3, sAlias, on, clauses) =>
+        runMerge(spark, Seq(t1, t2, t3).find(_ != null).get, Option(tAlias),
+          Seq(s1, s2, s3).find(_ != null).get, Option(sAlias), on,
+          Option(clauses).getOrElse(""))
       case OptimizeRe(p1, p2, p3, where, zorderCols) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val filters = dnfOf(spark, Option(where))
@@ -230,8 +284,9 @@ object GraftSql {
         val r = GraftDelta.convertToDelta(spark, path)
         oneRow(spark, Seq("operation", "numFiles", "partitionColumns"),
           Row("CONVERT", r.numFiles, r.partitionColumns.mkString(",")))
-      case s if CountStarRe.pattern.matcher(s).matches() =>
-        metadataCount(spark, CountStarRe.findFirstMatchIn(s).get)
+      case s @ CountStarRe(alias, p1, p2, p3, where) =>
+        metadataCount(spark, Option(alias), Seq(p1, p2, p3).find(_ != null).get,
+          Option(where))
           .getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
       case other => spark.sql(rewriteDeltaRefs(spark, other))
     }
@@ -243,14 +298,13 @@ object GraftSql {
   // instead of a full scan. Non-DNF predicates fall through to the
   // ordinary SELECT path: this is an exact-answer optimization, never a
   // semantic change.
-  private val CountStarRe =
-    (s"""(?is)^\\s*SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s*(?:AS\\s+(\\w+))?""" +
-      s"""\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""").r
+  private val CountStarRe = new Q(
+    s"""(?is)^\\s*SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s*(?:AS\\s+(\\w+))?""" +
+      s"""\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
 
-  private def metadataCount(spark: SparkSession, m: Regex.Match): Option[DataFrame] = {
-    val alias = Option(m.group(1)).getOrElse("count(1)")
-    val path = refOf(m, 2)
-    val where = Option(m.group(5))
+  private def metadataCount(
+      spark: SparkSession, alias: Option[String], path: String,
+      where: Option[String]): Option[DataFrame] = {
     try {
       val n = where.map(_.trim).filter(_.nonEmpty) match {
         case None =>
@@ -258,8 +312,16 @@ object GraftSql {
           r.df.select("n_rows").head().getLong(0)
         case Some(w) => DeltaTableOps.countWhere(spark, path, dnfOf(spark, Some(w))).count
       }
-      Some(oneRow(spark, Seq(alias), Row(n)))
-    } catch { case _: Exception => None } // not a graft table / non-DNF WHERE
+      Some(oneRow(spark, Seq(alias.getOrElse("count(1)")), Row(n)))
+    } catch {
+      // Only the expected refusals fall back to the (exact, slower) scan
+      // path: not-a-graft-table or a WHERE outside the DNF language. IO
+      // and log-corruption errors propagate — hiding them behind a
+      // silent slow path would mask real damage.
+      case e: IllegalArgumentException =>
+        logger.info(s"metadata COUNT(*) fell back to scan for $path: ${e.getMessage}")
+        None
+    }
   }
 
   // SELECT-side support: delta.`/path` table refs (with optional
@@ -270,17 +332,51 @@ object GraftSql {
     ("""(?is)(?:delta|graft)\.`([^`]+)`""" +
       """(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""").r
 
-  private def rewriteDeltaRefs(spark: SparkSession, statement: String): String =
-    DeltaRefRe.replaceAllIn(statement, m => {
-      val path = m.group(1)
-      val version = Option(m.group(3)).map(_.toLong)
-      val ts = Option(m.group(4))
-      val view = "graft_ref_" + java.lang.Integer.toHexString(
-        (path, version, ts).hashCode()).replace('-', '_')
+  /** Collision-proof temp-view name for a table ref: every character of
+    * the (path, version, timestamp) triple either passes through
+    * (lowercase letters / digits) or escapes to a fixed-width `_uXXXX`
+    * code, so the encoding is injective — two distinct refs can never
+    * share a view name. (The previous scheme truncated a 32-bit
+    * `hashCode` — birthday-colliding refs silently bound one reference
+    * to the other table's data.) Uppercase escapes too because Spark
+    * resolves temp-view names case-insensitively. Decoding is
+    * unambiguous: '_' occurs only as the head of a 6-char escape, and
+    * the `_v`/`_t` separators can't appear inside one ('v'/'t' aren't
+    * hex digits). */
+  private[sql] def viewNameFor(
+      path: String, version: Option[Long], ts: Option[String]): String = {
+    def esc(s: String): String = s.flatMap { c =>
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toString
+      else f"_u${c.toInt}%04x"
+    }
+    "graft_ref_" + esc(path) +
+      version.map(v => "_v" + v).getOrElse("") +
+      ts.map(t => "_t" + esc(t)).getOrElse("")
+  }
+
+  private def rewriteDeltaRefs(spark: SparkSession, statement: String): String = {
+    // find refs in the quote-masked text (a literal containing
+    // "delta.`x`" is data, not a table ref) but read them from the
+    // original
+    val m = DeltaRefRe.pattern.matcher(maskQuoted(statement))
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      val path = statement.substring(m.start(1), m.end(1))
+      val version =
+        if (m.start(3) >= 0) Some(statement.substring(m.start(3), m.end(3)).toLong)
+        else None
+      val ts =
+        if (m.start(4) >= 0) Some(statement.substring(m.start(4), m.end(4)))
+        else None
+      val view = viewNameFor(path, version, ts)
       GraftDelta.readDelta(spark, path, version = version, timestamp = ts)
         .createOrReplaceTempView(view)
-      Regex.quoteReplacement(view)
-    })
+      sb.append(statement.substring(last, m.start)).append(view)
+      last = m.end
+    }
+    sb.append(statement.substring(last)).toString
+  }
 
   // ---- MERGE ------------------------------------------------------------
 
@@ -293,28 +389,24 @@ object GraftSql {
   private val WhenNotMatchedRe =
     """(?is)WHEN\s+NOT\s+MATCHED\s+(?:THEN\s+)?INSERT\s+\*""".r
 
-  private def runMerge(spark: SparkSession, m: Regex.Match): DataFrame = {
-    val targetPath = refOf(m, 1)
-    val targetAlias = Option(m.group(4))
-    val sourceRef = refOf(m, 5)
-    val sourceAlias = Option(m.group(8))
-    val onClause = m.group(9)
-    val clauses = Option(m.group(10)).getOrElse("")
-
+  private def runMerge(
+      spark: SparkSession, targetPath: String, targetAlias: Option[String],
+      sourceRef: String, sourceAlias: Option[String], onClause: String,
+      clauses: String): DataFrame = {
     val source = sourceFrame(spark, sourceRef)
     val keys = equiKeysOf(spark, onClause, targetAlias, sourceAlias)
 
     val whenMatched: DeltaDml.WhenMatched =
-      if (WhenMatchedUpdateAllRe.findFirstIn(clauses).isDefined)
+      if (existsIn(WhenMatchedUpdateAllRe, clauses))
         DeltaDml.WhenMatched.UpdateAll
-      else if (WhenMatchedDeleteRe.findFirstIn(clauses).isDefined)
+      else if (existsIn(WhenMatchedDeleteRe, clauses))
         DeltaDml.WhenMatched.Delete
-      else WhenMatchedUpdateRe.findFirstMatchIn(clauses) match {
+      else findIn(WhenMatchedUpdateRe, clauses) match {
         case Some(u) =>
           // source-column references (s.col / source.col) map to the
           // engine's src() marker columns
           val srcAliases = (sourceAlias.toSeq :+ "source").distinct
-          val set = splitAssignments(u.group(1)).map { a =>
+          val set = splitAssignments(u(0)).map { a =>
             val (name, raw) = splitOnce(a)
             val rewritten = srcAliases.foldLeft(raw)((e, al) =>
               e.replaceAll(s"(?i)\\b$al\\.", "__graft_src_"))
@@ -322,14 +414,14 @@ object GraftSql {
           }.toMap
           DeltaDml.WhenMatched.Update(set)
         case None =>
-          if (clauses.trim.isEmpty || WhenNotMatchedRe.findFirstIn(clauses).isDefined)
+          if (clauses.trim.isEmpty || existsIn(WhenNotMatchedRe, clauses))
             DeltaDml.WhenMatched.UpdateAll
           else throw new IllegalArgumentException(
             s"Unsupported MERGE clause: $clauses — supported: UPDATE SET star, " +
               "UPDATE SET a=e, DELETE, WHEN NOT MATCHED [THEN] INSERT star")
       }
     val insertNotMatched =
-      clauses.trim.isEmpty || WhenNotMatchedRe.findFirstIn(clauses).isDefined
+      clauses.trim.isEmpty || existsIn(WhenNotMatchedRe, clauses)
     val r = GraftDelta.mergeInto(spark, targetPath, source, keys,
       whenMatched, insertNotMatched)
     oneRow(spark,
@@ -436,11 +528,21 @@ object GraftSql {
     case (d: org.apache.spark.sql.types.Decimal, _) => d.toBigDecimal
     case (days: Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
-    case (micros: java.lang.Long, TimestampType) =>
-      new java.sql.Timestamp(micros / 1000L)
-    case (micros: java.lang.Long, _: TimestampNTZType.type) =>
-      new java.sql.Timestamp(micros / 1000L)
+    case (micros: java.lang.Long, TimestampType) => microsToTimestamp(micros)
+    case (micros: java.lang.Long, _: TimestampNTZType.type) => microsToTimestamp(micros)
     case (v, _) => v
+  }
+
+  /** Micros → java.sql.Timestamp at full precision with floor semantics:
+    * truncating division (`micros / 1000L`) rounds pre-1970 values
+    * toward zero — a pre-epoch WHERE literal lands 1 ms late and can
+    * flip boundary comparisons in pruning and row filters. floorDiv for
+    * the millis plus setNanos for the sub-millisecond remainder keeps
+    * the exact instant. */
+  private def microsToTimestamp(micros: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
   }
 
   // ---- assignments ------------------------------------------------------

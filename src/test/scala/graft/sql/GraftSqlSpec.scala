@@ -211,4 +211,88 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
         s"JOIN delta.`$path` VERSION AS OF 0 b ON a.k = b.k")
     assert(joined.as[Long].head() == 5L)
   }
+
+  test("two distinct delta refs in one SELECT bind to their own tables") {
+    val dir = Files.createTempDirectory("graft_sql_two")
+    dir.toFile.deleteOnExit()
+    val pa = s"$dir/ta"
+    val pb = s"$dir/tb"
+    GraftDelta.toDelta((1L to 7L).map(i => (i, "left")).toDF("k", "side"), pa)
+    GraftDelta.toDelta((5L to 12L).map(i => (i, "right")).toDF("k", "side"), pb)
+    val r = GraftSql.sql(spark,
+      s"SELECT a.k AS k, a.side AS sa, b.side AS sb FROM delta.`$pa` a " +
+        s"JOIN delta.`$pb` b ON a.k = b.k ORDER BY k")
+    assert(r.as[(Long, String, String)].collect().toSeq ==
+      Seq((5L, "left", "right"), (6L, "left", "right"), (7L, "left", "right")))
+  }
+
+  test("temp-view naming survives a 32-bit hashCode collision between refs") {
+    val dir = Files.createTempDirectory("graft_sql_coll")
+    dir.toFile.deleteOnExit()
+    // construct two distinct paths whose (path, None, None).hashCode
+    // collide — the name the pre-fix scheme truncated to 32 bits
+    val seen = scala.collection.mutable.HashMap[Int, String]()
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty) {
+      val p = s"$dir/t$i"
+      val h = (p, None, None).hashCode()
+      seen.get(h) match {
+        case Some(prev) => pair = Some((prev, p))
+        case None => seen(h) = p
+      }
+      i += 1
+    }
+    val (pa, pb) = pair.get
+    assert((pa, None, None).hashCode() == (pb, None, None).hashCode())
+    assert(GraftSql.viewNameFor(pa, None, None) != GraftSql.viewNameFor(pb, None, None),
+      s"colliding refs $pa / $pb must get distinct view names")
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("k", "v"), pa)
+    GraftDelta.toDelta(Seq((2L, "b")).toDF("k", "v"), pb)
+    val r = GraftSql.sql(spark,
+      s"SELECT a.v AS va, b.v AS vb FROM delta.`$pa` a CROSS JOIN delta.`$pb` b")
+    assert(r.as[(String, String)].head() == (("a", "b")))
+  }
+
+  test("string literals containing keywords never confuse statement parsing") {
+    val path = tmp()
+    seed(path)
+    // SET literal containing WHERE must not split there
+    GraftSql.sql(spark, s"UPDATE delta.`$path` SET v = 'a WHERE b' WHERE k = 1")
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.filter($"k" === 1L).select("v").as[String].head() == "a WHERE b")
+    assert(got.filter($"v" === "a WHERE b").count() == 1L)
+    // un-WHERE'd UPDATE whose literal contains WHERE parses as having NO
+    // predicate — the engine's full-table-DML refusal fires (proving the
+    // quoted WHERE wasn't taken as the split point)
+    val noWhere = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"UPDATE delta.`$path` SET v = 'all WHERE rows'"))
+    assert(noWhere.getMessage.contains("non-empty predicate"), noWhere.getMessage)
+    // DELETE whose predicate literal contains a keyword
+    val del = GraftSql.sql(spark,
+      s"DELETE FROM delta.`$path` WHERE v != 'a WHERE b'")
+    assert(del.select("affectedRows").as[Long].head() == 19L)
+    assert(GraftDelta.readDelta(spark, path).count() == 1L)
+    // MERGE assignment literal containing WHEN must not split the clause
+    Seq((1L, "src", 0L)).toDF("k", "v", "g").createOrReplaceTempView("kw_src")
+    GraftSql.sql(spark,
+      s"MERGE INTO delta.`$path` AS t USING kw_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = 'x WHEN y'")
+    assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
+      .select("v").as[String].head() == "x WHEN y")
+  }
+
+  test("pre-epoch timestamp literals keep exact micros (floor, not truncate)") {
+    val path = tmp()
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999")),
+      (2L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+    GraftDelta.toDelta(rows.toDF("k", "ts"), path)
+    // truncating micros→millis would round the literal up to the epoch
+    // and delete both rows
+    val r = GraftSql.sql(spark,
+      s"DELETE FROM delta.`$path` WHERE ts <= TIMESTAMP '1969-12-31 23:59:59.9995'")
+    assert(r.select("affectedRows").as[Long].head() == 1L)
+    assert(GraftDelta.readDelta(spark, path).select("k").as[Long].head() == 2L)
+  }
 }
