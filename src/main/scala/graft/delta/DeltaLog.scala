@@ -218,7 +218,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           s"Checkpoint v$v in $logPath has ${parts.length} parts but _last_checkpoint declares $n")
       }
     }
-    checkpointDfToActions(spark.read.parquet(parts.map(_.toString): _*))
+    val parsed = checkpointDfToActions(spark.read.parquet(parts.map(_.toString): _*))
+    // A classic-NAMED checkpoint can still be V2-structured — spec-valid
+    // when the v2Checkpoint feature is set (delta-spark's compat mode
+    // writes exactly this shape). The checkpointMetadata action is the
+    // tell: add/remove actions may then live in sidecars, and replaying
+    // only the inline actions would build a silently-wrong snapshot.
+    if (parsed.exists(_.isInstanceOf[CheckpointMetadata]))
+      resolveV2Actions(v, parts.map(_.getName).mkString(","), parsed)
+    else parsed
   }
 
   /** Read a V2 (uuid-named) checkpoint: the top-level file carries the
@@ -239,8 +247,19 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val cm = topActions.collectFirst { case c: CheckpointMetadata => c }
     require(cm.nonEmpty,
       s"V2 checkpoint ${top.getName} carries no checkpointMetadata action")
-    require(cm.get.version == v,
-      s"V2 checkpoint ${top.getName} declares version ${cm.get.version}, expected $v")
+    resolveV2Actions(v, top.getName, topActions)
+  }
+
+  /** Resolve a V2-structured checkpoint's full action set from its
+    * top-level actions: validate the declared version, load referenced
+    * sidecars, and strip the structural actions. Shared by the uuid-named
+    * V2 path and classic-named V2 checkpoints (compat mode). */
+  private def resolveV2Actions(
+      v: Long, name: String, topActions: Seq[Action]): Seq[Action] = {
+    topActions.collectFirst { case c: CheckpointMetadata => c }.foreach { cm =>
+      require(cm.version == v,
+        s"V2 checkpoint $name declares version ${cm.version}, expected $v")
+    }
     val sidecars = topActions.collect { case s: Sidecar => s }
     val sidecarActions: Seq[Action] =
       if (sidecars.isEmpty) Nil
@@ -251,7 +270,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           if (p.isAbsolute) p else new Path(dir, s.path)
         }
         paths.foreach(p => require(fs.exists(p),
-          s"V2 checkpoint ${top.getName} references missing sidecar $p"))
+          s"V2 checkpoint $name references missing sidecar $p"))
         checkpointDfToActions(spark.read.parquet(paths.map(_.toString): _*))
       }
     (topActions ++ sidecarActions).filter {
@@ -264,15 +283,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * log-cleanup needs them to GC orphaned sidecars without touching
     * the live checkpoint's. */
   private[delta] def v2SidecarRefs(top: Path): Seq[String] = {
-    val actions: Seq[Action] =
-      if (top.getName.endsWith(".json")) {
-        val in = fs.open(top)
-        val lines =
-          try Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
-      } else checkpointDfToActions(spark.read.parquet(top.toString))
-    actions.collect { case s: Sidecar => new Path(s.path).getName }
+    if (top.getName.endsWith(".json")) {
+      val in = fs.open(top)
+      val lines =
+        try Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+        .collect { case s: Sidecar => new Path(s.path).getName }
+    } else {
+      // projection-pruned: only the sidecar column leaves the scan — a
+      // classic-named top can be a full-size checkpoint, and collecting
+      // its add actions here would cost O(#files) driver memory per
+      // cleanup just to learn the (usually empty) sidecar refs
+      val df = spark.read.parquet(top.toString)
+      if (!df.columns.contains("sidecar")) Nil
+      else df.select("sidecar.path").where(df.col("sidecar.path").isNotNull)
+        .collect().map(r => new Path(r.getString(0)).getName).toSeq
+    }
   }
 
   /** Build the snapshot at `version` (None = latest). */

@@ -320,12 +320,15 @@ object DeltaMaintenance {
         case _ => false
       }
     }.map(_.getPath).toSeq
-    // v2 sidecar GC: sidecars referenced by any SURVIVING v2 top file
-    // stay (the live checkpoint reads through them); the rest, aged
-    // past retention, are orphans of superseded checkpoints
+    // v2 sidecar GC: sidecars referenced by any SURVIVING top file stay
+    // (the live checkpoint reads through them); the rest, aged past
+    // retention, are orphans of superseded checkpoints. Classic-NAMED
+    // checkpoints count as tops too — a compat-mode V2 checkpoint keeps
+    // its sidecar refs under a classic name.
     val candidateNames = candidates.map(_.getName).toSet
     val survivingTops = allLog.map(_.getPath).filter(p => p.getName match {
       case V2AnyRe(_) => !candidateNames.contains(p.getName)
+      case CpRe(_, _) => !candidateNames.contains(p.getName)
       case _ => false
     })
     val referenced: Set[String] =

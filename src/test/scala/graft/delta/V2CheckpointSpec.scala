@@ -164,6 +164,65 @@ class V2CheckpointSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 20L)
   }
 
+  test("classic-NAMED v2 checkpoint (compat mode) resolves sidecars, never drops actions") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((11L to 20L).toDF("k"), path, mode = "append")     // v1
+    enableV2(path)                                                        // v2
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(2L)
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val top = logDir.listFiles()
+      .filter(_.getName.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet""")).head
+    // delta-spark compat mode: V2-structured content under the CLASSIC
+    // name — sidecar-resident adds must still be resolved, not dropped
+    val classic = new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet")
+    Files.move(top.toPath, classic.toPath)
+    (0L to 2L).foreach(v =>
+      new java.io.File(s"$path/_delta_log/" + f"$v%020d.json").delete())
+    val got = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(got.version == 2L)
+    assert(GraftDelta.readDelta(spark, path).as[Long].collect().sorted.toSeq ==
+      (1L to 20L))
+
+    // a classic-named V2 top copied to the wrong version refuses through
+    // the same checkpointMetadata guard as uuid-named tops
+    val bogus = new java.io.File(logDir, f"${1L}%020d.checkpoint.parquet")
+    Files.copy(classic.toPath, bogus.toPath)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.forTable(spark, path).readCheckpointActions(1L))
+    assert(e.getMessage.contains("declares version"), e.getMessage)
+    bogus.delete()
+  }
+
+  test("cleanup keeps sidecars referenced by a surviving classic-named top") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    enableV2(path)                                                        // v1
+    DeltaLog.forTable(spark, path).writeCheckpoint(1L)                    // cp A (uuid)
+    GraftDelta.toDelta((11L to 20L).toDF("k"), path, mode = "append")     // v2
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(2L)                                               // cp B
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val topB = logDir.listFiles()
+      .filter(_.getName.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+      .filter(_.getName.startsWith(f"${2L}%020d")).head
+    Files.move(topB.toPath,
+      new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet").toPath)
+    def ageAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(ageAll)
+      else f.setLastModified(System.currentTimeMillis() - 100L * 3600 * 1000)
+    }
+    ageAll(logDir)
+    val removed = GraftDelta.cleanupLog(spark, path, retentionHours = 1.0, dryRun = false)
+    assert(removed.exists(_.startsWith(f"${1L}%020d.checkpoint.")),
+      s"superseded cp A top must be reclaimed: $removed")
+    // cp B is classic-named: its sidecars must survive the orphan sweep,
+    // or the live checkpoint becomes unreadable
+    assert(GraftDelta.readDelta(spark, path).as[Long].collect().sorted.toSeq ==
+      (1L to 20L))
+  }
+
   test("v2 checkpoint preserves txn, domainMetadata, and DV descriptors") {
     val path = tmp()
     GraftDelta.toDelta((1L to 20L).toDF("k").repartition(1), path)        // v0
