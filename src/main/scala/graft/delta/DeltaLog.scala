@@ -400,13 +400,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           _.forall(DeltaLog.SupportedReaderFeatures.contains))
       case _ => false
     }
-    if (!readerSupported)
+    if (!readerSupported) {
+      val unknown = protocol.readerFeatures.getOrElse(Nil)
+        .filterNot(DeltaLog.SupportedReaderFeatures.contains)
+      if (unknown.contains("variantType"))
+        throw new IllegalStateException(
+          s"Table $tablePath uses the variantType reader feature: VARIANT " +
+            "columns carry a binary physical encoding this scan does not " +
+            "decode — reading anyway would surface opaque bytes as data. " +
+            "Re-materialize the VARIANT columns (e.g. to JSON strings) to " +
+            "read the table here.")
       throw new IllegalStateException(
         s"Table $tablePath requires reader version ${protocol.minReaderVersion} " +
           s"(columnMapping.mode=$mappingMode, readerFeatures=" +
           s"${protocol.readerFeatures.getOrElse(Nil).mkString(",")}) — supported: " +
           s"reader ≤ 2 with mapping mode none/name/id, or reader 3 whose features " +
           s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
+    }
     Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
       txns.values.toSeq, domains.toMap)
   }
@@ -842,9 +852,23 @@ object DeltaLog {
   def dvUniqueId(d: DeletionVectorDescriptor): String =
     s"${d.storageType}${d.pathOrInlineDv}@${d.offset.getOrElse(0)}"
 
-  /** Reader-3 table features the scan implements. */
+  /** Reader-3 table features the scan implements.
+    *
+    *  - `vacuumProtocolCheck` imposes no read-time semantics at all (it
+    *    exists to force VACUUM implementations through a protocol check,
+    *    which [[graft.delta.DeltaTableOps]] vacuum already does per-table)
+    *    — allowlisted as a no-op.
+    *  - `typeWidening` is honored structurally: the scan always passes
+    *    the CURRENT table schema to the parquet reader, and Spark 4's
+    *    vectorized reader performs the protocol's allowed widenings
+    *    (byte→short→int→long, int→double, float→double, decimal
+    *    precision growth, date→timestampNtz) when a file's physical type
+    *    is narrower than the declared one. Per-field
+    *    `delta.typeChanges` metadata rides inside the schemaString and
+    *    survives replay untouched. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "vacuumProtocolCheck", "typeWidening")
 
   /** Writer-7 table features our write surfaces understand — each is
     * honored, not merely tolerated: cdc staging (changeDataFeed),

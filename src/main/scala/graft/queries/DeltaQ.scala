@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.delta.{CommitInfo, DeltaLog, DeltaMaintenance, DeltaTableOps, GraftDelta, Predicate, Protocol}
+import graft.delta.{AddFile, CommitInfo, DeltaLog, DeltaMaintenance, DeltaTableOps, GraftDelta, Predicate, Protocol}
 
 /** Harness queries for the Delta engine operators (SURVEY.md §2 ①-⑭).
   *
@@ -565,6 +565,59 @@ object DeltaQ {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // TYPE WIDENING (reader feature typeWidening): v0 writes s_suppkey
+    // as INT, a widen commit flips the declared type to LONG with
+    // per-field delta.typeChanges metadata, and a foreign-style hand
+    // commit adds a physically-long file — the scan must read BOTH
+    // through the current schema (Spark's vectorized parquet reader
+    // performs the int32→int64 widening; no per-file casts planned).
+    "d38_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = tmp("d38")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(
+        sup.filter($"s_suppkey" % 2 === 0)
+          .select($"s_suppkey".cast("int").as("s_suppkey"), $"s_name",
+            cents($"s_acctbal").as("acctbal_c")),
+        path)                                                             // v0: int key
+      val log = DeltaLog.forTable(s, path)
+      val snap = log.snapshot(None)
+      val widened = StructType(snap.schema.fields.map { f =>
+        if (f.name == "s_suppkey")
+          StructField("s_suppkey", LongType, nullable = true,
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putMetadataArray("delta.typeChanges", Array(
+                new MetadataBuilder().putString("fromType", "integer")
+                  .putString("toType", "long").build())).build())
+        else f
+      })
+      log.writeCommit(1L, Seq(
+        CommitInfo(System.currentTimeMillis(), "WIDEN"),
+        Protocol(3, 7,
+          readerFeatures = Some(Seq("typeWidening")),
+          writerFeatures = Some(
+            (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "typeWidening").distinct)),
+        snap.metadata.copy(schemaString = widened.json)))                 // v1
+      // physically-long file, committed the way a feature-native foreign
+      // writer would
+      val stage = java.nio.file.Files.createTempDirectory("graft_d38_stage")
+      stage.toFile.deleteOnExit()
+      sup.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val destName = s"part-widened-${java.util.UUID.randomUUID()}.parquet"
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path, destName))
+      log.writeCommit(2L, Seq(
+        CommitInfo(System.currentTimeMillis(), "WRITE"),
+        AddFile(destName, Map.empty,
+          new java.io.File(path, destName).length(),
+          System.currentTimeMillis(), dataChange = true)))                // v2
+      GraftDelta.readDelta(s, path).orderBy($"s_suppkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -815,6 +868,9 @@ object DeltaQ {
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d35_v2_checkpoint" ->
+      """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d38_type_widening" ->
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d37_ntz" ->

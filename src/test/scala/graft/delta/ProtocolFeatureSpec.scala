@@ -168,6 +168,95 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(p3.minWriterVersion == 3 && p3.writerFeatures.isEmpty)
   }
 
+  // ---- reader-feature closure (r7 verdict #3) -----------------------------
+
+  test("vacuumProtocolCheck is a read-side no-op; variantType refuses targeted") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 12).map(i => (i.toLong, "x")).toDF("k", "v"), path) // v0
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("vacuumProtocolCheck")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "vacuumProtocolCheck").distinct))))
+    assert(GraftDelta.readDelta(spark, path).count() == 12L,
+      "vacuumProtocolCheck imposes no read semantics")
+    // vacuum still runs its (protocol-aware) path on such a table
+    assert(DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = true).isEmpty)
+
+    val p2 = tmp()
+    GraftDelta.toDelta((1 to 3).map(i => (i.toLong, "x")).toDF("k", "v"), p2)
+    val log2 = DeltaLog.forTable(spark, p2)
+    log2.writeCommit(1L, Seq(Protocol(3, 7,
+      readerFeatures = Some(Seq("variantType")),
+      writerFeatures = Some(Seq("variantType")))))
+    val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, p2).count())
+    assert(e.getMessage.contains("variantType") && e.getMessage.contains("VARIANT"),
+      e.getMessage)
+  }
+
+  test("typeWidening tables read files through the current (widened) schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), path)   // v0: k int
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    assert(snap.schema("k").dataType == IntegerType)
+    // widen k→long the way delta-spark records it: new schemaString with
+    // the wide type + per-field delta.typeChanges metadata, protocol
+    // gains the typeWidening feature
+    val widened = StructType(snap.schema.fields.map { f =>
+      if (f.name == "k")
+        StructField("k", LongType, nullable = true,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putMetadataArray("delta.typeChanges", Array(
+              new MetadataBuilder()
+                .putString("fromType", "integer")
+                .putString("toType", "long").build()))
+            .build())
+      else f
+    })
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "WIDEN"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("typeWidening")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "typeWidening").distinct)),
+      snap.metadata.copy(schemaString = widened.json)))                   // v1
+    // post-widening file with a PHYSICALLY long k, hand-committed the way
+    // a feature-native foreign writer would
+    val stage = Files.createTempDirectory("graft_widen_stage")
+    stage.toFile.deleteOnExit()
+    Seq((100L, "w1"), (101L, "w2")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val destName = "part-widened.parquet"
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(path, destName))
+    log.writeCommit(2L, Seq(
+      CommitInfo(System.currentTimeMillis(), "WRITE"),
+      AddFile(destName, Map.empty, new java.io.File(path, destName).length(),
+        System.currentTimeMillis(), dataChange = true)))                  // v2
+    // read: the v0 file's physical int32 k widens to the declared long
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.schema("k").dataType == LongType)
+    assert(got.select("k").as[Long].collect().sorted.toSeq ==
+      ((1L to 10L) ++ Seq(100L, 101L)))
+    // predicate across narrow and wide files, through stats pruning
+    assert(GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("k", ">", 8L))))
+      .select("k").as[Long].collect().sorted.toSeq == Seq(9L, 10L, 100L, 101L))
+    // pre-widening version still reads with its own (narrow) schema
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L))
+      .schema("k").dataType == IntegerType)
+  }
+
   // ---- replay reconciliation (r4 ADVICE low) ------------------------------
 
   test("replay is order-independent within a commit and honors descriptor-less removes") {
