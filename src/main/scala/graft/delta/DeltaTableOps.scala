@@ -761,6 +761,70 @@ object DeltaTableOps {
         .map(_.toLong).getOrElse(0L))
   }
 
+  /** ALTER TABLE … ADD COLUMN — metadata-only at any table size: the new
+    * field joins the logical schema as nullable, files written before the
+    * change simply lack the physical column, and the scan already
+    * surfaces absent columns as nulls (the schema-evolution read path ⑧).
+    * Works with or without column mapping; under mapping the new field
+    * (nested fields included) gets fresh column ids and a UUID physical
+    * name so it can never collide with a previously-dropped column still
+    * physically present in old files (the delta-spark convention).
+    * `after` / `first` order the field; default appends at the end. */
+  def addColumn(
+      spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      after: Option[String] = None, first: Boolean = false): MappingResult = {
+    require(!(first && after.nonEmpty), "ADD COLUMN takes FIRST or AFTER, not both")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"Column $name already exists in ${snap.schema.fieldNames.mkString(", ")}")
+    val mapped = DeltaRead.mappingModeOf(snap) != "none"
+    var nextId = snap.metadata.configuration
+      .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+    def stampType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: StructType => StructType(st.fields.map(stampField))
+        case ArrayType(et, n) => ArrayType(stampType(et), n)
+        case MapType(k, v, n) => MapType(stampType(k), stampType(v), n)
+        case other => other
+      }
+    def stampField(f: StructField): StructField = {
+      nextId += 1
+      val id = nextId
+      StructField(f.name, stampType(f.dataType), f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+    }
+    val field =
+      if (mapped) stampField(StructField(name, dataType, nullable = true))
+      else StructField(name, dataType, nullable = true)
+    val fields = snap.schema.fields
+    val ordered: Array[StructField] =
+      if (first) field +: fields
+      else after match {
+        case Some(a) =>
+          require(fields.exists(_.name == a),
+            s"AFTER column $a not found in ${snap.schema.fieldNames.mkString(", ")}")
+          fields.flatMap(f => if (f.name == a) Seq(f, field) else Seq(f))
+        case None => fields :+ field
+      }
+    val meta = snap.metadata.copy(
+      schemaString = StructType(ordered).json,
+      configuration =
+        if (mapped) snap.metadata.configuration +
+          ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        else snap.metadata.configuration)
+    val ci = CommitInfo(System.currentTimeMillis(), "ADD COLUMN",
+      operationParameters = Map("column" -> name, "type" -> dataType.simpleString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    MappingResult(snap.version + 1, nextId)
+  }
+
   /** RESTORE TABLE … TO VERSION: one new commit that returns the table's
     * data to what version `toVersion` held, preserving history (the
     * delta-spark RESTORE contract — not a log rewind). The commit

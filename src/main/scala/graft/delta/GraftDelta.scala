@@ -117,6 +117,13 @@ object GraftDelta {
       newName: String): DeltaTableOps.MappingResult =
     DeltaTableOps.renameColumn(spark, path, oldName, newName)
 
+  /** ALTER TABLE … ADD COLUMN — metadata-only; pre-existing files
+    * surface the new column as null. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      after: Option[String] = None, first: Boolean = false): DeltaTableOps.MappingResult =
+    DeltaTableOps.addColumn(spark, path, name, dataType, after, first)
+
   /** ALTER TABLE … DROP COLUMN (requires column mapping). */
   def dropColumn(spark: SparkSession, path: String,
       name: String): DeltaTableOps.MappingResult =

@@ -618,6 +618,22 @@ object DeltaQ {
       GraftDelta.readDelta(s, path).orderBy($"s_suppkey")
     }),
 
+    // ALTER TABLE ADD COLUMN — metadata-only schema evolution through
+    // the SQL surface: pre-add files surface the new (middle-ordered)
+    // column as null, a positional INSERT fills it, and the readback
+    // hash covers ordering + nulls + the inserted values.
+    "d39_add_column" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d39")
+      GraftDelta.toDelta(t(s, dir, "nation"), path)                       // v0
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` ADD COLUMN note STRING AFTER n_name") // v1
+      graft.sql.GraftSql.sql(s,
+        s"INSERT INTO delta.`$path` VALUES " +
+          "(901, 'NEWLAND', 'added', 0), (902, 'OLDLAND', 'added', 1)")   // v2
+      GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -873,6 +889,12 @@ object DeltaQ {
     "d38_type_widening" ->
       """SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d39_add_column" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS note, n_regionkey
+        |FROM nation
+        |UNION ALL SELECT 901, 'NEWLAND', 'added', 0
+        |UNION ALL SELECT 902, 'OLDLAND', 'added', 1
+        |ORDER BY n_nationkey""".stripMargin,
     "d37_ntz" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate,
         | CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c

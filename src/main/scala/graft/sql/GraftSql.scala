@@ -125,6 +125,8 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
   private val ConvertRe = new Q(
     s"""(?is)^\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\.)?(?:`([^`]+)`|'([^']+)'|([^\\s`';]+))\\s*;?\\s*$$""")
+  private val AddColumnRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\(?\\s*`?(\\w+)`?\\s+([\\w<>(),:\\s]+?)\\s*\\)?\\s*(?:(FIRST)|AFTER\\s+`?(\\w+)`?)?\\s*;?\\s*$$""")
   private val RenameColumnRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*;?\\s*$$""")
   private val DropColumnRe = new Q(
@@ -212,6 +214,13 @@ object GraftSql {
         val r = GraftDelta.dropConstraint(spark, path, name)
         oneRow(spark, Seq("operation", "tableVersion", "constraint"),
           Row("DROP CONSTRAINT", r.tableVersion, name))
+      case AddColumnRe(p1, p2, p3, name, typeStr, firstKw, afterCol) =>
+        val path = Seq(p1, p2, p3).find(_ != null).get
+        val dt = spark.sessionState.sqlParser.parseDataType(typeStr.trim)
+        val r = GraftDelta.addColumn(spark, path, name, dt,
+          after = Option(afterCol), first = firstKw != null)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("ADD COLUMN", r.tableVersion))
       case RenameColumnRe(p1, p2, p3, from, to) =>
         val path = Seq(p1, p2, p3).find(_ != null).get
         val r = GraftDelta.renameColumn(spark, path, from, to)

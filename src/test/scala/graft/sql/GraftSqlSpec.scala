@@ -153,6 +153,19 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     GraftSql.sql(spark, s"ALTER TABLE delta.`$path` DROP COLUMN g")
     val cols = GraftDelta.readDelta(spark, path).columns.toSeq
     assert(cols == Seq("k", "label"), cols.toString)
+    // ADD COLUMN under mapping: fresh id + uuid physical name, old files
+    // read null, and the mapped write surface fills it on append
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` ADD COLUMN extra INT")
+    assert(GraftDelta.readDelta(spark, path)
+      .filter($"extra".isNull).count() == 20L)
+    val snapM = DeltaLog.forTable(spark, path).snapshot(None)
+    val extraField = snapM.schema("extra")
+    assert(extraField.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"), "mapped add must assign a uuid physical name")
+    GraftDelta.toDelta(Seq((500L, "m", 7)).toDF("k", "label", "extra"), path,
+      mode = "append")
+    assert(GraftDelta.readDelta(spark, path)
+      .filter($"k" === 500L).select("extra").as[Int].head() == 7)
 
     val cloneDir = Files.createTempDirectory("graft_sql_clone")
     cloneDir.toFile.deleteOnExit()
@@ -210,6 +223,33 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
       s"SELECT count(*) AS n FROM delta.`$path` a " +
         s"JOIN delta.`$path` VERSION AS OF 0 b ON a.k = b.k")
     assert(joined.as[Long].head() == 5L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only, ordering, restore interaction") {
+    val path = tmp()
+    seed(path)                                                            // v0: k,v,g
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` ADD COLUMN note STRING AFTER v")
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.columns.toSeq == Seq("k", "v", "note", "g"))
+    assert(got.filter($"note".isNull).count() == 20L,
+      "pre-add files surface the new column as null")
+    // appends can now fill it, positionally through the new schema
+    GraftSql.sql(spark, s"INSERT INTO delta.`$path` VALUES (100, 'x', 'noted', 9)")
+    assert(GraftDelta.readDelta(spark, path)
+      .filter($"k" === 100L).select("note").as[String].head() == "noted")
+    // FIRST ordering
+    GraftSql.sql(spark, s"ALTER TABLE delta.`$path` ADD COLUMN flag BOOLEAN FIRST")
+    assert(GraftDelta.readDelta(spark, path).columns.head == "flag")
+    // duplicate name refuses
+    val dup = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"ALTER TABLE delta.`$path` ADD COLUMN note STRING"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    // restore to a pre-add version: the added columns vanish with the
+    // restored metadata
+    GraftSql.sql(spark, s"RESTORE TABLE delta.`$path` TO VERSION AS OF 0")
+    val restored = GraftDelta.readDelta(spark, path)
+    assert(restored.columns.toSeq == Seq("k", "v", "g"))
+    assert(restored.count() == 20L)
   }
 
   test("two distinct delta refs in one SELECT bind to their own tables") {
