@@ -634,6 +634,25 @@ object DeltaQ {
       GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
     }),
 
+    // CATALOG-NAMED TABLES: CREATE TABLE name USING graft LOCATION p,
+    // then name-addressed DML through GraftSql and a name-addressed
+    // spark.table read — one engine path for both addressings, with the
+    // relation cache refreshed so the read sees post-DML state.
+    "d40_catalog_table" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d40")
+      GraftDelta.toDelta(t(s, dir, "customer"), path)
+      s.sql("DROP TABLE IF EXISTS graft_d40")
+      s.sql(s"CREATE TABLE graft_d40 USING graft LOCATION '$path'")
+      graft.sql.GraftSql.sql(s, "DELETE FROM graft_d40 WHERE c_acctbal < 0")
+      graft.sql.GraftSql.sql(s,
+        "UPDATE graft_d40 SET c_mktsegment = 'CAT' WHERE c_nationkey = 5")
+      s.table("graft_d40")
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+          cents($"c_acctbal").as("acctbal_c"))
+        .orderBy($"c_custkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -895,6 +914,11 @@ object DeltaQ {
         |UNION ALL SELECT 901, 'NEWLAND', 'added', 0
         |UNION ALL SELECT 902, 'OLDLAND', 'added', 1
         |ORDER BY n_nationkey""".stripMargin,
+    "d40_catalog_table" ->
+      """SELECT c_custkey, c_nationkey,
+        | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
     "d37_ntz" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate,
         | CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c

@@ -86,6 +86,29 @@ object GraftSql {
     }
   }
 
+  /** Resolve a table ref that may be a filesystem path or a catalog
+    * table name. Bare names resolve through the session catalog to the
+    * location of a graft/delta-provider table, so name-addressed
+    * statements run through the SAME engine paths as path-addressed ones
+    * (no second code path). The catalog's relation cache is invalidated
+    * for named refs so a following `spark.table(name)` re-resolves and
+    * sees the post-command state. */
+  private def resolveRef(spark: SparkSession, ref: String): String =
+    if (ref.contains("/")) ref
+    else {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(ref)
+      val catalog = spark.sessionState.catalog
+      require(catalog.tableExists(ident),
+        s"Table ref '$ref' is neither a path nor an existing catalog table")
+      val meta = catalog.getTableMetadata(ident)
+      val provider = meta.provider.getOrElse("").toLowerCase
+      require(provider == "graft" || provider == "delta",
+        s"Catalog table $ref uses provider '$provider' — name-addressed " +
+          "Delta commands need a table created USING graft")
+      spark.catalog.refreshTable(ref)
+      new org.apache.hadoop.fs.Path(meta.location).toString
+    }
+
   /** Non-anchored quote-masked find: groups from the original text. */
   private def findIn(re: Regex, s: String): Option[IndexedSeq[String]] = {
     val m = re.pattern.matcher(maskQuoted(s))
@@ -155,24 +178,25 @@ object GraftSql {
     }
     stmt match {
       case DeleteRe(p1, p2, p3, where) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val filters = dnfOf(spark, Option(where))
         val r = if (useDv) GraftDelta.deleteWhereWithDv(spark, path, filters)
                 else GraftDelta.deleteWhere(spark, path, filters)
         dmlFrame(spark, "DELETE", r)
       case UpdateRe(p1, p2, p3, setClause, where) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val set = assignmentsOf(setClause)
         val filters = dnfOf(spark, Option(where))
         val r = if (useDv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
                 else GraftDelta.updateWhere(spark, path, filters, set)
         dmlFrame(spark, "UPDATE", r)
       case MergeRe(t1, t2, t3, tAlias, s1, s2, s3, sAlias, on, clauses) =>
-        runMerge(spark, Seq(t1, t2, t3).find(_ != null).get, Option(tAlias),
+        runMerge(spark, resolveRef(spark, Seq(t1, t2, t3).find(_ != null).get),
+          Option(tAlias),
           Seq(s1, s2, s3).find(_ != null).get, Option(sAlias), on,
           Option(clauses).getOrElse(""))
       case OptimizeRe(p1, p2, p3, where, zorderCols) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val filters = dnfOf(spark, Option(where))
         val sortBy = Option(zorderCols).toSeq
           .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -182,57 +206,58 @@ object GraftSql {
         oneRow(spark, Seq("operation", "filesBefore", "filesAfter"),
           Row("OPTIMIZE", before, after))
       case VacuumRe(p1, p2, p3, hours, dry) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val retention = Option(hours).map(_.toDouble).getOrElse(168.0)
         val deleted = GraftDelta.vacuum(spark, path, retention, dryRun = dry != null)
         import spark.implicits._
         deleted.toDF("path")
       case RestoreVersionRe(p1, p2, p3, v) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.restore(spark, path, v.toLong)
         oneRow(spark, Seq("operation", "tableVersion", "restoredToVersion"),
           Row("RESTORE", r.tableVersion, v.toLong))
       case RestoreTimestampRe(p1, p2, p3, ts) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val millis = java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime
         val target = DeltaLog.forTable(spark, path).versionAtOrBefore(millis)
         val r = GraftDelta.restore(spark, path, target)
         oneRow(spark, Seq("operation", "tableVersion", "restoredToVersion"),
           Row("RESTORE", r.tableVersion, target))
       case HistoryRe(p1, p2, p3, limit) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         GraftDelta.readDeltaHistory(spark, path, Option(limit).map(_.toInt))
       case DetailRe(p1, p2, p3) =>
-        GraftDelta.tableDetail(spark, Seq(p1, p2, p3).find(_ != null).get)
+        GraftDelta.tableDetail(spark,
+          resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get))
       case AddConstraintRe(p1, p2, p3, name, check) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.addCheckConstraint(spark, path, name, check)
         oneRow(spark, Seq("operation", "tableVersion", "constraint"),
           Row("ADD CONSTRAINT", r.tableVersion, name))
       case DropConstraintRe(p1, p2, p3, name) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.dropConstraint(spark, path, name)
         oneRow(spark, Seq("operation", "tableVersion", "constraint"),
           Row("DROP CONSTRAINT", r.tableVersion, name))
       case AddColumnRe(p1, p2, p3, name, typeStr, firstKw, afterCol) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val dt = spark.sessionState.sqlParser.parseDataType(typeStr.trim)
         val r = GraftDelta.addColumn(spark, path, name, dt,
           after = Option(afterCol), first = firstKw != null)
         oneRow(spark, Seq("operation", "tableVersion"),
           Row("ADD COLUMN", r.tableVersion))
       case RenameColumnRe(p1, p2, p3, from, to) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.renameColumn(spark, path, from, to)
         oneRow(spark, Seq("operation", "tableVersion"),
           Row("RENAME COLUMN", r.tableVersion))
       case DropColumnRe(p1, p2, p3, colName) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.dropColumn(spark, path, colName)
         oneRow(spark, Seq("operation", "tableVersion"),
           Row("DROP COLUMN", r.tableVersion))
       case SetPropsRe(p1, p2, p3, propList) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val props = splitAssignments(propList).map { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"Malformed property: $kv")
@@ -256,13 +281,13 @@ object GraftSql {
           Row("SET TBLPROPERTIES", version))
       case CloneRe(t1, t2, t3, s1, s2, s3, v) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
-        val source = Seq(s1, s2, s3).find(_ != null).get
+        val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)
         val r = GraftDelta.shallowClone(spark, source, target,
           Option(v).map(_.toLong))
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
           Row("SHALLOW CLONE", r.tableVersion, r.clonedFiles))
       case InsertRe(kind, p1, p2, p3, query) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val raw = spark.sql(rewriteDeltaRefs(spark,
           if (query.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($query)"
           else query))
@@ -280,7 +305,7 @@ object GraftSql {
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
           Row(s"INSERT ${kind.toUpperCase}", v, committedRows(spark, path, v)))
       case CtasRe(p1, p2, p3, partCols, query) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val frame = spark.sql(rewriteDeltaRefs(spark, query))
         val partitionBy = Option(partCols).toSeq
           .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -289,13 +314,16 @@ object GraftSql {
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
           Row("CREATE TABLE AS SELECT", 0L, committedRows(spark, path, 0L)))
       case ConvertRe(p1, p2, p3) =>
-        val path = Seq(p1, p2, p3).find(_ != null).get
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.convertToDelta(spark, path)
         oneRow(spark, Seq("operation", "numFiles", "partitionColumns"),
           Row("CONVERT", r.numFiles, r.partitionColumns.mkString(",")))
       case s @ CountStarRe(alias, p1, p2, p3, where) =>
-        metadataCount(spark, Option(alias), Seq(p1, p2, p3).find(_ != null).get,
-          Option(where))
+        val ref = Seq(p1, p2, p3).find(_ != null).get
+        // resolveRef may refuse (a non-graft catalog table, a plain temp
+        // view): that's the fall-through SELECT's job, not an error here
+        scala.util.Try(resolveRef(spark, ref)).toOption
+          .flatMap(p => metadataCount(spark, Option(alias), p, Option(where)))
           .getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
       case other => spark.sql(rewriteDeltaRefs(spark, other))
     }

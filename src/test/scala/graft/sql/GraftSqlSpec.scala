@@ -252,6 +252,37 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(restored.count() == 20L)
   }
 
+  test("catalog-named tables route through the same engine paths") {
+    val path = tmp()
+    seed(path)
+    spark.sql(s"CREATE TABLE graft_cat_t USING graft LOCATION '$path'")
+    try {
+      // name-addressed read through spark.table and through GraftSql
+      assert(spark.table("graft_cat_t").count() == 20L)
+      assert(GraftSql.sql(spark,
+        "SELECT COUNT(*) AS n FROM graft_cat_t").as[Long].head() == 20L)
+      // name-addressed DML routes to the engine (same path as delta.`p`)
+      val del = GraftSql.sql(spark, "DELETE FROM graft_cat_t WHERE k <= 5")
+      assert(del.select("affectedRows").as[Long].head() == 5L)
+      assert(spark.table("graft_cat_t").count() == 15L,
+        "spark.table must see the post-DML state (relation cache refreshed)")
+      assert(GraftDelta.readDelta(spark, path).count() == 15L)
+      // maintenance + history by name
+      GraftSql.sql(spark, "OPTIMIZE graft_cat_t")
+      assert(GraftSql.sql(spark, "DESCRIBE HISTORY graft_cat_t").count() >= 3L)
+      // predicate pushdown reaches the engine through the named relation
+      assert(spark.table("graft_cat_t").filter($"k" > 15).count() == 5L)
+      // a non-graft catalog table refuses name-addressed Delta commands
+      spark.sql("CREATE TABLE graft_cat_plain (x INT) USING parquet " +
+        s"LOCATION '${tmp()}'")
+      try {
+        val e = intercept[IllegalArgumentException](
+          GraftSql.sql(spark, "DELETE FROM graft_cat_plain WHERE x = 1"))
+        assert(e.getMessage.contains("USING graft"), e.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_cat_plain")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+  }
+
   test("two distinct delta refs in one SELECT bind to their own tables") {
     val dir = Files.createTempDirectory("graft_sql_two")
     dir.toFile.deleteOnExit()
