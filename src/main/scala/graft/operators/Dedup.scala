@@ -437,19 +437,6 @@ object Dedup {
       // <15 s on the sf0.1 bench, where verify dominated
       .withColumn("hs", transform(col("sh_set"), s => xxhash64(s)))
       .persist()
-    // Exactness guard for hash-based verification, checked once per call:
-    // if no two DISTINCT grams collide corpus-wide, per-doc hash sets are
-    // faithful images of the gram sets and hash-intersections equal gram
-    // intersections EXACTLY — the lossless claim survives. A 64-bit
-    // collision (p < 1e-10 at any realistic vocabulary) falls back to
-    // string verification, keeping correctness unconditional.
-    val coll = sets.select(explode(col("sh_set")).as("sh"))
-      .agg(countDistinct(col("sh")).as("ng"), countDistinct(xxhash64(col("sh"))).as("nh"))
-      .head()
-    val hashesFaithful = coll.getLong(0) == coll.getLong(1)
-    if (!hashesFaithful)
-      logger.warn("[ngram-jaccard] 64-bit gram-hash collision detected — " +
-        "verifying on raw gram strings (slower, still exact)")
     // tokens travel as (hash, string): the 8-byte hash is the shuffle/
     // join key everywhere (a collision only MERGES buckets — extra
     // candidates the verify step discards, exactness preserved); the
@@ -460,12 +447,31 @@ object Dedup {
       col("doc_id"), size(col("sh_set")).as("len"), explode(col("sh_set")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
     // document frequency per token hash — partial aggregation combines
-    // map-side, result is vocabulary-sized, not corpus-sized
-    val dfreq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
+    // map-side, result is vocabulary-sized, not corpus-sized. The
+    // distinct-gram count per hash rides along in the SAME aggregation:
+    // it is the exactness guard for hash-based verification (one explode
+    // and one shuffle total, where a separate corpus-wide
+    // countDistinct(sh)/countDistinct(h) guard pass cost a second
+    // explode plus a double-distinct Expand).
+    val dfreq = tokens.groupBy("h")
+      .agg(count(lit(1)).as("df"), countDistinct(col("sh")).as("ndg"))
+      .persist()
+    // Exactness guard, checked once per call: if no two DISTINCT grams
+    // collide corpus-wide (every hash maps to exactly one gram), per-doc
+    // hash sets are faithful images of the gram sets and
+    // hash-intersections equal gram intersections EXACTLY — the lossless
+    // claim survives. A 64-bit collision (p < 1e-10 at any realistic
+    // vocabulary) falls back to string verification, keeping correctness
+    // unconditional.
+    val hashesFaithful =
+      dfreq.agg(max(col("ndg"))).head().getLong(0) <= 1L
+    if (!hashesFaithful)
+      logger.warn("[ngram-jaccard] 64-bit gram-hash collision detected — " +
+        "verifying on raw gram strings (slower, still exact)")
     // per-doc prefix of length len − ⌈τ·len⌉ + 1 under the global
     // (df, sh) order; the window group is one document's token list
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = tokens.join(dfreq, "h")
+    val prefix = tokens.join(dfreq.select(col("h"), col("df")), "h")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
       .select(col("h"), col("doc_id"), col("len"))
@@ -488,7 +494,7 @@ object Dedup {
         size(col("v_a")).cast("long") + size(col("v_b")).cast("long") - col("inter"))
       .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
-    (verified, Seq(sets, prefix) ++ overCache)
+    (verified, Seq(sets, dfreq, prefix) ++ overCache)
   }
 
   // ---- Chunk-level (passage) dedup --------------------------------------
