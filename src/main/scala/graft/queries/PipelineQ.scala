@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.delta.GraftDelta
 import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
@@ -12,6 +13,12 @@ object PipelineQ {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$prefix")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on full text: counts in vs out (identity on this corpus).
@@ -338,6 +345,38 @@ object PipelineQ {
       EventStreams.hourlyTypeCounts(ev, "ts", "event_type")
         .select($"event_type", unix_millis($"hour_start").as("hour_ms"), $"n")
         .orderBy($"event_type", $"hour_ms")
+    }),
+
+    // STREAMING BOUNDED BACKFILL (availableNow): a three-commit Delta
+    // table drains through the real micro-batch engine in paced
+    // one-commit batches; a commit landing AFTER subscription must never
+    // be served (the oracle is exactly the pre-subscription table). The
+    // pacing itself (3 distinct batches) is pinned in
+    // GraftStreamSourceSpec; here the oracle checks the drained SET.
+    "t37_stream_available_now" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("t37")
+      val n = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      GraftDelta.toDelta(n.filter($"n_nationkey" < 10), path)              // v0
+      GraftDelta.toDelta(
+        n.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20), path,
+        mode = "append")                                                   // v1
+      GraftDelta.toDelta(n.filter($"n_nationkey" >= 20), path,
+        mode = "append")                                                   // v2
+      val q = s.readStream.format("graft")
+        .option("availableNow", "true").option("maxVersionsPerTrigger", "1")
+        .load(path)
+        .writeStream.format("memory").queryName("t37_anow")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // post-subscription commit: bounded backfill must not serve it
+        GraftDelta.toDelta(
+          n.select(($"n_nationkey" + 100).as("n_nationkey"), $"n_name"),
+          path, mode = "append")                                           // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("t37_anow").orderBy($"n_nationkey")
     }),
 
     // Multimodal: binary content + stubbed decode → feature extraction.
@@ -877,6 +916,8 @@ object PipelineQ {
     "t08_langid_confusion" ->
       s"""SELECT lang, ${langCase("text")} AS lang_pred, COUNT(*) AS n
          |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "t37_stream_available_now" ->
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
     "t12_stream_backfill" ->
       """SELECT event_type,
         | CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,

@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.StructType
   *    crude proxy when sizes vary 1 MB–1 GB); a batch always admits at
   *    least one file so the stream can never stall on an oversized
   *    file. Composes with maxFilesPerTrigger (both bounds hold).
+  *  - `availableNow` — bounded backfill: the stream serves the table
+  *    only up to its head version AT SUBSCRIPTION TIME (source
+  *    construction), in as many admission-paced micro-batches as the
+  *    per-trigger limits dictate, then reports no further offsets —
+  *    `processAllAvailable()` returns once the backfill is drained and
+  *    commits landing after subscription are never served. This is the
+  *    "drain the table as of now, then stop" batch-backfill contract of
+  *    `Trigger.AvailableNow`, expressed as a source option so pacing
+  *    still applies (the DSv1 AvailableNow wrapper takes one snapshot
+  *    offset up front, which would collapse the whole backfill into a
+  *    single giant batch and defeat maxFiles/BytesPerTrigger).
   *
   * Scale: per trigger only the JSON commits past the cursor are parsed
   * (bounded by checkpoint cadence for any reasonable lag); file scans
@@ -94,6 +105,13 @@ class GraftStreamSource(
   private val maxBytesPerTrigger: Option[Long] =
     opt("maxBytesPerTrigger").map(_.toLong).filterNot(_ => changeFeed)
 
+  /** Backfill ceiling under `availableNow`: the head version captured at
+    * source construction. The schema snapshot above reads the same head,
+    * so the whole backfill replays under one schema — a post-subscription
+    * schema change can't abort the drain (it is simply never reached). */
+  private val availableNowCeiling: Option[Long] =
+    if (opt("availableNow").exists(_.toBoolean)) Some(schemaVersion) else None
+
   /** File-granular stream position: commits ≤ `v` fully served, plus the
     * first `k` eligible adds of commit v+1. k=0 is the canonical commit
     * boundary and serializes as a legacy plain-long offset, so
@@ -119,7 +137,7 @@ class GraftStreamSource(
   /** Eligible (streamable) adds of one commit, in action order — the
     * unit admission control and batch slicing count in. Commits are
     * immutable, so the per-file sizes memoize. */
-  private val eligibleSizesCache =
+  private[streaming] val eligibleSizesCache =
     scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[Long]]
   private def eligibleAdds(actions: Seq[graft.delta.Action]): Seq[AddFile] = {
     val changed = actions.exists {
@@ -156,7 +174,10 @@ class GraftStreamSource(
   @volatile private var servedThrough: FilePos = FilePos(startExclusive, 0L)
 
   override def getOffset: Option[Offset] = {
-    val latestAll = log.latestVersion
+    val latestAll = availableNowCeiling match {
+      case Some(head) => head // bounded backfill: never look past subscription
+      case None => log.latestVersion
+    }
     val cur = filePosOrdering.max(servedThrough, FilePos(startExclusive, 0L))
     val latest = maxVersionsPerTrigger match {
       case Some(m) => math.min(latestAll, cur.v + m)
@@ -196,6 +217,12 @@ class GraftStreamSource(
     val from = start.map(FilePos.parse).getOrElse(FilePos(startExclusive, 0L))
     val to = FilePos.parse(end)
     servedThrough = filePosOrdering.max(servedThrough, to)
+    // commits ≤ servedThrough.v are fully served and never re-planned —
+    // drop their memoized size vectors so a long-running stream's cache
+    // stays bounded by the in-flight window (commit v+1 may be partially
+    // served and keeps its entry)
+    eligibleSizesCache.keys.filter(_ <= servedThrough.v)
+      .foreach(eligibleSizesCache.remove)
     if (changeFeed) {
       require(from.k == 0L && to.k == 0L,
         "changeFeed offsets are version-granular; found a mid-commit position " +

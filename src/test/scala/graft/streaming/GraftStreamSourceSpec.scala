@@ -296,6 +296,83 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("availableNow drains to the subscription head in paced batches, then stops") {
+    import spark.implicits._
+    val path = tmp("anow")
+    (0 until 3).foreach { i =>
+      GraftDelta.toDelta(Seq((i.toLong, s"c$i")).toDF("id", "v"), path,
+        mode = if (i == 0) "error" else "append")
+    }
+    var batches = 0
+    val q = spark.readStream.format("graft")
+      .option("availableNow", "true").option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches += 1: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 3, s"expected 3 paced single-commit batches, got $batches")
+      // a commit landing AFTER subscription is never served: the backfill
+      // is bounded at the subscription-time head
+      GraftDelta.toDelta(Seq((99L, "late")).toDF("id", "v"), path, mode = "append")
+      q.processAllAvailable()
+      assert(batches == 3, s"post-subscription commit leaked into the backfill")
+    } finally q.stop()
+  }
+
+  test("availableNow restart from checkpoint serves exactly the new commits") {
+    import spark.implicits._
+    val path = tmp("anowck")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anow_ck").toString
+    GraftDelta.toDelta((1L to 6L).toDF("id").repartition(3), path)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("availableNow", "true").option("maxFilesPerTrigger", "1").load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= df.select("id").as[Long].collect(): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(seen.sorted.toSeq == (1L to 6L), s"first drain incomplete: ${seen.sorted}")
+    // each restart re-subscribes at the CURRENT head: the second drain
+    // picks up exactly what landed since the checkpointed offset
+    GraftDelta.toDelta((7L to 8L).toDF("id"), path, mode = "append")
+    drain()
+    assert(seen.sorted.toSeq == (1L to 8L),
+      s"restart replayed or dropped rows: ${seen.sorted}")
+  }
+
+  test("admission-control size cache evicts fully-served commits") {
+    import spark.implicits._
+    val path = tmp("evict")
+    (0 until 4).foreach { i =>
+      GraftDelta.toDelta(Seq((i.toLong, s"c$i")).toDF("id", "v"), path,
+        mode = if (i == 0) "error" else "append")
+    }
+    val src = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxFilesPerTrigger" -> "1"))
+    try {
+      var last: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      var guard = 0
+      var next = src.getOffset
+      while (next.isDefined && guard < 20) {
+        src.getBatch(last, next.get)
+        last = next
+        next = src.getOffset
+        guard += 1
+      }
+      assert(guard == 4, s"expected 4 single-file batches, got $guard")
+      // every commit the walk memoized has been served and evicted; a
+      // long-running stream's cache stays bounded by the in-flight window
+      assert(src.eligibleSizesCache.isEmpty,
+        s"stale size-cache entries: ${src.eligibleSizesCache.keys.toSeq.sorted}")
+    } finally src.stop()
+  }
+
   test("mid-commit offsets survive checkpoint recovery") {
     import spark.implicits._
     val path = tmp("frec")
