@@ -578,7 +578,15 @@ object DeltaRead {
     else new Path(tablePath, decoded).toString
   }
 
-  private[graft] def parseTimestampMillis(ts: String): Long = {
+  private[graft] def parseTimestampMillis(ts: String): Long =
+    parseTimestampInstant(ts)
+      .getOrElse(throw new IllegalArgumentException(s"Cannot parse timestamp: $ts"))
+      .toEpochMilli
+
+  /** Full-precision variant: the Instant a timestamp/date string denotes
+    * (ISO instant, offset, "yyyy-MM-dd HH:mm:ss", ISO local, bare date —
+    * zone-less forms read as UTC), or None if unparseable. */
+  private[graft] def parseTimestampInstant(ts: String): Option[Instant] = {
     val trimmed = ts.trim
     val attempts: Seq[() => Instant] = Seq(
       () => Instant.parse(trimmed),
@@ -592,7 +600,5 @@ object DeltaRead {
     attempts.view
       .flatMap(f => try Some(f()) catch { case _: Exception => None })
       .headOption
-      .getOrElse(throw new IllegalArgumentException(s"Cannot parse timestamp: $ts"))
-      .toEpochMilli
   }
 }

@@ -97,13 +97,46 @@ object StatsPruning {
       }
   }
 
-  private def rangeMustMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
-    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
-      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+  /** Micros-precision clock value of a predicate-side time object —
+    * None marks "not a time value". */
+  private def timeMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos.toLong / 1000L) % 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000000L)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400000000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Stats-vs-predicate comparison. Timestamp/date predicates compare on
+    * the micros clock against the stats JSON's ISO strings (the Delta
+    * encoding for time min/max) — without this, every time-typed
+    * predicate was "incomparable" and time columns never data-skipped.
+    * The protocol contract that stats only WIDEN (min ≤ true min ≤ true
+    * max ≤ max) makes the parsed bounds trustworthy in both directions;
+    * an unparseable string is simply incomparable (no pruning, no
+    * proof). Everything else keeps the numeric/string/boolean rules. */
+  private def cmp(a: Any, b: Any): Option[Int] = {
+    def parsed(v: Any): Option[Long] = timeMicros(v).orElse(v match {
+      case s: String => DeltaRead.parseTimestampInstant(s)
+        .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case _ => None
+    })
+    (timeMicros(a), timeMicros(b)) match {
+      case (Some(x), None) => parsed(b).map(java.lang.Long.compare(x, _))
+      case (None, Some(y)) => parsed(a).map(java.lang.Long.compare(_, y))
+      case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
+      case (None, None) => (norm(a), norm(b)) match {
+        case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+        case (x: String, y: String) => Some(x.compareTo(y))
+        case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+        case _ => None
+      }
     }
+  }
+
+  private def rangeMustMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
     def values(v: Any): Seq[Any] = v match {
       case s: Seq[_] => s
       case a: Array[_] => a.toSeq
@@ -130,12 +163,6 @@ object StatsPruning {
   }
 
   private def rangeMayMatch(mn: Any, mx: Any, p: Predicate): Boolean = {
-    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
-      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-      case _ => None
-    }
     def values(v: Any): Seq[Any] = v match {
       case s: Seq[_] => s
       case a: Array[_] => a.toSeq

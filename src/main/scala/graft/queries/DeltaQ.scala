@@ -29,6 +29,9 @@ object DeltaQ {
   /** d04's staged table per sf dir — see the query's comment. */
   private val d04Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** d30's staged table per sf dir — see the query's comment. */
+  private val d30Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ① scan + ⑬ transactional write: full roundtrip through the log.
     "d01_roundtrip" -> ((s, dir) => {
@@ -380,23 +383,29 @@ object DeltaQ {
     // inserts), v3 a DV update with pre/postimages, v4 a MERGE mixing
     // updates and inserts. tableChanges serves the cdc files exclusively
     // for those commits; the oracle reconstructs all three change sets
-    // from the source parquet.
+    // from the source parquet. The 5-commit staging is memoized per
+    // (sf dir, JVM): it is setup, not the operator under test — with
+    // min-of-two bench passes the reported time is the change-feed READ,
+    // not the CDF-recording writes (r7 VERDICT bench-hygiene item).
     "d30_cdf" -> ((s, dir) => {
       import s.implicits._
-      val path = tmp("d30")
-      val sup = t(s, dir, "supplier")
-      GraftDelta.toDelta(sup.repartition(4), path)                     // v0
-      GraftDelta.enableChangeDataFeed(s, path)                         // v1
-      GraftDelta.deleteWhere(s, path,
-        Seq(Seq(Predicate("s_acctbal", "<", 0.0))))                    // v2 rewrite
-      GraftDelta.updateWhereWithDv(s, path,
-        Seq(Seq(Predicate("s_nationkey", "<", 5))),
-        Map("s_acctbal" -> (col("s_acctbal") + 10)))                   // v3 DV
-      val mergeBase = sup.filter($"s_suppkey" <= 10 && $"s_acctbal" >= 0)
-      GraftDelta.mergeInto(s, path,
-        mergeBase.withColumn("s_acctbal", lit(55.0)).unionByName(
-          mergeBase.withColumn("s_suppkey", $"s_suppkey" + 100000)),
-        on = Seq("s_suppkey"))                                         // v4 merge
+      val path = d30Staged.computeIfAbsent(dir, { d =>
+        val p = tmp("d30")
+        val sup = t(s, d, "supplier")
+        GraftDelta.toDelta(sup.repartition(4), p)                      // v0
+        GraftDelta.enableChangeDataFeed(s, p)                          // v1
+        GraftDelta.deleteWhere(s, p,
+          Seq(Seq(Predicate("s_acctbal", "<", 0.0))))                  // v2 rewrite
+        GraftDelta.updateWhereWithDv(s, p,
+          Seq(Seq(Predicate("s_nationkey", "<", 5))),
+          Map("s_acctbal" -> (col("s_acctbal") + 10)))                 // v3 DV
+        val mergeBase = sup.filter($"s_suppkey" <= 10 && $"s_acctbal" >= 0)
+        GraftDelta.mergeInto(s, p,
+          mergeBase.withColumn("s_acctbal", lit(55.0)).unionByName(
+            mergeBase.withColumn("s_suppkey", $"s_suppkey" + 100000)),
+          on = Seq("s_suppkey"))                                       // v4 merge
+        p
+      })
       GraftDelta.tableChanges(s, path, fromVersion = 1L)
         .select($"s_suppkey", $"s_nationkey", cents($"s_acctbal").as("bal_c"),
           $"_change_type", $"_commit_version")
@@ -632,6 +641,30 @@ object DeltaQ {
         s"INSERT INTO delta.`$path` VALUES " +
           "(901, 'NEWLAND', 'added', 0), (902, 'OLDLAND', 'added', 1)")   // v2
       GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
+    }),
+
+    // SQL TIME-FUNCTION WHERE: `year(col)` / `to_date(col)` conjuncts
+    // rewrite to EXACT ranges on the column (they used to refuse) — the
+    // DELETE must remove exactly 1995, and the COUNT answers through the
+    // metadata path with the same rewrite. Files are range-partitioned
+    // on the date so the rewritten predicate also prunes at the log
+    // level (pinned in GraftSqlSpec; here the oracle checks semantics).
+    "d41_sql_time_fn" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d41")
+      GraftDelta.toDelta(
+        t(s, dir, "orders").repartitionByRange(6, $"o_orderdate"), path)
+      graft.sql.GraftSql.sql(s,
+        s"DELETE FROM delta.`$path` WHERE year(o_orderdate) = 1995")
+      val mar1996 = graft.sql.GraftSql.sql(s,
+        s"SELECT COUNT(*) AS n FROM delta.`$path` " +
+          "WHERE to_date(o_orderdate) = DATE '1996-03-15'")
+        .head().getLong(0)
+      GraftDelta.readDelta(s, path)
+        .groupBy(year($"o_orderdate").cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("total_c"))
+        .withColumn("n_mar15_1996", lit(mar1996))
+        .orderBy($"yr")
     }),
 
     // CATALOG-NAMED TABLES: CREATE TABLE name USING graft LOCATION p,
@@ -914,6 +947,13 @@ object DeltaQ {
         |UNION ALL SELECT 901, 'NEWLAND', 'added', 0
         |UNION ALL SELECT 902, 'OLDLAND', 'added', 1
         |ORDER BY n_nationkey""".stripMargin,
+    "d41_sql_time_fn" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
+        | (SELECT COUNT(*) FROM orders
+        |  WHERE o_orderdate = DATE '1996-03-15') AS n_mar15_1996
+        |FROM orders WHERE year(o_orderdate) <> 1995
+        |GROUP BY yr ORDER BY yr""".stripMargin,
     "d40_catalog_table" ->
       """SELECT c_custkey, c_nationkey,
         | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,

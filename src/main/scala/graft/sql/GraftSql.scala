@@ -2,8 +2,8 @@ package graft.sql
 
 import graft.delta._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not, Or => COr}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not, Or => COr}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,7 +38,13 @@ import scala.util.matching.Regex
   * AND/OR tree over `col op literal` comparisons (op ∈ =, !=, <, <=,
   * >, >=, IN, NOT IN) — the same language the log-level pruner
   * understands, so every SQL predicate prunes files before any scan.
-  * Unsupported WHERE shapes refuse loudly rather than scanning wrong.
+  * Recognized monotone time-function conjuncts — `year(col)`,
+  * `to_date(col)` / `date(col)` / `CAST(col AS DATE)`,
+  * `date_trunc(unit, col)` compared to a literal — rewrite to EXACT
+  * column ranges (session-timezone aware) instead of refusing, so
+  * `WHERE year(ts) = 2024` both prunes files and filters rows
+  * correctly. Other WHERE shapes refuse loudly rather than scanning
+  * wrong.
   *
   * Command results come back as one-row DataFrames of the operation's
   * metrics (or the history/detail/vacuum row sets), so callers can
@@ -179,14 +185,14 @@ object GraftSql {
     stmt match {
       case DeleteRe(p1, p2, p3, where) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val filters = dnfOf(spark, Option(where))
+        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
         val r = if (useDv) GraftDelta.deleteWhereWithDv(spark, path, filters)
                 else GraftDelta.deleteWhere(spark, path, filters)
         dmlFrame(spark, "DELETE", r)
       case UpdateRe(p1, p2, p3, setClause, where) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val set = assignmentsOf(setClause)
-        val filters = dnfOf(spark, Option(where))
+        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
         val r = if (useDv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
                 else GraftDelta.updateWhere(spark, path, filters, set)
         dmlFrame(spark, "UPDATE", r)
@@ -197,7 +203,7 @@ object GraftSql {
           Option(clauses).getOrElse(""))
       case OptimizeRe(p1, p2, p3, where, zorderCols) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val filters = dnfOf(spark, Option(where))
+        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
         val sortBy = Option(zorderCols).toSeq
           .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
@@ -347,7 +353,9 @@ object GraftSql {
         case None =>
           val r = DeltaTableOps.statsAggregate(spark, path, Nil)
           r.df.select("n_rows").head().getLong(0)
-        case Some(w) => DeltaTableOps.countWhere(spark, path, dnfOf(spark, Some(w))).count
+        case Some(w) =>
+          DeltaTableOps.countWhere(spark, path,
+            dnfOf(spark, Some(w), colTypesOf(spark, path))).count
       }
       Some(oneRow(spark, Seq(alias.getOrElse("count(1)")), Row(n)))
     } catch {
@@ -513,49 +521,255 @@ object GraftSql {
 
   /** Lower a SQL boolean expression to the engine's DNF predicate form.
     * The supported language is AND/OR trees over `col op literal`
-    * (flipped literal-first comparisons normalize); anything else —
-    * functions, arithmetic, IS NULL, subqueries — refuses loudly: the
-    * DNF drives log-level pruning AND the row filter, so a silently
-    * dropped term would return wrong rows. */
-  private[sql] def dnfOf(spark: SparkSession, where: Option[String]): Seq[Seq[Predicate]] =
+    * (flipped literal-first comparisons normalize) plus the recognized
+    * MONOTONE time-function conjuncts `year(col)`, `to_date(col)` /
+    * `date(col)` / `CAST(col AS DATE)`, and `date_trunc(unit, col)`
+    * compared to a literal — each rewrites to an EXACT range on the
+    * underlying column (session-timezone aware), so the term both
+    * prunes files at the log level and filters rows correctly. Anything
+    * else — other functions, arithmetic, IS NULL, subqueries — refuses
+    * loudly: the DNF drives log-level pruning AND the row filter, so a
+    * silently dropped term would return wrong rows.
+    *
+    * `colType` resolves a column name to its table type (function
+    * rewrites need it: a year() range over a DATE column carries Date
+    * bounds, over a TIMESTAMP column instant bounds in the session
+    * zone). The default resolves nothing, keeping plain-comparison
+    * callers unchanged. */
+  private[sql] def dnfOf(
+      spark: SparkSession, where: Option[String],
+      colType: String => Option[DataType] = _ => None): Seq[Seq[Predicate]] =
     where.map(_.trim).filter(_.nonEmpty) match {
       case None => Seq(Seq.empty)
-      case Some(w) => toDnf(spark.sessionState.sqlParser.parseExpression(w))
+      case Some(w) =>
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        toDnf(spark.sessionState.sqlParser.parseExpression(w), colType, zone)
     }
 
-  private def toDnf(e: Expression): Seq[Seq[Predicate]] = e match {
-    case COr(l, r) => toDnf(l) ++ toDnf(r)
+  private def toDnf(
+      e: Expression, colType: String => Option[DataType],
+      zone: java.time.ZoneId): Seq[Seq[Predicate]] = e match {
+    case COr(l, r) => toDnf(l, colType, zone) ++ toDnf(r, colType, zone)
     case CAnd(l, r) =>
-      for { a <- toDnf(l); b <- toDnf(r) } yield a ++ b
-    case leaf => Seq(Seq(leafPredicate(leaf)))
+      for {
+        a <- toDnf(l, colType, zone); b <- toDnf(r, colType, zone)
+      } yield a ++ b
+    case leaf => Seq(leafPredicates(leaf, colType, zone))
   }
 
-  private def leafPredicate(e: Expression): Predicate = e match {
-    case EqualTo(a: UnresolvedAttribute, l: Literal) => pred(a, "==", l)
-    case EqualTo(l: Literal, a: UnresolvedAttribute) => pred(a, "==", l)
-    case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => pred(a, "!=", l)
-    case Not(EqualTo(l: Literal, a: UnresolvedAttribute)) => pred(a, "!=", l)
-    case GreaterThan(a: UnresolvedAttribute, l: Literal) => pred(a, ">", l)
-    case GreaterThan(l: Literal, a: UnresolvedAttribute) => pred(a, "<", l)
-    case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => pred(a, ">=", l)
-    case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => pred(a, "<=", l)
-    case LessThan(a: UnresolvedAttribute, l: Literal) => pred(a, "<", l)
-    case LessThan(l: Literal, a: UnresolvedAttribute) => pred(a, ">", l)
-    case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => pred(a, "<=", l)
-    case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => pred(a, ">=", l)
+  /** One leaf comparison → the conjunction of engine predicates it
+    * lowers to (plain comparisons are a single predicate; recognized
+    * time-function terms rewrite to up to two range bounds). */
+  private def leafPredicates(
+      e: Expression, colType: String => Option[DataType],
+      zone: java.time.ZoneId): Seq[Predicate] = e match {
+    case EqualTo(a: UnresolvedAttribute, l: Literal) => Seq(pred(a, "==", l))
+    case EqualTo(l: Literal, a: UnresolvedAttribute) => Seq(pred(a, "==", l))
+    case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => Seq(pred(a, "!=", l))
+    case Not(EqualTo(l: Literal, a: UnresolvedAttribute)) => Seq(pred(a, "!=", l))
+    case GreaterThan(a: UnresolvedAttribute, l: Literal) => Seq(pred(a, ">", l))
+    case GreaterThan(l: Literal, a: UnresolvedAttribute) => Seq(pred(a, "<", l))
+    case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Seq(pred(a, ">=", l))
+    case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Seq(pred(a, "<=", l))
+    case LessThan(a: UnresolvedAttribute, l: Literal) => Seq(pred(a, "<", l))
+    case LessThan(l: Literal, a: UnresolvedAttribute) => Seq(pred(a, ">", l))
+    case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Seq(pred(a, "<=", l))
+    case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Seq(pred(a, ">=", l))
     case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      Predicate(a.nameParts.last, "in",
-        vs.map(v => scalaValue(v.asInstanceOf[Literal])))
+      Seq(Predicate(a.nameParts.last, "in",
+        vs.map(v => scalaValue(v.asInstanceOf[Literal]))))
     case Not(In(a: UnresolvedAttribute, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
-      Predicate(a.nameParts.last, "not in",
-        vs.map(v => scalaValue(v.asInstanceOf[Literal])))
+      Seq(Predicate(a.nameParts.last, "not in",
+        vs.map(v => scalaValue(v.asInstanceOf[Literal]))))
+    case EqualTo(TimeFnCall(fn, c), l: Literal) => timeFnRange(fn, c, "=", l, colType, zone)
+    case EqualTo(l: Literal, TimeFnCall(fn, c)) => timeFnRange(fn, c, "=", l, colType, zone)
+    case GreaterThan(TimeFnCall(fn, c), l: Literal) => timeFnRange(fn, c, ">", l, colType, zone)
+    case GreaterThan(l: Literal, TimeFnCall(fn, c)) => timeFnRange(fn, c, "<", l, colType, zone)
+    case GreaterThanOrEqual(TimeFnCall(fn, c), l: Literal) => timeFnRange(fn, c, ">=", l, colType, zone)
+    case GreaterThanOrEqual(l: Literal, TimeFnCall(fn, c)) => timeFnRange(fn, c, "<=", l, colType, zone)
+    case LessThan(TimeFnCall(fn, c), l: Literal) => timeFnRange(fn, c, "<", l, colType, zone)
+    case LessThan(l: Literal, TimeFnCall(fn, c)) => timeFnRange(fn, c, ">", l, colType, zone)
+    case LessThanOrEqual(TimeFnCall(fn, c), l: Literal) => timeFnRange(fn, c, "<=", l, colType, zone)
+    case LessThanOrEqual(l: Literal, TimeFnCall(fn, c)) => timeFnRange(fn, c, ">=", l, colType, zone)
     case other => throw new IllegalArgumentException(
       s"Unsupported WHERE term for the Delta command surface: $other — " +
-        "supported: col {=,!=,<,<=,>,>=} literal, col [NOT] IN (literals), AND/OR")
+        "supported: col {=,!=,<,<=,>,>=} literal, col [NOT] IN (literals), " +
+        "year|to_date|date|date_trunc over a column vs a literal, AND/OR")
   }
 
   private def pred(a: UnresolvedAttribute, op: String, l: Literal): Predicate =
     Predicate(a.nameParts.last, op, scalaValue(l))
+
+  // ---- recognized time-function conjuncts -------------------------------
+
+  private sealed trait TimeFn
+  private case object YearFn extends TimeFn
+  private case object ToDateFn extends TimeFn
+  private final case class TruncFn(unit: String) extends TimeFn
+
+  /** `year(col)` / `to_date(col)` / `date(col)` / `CAST(col AS DATE)` /
+    * `date_trunc('unit', col)` over a bare column reference — the
+    * monotone time extractions whose comparisons rewrite to exact
+    * ranges on the column (the same function family the log-level
+    * pruner's derived kernels understand). */
+  private object TimeFnCall {
+    def unapply(e: Expression): Option[(TimeFn, String)] = e match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase), f.arguments) match {
+          case (Seq("year"), Seq(a: UnresolvedAttribute)) =>
+            Some((YearFn, a.nameParts.last))
+          case (Seq("to_date") | Seq("date"), Seq(a: UnresolvedAttribute)) =>
+            Some((ToDateFn, a.nameParts.last))
+          case (Seq("date_trunc"), Seq(Literal(u: UTF8String, StringType), a: UnresolvedAttribute)) =>
+            Some((TruncFn(u.toString.toLowerCase), a.nameParts.last))
+          case _ => None
+        }
+      case c: Cast if c.dataType == DateType => c.child match {
+        case a: UnresolvedAttribute => Some((ToDateFn, a.nameParts.last))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Rewrite `fn(col) op literal` to the EXACT equivalent range on
+    * `col` — semantics-preserving, never a widening: the result drives
+    * the row filter as well as pruning. Each extraction is a monotone
+    * step function, so the preimage of a value is the half-open range
+    * [lo, hi) and every comparison maps to range bounds; boundaries are
+    * computed in the SESSION timezone (what Spark's own year/to_date/
+    * date_trunc evaluate in) for timestamp columns, calendar-only for
+    * date columns. Unknown column types and TIMESTAMP_NTZ refuse loudly
+    * (NTZ wall-clock bounds would need the engine's predicate values to
+    * carry zone-free semantics end-to-end). */
+  private def timeFnRange(
+      fn: TimeFn, column: String, op: String, l: Literal,
+      colType: String => Option[DataType], zone: java.time.ZoneId): Seq[Predicate] = {
+    import java.time.{DayOfWeek, Instant, LocalDate, ZonedDateTime}
+    val dt0 = colType(column).getOrElse(throw new IllegalArgumentException(
+      s"Cannot rewrite a time-function WHERE term on '$column': not a column " +
+        "of the target table"))
+    // TIMESTAMP_NTZ is zone-free wall clock; the engine's predicate
+    // convention (scalaValue, stats encoding, d37) carries NTZ instants
+    // as UTC-wall-clock java.sql.Timestamps — same rewrite, UTC bounds
+    val (dt, effZone) = dt0 match {
+      case TimestampNTZType => (TimestampType, java.time.ZoneOffset.UTC: java.time.ZoneId)
+      case other => (other, zone)
+    }
+    def tsOf(z: ZonedDateTime) = java.sql.Timestamp.from(z.toInstant)
+    // fn(col) op v where fn's preimage of v is [lo, hi)
+    def range(lo: Any, hi: Any): Seq[Predicate] = op match {
+      case "=" => Seq(Predicate(column, ">=", lo), Predicate(column, "<", hi))
+      case ">=" => Seq(Predicate(column, ">=", lo))
+      case ">" => Seq(Predicate(column, ">=", hi))
+      case "<" => Seq(Predicate(column, "<", lo))
+      case "<=" => Seq(Predicate(column, "<", hi))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported op for a time-function WHERE term: $other")
+    }
+    fn match {
+      case YearFn =>
+        val n = l.value match {
+          case i: Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"year($column) compares to a non-integer literal: $other")
+        }
+        dt match {
+          case DateType => range(
+            java.sql.Date.valueOf(LocalDate.of(n, 1, 1)),
+            java.sql.Date.valueOf(LocalDate.of(n + 1, 1, 1)))
+          case TimestampType => range(
+            tsOf(ZonedDateTime.of(n, 1, 1, 0, 0, 0, 0, effZone)),
+            tsOf(ZonedDateTime.of(n + 1, 1, 1, 0, 0, 0, 0, effZone)))
+          case other => throw new IllegalArgumentException(
+            s"year($column) rewrite needs a DATE or TIMESTAMP column, found $other")
+        }
+      case ToDateFn =>
+        val d = (l.value, l.dataType) match {
+          case (days: Integer, DateType) => LocalDate.ofEpochDay(days.toLong)
+          case (s: UTF8String, StringType) => LocalDate.parse(s.toString.trim)
+          case (v, t) => throw new IllegalArgumentException(
+            s"to_date($column) compares to a non-date literal: $v ($t)")
+        }
+        dt match {
+          // identity on a DATE column: the comparison passes through
+          case DateType =>
+            val eng = if (op == "=") "==" else op
+            Seq(Predicate(column, eng, java.sql.Date.valueOf(d)))
+          case TimestampType => range(
+            tsOf(d.atStartOfDay(effZone)),
+            tsOf(d.plusDays(1).atStartOfDay(effZone)))
+          case other => throw new IllegalArgumentException(
+            s"to_date($column) rewrite needs a DATE or TIMESTAMP column, found $other")
+        }
+      case TruncFn(unit) =>
+        require(dt == TimestampType,
+          s"date_trunc rewrite needs a TIMESTAMP column, found $dt for '$column'")
+        val zl: ZonedDateTime = (l.value, l.dataType) match {
+          case (micros: java.lang.Long, TimestampType) =>
+            Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L).atZone(effZone)
+          case (s: UTF8String, StringType) =>
+            // a bare string literal coerces as a session-zone wall clock,
+            // matching Spark's own TIMESTAMP coercion in the comparison
+            val t = s.toString.trim.replace("T", " ")
+            val padded = if (t.contains(" ")) t else t + " 00:00:00"
+            java.sql.Timestamp.valueOf(padded).toLocalDateTime.atZone(effZone)
+          case (v, t) => throw new IllegalArgumentException(
+            s"date_trunc(..., $column) compares to a non-timestamp literal: $v ($t)")
+        }
+        import java.time.temporal.ChronoUnit.{DAYS, HOURS, MINUTES}
+        def floorU(z: ZonedDateTime): ZonedDateTime = unit match {
+          case "year" | "yyyy" | "yy" => z.truncatedTo(DAYS).withDayOfYear(1)
+          case "quarter" =>
+            val m = z.truncatedTo(DAYS).withDayOfMonth(1)
+            m.withMonth((m.getMonthValue - 1) / 3 * 3 + 1)
+          case "month" | "mon" | "mm" => z.truncatedTo(DAYS).withDayOfMonth(1)
+          case "week" => z.truncatedTo(DAYS).`with`(
+            java.time.temporal.TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+          case "day" | "dd" => z.truncatedTo(DAYS)
+          case "hour" => z.truncatedTo(HOURS)
+          case "minute" => z.truncatedTo(MINUTES)
+          case other => throw new IllegalArgumentException(
+            s"Unsupported date_trunc unit for the WHERE rewrite: $other")
+        }
+        def nextU(z: ZonedDateTime): ZonedDateTime = unit match {
+          case "year" | "yyyy" | "yy" => z.plusYears(1)
+          case "quarter" => z.plusMonths(3)
+          case "month" | "mon" | "mm" => z.plusMonths(1)
+          case "week" => z.plusWeeks(1)
+          case "day" | "dd" => z.plusDays(1)
+          case "hour" => z.plusHours(1)
+          case "minute" => z.plusMinutes(1)
+          case other => throw new IllegalArgumentException(
+            s"Unsupported date_trunc unit for the WHERE rewrite: $other")
+        }
+        val f = floorU(zl)
+        val aligned = f.toInstant == zl.toInstant
+        val nx = nextU(f)
+        op match {
+          // an unaligned literal can never equal a truncated value — the
+          // term is identically false, expressed as a contradictory range
+          case "=" =>
+            if (aligned) range(tsOf(f), tsOf(nx))
+            else Seq(Predicate(column, "<", tsOf(f)), Predicate(column, ">", tsOf(f)))
+          case ">=" => Seq(Predicate(column, ">=", tsOf(if (aligned) f else nx)))
+          case ">" => Seq(Predicate(column, ">=", tsOf(nx)))
+          case "<" => Seq(Predicate(column, "<", tsOf(if (aligned) f else nx)))
+          case "<=" => Seq(Predicate(column, "<", tsOf(nx)))
+          case other => throw new IllegalArgumentException(
+            s"Unsupported op for a time-function WHERE term: $other")
+        }
+    }
+  }
+
+  /** Column-type lookup against the table's CURRENT schema, loaded
+    * lazily — plain-comparison WHEREs never touch the log for it. */
+  private def colTypesOf(spark: SparkSession, path: String): String => Option[DataType] = {
+    lazy val schema = DeltaLog.forTable(spark, path).snapshot(None).schema
+    name => schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+  }
 
   /** Catalyst literal → the plain-Scala value the engine's predicate
     * evaluator and Column lowering expect. */

@@ -140,15 +140,30 @@ class GeneratedColumnsSpec extends GraftSuite {
       rows.toDF("ts", "v").withColumn("m", month($"ts").as("m", monthMeta)),
       p1, partitionBy = Seq("m"))
     val snap1 = DeltaLog.forTable(spark, p1).snapshot(None)
-    val pruned1 = DeltaRead.prunedFiles(snap1,
+    // isolate the KERNEL: strip per-file stats so only the partition
+    // derivation can prune (the kernels exist for exactly this case —
+    // foreign tables without stats); with stats present, timestamp
+    // data-skipping prunes tighter and would mask the derivation
+    val noStats = snap1.copy(activeFiles = snap1.activeFiles.map(_.copy(stats = None)))
+    val pruned1 = DeltaRead.prunedFiles(noStats,
       Seq(Seq(Predicate("ts", "==", Timestamp.valueOf("2021-06-15 08:00:00")))))
     val months = pruned1.flatMap(_.partitionValues.get("m")).map(_.toInt).toSet
     assert(months.subsetOf(Set(5, 6, 7)), s"only near months may survive: $months")
     assert(months.contains(6), s"the matching month must survive: $months")
     // a RANGE on ts derives nothing through month (wraps) — all survive
-    val noDerive = DeltaRead.prunedFiles(snap1,
+    val noDerive = DeltaRead.prunedFiles(noStats,
       Seq(Seq(Predicate("ts", ">", Timestamp.valueOf("2021-06-15 08:00:00")))))
     assert(noDerive.size == snap1.activeFiles.size)
+    // with stats PRESENT, timestamp skipping prunes the same equality to
+    // nothing (no row carries that exact instant) — strictly tighter,
+    // still sound
+    assert(DeltaRead.prunedFiles(snap1,
+      Seq(Seq(Predicate("ts", "==", Timestamp.valueOf("2021-06-15 08:00:00"))))).isEmpty)
+    // …and a real row's instant keeps exactly its month's file
+    val hit = DeltaRead.prunedFiles(snap1,
+      Seq(Seq(Predicate("ts", "==", Timestamp.valueOf("2021-06-06 12:00:00")))))
+    assert(hit.flatMap(_.partitionValues.get("m")).map(_.toInt).toSet == Set(6),
+      s"stats skipping must keep only June: ${hit.size}")
 
     // day(ts) partitions: equality derives a contiguous day window; a
     // mid-month probe keeps only adjacent days

@@ -125,6 +125,68 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(bad.getMessage.contains("Unsupported WHERE"), bad.getMessage)
   }
 
+  test("time-function WHERE conjuncts rewrite to exact ranges and prune files") {
+    val path = tmp()
+    // one file per year, so year pruning is visible as a file drop
+    def rows(year: Int) = (1 to 10).map { d =>
+      (year * 100L + d,
+        java.sql.Timestamp.valueOf(f"$year-03-$d%02d 06:30:00"))
+    }
+    Seq(2023, 2024, 2025).zipWithIndex.foreach { case (y, i) =>
+      GraftDelta.toDelta(rows(y).toDF("id", "ts").repartition(1), path,
+        mode = if (i == 0) "error" else "append")
+    }
+
+    // log-level pruning: the year(ts)=2024 rewrite must reach the file
+    // pruner — only the 2024 file survives
+    val dnf = GraftSql.dnfOf(spark, Some("year(ts) = 2024"),
+      c => if (c == "ts") Some(org.apache.spark.sql.types.TimestampType) else None)
+    val pruned = GraftDelta.readDelta(spark, path, filters = dnf)
+    assert(pruned.inputFiles.length == 1,
+      s"year(ts)=2024 must prune to one file, scanned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 10L)
+
+    // the SELECT COUNT path answers through the same rewrite
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE year(ts) = 2024")
+      .as[Long].head() == 10L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE year(ts) >= 2025")
+      .as[Long].head() == 10L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE 2024 > year(ts)")
+      .as[Long].head() == 10L)
+
+    // to_date equality = one day; date_trunc to an aligned month = all of
+    // it; an UNALIGNED date_trunc literal can never match (empty range)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` WHERE to_date(ts) = DATE '2024-03-05'")
+      .as[Long].head() == 1L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` " +
+        s"WHERE date_trunc('month', ts) = TIMESTAMP '2024-03-01 00:00:00'")
+      .as[Long].head() == 10L)
+    assert(GraftSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta.`$path` " +
+        s"WHERE date_trunc('month', ts) = TIMESTAMP '2024-03-02 00:00:00'")
+      .as[Long].head() == 0L)
+
+    // DML rides the same lowering: DELETE WHERE year(ts)=2023 removes
+    // exactly the 2023 rows, everything else intact
+    val del = GraftSql.sql(spark,
+      s"DELETE FROM delta.`$path` WHERE year(ts) = 2023")
+    assert(del.select("affectedRows").as[Long].head() == 10L)
+    val left = GraftDelta.readDelta(spark, path)
+    assert(left.count() == 20L)
+    assert(left.agg(min($"ts")).as[java.sql.Timestamp].head()
+      .toString.startsWith("2024-"))
+
+    // an unrecognized function still refuses loudly (never silently scans)
+    val bad = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE abs(id) = 5"))
+    assert(bad.getMessage.contains("Unsupported WHERE"), bad.getMessage)
+  }
+
   test("CONVERT TO DELTA and spark.sql fall-through") {
     val dir = Files.createTempDirectory("graft_sql_conv")
     dir.toFile.deleteOnExit()
