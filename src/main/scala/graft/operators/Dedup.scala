@@ -644,6 +644,63 @@ object Dedup {
       .groupBy("doc_id")
       .agg(udaf(SimhashVoteAgg).apply(col("h")).as("sig"))
 
+  // ---- Duplicated-span coverage (exact substring statistics) ------------
+
+  /** Per-document duplicated-span coverage — the corpus-diagnostic of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": how much of each document consists of exact character
+    * spans of length `spanLen` that also occur in OTHER documents. A
+    * position i of a document is *duplicated* when the `spanLen`-char
+    * substring starting at i appears in at least two distinct documents
+    * corpus-wide (repetition *within* one document does not count — the
+    * frequency is a document frequency, not an occurrence count).
+    *
+    * Output: (doc_id, n_positions, dup_positions) with
+    * n_positions = len − spanLen + 1 (docs shorter than spanLen are
+    * dropped — they have no spans); dup_positions ∈ [0, n_positions].
+    * Integer-only columns: bit-for-bit mirrorable in SQL.
+    *
+    * Scale: never a self-join and never a pair blowup — a boilerplate
+    * span shared by 10^8 documents contributes counts, not pairs. The
+    * exploded positions (one row per character, ~corpus size) shuffle
+    * twice on the span key: once into the per-(doc, span) aggregation,
+    * once for the duplicate-key probe; both aggregations partial-combine
+    * map-side, so hot spans fold before the exchange. The duplicate-key
+    * set is vocabulary-sized and probes as a left-semi hash join (AQE
+    * skew-safe), NOT a window over the span key — a count(*) window
+    * cannot partial-aggregate, so one ultra-hot span would funnel its
+    * entire position list into a single task. With `hashedShingles`
+    * (the 100 TB default) the shuffle key is the 8-byte xxhash64 of the
+    * span instead of the `spanLen`-byte string — a hash collision can
+    * only over-count a position as duplicated (merging two span groups),
+    * p < 1e-10 at any realistic span vocabulary; pass `false` for the
+    * exact-string keys the strict harness oracle mirrors. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 40, hashedShingles: Boolean = true): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive: $spanLen")
+    val t = col("__t")
+    val base = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(t.isNotNull && length(t) >= spanLen)
+    val pos = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
+        i => t.substr(i, lit(spanLen)))).as("sh"))
+    val key = if (hashedShingles) xxhash64(col("sh")) else col("sh")
+    val perDoc = pos.select(col("doc_id"), key.as("k"))
+      .groupBy("doc_id", "k").agg(count(lit(1)).as("c"))
+    // document frequency per span key: perDoc is already distinct by
+    // (doc, key), so count(*) counts documents
+    val dupKeys = perDoc.groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("k")
+    val dupPerDoc = perDoc.join(dupKeys, Seq("k"), "left_semi")
+      .groupBy("doc_id").agg(sum(col("c")).as("dup_positions"))
+    base.select(col("doc_id"),
+        (length(t) - lit(spanLen - 1)).cast("long").as("n_positions"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
+  }
+
   /** Near-dup clusters by identical SimHash band (15-bit quarters over
     * the 60 effective signature bits — polyhash60 features leave bits
     * 60-63 always clear, so 16-bit quarters would waste a quarter of

@@ -379,6 +379,19 @@ object PipelineQ {
       s.table("t37_anow").orderBy($"n_nationkey")
     }),
 
+    // Duplicated-span coverage (Lee et al. exact-substring diagnostic):
+    // per doc, how many 40-char span positions also occur in another
+    // document. Exact string keys here so the DuckDB oracle mirrors
+    // bit-for-bit; the operator's scale default is 8-byte hashed keys
+    // (mode-agreement pinned in DedupSpec).
+    "t38_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 40, hashedShingles = false)
+        .filter($"dup_positions" > 0)
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal: binary content + stubbed decode → feature extraction.
     // Multimodal with a REAL codec: text bytes become genuine one-row
     // grayscale PNGs (pixel i = byte i, lossless), decoded back through
@@ -918,6 +931,23 @@ object PipelineQ {
          |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "t37_stream_available_now" ->
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
+    "t38_dup_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 40) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40)
+        |),
+        |perdoc AS (SELECT doc_id, sh, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+        |dup AS (SELECT sh FROM perdoc GROUP BY sh HAVING COUNT(*) >= 2),
+        |dupc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_positions
+        |         FROM perdoc JOIN dup USING (sh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(length(d.text) - 39 AS BIGINT) AS n_positions,
+        |       dupc.dup_positions AS dup_positions
+        |FROM documents d JOIN dupc USING (doc_id)
+        |WHERE dupc.dup_positions > 0
+        |ORDER BY d.doc_id""".stripMargin,
     "t12_stream_backfill" ->
       """SELECT event_type,
         | CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,

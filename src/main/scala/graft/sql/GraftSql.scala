@@ -65,14 +65,25 @@ object GraftSql {
     * split at the quoted WHERE). Positions in the masked text equal
     * positions in the original, so capture groups are extracted from the
     * ORIGINAL statement and literal values flow through intact. Doubled
-    * quotes ('it''s') read as two adjacent literals — same chars masked. */
+    * quotes ('it''s') read as two adjacent literals — same chars masked.
+    * Backslash-escaped quotes ('don\\'t') mask as escape + escapee, per
+    * Spark's default string-literal escaping; under the legacy
+    * `escapedStringLiterals=true` dialect (backslash is a plain char) a
+    * trailing-backslash literal over-masks, which can only make a
+    * statement fail to match a command shape and refuse loudly — never
+    * mis-split. */
   private[sql] def maskQuoted(s: String): String = {
     val sb = new java.lang.StringBuilder(s)
     var inQ: Char = 0
     var i = 0
     while (i < sb.length) {
       val c = sb.charAt(i)
-      if (inQ != 0) { if (c == inQ) inQ = 0 else sb.setCharAt(i, '') }
+      if (inQ != 0) {
+        if (c == '\\' && i + 1 < sb.length) {
+          sb.setCharAt(i, ''); i += 1; sb.setCharAt(i, '')
+        } else if (c == inQ) inQ = 0
+        else sb.setCharAt(i, '')
+      }
       else if (c == '\'' || c == '"') inQ = c
       i += 1
     }

@@ -328,4 +328,42 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"chunkDedup must not plan a Window:\n$plan")
   }
+
+  /** duplicatedSpanStats semantics on a hand-computed corpus: cross-doc
+    * spans count, within-doc repetition does not (document frequency,
+    * not occurrence frequency), short docs drop, null text drops. */
+  test("duplicatedSpanStats matches hand-computed span coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "AAAABBBB"),   // spans AAAA..BBBB; only AAAA is shared (doc 2)
+      (2L, "XXAAAAYY"),   // shares AAAA at one position
+      (3L, "ZZZ"),        // shorter than spanLen: no span positions
+      (4L, "QQQQQQQQ"),   // QQQQ ×5 within ONE doc: df=1, not duplicated
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, "doc_id", "text",
+        spanLen = 4, hashedShingles = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (4L, 5L, 0L)), got.toString)
+  }
+
+  /** Hashed-key mode (the 100 TB shuffle-width default) must agree with
+    * exact string keys on a real corpus, and the duplicate-key probe must
+    * stay a partial-aggregating join — no Window over the span key. */
+  test("duplicatedSpanStats hashed mode agrees with exact mode; no Window") {
+    val d = spark.read.parquet(docs)
+    def run(hashed: Boolean) =
+      Dedup.duplicatedSpanStats(d, "doc_id", "text", spanLen = 40, hashedShingles = hashed)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = run(false)
+    assert(exact == run(true), "hashed span keys drifted from exact strings")
+    assert(exact.exists(_._3 > 0), "pin is vacuous: corpus has no duplicated spans")
+    assert(exact.forall { case (_, n, dup) => dup >= 0 && dup <= n },
+      "dup_positions out of [0, n_positions]")
+    val plan = Dedup.duplicatedSpanStats(d, "doc_id", "text", 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"span-frequency must not plan a Window:\n$plan")
+  }
 }

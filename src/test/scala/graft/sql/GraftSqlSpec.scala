@@ -413,6 +413,12 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
         "WHEN MATCHED THEN UPDATE SET v = 'x WHEN y'")
     assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
       .select("v").as[String].head() == "x WHEN y")
+    // backslash-escaped quote inside a literal: the masker must not take
+    // \' as the literal's end (a keyword after it would then mis-split)
+    GraftSql.sql(spark,
+      s"UPDATE delta.`$path` SET v = 'don\\'t WHERE x' WHERE k = 1")
+    assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
+      .select("v").as[String].head() == "don't WHERE x")
   }
 
   test("pre-epoch timestamp literals keep exact micros (floor, not truncate)") {
