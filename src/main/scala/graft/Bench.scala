@@ -29,6 +29,12 @@ object Bench {
     // not query cost.
     def resetBetweenQueries(): Unit = {
       spark.catalog.clearCache()
+      // localCheckpoint-backed RDDs (the CC-loop operators) live OUTSIDE
+      // the SQL cache; without an explicit unpersist they linger until
+      // the async ContextCleaner catches up, and their memory/disk
+      // footprint bleeds into later queries' timings
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     // Optional subset filter (comma-separated names) for local bisecting;

@@ -500,6 +500,38 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** ALTER TABLE … UNSET TBLPROPERTIES: remove configuration keys in one
+    * metadata-only commit. Keys whose ENABLEMENT carried protocol or
+    * backfill obligations (column mapping, CDF, row tracking, ICT)
+    * refuse — removing the config flag would leave the table half-in a
+    * feature (mapped physical names, materialized row ids, ICT clocks)
+    * with no disable protocol behind the flip. Without `ifExists` every
+    * key must currently be set (the IF EXISTS contract). */
+  def unsetTableProperties(
+      spark: SparkSession, path: String, keys: Seq[String],
+      ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES requires at least one key")
+    val guarded = Set("delta.columnMapping.mode", "delta.enableChangeDataFeed",
+      "delta.enableRowTracking", "delta.enableInCommitTimestamps")
+    keys.find(guarded.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"Property $k carries feature obligations — unsetting it is not supported"))
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    if (!ifExists) {
+      val missing = keys.filterNot(snap.metadata.configuration.contains)
+      require(missing.isEmpty,
+        s"UNSET TBLPROPERTIES: not set: ${missing.mkString(", ")} (use IF EXISTS)")
+    }
+    val meta = snap.metadata.copy(configuration = snap.metadata.configuration -- keys)
+    val ci = CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
+      operationParameters = Map("properties" -> keys.mkString("[", ",", "]")),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, meta))
+    snap.version + 1
+  }
+
   /** DESCRIBE DETAIL: a one-row table summary straight from the snapshot
     * — table identity, location, partitioning, file count and bytes,
     * properties, protocol (features included). O(log replay) driver

@@ -686,6 +686,21 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // TBLPROPERTIES lifecycle through the SQL surface: SET three
+    // properties, UNSET one, SHOW the survivors — metadata-only commits,
+    // introspection straight off the snapshot (no data I/O at any size).
+    "d42_tblproperties" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d42")
+      GraftDelta.toDelta(t(s, dir, "region"), path)
+      graft.sql.GraftSql.sql(s, s"ALTER TABLE delta.`$path` SET TBLPROPERTIES " +
+        "('team' = 'data', 'tier' = 'gold', 'ttl' = '30d')")
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` UNSET TBLPROPERTIES ('ttl')")
+      graft.sql.GraftSql.sql(s, s"SHOW TBLPROPERTIES delta.`$path`")
+        .orderBy($"key")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -959,6 +974,10 @@ object DeltaQ {
         | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
+    "d42_tblproperties" ->
+      """SELECT key, value
+        |FROM (VALUES ('team', 'data'), ('tier', 'gold')) AS t(key, value)
+        |ORDER BY key""".stripMargin,
     "d37_ntz" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate,
         | CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c

@@ -173,6 +173,10 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+`?(\\w+)`?\\s*;?\\s*$$""")
   private val SetPropsRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val UnsetPropsRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(IF\\s+EXISTS)?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val ShowPropsRe = new Q(
+    s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref\\s*(?:\\(\\s*'?([^')]+?)'?\\s*\\))?\\s*;?\\s*$$""")
   private val CloneRe = new Q(
     s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
@@ -296,6 +300,27 @@ object GraftSql {
         }
         oneRow(spark, Seq("operation", "tableVersion"),
           Row("SET TBLPROPERTIES", version))
+      case UnsetPropsRe(p1, p2, p3, ifExists, keyList) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        def unq(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+        val keys = splitAssignments(keyList).map(unq).filter(_.nonEmpty)
+        val version = DeltaTableOps.unsetTableProperties(
+          spark, path, keys, ifExists != null)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("UNSET TBLPROPERTIES", version))
+      case ShowPropsRe(p1, p2, p3, key) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val cfg = DeltaLog.forTable(spark, path).snapshot(None)
+          .metadata.configuration
+        val rows = Option(key).map(_.trim) match {
+          case Some(k) => cfg.get(k).map(v => Row(k, v)).toSeq
+          case None => cfg.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+        }
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+          StructType(Seq(StructField("key", StringType, nullable = false),
+            StructField("value", StringType, nullable = false))))
       case CloneRe(t1, t2, t3, s1, s2, s3, v) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)

@@ -421,6 +421,34 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
       .select("v").as[String].head() == "don't WHERE x")
   }
 
+  test("SHOW / UNSET TBLPROPERTIES round-trip; guarded keys refuse unset") {
+    val path = tmp()
+    seed(path)
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` SET TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    val all = GraftSql.sql(spark, s"SHOW TBLPROPERTIES delta.`$path`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all("team") == "data" && all("tier") == "gold", all.toString)
+    val one = GraftSql.sql(spark, s"SHOW TBLPROPERTIES delta.`$path` ('tier')")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(one.toSeq == Seq("tier" -> "gold"))
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` UNSET TBLPROPERTIES ('tier')")
+    val after = GraftSql.sql(spark, s"SHOW TBLPROPERTIES delta.`$path`")
+      .collect().map(_.getString(0)).toSet
+    assert(!after.contains("tier") && after.contains("team"), after.toString)
+    // missing key: refuses without IF EXISTS, no-ops with it
+    val miss = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` UNSET TBLPROPERTIES ('nope')"))
+    assert(miss.getMessage.contains("IF EXISTS"), miss.getMessage)
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // feature-bearing key: loud refusal (no disable protocol behind it)
+    val guarded = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` UNSET TBLPROPERTIES ('delta.enableChangeDataFeed')"))
+    assert(guarded.getMessage.contains("feature obligations"), guarded.getMessage)
+  }
+
   test("pre-epoch timestamp literals keep exact micros (floor, not truncate)") {
     val path = tmp()
     val rows = Seq(
