@@ -1,0 +1,154 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fluent table handle mirroring the public delta-spark `DeltaTable`
+  * surface (`io.delta.tables.DeltaTable`: forPath/forName/isDeltaTable,
+  * toDF, history/detail, vacuum, delete/updateExpr, a merge builder,
+  * optimize, restore), lowered onto the SAME engine paths as the
+  * functional `GraftDelta` API and the SQL command surface — no second
+  * code path. Condition and assignment strings route through the
+  * GraftSql statement surface, so the DNF lowering, time-function range
+  * rewrites, loud refusals, and log-level pruning are identical however
+  * the user addresses the table. Divergence kept on purpose: no
+  * conditionless `delete()`/`update()` — the engine refuses implicit
+  * full-table DML everywhere (`DeltaDml`), and the facade does not
+  * reopen that door.
+  *
+  * Reference analog: the reference exposes free functions only
+  * (`read_delta`/`to_delta`/`vacuum`/`read_delta_history`, core.py);
+  * this handle is beyond-parity ergonomics for delta-spark migrants. */
+final class GraftTable private (spark: SparkSession, val path: String) {
+
+  private def sqlRef = s"delta.`$path`"
+  private def cmd(statement: String): DataFrame =
+    graft.sql.GraftSql.sql(spark, statement)
+
+  /** The table's latest snapshot as a DataFrame. */
+  def toDF: DataFrame = GraftDelta.readDelta(spark, path)
+
+  /** Time travel to a version / timestamp. */
+  def asOf(version: Long): DataFrame =
+    GraftDelta.readDelta(spark, path, version = Some(version))
+  def asOfTimestamp(ts: String): DataFrame =
+    GraftDelta.readDelta(spark, path, timestamp = Some(ts))
+
+  def history(): DataFrame = GraftDelta.readDeltaHistory(spark, path, None)
+  def history(limit: Int): DataFrame =
+    GraftDelta.readDeltaHistory(spark, path, Some(limit))
+  def detail(): DataFrame = GraftDelta.tableDetail(spark, path)
+
+  def vacuum(retentionHours: Double = 168.0, dryRun: Boolean = false): Seq[String] =
+    GraftDelta.vacuum(spark, path, retentionHours, dryRun)
+
+  /** DELETE rows matching `condition` (engine DNF + recognized
+    * time-function conjuncts; unsupported shapes refuse loudly). */
+  def delete(condition: String): DataFrame =
+    cmd(s"DELETE FROM $sqlRef WHERE $condition")
+
+  /** UPDATE SET (column -> expression strings) WHERE `condition`. */
+  def updateExpr(condition: String, set: Map[String, String]): DataFrame = {
+    require(set.nonEmpty, "updateExpr requires at least one assignment")
+    val assignments = set.map { case (k, v) => s"$k = $v" }.mkString(", ")
+    cmd(s"UPDATE $sqlRef SET $assignments WHERE $condition")
+  }
+
+  /** Merge builder over a DataFrame source and equi-key ON columns (the
+    * engine's merge contract: target.k = source.k per key). */
+  def merge(source: DataFrame, on: Seq[String]): GraftMergeBuilder =
+    new GraftMergeBuilder(spark, path, source, on)
+
+  def optimize(): GraftOptimizeBuilder = new GraftOptimizeBuilder(spark, path)
+
+  def restoreToVersion(version: Long): DataFrame =
+    cmd(s"RESTORE TABLE $sqlRef TO VERSION AS OF $version")
+  def restoreToTimestamp(ts: String): DataFrame =
+    cmd(s"RESTORE TABLE $sqlRef TO TIMESTAMP AS OF '$ts'")
+
+  def addCheckConstraint(name: String, check: String): DataFrame =
+    cmd(s"ALTER TABLE $sqlRef ADD CONSTRAINT $name CHECK ($check)")
+  def dropConstraint(name: String): DataFrame =
+    cmd(s"ALTER TABLE $sqlRef DROP CONSTRAINT $name")
+}
+
+/** `whenMatched*` pick ONE matched action (last call wins, delta-spark
+  * builder style); `whenNotMatchedInsertAll()` opts into inserting
+  * unmatched source rows (default: update-only merge). */
+final class GraftMergeBuilder private[delta] (
+    spark: SparkSession, path: String, source: DataFrame, on: Seq[String]) {
+  private var matched: DeltaDml.WhenMatched = DeltaDml.WhenMatched.UpdateAll
+  private var insertAll = false
+
+  def whenMatchedUpdateAll(): this.type = { matched = DeltaDml.WhenMatched.UpdateAll; this }
+  def whenMatchedDelete(): this.type = { matched = DeltaDml.WhenMatched.Delete; this }
+
+  /** UPDATE SET with expression strings; `source.col` / `s.col` refer to
+    * the merge source's columns (same rewrite as the SQL surface). */
+  def whenMatchedUpdateExpr(set: Map[String, String]): this.type = {
+    require(set.nonEmpty, "whenMatchedUpdateExpr requires at least one assignment")
+    val cols = set.map { case (k, v) =>
+      k -> org.apache.spark.sql.functions.expr(
+        v.replaceAll("(?i)\\b(?:source|s)\\.", "__graft_src_"))
+    }
+    matched = DeltaDml.WhenMatched.Update(cols)
+    this
+  }
+
+  def whenNotMatchedInsertAll(): this.type = { insertAll = true; this }
+
+  def execute(): DeltaDml.MergeResult =
+    GraftDelta.mergeInto(spark, path, source, on, matched, insertAll)
+}
+
+/** OPTIMIZE builder: optional partition predicate, compaction or
+  * Z-order execution. */
+final class GraftOptimizeBuilder private[delta] (spark: SparkSession, path: String) {
+  private var predicate: Option[String] = None
+
+  def where(partitionFilter: String): this.type = {
+    predicate = Some(partitionFilter); this
+  }
+
+  private def run(zorder: Seq[String]): DataFrame = {
+    val w = predicate.map(p => s" WHERE $p").getOrElse("")
+    val z = if (zorder.isEmpty) "" else s" ZORDER BY (${zorder.mkString(", ")})"
+    graft.sql.GraftSql.sql(spark, s"OPTIMIZE delta.`$path`$w$z")
+  }
+  def executeCompaction(): DataFrame = run(Nil)
+  def executeZOrderBy(columns: String*): DataFrame = {
+    require(columns.nonEmpty, "executeZOrderBy requires at least one column")
+    run(columns)
+  }
+}
+
+object GraftTable {
+  /** Handle for the Delta table at `path`; refuses non-tables loudly. */
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    require(isDeltaTable(spark, path),
+      s"$path is not a Delta table (no _delta_log with commits)")
+    new GraftTable(spark, path)
+  }
+
+  /** Handle for a catalog-named graft table (`CREATE TABLE … USING graft
+    * LOCATION …`) — resolves through the session catalog to the same
+    * path-addressed handle. */
+  def forName(spark: SparkSession, name: String): GraftTable = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    forPath(spark, new org.apache.hadoop.fs.Path(meta.location).toString)
+  }
+
+  def isDeltaTable(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_delta_log")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.endsWith(".json") || n.contains(".checkpoint")
+    }
+  }
+
+  def convertToDelta(spark: SparkSession, path: String): GraftTable = {
+    GraftDelta.convertToDelta(spark, path)
+    new GraftTable(spark, path)
+  }
+}
