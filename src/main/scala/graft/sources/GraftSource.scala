@@ -93,11 +93,32 @@ class GraftSource
       case SaveMode.Overwrite => "overwrite"
       case SaveMode.Ignore => "ignore"
     }
-    DeltaWrite.write(data, path, mode = writeMode,
-      partitionBy = parameters.get("partitionBy")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+    // idempotent batch writes (the delta-spark txnAppId/txnVersion
+    // options): the commit carries a SetTransaction, and a retried job
+    // whose (appId, version) the table has already recorded SKIPS the
+    // write instead of appending duplicates — the batch flavor of the
+    // streaming sink's exactly-once protocol (graft.streaming.DeltaSink)
+    val txn = (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+      case (Some(app), Some(v)) =>
+        Some(graft.delta.SetTransaction(app, v.toLong,
+          Some(System.currentTimeMillis())))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
+    val alreadyCommitted = txn.exists { t =>
+      val log = DeltaLog.forTable(sqlContext.sparkSession, path)
+      log.tableExists &&
+        log.snapshot(None).setTransactions
+          .find(_.appId == t.appId).exists(_.version >= t.version)
+    }
+    if (!alreadyCommitted)
+      DeltaWrite.write(data, path, mode = writeMode,
+        partitionBy = parameters.get("partitionBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
+        mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+        txn = txn)
     GraftRelation(sqlContext, path, None, None)
   }
 }

@@ -39,4 +39,30 @@ class GraftSourceSpec extends AnyFunSuite {
       .load(part).filter(col("col1") === 1)
     assert(df.count() == 21)
   }
+
+  /** txnAppId/txnVersion batch idempotency: a retried job re-running the
+    * same (appId, version) must SKIP, a later version must append, and
+    * an independent appId must be unaffected — plus loud refusal when
+    * only one option is set. */
+  test("txnAppId/txnVersion make format('graft') batch writes idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/tbl"
+    val df = (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    def writeBatch(app: String, v: Long): Unit =
+      df.write.format("graft").mode("append")
+        .option("txnAppId", app).option("txnVersion", v).save(path)
+    writeBatch("jobA", 1L)
+    writeBatch("jobA", 1L) // duplicate attempt: skipped
+    assert(spark.read.format("graft").load(path).count() == 10)
+    writeBatch("jobA", 0L) // stale replay: skipped
+    assert(spark.read.format("graft").load(path).count() == 10)
+    writeBatch("jobA", 2L) // next batch: lands
+    writeBatch("jobB", 1L) // other app: independent watermark, lands
+    assert(spark.read.format("graft").load(path).count() == 30)
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("graft").mode("append")
+        .option("txnAppId", "jobC").save(path)
+    }
+    assert(e.getMessage.contains("together"), e.getMessage)
+  }
 }
