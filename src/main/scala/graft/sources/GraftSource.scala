@@ -26,6 +26,7 @@ class GraftSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSourceProvider
+    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -69,6 +70,47 @@ class GraftSource
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new graft.streaming.GraftStreamSource(sqlContext, pathOf(parameters), parameters)
+
+  // ---- streaming write: df.writeStream.format("graft").start(path) ----
+  /** Exactly-once streaming sink: each micro-batch appends atomically
+    * WITH a SetTransaction (appId scoped to the query's checkpoint, so a
+    * restart resumes the same idempotency watermark and replayed batches
+    * skip) — `graft.streaming.DeltaSink`'s protocol behind the standard
+    * `format("graft")` writer registration. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink supports Append output mode, found $outputMode " +
+        "(aggregations need watermark + append, or route through foreachBatch)")
+    val path = pathOf(parameters)
+    val appId = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v
+    }.getOrElse {
+      val ckpt = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a checkpointLocation (the idempotency scope) " +
+          "or an explicit txnAppId option"))
+      "graft-sink-" + java.util.UUID.nameUUIDFromBytes(
+        ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val parts = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionBy") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(partitionColumns)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val batch = org.apache.spark.sql.graft.StreamingBridge.asBatchFrame(data)
+        graft.streaming.DeltaSink.addBatch(batch, path, appId, batchId, parts)
+        ()
+      }
+      override def toString: String = s"GraftSink[$path]"
+    }
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -32,6 +32,17 @@ object StreamingBridge {
       LogicalRelation(ds.resolveRelation(checkFilesExist = false), isStreaming = true))
   }
 
+  /** Re-plan a sink-delivered micro-batch as a BATCH DataFrame: DSv1
+    * `Sink.addBatch` hands over an incremental-execution frame that
+    * batch writers refuse (`write` on a streaming Dataset). Mirror the
+    * standard sink pattern — take the executed internal-row RDD and
+    * rebuild a non-streaming frame over it. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[ClassicSparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Zero-row streaming-tagged batch with the given schema. */
   def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame = {
     val cs = spark.asInstanceOf[ClassicSparkSession]

@@ -186,4 +186,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2 == 2, s"buffered right row must match a later left row: $got2")
     } finally q.stop()
   }
+
+  /** `writeStream.format("graft")` — the registered exactly-once sink:
+    * table→table streaming pipe lands every upstream commit exactly
+    * once, and a RESTART from the same checkpoint (same idempotency
+    * appId) replays no batch twice. */
+  test("format('graft') streaming sink: table-to-table pipe, idempotent restart") {
+    import spark.implicits._
+    val srcPath = java.nio.file.Files.createTempDirectory("graft_pipe_src").toString + "/t"
+    val dstPath = java.nio.file.Files.createTempDirectory("graft_pipe_dst").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ck").toString
+    GraftDelta.toDelta((1L to 10L).map(i => (i, s"a$i")).toDF("k", "v"), srcPath)
+    def pipe() = spark.readStream.format("graft").load(srcPath)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dstPath)
+    val q = pipe()
+    try {
+      q.processAllAvailable()
+      assert(GraftDelta.readDelta(spark, dstPath).count() == 10L)
+      GraftDelta.toDelta((11L to 15L).map(i => (i, s"a$i")).toDF("k", "v"),
+        srcPath, mode = "append")
+      q.processAllAvailable()
+      assert(GraftDelta.readDelta(spark, dstPath).count() == 15L)
+    } finally q.stop()
+    // restart from the same checkpoint: nothing re-lands, new commits do
+    val q2 = pipe()
+    try {
+      q2.processAllAvailable()
+      assert(GraftDelta.readDelta(spark, dstPath).count() == 15L,
+        "restart must not double-append already-committed batches")
+      GraftDelta.toDelta(Seq((16L, "a16")).toDF("k", "v"), srcPath, mode = "append")
+      q2.processAllAvailable()
+      val got = GraftDelta.readDelta(spark, dstPath).select("k").as[Long]
+        .collect().toSet
+      assert(got == (1L to 16L).toSet, s"got ${got.toSeq.sorted}")
+    } finally q2.stop()
+    // wrong mode refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(srcPath)
+        .groupBy($"v").count()
+        .writeStream.format("graft")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_pipe_ck2").toString)
+        .outputMode("complete")
+        .start(java.nio.file.Files.createTempDirectory("graft_pipe_d2").toString + "/t")
+    }
+    assert(e.getMessage.contains("Append"), e.getMessage)
+  }
 }
