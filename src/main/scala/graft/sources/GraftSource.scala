@@ -117,9 +117,40 @@ class GraftSource
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("Please provide a Delta table path"))
-    GraftRelation(sqlContext, path,
-      version = parameters.get("versionAsOf").map(_.toLong),
-      timestamp = parameters.get("timestampAsOf"))
+    val opt: String => Option[String] = key =>
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    if (opt("readChangeFeed").exists(_.toBoolean)) {
+      // batch CDF read through reader options (delta-spark parity):
+      // startingVersion/endingVersion or startingTimestamp/endingTimestamp
+      // bound the commit range; the result is the engine's change feed
+      // (_change_type/_commit_version/_commit_timestamp columns)
+      require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+        "readChangeFeed cannot combine with versionAsOf/timestampAsOf — " +
+          "the feed IS a range read; bound it with startingVersion/endingVersion")
+      val spark = sqlContext.sparkSession
+      val cdf = (opt("startingVersion"), opt("startingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "Set startingVersion OR startingTimestamp, not both")
+        case (Some(v), None) =>
+          graft.delta.GraftDelta.tableChanges(spark, path, v.toLong,
+            opt("endingVersion").map(_.toLong))
+        case (None, Some(ts)) =>
+          graft.delta.GraftDelta.tableChangesByTimestamp(spark, path,
+            DeltaRead.parseTimestampMillis(ts),
+            opt("endingTimestamp").map(DeltaRead.parseTimestampMillis))
+        case (None, None) => throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion or startingTimestamp")
+      }
+      val outerCtx = sqlContext
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = outerCtx
+        override def schema: StructType = cdf.schema
+        override def buildScan(): RDD[Row] = cdf.rdd
+      }
+    } else
+      GraftRelation(sqlContext, path,
+        version = opt("versionAsOf").map(_.toLong),
+        timestamp = opt("timestampAsOf"))
   }
 
   override def createRelation(

@@ -40,6 +40,46 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.count() == 21)
   }
 
+  /** Batch CDF reads through reader options (delta-spark parity): the
+    * option-addressed feed must equal the functional tableChanges call
+    * bit-for-bit, honor endingVersion bounds, and refuse unbounded or
+    * time-travel-combined reads loudly. */
+  test("option('readChangeFeed') serves the change feed with version bounds") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/tbl"
+    val df = (1L to 30L).map(i => (i, i % 3)).toDF("id", "g")
+    graft.delta.GraftDelta.toDelta(df, path)                        // v0
+    graft.delta.GraftDelta.enableChangeDataFeed(spark, path)        // v1
+    graft.delta.GraftDelta.deleteWhere(spark, path,
+      Seq(Seq(graft.delta.Predicate("g", "==", 0L))))               // v2
+    graft.delta.GraftDelta.updateWhereWithDv(spark, path,
+      Seq(Seq(graft.delta.Predicate("id", "<", 5L))),
+      Map("g" -> (col("g") + 10)))                                  // v3
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select($"id", $"g", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val viaOpts = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(path)
+    val direct = graft.delta.GraftDelta.tableChanges(spark, path, 2L)
+    assert(canon(viaOpts) == canon(direct) && canon(direct).nonEmpty)
+    val bounded = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 2)
+      .load(path)
+    assert(canon(bounded) == canon(graft.delta.GraftDelta.tableChanges(spark, path, 2L, Some(2L))))
+    val unbounded = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(path)
+    }
+    assert(unbounded.getMessage.contains("startingVersion"), unbounded.getMessage)
+    val mixed = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 0).option("versionAsOf", 1).load(path)
+    }
+    assert(mixed.getMessage.contains("cannot combine"), mixed.getMessage)
+  }
+
   /** txnAppId/txnVersion batch idempotency: a retried job re-running the
     * same (appId, version) must SKIP, a later version must append, and
     * an independent appId must be unaffected — plus loud refusal when
