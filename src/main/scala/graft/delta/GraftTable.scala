@@ -69,6 +69,13 @@ final class GraftTable private (spark: SparkSession, val path: String) {
     cmd(s"ALTER TABLE $sqlRef ADD CONSTRAINT $name CHECK ($check)")
   def dropConstraint(name: String): DataFrame =
     cmd(s"ALTER TABLE $sqlRef DROP CONSTRAINT $name")
+
+  /** Zero-copy metadata clone at `target` (optionally of a pinned
+    * version) — the clone references this table's data files. */
+  def shallowClone(target: String, version: Option[Long] = None): GraftTable = {
+    GraftDelta.shallowClone(spark, path, target, version)
+    new GraftTable(spark, target)
+  }
 }
 
 /** `whenMatched*` pick ONE matched action (last call wins, delta-spark

@@ -185,13 +185,27 @@ class GraftSource
         log.snapshot(None).setTransactions
           .find(_.appId == t.appId).exists(_.version >= t.version)
     }
+    // replaceWhere (delta-spark writer option): predicate-scoped
+    // overwrite — lowered through the same DNF language as the SQL
+    // surface (unsupported shapes refuse loudly, never scan wrong)
+    val replaceWhere = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("replaceWhere") => v
+    }.map { w =>
+      val spark = sqlContext.sparkSession
+      val colType: String => Option[org.apache.spark.sql.types.DataType] =
+        if (DeltaLog.forTable(spark, path).tableExists)
+          graft.sql.GraftSql.colTypesOf(spark, path)
+        else _ => None
+      graft.sql.GraftSql.dnfOf(spark, Some(w), colType)
+    }.getOrElse(Nil)
     if (!alreadyCommitted)
       DeltaWrite.write(data, path, mode = writeMode,
         partitionBy = parameters.get("partitionBy")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
         mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
-        txn = txn)
+        txn = txn,
+        replaceWhere = replaceWhere)
     GraftRelation(sqlContext, path, None, None)
   }
 }

@@ -572,7 +572,7 @@ object GraftSql {
     * bounds, over a TIMESTAMP column instant bounds in the session
     * zone). The default resolves nothing, keeping plain-comparison
     * callers unchanged. */
-  private[sql] def dnfOf(
+  private[graft] def dnfOf(
       spark: SparkSession, where: Option[String],
       colType: String => Option[DataType] = _ => None): Seq[Seq[Predicate]] =
     where.map(_.trim).filter(_.nonEmpty) match {
@@ -802,7 +802,7 @@ object GraftSql {
 
   /** Column-type lookup against the table's CURRENT schema, loaded
     * lazily — plain-comparison WHEREs never touch the log for it. */
-  private def colTypesOf(spark: SparkSession, path: String): String => Option[DataType] = {
+  private[graft] def colTypesOf(spark: SparkSession, path: String): String => Option[DataType] = {
     lazy val schema = DeltaLog.forTable(spark, path).snapshot(None).schema
     name => schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
   }

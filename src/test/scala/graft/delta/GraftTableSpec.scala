@@ -85,6 +85,45 @@ class GraftTableSpec extends GraftSuite {
     assert(t.toDF.count() == 400L)
   }
 
+  test("shallowClone returns a handle on an independent metadata clone") {
+    val path = tmp()
+    seed(path)
+    val clonePath = tmp()
+    val c = GraftTable.forPath(spark, path).shallowClone(clonePath)
+    assert(c.toDF.count() == 20L)
+    // DML on a clone reads cross-root files (no basePath) — this used to
+    // crash in DeltaDml.readFiles
+    c.delete("k <= 10")
+    assert(c.toDF.count() == 10L)
+    assert(GraftTable.forPath(spark, path).toDF.count() == 20L,
+      "DML on the clone must not touch the source")
+  }
+
+  /** Partitioned-clone DML drives readFiles' per-partition-group union
+    * branch: log-sourced partition literals, `_metadata` surviving the
+    * union for the DV bitmap path, and partition-column predicates. */
+  test("DML on a PARTITIONED shallow clone: rewrite and DV flavors, both scoped") {
+    val srcPath = tmp()
+    GraftDelta.toDelta(
+      (1L to 40L).map(i => (i, s"g${i % 4}")).toDF("k", "g"),
+      srcPath, partitionBy = Seq("g"))
+    val clonePath = tmp()
+    val c = GraftTable.forPath(spark, srcPath).shallowClone(clonePath)
+    // rewrite flavor, data-column predicate (scans clone files cross-root)
+    c.delete("k <= 8")
+    assert(c.toDF.count() == 32L)
+    // DV flavor (keepMeta bitmap path) on the cloned files
+    GraftDelta.deleteWhereWithDv(spark, clonePath,
+      Seq(Seq(Predicate("k", ">", 36L))))
+    assert(c.toDF.count() == 28L)
+    // partition-column predicate on the clone
+    c.delete("g = 'g1'")
+    assert(c.toDF.filter($"g" === "g1").count() == 0L)
+    assert(c.toDF.count() == 21L)
+    assert(GraftTable.forPath(spark, srcPath).toDF.count() == 40L,
+      "clone DML must never touch the source table")
+  }
+
   test("forName resolves a catalog-named graft table to the same handle") {
     val path = tmp()
     seed(path)

@@ -40,6 +40,31 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.count() == 21)
   }
 
+  /** replaceWhere writer option: predicate-scoped overwrite replaces
+    * only the matching partitions and refuses rows that violate the
+    * predicate, exactly like the functional API. */
+  test("option('replaceWhere') scopes an overwrite to matching partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_rw").toString + "/tbl"
+    val df = (1L to 40L).map(i => (i, s"p${i % 4}")).toDF("id", "part")
+    df.write.format("graft").option("partitionBy", "part").save(path)
+    // replace partition p1 only: ids shift +1000
+    (1L to 40L).filter(_ % 4 == 1).map(i => (i + 1000L, "p1")).toDF("id", "part")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "part = 'p1'").save(path)
+    val back = spark.read.format("graft").load(path)
+    assert(back.count() == 40)
+    assert(back.filter($"part" === "p1").select("id").as[Long].collect().forall(_ > 1000L))
+    assert(back.filter($"part" =!= "p1").select("id").as[Long].collect().forall(_ <= 40L))
+    // a row OUTSIDE the predicate must fail the write
+    val e = intercept[Exception] {
+      Seq((9999L, "p2")).toDF("id", "part")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "part = 'p1'").save(path)
+    }
+    assert(e.getMessage.toLowerCase.contains("replacewhere"), e.getMessage)
+  }
+
   /** Batch CDF reads through reader options (delta-spark parity): the
     * option-addressed feed must equal the functional tableChanges call
     * bit-for-bit, honor endingVersion bounds, and refuse unbounded or
