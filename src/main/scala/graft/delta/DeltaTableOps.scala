@@ -500,6 +500,76 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** GENERATE symlink_format_manifest — Presto/Trino/Athena interop: one
+    * `manifest` text file per partition under
+    * `_symlink_format_manifest/`, each line the absolute URI of an
+    * active data file. Refuses DV-carrying snapshots loudly (a manifest
+    * names whole files; symlink readers would resurrect soft-deleted
+    * rows) — OPTIMIZE purges DVs first. Manifests are O(#files)
+    * control-plane text, same cardinality as any log replay; the
+    * manifest tree is rebuilt from scratch so dropped partitions can't
+    * leave stale manifests behind. Returns the manifest (partition)
+    * count. */
+  def generateSymlinkManifest(spark: SparkSession, path: String): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(snap.activeFiles.forall(_.deletionVector.isEmpty),
+      "symlink manifests cannot express deletion vectors — a manifest-based " +
+        "reader would see soft-deleted rows; OPTIMIZE the table first (it " +
+        "purges DVs), then GENERATE")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestRoot = new Path(root, "_symlink_format_manifest")
+    fs.delete(manifestRoot, true)
+    val groups = snap.activeFiles.groupBy(_.partitionValues)
+    groups.foreach { case (pv, files) =>
+      val dir =
+        if (snap.partitionColumns.isEmpty) manifestRoot
+        else new Path(manifestRoot, snap.partitionColumns.map { c =>
+          val v = pv.get(c).flatMap(Option(_))
+          s"$c=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+        }.mkString("/"))
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, "manifest"), true)
+      try files.foreach { f =>
+        val abs = DeltaRead.resolvePath(path, f.path)
+        val uri = fs.makeQualified(new Path(abs)).toUri.toString
+        out.write((uri + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+    }
+    groups.size.toLong
+  }
+
+  /** Protocol upgrade (delta-spark `upgradeTableProtocol`): one commit
+    * raising the version floor; downgrades refuse (readers relying on
+    * the old floor could mis-read), and crossing into the
+    * table-features versions (reader 3 / writer 7) enumerates every
+    * legacy-implied feature — a feature-aware client may legally skip
+    * any obligation the enumeration omits. */
+  def upgradeTableProtocol(
+      spark: SparkSession, path: String, minReader: Int, minWriter: Int): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val cur = snap.protocol
+    require(minReader >= cur.minReaderVersion && minWriter >= cur.minWriterVersion,
+      s"Protocol downgrade refused: ($minReader,$minWriter) < " +
+        s"(${cur.minReaderVersion},${cur.minWriterVersion})")
+    require(minReader <= 3 && minWriter <= 7,
+      s"Unknown protocol versions ($minReader,$minWriter): max supported (3,7)")
+    val next = Protocol(minReader, minWriter,
+      readerFeatures =
+        if (minReader >= 3) Some(DeltaLog.legacyReaderFeatures(cur).distinct) else None,
+      writerFeatures =
+        if (minWriter >= 7) Some(DeltaLog.legacyWriterFeatures(cur).distinct) else None)
+    val ci = CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL",
+      operationParameters = Map(
+        "minReaderVersion" -> minReader.toString,
+        "minWriterVersion" -> minWriter.toString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci, next))
+    snap.version + 1
+  }
+
   /** ALTER TABLE … UNSET TBLPROPERTIES: remove configuration keys in one
     * metadata-only commit. Keys whose ENABLEMENT carried protocol or
     * backfill obligations (column mapping, CDF, row tracking, ICT)

@@ -70,6 +70,18 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   def dropConstraint(name: String): DataFrame =
     cmd(s"ALTER TABLE $sqlRef DROP CONSTRAINT $name")
 
+  /** GENERATE mode — only `symlink_format_manifest` exists (Presto/
+    * Trino/Athena interop); returns the manifest count. */
+  def generate(mode: String): Long = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"Unknown GENERATE mode '$mode' — supported: symlink_format_manifest")
+    DeltaTableOps.generateSymlinkManifest(spark, path)
+  }
+
+  /** Raise the protocol version floor (no downgrades). */
+  def upgradeTableProtocol(minReader: Int, minWriter: Int): Long =
+    DeltaTableOps.upgradeTableProtocol(spark, path, minReader, minWriter)
+
   /** Zero-copy metadata clone at `target` (optionally of a pinned
     * version) — the clone references this table's data files. */
   def shallowClone(target: String, version: Option[Long] = None): GraftTable = {

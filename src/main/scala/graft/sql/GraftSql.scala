@@ -177,6 +177,8 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(IF\\s+EXISTS)?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val ShowPropsRe = new Q(
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref\\s*(?:\\(\\s*'?([^')]+?)'?\\s*\\))?\\s*;?\\s*$$""")
+  private val GenerateRe = new Q(
+    s"""(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Ref\\s*;?\\s*$$""")
   private val CloneRe = new Q(
     s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
@@ -321,6 +323,13 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case GenerateRe(mode, p1, p2, p3) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        require(mode.equalsIgnoreCase("symlink_format_manifest"),
+          s"Unknown GENERATE mode '$mode' — supported: symlink_format_manifest")
+        val n = DeltaTableOps.generateSymlinkManifest(spark, path)
+        oneRow(spark, Seq("operation", "manifests"),
+          Row("GENERATE", n))
       case CloneRe(t1, t2, t3, s1, s2, s3, v) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)

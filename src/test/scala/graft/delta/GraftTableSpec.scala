@@ -124,6 +124,66 @@ class GraftTableSpec extends GraftSuite {
       "clone DML must never touch the source table")
   }
 
+  /** GENERATE symlink_format_manifest: per-partition manifests whose
+    * line sets are exactly the active files; regeneration drops stale
+    * partition manifests; DV snapshots refuse. */
+  test("generate symlink manifests; DV tables refuse until optimized") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("k", "g"),
+      path, partitionBy = Seq("g"))
+    val t = GraftTable.forPath(spark, path)
+    assert(t.generate("symlink_format_manifest") == 3L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(): Seq[String] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(path, "_symlink_format_manifest"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName == "manifest") b += f.getPath.toString }
+      b.result()
+    }
+    assert(manifestFiles().size == 3)
+    // the union of manifest lines reads back as exactly the table
+    val listed = manifestFiles().flatMap { m =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(m))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(spark.read.parquet(listed: _*).count() == 30L)
+    // delete a whole partition, regenerate: its manifest disappears
+    t.delete("g = 'g1'")
+    assert(t.generate("symlink_format_manifest") == 2L)
+    assert(manifestFiles().size == 2)
+    // a DV-carrying snapshot refuses (symlink readers can't apply DVs)
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "==", 3L))))
+    val e = intercept[IllegalArgumentException](t.generate("symlink_format_manifest"))
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    val bad = intercept[IllegalArgumentException](t.generate("nope"))
+    assert(bad.getMessage.contains("symlink_format_manifest"))
+  }
+
+  /** Protocol upgrade: version floor rises with legacy-implied feature
+    * enumeration; downgrades refuse; the table stays read/writable. */
+  test("upgradeTableProtocol raises the floor and enumerates legacy features") {
+    val path = tmp()
+    seed(path)
+    val t = GraftTable.forPath(spark, path)
+    val v = t.upgradeTableProtocol(3, 7)
+    val p = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.writerFeatures.exists(_.contains("appendOnly")),
+      s"legacy-implied features must enumerate: ${p.writerFeatures}")
+    assert(v == 1L)
+    val down = intercept[IllegalArgumentException](t.upgradeTableProtocol(1, 2))
+    assert(down.getMessage.contains("downgrade"), down.getMessage)
+    // still fully usable after the upgrade
+    t.delete("k > 18")
+    assert(t.toDF.count() == 18L)
+    GraftDelta.toDelta(Seq((100L, "x", 0L)).toDF("k", "v", "g"), path, mode = "append")
+    assert(t.toDF.count() == 19L)
+  }
+
   test("forName resolves a catalog-named graft table to the same handle") {
     val path = tmp()
     seed(path)
