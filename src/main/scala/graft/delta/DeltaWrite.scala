@@ -562,7 +562,34 @@ object DeltaWrite {
     meta.configuration.toSeq.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         (k.stripPrefix("delta.constraints."), v)
-    } ++ invariantsOf(meta) ++ generatedEqualityOf(meta.schema)
+    } ++ invariantsOf(meta) ++ notNullConstraintsOf(meta.schema) ++
+      generatedEqualityOf(meta.schema)
+
+  /** NOT NULL enforcement from schema nullability (the protocol's other
+    * `invariants`-feature obligation besides expression invariants): a
+    * `nullable = false` field refuses null rows in-flight. Nested fields
+    * are vacuous while any ancestor struct is itself null (the ancestor's
+    * own nullability governs that). Cost note: when the incoming frame's
+    * attribute is already non-nullable, Catalyst folds `IS NOT NULL` to
+    * true and the assert disappears — enforcement is free unless the
+    * data could actually violate it. */
+  private[delta] def notNullConstraintsOf(schema: StructType): Seq[(String, String)] = {
+    def walk(st: StructType, prefix: String, ancestors: Seq[String]): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val path = prefix + s"`${f.name}`"
+        val here =
+          if (!f.nullable)
+            Seq((s"notNull(${prefix}${f.name})",
+              (s"$path IS NOT NULL" +: ancestors.map(a => s"$a IS NULL"))
+                .mkString(" OR ")))
+          else Nil
+        here ++ (f.dataType match {
+          case s: StructType => walk(s, path + ".", ancestors :+ path)
+          case _ => Nil
+        })
+      }
+    walk(schema, "", Nil)
+  }
 
   /** Column invariants harvested recursively (nested struct fields
     * carry them too); an unparseable invariant refuses rather than

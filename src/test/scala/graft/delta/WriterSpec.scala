@@ -359,4 +359,77 @@ class WriterSpec extends GraftSuite {
       path, mode = "append")
     assert(GraftDelta.readDelta(spark, path).count() == 1001)
   }
+
+  /** NOT NULL schema fields (the invariants feature's other obligation)
+    * refuse null rows on append — and the check folds away when the
+    * incoming frame is provably non-null. Nested NOT NULL is vacuous
+    * while the parent struct itself is null. */
+  test("nullable=false columns reject null rows on write; nested guarded by parent") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    // our own creates normalize to nullable (incidental toDF tightness
+    // must not freeze into the table contract) — a NOT NULL column comes
+    // from a FOREIGN writer's DDL; stage one via a raw metadata commit
+    GraftDelta.toDelta((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap0 = log.snapshot(None)
+    val notNullSchema = StructType(snap0.schema.fields.map(f =>
+      if (f.name == "k") f.copy(nullable = false) else f))
+    log.writeCommit(snap0.version + 1, Seq(
+      CommitInfo(System.currentTimeMillis(), "SET NOT NULL"),
+      snap0.metadata.copy(schemaString = notNullSchema.json)))
+    val declared = log.snapshot(None).schema("k").nullable
+    assert(!declared, "staged schema must declare k non-nullable for this pin")
+    // nullable incoming frame with an actual null k: refused in-flight
+    val nullK = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null, "x")),
+      StructType(Seq(StructField("k", LongType, nullable = true),
+        StructField("v", StringType, nullable = true))))
+    val e = intercept[Exception] {
+      GraftDelta.toDelta(nullK, path, mode = "append")
+    }
+    assert(e.getMessage.toLowerCase.contains("notnull") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("notnull")),
+      s"${e.getMessage} / ${Option(e.getCause).map(_.getMessage)}")
+    assert(GraftDelta.readDelta(spark, path).count() == 5L, "failed write must not commit")
+    // non-null rows through the SAME nullable frame land fine
+    val okK = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(6L: java.lang.Long, "x")),
+      nullK.schema)
+    GraftDelta.toDelta(okK, path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 6L)
+    // nested: inner NOT NULL (foreign-staged) is vacuous when the
+    // nullable parent struct is itself null
+    val nestedPath = tmp()
+    val relaxed = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = true))), nullable = true)))
+    val seedRows = java.util.List.of(
+      org.apache.spark.sql.Row(1L: java.lang.Long, org.apache.spark.sql.Row(7L: java.lang.Long)))
+    GraftDelta.toDelta(spark.createDataFrame(seedRows, relaxed), nestedPath)
+    val nlog = DeltaLog.forTable(spark, nestedPath)
+    val nsnap = nlog.snapshot(None)
+    val innerNotNull = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = false))), nullable = true)))
+    nlog.writeCommit(nsnap.version + 1, Seq(
+      CommitInfo(System.currentTimeMillis(), "SET NOT NULL"),
+      nsnap.metadata.copy(schemaString = innerNotNull.json)))
+    // parent-null row: inner NOT NULL is vacuous, append lands
+    GraftDelta.toDelta(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L: java.lang.Long, null)), relaxed),
+      nestedPath, mode = "append")
+    assert(GraftDelta.readDelta(spark, nestedPath).count() == 2L)
+    // present parent with a null inner field refuses
+    intercept[Exception] {
+      GraftDelta.toDelta(spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(3L: java.lang.Long, org.apache.spark.sql.Row(null))),
+        relaxed), nestedPath, mode = "append")
+    }
+    assert(GraftDelta.readDelta(spark, nestedPath).count() == 2L)
+  }
 }
