@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSource
     extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider
     with StreamSourceProvider
     with StreamSinkProvider
@@ -151,6 +152,36 @@ class GraftSource
       GraftRelation(sqlContext, path,
         version = opt("versionAsOf").map(_.toLong),
         timestamp = opt("timestampAsOf"))
+  }
+
+  /** User-declared schema path (`CREATE TABLE name (cols…) USING graft
+    * LOCATION p` with no AS SELECT): an absent table is CREATED empty —
+    * commit 0 carries the metadata and zero adds — and an existing
+    * table's declared schema must agree with the log's (names + types,
+    * nullability and metadata free) or the DDL refuses loudly instead of
+    * silently shadowing the real schema. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val log = DeltaLog.forTable(spark, path)
+    if (!log.tableExists) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      DeltaWrite.write(empty, path,
+        partitionBy = parameters.get("partitionBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    } else {
+      def shape(st: StructType): Seq[(String, String)] =
+        st.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql))
+      val cur = log.snapshot(None).schema
+      require(shape(cur) == shape(schema),
+        s"Declared schema ${schema.simpleString} does not match the existing " +
+          s"table at $path: ${cur.simpleString}")
+    }
+    createRelation(sqlContext, parameters)
   }
 
   override def createRelation(

@@ -40,6 +40,37 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.count() == 21)
   }
 
+  /** Empty-table DDL (`CREATE TABLE (cols…) USING graft`, no AS SELECT):
+    * creates commit 0 with metadata + zero adds; a declared schema over
+    * an EXISTING table must agree or the DDL refuses. */
+  test("CREATE TABLE with explicit columns creates an empty delta table") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ddl").toString + "/tbl"
+    spark.sql("DROP TABLE IF EXISTS graft_empty_ddl")
+    spark.sql(s"CREATE TABLE graft_empty_ddl (k BIGINT, v STRING) USING graft LOCATION '$path'")
+    try {
+      assert(spark.table("graft_empty_ddl").count() == 0L)
+      assert(graft.delta.DeltaLog.forTable(spark, path).tableExists)
+      assert(graft.delta.GraftDelta.readDelta(spark, path).schema.fieldNames.toSeq ==
+        Seq("k", "v"))
+      // the empty table accepts ordinary engine writes
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO graft_empty_ddl VALUES (1, 'a'), (2, 'b')")
+      assert(spark.table("graft_empty_ddl").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+      // re-declaring over the existing table with a DIFFERENT schema refuses
+      val e = intercept[Exception] {
+        spark.sql("DROP TABLE IF EXISTS graft_empty_ddl2")
+        spark.sql(s"CREATE TABLE graft_empty_ddl2 (wrong INT) USING graft LOCATION '$path'")
+        spark.table("graft_empty_ddl2").count()
+      }
+      assert(e.getMessage.contains("does not match"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_empty_ddl")
+      spark.sql("DROP TABLE IF EXISTS graft_empty_ddl2")
+    }
+  }
+
   /** replaceWhere writer option: predicate-scoped overwrite replaces
     * only the matching partitions and refuses rows that violate the
     * predicate, exactly like the functional API. */
