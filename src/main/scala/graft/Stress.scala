@@ -36,6 +36,20 @@ object Stress {
     val nc = clusters.select("cluster_id").distinct().count()
     println(f"[stress] clusters: $nc in ${(System.nanoTime()-t0)/1e9}%.1f s")
 
+    // ---- duplicated-span coverage at 20× --------------------------------
+    // hashed span keys (the scale default; 8-byte shuffle rows) over
+    // ~corpus-chars exploded positions. Every copy shares its original's
+    // full text (the perturbation is a SUFFIX), so nearly every span
+    // position must come back duplicated — the count is the correctness
+    // witness, the runtime the scale one.
+    t0 = System.nanoTime()
+    val spans = graft.operators.Dedup.duplicatedSpanStats(copies, "doc_id", "text", 40)
+    val sp = spans.agg(count(lit(1)), sum($"n_positions"), sum($"dup_positions")).head()
+    val (nd, npos, ndup) = (sp.getLong(0), sp.getLong(1), sp.getLong(2))
+    println(f"[stress] span coverage: $nd%,d docs, $npos%,d positions, " +
+      f"$ndup%,d duplicated in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(ndup >= npos * 9 / 10, s"clique corpus must be ~fully duplicated: $ndup/$npos")
+
     // ---- DML at scale: a multi-million-row clustered table --------------
     import graft.delta.{DeltaDml, GraftDelta, Predicate}
     val rows = 5000000L
