@@ -701,6 +701,35 @@ object DeltaQ {
         .orderBy($"key")
     }),
 
+    // SYMLINK MANIFESTS (GENERATE): the round-trip oracle — the union of
+    // the per-partition manifest files' URI lines, read back as plain
+    // parquet, must be exactly the table. Regeneration/DV-refusal
+    // semantics are pinned in GraftTableSpec.
+    "d43_symlink_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d43")
+      GraftDelta.toDelta(t(s, dir, "region"), path, partitionBy = Seq("r_regionkey"))
+      graft.sql.GraftSql.sql(s,
+        s"GENERATE symlink_format_manifest FOR TABLE delta.`$path`")
+      val root = new org.apache.hadoop.fs.Path(path, "_symlink_format_manifest")
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      val listed = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName == "manifest") {
+          val in = fs.open(f.getPath)
+          try listed ++= scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          finally in.close()
+        }
+      }
+      // manifests name data files only; partition values come from the
+      // hive dirs the manifest paths run through (basePath recovery)
+      s.read.option("basePath", path).parquet(listed.result(): _*)
+        .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+        .orderBy($"r_regionkey")
+    }),
+
     // IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps, writer-7
     // feature): three commits on an ICT table; every commitInfo must be
     // stamped, strictly monotonically, and travel-by-the-middle-ICT must
@@ -974,6 +1003,9 @@ object DeltaQ {
         | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
+    "d43_symlink_manifest" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "d42_tblproperties" ->
       """SELECT key, value
         |FROM (VALUES ('team', 'data'), ('tier', 'gold')) AS t(key, value)

@@ -379,6 +379,31 @@ object PipelineQ {
       s.table("t37_anow").orderBy($"n_nationkey")
     }),
 
+    // STREAMING SINK (registered format): a table→table pipe through the
+    // real micro-batch engine — every upstream commit lands exactly once
+    // in the destination delta table via the SetTransaction idempotency
+    // protocol; the oracle is the full upstream table. Restart/replay
+    // semantics are pinned in StreamingSpec; here the drained SET is.
+    "t39_stream_sink" -> ((s, dir) => {
+      import s.implicits._
+      val src = tmp("t39src")
+      val dst = tmp("t39dst")
+      val ckpt = tmp("t39ck")
+      val n = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      GraftDelta.toDelta(n.filter($"n_nationkey" < 13), src)              // v0
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        GraftDelta.toDelta(n.filter($"n_nationkey" >= 13), src,
+          mode = "append")                                                // v1
+        q.processAllAvailable()
+      } finally q.stop()
+      GraftDelta.readDelta(s, dst).orderBy($"n_nationkey")
+    }),
+
     // Duplicated-span coverage (Lee et al. exact-substring diagnostic):
     // per doc, how many 40-char span positions also occur in another
     // document. Exact string keys here so the DuckDB oracle mirrors
@@ -930,6 +955,8 @@ object PipelineQ {
       s"""SELECT lang, ${langCase("text")} AS lang_pred, COUNT(*) AS n
          |FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "t37_stream_available_now" ->
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
+    "t39_stream_sink" ->
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
     "t38_dup_spans" ->
       """WITH pos AS (
