@@ -30,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: a full-suite JVM runs ~40 Spark-heavy suites; 8g left
+  // only a sliver of headroom and one observed full-suite run OOMed in
+  // whichever suite happened to run last (the same suites pass alone)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Dozens of distinct whole-stage-codegen'd queries in one JVM overflow
   // the default 240 MB code cache; the JIT then silently disables itself
   // and expression-heavy operators run interpreted (50-100x slower).

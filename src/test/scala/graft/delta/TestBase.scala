@@ -63,4 +63,15 @@ object TestBase {
 abstract class GraftSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestBase.spark
   def fixture(name: String): String = TestBase.fixture(name)
+
+  /** The shared-session full-suite JVM accumulates SQL-cache entries and
+    * localCheckpoint-backed RDDs across ~40 Spark-heavy suites; without
+    * per-suite release the heap pressure lands on whichever suite runs
+    * last (observed as a spurious OOM abort there). */
+  override protected def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
 }

@@ -363,16 +363,20 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     val dir = Files.createTempDirectory("graft_sql_coll")
     dir.toFile.deleteOnExit()
     // construct two distinct paths whose (path, None, None).hashCode
-    // collide — the name the pre-fix scheme truncated to 32 bits
-    val seen = scala.collection.mutable.HashMap[Int, String]()
+    // collide — the name the pre-fix scheme truncated to 32 bits.
+    // Store only the INDEX per hash (the path reconstructs from it):
+    // the birthday search visits ~80k candidates and must stay lean —
+    // a map of full path strings once tipped an already-pressured
+    // full-suite JVM over the edge.
+    val seen = scala.collection.mutable.HashMap[Int, Int]()
     var pair: Option[(String, String)] = None
     var i = 0
     while (pair.isEmpty) {
       val p = s"$dir/t$i"
       val h = (p, None, None).hashCode()
       seen.get(h) match {
-        case Some(prev) => pair = Some((prev, p))
-        case None => seen(h) = p
+        case Some(prev) => pair = Some((s"$dir/t$prev", p))
+        case None => seen(h) = i
       }
       i += 1
     }
