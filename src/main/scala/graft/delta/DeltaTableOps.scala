@@ -526,7 +526,10 @@ object DeltaTableOps {
       val dir =
         if (snap.partitionColumns.isEmpty) manifestRoot
         else new Path(manifestRoot, snap.partitionColumns.map { c =>
-          val v = pv.get(c).flatMap(Option(_))
+          // hive path escaping, same convention as data-file partition
+          // dirs — a value containing '/' or '=' must not fork the tree
+          val v = pv.get(c).flatMap(Option(_)).map(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
           s"$c=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
         }.mkString("/"))
       fs.mkdirs(dir)

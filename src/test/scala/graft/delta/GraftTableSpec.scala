@@ -161,6 +161,18 @@ class GraftTableSpec extends GraftSuite {
     assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
     val bad = intercept[IllegalArgumentException](t.generate("nope"))
     assert(bad.getMessage.contains("symlink_format_manifest"))
+    // partition values with path-hostile characters hive-escape into ONE
+    // manifest dir instead of forking the tree
+    val weird = tmp()
+    GraftDelta.toDelta(Seq((1L, "a/b=c"), (2L, "a/b=c")).toDF("k", "g"),
+      weird, partitionBy = Seq("g"))
+    assert(GraftTable.forPath(spark, weird).generate("symlink_format_manifest") == 1L)
+    val wfs = new org.apache.hadoop.fs.Path(weird)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sub = wfs.listStatus(
+      new org.apache.hadoop.fs.Path(weird, "_symlink_format_manifest"))
+    assert(sub.length == 1 && sub.head.getPath.getName.startsWith("g="),
+      sub.map(_.getPath.getName).mkString(","))
   }
 
   /** Protocol upgrade: version floor rises with legacy-implied feature
