@@ -880,7 +880,11 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "checkConstraints", "appendOnly", "invariants",
       "columnMapping", "changeDataFeed", "generatedColumns", "identityColumns",
-      "inCommitTimestamp", "domainMetadata", "rowTracking", "timestampNtz")
+      "inCommitTimestamp", "domainMetadata", "rowTracking", "timestampNtz",
+      // liquid clustering: the stored clustering columns are honored by
+      // OPTIMIZE (DeltaMaintenance consults the delta.clustering domain);
+      // appends never force a global sort — the delta-spark OSS contract
+      "clustering")
 
   /** The reader features a legacy protocol version IMPLIES (the
     * reader-side twin of [[legacyWriterFeatures]]). */

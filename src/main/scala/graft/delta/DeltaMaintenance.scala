@@ -42,7 +42,15 @@ object DeltaMaintenance {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireNotColumnMapped(snap, "OPTIMIZE")
-    sortBy.foreach { c =>
+    // liquid clustering: a table carrying stored clustering columns
+    // (delta.clustering domain) OPTIMIZEs by them when the caller names
+    // no explicit layout — Z-order for ≥2 columns, range for one; an
+    // explicit sortBy always wins (the delta-spark override contract)
+    val (effSortBy, effZorder) = DeltaTableOps.clusteringColumnsOf(snap) match {
+      case cols if sortBy.isEmpty && cols.nonEmpty => (cols, cols.size >= 2)
+      case _ => (sortBy, zorder)
+    }
+    effSortBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"Unknown sortBy column: $c")
       require(!snap.partitionColumns.contains(c),
         s"sortBy column $c is a partition column (constant within a group)")
@@ -166,16 +174,16 @@ object DeltaMaintenance {
           spark.read.schema(statsSchema).parquet(paths: _*), dvBytes)
       }
       val clustered =
-        if (sortBy.isEmpty) df.coalesce(numOut)
-        else if (zorder && sortBy.size >= 2) {
+        if (effSortBy.isEmpty) df.coalesce(numOut)
+        else if (effZorder && effSortBy.size >= 2) {
           import org.apache.spark.sql.functions.col
-          val z = zValueColumn(df, sortBy)
+          val z = zValueColumn(df, effSortBy)
           df.withColumn("__z", z)
             .repartitionByRange(numOut, col("__z"))
             .sortWithinPartitions(col("__z"))
             .drop("__z")
         } else {
-          val cols = sortBy.map(org.apache.spark.sql.functions.col)
+          val cols = effSortBy.map(org.apache.spark.sql.functions.col)
           df.repartitionByRange(numOut, cols: _*).sortWithinPartitions(cols: _*)
         }
       val tmp = new Path(path, s".graft_compact_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -228,9 +236,9 @@ object DeltaMaintenance {
       timestamp = now,
       operation = "OPTIMIZE",
       operationParameters = Map("targetFileBytes" -> targetFileBytes.toString) ++
-        (if (sortBy.isEmpty) Map.empty
-         else Map("sortBy" -> sortBy.mkString("[\"", "\",\"", "\"]"),
-           "zorder" -> (zorder && sortBy.size >= 2).toString)),
+        (if (effSortBy.isEmpty) Map.empty
+         else Map("sortBy" -> effSortBy.mkString("[\"", "\",\"", "\"]"),
+           "zorder" -> (effZorder && effSortBy.size >= 2).toString)),
       operationMetrics = Map(
         "numRemovedFiles" -> removes.size.toString,
         "numAddedFiles" -> adds.size.toString),

@@ -500,6 +500,69 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** Liquid clustering (writer feature `clustering` + the
+    * `delta.clustering` domain): store the clustering columns so OPTIMIZE
+    * lays data out by them without the caller re-naming the layout each
+    * run — Z-order for ≥2 columns, range for one. Writes stay unclustered
+    * (the delta-spark OSS contract: clustering is OPTIMIZE's job, appends
+    * are never forced through a global sort). One metadata-only commit:
+    * protocol → writer 7 with `clustering` + `domainMetadata` enumerating
+    * every legacy-implied feature, plus the domain carrying the columns.
+    * Clustered tables must be unpartitioned (delta's own constraint —
+    * two competing physical layouts). `Nil` removes the clustering spec. */
+  def clusterBy(spark: SparkSession, path: String, columns: Seq[String]): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(snap.partitionColumns.isEmpty,
+      s"CLUSTER BY on a partitioned table (${snap.partitionColumns.mkString(",")}) " +
+        "— clustering and hive partitioning are competing physical layouts")
+    columns.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"Unknown clustering column: $c"))
+    val cur = snap.protocol
+    val needsUpgrade = !cur.writerFeatures.exists(_.contains("clustering"))
+    val protocol =
+      if (!needsUpgrade) None
+      else Some(Protocol(cur.minReaderVersion, 7,
+        readerFeatures = cur.readerFeatures,
+        writerFeatures = Some((DeltaLog.legacyWriterFeatures(cur) ++
+          Seq("clustering", "domainMetadata")).distinct)))
+    val domain =
+      if (columns.isEmpty)
+        // CLUSTER BY NONE: evict the domain — replay keeps the latest
+        // per-domain state, so a removed entry unclusters the table
+        DomainMetadata(ClusteringDomain, "{}", removed = true)
+      else DomainMetadata(ClusteringDomain,
+        s"""{"clusteringColumns":${columns.map(c => s"""["$c"]""").mkString("[", ",", "]")}}""",
+        removed = false)
+    val ci = CommitInfo(System.currentTimeMillis(), "CLUSTER BY",
+      operationParameters = Map("clusterBy" -> columns.mkString(",")),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci) ++ protocol.toSeq ++ Seq(domain))
+    snap.version + 1
+  }
+
+  private[delta] val ClusteringDomain = "delta.clustering"
+
+  /** The stored clustering column names of a snapshot (top-level columns;
+    * the domain encodes each as a single-element name path), Nil when the
+    * table is unclustered. */
+  private[graft] def clusteringColumnsOf(snap: Snapshot): Seq[String] =
+    snap.domainMetadata.get(ClusteringDomain).toSeq.flatMap { cfg =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(cfg)
+        val arr = node.get("clusteringColumns")
+        if (arr == null || !arr.isArray) Nil
+        else (0 until arr.size()).map { i =>
+          val p = arr.get(i)
+          if (p.isArray) (0 until p.size()).map(p.get(_).asText()).mkString(".")
+          else p.asText()
+        }.toSeq
+      } catch { case _: Exception =>
+        throw new IllegalStateException(
+          s"Unparseable $ClusteringDomain domain configuration: $cfg")
+      }
+    }
+
   /** GENERATE symlink_format_manifest — Presto/Trino/Athena interop: one
     * `manifest` text file per partition under
     * `_symlink_format_manifest/`, each line the absolute URI of an

@@ -117,6 +117,11 @@ object GraftDelta {
       newName: String): DeltaTableOps.MappingResult =
     DeltaTableOps.renameColumn(spark, path, oldName, newName)
 
+  /** Liquid clustering: store clustering columns (metadata-only) so
+    * OPTIMIZE lays data out by them; Nil removes the spec. */
+  def clusterBy(spark: SparkSession, path: String, columns: Seq[String]): Long =
+    DeltaTableOps.clusterBy(spark, path, columns)
+
   /** ALTER TABLE … ADD COLUMN — metadata-only; pre-existing files
     * surface the new column as null. */
   def addColumn(spark: SparkSession, path: String, name: String,

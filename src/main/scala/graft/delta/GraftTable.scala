@@ -82,6 +82,11 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   def upgradeTableProtocol(minReader: Int, minWriter: Int): Long =
     DeltaTableOps.upgradeTableProtocol(spark, path, minReader, minWriter)
 
+  /** Liquid clustering: store clustering columns; subsequent
+    * `optimize().executeCompaction()` lays data out by them. */
+  def clusterBy(columns: String*): Long =
+    DeltaTableOps.clusterBy(spark, path, columns)
+
   /** Zero-copy metadata clone at `target` (optionally of a pinned
     * version) — the clone references this table's data files. */
   def shallowClone(target: String, version: Option[Long] = None): GraftTable = {

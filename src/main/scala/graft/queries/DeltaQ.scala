@@ -701,6 +701,31 @@ object DeltaQ {
         .orderBy($"key")
     }),
 
+    // LIQUID CLUSTERING: CLUSTER BY stores the layout columns; a bare
+    // OPTIMIZE Z-orders by them (no re-naming the layout per run). The
+    // in-query requires pin the domain + the recorded layout; the oracle
+    // checks the clustered rewrite changed no row.
+    "d44_clustering" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d44")
+      GraftDelta.toDelta(t(s, dir, "supplier").repartition(8), path)
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` CLUSTER BY (s_suppkey, s_nationkey)")
+      graft.sql.GraftSql.sql(s, s"OPTIMIZE delta.`$path`")
+      val log = DeltaLog.forTable(s, path)
+      require(DeltaTableOps.clusteringColumnsOf(log.snapshot(None)) ==
+        Seq("s_suppkey", "s_nationkey"), "clustering domain must survive OPTIMIZE")
+      val params = log.readCommitActions(log.latestVersion).collectFirst {
+        case ci: CommitInfo => ci.operationParameters
+      }.getOrElse(Map.empty[String, String])
+      require(params.get("zorder").contains("true"),
+        s"bare OPTIMIZE must Z-order by the stored columns: $params")
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_nationkey", $"s_name",
+          cents($"s_acctbal").as("acctbal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
     // SYMLINK MANIFESTS (GENERATE): the round-trip oracle — the union of
     // the per-partition manifest files' URI lines, read back as plain
     // parquet, must be exactly the table. Regeneration/DV-refusal
@@ -1003,6 +1028,10 @@ object DeltaQ {
         | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
+    "d44_clustering" ->
+      """SELECT s_suppkey, s_nationkey, s_name,
+        | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "d43_symlink_manifest" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

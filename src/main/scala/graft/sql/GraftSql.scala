@@ -179,6 +179,8 @@ object GraftSql {
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref\\s*(?:\\(\\s*'?([^')]+?)'?\\s*\\))?\\s*;?\\s*$$""")
   private val GenerateRe = new Q(
     s"""(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Ref\\s*;?\\s*$$""")
+  private val ClusterByRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([\\w,\\s`]*)\\)|NONE)\\s*;?\\s*$$""")
   private val CloneRe = new Q(
     s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
@@ -323,6 +325,13 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case ClusterByRe(p1, p2, p3, colList) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val cols = Option(colList).toSeq.flatMap(_.split(","))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        val version = DeltaTableOps.clusterBy(spark, path, cols)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("CLUSTER BY", version))
       case GenerateRe(mode, p1, p2, p3) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         require(mode.equalsIgnoreCase("symlink_format_manifest"),

@@ -273,6 +273,58 @@ class MaintenanceSpec extends GraftSuite {
       (0 until 4096).map(_.toLong).sum)
   }
 
+  /** Liquid clustering: stored columns drive a bare OPTIMIZE (Z-order
+    * for ≥2), explicit sortBy overrides, CLUSTER BY NONE unclusters,
+    * partitioned tables refuse, and the SQL route lands the same state. */
+  test("clusterBy stores columns that a bare OPTIMIZE lays data out by") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (0 until 4096).map { i => (i % 64.toLong, (i / 64).toLong, i.toLong) }
+      .toDF("x", "y", "payload")
+      .repartition(8, $"payload")
+    GraftDelta.toDelta(df, path)
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` CLUSTER BY (x, y)")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.protocol.writerFeatures.exists(_.contains("clustering")),
+      snap.protocol.toString)
+    assert(DeltaTableOps.clusteringColumnsOf(snap) == Seq("x", "y"))
+    // a bare OPTIMIZE (no sortBy) must Z-order by the stored columns:
+    // both dimensions prune afterwards
+    val (_, n) = DeltaMaintenance.compact(spark, path, targetFileBytes = 6L * 1024)
+    assert(n >= 4, s"need several output files, got $n")
+    def pruned(c: String): (Int, Int) = {
+      val s = DeltaLog.forTable(spark, path).snapshot(None)
+      (DeltaRead.prunedFiles(s, Seq(Seq(Predicate(c, "<", 8)))).size,
+        s.activeFiles.size)
+    }
+    val (px, total) = pruned("x")
+    val (py, _) = pruned("y")
+    assert(px < total && py < total,
+      s"clustered OPTIMIZE must prune both dims: x $px/$total, y $py/$total")
+    // the commit records the layout it used
+    val log = DeltaLog.forTable(spark, path)
+    val params = log.readCommitActions(log.latestVersion).collectFirst {
+      case ci: CommitInfo => ci.operationParameters
+    }.getOrElse(Map.empty[String, String])
+    assert(params.get("sortBy").exists(_.contains("x")) &&
+      params.get("zorder").contains("true"), params.toString)
+    // rows intact
+    assert(GraftDelta.readDelta(spark, path).agg(sum($"payload")).head.getLong(0) ==
+      (0 until 4096).map(_.toLong).sum)
+    // CLUSTER BY NONE unclusters: next OPTIMIZE coalesces (no sortBy param)
+    graft.sql.GraftSql.sql(spark, s"ALTER TABLE delta.`$path` CLUSTER BY NONE")
+    assert(DeltaTableOps.clusteringColumnsOf(
+      DeltaLog.forTable(spark, path).snapshot(None)).isEmpty)
+    // partitioned tables refuse
+    val pPath = tmp()
+    GraftDelta.toDelta(Seq((1L, "a"), (2L, "b")).toDF("v", "k"),
+      pPath, partitionBy = Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.clusterBy(spark, pPath, Seq("v")))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+
   test("streaming sink is exactly-once: replayed batch ids are skipped") {
     import spark.implicits._
     val path = tmp()
