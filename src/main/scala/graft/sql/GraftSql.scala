@@ -188,7 +188,8 @@ object GraftSql {
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
   private val CtasRe = new Q(
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
-      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""")
+      s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?""" +
+      s"""(?:\\s+CLUSTER\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""")
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
     // strip DV hints by masked position so a hint-shaped substring inside
@@ -364,15 +365,22 @@ object GraftSql {
         val v = DeltaLog.forTable(spark, path).latestVersion
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
           Row(s"INSERT ${kind.toUpperCase}", v, committedRows(spark, path, v)))
-      case CtasRe(p1, p2, p3, partCols, query) =>
+      case CtasRe(p1, p2, p3, partCols, clusterCols, query) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val frame = spark.sql(rewriteDeltaRefs(spark, query))
-        val partitionBy = Option(partCols).toSeq
+        def cols(raw: String) = Option(raw).toSeq
           .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
+        val partitionBy = cols(partCols)
+        val clusterBy = cols(clusterCols)
+        require(partitionBy.isEmpty || clusterBy.isEmpty,
+          "CREATE TABLE takes PARTITIONED BY or CLUSTER BY, not both " +
+            "(competing physical layouts)")
         GraftDelta.toDelta(frame, path, partitionBy = partitionBy)
+        if (clusterBy.nonEmpty) DeltaTableOps.clusterBy(spark, path, clusterBy)
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
-          Row("CREATE TABLE AS SELECT", 0L, committedRows(spark, path, 0L)))
+          Row("CREATE TABLE AS SELECT",
+            if (clusterBy.nonEmpty) 1L else 0L, committedRows(spark, path, 0L)))
       case ConvertRe(p1, p2, p3) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.convertToDelta(spark, path)

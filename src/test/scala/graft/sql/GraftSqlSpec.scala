@@ -260,6 +260,17 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     GraftSql.sql(spark, s"INSERT OVERWRITE delta.`$dst` VALUES (99, 0), (100, 1)")
     assert(GraftDelta.readDelta(spark, dst).orderBy("k")
       .select("k").as[Long].collect().toSeq == Seq(99L, 100L))
+    // CTAS with CLUSTER BY stores the clustering spec in the same breath
+    val cdst = tmp()
+    GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$cdst` CLUSTER BY (k) AS SELECT * FROM delta.`$src`")
+    assert(graft.delta.DeltaTableOps.clusteringColumnsOf(
+      graft.delta.DeltaLog.forTable(spark, cdst).snapshot(None)) == Seq("k"))
+    // PARTITIONED BY + CLUSTER BY together refuse (competing layouts)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"CREATE TABLE delta.`${tmp()}` PARTITIONED BY (g) CLUSTER BY (k) " +
+        s"AS SELECT * FROM delta.`$src`"))
+    assert(e.getMessage.contains("not both"), e.getMessage)
   }
 
   test("SELECT over delta.`path` refs resolves through the engine, time travel included") {
