@@ -26,12 +26,26 @@ import scala.util.matching.Regex
   *   - UPDATE t SET a=e, … [WHERE p]      (same DV hint)
   *   - MERGE INTO t USING s ON cond [WHEN MATCHED THEN UPDATE SET *|DELETE]
   *     [WHEN NOT MATCHED THEN INSERT *]
-  *   - OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]
+  *   - OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   (clustered tables default
+  *     to their stored CLUSTER BY layout)
   *   - VACUUM t [RETAIN n HOURS] [DRY RUN]
   *   - RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   *   - DESCRIBE HISTORY t [LIMIT n]  /  DESCRIBE DETAIL t
   *   - ALTER TABLE t ADD CONSTRAINT name CHECK (e)  /  DROP CONSTRAINT name
+  *   - ALTER TABLE t ADD COLUMN c type [FIRST | AFTER c0]
+  *   - ALTER TABLE t RENAME COLUMN a TO b  /  DROP COLUMN a
+  *   - ALTER TABLE t SET TBLPROPERTIES (…)  /  UNSET TBLPROPERTIES [IF EXISTS] (…)
+  *   - ALTER TABLE t CLUSTER BY (a, b) | NONE
+  *   - SHOW TBLPROPERTIES t [('key')]
+  *   - GENERATE symlink_format_manifest FOR TABLE t
+  *   - CREATE TABLE t [PARTITIONED BY (…) | CLUSTER BY (…)] AS SELECT …
+  *   - CREATE [OR REPLACE] TABLE t SHALLOW CLONE s [VERSION AS OF n]
+  *   - INSERT INTO|OVERWRITE t SELECT …|VALUES …|TABLE …
   *   - CONVERT TO DELTA parquet.`/path`
+  *
+  * Bare-name refs resolve through the session catalog to graft-provider
+  * table locations, so name-addressed statements run the same engine
+  * paths as path-addressed ones.
   *
   * WHERE clauses parse through Spark's own expression parser and lower
   * to the engine's DNF predicate form; the supported shape is any
