@@ -884,7 +884,13 @@ object DeltaLog {
       // liquid clustering: the stored clustering columns are honored by
       // OPTIMIZE (DeltaMaintenance consults the delta.clustering domain);
       // appends never force a global sort — the delta-spark OSS contract
-      "clustering")
+      "clustering",
+      // type widening: widens commit through DeltaTableOps
+      // .widenColumnType, which records every transition in the field's
+      // delta.typeChanges metadata (the feature's writer obligation);
+      // appends/DML go through the current (widened) schema and the scan
+      // widens older narrow files
+      "typeWidening")
 
   /** The reader features a legacy protocol version IMPLIES (the
     * reader-side twin of [[legacyWriterFeatures]]). */

@@ -500,6 +500,88 @@ object DeltaTableOps {
     snap.version + 1
   }
 
+  /** ALTER TABLE … ALTER COLUMN … TYPE — type widening (the
+    * `typeWidening` reader+writer feature): one metadata-only commit
+    * flips the declared type and records the transition in the field's
+    * `delta.typeChanges` metadata; files written before the change keep
+    * their narrow physical type and the scan widens them (Spark's
+    * vectorized reader performs the protocol's allowed conversions — the
+    * read side of this feature shipped first, `DeltaLog
+    * .SupportedReaderFeatures`). Only the protocol's widenings are
+    * legal; anything else refuses — a narrowing or a cross-family cast
+    * would corrupt files already on disk. */
+  def widenColumnType(
+      spark: SparkSession, path: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Unknown column $column in ${snap.schema.fieldNames.mkString(", ")}"))
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType | ByteType | ShortType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+    require(widens(field.dataType, newType),
+      s"ALTER COLUMN $column TYPE: ${field.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a protocol type widening " +
+        "(byte→short→int→long, float→double, int→double, date→timestamp_ntz, " +
+        "decimal precision/scale growth)")
+    def protoName(dt: DataType): String = dt match {
+      case ByteType => "byte"
+      case ShortType => "short"
+      case IntegerType => "integer"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampNTZType => "timestampNtz"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => other.typeName
+    }
+    val prior: Array[Metadata] =
+      if (field.metadata.contains("delta.typeChanges"))
+        field.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty
+    val widened = StructType(snap.schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(column))
+        StructField(f.name, newType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putMetadataArray("delta.typeChanges", prior :+
+              new MetadataBuilder()
+                .putString("fromType", protoName(field.dataType))
+                .putString("toType", protoName(newType)).build())
+            .build())
+      else f
+    })
+    val cur = snap.protocol
+    val needsFeature = !cur.readerFeatures.exists(_.contains("typeWidening"))
+    val protocol =
+      if (!needsFeature) None
+      else Some(Protocol(3, 7,
+        readerFeatures = Some(
+          (DeltaLog.legacyReaderFeatures(cur) :+ "typeWidening").distinct),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(cur) :+ "typeWidening").distinct)))
+    val ci = CommitInfo(System.currentTimeMillis(), "ALTER COLUMN TYPE",
+      operationParameters = Map("column" -> column,
+        "fromType" -> field.dataType.simpleString,
+        "toType" -> newType.simpleString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1,
+      Seq(ci) ++ protocol.toSeq ++
+        Seq(snap.metadata.copy(schemaString = widened.json)))
+    snap.version + 1
+  }
+
   /** Liquid clustering (writer feature `clustering` + the
     * `delta.clustering` domain): store the clustering columns so OPTIMIZE
     * lays data out by them without the caller re-naming the layout each

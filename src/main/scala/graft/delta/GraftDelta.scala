@@ -117,6 +117,12 @@ object GraftDelta {
       newName: String): DeltaTableOps.MappingResult =
     DeltaTableOps.renameColumn(spark, path, oldName, newName)
 
+  /** Type widening (ALTER COLUMN … TYPE): metadata-only; old files keep
+    * their narrow physical type, the scan widens them. */
+  def widenColumnType(spark: SparkSession, path: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Long =
+    DeltaTableOps.widenColumnType(spark, path, column, newType)
+
   /** Liquid clustering: store clustering columns (metadata-only) so
     * OPTIMIZE lays data out by them; Nil removes the spec. */
   def clusterBy(spark: SparkSession, path: String, columns: Seq[String]): Long =

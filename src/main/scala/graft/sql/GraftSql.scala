@@ -35,6 +35,7 @@ import scala.util.matching.Regex
   *   - ALTER TABLE t ADD COLUMN c type [FIRST | AFTER c0]
   *   - ALTER TABLE t RENAME COLUMN a TO b  /  DROP COLUMN a
   *   - ALTER TABLE t SET TBLPROPERTIES (…)  /  UNSET TBLPROPERTIES [IF EXISTS] (…)
+  *   - ALTER TABLE t ALTER COLUMN c TYPE type   (protocol type widening)
   *   - ALTER TABLE t CLUSTER BY (a, b) | NONE
   *   - SHOW TBLPROPERTIES t [('key')]
   *   - GENERATE symlink_format_manifest FOR TABLE t
@@ -193,6 +194,8 @@ object GraftSql {
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref\\s*(?:\\(\\s*'?([^')]+?)'?\\s*\\))?\\s*;?\\s*$$""")
   private val GenerateRe = new Q(
     s"""(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Ref\\s*;?\\s*$$""")
+  private val AlterColumnTypeRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+TYPE\\s+([\\w(),\\s]+?)\\s*;?\\s*$$""")
   private val ClusterByRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([\\w,\\s`]*)\\)|NONE)\\s*;?\\s*$$""")
   private val CloneRe = new Q(
@@ -340,6 +343,12 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case AlterColumnTypeRe(p1, p2, p3, colName, typeStr) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val dt = spark.sessionState.sqlParser.parseDataType(typeStr.trim)
+        val version = DeltaTableOps.widenColumnType(spark, path, colName, dt)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("ALTER COLUMN TYPE", version))
       case ClusterByRe(p1, p2, p3, colList) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val cols = Option(colList).toSeq.flatMap(_.split(","))

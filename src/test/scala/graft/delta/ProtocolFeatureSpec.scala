@@ -325,4 +325,43 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(!dry.exists(_.contains("deletion_vector")),
       s"the live prefixed DV file must never be reclaimable: $dry")
   }
+
+  /** Writer-side type widening (ALTER COLUMN … TYPE): metadata-only —
+    * narrow old files widen on read, new appends land wide, the
+    * transition records in delta.typeChanges, narrowings refuse. */
+  test("widenColumnType flips the declared type; old narrow files still read") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v")
+        .select($"k".cast("int").as("k"), $"v"), path)               // v0: INT k
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` ALTER COLUMN k TYPE BIGINT")       // v1
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.schema("k").dataType == LongType)
+    assert(snap.protocol.readerFeatures.exists(_.contains("typeWidening")),
+      snap.protocol.toString)
+    val tc = snap.schema("k").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 &&
+      tc.head.getString("fromType") == "integer" &&
+      tc.head.getString("toType") == "long", tc.mkString(","))
+    // a LONG append lands next to the narrow v0 file; both read widened
+    GraftDelta.toDelta(Seq((100L, "wide")).toDF("k", "v"), path, mode = "append")
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.schema("k").dataType == LongType)
+    assert(got.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0) ==
+      (1 to 10).sum.toLong + 100L)
+    // DML through the widened schema still works on the narrow file
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 3L))))
+    assert(GraftDelta.readDelta(spark, path).count() == 8L)
+    // narrowing / cross-family refuse
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.widenColumnType(spark, path, "k", IntegerType))
+    assert(e.getMessage.contains("not a protocol type widening"), e.getMessage)
+    intercept[IllegalArgumentException](
+      DeltaTableOps.widenColumnType(spark, path, "v", LongType))
+    intercept[IllegalArgumentException](
+      DeltaTableOps.widenColumnType(spark, path, "nope", LongType))
+  }
 }
