@@ -701,6 +701,24 @@ object DeltaQ {
         .orderBy($"key")
     }),
 
+    // WRITER-SIDE TYPE WIDENING: the engine's own ALTER COLUMN TYPE
+    // (d38 covers the foreign/reader side) — INT files under a widened
+    // BIGINT schema plus a post-widen LONG append read back as one table.
+    "d45_widen_column" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d45")
+      GraftDelta.toDelta(
+        t(s, dir, "nation").select($"n_nationkey".cast("int").as("n_nationkey"),
+          $"n_name"), path)                                             // v0: INT key
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` ALTER COLUMN n_nationkey TYPE BIGINT") // v1
+      GraftDelta.toDelta(
+        t(s, dir, "nation")
+          .select(($"n_nationkey" + 1000L).as("n_nationkey"), $"n_name"),
+        path, mode = "append")                                          // v2: LONG
+      GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
+    }),
+
     // LIQUID CLUSTERING: CLUSTER BY stores the layout columns; a bare
     // OPTIMIZE Z-orders by them (no re-naming the layout per run). The
     // in-query requires pin the domain + the recorded layout; the oracle
@@ -1028,6 +1046,10 @@ object DeltaQ {
         | CASE WHEN c_nationkey = 5 THEN 'CAT' ELSE c_mktsegment END AS c_mktsegment,
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c
         |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin,
+    "d45_widen_column" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |UNION ALL SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "d44_clustering" ->
       """SELECT s_suppkey, s_nationkey, s_name,
         | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
