@@ -87,6 +87,11 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   def clusterBy(columns: String*): Long =
     DeltaTableOps.clusterBy(spark, path, columns)
 
+  /** Type widening (metadata-only): old narrow files widen on read. */
+  def widenColumnType(column: String,
+      newType: org.apache.spark.sql.types.DataType): Long =
+    DeltaTableOps.widenColumnType(spark, path, column, newType)
+
   /** Zero-copy metadata clone at `target` (optionally of a pinned
     * version) — the clone references this table's data files. */
   def shallowClone(target: String, version: Option[Long] = None): GraftTable = {
