@@ -49,9 +49,16 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
   } yield SetTransaction(app, v)
 
   private val domainGen: Gen[Action] = for {
-    d <- Gen.oneOf("dom.x", "dom.y")
+    // delta.clustering rides along: the liquid-clustering spec must
+    // survive replay + checkpoint round trips like any domain (its
+    // payload shape is the delta-spark clusteringColumns encoding)
+    d <- Gen.oneOf("dom.x", "dom.y", "delta.clustering")
     removed <- Gen.prob(0.2)
-    cfg <- Gen.chooseNum(0, 9).map(n => s"""{"n":$n}""")
+    cfg <-
+      if (d == "delta.clustering")
+        Gen.someOf(Seq("k", "v")).map(cols =>
+          s"""{"clusteringColumns":${cols.map(c => s"""["$c"]""").mkString("[", ",", "]")}}""")
+      else Gen.chooseNum(0, 9).map(n => s"""{"n":$n}""")
   } yield DomainMetadata(d, cfg, removed)
 
   private val cdcGen: Gen[Action] = Gen.oneOf(paths).map(p =>
