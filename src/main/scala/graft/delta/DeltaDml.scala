@@ -280,7 +280,8 @@ object DeltaDml {
           DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
-    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+    if (checkpointInterval > 0 && committed %
+      DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
     DmlResult(affected, fullRemoves.size, 0, readds.size + newAdds.size)
   }
@@ -522,7 +523,8 @@ object DeltaDml {
           DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
-    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+    if (checkpointInterval > 0 && committed %
+      DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
     DmlResult(affected, removes.size, partial.size, adds.size)
   }
@@ -903,7 +905,8 @@ object DeltaDml {
           DeltaWrite.deleteCdc(fs, path, cdcActions)
           throw e
       }
-    if (checkpointInterval > 0 && committed % checkpointInterval == 0)
+    if (checkpointInterval > 0 && committed %
+      DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
     MergeResult(matchedRows, math.max(inserted, 0L), removes.size, adds.size)
   }

@@ -401,15 +401,6 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       case _ => false
     }
     if (!readerSupported) {
-      val unknown = protocol.readerFeatures.getOrElse(Nil)
-        .filterNot(DeltaLog.SupportedReaderFeatures.contains)
-      if (unknown.contains("variantType"))
-        throw new IllegalStateException(
-          s"Table $tablePath uses the variantType reader feature: VARIANT " +
-            "columns carry a binary physical encoding this scan does not " +
-            "decode — reading anyway would surface opaque bytes as data. " +
-            "Re-materialize the VARIANT columns (e.g. to JSON strings) to " +
-            "read the table here.")
       throw new IllegalStateException(
         s"Table $tablePath requires reader version ${protocol.minReaderVersion} " +
           s"(columnMapping.mode=$mappingMode, readerFeatures=" +
@@ -865,10 +856,16 @@ object DeltaLog {
     *    precision growth, date→timestampNtz) when a file's physical type
     *    is narrower than the declared one. Per-field
     *    `delta.typeChanges` metadata rides inside the schemaString and
-    *    survives replay untouched. */
+    *    survives replay untouched.
+    *  - `variantType` is first-class: Delta's `variant` schemaString type
+    *    IS Spark 4's `VariantType` (`DataType.fromJson("\"variant\"")`),
+    *    and the physical parquet encoding (a group of `metadata`/`value`
+    *    binaries) is exactly what Spark's vectorized reader decodes —
+    *    the scan surfaces real VARIANT values that `variant_get`/
+    *    `to_json` consume, never opaque bytes. */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "vacuumProtocolCheck", "typeWidening")
+      "vacuumProtocolCheck", "typeWidening", "variantType")
 
   /** Writer-7 table features our write surfaces understand — each is
     * honored, not merely tolerated: cdc staging (changeDataFeed),
@@ -890,7 +887,21 @@ object DeltaLog {
       // delta.typeChanges metadata (the feature's writer obligation);
       // appends/DML go through the current (widened) schema and the scan
       // widens older narrow files
-      "typeWidening")
+      "typeWidening",
+      // VARIANT columns write through Spark's native parquet variant
+      // encoder; the write path stamps the feature whenever the schema
+      // carries a variant (DeltaWrite.typeFeaturesOf)
+      "variantType")
+
+  /** The checkpoint cadence a table asks for: the
+    * `delta.checkpointInterval` table property when set (the delta-spark
+    * knob — a property-carrying table expects its writers to honor it),
+    * else the caller's default. Non-positive/unparseable values fall
+    * back to the default rather than disabling checkpoints silently. */
+  def checkpointIntervalOf(meta: MetadataAction, default: Int): Int =
+    meta.configuration.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(default)
 
   /** The reader features a legacy protocol version IMPLIES (the
     * reader-side twin of [[legacyWriterFeatures]]). */

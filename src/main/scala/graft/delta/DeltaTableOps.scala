@@ -411,14 +411,15 @@ object DeltaTableOps {
         "partitionBy" -> (if (partCols.isEmpty) "[]"
                           else partCols.mkString("[\"", "\",\"", "\"]"))),
       isBlindAppend = Some(false))
-    // a discovered TIMESTAMP_NTZ column carries the same protocol
-    // obligation as a written one (see DeltaWrite)
+    // a discovered TIMESTAMP_NTZ / VARIANT column carries the same
+    // protocol obligation as a written one (see DeltaWrite)
+    val typeFeats = DeltaWrite.typeFeaturesOf(DeltaWrite.normalize(schema))
     val proto =
-      if (DeltaWrite.hasTimestampNtz(DeltaWrite.normalize(schema)))
+      if (typeFeats.nonEmpty)
         Protocol(3, 7,
-          readerFeatures = Some(Seq("timestampNtz")),
+          readerFeatures = Some(typeFeats),
           writerFeatures = Some(
-            (DeltaLog.legacyWriterFeatures(Protocol(1, 2)) :+ "timestampNtz").distinct))
+            (DeltaLog.legacyWriterFeatures(Protocol(1, 2)) ++ typeFeats).distinct))
       else Protocol(1, 2)
     log.writeCommit(0L, Seq(ci, proto, meta) ++ adds)
     ConvertResult(adds.size, partCols)

@@ -422,25 +422,29 @@ object DeltaWrite {
       else Protocol(1, 7, writerFeatures = Some(
         (DeltaLog.legacyWriterFeatures(legacyCreateProtocol) ++
           Seq("rowTracking", "domainMetadata")).distinct))
-    // TIMESTAMP_NTZ anywhere in the schema requires the timestampNtz
-    // reader+writer feature (Delta protocol): legacy versions cannot
-    // express it, so the protocol jumps to (3, 7) enumerating every
-    // feature the legacy form implied
-    val schemaNtz = hasTimestampNtz(commitSchema)
-    def withNtz(p: Protocol): Protocol = Protocol(3, 7,
+    // TIMESTAMP_NTZ or VARIANT anywhere in the schema requires the
+    // matching reader+writer feature (timestampNtz / variantType —
+    // Delta protocol): legacy versions cannot express them, so the
+    // protocol jumps to (3, 7) enumerating every feature the legacy
+    // form implied
+    val typeFeatures = typeFeaturesOf(commitSchema)
+    def withTypeFeatures(p: Protocol): Protocol = Protocol(3, 7,
       readerFeatures = Some(
-        (DeltaLog.legacyReaderFeatures(p) :+ "timestampNtz").distinct),
+        (DeltaLog.legacyReaderFeatures(p) ++ typeFeatures).distinct),
       writerFeatures = Some(
-        (DeltaLog.legacyWriterFeatures(p) :+ "timestampNtz").distinct))
+        (DeltaLog.legacyWriterFeatures(p) ++ typeFeatures).distinct))
     val createProtocol =
-      if (schemaNtz && isNew) withNtz(createProtocol0) else createProtocol0
-    // an existing table gaining its first NTZ column (mergeSchema /
-    // overwriteSchema) upgrades in the SAME commit as the new schema
+      if (typeFeatures.nonEmpty && isNew) withTypeFeatures(createProtocol0)
+      else createProtocol0
+    // an existing table gaining its first NTZ/VARIANT column
+    // (mergeSchema / overwriteSchema) upgrades in the SAME commit as the
+    // new schema
     val protocolUpgrade: Option[Protocol] =
-      if (isNew || !schemaNtz || metadata.isEmpty) None
+      if (isNew || typeFeatures.isEmpty || metadata.isEmpty) None
       else existing.map(_.protocol)
-        .filterNot(_.readerFeatures.exists(_.contains("timestampNtz")))
-        .map(withNtz)
+        .filterNot(p => typeFeatures.forall(f =>
+          p.readerFeatures.exists(_.contains(f))))
+        .map(withTypeFeatures)
     def actionsAt(v: Long): Seq[Action] = {
       // row-id allocation is version-dependent (defaultRowCommitVersion)
       // — computed per attempt; the watermark base is stable because
@@ -470,8 +474,14 @@ object DeltaWrite {
           throw e
       }
 
-    if (checkpointInterval > 0 && committedVersion > 0 &&
-      committedVersion % checkpointInterval == 0)
+    // the table property (delta.checkpointInterval) overrides the
+    // caller's default cadence — the commit's own metadata wins when the
+    // same commit sets it
+    val ckInterval = metadata.orElse(existing.map(_.metadata))
+      .map(DeltaLog.checkpointIntervalOf(_, checkpointInterval))
+      .getOrElse(checkpointInterval)
+    if (checkpointInterval > 0 && ckInterval > 0 && committedVersion > 0 &&
+      committedVersion % ckInterval == 0)
       log.writeCheckpoint(committedVersion)
   }
 
@@ -985,13 +995,29 @@ object DeltaWrite {
   }
 
   /** Does the schema carry TIMESTAMP_NTZ anywhere (nested included)? */
-  private[delta] def hasTimestampNtz(dt: DataType): Boolean = dt match {
-    case TimestampNTZType => true
-    case s: StructType => s.fields.exists(f => hasTimestampNtz(f.dataType))
-    case a: ArrayType => hasTimestampNtz(a.elementType)
-    case m: MapType => hasTimestampNtz(m.keyType) || hasTimestampNtz(m.valueType)
-    case _ => false
-  }
+  private[delta] def hasTimestampNtz(dt: DataType): Boolean =
+    hasType(dt) { case TimestampNTZType => () }
+
+  /** Does the schema carry VARIANT anywhere (nested included)? */
+  private[delta] def hasVariant(dt: DataType): Boolean =
+    hasType(dt) { case VariantType => () }
+
+  private def hasType(dt: DataType)(pf: PartialFunction[DataType, Unit]): Boolean =
+    dt match {
+      case t if pf.isDefinedAt(t) => true
+      case s: StructType => s.fields.exists(f => hasType(f.dataType)(pf))
+      case a: ArrayType => hasType(a.elementType)(pf)
+      case m: MapType => hasType(m.keyType)(pf) || hasType(m.valueType)(pf)
+      case _ => false
+    }
+
+  /** The reader+writer table features a schema's TYPES demand:
+    * timestampNtz for TIMESTAMP_NTZ, variantType for VARIANT — the types
+    * the Delta protocol gates behind table features because legacy
+    * readers would misinterpret their physical encodings. */
+  private[delta] def typeFeaturesOf(schema: DataType): Seq[String] =
+    (if (hasTimestampNtz(schema)) Seq("timestampNtz") else Nil) ++
+      (if (hasVariant(schema)) Seq("variantType") else Nil)
 
   private[delta] def listParquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     val out = mutable.ArrayBuffer.empty[FileStatus]

@@ -719,6 +719,37 @@ object DeltaQ {
       GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
     }),
 
+    // VARIANT (reader+writer feature variantType): semi-structured
+    // payloads stored as Spark 4's native VariantType — the create
+    // stamps the feature, predicate DML rewrites files carrying the
+    // variant column, and the readback extracts typed fields with
+    // variant_get (real decode, not opaque bytes). The oracle rebuilds
+    // the extracted values from the raw source columns.
+    "d46_variant" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d46")
+      val src = t(s, dir, "orders").filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey",
+          parse_json(to_json(struct($"o_custkey".as("cust"),
+            $"o_orderstatus".as("status"),
+            cents($"o_totalprice").as("price_c")))).as("v"))
+      GraftDelta.toDelta(src, path)                                     // v0
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("o_orderkey", "<", 1000L))))                  // v1
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      require(snap.protocol.readerFeatures.exists(_.contains("variantType")),
+        s"variant table must declare the feature: ${snap.protocol}")
+      require(snap.schema("v").dataType ==
+        org.apache.spark.sql.types.VariantType,
+        s"schema must keep variant: ${snap.schema("v").dataType}")
+      GraftDelta.readDelta(s, path)
+        .select($"o_orderkey",
+          variant_get($"v", "$.cust", "long").as("cust"),
+          variant_get($"v", "$.status", "string").as("status"),
+          variant_get($"v", "$.price_c", "long").as("price_c"))
+        .orderBy($"o_orderkey")
+    }),
+
     // LIQUID CLUSTERING: CLUSTER BY stores the layout columns; a bare
     // OPTIMIZE Z-orders by them (no re-naming the layout per run). The
     // in-query requires pin the domain + the recorded layout; the oracle
@@ -1050,6 +1081,11 @@ object DeltaQ {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |UNION ALL SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "d46_variant" ->
+      """SELECT o_orderkey, o_custkey AS cust, o_orderstatus AS status,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey >= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "d44_clustering" ->
       """SELECT s_suppkey, s_nationkey, s_name,
         | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c

@@ -345,6 +345,33 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("delta.checkpointInterval table property drives the checkpoint cadence") {
+    import spark.implicits._
+    val path = tmp()
+    // property-carrying table: interval 2 beats the caller default of 10
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path,
+      configuration = Map("delta.checkpointInterval" -> "2"))              // v0
+    (1 to 4).foreach { i =>
+      GraftDelta.toDelta(Seq((i.toLong * 10, "b")).toDF("id", "v"), path,
+        mode = "append")                                                   // v1..v4
+    }
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.listCheckpointVersions == Seq(2L, 4L),
+      "property interval 2 must checkpoint at v2 and v4")
+    // DML honors it too: v6 lands a checkpoint (caller default is 10)
+    GraftDelta.toDelta(Seq((999L, "z")).toDF("id", "v"), path, mode = "append") // v5
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("id", "==", 999L))))  // v6
+    assert(log.listCheckpointVersions.contains(6L),
+      s"DML at v6 must checkpoint under interval 2: ${log.listCheckpointVersions}")
+    // unparseable / non-positive property falls back to the caller default
+    assert(DeltaLog.checkpointIntervalOf(
+      log.snapshot(None).metadata.copy(configuration =
+        Map("delta.checkpointInterval" -> "nope")), 10) == 10)
+    assert(DeltaLog.checkpointIntervalOf(
+      log.snapshot(None).metadata.copy(configuration =
+        Map("delta.checkpointInterval" -> "0")), 10) == 10)
+  }
+
   test("multi-part checkpoints replay like single-file ones (foreign writers)") {
     import spark.implicits._
     val path = tmp()

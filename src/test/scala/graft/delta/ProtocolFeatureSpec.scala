@@ -170,7 +170,7 @@ class ProtocolFeatureSpec extends GraftSuite {
 
   // ---- reader-feature closure (r7 verdict #3) -----------------------------
 
-  test("vacuumProtocolCheck is a read-side no-op; variantType refuses targeted") {
+  test("vacuumProtocolCheck is a read-side no-op; unknown features refuse") {
     import spark.implicits._
     val path = tmp()
     GraftDelta.toDelta((1 to 12).map(i => (i.toLong, "x")).toDF("k", "v"), path) // v0
@@ -187,15 +187,16 @@ class ProtocolFeatureSpec extends GraftSuite {
     // vacuum still runs its (protocol-aware) path on such a table
     assert(DeltaTableOps.vacuum(spark, path, retentionHours = 0.0, dryRun = true).isEmpty)
 
+    // a genuinely unknown reader feature still refuses loudly — reading
+    // anyway would silently return wrong rows
     val p2 = tmp()
     GraftDelta.toDelta((1 to 3).map(i => (i.toLong, "x")).toDF("k", "v"), p2)
     val log2 = DeltaLog.forTable(spark, p2)
     log2.writeCommit(1L, Seq(Protocol(3, 7,
-      readerFeatures = Some(Seq("variantType")),
-      writerFeatures = Some(Seq("variantType")))))
+      readerFeatures = Some(Seq("collations-preview")),
+      writerFeatures = Some(Seq("collations-preview")))))
     val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, p2).count())
-    assert(e.getMessage.contains("variantType") && e.getMessage.contains("VARIANT"),
-      e.getMessage)
+    assert(e.getMessage.contains("collations-preview"), e.getMessage)
   }
 
   test("typeWidening tables read files through the current (widened) schema") {
