@@ -891,7 +891,12 @@ object DeltaLog {
       // VARIANT columns write through Spark's native parquet variant
       // encoder; the write path stamps the feature whenever the schema
       // carries a variant (DeltaWrite.typeFeaturesOf)
-      "variantType")
+      "variantType",
+      // column defaults (CURRENT_DEFAULT field metadata): the DataFrame
+      // write surface always supplies every column, and the SQL INSERT
+      // surface fills declared defaults for omitted columns — the
+      // feature's writer obligation is honored on every path
+      "allowColumnDefaults")
 
   /** The checkpoint cadence a table asks for: the
     * `delta.checkpointInterval` table property when set (the delta-spark

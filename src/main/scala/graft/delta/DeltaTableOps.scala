@@ -1021,6 +1021,109 @@ object DeltaTableOps {
     * name so it can never collide with a previously-dropped column still
     * physically present in old files (the delta-spark convention).
     * `after` / `first` order the field; default appends at the end. */
+  /** ALTER TABLE … ALTER COLUMN c SET DEFAULT expr — column defaults
+    * (writer feature `allowColumnDefaults`, writer-only: readers are
+    * unaffected because defaults apply at WRITE time to inserts that
+    * omit the column; existing rows never change). The default rides in
+    * the field's `CURRENT_DEFAULT` metadata (the delta-spark key), must
+    * be a CONSTANT deterministic expression castable to the column type
+    * (the protocol's literal-only stance — a row-dependent default would
+    * make the same INSERT non-reproducible), and is honored by the SQL
+    * INSERT surface when a column list omits the column. One
+    * metadata-only commit; partition columns refuse (their values come
+    * from the partition spec, never a filler). */
+  def setColumnDefault(
+      spark: SparkSession, path: String, column: String, exprSql: String): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Column $column not found in ${snap.schema.fieldNames.mkString(", ")}"))
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(column)),
+      s"SET DEFAULT on partition column $column")
+    // validate against a ZERO-column relation: any column reference
+    // fails analysis (a probe with columns could silently capture them),
+    // then determinism is checked on the ANALYZED expression (parse-level
+    // UnresolvedFunction claims deterministic), then one evaluation
+    // proves the cast to the column type
+    val probe =
+      try spark.sql(s"SELECT CAST(($exprSql) AS ${field.dataType.sql}) AS d")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.contains("UNRESOLVED_COLUMN")) =>
+          throw new IllegalArgumentException(
+            s"DEFAULT must be a constant expression (no column references): $exprSql", e)
+      }
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"DEFAULT must be deterministic: $exprSql")
+    probe.collect()
+    val updated = StructType(snap.schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(column))
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", exprSql).build())
+      else f
+    })
+    // allowColumnDefaults is features-only (no legacy writer version
+    // implies it): list it, or jump to writer 7 enumerating the implied set
+    val proto =
+      if (snap.protocol.writerFeatures.exists(_.contains("allowColumnDefaults"))) Nil
+      else if (snap.protocol.minWriterVersion >= 7)
+        Seq(snap.protocol.copy(writerFeatures = Some(
+          (snap.protocol.writerFeatures.getOrElse(Nil) :+ "allowColumnDefaults").distinct)))
+      else Seq(Protocol(snap.protocol.minReaderVersion, 7,
+        readerFeatures = snap.protocol.readerFeatures,
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "allowColumnDefaults").distinct)))
+    val ci = CommitInfo(System.currentTimeMillis(), "SET DEFAULT",
+      operationParameters = Map("column" -> field.name, "expr" -> exprSql),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1,
+      Seq(ci) ++ proto ++ Seq(snap.metadata.copy(schemaString = updated.json)))
+    snap.version + 1
+  }
+
+  /** ALTER TABLE … ALTER COLUMN c DROP DEFAULT — removes the
+    * `CURRENT_DEFAULT` metadata (inserts omitting the column fill null
+    * again). The feature flag stays on the protocol: features never
+    * retract. Idempotent on a default-less column. */
+  def dropColumnDefault(
+      spark: SparkSession, path: String, column: String): Long = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(snap.schema.fields.exists(_.name.equalsIgnoreCase(column)),
+      s"Column $column not found in ${snap.schema.fieldNames.mkString(", ")}")
+    val updated = StructType(snap.schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(column) && f.metadata.contains("CURRENT_DEFAULT")) {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("CURRENT_DEFAULT")
+        StructField(f.name, f.dataType, f.nullable, mb.build())
+      } else f
+    })
+    val ci = CommitInfo(System.currentTimeMillis(), "DROP DEFAULT",
+      operationParameters = Map("column" -> column),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1,
+      Seq(ci, snap.metadata.copy(schemaString = updated.json)))
+    snap.version + 1
+  }
+
+  /** The per-column default expressions a snapshot declares
+    * (CURRENT_DEFAULT field metadata), in schema order. */
+  def columnDefaultsOf(snap: Snapshot): Seq[(String, String)] =
+    snap.schema.fields.toSeq.collect {
+      case f if f.metadata.contains("CURRENT_DEFAULT") =>
+        f.name -> f.metadata.getString("CURRENT_DEFAULT")
+    }
+
+  /** Columns the WRITE PATH computes when absent from an incoming frame
+    * (generated + identity columns) — surfaces building partial frames
+    * (SQL INSERT with a column list) leave these out instead of filling
+    * null, so compute/allocate semantics stay in one place. */
+  def writerComputedColumnsOf(snap: Snapshot): Set[String] =
+    (DeltaWrite.generatedColumnsOf(snap.schema).map(_._1) ++
+      DeltaWrite.identityColumnsOf(snap.schema).map(_.name)).toSet
+
   def addColumn(
       spark: SparkSession, path: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,

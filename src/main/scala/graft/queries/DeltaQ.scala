@@ -719,6 +719,33 @@ object DeltaQ {
       GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
     }),
 
+    // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
+    // SET DEFAULT → INSERT with a column list omitting the defaulted
+    // column; pre-existing rows keep null (defaults never rewrite
+    // history), inserted rows fill the declared constant. The oracle
+    // rebuilds both populations from the raw source.
+    "d47_column_default" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d47")
+      val src = tmp("d47src")
+      GraftDelta.toDelta(
+        t(s, dir, "nation").select($"n_nationkey", $"n_name"), path)     // v0
+      GraftDelta.toDelta(
+        t(s, dir, "nation")
+          .select(($"n_nationkey" + 100L).as("n_nationkey"), $"n_name"), src)
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` ADD COLUMN status STRING")           // v1
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` ALTER COLUMN status SET DEFAULT 'NEW'") // v2
+      graft.sql.GraftSql.sql(s,
+        s"INSERT INTO delta.`$path` (n_nationkey, n_name) " +
+          s"SELECT n_nationkey, n_name FROM delta.`$src`")               // v3
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      require(snap.protocol.writerFeatures.exists(_.contains("allowColumnDefaults")),
+        s"defaults table must declare the feature: ${snap.protocol}")
+      GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
+    }),
+
     // VARIANT (reader+writer feature variantType): semi-structured
     // payloads stored as Spark 4's native VariantType — the create
     // stamps the feature, predicate DML rewrites files carrying the
@@ -1080,6 +1107,12 @@ object DeltaQ {
     "d45_widen_column" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |UNION ALL SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "d47_column_default" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        | CAST(NULL AS VARCHAR) AS status FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, 'NEW' FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     "d46_variant" ->
       """SELECT o_orderkey, o_custkey AS cust, o_orderstatus AS status,

@@ -202,7 +202,11 @@ object GraftSql {
     s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val InsertRe = new Q(
-    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
+    s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
+  private val SetDefaultRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""")
+  private val DropDefaultRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""")
   private val CtasRe = new Q(
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
       s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?""" +
@@ -343,6 +347,16 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case SetDefaultRe(p1, p2, p3, colName, defExpr) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val version = DeltaTableOps.setColumnDefault(spark, path, colName, defExpr)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("SET DEFAULT", version))
+      case DropDefaultRe(p1, p2, p3, colName) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val version = DeltaTableOps.dropColumnDefault(spark, path, colName)
+        oneRow(spark, Seq("operation", "tableVersion"),
+          Row("DROP DEFAULT", version))
       case AlterColumnTypeRe(p1, p2, p3, colName, typeStr) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val dt = spark.sessionState.sqlParser.parseDataType(typeStr.trim)
@@ -370,19 +384,57 @@ object GraftSql {
           Option(v).map(_.toLong))
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
           Row("SHALLOW CLONE", r.tableVersion, r.clonedFiles))
-      case InsertRe(kind, p1, p2, p3, query) =>
+      case InsertRe(kind, p1, p2, p3, colList, query) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val raw = spark.sql(rewriteDeltaRefs(spark,
           if (query.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($query)"
           else query))
-        // SQL INSERT binds columns by POSITION against the table schema
-        val target = DeltaLog.forTable(spark, path).snapshot(None).schema
-        require(raw.columns.length == target.fields.length,
-          s"INSERT arity mismatch: query returns ${raw.columns.length} columns, " +
-            s"table has ${target.fields.length}")
-        val frame = raw.toDF(target.fieldNames.toIndexedSeq: _*)
-          .select(target.fields.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        val snap = DeltaLog.forTable(spark, path).snapshot(None)
+        val target = snap.schema
+        import org.apache.spark.sql.functions.{col, expr, lit}
+        val frame =
+          if (colList == null) {
+            // SQL INSERT binds columns by POSITION against the table schema
+            require(raw.columns.length == target.fields.length,
+              s"INSERT arity mismatch: query returns ${raw.columns.length} columns, " +
+                s"table has ${target.fields.length}")
+            raw.toDF(target.fieldNames.toIndexedSeq: _*)
+              .select(target.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+          } else {
+            // an explicit column list binds the query positionally to the
+            // LISTED columns; omitted columns fill their declared DEFAULT
+            // (CURRENT_DEFAULT metadata — the allowColumnDefaults writer
+            // obligation), generated/identity columns stay absent so the
+            // write path computes/allocates them, and plain nullable
+            // columns fill null (SQL standard); non-nullable without a
+            // default refuses loudly
+            val listed = colList.split(",")
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+            val resolved = listed.map(n =>
+              target.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"INSERT column $n not in ${target.fieldNames.mkString(", ")}")).name)
+            require(resolved.distinct.length == resolved.length,
+              s"duplicate columns in INSERT list: ${listed.mkString(", ")}")
+            require(raw.columns.length == resolved.length,
+              s"INSERT arity mismatch: query returns ${raw.columns.length} columns, " +
+                s"column list has ${resolved.length}")
+            val defaults = DeltaTableOps.columnDefaultsOf(snap).toMap
+            val computedCols = DeltaTableOps.writerComputedColumnsOf(snap)
+            val base = raw.toDF(resolved.toIndexedSeq: _*)
+            val outCols = target.fields.toSeq.flatMap { f =>
+              if (resolved.contains(f.name)) Some(col(f.name).cast(f.dataType).as(f.name))
+              else defaults.get(f.name) match {
+                case Some(d) => Some(expr(d).cast(f.dataType).as(f.name))
+                case None if computedCols.contains(f.name) => None
+                case None =>
+                  require(f.nullable,
+                    s"INSERT omits non-nullable column ${f.name} with no DEFAULT")
+                  Some(lit(null).cast(f.dataType).as(f.name))
+              }
+            }
+            base.select(outCols: _*)
+          }
         val mode = if (kind.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append"
         GraftDelta.toDelta(frame, path, mode = mode)
         val v = DeltaLog.forTable(spark, path).latestVersion
