@@ -191,6 +191,130 @@ object Similarity {
     materialized(result, assigned)
   }
 
+  // ---- IVF-PQ (product quantization) ------------------------------------
+
+  /** IVF-PQ top-k: the IVF coarse cells of [[ivfTopK]] plus a product
+    * quantizer — each vector's `dim` floats compress to `m` sub-codes
+    * (one byte each), and candidate ranking runs on ADC (asymmetric
+    * distance computation) against per-query lookup tables instead of
+    * touching the full vectors. The 100 TB index shape: dim×4 bytes per
+    * vector in the scan vs m bytes in the PQ index, with the LUTs
+    * (queries × m × 2^nbits longs) broadcast as literals.
+    *
+    * Pipeline: coarse KMeans (fixed seed, bounded deterministic sample)
+    * → per-subspace KMeans codebooks (seeds 43+j, same sample) → corpus
+    * encoded narrowly (argmin over 2^nbits exact quantized distances per
+    * subspace — codegen-able column work, no shuffle) → queries probe
+    * `nprobe` cells → ADC ranks candidates in exact BIGINT arithmetic →
+    * the top `refine·k` re-rank by exact quantized cosine. Raw-vector PQ
+    * (no residual encoding): simpler, deterministic, and the re-rank
+    * step absorbs the precision loss; approximate by design with recall
+    * pinned in SimilaritySpec and in-query floors in the harness. */
+  def ivfPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, nbits: Int = 4, refine: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(nbits >= 1 && nbits <= 8, s"nbits in [1,8]: $nbits")
+    val codes = 1 << nbits
+
+    val fv = df.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("v"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .withColumn("n", normQ(col("v")))
+    val fitSample = fv.select(col("id"), col("features"))
+      .orderBy(col("id")).limit(IvfFitSampleCap).persist()
+    val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(fitSample.select("features"))
+    val dim = coarse.clusterCenters.head.size
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+
+    // per-subspace codebooks, each fit on the same bounded sample's
+    // subvectors; quantized to exact micro-units for ADC
+    val sampleRows = fitSample.select("features")
+      .collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+    fitSample.unpersist(blocking = false)
+    val codebooksQ: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
+      val sub = sampleRows.map(r => Vectors.dense(r.slice(j * w, (j + 1) * w)))
+      val subDf = spark.createDataFrame(sub.map(Tuple1(_)).toSeq).toDF("features")
+      val km = new KMeans().setK(codes).setSeed(43L + j).setMaxIter(10)
+        .setFeaturesCol("features").fit(subDf)
+      // pad (rare tiny-sample case): KMeans may return < codes centers
+      val cs = km.clusterCenters.map(_.toArray.toSeq.map(d => math.round(d * 1e6)))
+      (cs ++ Array.fill(codes - cs.length)(cs.head)).toSeq
+    }
+
+    // encode: code_j = argmin_c ||v_sub - codebook_j[c]||² in exact
+    // BIGINTs, ties to the lower code — narrow column work per row
+    val codeCols: Seq[Column] = (0 until m).map { j =>
+      val sub = slice(col("v"), j * w + 1, w)
+      val dists = codebooksQ(j).zipWithIndex.map { case (c, ci) =>
+        val d2 = aggregate(zip_with(sub, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d2.as("d"), lit(ci).as("code"))
+      }
+      element_at(array_sort(array(dists: _*)), 1).getField("code")
+    }
+    val assigned = coarse.transform(fv)
+      .select(col("id"), col("v"), col("n"), col("prediction").as("cell"),
+        array(codeCols: _*).as("codes"))
+      .persist()
+
+    // queries: nprobe nearest coarse cells + per-subspace ADC LUTs
+    // (m × 2^nbits exact integer distances), all driver-side trivial
+    val centers = coarse.clusterCenters.map(_.toArray)
+    val queries = assigned.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .select("id", "v", "n").as[(Long, Array[Long], Long)].collect()
+    val probePairs = queries.flatMap { case (qid, qv, _) =>
+      val dv = qv.map(_.toDouble / 1e6)
+      centers.zipWithIndex
+        .map { case (c, ci) => (ci, c.zip(dv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
+    }.toSeq
+    val luts: Seq[(Long, Seq[Seq[Long]])] = queries.toSeq.map { case (qid, qv, _) =>
+      qid -> (0 until m).map { j =>
+        val qs = qv.slice(j * w, (j + 1) * w)
+        codebooksQ(j).map(c =>
+          c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val probes = probePairs.toDF("query_id", "cell")
+    val qlut = luts.toDF("query_id", "lut")
+    val qv = queries.toSeq.map(q => (q._1, q._2, q._3)).toDF("query_id", "qv", "qn")
+
+    // ADC rank within probed cells, keep refine·k, then exact re-rank
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qlut), "query_id")
+      .withColumn("adc",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c.cast("int") + 1)), lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("id").as("vec_id"), col("adc"))
+      .distinct()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = cands.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= refine * k)
+      .select("query_id", "vec_id")
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val result = shortlist
+      .join(assigned.select(col("id").as("vec_id"), col("v").as("cv"), col("n").as("cn")),
+        "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", cosinePre(dotQ(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
+    materialized(result, assigned)
+  }
+
   // ---- Random-hyperplane LSH (scale path) -------------------------------
 
   /** Deterministic ±1 hyperplanes: sign of a seeded hash of (plane, dim).

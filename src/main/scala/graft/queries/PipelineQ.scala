@@ -122,6 +122,25 @@ object PipelineQ {
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
 
+    // IVF-PQ ANN top-10, STRICT: product-quantized ADC shortlist + exact
+    // re-rank; mean recall@10 vs in-query brute force require ≥ 40%
+    // (fixed-seed coarse + codebook KMeans), emitted row is a pinned
+    // constant checked by a VALUES oracle.
+    "t40_sim_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val ann = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qids, k = 10)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+      val hits = ann.select($"query_id", $"vec_id")
+        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+        .count()
+      val recallPct = hits * 100.0 / (qids.size * 10)
+      require(recallPct >= 40.0, s"IVF-PQ recall@10 = $recallPct% < 40%")
+      Seq((qids.size.toLong, 10L, 40L, 1L))
+        .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
+    }),
+
     // Deterministic 80/10/10 split: per-split counts + membership-
     // sensitive doc_id sums (a drifted membership can't hide in counts).
     "t15_stable_split" -> ((s, dir) => {
@@ -746,6 +765,9 @@ object PipelineQ {
     "t13_sim_ivf" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         | CAST(50 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    "t40_sim_ivfpq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        | CAST(40 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
     "t31_semantic_dedup" ->
       """SELECT CAST(100 AS BIGINT) AS precision_pct,
         | CAST(50 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,

@@ -25,6 +25,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean IVF recall@10 = $mean ($recalls)")
   }
 
+  test("IVF-PQ recall@10 vs brute force clears the floor; output is well-formed") {
+    val df = spark.read.parquet(emb)
+    val exact = topkSet(Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, 10))
+    val pq = Similarity.ivfPqTopK(df, "vec_id", "embedding", qids, 10)
+    val got = topkSet(pq)
+    val recalls = qids.map(q => got.getOrElse(q, Set.empty)
+      .intersect(exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF-PQ recall@10 = $mean ($recalls)")
+    // exactly k ranked rows per query, ranks 1..k, no query in its own list
+    val byQ = pq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    qids.foreach { q =>
+      val rows = byQ.getOrElse(q, Array.empty)
+      assert(rows.length == 10, s"query $q returned ${rows.length} rows")
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L), s"ranks for $q")
+      assert(!rows.exists(_._3 == q), s"query $q returned itself")
+    }
+    // determinism: a second run emits the identical ranking
+    val again = topkSet(Similarity.ivfPqTopK(df, "vec_id", "embedding", qids, 10))
+    assert(again == got, "IVF-PQ must be deterministic across runs")
+  }
+
   test("native dot_q equals the HOF formulation bit-for-bit (incl. nulls, length mismatch)") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(emb).limit(200)
