@@ -114,6 +114,60 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  // ---- n-gram language-model quality scoring -----------------------------
+
+  /** Per-document bigram language-model score — the CCNet/Gopher-style
+    * "perplexity filter" shape with the corpus itself as the LM: train
+    * add-one-smoothed bigram statistics over the whole corpus in one
+    * pass, then score each document by the sum of its bigrams' quantized
+    * conditional probabilities
+    *
+    *   p_q(w2 | w1) = (scale · (c2(w1,w2) + 1)) DIV (c1(w1) + V)
+    *
+    * (c2 = corpus bigram count, c1 = corpus unigram count, V = vocabulary
+    * size). Integer arithmetic end to end — no ln()/float, so scores are
+    * bit-identical in any engine and the DuckDB oracle mirrors them
+    * exactly; ordering matches average-log-probability ordering closely
+    * enough for filtering (documents of common word sequences score
+    * high, gibberish scores low). Returns (doc_id, bigrams, lm_score)
+    * for EVERY input document (zero-bigram docs score 0).
+    *
+    * Scale shape: unigram and bigram counts are explode → partial-agg
+    * (map-side combine collapses each partition's repeated grams before
+    * either shuffle); scoring joins the doc bigrams to the two count
+    * tables with plain hash joins (AQE handles hot-word skew) and V is a
+    * one-row broadcast. Nothing is ever all-pairs and the corpus text
+    * itself shuffles only as (w1, w2) pairs. */
+  def ngramLmScore(
+      df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 10000L): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("__w"))
+    val toks = words.select(col("doc_id"), explode(col("__w")).as("w"))
+    val bi = words
+      .filter(size(col("__w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c1 = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("p_q", expr(s"($scale * (c2 + 1)) DIV (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bigrams"), sum(col("p_q")).as("lm_score"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bigrams"), lit(0L)).as("bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+  }
+
   // ---- Keyword search (TF-IDF-ish relevance) -----------------------------
 
   /** Top-k docs for a bag of query terms, scored with an integer-exact

@@ -141,6 +141,16 @@ object PipelineQ {
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
 
+    // Bigram-LM quality score (perplexity-filter shape, the corpus as
+    // its own LM): add-one-smoothed quantized conditional probabilities
+    // summed per doc — integer arithmetic end to end, mirrored exactly
+    // in the DuckDB oracle.
+    "t41_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.ngramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic 80/10/10 split: per-split counts + membership-
     // sensitive doc_id sums (a drifted membership can't hide in counts).
     "t15_stable_split" -> ((s, dir) => {
@@ -768,6 +778,25 @@ object PipelineQ {
     "t40_sim_ivfpq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         | CAST(40 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    "t41_lm_score" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM words),
+        |c1 AS (SELECT t AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM c1),
+        |bi AS (SELECT doc_id, w[g] AS w1, w[g+1] AS w2
+        |       FROM words, LATERAL UNNEST(generate_series(1, len(w)-1)) AS i(g)
+        |       WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |s AS (SELECT b.doc_id, (10000 * (c2.c2 + 1)) // (c1.c1 + v.v) AS p_q
+        |      FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(p_q) AS sc FROM s GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS bigrams,
+        |  CAST(COALESCE(a.sc, 0) AS BIGINT) AS lm_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "t31_semantic_dedup" ->
       """SELECT CAST(100 AS BIGINT) AS precision_pct,
         | CAST(50 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,

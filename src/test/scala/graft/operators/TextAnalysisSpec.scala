@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.delta.TestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed semantics pins for the bigram-LM quality score:
+  * add-one-smoothed quantized conditional probabilities summed per doc,
+  * zero-bigram docs included at 0, and the result invariant under
+  * repartitioning (pure aggregation arithmetic, no order dependence). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestBase.spark
+
+  test("ngramLmScore matches hand-computed add-one bigram statistics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b"),      // bigram  (a,b)
+      (3L, "c"),        // no bigrams
+      (4L, "")          // no tokens at all
+    ).toDF("doc_id", "text")
+    // c1: a=3 b=3 c=1; V=3; c2: (a,b)=3 (b,a)=1
+    // p_q(a,b) = 10000*4 DIV 6 = 6666 ; p_q(b,a) = 10000*2 DIV 6 = 3333
+    val want = Map(
+      1L -> (3L, 6666L + 3333L + 6666L),
+      2L -> (1L, 6666L),
+      3L -> (0L, 0L),
+      4L -> (0L, 0L))
+    val got = TextAnalysis.ngramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    val gotRepart = TextAnalysis.ngramLmScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotRepart == want, "score must be repartition-invariant")
+  }
+
+  test("ngramLmScore ranks natural repetition above gibberish") {
+    import spark.implicits._
+    // the corpus LM is dominated by the common phrase; the outlier doc's
+    // unseen bigrams draw only smoothing mass
+    val docs = (1L to 20L).map(i => (i, "the quick brown fox jumps")) :+
+      (99L, "zxq wvut qqq plk mnb")
+    val scored = TextAnalysis.ngramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    val common = scored(1L)._1.toDouble / scored(1L)._2
+    val gibberish = scored(99L)._1.toDouble / scored(99L)._2
+    assert(common > gibberish * 3,
+      s"common-phrase avg $common must dominate gibberish avg $gibberish")
+  }
+}
