@@ -118,6 +118,31 @@ object Similarity {
     out
   }
 
+  // ---- Group centroids ---------------------------------------------------
+
+  /** Per-group embedding centroids in exact integer micro-units:
+    * centroid[i] = (Σ v_q[i]) DIV n over the group's quantized vectors —
+    * deterministic and bit-identical cross-engine (no float summation
+    * order dependence). Returns (group, n, centroid_q: array<bigint>).
+    *
+    * Scale shape: posexplode → one shuffle on (group, position) with
+    * map-side combine (each partition pre-sums its repeated groups), a
+    * second tiny shuffle on group to reassemble |groups|·dim rows into
+    * arrays — the corpus vectors themselves never shuffle twice and no
+    * collect touches the driver. The classic building block for
+    * cluster-quality stats, domain drift checks, and seeding quantizers. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val q = df.select(col(groupCol).as("grp"), quantize(col(vecCol)).as("v"))
+    val n = q.groupBy("grp").agg(count(lit(1)).as("n"))
+    val sums = q.select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("grp", "pos").agg(sum(col("x")).as("s"))
+    sums.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .join(n, "grp")
+      .select(col("grp"), col("n"),
+        expr("transform(ps, p -> p.s DIV n)").as("centroid_q"))
+  }
+
   // ---- IVF (inverted-file) ANN: KMeans coarse quantizer -----------------
 
   /** Max rows the IVF coarse quantizer is fit on — centroids converge on

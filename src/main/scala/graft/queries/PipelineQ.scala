@@ -141,6 +141,17 @@ object PipelineQ {
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
 
+    // Per-label embedding centroids in exact integer micro-units
+    // (Σ q_i DIV n per dimension) — flattened to scalar rows for the
+    // bit-exact DuckDB mirror.
+    "t42_group_centroids" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select($"grp".as("label"), $"n", posexplode($"centroid_q").as(Seq("pos", "c")))
+        .select($"label", $"n", $"pos".cast("long").as("pos"), $"c")
+        .orderBy($"label", $"pos")
+    }),
+
     // Bigram-LM quality score (perplexity-filter shape, the corpus as
     // its own LM): add-one-smoothed quantized conditional probabilities
     // summed per doc — integer arithmetic end to end, mirrored exactly
@@ -778,6 +789,16 @@ object PipelineQ {
     "t40_sim_ivfpq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         | CAST(40 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    "t42_group_centroids" ->
+      s"""WITH q AS (SELECT label, $quantList AS qv FROM embeddings),
+         |n AS (SELECT label, COUNT(*) AS n FROM q GROUP BY 1),
+         |e AS (SELECT label, g AS pos, qv[g+1] AS x
+         |      FROM q, LATERAL UNNEST(generate_series(0, len(qv)-1)) AS i(g)),
+         |s AS (SELECT label, pos, SUM(x) AS sm FROM e GROUP BY 1, 2)
+         |SELECT s.label, n.n, CAST(s.pos AS BIGINT) AS pos,
+         |  CAST(CAST(s.sm AS BIGINT) // n.n AS BIGINT) AS c
+         |FROM s JOIN n USING (label)
+         |ORDER BY s.label, s.pos""".stripMargin,
     "t41_lm_score" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w

@@ -48,6 +48,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == got, "IVF-PQ must be deterministic across runs")
   }
 
+  test("groupCentroids computes exact integer means, negatives included") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, -1.0f)),
+      ("a", Seq(2.0f, -2.5f)),  // sum_q = (3000000, -3500000), n=2
+      ("b", Seq(0.5f, 0.5f))
+    ).toDF("g", "vec")
+    val got = Similarity.groupCentroids(df, "g", "vec")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    // DIV truncates toward zero: -3500000 DIV 2 = -1750000 exactly here;
+    // also pin a non-divisible negative via group b's single vector
+    assert(got == Map(
+      "a" -> (2L, Seq(1500000L, -1750000L)),
+      "b" -> (1L, Seq(500000L, 500000L))))
+    // truncation direction pin: -3 DIV 2 must be -1 (toward zero), the
+    // same as DuckDB's // — the oracle contract
+    val d = spark.sql("SELECT -3 DIV 2 AS x").head().getLong(0)
+    assert(d == -1L, s"Spark DIV truncates toward zero, got $d")
+  }
+
   test("native dot_q equals the HOF formulation bit-for-bit (incl. nulls, length mismatch)") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(emb).limit(200)
