@@ -1021,6 +1021,58 @@ object DeltaTableOps {
     * name so it can never collide with a previously-dropped column still
     * physically present in old files (the delta-spark convention).
     * `after` / `first` order the field; default appends at the end. */
+  final case class TruncateResult(tableVersion: Long, removedFiles: Long, removedRows: Long)
+
+  /** TRUNCATE TABLE — the explicit-intent full-table delete: one commit
+    * tombstones every active file (schema, history, and properties
+    * survive; time travel to pre-truncate versions still works). The
+    * engine's DML surfaces deliberately refuse conditionless operations,
+    * so the full wipe is reachable only by naming it.
+    *
+    * O(#files) metadata at any table size — EXCEPT on a CDF-enabled
+    * table, where the change feed's contract requires the dropped rows
+    * as explicit 'delete' cdc records (remove-only commits plan nothing
+    * in the feed, correctly, because rewrites re-add survivors); there
+    * the current table is read once and staged under `_change_data/`.
+    * Exactness over speed: the row metric comes from per-file stats when
+    * every file carries them, else one counting scan. */
+  def truncateTable(spark: SparkSession, path: String): TruncateResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap)
+    DeltaWrite.requireNotAppendOnly(snap, "TRUNCATE")
+    if (snap.activeFiles.isEmpty) return TruncateResult(snap.version, 0L, 0L)
+    val now = System.currentTimeMillis()
+    val removes = snap.activeFiles.map(f =>
+      RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size), deletionVector = f.deletionVector))
+    val statRows = snap.activeFiles.map(f =>
+      StatsPruning.parse(f.stats).flatMap(_.numRecords).map(_ - f.dvCardinality))
+    val removedRows: Long =
+      if (statRows.forall(_.isDefined)) statRows.flatten.sum
+      else DeltaRead.load(spark, path).count()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val cdcActions =
+      if (!DeltaWrite.cdfEnabled(snap)) Nil
+      else DeltaWrite.stageCdc(
+        DeltaRead.load(spark, path).withColumn("_change_type", lit("delete")),
+        spark, fs, path, snap.version + 1, snap.partitionColumns)
+    val ci = CommitInfo(now, "TRUNCATE",
+      operationParameters = Map.empty,
+      operationMetrics = Map(
+        "numRemovedFiles" -> removes.size.toString,
+        "numDeletedRows" -> removedRows.toString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    try log.writeCommit(snap.version + 1, Seq(ci) ++ cdcActions ++ removes)
+    catch {
+      case e: Throwable =>
+        DeltaWrite.deleteCdc(fs, path, cdcActions)
+        throw e
+    }
+    TruncateResult(snap.version + 1, removes.size.toLong, removedRows)
+  }
+
   /** ALTER TABLE … ALTER COLUMN c SET DEFAULT expr — column defaults
     * (writer feature `allowColumnDefaults`, writer-only: readers are
     * unaffected because defaults apply at WRITE time to inserts that

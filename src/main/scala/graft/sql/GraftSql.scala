@@ -203,6 +203,8 @@ object GraftSql {
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val InsertRe = new Q(
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
+  private val TruncateRe = new Q(
+    s"""(?is)^\\s*TRUNCATE\\s+TABLE\\s+$Ref\\s*;?\\s*$$""")
   private val SetDefaultRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""")
   private val DropDefaultRe = new Q(
@@ -347,6 +349,11 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case TruncateRe(p1, p2, p3) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val r = DeltaTableOps.truncateTable(spark, path)
+        oneRow(spark, Seq("operation", "tableVersion", "removedFiles", "deletedRows"),
+          Row("TRUNCATE", r.tableVersion, r.removedFiles, r.removedRows))
       case SetDefaultRe(p1, p2, p3, colName, defExpr) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val version = DeltaTableOps.setColumnDefault(spark, path, colName, defExpr)

@@ -106,6 +106,46 @@ class ColumnDefaultsSpec extends GraftSuite {
       DeltaTableOps.setColumnDefault(spark, path, "zzz", "1"))
   }
 
+  test("TRUNCATE TABLE wipes rows, keeps schema/history/time-travel") {
+    val path = tmp()
+    GraftDelta.toDelta((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), path) // v0
+    val r = GraftSql.sql(spark, s"TRUNCATE TABLE delta.`$path`")
+    assert(r.select("deletedRows").head().getLong(0) == 20L)
+    assert(r.select("removedFiles").head().getLong(0) >= 1L)
+    assert(GraftDelta.readDelta(spark, path).count() == 0L)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.version == 1L && snap.schema.fieldNames.toSeq == Seq("k", "v"))
+    // pre-truncate versions still read
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 20L)
+    // truncating the already-empty table is a no-op (no new commit)
+    val r2 = DeltaTableOps.truncateTable(spark, path)
+    assert(r2.tableVersion == 1L && r2.removedRows == 0L)
+    // an append after truncate starts fresh
+    GraftDelta.toDelta(Seq((99L, "z")).toDF("k", "v"), path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 1L)
+  }
+
+  test("TRUNCATE on a CDF table records every dropped row as a cdc delete") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    GraftDelta.toDelta((1L to 7L).map(i => (i, s"v$i")).toDF("k", "v"), path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))        // v0
+    GraftSql.sql(spark, s"TRUNCATE TABLE delta.`$path`")                  // v1
+    val feed = DeltaTableOps.tableChanges(spark, path, 0L, Some(1L))
+    val deletes = feed.filter(col("_change_type") === "delete")
+    assert(deletes.count() == 7L, "all 7 rows must appear as cdc deletes")
+    assert(deletes.select("k").as[Long].collect().sorted.toSeq == (1L to 7L))
+  }
+
+  test("TRUNCATE refuses on append-only tables") {
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("k", "v"), path,
+      configuration = Map("delta.appendOnly" -> "true"))
+    val e = intercept[IllegalStateException](
+      DeltaTableOps.truncateTable(spark, path))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("generated columns stay computed when omitted from an INSERT list") {
     val path = tmp()
     import org.apache.spark.sql.types._
