@@ -1025,12 +1025,14 @@ object DeltaDml {
     val constraints = DeltaWrite.checkConstraintsOf(snap.metadata)
     if (DeltaRead.mappingModeOf(snap) == "none")
       DeltaWrite.stageAndMove(df, spark, fs, path, stagingDir,
-        snap.partitionColumns, version, constraints)
+        snap.partitionColumns, version, constraints,
+        snap.metadata.configuration)
     else
       DeltaWrite.stageAndMove(
         DeltaWrite.physicalizeForWrite(
           DeltaWrite.withConstraintsEnforced(df, constraints), snap),
-        spark, fs, path, stagingDir, stagePartCols(snap), version, Nil)
+        spark, fs, path, stagingDir, stagePartCols(snap), version, Nil,
+        snap.metadata.configuration)
   }
 
   /** Per-file matched positions aggregated executor-side into serialized

@@ -82,8 +82,8 @@ object DeltaMaintenance {
 
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val now = Instant.now().toEpochMilli
-    val statsSchema = org.apache.spark.sql.types.StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val statsSchema = DeltaWrite.statsSchemaOf(
+      snap.schema, snap.partitionColumns, snap.metadata.configuration)
 
     // Row tracking: OPTIMIZE only COPIES rows (dataChange=false), so the
     // protocol requires each surviving row to keep its id. The compacted

@@ -370,8 +370,7 @@ object DeltaTableOps {
     val partCols: Seq[String] = rel0.split('/').dropRight(1).toSeq
       .filter(_.contains('=')).map(seg =>
         DeltaWrite.unescapePathName(seg.split("=", 2)(0)))
-    val statsSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val statsSchema = DeltaWrite.statsSchemaOf(schema, partCols, Map.empty)
 
     val rootStr = path // executor-side closures capture the string, not the Path
     def toAdd(conf: org.apache.hadoop.conf.Configuration,

@@ -301,7 +301,8 @@ object DeltaWrite {
       stageConstraints: Seq[(String, String)],
       physOf: Map[String, String]): Unit = {
     val adds = stageAndMove(df, spark, fs, path, stagingDir, stagePartitionBy, version,
-      stageConstraints)
+      stageConstraints,
+      existing.map(_.metadata.configuration).getOrElse(Map.empty) ++ configuration)
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli
@@ -640,6 +641,25 @@ object DeltaWrite {
         lit(s"CHECK constraint $n ($sql) violated by a written row")).isNull)
     }
 
+  /** The columns whose per-file stats are harvested:
+    * `delta.dataSkippingNumIndexedCols` bounds harvest to the first N
+    * table columns in schema order (the delta-spark knob that keeps the
+    * stats JSON bounded on wide tables — at 100 TB a 2000-column table
+    * must not carry 2000 min/max entries per file); default 32, -1 = all.
+    * Partition columns never carry file stats (their values live in the
+    * log) but still count toward N, matching delta-spark. */
+  private[delta] def statsSchemaOf(
+      schema: StructType, partitionBy: Seq[String],
+      tableConfig: Map[String, String]): StructType = {
+    val n = tableConfig.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(32)
+    val prefix =
+      if (n < 0) schema.fields
+      else schema.fields.take(n)
+    StructType(prefix.filterNot(f => partitionBy.contains(f.name)))
+  }
+
   private[delta] def stageAndMove(
       df0: DataFrame,
       spark: SparkSession,
@@ -648,7 +668,8 @@ object DeltaWrite {
       stagingDir: Path,
       partitionBy: Seq[String],
       version: Long,
-      constraints: Seq[(String, String)] = Nil): Seq[AddFile] = {
+      constraints: Seq[(String, String)] = Nil,
+      tableConfig: Map[String, String] = Map.empty): Seq[AddFile] = {
     val df = withConstraintsEnforced(df0, constraints)
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.getOption(tsTypeKey)
@@ -665,8 +686,7 @@ object DeltaWrite {
     }
 
     val staged = listParquetFiles(fs, stagingDir)
-    val statsSchema = StructType(
-      df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    val statsSchema = statsSchemaOf(df.schema, partitionBy, tableConfig)
     val stagingStr = stagingDir.toString
     val adds: Seq[AddFile] =
       if (staged.size <= DistributedMoveThreshold) {

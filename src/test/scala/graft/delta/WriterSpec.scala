@@ -19,6 +19,38 @@ class WriterSpec extends GraftSuite {
     (0 until 100).map(i => (i.toLong, i * 1.5, s"name_$i")).toDF("ints", "floats", "strings")
   }
 
+  test("delta.dataSkippingNumIndexedCols bounds per-file stats to the leading columns") {
+    import spark.implicits._
+    def wideFrame = {
+      val base = (1 to 10).map(i => i.toLong).toDF("c0")
+      (1 until 40).foldLeft(base)((d, i) => d.withColumn(s"c$i", col("c0") + i))
+    }
+    // default: the first 32 schema columns harvest stats, the rest none
+    val p1 = tmp()
+    GraftDelta.toDelta(wideFrame.coalesce(1), p1)
+    val s1 = DeltaLog.forTable(spark, p1).snapshot(None).activeFiles.head.stats.get
+    assert(s1.contains("\"c31\":") && !s1.contains("\"c32\":"),
+      s"default must stop at 32 leading columns: $s1")
+    assert(s1.contains("\"numRecords\":10"))
+    // explicit property: only the first 3
+    val p2 = tmp()
+    GraftDelta.toDelta(wideFrame.coalesce(1), p2,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "3"))
+    val s2 = DeltaLog.forTable(spark, p2).snapshot(None).activeFiles.head.stats.get
+    assert(s2.contains("\"c2\":") && !s2.contains("\"c3\":"), s2)
+    // -1 = every column
+    val p3 = tmp()
+    GraftDelta.toDelta(wideFrame.coalesce(1), p3,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "-1"))
+    val s3 = DeltaLog.forTable(spark, p3).snapshot(None).activeFiles.head.stats.get
+    assert(s3.contains("\"c39\":"), s3)
+    // appends to the property-carrying table keep honoring it
+    GraftDelta.toDelta(wideFrame.coalesce(1), p2, mode = "append")
+    val s2b = DeltaLog.forTable(spark, p2).snapshot(None).activeFiles
+      .flatMap(_.stats).mkString
+    assert(!s2b.contains("\"c3\":"), "append must honor the stored property")
+  }
+
   test("roundtrip: commit 0 exists and data reads back (test_writer.py:19-27)") {
     val path = tmp()
     GraftDelta.toDelta(sample, path)
