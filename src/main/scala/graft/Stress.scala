@@ -48,6 +48,40 @@ object Stress {
     val (nd, npos, ndup) = (sp.getLong(0), sp.getLong(1), sp.getLong(2))
     println(f"[stress] span coverage: $nd%,d docs, $npos%,d positions, " +
       f"$ndup%,d duplicated in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- bigram-LM scoring at 20× ---------------------------------------
+    // the corpus-as-its-own-LM pass: two count shuffles + two hash joins
+    // over ~10^7 bigram instances; the witness is every doc scored
+    t0 = System.nanoTime()
+    val lm = graft.operators.TextAnalysis.ngramLmScore(copies, "doc_id", "text")
+    val lmAgg = lm.agg(count(lit(1)), sum($"bigrams")).head()
+    println(f"[stress] LM score: ${lmAgg.getLong(0)}%,d docs, " +
+      f"${lmAgg.getLong(1)}%,d bigrams scored in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- IVF-PQ ANN + centroids over a 500k-vector corpus ---------------
+    // 100× replication with per-copy jitter; the PQ index is 8 bytes per
+    // vector (vs 256 for the raw floats) and each query touches
+    // nprobe/nlist of the corpus through the ADC shortlist
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embBig = spark.range(100).crossJoin(embBase)
+      .select(($"vec_id" * 100 + $"id").as("vec_id"),
+        transform($"embedding",
+          x => x + ($"id" % 7).cast("float") * lit(0.0001f)).as("embedding"),
+        $"label")
+      .repartition(64).persist()
+    val nv = embBig.count()
+    println(s"[stress] embedding corpus: $nv vectors")
+    t0 = System.nanoTime()
+    val pq = graft.operators.Similarity.ivfPqTopK(
+      embBig, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    println(f"[stress] IVF-PQ top-10 over $nv%,d vectors: ${pq.count()}%,d rows " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val cent = graft.operators.Similarity.groupCentroids(embBig, "label", "embedding")
+    println(f"[stress] group centroids: ${cent.count()}%,d groups " +
+      f"in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    embBig.unpersist(blocking = false)
+    spark.catalog.clearCache()
     require(ndup >= npos * 9 / 10, s"clique corpus must be ~fully duplicated: $ndup/$npos")
 
     // ---- DML at scale: a multi-million-row clustered table --------------

@@ -239,7 +239,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, nbits: Int = 4, refine: Int = 4): DataFrame = {
+      m: Int = 8, nbits: Int = 5, refine: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vectors
