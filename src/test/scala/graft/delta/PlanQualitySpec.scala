@@ -192,6 +192,31 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("t41 LM scoring: no cartesian products, V broadcast, partial aggregation") {
+    val df = graft.queries.PipelineQ.queries("t41_lm_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring must never plan a cartesian product:\n$p")
+    // the one-row vocab-size side joins as a broadcast nested loop over
+    // literally one row (crossJoin(broadcast(v))) — never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"V must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"gram counts must combine map-side:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("t42 group centroids: map-side combine, no collect-to-driver operators") {
+    val df = graft.queries.PipelineQ.queries("t42_group_centroids")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-(group,pos) sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("t33 skew join broadcasts only the hot-key set; both arms hash-join") {
     val df = graft.queries.PipelineQ.queries("t33_skew_join")(spark, sf)
     df.collect()
