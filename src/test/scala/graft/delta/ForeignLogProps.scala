@@ -1,6 +1,6 @@
 package graft.delta
 
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType, VariantType}
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
@@ -22,8 +22,31 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
   private val schema = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))
 
+  // schema-evolution churn: replay must surface the LATEST metadata,
+  // with VARIANT fields and CURRENT_DEFAULT / typeChanges field metadata
+  // surviving the schemaString round trip and checkpoints byte-for-byte
+  private val schemas: Seq[StructType] = Seq(
+    schema,
+    StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("payload", VariantType))),
+    StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder().putString("CURRENT_DEFAULT", "'NEW'").build()),
+      StructField("extra", LongType, nullable = true,
+        new MetadataBuilder().putMetadataArray("delta.typeChanges", Array(
+          new MetadataBuilder().putString("fromType", "integer")
+            .putString("toType", "long").build())).build()))))
+
   private def meta(id: String) = MetadataAction(
     id = id, schemaString = schema.json, configuration = Map.empty)
+
+  private val metaGen: Gen[Action] = for {
+    s <- Gen.oneOf(schemas)
+    nIdx <- Gen.oneOf("2", "32", "-1")
+  } yield MetadataAction(id = "fuzz-1", schemaString = s.json,
+    configuration = Map("delta.dataSkippingNumIndexedCols" -> nIdx))
 
   private val paths = (0 to 5).map(i => s"part-$i.parquet")
   private val dvs: Seq[Option[DeletionVectorDescriptor]] = Seq(
@@ -66,7 +89,8 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
 
   private val actionGen: Gen[Action] =
     Gen.frequency(5 -> addGen, 3 -> removeGen, 1 -> txnGen, 1 -> domainGen,
-      1 -> cdcGen) // cdc never contributes to table state — replay ignores it
+      1 -> cdcGen, // cdc never contributes to table state — replay ignores it
+      1 -> metaGen)
 
   private val commitGen: Gen[Seq[Action]] =
     Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, actionGen))
@@ -79,7 +103,8 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
   private final case class Model(
       active: Map[String, String],        // path -> active incarnation dvId
       txns: Map[String, Long],            // appId -> latest version
-      domains: Map[String, String])       // domain -> latest configuration
+      domains: Map[String, String],       // domain -> latest configuration
+      schemaStr: String)                  // latest metadata's schemaString
 
   private def dvIdOf(d: Option[DeletionVectorDescriptor]): String =
     d.map(x => s"${x.storageType}${x.pathOrInlineDv}@${x.offset.getOrElse(0)}").getOrElse("")
@@ -88,7 +113,9 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
     var active = m.active
     var txns = m.txns
     var domains = m.domains
+    var schemaStr = m.schemaStr
     commit.foreach {
+      case md: MetadataAction => schemaStr = md.schemaString
       case r: RemoveFile =>
         val rid = dvIdOf(r.deletionVector)
         if (r.deletionVector.isEmpty || active.get(r.path).contains(rid))
@@ -103,16 +130,18 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
       case f: AddFile => active += f.path -> dvIdOf(f.deletionVector)
       case _ => ()
     }
-    Model(active, txns, domains)
+    Model(active, txns, domains, schemaStr)
   }
 
   private def modelAt(commits: Seq[Seq[Action]], v: Int): Model =
-    commits.take(v + 1).foldLeft(Model(Map.empty, Map.empty, Map.empty))(step)
+    commits.take(v + 1).foldLeft(
+      Model(Map.empty, Map.empty, Map.empty, schema.json))(step)
 
   private def observed(snap: Snapshot): Model = Model(
     snap.activeFiles.map(f => f.path -> dvIdOf(f.deletionVector)).toMap,
     snap.setTransactions.map(t => t.appId -> t.version).toMap,
-    snap.domainMetadata)
+    snap.domainMetadata,
+    snap.metadata.schemaString)
 
   private def stage(commits: Seq[Seq[Action]], v2: Boolean): DeltaLog = {
     val dir = java.nio.file.Files.createTempDirectory("graft_fuzz").toString + "/t"
