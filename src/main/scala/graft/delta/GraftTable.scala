@@ -92,6 +92,20 @@ final class GraftTable private (spark: SparkSession, val path: String) {
       newType: org.apache.spark.sql.types.DataType): Long =
     DeltaTableOps.widenColumnType(spark, path, column, newType)
 
+  /** Explicit full-table delete: tombstones every active file in one
+    * commit; schema, history, and pre-truncate time travel survive.
+    * The only conditionless row-removing surface on the handle. */
+  def truncate(): DeltaTableOps.TruncateResult =
+    DeltaTableOps.truncateTable(spark, path)
+
+  /** Column default (allowColumnDefaults): constant expression filled
+    * for the column by INSERTs that omit it. */
+  def setColumnDefault(column: String, expr: String): Long =
+    DeltaTableOps.setColumnDefault(spark, path, column, expr)
+
+  def dropColumnDefault(column: String): Long =
+    DeltaTableOps.dropColumnDefault(spark, path, column)
+
   /** Zero-copy metadata clone at `target` (optionally of a pinned
     * version) — the clone references this table's data files. */
   def shallowClone(target: String, version: Option[Long] = None): GraftTable = {

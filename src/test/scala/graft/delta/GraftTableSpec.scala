@@ -29,6 +29,19 @@ class GraftTableSpec extends GraftSuite {
     assert(GraftTable.forPath(spark, path).toDF.count() == 20L)
   }
 
+  test("truncate and column defaults route through the engine") {
+    val path = tmp()
+    seed(path)
+    val t = GraftTable.forPath(spark, path)
+    assert(t.setColumnDefault("v", "'D'") == 1L)
+    graft.sql.GraftSql.sql(spark, s"INSERT INTO delta.`$path` (k, g) VALUES (99, 0)")
+    assert(t.toDF.where($"k" === 99L).select("v").head().getString(0) == "D")
+    assert(t.dropColumnDefault("v") == 3L)
+    val r = t.truncate()
+    assert(r.removedRows == 21L && t.toDF.count() == 0L)
+    assert(t.asOf(2L).count() == 21L, "pre-truncate versions still read")
+  }
+
   test("delete / updateExpr / history / time travel route through the engine") {
     val path = tmp()
     seed(path)
