@@ -149,6 +149,11 @@ object Similarity {
     * a sample; assignment (the distributed part) still sees every row. */
   val IvfFitSampleCap = 100000
 
+  /** Max rows the PQ sub-quantizer codebooks are fit on: each models a
+    * dim/m-dimensional marginal with 2^nbits cells, which converges on
+    * far fewer points than the coarse quantizer needs. */
+  val PqFitSampleCap = 20000
+
   /** IVF top-k: a KMeans coarse quantizer (fixed seed) partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells and ranks candidates by exact quantized cosine. The classic
@@ -265,8 +270,12 @@ object Similarity {
     // iterations): m Spark ML fits would cost m rounds of job scheduling
     // for work that is ≤100k × (dim/m) doubles — measured 13 s → ~3 s on
     // the sf0.1 harness query. Quantized to exact micro-units for ADC.
+    // sub-quantizer codebooks need far fewer points than the coarse
+    // quantizer (they model dim/m-dimensional marginals): cap the Lloyd
+    // input so the driver fit stays milliseconds-per-subspace
     val sampleRows = fitSample.select("features")
       .collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+      .take(PqFitSampleCap)
     fitSample.unpersist(blocking = false)
     val codebooksQ: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
       val sub = sampleRows.map(r => r.slice(j * w, (j + 1) * w))
@@ -275,7 +284,12 @@ object Similarity {
     }
 
     // encode: code_j = argmin_c ||v_sub - codebook_j[c]||² in exact
-    // BIGINTs, ties to the lower code — narrow column work per row
+    // BIGINTs, ties to the lower code — narrow column work per row.
+    // array_min over (d, code) structs is a single O(codes) pass; a
+    // when-chain reduce would DUPLICATE each operand into condition and
+    // branches (exponential expression blowup — measured as a planning
+    // OOM at 32 codes), and array_sort does O(codes·log codes) work for
+    // a minimum
     val codeCols: Seq[Column] = (0 until m).map { j =>
       val sub = slice(col("v"), j * w + 1, w)
       val dists = codebooksQ(j).zipWithIndex.map { case (c, ci) =>
@@ -283,7 +297,7 @@ object Similarity {
           lit(0L), (acc, x) => acc + x)
         struct(d2.as("d"), lit(ci).as("code"))
       }
-      element_at(array_sort(array(dists: _*)), 1).getField("code")
+      array_min(array(dists: _*)).getField("code")
     }
     val assigned = coarse.transform(fv)
       .select(col("id"), col("v"), col("n"), col("prediction").as("cell"),

@@ -168,6 +168,46 @@ object TextAnalysis {
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
   }
 
+  // ---- Boilerplate line removal (CCNet-style) ----------------------------
+
+  /** Strip boilerplate LINES: a line occurring in more than `maxDocFreq`
+    * distinct documents is dropped from every document (headers,
+    * nav bars, cookie banners — the CCNet/RefinedWeb pre-dedup pass).
+    * Returns (doc_id, clean_text, dropped_lines) with surviving lines
+    * rejoined in their original order; documents whose every line is
+    * boilerplate keep an empty string.
+    *
+    * Scale shape: lines explode once; the document-frequency aggregate
+    * partial-combines map-side (a boilerplate line that appears 10^8
+    * times collapses per partition before the shuffle); the boilerplate
+    * set joins back as a left-semi hash join on the line key; the
+    * reassembly groups by doc with an order-pinning sort inside
+    * collect_list via sort_array over (pos, line) structs. Empty lines
+    * are preserved verbatim (they never count as boilerplate —
+    * dropping blank separators would corrupt every document). */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val nonBlank = lines.filter(length(col("line")) > 0)
+    val docFreq = nonBlank.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+    val boiler = docFreq.filter(col("df") > maxDocFreq).select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val dropped = nonBlank.join(boiler, Seq("line"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dropped_lines"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+          p => p.getField("line")), "\n").as("clean_text"))
+    df.select(col(idCol).as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("dropped_lines"), lit(0L)).as("dropped_lines"))
+  }
+
   // ---- Keyword search (TF-IDF-ish relevance) -----------------------------
 
   /** Top-k docs for a bag of query terms, scored with an integer-exact

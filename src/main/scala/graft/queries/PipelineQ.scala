@@ -152,6 +152,19 @@ object PipelineQ {
         .orderBy($"label", $"pos")
     }),
 
+    // Boilerplate-line removal (CCNet-style): 6-word lines synthesized
+    // from the corpus (the testdata has no newlines), lines occurring in
+    // > 30 docs dropped, survivors rejoined in order. Exact DuckDB
+    // mirror of the whole pipeline including reassembly.
+    "t43_strip_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        regexp_replace($"text",
+          "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      TextAnalysis.stripBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 30)
+        .orderBy($"doc_id")
+    }),
+
     // Bigram-LM quality score (perplexity-filter shape, the corpus as
     // its own LM): add-one-smoothed quantized conditional probabilities
     // summed per doc — integer arithmetic end to end, mirrored exactly
@@ -799,6 +812,27 @@ object PipelineQ {
          |  CAST(CAST(s.sm AS BIGINT) // n.n AS BIGINT) AS c
          |FROM s JOIN n USING (label)
          |ORDER BY s.label, s.pos""".stripMargin,
+    "t43_strip_boilerplate" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+ \S+) ',
+        |                   '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, g AS pos, l[g+1] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+        |       LATERAL UNNEST(generate_series(0, len(l)-1)) AS i(g)),
+        |nb AS (SELECT DISTINCT doc_id, line FROM lines WHERE len(line) > 0),
+        |boiler AS (SELECT line FROM nb GROUP BY line HAVING COUNT(*) > 30),
+        |kept AS (SELECT doc_id, pos, line FROM lines ANTI JOIN boiler USING (line)),
+        |drp AS (SELECT doc_id, COUNT(*) AS dropped FROM lines
+        |        SEMI JOIN boiler USING (line) GROUP BY doc_id),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(p.dropped, 0) AS BIGINT) AS dropped_lines
+        |FROM documents d LEFT JOIN reb r USING (doc_id) LEFT JOIN drp p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "t41_lm_score" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w

@@ -33,6 +33,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotRepart == want, "score must be repartition-invariant")
   }
 
+  test("stripBoilerplateLines drops high-DF lines, keeps order, blanks, empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nbody one\n\nFOOTER"),
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "HEADER\nunique text"),
+      (4L, "HEADER")).toDF("doc_id", "text")
+    // df(HEADER)=4 > 2 dropped; df(FOOTER)=2 kept; blank lines never count
+    val got = TextAnalysis.stripBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("body one\n\nFOOTER", 1L),
+      2L -> ("body two\nFOOTER", 1L),
+      3L -> ("unique text", 1L),
+      4L -> ("", 1L)))
+    // repartition-invariant (order pinned by position, not row placement)
+    val again = TextAnalysis.stripBoilerplateLines(
+      docs.repartition(5), "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("ngramLmScore ranks natural repetition above gibberish") {
     import spark.implicits._
     // the corpus LM is dominated by the common phrase; the outlier doc's
