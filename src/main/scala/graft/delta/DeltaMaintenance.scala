@@ -303,6 +303,22 @@ object DeltaMaintenance {
     * deleted (or, with dryRun, deletable) log-file names. Driver-side
     * deletes: the log directory is control-plane-sized (bounded by the
     * checkpoint interval × retention), never 100 TB. */
+  /** Parse delta's duration-property encoding ("interval 30 days",
+    * "interval 12 hours", bare "7 days") into hours; None (→ caller
+    * fallback) on anything unrecognized rather than a guessed unit. */
+  private[delta] def parseRetentionHours(s: String): Option[Double] = {
+    val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(days?|hours?|weeks?)\s*""".r
+    s match {
+      case Re(n, unit) => unit.toLowerCase match {
+        case u if u.startsWith("day") => Some(n.toDouble * 24)
+        case u if u.startsWith("hour") => Some(n.toDouble)
+        case u if u.startsWith("week") => Some(n.toDouble * 168)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   def cleanupLog(
       spark: SparkSession,
       path: String,
@@ -312,7 +328,13 @@ object DeltaMaintenance {
     val cps = log.listCheckpointVersions
     if (cps.isEmpty) return Nil // nothing supersedes the JSON tail
     val keepFrom = cps.max
-    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    // the delta.logRetentionDuration table property is the authority
+    // when present (the delta-spark contract — log retention is a table
+    // attribute, not a caller choice); the parameter is the fallback
+    val effectiveHours = log.snapshot(None).metadata.configuration
+      .get("delta.logRetentionDuration").flatMap(parseRetentionHours)
+      .getOrElse(retentionHours)
+    val cutoff = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
     val fs = log.fs
     val CommitRe = """(\d{20})\.json""".r
     val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r

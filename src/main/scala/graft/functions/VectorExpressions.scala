@@ -23,4 +23,14 @@ object VectorFunctions {
     * codegen loop) — oracle-reproducible feature hash for SimHash. */
   def polyhash60(s: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.polyhash60(s)
+
+  /** PQ encode: per-subspace nearest-codebook indices (fused codegen
+    * loop over the literal codebook table). */
+  def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
+      m: Int, codes: Int, w: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.pqEncodeQ(v, codebooks, m, codes, w)
+
+  /** ADC lookup: sum of per-subspace LUT distances for a PQ-coded row. */
+  def adcLookupQ(codes: Column, lut: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.adcLookupQ(codes, lut)
 }

@@ -253,11 +253,13 @@ object Similarity {
     require(nbits >= 1 && nbits <= 8, s"nbits in [1,8]: $nbits")
     val codes = 1 << nbits
 
-    val fv = df.select(col(idCol).as("id"),
-      quantize(col(vecCol)).as("v"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    // the ML features column exists only on the bounded fit sample — the
+    // full corpus carries just the quantized vector (the assignment and
+    // encode kernels below never touch an ML vector)
+    val fv = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n", normQ(col("v")))
-    val fitSample = fv.select(col("id"), col("features"))
+    val fitSample = df.select(col(idCol).as("id"),
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
       .orderBy(col("id")).limit(IvfFitSampleCap).persist()
     val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(fitSample.select("features"))
@@ -283,36 +285,35 @@ object Similarity {
         .map(_.toSeq.map(d => math.round(d * 1e6)).toSeq).toSeq
     }
 
-    // encode: code_j = argmin_c ||v_sub - codebook_j[c]||² in exact
-    // BIGINTs, ties to the lower code — narrow column work per row.
-    // array_min over (d, code) structs is a single O(codes) pass; a
-    // when-chain reduce would DUPLICATE each operand into condition and
-    // branches (exponential expression blowup — measured as a planning
-    // OOM at 32 codes), and array_sort does O(codes·log codes) work for
-    // a minimum
-    val codeCols: Seq[Column] = (0 until m).map { j =>
-      val sub = slice(col("v"), j * w + 1, w)
-      val dists = codebooksQ(j).zipWithIndex.map { case (c, ci) =>
-        val d2 = aggregate(zip_with(sub, typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
-        struct(d2.as("d"), lit(ci).as("code"))
-      }
-      array_min(array(dists: _*)).getField("code")
-    }
-    val assigned = coarse.transform(fv)
-      .select(col("id"), col("v"), col("n"), col("prediction").as("cell"),
-        array(codeCols: _*).as("codes"))
+    // encode + coarse-assign in ONE generated pass each: PqEncodeQ is a
+    // native codegen'd argmin kernel (the portable array_min-over-HOF
+    // formulation, pinned bit-equal in SimilaritySpec, runs interpreted —
+    // m·codes array allocations per row dominated IVF-PQ indexing at
+    // 200k vectors). The coarse cell is the same kernel with m=1,
+    // codes=nlist over the full vector — no ML-pipeline UDF in the scan.
+    val flatCodebooks: IndexedSeq[Long] =
+      codebooksQ.flatten.flatten.toIndexedSeq
+    val centersQ: Seq[Seq[Long]] =
+      coarse.clusterCenters.toIndexedSeq.map(_.toArray.toSeq.map(d => math.round(d * 1e6)))
+    val coarseFlat: IndexedSeq[Long] = centersQ.flatten.toIndexedSeq
+    val assigned = fv
+      .select(col("id"), col("v"), col("n"),
+        element_at(graft.functions.VectorFunctions.pqEncodeQ(
+          col("v"), coarseFlat, 1, nlist, dim), 1).as("cell"),
+        graft.functions.VectorFunctions.pqEncodeQ(
+          col("v"), flatCodebooks, m, codes, w).as("codes"))
       .persist()
 
-    // queries: nprobe nearest coarse cells + per-subspace ADC LUTs
-    // (m × 2^nbits exact integer distances), all driver-side trivial
-    val centers = coarse.clusterCenters.map(_.toArray)
+    // queries: nprobe nearest coarse cells (the SAME quantized
+    // arithmetic as the corpus assignment, so probe and cell agree) +
+    // per-subspace ADC LUTs (m × 2^nbits exact integer distances), all
+    // driver-side trivial
     val queries = assigned.filter(col("id").isin(queryIds.map(Long.box): _*))
       .select("id", "v", "n").as[(Long, Array[Long], Long)].collect()
     val probePairs = queries.flatMap { case (qid, qv, _) =>
-      val dv = qv.map(_.toDouble / 1e6)
-      centers.zipWithIndex
-        .map { case (c, ci) => (ci, c.zip(dv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      centersQ.zipWithIndex
+        .map { case (c, ci) =>
+          (ci, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
         .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
     }.toSeq
     val luts: Seq[(Long, Seq[Seq[Long]])] = queries.toSeq.map { case (qid, qv, _) =>
@@ -326,13 +327,13 @@ object Similarity {
     val qlut = luts.toDF("query_id", "lut")
     val qv = queries.toSeq.map(q => (q._1, q._2, q._3)).toDF("query_id", "qv", "qn")
 
-    // ADC rank within probed cells, keep refine·k, then exact re-rank
+    // ADC rank within probed cells, keep refine·k, then exact re-rank;
+    // the LUT sum is the fused AdcLookupQ kernel, not a per-row zip_with
     val cands = assigned.join(broadcast(probes), "cell")
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(qlut), "query_id")
       .withColumn("adc",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (c, l) => element_at(l, c.cast("int") + 1)), lit(0L), (acc, x) => acc + x))
+        graft.functions.VectorFunctions.adcLookupQ(col("codes"), col("lut")))
       .select(col("query_id"), col("id").as("vec_id"), col("adc"))
       .distinct()
     val wAdc = Window.partitionBy(col("query_id"))

@@ -210,9 +210,13 @@ object GraftSql {
   private val DropDefaultRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""")
   private val CtasRe = new Q(
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref""" +
+    s"""(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Ref""" +
       s"""(?:\\s+PARTITIONED\\s+BY\\s*\\(([\\w,\\s`]+)\\))?""" +
       s"""(?:\\s+CLUSTER\\s+BY\\s*\\(([\\w,\\s`]+)\\))?\\s+AS\\s+(SELECT\\s+.+)\\s*;?\\s*$$""")
+  private val ShowPartitionsRe = new Q(
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*$$""")
+  private val DescribeTableRe = new Q(
+    s"""(?is)^\\s*DESCRIBE\\s+(?:TABLE\\s+)?$Ref\\s*;?\\s*$$""")
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
     // strip DV hints by masked position so a hint-shaped substring inside
@@ -447,7 +451,7 @@ object GraftSql {
         val v = DeltaLog.forTable(spark, path).latestVersion
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
           Row(s"INSERT ${kind.toUpperCase}", v, committedRows(spark, path, v)))
-      case CtasRe(p1, p2, p3, partCols, clusterCols, query) =>
+      case CtasRe(orReplace, p1, p2, p3, partCols, clusterCols, query) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val frame = spark.sql(rewriteDeltaRefs(spark, query))
         def cols(raw: String) = Option(raw).toSeq
@@ -458,11 +462,41 @@ object GraftSql {
         require(partitionBy.isEmpty || clusterBy.isEmpty,
           "CREATE TABLE takes PARTITIONED BY or CLUSTER BY, not both " +
             "(competing physical layouts)")
-        GraftDelta.toDelta(frame, path, partitionBy = partitionBy)
+        // OR REPLACE: a protocol-correct overwrite of an existing table
+        // (one commit removing the prior snapshot's files), schema
+        // replacement included; plain CREATE keeps refusing on existing
+        val replacing = orReplace != null &&
+          graft.delta.GraftTable.isDeltaTable(spark, path)
+        GraftDelta.toDelta(frame, path,
+          mode = if (replacing) "overwrite" else "error",
+          partitionBy = partitionBy, overwriteSchema = replacing)
+        val ctasV = DeltaLog.forTable(spark, path).latestVersion
         if (clusterBy.nonEmpty) DeltaTableOps.clusterBy(spark, path, clusterBy)
         oneRow(spark, Seq("operation", "tableVersion", "rows"),
-          Row("CREATE TABLE AS SELECT",
-            if (clusterBy.nonEmpty) 1L else 0L, committedRows(spark, path, 0L)))
+          Row(if (replacing) "REPLACE TABLE AS SELECT" else "CREATE TABLE AS SELECT",
+            if (clusterBy.nonEmpty) ctasV + 1 else ctasV,
+            committedRows(spark, path, ctasV)))
+      case ShowPartitionsRe(p1, p2, p3) =>
+        // answered from the log alone (partition values ride the adds):
+        // zero data I/O at any table size
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val pc = DeltaTableOps.partitionCounts(spark, path)
+        val partCols2 = DeltaLog.forTable(spark, path).snapshot(None).partitionColumns
+        pc.df.select(partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          .orderBy(partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      case DescribeTableRe(p1, p2, p3) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val snap = DeltaLog.forTable(spark, path).snapshot(None)
+        val partSet = snap.partitionColumns.toSet
+        val rows = snap.schema.fields.toSeq.map(f =>
+          Row(f.name, f.dataType.simpleString,
+            if (partSet.contains(f.name)) "partition column" else ""))
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+          StructType(Seq(
+            StructField("col_name", StringType, nullable = false),
+            StructField("data_type", StringType, nullable = false),
+            StructField("comment", StringType, nullable = false))))
       case ConvertRe(p1, p2, p3) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.convertToDelta(spark, path)

@@ -345,6 +345,26 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("delta.logRetentionDuration property drives cleanupLog's clock") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("k", "v"), path,
+      configuration = Map("delta.logRetentionDuration" -> "interval 0 hours"))
+    GraftDelta.toDelta(Seq((2L, "b")).toDF("k", "v"), path, mode = "append")
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(1L)
+    // caller default is 720h, but the property says 0: superseded
+    // commits are reclaimable immediately
+    val dry = DeltaMaintenance.cleanupLog(spark, path, dryRun = true)
+    assert(dry.exists(_.contains("00000000000000000000.json")),
+      s"property must override the caller default: $dry")
+    // parse pins
+    assert(DeltaMaintenance.parseRetentionHours("interval 30 days").contains(720.0))
+    assert(DeltaMaintenance.parseRetentionHours("7 days").contains(168.0))
+    assert(DeltaMaintenance.parseRetentionHours("interval 2 weeks").contains(336.0))
+    assert(DeltaMaintenance.parseRetentionHours("soon").isEmpty)
+  }
+
   test("delta.checkpointInterval table property drives the checkpoint cadence") {
     import spark.implicits._
     val path = tmp()

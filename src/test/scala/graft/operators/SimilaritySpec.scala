@@ -48,6 +48,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == got, "IVF-PQ must be deterministic across runs")
   }
 
+  test("native pq_encode_q / adc_lookup_q equal the portable HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val m = 4; val codes = 8; val w = 4
+    val rnd = new scala.util.Random(7)
+    val codebooks: IndexedSeq[Long] =
+      IndexedSeq.fill(m * codes * w)(rnd.nextInt(2000000) - 1000000L)
+    val cbSeq: Seq[Seq[Seq[Long]]] = (0 until m).map(j =>
+      (0 until codes).map(c =>
+        (0 until w).map(i => codebooks((j * codes + c) * w + i))))
+    val df = spark.read.parquet(emb).limit(300)
+      .select(col("vec_id"),
+        slice(Similarity.quantize(col("embedding")), 1, m * w).as("v"))
+    // portable argmin per subspace (the semantics oracle)
+    val hofCodes = (0 until m).map { j =>
+      val sub = slice(col("v"), j * w + 1, w)
+      val dists = cbSeq(j).zipWithIndex.map { case (c, ci) =>
+        val d2 = aggregate(zip_with(sub, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d2.as("d"), lit(ci).as("code"))
+      }
+      array_min(array(dists: _*)).getField("code")
+    }
+    val checked = df.select(
+      VectorFunctions.pqEncodeQ(col("v"), codebooks, m, codes, w).as("native"),
+      array(hofCodes: _*).as("hof"))
+    assert(checked.filter(not(col("native") <=> col("hof"))).count() == 0,
+      "native encode must be bit-equal to the portable formulation")
+    // ADC: native lookup equals zip_with+aggregate on a random LUT
+    val lut: Seq[Seq[Long]] = (0 until m).map(_ =>
+      (0 until codes).map(_ => rnd.nextInt(1000000).toLong))
+    val adcChecked = checked.select(
+      VectorFunctions.adcLookupQ(col("native"), typedLit(lut)).as("a"),
+      aggregate(zip_with(col("native"), typedLit(lut),
+        (c, l) => element_at(l, c.cast("int") + 1)), lit(0L), (acc, x) => acc + x).as("b"))
+    assert(adcChecked.filter(not(col("a") <=> col("b"))).count() == 0)
+    // arity mismatch yields NULL, not a partial answer
+    val bad = df.select(VectorFunctions.pqEncodeQ(
+      slice(col("v"), 1, m * w - 1), codebooks, m, codes, w).as("x"))
+    assert(bad.filter(col("x").isNotNull).count() == 0)
+  }
+
   test("groupCentroids computes exact integer means, negatives included") {
     import spark.implicits._
     val df = Seq(

@@ -24,6 +24,42 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     GraftDelta.toDelta(
       (1L to 20L).map(i => (i, s"v$i", i % 4)).toDF("k", "v", "g"), path)
 
+  test("SHOW PARTITIONS and DESCRIBE TABLE answer from the log") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 12L).map(i => (i, s"v$i", i % 3)).toDF("k", "v", "g"), path,
+      partitionBy = Seq("g"))
+    val parts = GraftSql.sql(spark, s"SHOW PARTITIONS delta.`$path`")
+      .as[Long].collect().toSeq
+    assert(parts == Seq(0L, 1L, 2L))
+    val desc = GraftSql.sql(spark, s"DESCRIBE TABLE delta.`$path`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.toSeq == Seq(
+      ("k", "bigint", ""), ("v", "string", ""), ("g", "bigint", "partition column")))
+    // the bare form works too; HISTORY/DETAIL keep their own routes
+    assert(GraftSql.sql(spark, s"DESCRIBE delta.`$path`").count() == 3L)
+    assert(GraftSql.sql(spark, s"DESCRIBE HISTORY delta.`$path`")
+      .columns.contains("operation"))
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT overwrites; plain CREATE refuses") {
+    val path = tmp()
+    GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$path` AS SELECT 1 AS k, 'a' AS v")
+    val e = intercept[Exception](GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$path` AS SELECT 2 AS k, 'b' AS v"))
+    assert(e.getMessage.toLowerCase.contains("exist"), e.getMessage)
+    val r = GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE delta.`$path` AS SELECT 2 AS kk, 9.5 AS score")
+    assert(r.select("operation").head().getString(0) == "REPLACE TABLE AS SELECT")
+    val back = GraftDelta.readDelta(spark, path)
+    assert(back.columns.toSeq == Seq("kk", "score"), "schema replaced")
+    assert(back.count() == 1L)
+    // history preserved: version 0 still readable
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L))
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("DELETE with WHERE lowers to DNF; DV hint picks deletion vectors") {
     val path = tmp()
     seed(path)
