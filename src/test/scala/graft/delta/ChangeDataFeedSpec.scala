@@ -179,6 +179,51 @@ class ChangeDataFeedSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("CDC replication: changeFeed stream + foreachBatch MERGE keeps a replica in sync") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val src = tmp()
+    val replica = tmp()
+    GraftDelta.toDelta((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), src,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))        // v0
+    GraftDelta.toDelta(spark.emptyDataFrame
+      .select(lit(0L).as("id"), lit("").as("v")).limit(0), replica)
+    val q = spark.readStream.format("graft").option("changeFeed", "true").load(src)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // apply the LAST change per key: postimages/inserts upsert,
+        // deletes delete — the standard CDC-apply recipe over the feed
+        val w = Window.partitionBy("id").orderBy(col("_commit_version").desc,
+          when(col("_change_type").isin("insert", "update_postimage"), 1)
+            .otherwise(0).desc)
+        val last = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val ups = last.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select("id", "v")
+        val dels = last.filter(col("_change_type") === "delete")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        if (ups.head(1).nonEmpty) GraftDelta.mergeInto(spark, replica, ups, Seq("id"))
+        if (dels.nonEmpty) GraftDelta.deleteWhere(spark, replica,
+          dels.map(d => Seq(Predicate("id", "==", d))))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      GraftDelta.toDelta(Seq((6L, "v6"), (7L, "v7")).toDF("id", "v"), src,
+        mode = "append")                                                  // v1
+      GraftDelta.updateWhere(spark, src,
+        Seq(Seq(Predicate("id", "==", 2L))), Map("v" -> lit("UPDATED")))  // v2
+      GraftDelta.deleteWhere(spark, src, Seq(Seq(Predicate("id", "==", 4L)))) // v3
+      q.processAllAvailable()
+      val want = GraftDelta.readDelta(spark, src)
+        .as[(Long, String)].collect().toSet
+      val got = GraftDelta.readDelta(spark, replica)
+        .as[(Long, String)].collect().toSet
+      assert(got == want, s"replica drifted: got $got want $want")
+      assert(got.contains((2L, "UPDATED")) && !got.exists(_._1 == 4L))
+    } finally q.stop()
+  }
+
   test("vacuum reclaims aged change-data files on the retention clock") {
     val path = tmp()
     GraftDelta.toDelta((1L to 20L).toDF("k").repartition(2), path)
