@@ -125,6 +125,93 @@ object Multimodal {
           $"n_px".cast("int").as("width"), lit(1).as("height")).as("meta"))
   }
 
+  /** Encode each row's content bytes as a REAL 8-bit unsigned PCM mono
+    * WAV (sample i = byte i — lossless, like [[encodeGrayPng]]): any
+    * byte column becomes genuine audio whose decode is exact, so
+    * audio-feature operators stay oracle-checkable against byte-level
+    * SQL. The RIFF header is assembled directly (44 bytes, deterministic);
+    * decoding goes through the JDK's real `javax.sound.sampled` codec. */
+  def encodePcmWav(media: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        if (content == null || content.isEmpty) (id, Array.emptyByteArray, 0)
+        else {
+          val n = content.length
+          val bb = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                      // PCM
+            .putShort(1)                      // mono
+            .putInt(sampleRate)
+            .putInt(sampleRate)               // byte rate (8-bit mono)
+            .putShort(1)                      // block align
+            .putShort(8)                      // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(n)
+            .put(content)
+          (id, bb.array(), n)
+        }
+      }
+      .toDF("media_id", "wav", "n_samples")
+      .select($"media_id", $"wav".as("content"),
+        struct(lit("audio/wav").as("format"),
+          $"n_samples".cast("int").as("width"), lit(1).as("height")).as("meta"))
+  }
+
+  /** REAL audio decode over the JDK's `javax.sound.sampled` (WAV/PCM,
+    * no external libraries). Samples surface as their unsigned 8-bit
+    * values (0-255); undecodable bytes fail LOUDLY, like the image
+    * decoder. */
+  object WavDecoder extends MediaDecoder {
+    override def decode(content: Array[Byte]): Array[Int] = {
+      if (content == null || content.isEmpty) return Array.emptyIntArray
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        require(in.getFormat.getSampleSizeInBits == 8,
+          s"expected 8-bit PCM, got ${in.getFormat}")
+        val bytes = in.readAllBytes()
+        bytes.map(b => b & 0xFF)
+      } finally in.close()
+    }
+  }
+
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, sample_sum: Long,
+      peak: Long, sign_changes: Long)
+
+  /** Per-clip audio features over partition-streamed batches: sample
+    * count, amplitude sum, peak, and midline (≥128 vs <128) sign
+    * changes — the zero-crossing-rate analog over unsigned samples.
+    * Same mapPartitions shape as [[extractFeatures]]: one JVM pass per
+    * partition, no shuffle, no driver data. */
+  def extractAudioFeatures(
+      media: DataFrame, decoder: MediaDecoder = WavDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, content) =>
+          val s = decoder.decode(content)
+          var sum = 0L
+          var peak = 0L
+          var changes = 0L
+          var i = 0
+          while (i < s.length) {
+            sum += s(i)
+            if (s(i) > peak) peak = s(i)
+            if (i > 0 && ((s(i) >= 128) != (s(i - 1) >= 128))) changes += 1
+            i += 1
+          }
+          AudioFeatures(id, s.length.toLong, sum, peak, changes)
+        }
+      }
+      .toDF()
+  }
+
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, byte_sum: Long, hist: Array[Long])
 

@@ -152,6 +152,19 @@ object PipelineQ {
         .orderBy($"label", $"pos")
     }),
 
+    // Audio path with a REAL codec: text bytes become genuine 8-bit PCM
+    // mono WAVs (sample i = byte i, lossless), decoded back through
+    // javax.sound.sampled on the executors — the byte-level DuckDB
+    // oracle checks the actual encode→decode round trip (a corrupted
+    // decode would surface as a wrong sum/peak or spurious sign change).
+    "t44_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.encodePcmWav(
+        Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text"))
+      Multimodal.extractAudioFeatures(media, Multimodal.WavDecoder)
+        .orderBy($"media_id")
+    }),
+
     // Boilerplate-line removal (CCNet-style): 6-word lines synthesized
     // from the corpus (the testdata has no newlines), lines occurring in
     // > 30 docs dropped, survivors rejoined in order. Exact DuckDB
@@ -812,6 +825,14 @@ object PipelineQ {
          |  CAST(CAST(s.sm AS BIGINT) // n.n AS BIGINT) AS c
          |FROM s JOIN n USING (label)
          |ORDER BY s.label, s.pos""".stripMargin,
+    "t44_audio_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(length(text) AS BIGINT) AS n_samples,
+        | CAST(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))]) AS BIGINT) AS sample_sum,
+        | CAST(list_max([ascii(text[i]) FOR i IN generate_series(1, length(text))]) AS BIGINT) AS peak,
+        | CAST(len(list_filter([CASE WHEN (ascii(text[i]) >= 128) != (ascii(text[i-1]) >= 128)
+        |   THEN 1 ELSE 0 END FOR i IN generate_series(2, length(text))], x -> x = 1)) AS BIGINT) AS sign_changes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "t43_strip_boilerplate" ->
       """WITH src AS (
         |  SELECT doc_id,

@@ -24,6 +24,39 @@ class MultimodalSpec extends AnyFunSuite {
       "gray PNG decode must be the identity on pixel bytes")
   }
 
+  test("WAV encode → javax.sound decode round-trips samples byte-exactly") {
+    import spark.implicits._
+    val texts = Seq((1L, "hello wav"), (2L, ""), (3L, "x"))
+    val media = Multimodal.encodePcmWav(
+      Multimodal.fromDocuments(texts.toDF("doc_id", "text"), "doc_id", "text"))
+    val rows = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // direct decoder round trip on the nontrivial clip
+    assert(Multimodal.WavDecoder.decode(rows(1L)).toSeq ==
+      "hello wav".getBytes("UTF-8").map(_ & 0xFF).toSeq)
+    assert(Multimodal.WavDecoder.decode(rows(2L)).isEmpty)
+    // undecodable bytes fail loudly
+    intercept[Exception](Multimodal.WavDecoder.decode(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("audio features: sum, peak, and midline sign changes over crafted samples") {
+    import spark.implicits._
+    // bytes straddling the 128 midline: 3 sign changes, peak 200
+    val crafted = Array[Byte](10, -56 /*200*/, 20, -126 /*130*/, 5)
+    val media = Seq((7L, crafted)).toDF("media_id", "content")
+      .select($"media_id", $"content",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("raw").as("format"),
+          org.apache.spark.sql.functions.lit(5).as("width"),
+          org.apache.spark.sql.functions.lit(1).as("height")).as("meta"))
+    val wav = Multimodal.encodePcmWav(media)
+    val f = Multimodal.extractAudioFeatures(wav, Multimodal.WavDecoder)
+      .collect().head
+    assert(f.getLong(1) == 5L)                      // n_samples
+    assert(f.getLong(2) == 10L + 200L + 20L + 130L + 5L) // sample_sum
+    assert(f.getLong(3) == 200L)                    // peak
+    assert(f.getLong(4) == 4L, "10→200, 200→20, 20→130, 130→5 all cross 128")
+  }
+
   test("ImageIoDecoder reduces RGB PNGs with integer BT.601 luminance") {
     val img = new java.awt.image.BufferedImage(
       3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
