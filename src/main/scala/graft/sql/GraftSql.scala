@@ -476,27 +476,37 @@ object GraftSql {
           Row(if (replacing) "REPLACE TABLE AS SELECT" else "CREATE TABLE AS SELECT",
             if (clusterBy.nonEmpty) ctasV + 1 else ctasV,
             committedRows(spark, path, ctasV)))
-      case ShowPartitionsRe(p1, p2, p3) =>
+      case s @ ShowPartitionsRe(p1, p2, p3) =>
         // answered from the log alone (partition values ride the adds):
-        // zero data I/O at any table size
-        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val pc = DeltaTableOps.partitionCounts(spark, path)
-        val partCols2 = DeltaLog.forTable(spark, path).snapshot(None).partitionColumns
-        pc.df.select(partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-          .orderBy(partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      case DescribeTableRe(p1, p2, p3) =>
-        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val snap = DeltaLog.forTable(spark, path).snapshot(None)
-        val partSet = snap.partitionColumns.toSet
-        val rows = snap.schema.fields.toSeq.map(f =>
-          Row(f.name, f.dataType.simpleString,
-            if (partSet.contains(f.name)) "partition column" else ""))
-        spark.createDataFrame(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
-          StructType(Seq(
-            StructField("col_name", StringType, nullable = false),
-            StructField("data_type", StringType, nullable = false),
-            StructField("comment", StringType, nullable = false))))
+        // zero data I/O at any table size. A ref that is NOT a graft
+        // table (a temp view, a hive table) falls through to spark.sql —
+        // this route is an optimization, not a semantic capture.
+        scala.util.Try(resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get))
+          .toOption.map { path =>
+            val pc = DeltaTableOps.partitionCounts(spark, path)
+            val partCols2 =
+              DeltaLog.forTable(spark, path).snapshot(None).partitionColumns
+            pc.df.select(
+                partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+              .orderBy(
+                partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          }.getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
+      case s @ DescribeTableRe(p1, p2, p3) =>
+        // same fall-through stance: only graft/delta refs are ours
+        scala.util.Try(resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get))
+          .toOption.map { path =>
+            val snap = DeltaLog.forTable(spark, path).snapshot(None)
+            val partSet = snap.partitionColumns.toSet
+            val rows = snap.schema.fields.toSeq.map(f =>
+              Row(f.name, f.dataType.simpleString,
+                if (partSet.contains(f.name)) "partition column" else ""))
+            spark.createDataFrame(
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+              StructType(Seq(
+                StructField("col_name", StringType, nullable = false),
+                StructField("data_type", StringType, nullable = false),
+                StructField("comment", StringType, nullable = false))))
+          }.getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
       case ConvertRe(p1, p2, p3) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = GraftDelta.convertToDelta(spark, path)

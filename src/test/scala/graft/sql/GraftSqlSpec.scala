@@ -40,6 +40,11 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftSql.sql(spark, s"DESCRIBE delta.`$path`").count() == 3L)
     assert(GraftSql.sql(spark, s"DESCRIBE HISTORY delta.`$path`")
       .columns.contains("operation"))
+    // non-graft refs fall through to spark.sql (a temp view describes
+    // natively instead of refusing)
+    spark.range(3).toDF("z").createOrReplaceTempView("graft_sql_plain_view")
+    assert(GraftSql.sql(spark, "DESCRIBE graft_sql_plain_view")
+      .collect().map(_.getString(0)).contains("z"))
   }
 
   test("CREATE OR REPLACE TABLE AS SELECT overwrites; plain CREATE refuses") {
