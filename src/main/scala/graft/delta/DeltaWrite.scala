@@ -300,9 +300,15 @@ object DeltaWrite {
       stagePartitionBy: Seq[String],
       stageConstraints: Seq[(String, String)],
       physOf: Map[String, String]): Unit = {
+    // the stats-harvest config mirrors the metadata decision below: only
+    // a create or a schema-replacing overwrite installs the CALLER's
+    // configuration; appends honor the table's stored properties (a
+    // caller config that never lands must not skew the stats bound)
+    val statsConfig =
+      if (existing.isEmpty || (mode == "overwrite" && overwriteSchema)) configuration
+      else existing.map(_.metadata.configuration).getOrElse(Map.empty)
     val adds = stageAndMove(df, spark, fs, path, stagingDir, stagePartitionBy, version,
-      stageConstraints,
-      existing.map(_.metadata.configuration).getOrElse(Map.empty) ++ configuration)
+      stageConstraints, statsConfig)
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli

@@ -828,8 +828,8 @@ object PipelineQ {
     "t44_audio_features" ->
       """SELECT doc_id AS media_id,
         | CAST(length(text) AS BIGINT) AS n_samples,
-        | CAST(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))]) AS BIGINT) AS sample_sum,
-        | CAST(list_max([ascii(text[i]) FOR i IN generate_series(1, length(text))]) AS BIGINT) AS peak,
+        | CAST(COALESCE(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))]), 0) AS BIGINT) AS sample_sum,
+        | CAST(COALESCE(list_max([ascii(text[i]) FOR i IN generate_series(1, length(text))]), 0) AS BIGINT) AS peak,
         | CAST(len(list_filter([CASE WHEN (ascii(text[i]) >= 128) != (ascii(text[i-1]) >= 128)
         |   THEN 1 ELSE 0 END FOR i IN generate_series(2, length(text))], x -> x = 1)) AS BIGINT) AS sign_changes
         |FROM documents ORDER BY media_id""".stripMargin,
