@@ -342,6 +342,101 @@ object DeltaTableOps {
     try new java.net.URI(p).isAbsolute
     catch { case _: java.net.URISyntaxException => false }
 
+  /** DEEP CLONE: an independent physical copy of the pinned snapshot —
+    * every active data file copies under the target root (its original
+    * relative layout when relative; a flat unique name when the source
+    * add is absolute, e.g. deep-cloning a shallow clone to materialize
+    * it), and commit 0 re-adds them with the same stats, partition
+    * values, and row-tracking watermark. Deletion vectors are loaded
+    * from the source and re-written as ONE fresh DV file under the
+    * target, so the clone shares zero storage with the source: vacuum
+    * on either side can never touch the other (the shallow-clone
+    * guarantee, without the source-lifetime dependency).
+    *
+    * File copies fan out as a Spark job above the move threshold —
+    * the data plane of the clone is distributed; the commit is one
+    * driver-side control-plane write like every other commit. */
+  def deepClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): CloneResult = {
+    val srcLog = DeltaLog.forTable(spark, sourcePath)
+    val snap = srcLog.snapshot(version)
+    val tgtLog = DeltaLog.forTable(spark, targetPath)
+    val exists =
+      try { tgtLog.latestVersion; true }
+      catch { case _: IllegalArgumentException => false }
+    require(!exists, s"Cannot clone into $targetPath: already a Delta table")
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new Path(sourcePath)
+    val tgtRoot = new Path(targetPath)
+    val tgtFs = tgtRoot.getFileSystem(conf)
+    tgtFs.mkdirs(tgtRoot)
+
+    // (source absolute path, stored target add.path URI) per file
+    val plan: Seq[(String, String)] = snap.activeFiles.zipWithIndex.map { case (f, i) =>
+      val abs = DeltaRead.resolvePath(sourcePath, f.path)
+      val stored =
+        if (hasScheme(f.path) || f.path.startsWith("/"))
+          f"deep-$i%05d-${new Path(abs).getName}"
+        else f.path // keep the original relative (encoded) layout
+      (abs, stored)
+    }
+    def copyOne(c: org.apache.hadoop.conf.Configuration, src: String, storedRel: String): Unit = {
+      val from = new Path(src)
+      val to = new Path(targetPath, DeltaWrite.unescapePathName(storedRel))
+      val ffs = from.getFileSystem(c)
+      val tfs = to.getFileSystem(c)
+      org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
+        /*deleteSource=*/ false, /*overwrite=*/ false, c)
+      ()
+    }
+    if (plan.size <= DeltaWrite.DistributedMoveThreshold)
+      plan.foreach { case (src, rel) => copyOne(conf, src, rel) }
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      spark.sparkContext
+        .parallelize(plan, math.min(64, 1 + plan.size / 16))
+        .foreach { case (src, rel) => copyOne(confBc.value.value, src, rel) }
+    }
+
+    // DVs re-materialize as one fresh file under the TARGET root:
+    // O(#dv-carrying files) driver-side bitmap loads (KB each — the
+    // same blobs-only control-plane shape as DV DML)
+    val srcFs = srcRoot.getFileSystem(conf)
+    val dvCarriers = snap.activeFiles.filter(_.deletionVector.isDefined)
+    val freshDvs: Map[String, DeletionVectorDescriptor] =
+      if (dvCarriers.isEmpty) Map.empty
+      else DeletionVectors.writeDvFile(tgtFs, tgtRoot,
+        dvCarriers.map(f => f.path ->
+          DeletionVectors.loadBitmap(srcFs, srcRoot, f.deletionVector.get)))
+
+    val now = System.currentTimeMillis()
+    val storedByPath = plan.toMap.map { case (abs, rel) => abs -> rel }
+    val adds = snap.activeFiles.zipWithIndex.map { case (f, i) =>
+      val abs = DeltaRead.resolvePath(sourcePath, f.path)
+      f.copy(path = storedByPath(abs), dataChange = true,
+        modificationTime = now,
+        deletionVector = f.deletionVector.map(_ => freshDvs(f.path)))
+    }
+    val meta = snap.metadata.copy(
+      id = java.util.UUID.randomUUID().toString, createdTime = Some(now))
+    val ci = CommitInfo(now, "CLONE",
+      operationParameters = Map(
+        "source" -> sourcePath,
+        "sourceVersion" -> snap.version.toString,
+        "isShallow" -> "false"),
+      operationMetrics = Map(
+        "numClonedFiles" -> adds.size.toString,
+        "numCopiedBytes" -> adds.map(_.size).sum.toString),
+      isBlindAppend = Some(false))
+    val domainActs = snap.domainMetadata.toSeq.map { case (d, cfg) =>
+      DomainMetadata(d, cfg)
+    }
+    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds)
+    CloneResult(0L, adds.size)
+  }
+
   final case class ConvertResult(numFiles: Long, partitionColumns: Seq[String])
 
   /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat or

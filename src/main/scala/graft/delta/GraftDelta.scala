@@ -95,6 +95,12 @@ object GraftDelta {
       version: Option[Long] = None): DeltaTableOps.CloneResult =
     DeltaTableOps.shallowClone(spark, sourcePath, targetPath, version)
 
+  /** DEEP CLONE: independent physical copy (data + DV files copied). */
+  def deepClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): DeltaTableOps.CloneResult =
+    DeltaTableOps.deepClone(spark, sourcePath, targetPath, version)
+
   /** ALTER TABLE … ADD CONSTRAINT … CHECK (beyond the reference's
     * surface; writer protocol v3). */
   def addCheckConstraint(

@@ -719,6 +719,31 @@ object DeltaQ {
       GraftDelta.readDelta(s, path).orderBy($"n_nationkey")
     }),
 
+    // DEEP CLONE: an independent physical copy — after the clone, every
+    // SOURCE data file is deleted from disk; the clone must still read
+    // the full snapshot (zero storage sharing). The in-query require
+    // pins clone-root-relative adds.
+    "d48_deep_clone" -> ((s, dir) => {
+      import s.implicits._
+      val src = tmp("d48src")
+      val clone = tmp("d48")
+      GraftDelta.toDelta(t(s, dir, "supplier").repartition(4), src)     // v0
+      GraftDelta.deleteWhere(s, src,
+        Seq(Seq(Predicate("s_nationkey", "==", 0L))))                   // v1
+      graft.sql.GraftSql.sql(s,
+        s"CREATE TABLE delta.`$clone` DEEP CLONE delta.`$src`")
+      val snap = DeltaLog.forTable(s, clone).snapshot(None)
+      require(snap.activeFiles.forall(f => !f.path.startsWith("/")),
+        "deep-clone adds must be clone-root relative")
+      // obliterate the source's data files: only the clone's bytes remain
+      new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.delete())
+      GraftDelta.readDelta(s, clone)
+        .select($"s_suppkey", $"s_nationkey", $"s_name",
+          cents($"s_acctbal").as("acctbal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1108,6 +1133,11 @@ object DeltaQ {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |UNION ALL SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "d48_deep_clone" ->
+      """SELECT s_suppkey, s_nationkey, s_name,
+        | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c
+        |FROM supplier WHERE s_nationkey <> 0
+        |ORDER BY s_suppkey""".stripMargin,
     "d47_column_default" ->
       """SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
         | CAST(NULL AS VARCHAR) AS status FROM nation

@@ -40,7 +40,7 @@ import scala.util.matching.Regex
   *   - SHOW TBLPROPERTIES t [('key')]
   *   - GENERATE symlink_format_manifest FOR TABLE t
   *   - CREATE TABLE t [PARTITIONED BY (…) | CLUSTER BY (…)] AS SELECT …
-  *   - CREATE [OR REPLACE] TABLE t SHALLOW CLONE s [VERSION AS OF n]
+  *   - CREATE [OR REPLACE] TABLE t SHALLOW|DEEP CLONE s [VERSION AS OF n]
   *   - INSERT INTO|OVERWRITE t SELECT …|VALUES …|TABLE …
   *   - CONVERT TO DELTA parquet.`/path`
   *
@@ -199,7 +199,7 @@ object GraftSql {
   private val ClusterByRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([\\w,\\s`]*)\\)|NONE)\\s*;?\\s*$$""")
   private val CloneRe = new Q(
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref""" +
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val InsertRe = new Q(
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
@@ -388,13 +388,16 @@ object GraftSql {
         val n = DeltaTableOps.generateSymlinkManifest(spark, path)
         oneRow(spark, Seq("operation", "manifests"),
           Row("GENERATE", n))
-      case CloneRe(t1, t2, t3, s1, s2, s3, v) =>
+      case CloneRe(t1, t2, t3, flavor, s1, s2, s3, v) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)
-        val r = GraftDelta.shallowClone(spark, source, target,
-          Option(v).map(_.toLong))
+        val deep = flavor.equalsIgnoreCase("DEEP")
+        val r =
+          if (deep) GraftDelta.deepClone(spark, source, target, Option(v).map(_.toLong))
+          else GraftDelta.shallowClone(spark, source, target, Option(v).map(_.toLong))
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
-          Row("SHALLOW CLONE", r.tableVersion, r.clonedFiles))
+          Row(if (deep) "DEEP CLONE" else "SHALLOW CLONE",
+            r.tableVersion, r.clonedFiles))
       case InsertRe(kind, p1, p2, p3, colList, query) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val raw = spark.sql(rewriteDeltaRefs(spark,

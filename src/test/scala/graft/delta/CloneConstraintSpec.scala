@@ -64,6 +64,65 @@ class CloneConstraintSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, cln).count() == 10)
   }
 
+  test("deep clone copies bytes: source deletion cannot touch the clone") {
+    import spark.implicits._
+    val src = tmp()
+    val clone = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"v$i", i % 3)).toDF("k", "v", "g"), src,
+      partitionBy = Seq("g"))
+    val r = GraftDelta.deepClone(spark, src, clone)
+    assert(r.clonedFiles >= 3)
+    // every add under the clone is clone-root relative (no source refs)
+    val snap = DeltaLog.forTable(spark, clone).snapshot(None)
+    assert(snap.activeFiles.forall(f => !f.path.startsWith("/") && !f.path.contains(src)),
+      snap.activeFiles.map(_.path).mkString(","))
+    assert(GraftDelta.readDelta(spark, clone).as[(Long, String, Long)]
+      .collect().toSet == (1L to 30L).map(i => (i, s"v$i", i % 3)).toSet)
+    // obliterate the source entirely: the clone still reads (deep = no sharing)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(GraftDelta.readDelta(spark, clone).count() == 30L)
+  }
+
+  test("deep clone re-materializes deletion vectors under the clone root") {
+    import spark.implicits._
+    val src = tmp()
+    val clone = tmp()
+    GraftDelta.toDelta((1L to 40L).map(identity).toDF("k").repartition(2), src)
+    GraftDelta.deleteWhereWithDv(spark, src, Seq(Seq(Predicate("k", "<=", 5L))))
+    assert(DeltaLog.forTable(spark, src).snapshot(None)
+      .activeFiles.exists(_.deletionVector.isDefined), "precondition: DV commit")
+    GraftDelta.deepClone(spark, src, clone)
+    assert(GraftDelta.readDelta(spark, clone).as[Long].collect().toSet ==
+      (6L to 40L).toSet, "soft-deleted rows must not resurrect in the clone")
+    // the clone's descriptors resolve under ITS OWN root
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(GraftDelta.readDelta(spark, clone).count() == 35L)
+  }
+
+  test("deep clone of a shallow clone materializes the absolute adds") {
+    import spark.implicits._
+    val src = tmp()
+    val shallow = tmp()
+    val deep = tmp()
+    GraftDelta.toDelta((1L to 10L).map(identity).toDF("k"), src)
+    GraftDelta.shallowClone(spark, src, shallow)
+    graft.sql.GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$deep` DEEP CLONE delta.`$shallow`")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(GraftDelta.readDelta(spark, deep).as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+  }
+
   test("clone refuses an existing delta table target") {
     val src = tmp(); val cln = tmp()
     GraftDelta.toDelta(sample, src)
