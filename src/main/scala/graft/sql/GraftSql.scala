@@ -590,7 +590,41 @@ object GraftSql {
       ts.map(t => "_t" + esc(t)).getOrElse("")
   }
 
-  private def rewriteDeltaRefs(spark: SparkSession, statement: String): String = {
+  /** `table_changes('t', start[, end])` — the delta-spark change-feed
+    * TVF, with INCLUSIVE version bounds: each call site becomes a temp
+    * view over the engine's change-feed planner (batched DV-diff
+    * loading, cdc-file preference), so the feed composes with the whole
+    * SELECT surface (joins, filters, aggregates). */
+  private val TableChangesRe =
+    ("""(?is)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)""" +
+      """(?:\s*,\s*(\d+))?\s*\)""").r
+
+  private def rewriteTableChanges(spark: SparkSession, statement: String): String = {
+    val m = TableChangesRe.pattern.matcher(maskQuoted(statement))
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      val ref = statement.substring(m.start(1), m.end(1))
+      val start = statement.substring(m.start(2), m.end(2)).toLong
+      val end =
+        if (m.start(3) >= 0) Some(statement.substring(m.start(3), m.end(3)).toLong)
+        else None
+      val path = resolveRef(spark, ref)
+      val view = ("graft_tvf_" +
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$path|$start|$end".getBytes("UTF-8"))
+          .take(12).map("%02x".format(_)).mkString)
+      // inclusive start → the engine's (from, hi] contract shifts by one
+      graft.delta.DeltaTableOps.tableChanges(spark, path, start - 1, end)
+        .createOrReplaceTempView(view)
+      sb.append(statement.substring(last, m.start)).append(view)
+      last = m.end
+    }
+    sb.append(statement.substring(last)).toString
+  }
+
+  private def rewriteDeltaRefs(spark: SparkSession, statement0: String): String = {
+    val statement = rewriteTableChanges(spark, statement0)
     // find refs in the quote-masked text (a literal containing
     // "delta.`x`" is data, not a table ref) but read them from the
     // original

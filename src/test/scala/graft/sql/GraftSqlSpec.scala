@@ -47,6 +47,26 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
       .collect().map(_.getString(0)).contains("z"))
   }
 
+  test("table_changes TVF serves the change feed through plain SELECT") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))       // v0
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 2L)))) // v1
+    GraftDelta.toDelta(Seq((99L, "new")).toDF("k", "v"), path, mode = "append") // v2
+    // inclusive bounds, composing with WHERE/aggregation
+    val counts = GraftSql.sql(spark,
+      s"SELECT _change_type, COUNT(*) AS n FROM table_changes('$path', 1, 2) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("delete" -> 2L, "insert" -> 1L), counts.toString)
+    // start-only form reaches the head; version filter works
+    val v2only = GraftSql.sql(spark,
+      s"SELECT k FROM table_changes('$path', 2) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v2only == Seq(99L))
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT overwrites; plain CREATE refuses") {
     val path = tmp()
     GraftSql.sql(spark,
