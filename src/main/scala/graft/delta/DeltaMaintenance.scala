@@ -306,7 +306,7 @@ object DeltaMaintenance {
   /** Parse delta's duration-property encoding ("interval 30 days",
     * "interval 12 hours", bare "7 days") into hours; None (→ caller
     * fallback) on anything unrecognized rather than a guessed unit. */
-  private[delta] def parseRetentionHours(s: String): Option[Double] = {
+  private[graft] def parseRetentionHours(s: String): Option[Double] = {
     val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(days?|hours?|weeks?)\s*""".r
     s match {
       case Re(n, unit) => unit.toLowerCase match {

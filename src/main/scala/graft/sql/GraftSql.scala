@@ -260,7 +260,14 @@ object GraftSql {
           Row("OPTIMIZE", before, after))
       case VacuumRe(p1, p2, p3, hours, dry) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val retention = Option(hours).map(_.toDouble).getOrElse(168.0)
+        // RETAIN overrides; without it the table's
+        // delta.deletedFileRetentionDuration property is the default
+        // (the delta-spark contract), falling back to 7 days
+        val retention = Option(hours).map(_.toDouble).getOrElse(
+          DeltaLog.forTable(spark, path).snapshot(None)
+            .metadata.configuration.get("delta.deletedFileRetentionDuration")
+            .flatMap(graft.delta.DeltaMaintenance.parseRetentionHours)
+            .getOrElse(168.0))
         val deleted = GraftDelta.vacuum(spark, path, retention, dryRun = dry != null)
         import spark.implicits._
         deleted.toDF("path")

@@ -345,6 +345,23 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("delta.deletedFileRetentionDuration drives SQL VACUUM's default clock") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      configuration = Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))
+    GraftDelta.toDelta(Seq((9L, "z")).toDF("k", "v"), path, mode = "overwrite")
+    // no RETAIN clause: the property's 0-hour clock makes the overwrite
+    // tombstones immediately reclaimable (default 168h would keep them)
+    val dropped = graft.sql.GraftSql.sql(spark,
+      s"VACUUM delta.`$path` DRY RUN").as[String].collect()
+    assert(dropped.nonEmpty, "property must drive the default retention")
+    // an explicit RETAIN overrides the property
+    val kept = graft.sql.GraftSql.sql(spark,
+      s"VACUUM delta.`$path` RETAIN 168 HOURS DRY RUN").as[String].collect()
+    assert(kept.isEmpty, "RETAIN must override the property")
+  }
+
   test("delta.logRetentionDuration property drives cleanupLog's clock") {
     import spark.implicits._
     val path = tmp()
