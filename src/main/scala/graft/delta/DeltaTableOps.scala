@@ -437,6 +437,50 @@ object DeltaTableOps {
     CloneResult(0L, adds.size)
   }
 
+  final case class FsckResult(tableVersion: Long, removedEntries: Long)
+
+  /** FSCK REPAIR TABLE: drop log entries whose data files no longer
+    * exist on storage (manual deletion, a botched lifecycle policy) —
+    * one commit of removes, so scans stop failing on the missing files
+    * while every surviving row stays untouched. `dryRun` reports without
+    * committing. The existence check fans out as a Spark job above the
+    * move threshold — O(#files) control-plane, zero data I/O. */
+  def fsckRepair(
+      spark: SparkSession, path: String, dryRun: Boolean = false): FsckResult = {
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val conf = spark.sessionState.newHadoopConf()
+    val checks: Seq[(String, String)] = snap.activeFiles.map(f =>
+      f.path -> DeltaRead.resolvePath(path, f.path))
+    def missing(c: org.apache.hadoop.conf.Configuration, abs: String): Boolean = {
+      val p = new Path(abs)
+      !p.getFileSystem(c).exists(p)
+    }
+    val missingPaths: Set[String] =
+      if (checks.size <= DeltaWrite.DistributedMoveThreshold)
+        checks.filter { case (_, abs) => missing(conf, abs) }.map(_._1).toSet
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        spark.sparkContext
+          .parallelize(checks, math.min(64, 1 + checks.size / 16))
+          .filter { case (_, abs) => missing(confBc.value.value, abs) }
+          .map(_._1).collect().toSet
+      }
+    if (missingPaths.isEmpty || dryRun)
+      return FsckResult(snap.version, missingPaths.size.toLong)
+    val now = System.currentTimeMillis()
+    val removes = snap.activeFiles.filter(f => missingPaths.contains(f.path)).map(f =>
+      RemoveFile(f.path, deletionTimestamp = Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size), deletionVector = f.deletionVector))
+    val ci = CommitInfo(now, "FSCK",
+      operationMetrics = Map("numRemovedFiles" -> removes.size.toString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(snap.version + 1, Seq(ci) ++ removes)
+    FsckResult(snap.version + 1, removes.size.toLong)
+  }
+
   final case class ConvertResult(numFiles: Long, partitionColumns: Seq[String])
 
   /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat or

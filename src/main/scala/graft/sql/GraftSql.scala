@@ -205,6 +205,8 @@ object GraftSql {
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
   private val TruncateRe = new Q(
     s"""(?is)^\\s*TRUNCATE\\s+TABLE\\s+$Ref\\s*;?\\s*$$""")
+  private val FsckRe = new Q(
+    s"""(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val SetDefaultRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?(\\w+)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""")
   private val DropDefaultRe = new Q(
@@ -360,6 +362,12 @@ object GraftSql {
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
           StructType(Seq(StructField("key", StringType, nullable = false),
             StructField("value", StringType, nullable = false))))
+      case FsckRe(p1, p2, p3, dry) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val r = DeltaTableOps.fsckRepair(spark, path, dryRun = dry != null)
+        oneRow(spark, Seq("operation", "tableVersion", "removedEntries"),
+          Row(if (dry != null) "FSCK DRY RUN" else "FSCK", r.tableVersion,
+            r.removedEntries))
       case TruncateRe(p1, p2, p3) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val r = DeltaTableOps.truncateTable(spark, path)

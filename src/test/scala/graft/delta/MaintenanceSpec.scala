@@ -345,6 +345,31 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("FSCK REPAIR drops entries for manually-deleted files, keeps the rest") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 40L).map(i => (i, i % 4)).toDF("k", "g").repartition(4), path)
+    val before = DeltaLog.forTable(spark, path).snapshot(None).activeFiles
+    assert(before.size >= 2)
+    // sabotage: delete one data file from storage directly
+    val victim = before.head
+    new java.io.File(graft.delta.DeltaRead.resolvePath(path, victim.path)).delete()
+    intercept[Exception](GraftDelta.readDelta(spark, path).count())
+    // dry run reports, commits nothing
+    val dry = graft.sql.GraftSql.sql(spark, s"FSCK REPAIR TABLE delta.`$path` DRY RUN")
+    assert(dry.select("removedEntries").head().getLong(0) == 1L)
+    assert(DeltaLog.forTable(spark, path).latestVersion == 0L)
+    // repair: the table reads again, missing only the victim's rows
+    val r = graft.sql.GraftSql.sql(spark, s"FSCK REPAIR TABLE delta.`$path`")
+    assert(r.select("removedEntries").head().getLong(0) == 1L)
+    val survivors = GraftDelta.readDelta(spark, path).count()
+    val victimRows = StatsPruning.parse(victim.stats).flatMap(_.numRecords).get
+    assert(survivors == 40L - victimRows)
+    // idempotent: a second repair finds nothing
+    assert(DeltaTableOps.fsckRepair(spark, path).removedEntries == 0L)
+  }
+
   test("delta.deletedFileRetentionDuration drives SQL VACUUM's default clock") {
     import spark.implicits._
     val path = tmp()
