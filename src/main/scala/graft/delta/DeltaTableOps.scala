@@ -386,8 +386,11 @@ object DeltaTableOps {
       val to = new Path(targetPath, DeltaWrite.unescapePathName(storedRel))
       val ffs = from.getFileSystem(c)
       val tfs = to.getFileSystem(c)
+      // overwrite=true: the copy is deterministic, so a retried or
+      // speculative task re-copying the same bytes must succeed, not
+      // fail on its predecessor's output
       org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
-        /*deleteSource=*/ false, /*overwrite=*/ false, c)
+        /*deleteSource=*/ false, /*overwrite=*/ true, c)
       ()
     }
     if (plan.size <= DeltaWrite.DistributedMoveThreshold)
