@@ -116,4 +116,68 @@ object OperatorProps extends Properties("Operators") {
       // bit-exact equality — dyadic points over integrals are exact
       got == want
     }
+
+  /** Pure-Scala reference of TextAnalysis.ngramLmScore's arithmetic. */
+  private def refLmScores(
+      docs: Seq[(Long, String)], scale: Long): Map[Long, (Long, Long)] = {
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val c1 = docs.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val v = c1.size.toLong
+    val allBi = docs.flatMap { case (_, t) =>
+      val w = toks(t); if (w.length < 2) Nil else w.zip(w.tail)
+    }
+    val c2 = allBi.groupBy(identity).view.mapValues(_.size.toLong)
+    docs.map { case (id, t) =>
+      val w = toks(t)
+      val bi = if (w.length < 2) Nil else w.zip(w.tail)
+      val score = bi.map { b =>
+        (scale * (c2(b) + 1)) / (c1(b._1) + v)
+      }.sum
+      id -> (bi.length.toLong, score)
+    }.toMap
+  }
+
+  private val wordGen = Gen.oneOf("ab", "cd", "ef", "gh", "zz")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  property("ngramLmScore equals the pure-Scala reference on random corpora") =
+    forAll(Gen.listOfN(12, docGen), Gen.chooseNum(2, 8)) { (texts, parts) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = TextAnalysis.ngramLmScore(
+          docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == refLmScores(docs, 10000L)
+    }
+
+  /** Pure-Scala reference of TextAnalysis.stripBoilerplateLines. */
+  private def refStrip(
+      docs: Seq[(Long, String)], maxDf: Long): Map[Long, (String, Long)] = {
+    def lines(t: String) = t.split("\n", -1).toSeq
+    val df = docs.flatMap { case (_, t) => lines(t).filter(_.nonEmpty).distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val boiler = df.filter(_._2 > maxDf).keySet
+    docs.map { case (id, t) =>
+      val ls = lines(t)
+      val kept = ls.filterNot(boiler.contains)
+      val dropped = ls.count(l => l.nonEmpty && boiler.contains(l))
+      id -> (kept.mkString("\n"), dropped.toLong)
+    }.toMap
+  }
+
+  private val lineGen = Gen.oneOf("HEAD", "FOOT", "body", "more", "")
+  private val docLinesGen: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+
+  property("stripBoilerplateLines equals the pure-Scala reference on random corpora") =
+    forAll(Gen.listOfN(10, docLinesGen), Gen.chooseNum(1, 6), Gen.chooseNum(2, 8)) {
+      (texts, maxDf, parts) =>
+        import spark.implicits._
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val got = TextAnalysis.stripBoilerplateLines(
+            docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text", maxDf)
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        got == refStrip(docs, maxDf)
+    }
 }
