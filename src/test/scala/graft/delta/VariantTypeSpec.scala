@@ -87,6 +87,15 @@ class VariantTypeSpec extends GraftSuite {
     assert(back.select(sum(variant_get(col("v"), "$.a", "long"))).as[Long].head() == 4L)
   }
 
+  test("variant tables serve the SQL SELECT surface through the reader views") {
+    val path = tmp()
+    GraftDelta.toDelta(variantFrame, path)
+    val got = graft.sql.GraftSql.sql(spark,
+      s"SELECT SUM(variant_get(v, '$$.a', 'long')) AS s FROM delta.`$path`")
+      .head().getLong(0)
+    assert(got == 6L)
+  }
+
   test("foreign table declaring variantType reads (the r7 refusal is closed)") {
     val path = tmp()
     GraftDelta.toDelta(variantFrame, path)
