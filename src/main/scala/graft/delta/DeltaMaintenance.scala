@@ -41,7 +41,12 @@ object DeltaMaintenance {
       where: Seq[Seq[Predicate]] = Nil): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
-    DeltaWrite.requireNotColumnMapped(snap, "OPTIMIZE")
+    // Column-mapped tables OPTIMIZE through the same logical-read /
+    // physical-write machinery as DML: mappedScan reads physical names
+    // back to the logical schema, physicalizeForWrite renames the
+    // compacted output to its on-disk shape, and stats/partition dirs
+    // are physical-keyed (the append path's contract).
+    val mapped = DeltaRead.mappingModeOf(snap) != "none"
     // liquid clustering: a table carrying stored clustering columns
     // (delta.clustering domain) OPTIMIZEs by them when the caller names
     // no explicit layout — Z-order for ≥2 columns, range for one; an
@@ -82,8 +87,27 @@ object DeltaMaintenance {
 
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val now = Instant.now().toEpochMilli
+    // statsSchema bounds which columns HARVEST stats (first N, the
+    // dataSkippingNumIndexedCols contract); the rewrite itself must read
+    // and copy EVERY column — reading with the truncated stats schema
+    // would silently drop columns past the bound on wide tables.
     val statsSchema = DeltaWrite.statsSchemaOf(
       snap.schema, snap.partitionColumns, snap.metadata.configuration)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // under column mapping, staged files and their stats carry PHYSICAL
+    // names (the same fields, renamed/retyped) and hive dirs use the
+    // physical partition-column names with physical-keyed values
+    val harvestSchema =
+      if (!mapped) statsSchema
+      else org.apache.spark.sql.types.StructType(statsSchema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(DeltaRead.physicalNameOf(f),
+          DeltaRead.physicalize(f.dataType), f.nullable)))
+    val physOfPart: Map[String, String] =
+      snap.schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+    val dirPartCols =
+      if (!mapped) snap.partitionColumns
+      else snap.partitionColumns.map(c => physOfPart.getOrElse(c, c))
 
     // Row tracking: OPTIMIZE only COPIES rows (dataChange=false), so the
     // protocol requires each surviving row to keep its id. The compacted
@@ -93,6 +117,10 @@ object DeltaMaintenance {
     // are still assigned to the new files (spec-required on every add)
     // but never surface for copied rows.
     val rtEnabled = RowTracking.enabled(snap)
+    if (mapped && rtEnabled)
+      throw new IllegalStateException(
+        "OPTIMIZE: row tracking + column mapping on one table is not supported " +
+          "(materialized row-id columns are unmapped physical names)")
     val matCols: Option[(String, String)] =
       if (!rtEnabled) None
       else Some(RowTracking.materializedColNames(snap).getOrElse {
@@ -121,12 +149,12 @@ object DeltaMaintenance {
     }
     val readSchema = matCols match {
       case Some((rid, rcv)) => org.apache.spark.sql.types.StructType(
-        statsSchema.fields :+
+        dataSchema.fields :+
           org.apache.spark.sql.types.StructField(rid,
             org.apache.spark.sql.types.LongType, nullable = true) :+
           org.apache.spark.sql.types.StructField(rcv,
             org.apache.spark.sql.types.LongType, nullable = true))
-      case None => statsSchema
+      case None => dataSchema
     }
 
     // Each partition group rewrites as its OWN Spark job; running them
@@ -140,7 +168,8 @@ object DeltaMaintenance {
       var removes = List.empty[RemoveFile]
       val paths = files.map(f => DeltaRead.resolvePath(path, f.path))
       val numOut = math.max(1, (files.map(_.size).sum / targetFileBytes).toInt)
-      val partitionDir = snap.partitionColumns.map { c =>
+      // pv keys (and hive dir names) are physical under column mapping
+      val partitionDir = dirPartCols.map { c =>
         val v = pv.getOrElse(c, null)
         val escaped = if (v == null) "__HIVE_DEFAULT_PARTITION__" else v
         s"$c=$escaped"
@@ -170,8 +199,14 @@ object DeltaMaintenance {
               org.apache.spark.sql.graft.RowIdExpressions
                 .commitVersion(bcast, col("__rt_path"))))
             .drop("__rt_path", "__rt_idx")
+        case _ if mapped =>
+          // logical-name frame (physical read + rename inside); partition
+          // values arrive as literal columns — dropped, they live in the
+          // output path like the plain branch
+          DeltaRead.mappedScan(spark, path, snap, files, dvBytes)
+            .drop(snap.partitionColumns: _*)
         case _ => DeletionVectors.applyFilter(
-          spark.read.schema(statsSchema).parquet(paths: _*), dvBytes)
+          spark.read.schema(dataSchema).parquet(paths: _*), dvBytes)
       }
       val clustered =
         if (effSortBy.isEmpty) df.coalesce(numOut)
@@ -187,7 +222,11 @@ object DeltaMaintenance {
           df.repartitionByRange(numOut, cols: _*).sortWithinPartitions(cols: _*)
         }
       val tmp = new Path(path, s".graft_compact_${java.util.UUID.randomUUID().toString.take(12)}")
-      clustered.write.parquet(tmp.toString)
+      val staged =
+        if (!mapped) clustered
+        else DeltaWrite.physicalizeForWrite(clustered, snap,
+          exclude = snap.partitionColumns.toSet)
+      staged.write.parquet(tmp.toString)
       fs.listStatus(tmp)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (st, i) =>
@@ -205,7 +244,7 @@ object DeltaMaintenance {
             size = status.getLen,
             modificationTime = status.getModificationTime,
             dataChange = false,
-            stats = Some(DeltaWrite.harvestStats(fs.getConf, dest, statsSchema)))
+            stats = Some(DeltaWrite.harvestStats(fs.getConf, dest, harvestSchema)))
         }
       fs.delete(tmp, true)
       removes :::= files.map(f => RemoveFile(f.path, Some(now), dataChange = false,

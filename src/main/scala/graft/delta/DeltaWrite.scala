@@ -259,9 +259,11 @@ object DeltaWrite {
     * to the physicalized type. id-mode tables with nested structs
     * refuse: nested parquet field ids can't ride a cast, and a file
     * without them would be unreadable under field-id matching. */
-  private[delta] def physicalizeForWrite(df: DataFrame, snap: Snapshot): DataFrame = {
+  private[delta] def physicalizeForWrite(
+      df: DataFrame, snap: Snapshot,
+      exclude: Set[String] = Set.empty): DataFrame = {
     val byId = DeltaRead.mappingModeOf(snap) == "id"
-    val cols = snap.schema.fields.map { f =>
+    val cols = snap.schema.fields.filterNot(f => exclude.contains(f.name)).map { f =>
       if (byId && f.dataType.isInstanceOf[StructType])
         throw new IllegalStateException(
           s"id-mode write with nested struct column ${f.name} is not supported " +

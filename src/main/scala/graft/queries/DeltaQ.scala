@@ -744,6 +744,34 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // DML + OPTIMIZE on a COLUMN-MAPPED table: the foreign-table shape
+    // any renamed-column delta-spark table carries. Upgrade in place →
+    // RENAME → predicate DELETE and UPDATE addressing the RENAMED
+    // logical name (rewrites stage physical-named files) → OPTIMIZE
+    // compacts through the same mapped machinery. The oracle mirrors
+    // delete-then-update over the raw source.
+    "d49_mapped_dml" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d49")
+      GraftDelta.toDelta(t(s, dir, "customer").repartition(4), path)     // v0
+      GraftDelta.enableColumnMapping(s, path)                            // v1
+      GraftDelta.renameColumn(s, path, "c_acctbal", "balance")           // v2
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("balance", "<", 0.0))))                        // v3
+      GraftDelta.updateWhere(s, path,
+        Seq(Seq(Predicate("c_nationkey", "<", 5))),
+        Map("balance" -> (col("balance") + 100)))                        // v4
+      val (nBefore, nAfter) = DeltaMaintenance.compact(s, path)          // v5
+      require(nAfter < nBefore, s"OPTIMIZE must compact: $nBefore -> $nAfter")
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      require(snap.metadata.configuration.get("delta.columnMapping.mode")
+        .contains("name"), "table must stay column-mapped")
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey".cast("long").as("key"), $"c_nationkey",
+          cents($"balance").as("bal_c"))
+        .orderBy($"key")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1268,6 +1296,12 @@ object DeltaQ {
         | 'insert' AS _change_type,
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
+    "d49_mapped_dml" ->
+      """SELECT c_custkey AS key, c_nationkey,
+        | CAST(ROUND((CASE WHEN c_nationkey < 5 THEN c_acctbal + 100
+        |   ELSE c_acctbal END)*100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_acctbal >= 0
+        |ORDER BY key""".stripMargin,
     "d29_column_rename" ->
       """SELECT key, bal_c, mode FROM (
         | SELECT c_custkey AS key,

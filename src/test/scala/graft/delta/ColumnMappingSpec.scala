@@ -128,9 +128,6 @@ class ColumnMappingSpec extends GraftSuite {
     import spark.implicits._
     val path = stageUnpartitioned()
     intercept[IllegalStateException] {
-      DeltaMaintenance.compact(spark, path)
-    }
-    intercept[IllegalStateException] {
       graft.streaming.DeltaTail.changesSince(spark, path, -1L)
     }
     // schema-changing writes refuse (new columns would need fresh ids)
@@ -218,6 +215,84 @@ class ColumnMappingSpec extends GraftSuite {
     assert(del.affectedRows == 2L && del.rewrittenFiles == 0, s"$del")
     val left = GraftDelta.readDelta(spark, path)
     assert(left.select($"key").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("OPTIMIZE compacts name-mapped tables: physical files, logical sortBy, DV materialization") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 4).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    GraftDelta.enableColumnMapping(spark, path)
+    GraftDelta.renameColumn(spark, path, "k", "id")
+    GraftDelta.toDelta(Seq((5L, "v5")).toDF("id", "v"), path, mode = "append")
+    GraftDelta.toDelta(Seq((6L, "v6")).toDF("id", "v"), path, mode = "append")
+    // a live DV: OPTIMIZE must materialize it away, not resurrect the row
+    val dv = GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "==", 2L))))
+    assert(dv.affectedRows == 1L && dv.rewrittenFiles == 0, s"$dv")
+    val before = GraftDelta.readDelta(spark, path).orderBy("id").collect().toSeq
+
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path, sortBy = Seq("id"))
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    assert(GraftDelta.readDelta(spark, path).orderBy("id").collect().toSeq == before)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.forall(_.deletionVector.isEmpty), "DVs materialized away")
+    // compacted files carry PHYSICAL names ("k" was the physical of "id")
+    snap.activeFiles.foreach { a =>
+      assert(spark.read.parquet(s"$path/${a.path}").columns.toSeq == Seq("k", "v"))
+    }
+    // stats harvested on physical footers still prune logically
+    assert(DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("id", ">=", 6L)))).count() == 1L)
+  }
+
+  test("OPTIMIZE on a partitioned mapped table keeps physical hive dirs and cold groups") {
+    import spark.implicits._
+    val path = stagePartitioned()
+    // grow the en partition to 2 files via the mapped-aware append
+    GraftDelta.toDelta(Seq((4L, "w", "en")).toDF("key", "value", "lang"), path,
+      mode = "append")
+    val deFile = DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.filter(_.partitionValues.get("col-p9").contains("de")).map(_.path).toSet
+    val (_, nAfter) = DeltaMaintenance.compact(spark, path)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.activeFiles.size == nAfter)
+    // en compacted into ONE file under the PHYSICAL dir; de kept its exact file
+    val en = snap.activeFiles.filter(_.partitionValues.get("col-p9").contains("en"))
+    assert(en.size == 1 && en.head.path.startsWith("col-p9=en/"), en.map(_.path))
+    assert(snap.activeFiles.filter(_.partitionValues.get("col-p9").contains("de"))
+      .map(_.path).toSet == deFile, "cold partition group untouched")
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.orderBy("key").select($"key", $"value", $"lang").as[(Long, String, String)]
+      .collect().toSeq == Seq((1L, "x", "en"), (2L, "y", "en"), (3L, "z", "de"), (4L, "w", "en")))
+  }
+
+  test("OPTIMIZE compacts id-mode tables; output readable by field id alone") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 3).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    GraftDelta.enableColumnMapping(spark, path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap0 = log.snapshot(None)
+    log.writeCommit(snap0.version + 1, Seq(snap0.metadata.copy(
+      configuration = snap0.metadata.configuration +
+        ("delta.columnMapping.mode" -> "id"))))
+    // overwrite so EVERY active file carries field ids (the id contract)
+    GraftDelta.toDelta((1 to 3).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path,
+      mode = "overwrite")
+    GraftDelta.toDelta(Seq((4L, "v4")).toDF("k", "v"), path, mode = "append")
+    val before = GraftDelta.readDelta(spark, path).orderBy("k").collect().toSeq
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    assert(GraftDelta.readDelta(spark, path).orderBy("k").collect().toSeq == before)
+    // the compacted footer binds by FIELD ID regardless of its on-disk names
+    val add = DeltaLog.forTable(spark, path).snapshot(None).activeFiles.head
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      val idSchema = StructType(Seq(
+        StructField("whatever", LongType, nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", 1).build())))
+      assert(spark.read.schema(idSchema).parquet(s"$path/${add.path}")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
   }
 
   test("deletion vectors apply on mapped scans; mapping can enable over live DVs") {

@@ -162,6 +162,27 @@ class MaintenanceSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path, version = Some(1)).count() == 2000)
   }
 
+  test("OPTIMIZE preserves columns past the dataSkippingNumIndexedCols bound") {
+    import spark.implicits._
+    // 40 columns with the default 32-column stats bound: the rewrite must
+    // copy every column (stats harvest, not the data read, is bounded)
+    val path = tmp()
+    val wide = spark.range(0, 100).select(
+      (0 until 40).map(i => ($"id" * (i + 1)).as(s"c$i")): _*)
+    GraftDelta.toDelta(wide.repartition(3), path)
+    GraftDelta.toDelta(wide.repartition(3), path, mode = "append")
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.columns.length == 40)
+    assert(out.agg(sum($"c39")).head.getLong(0) == 2L * 40 * (0 until 100).sum,
+      "the 40th column's values must survive compaction")
+    // stats stayed bounded: the compacted adds carry ≤ 32 stats columns
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val stats = snap.activeFiles.head.stats.get
+    assert(stats.contains("\"c31\"") && !stats.contains("\"c32\""), stats)
+  }
+
   test("tableDetail summarizes the snapshot from the log alone") {
     import spark.implicits._
     val path = tmp()
