@@ -107,26 +107,55 @@ object DeltaRead {
       } else {
         // partitioned table with outside-root files: hive discovery can't
         // span roots, but the LOG is the source of truth for partition
-        // values anyway (delta protocol) — one scan per partition-value
-        // group with the values attached as typed literals. Group count =
-        // touched partitions, the same cardinality any partition-aware
-        // plan already carries.
+        // values anyway (delta protocol) — ONE scan over every file with
+        // the values attached per-row from a broadcast file→values index
+        // inside whole-stage codegen (the DvProbe/RowIdOf pattern). The
+        // per-group union alternative builds one relation per partition
+        // value: at 10k+ partitions that is a 10k-node plan whose
+        // analyzer cost and driver memory scale with partition count.
         val partFields = schema.fields.filter(f => partCols.contains(f.name))
         val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-        files.groupBy(_.partitionValues).map { case (pv, group) =>
-          val g = DeletionVectors.applyFilter(
-            spark.read.format("parquet").schema(dataSchema)
-              .load(group.map(f => resolvePath(path, f.path)): _*),
-            dvBytes)
-          partFields.foldLeft(g) { (d, f) =>
-            d.withColumn(f.name,
-              lit(pv.get(f.name).flatMap(Option(_)).orNull).cast(f.dataType))
-          }.select(schema.fieldNames.map(col).toSeq: _*)
-        }.reduce(_ unionByName _)
+        val scan = DeletionVectors.applyFilter(
+          spark.read.format("parquet").schema(dataSchema).load(absolute: _*), dvBytes)
+        attachLogPartitionValues(spark, scan, files, absolute, partFields, identity)
+          .select(schema.fieldNames.map(col).toSeq: _*)
       }
     }
 
     finishProjection(base, schema, partCols, columns, filters)
+  }
+
+  /** Attach a partitioned table's log-carried partition values to a
+    * single-relation scan of its files: one broadcast file→values index,
+    * one codegen'd lookup per partition column keyed on
+    * `_metadata.file_path` — plan size stays O(1) in the partition
+    * count. `pvKeyOf` maps a logical partition field name to its
+    * partitionValues key (physical name under column mapping).
+    * Delta file names embed UUIDs, so basenames are unique; a collision
+    * (corrupt or adversarial log) refuses rather than mis-attributing. */
+  private def attachLogPartitionValues(
+      spark: SparkSession,
+      scan: DataFrame,
+      files: Seq[AddFile],
+      resolvedPaths: Seq[String],
+      partFields: Seq[StructField],
+      pvKeyOf: String => String): DataFrame = {
+    val keys = partFields.map(f => pvKeyOf(f.name))
+    // keys are the RESOLVED (uri-decoded) basenames — what
+    // `_metadata.file_path` carries at scan time, same as RowIdIndex
+    val byName = files.zip(resolvedPaths).map { case (f, p) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      name -> keys.map(k => f.partitionValues.get(k).flatMap(Option(_)).orNull).toArray
+    }
+    require(byName.map(_._1).distinct.size == byName.size,
+      "duplicate data-file basenames across partition roots — cannot key partition values")
+    val idx = spark.sparkContext.broadcast(new PartValueIndex(byName.toMap))
+    val pathCol = col("_metadata.file_path")
+    partFields.zipWithIndex.foldLeft(scan) { case (d, (f, i)) =>
+      d.withColumn(f.name,
+        org.apache.spark.sql.graft.PartValueExpressions
+          .partValue(idx, i, pathCol).cast(f.dataType))
+    }
   }
 
   /** (b) residual row-level filter → Catalyst → parquet row-group
@@ -246,22 +275,28 @@ object DeltaRead {
       else StructType(dataFields.map(f =>
         StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
     val partFields = schema.fields.filter(f => partCols.contains(f.name))
-    files.groupBy(_.partitionValues).map { case (pv, group) =>
-      // DVs apply on the raw physical scan, where _metadata resolves —
-      // bitmaps are keyed by file NAME, independent of column mapping
-      val g = DeletionVectors.applyFilter(
-        readSession.read.format("parquet").schema(readSchema)
-          .load(group.map(f => resolvePath(path, f.path)): _*),
-        dvBytes)
-      val renamed = dataFields.map(f =>
-        (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
-        partFields.map(f =>
-          lit(pv.get(physOf(f.name)).flatMap(Option(_)).orNull)
-            .cast(f.dataType).as(f.name)) ++
-        (if (keepMeta) Seq(col("_metadata").as("_metadata")) else Nil)
-      val ordered = schema.fieldNames.toSeq ++ (if (keepMeta) Seq("_metadata") else Nil)
-      g.select(renamed: _*).select(ordered.map(col): _*)
-    }.reduce(_ unionByName _)
+    // ONE relation over every file; partition values attach per-row from
+    // the broadcast file→values index (physical-keyed pv entries), so the
+    // plan stays O(1) in the partition count — same shape as the plain
+    // outside-root branch. DVs apply on the raw physical scan, where
+    // _metadata resolves — bitmaps are keyed by file NAME, independent of
+    // column mapping. Values land under collision-proof temp names: a
+    // logical partition name may equal some data field's PHYSICAL name.
+    val resolved = files.map(f => resolvePath(path, f.path))
+    val g = DeletionVectors.applyFilter(
+      readSession.read.format("parquet").schema(readSchema).load(resolved: _*),
+      dvBytes)
+    val withPv =
+      if (partFields.isEmpty) g
+      else attachLogPartitionValues(spark, g, files, resolved,
+        partFields.map(f => f.copy(name = s"__graft_pv_${f.name}")),
+        n => physOf.getOrElse(n.stripPrefix("__graft_pv_"), n.stripPrefix("__graft_pv_")))
+    val renamed = dataFields.map(f =>
+      (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
+      partFields.map(f => col(s"__graft_pv_${f.name}").as(f.name)) ++
+      (if (keepMeta) Seq(col("_metadata").as("_metadata")) else Nil)
+    val ordered = schema.fieldNames.toSeq ++ (if (keepMeta) Seq("_metadata") else Nil)
+    withPv.select(renamed: _*).select(ordered.map(col): _*)
   }
 
   /** Two-level log-side file pruning, before any scan exists:

@@ -217,6 +217,35 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("partitioned shallow clone with 500+ partitions plans ONE scan relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_clone")
+    dir.toFile.deleteOnExit()
+    val src = s"$dir/src"
+    val clone = s"$dir/clone"
+    // 512 partitions, a few rows each — the shape that used to build a
+    // 512-relation union (plan size and analyzer cost O(#partitions))
+    GraftDelta.toDelta(
+      spark.range(0, 2048).select(($"id" % 512).cast("long").as("p"), $"id".as("v")),
+      src, partitionBy = Seq("p"))
+    GraftDelta.shallowClone(spark, src, clone)
+    val df = GraftDelta.readDelta(spark, clone)
+    assert(df.agg(sum($"v")).head.getLong(0) == (0L until 2048L).sum)
+    assert(df.filter($"p" === 7L).count() == 4L)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected ONE scan relation, got $scans:\n${p.take(2000)}")
+    assert(!p.contains("Union"), s"per-partition union must be gone:\n${p.take(2000)}")
+    // log-level pruning still bites through the clone: a partition
+    // predicate plans only that partition's file(s)
+    val pruned = DeltaRead.load(spark, clone,
+      filters = Seq(Seq(Predicate("p", "==", 3L))))
+    assert(pruned.count() == 4L)
+    val prunedScan = pruned.queryExecution.executedPlan.toString
+    assert(prunedScan.contains("FileScan parquet"), prunedScan)
+  }
+
   test("t33 skew join broadcasts only the hot-key set; both arms hash-join") {
     val df = graft.queries.PipelineQ.queries("t33_skew_join")(spark, sf)
     df.collect()
