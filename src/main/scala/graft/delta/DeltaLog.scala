@@ -408,7 +408,26 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           s"reader ≤ 2 with mapping mode none/name/id, or reader 3 whose features " +
           s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
     }
-    Snapshot(target, meta, protocol, active.values.toSeq, removed.values.toSeq,
+    // Bound the driver bytes retained per active file: verbose foreign
+    // stats strings (pretty-printed logs, stats over hundreds of
+    // non-indexed columns, unbounded string bounds) canonicalize down to
+    // the indexed-column prefix. Our own writer's stats are already
+    // minimal and skip this entirely (CompactThreshold).
+    val statsKeep: String => Boolean = {
+      val prefix = DeltaWrite.statsSchemaOf(
+        meta.schema, meta.partitionColumns, meta.configuration)
+      // logical AND physical names: foreign writers key stats physically
+      // under mapping, but a sloppy one may key logically — keep both
+      (prefix.fieldNames ++ prefix.fields.map(DeltaRead.physicalNameOf)).toSet
+    }
+    val activeFiles = active.values.toSeq.map { f =>
+      f.stats match {
+        case Some(s) if s.length > StatsPruning.CompactThreshold =>
+          f.copy(stats = Some(StatsPruning.compactStats(s, statsKeep)))
+        case _ => f
+      }
+    }
+    Snapshot(target, meta, protocol, activeFiles, removed.values.toSeq,
       txns.values.toSeq, domains.toMap)
   }
 

@@ -22,6 +22,61 @@ object StatsPruning {
 
   private val mapper = new ObjectMapper()
 
+  /** Stats strings longer than this get canonicalized at snapshot
+    * construction (compactStats); shorter ones — everything our own
+    * writer emits on typical schemas — are retained verbatim, so the
+    * common path pays zero parse CPU. */
+  private[delta] val CompactThreshold = 512
+
+  /** Canonical compact re-serialization of a verbose foreign stats
+    * string, bounding the bytes the DRIVER retains per active file at
+    * any table size: keeps only the five protocol-meaningful fields
+    * (numRecords, minValues, maxValues, nullCount, tightBounds), filters
+    * per-column entries to `keep` (the table's indexed-stats prefix —
+    * physical names under column mapping), truncates oversized string
+    * MIN bounds to a 64-char prefix (lexicographically ≤ the true min:
+    * still a sound lower bound) and DROPS oversized string MAX bounds
+    * (a prefix would shrink the bound — no evidence is the only sound
+    * compaction). Value-faithful for everything retained, so checkpoints
+    * written from the snapshot stay correct; anything unparseable is
+    * kept verbatim. */
+  private[delta] def compactStats(json: String, keep: String => Boolean): String = {
+    try {
+      val root = mapper.readTree(json)
+      if (root == null || !root.isObject) return json
+      val out = mapper.createObjectNode()
+      Option(root.get("numRecords")).filter(_.isNumber)
+        .foreach(n => out.set[JsonNode]("numRecords", n))
+      def bound(v: JsonNode, maxSide: Boolean): Option[JsonNode] =
+        if (v.isTextual && v.asText().length > 64) {
+          if (maxSide) None
+          else Some(mapper.getNodeFactory.textNode(v.asText().substring(0, 64)))
+        } else if (v.isObject) {
+          // nested struct stats: canonicalize recursively, same bounds
+          val o = mapper.createObjectNode()
+          v.properties().forEach { e =>
+            bound(e.getValue, maxSide).foreach(b => o.set[JsonNode](e.getKey, b))
+          }
+          Some(o)
+        } else Some(v)
+      def copyCols(field: String, maxSide: Boolean): Unit =
+        Option(root.get(field)).filter(_.isObject).foreach { src =>
+          val dst = mapper.createObjectNode()
+          src.properties().forEach { e =>
+            if (keep(e.getKey))
+              bound(e.getValue, maxSide).foreach(b => dst.set[JsonNode](e.getKey, b))
+          }
+          out.set[JsonNode](field, dst)
+        }
+      copyCols("minValues", maxSide = false)
+      copyCols("maxValues", maxSide = true)
+      copyCols("nullCount", maxSide = false)
+      Option(root.get("tightBounds")).filter(_.isBoolean)
+        .foreach(n => out.set[JsonNode]("tightBounds", n))
+      mapper.writeValueAsString(out)
+    } catch { case _: Exception => json }
+  }
+
   def parse(statsJson: Option[String]): Option[FileStats] =
     statsJson.flatMap { s =>
       try {

@@ -183,6 +183,62 @@ class MaintenanceSpec extends GraftSuite {
     assert(stats.contains("\"c31\"") && !stats.contains("\"c32\""), stats)
   }
 
+  test("verbose foreign stats compact at replay; bounds stay sound, small stats verbatim") {
+    import spark.implicits._
+    val path = tmp()
+    Seq((1L, "a"), (50L, "b")).toDF("v", "s").coalesce(1).write.parquet(s"$path/data")
+    val f = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val longMin = "m" * 100
+    val longMax = "z" * 100
+    // pretty-printed, extra fields, a column outside the schema, and
+    // oversized string bounds — the foreign-log worst case
+    val verbose =
+      s"""{
+         |  "numRecords" : 2,
+         |  "tightBounds" : false,
+         |  "minValues" : { "v" : 1, "s" : "$longMin", "ghost" : 7 },
+         |  "maxValues" : { "v" : 50, "s" : "$longMax", "ghost" : 9 },
+         |  "nullCount" : { "v" : 0, "s" : 0, "ghost" : 0 },
+         |  "someVendorField" : { "x" : "${"y" * 300}" }
+         |}""".stripMargin
+    assert(verbose.length > 512)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    DeltaLog.forTable(spark, path).writeCommit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE"),
+      Protocol(1, 2),
+      MetadataAction(id = "stats-compact", schemaString = schema.json),
+      AddFile(path = s"data/${f.getName}", size = f.length(),
+        modificationTime = f.lastModified(), dataChange = true,
+        stats = Some(verbose))))
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val kept = snap.activeFiles.head.stats.get
+    assert(kept.length < 200, s"retained ${kept.length}B: $kept")
+    assert(!kept.contains("ghost") && !kept.contains("someVendorField"), kept)
+    assert(kept.contains("\"tightBounds\":false"), kept)
+    // min truncated to a sound 64-char prefix; oversized max DROPPED
+    val st = StatsPruning.parse(Some(kept)).get
+    assert(st.numRecords.contains(2L))
+    assert(st.min("s") == "m" * 64 && !st.max.contains("s"), st)
+    assert(st.min("v") == 1L && st.max("v") == 50L)
+    // consumers stay correct: numeric pruning bites, metadata count exact
+    assert(DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("v", ">", 100L)))).count() == 0)
+    assert(DeltaTableOps.countWhere(spark, path,
+      Seq(Seq(Predicate("v", ">=", 0L)))).count == 2L)
+    // a string predicate past the truncated min cannot prune unsoundly
+    assert(DeltaRead.load(spark, path,
+      filters = Seq(Seq(Predicate("s", ">", "y")))).count() ==
+      Seq("a", "b").count(_ > "y"))
+    // our own minimal stats stay verbatim (no parse on the common path)
+    val own = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("v", "s"), own)
+    val ownStats = DeltaLog.forTable(spark, own).snapshot(None).activeFiles.head.stats.get
+    assert(ownStats.length <= 512, ownStats)
+  }
+
   test("tableDetail summarizes the snapshot from the log alone") {
     import spark.implicits._
     val path = tmp()
