@@ -636,6 +636,17 @@ object DeltaDml {
     finally src.unpersist()
   }
 
+  /** The fused phase-0 source aggregation: row count, distinct key-tuple
+    * count, and per-key min/max — one pass over the source (exposed so
+    * the plan shape is spec-pinnable). */
+  private[delta] def mergeGuardFrame(source: DataFrame, on: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("__cnt"),
+      countDistinct(struct(on.map(col): _*)).as("__dk")) ++
+      on.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+    source.agg(aggs.head, aggs.tail: _*)
+  }
+
   private def mergeImpl(
       spark: SparkSession,
       path: String,
@@ -647,20 +658,24 @@ object DeltaDml {
       log: DeltaLog,
       snap: Snapshot,
       targetCols: Seq[String]): MergeResult = {
-    // the protocol's unique-source-match guard: >1 source row per key is
-    // an error, checked with one small agg on the source
-    val dupKeys = source.groupBy(on.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dupKeys.nonEmpty)
+    // ---- phase 0: ONE aggregation over the source fuses the protocol's
+    // unique-source-match guard with the key-span harvest (r9 VERDICT:
+    // separate guard + span passes made a large-source merge pay an
+    // extra scan). Duplicates exist iff count(*) > countDistinct of the
+    // key TUPLE — struct() keeps all-null tuples countable, matching the
+    // old groupBy semantics where duplicate null-key rows also refuse.
+    // The per-key min/max range-prunes target files via per-file stats.
+    val guardRow = mergeGuardFrame(source, on).collect()(0)
+    if (guardRow.getAs[Long]("__cnt") > guardRow.getAs[Long]("__dk")) {
+      // failure path only: a second scan may name an offending key
+      val dupKeys = source.groupBy(on.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
       throw new IllegalStateException(
-        s"MERGE source has duplicate join keys, e.g. ${dupKeys(0)}")
-
-    // ---- phase 0: range-prune target files by the source's key span ----
+        s"MERGE source has duplicate join keys, e.g. ${dupKeys.headOption.getOrElse("?")}")
+    }
     val keyRanges: Seq[Seq[Predicate]] = {
-      val aggs = on.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
-      val row = source.agg(aggs.head, aggs.tail: _*).collect()(0)
       val conj = on.flatMap { k =>
-        (Option(row.getAs[Any](s"mn_$k")), Option(row.getAs[Any](s"mx_$k"))) match {
+        (Option(guardRow.getAs[Any](s"mn_$k")), Option(guardRow.getAs[Any](s"mx_$k"))) match {
           case (Some(mn), Some(mx)) =>
             Seq(Predicate(k, ">=", mn), Predicate(k, "<=", mx))
           case _ => Nil // all-null key column: no matches possible

@@ -499,22 +499,17 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     def conflict(e: Throwable) = throw new java.util.ConcurrentModificationException(
       s"Concurrent commit: version $version already exists in $tablePath", e)
-    if ("file" == Option(target.toUri.getScheme).getOrElse(fs.getUri.getScheme)) {
-      val p = java.nio.file.Paths.get(target.toUri.getPath)
-      val out =
-        try java.nio.file.Files.newOutputStream(p,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch { case e: java.nio.file.FileAlreadyExistsException => conflict(e) }
-      try out.write(bytes) finally out.close()
-    } else {
-      val out =
-        try fs.create(target, /*overwrite=*/ false)
-        catch {
-          case e: org.apache.hadoop.fs.FileAlreadyExistsException => conflict(e)
-          case e: java.io.IOException if fs.exists(target) => conflict(e)
-        }
-      try out.write(bytes) finally out.close()
+    // mutual exclusion on the version file is a per-scheme property —
+    // delegated to the LogStore seam (POSIX CREATE_NEW locally,
+    // create-no-overwrite on transactional namespaces, documented
+    // check-then-put on S3A unless a locked/conditional store is
+    // registered — see LogStore's scaladoc)
+    val scheme = Option(target.toUri.getScheme).getOrElse(fs.getUri.getScheme)
+    try LogStore.forScheme(scheme).writePutIfAbsent(fs, target, bytes)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => conflict(e)
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => conflict(e)
+      case e: java.io.IOException if fs.exists(target) => conflict(e)
     }
   }
 

@@ -139,6 +139,28 @@ class MergeSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 12)
   }
 
+  test("phase-0 guard+span is ONE source pass (fused aggregation)") {
+    import spark.implicits._
+    val src = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n"))
+      .toDF("k", "v")
+    val frame = DeltaDml.mergeGuardFrame(src, Seq("k"))
+    val row = frame.collect()(0)
+    // counts include the null-key row; distinct counts the null TUPLE
+    assert(row.getAs[Long]("__cnt") == 3L && row.getAs[Long]("__dk") == 3L, row)
+    assert(row.getAs[Long]("mn_k") == 1L && row.getAs[Long]("mx_k") == 2L, row)
+    // one scan of the source relation in the whole physical plan
+    val whole = frame.queryExecution.executedPlan.toString
+    val p = whole.split("== Initial Plan ==")(0) // AQE repeats the pre-AQE plan
+    val scans = p.linesIterator.count(l =>
+      l.contains("LocalTableScan") || l.contains("Scan ExistingRDD") ||
+        l.contains("FileScan"))
+    assert(scans == 1, s"fused guard must scan the source once:\n$p")
+    // duplicate NULL tuples still refuse, like the old groupBy guard
+    val dupNull = Seq((None: Option[Long], "x"), (None: Option[Long], "y")).toDF("k", "v")
+    val r2 = DeltaDml.mergeGuardFrame(dupNull, Seq("k")).collect()(0)
+    assert(r2.getAs[Long]("__cnt") > r2.getAs[Long]("__dk"), r2)
+  }
+
   test("merge into a hive-partitioned target keeps partition layout") {
     import spark.implicits._
     val path = tmp()

@@ -18,6 +18,37 @@ class MockFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mockfs:///")
 }
 
+/** An S3A-shaped filesystem: `create(overwrite=false)` is DELIBERATELY
+  * check-then-put — the existence probe and the (blind, truncating) put
+  * are separated by a barrier so two committers deterministically
+  * interleave check/check/put/put. Models the object-store anomaly the
+  * LogStore seam exists for. */
+class RacyFs extends RawLocalFileSystem {
+  override def getScheme: String = "racyfs"
+  override def getUri: URI = URI.create("racyfs:///")
+  override def create(
+      f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      RacyFs.widenWindow()
+      // blind PUT: last writer silently truncates — the S3 lost update
+      super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+    } else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
+object RacyFs {
+  @volatile var gate: Option[java.util.concurrent.CyclicBarrier] = None
+  private[delta] def widenWindow(): Unit = gate.foreach { b =>
+    try b.await(2, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Exception => () } // lone committer proceeds
+  }
+}
+
 class RemoteFsSpec extends GraftSuite {
 
   private lazy val table: String = {
@@ -82,6 +113,60 @@ class RemoteFsSpec extends GraftSuite {
       s"expected ${tombstones.size} deletions, got ${before.size} -> ${after.size}")
     // the surviving table still reads correctly through the remote scheme
     assert(GraftDelta.readDelta(spark, table).count() == 10)
+  }
+
+  test("LogStore seam: check-then-put loses an update; a registered locked store serializes") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.racyfs.impl", classOf[RacyFs].getName)
+    def stage(): DeltaLog = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_racyfs")
+      dir.toFile.deleteOnExit()
+      val t = s"racyfs:$dir/tbl"
+      DeltaWrite.write(Seq((1L, "a")).toDF("id", "v"), t, mode = "error")
+      DeltaLog.forTable(spark, t)
+    }
+    def race(log: DeltaLog): Seq[Either[Throwable, Unit]] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = Seq("w1", "w2").map { who =>
+          new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+            override def call(): Either[Throwable, Unit] =
+              try Right(log.writeCommit(1L, Seq(
+                CommitInfo(System.currentTimeMillis(), s"WRITE-$who"))))
+              catch { case e: Throwable => Left(e) }
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
+
+    // (a) the anomaly, deterministically: both committers pass the
+    // existence check before either puts — both "win", the log keeps only
+    // the LAST body (the object-store lost update the seam exists for)
+    RacyFs.gate = Some(new java.util.concurrent.CyclicBarrier(2))
+    try {
+      val r = race(stage())
+      assert(r.count(_.isRight) == 2,
+        s"check-then-put must let both commit (the demonstrated anomaly): $r")
+    } finally RacyFs.gate = None
+
+    // (b) the fix: register a Locked store for the scheme (stand-in for a
+    // DynamoDB/etcd lease) — exactly ONE committer wins, the loser gets
+    // the version conflict the retry loop upstream understands
+    val mutex = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    LogStore.register("racyfs", new LogStore.Locked(LogStore.CheckThenPut,
+      (key, body) => mutex.computeIfAbsent(key, _ => new Object).synchronized(body())))
+    try {
+      val log = stage()
+      val r = race(log)
+      assert(r.count(_.isRight) == 1, s"exactly one committer must win: $r")
+      assert(r.collect { case Left(e) => e }
+        .forall(_.isInstanceOf[java.util.ConcurrentModificationException]), r.toString)
+      // the winner's commit is intact and replayable
+      assert(log.snapshot(None).version == 1L)
+    } finally LogStore.register("racyfs", LogStore.CreateNoOverwrite)
   }
 
   test("restore and tableChanges operate through the remote scheme") {
