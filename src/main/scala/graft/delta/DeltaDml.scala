@@ -549,6 +549,33 @@ object DeltaDml {
   def src(name: String): Column = col(s"$SrcPrefix$name")
   private val SrcPrefix = "__graft_src_"
 
+  /** One ordered `WHEN MATCHED [AND condition] THEN action` clause
+    * (delta-spark's multi-clause builder shape): clauses evaluate in
+    * order, the FIRST whose condition holds applies, a matched row no
+    * clause accepts is kept unchanged. Conditions see target columns by
+    * name and source columns via [[DeltaDml.src]]. */
+  final case class MatchedClause(
+      action: WhenMatched, condition: Option[Column] = None) {
+    require(action != WhenMatched.Ignore,
+      "Ignore is expressed by omitting the clause, not by a clause")
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE/DELETE` —
+    * applies to TARGET rows no source key matches (the CDC-apply /
+    * full-sync shape: delete or age-out rows the feed no longer
+    * carries). Conditions and assignments see target columns only.
+    * NOTE the scan scope: these rows can live in ANY file, so a merge
+    * carrying by-source clauses rewrites every candidate file, not just
+    * key-matched ones — the full-synchronization cost, same as
+    * delta-spark. */
+  sealed trait BySourceAction
+  object BySourceAction {
+    case object Delete extends BySourceAction
+    final case class Update(set: Map[String, Column]) extends BySourceAction
+  }
+  final case class BySourceClause(
+      action: BySourceAction, condition: Option[Column] = None)
+
   final case class MergeResult(
       matchedRows: Long,
       insertedRows: Long,
@@ -575,15 +602,35 @@ object DeltaDml {
       on: Seq[String],
       whenMatched: WhenMatched = WhenMatched.UpdateAll,
       insertNotMatched: Boolean = true,
+      checkpointInterval: Int = 10): MergeResult =
+    mergeClauses(spark, path, source, on,
+      matched = if (whenMatched == WhenMatched.Ignore) Nil
+                else Seq(MatchedClause(whenMatched)),
+      insertNotMatched = insertNotMatched,
+      bySource = Nil,
+      checkpointInterval = checkpointInterval)
+
+  /** The full delta-spark clause surface: ordered conditioned WHEN
+    * MATCHED clauses (first-match-wins) + WHEN NOT MATCHED [BY TARGET]
+    * insert + ordered WHEN NOT MATCHED BY SOURCE clauses. The
+    * single-clause [[merge]] is the degenerate call. */
+  def mergeClauses(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      on: Seq[String],
+      matched: Seq[MatchedClause],
+      insertNotMatched: Boolean = true,
+      bySource: Seq[BySourceClause] = Nil,
       checkpointInterval: Int = 10): MergeResult = {
     require(on.nonEmpty, "MERGE requires at least one join key")
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
-    // matched-row mutation removes committed rows; an insert-only merge
-    // (WhenMatched.Ignore) is a legal append
-    if (whenMatched != WhenMatched.Ignore)
-      DeltaWrite.requireNotAppendOnly(snap, "MERGE with matched-row updates/deletes")
+    // matched-row mutation / by-source clauses remove committed rows; an
+    // insert-only merge (no clauses) is a legal append
+    if (matched.nonEmpty || bySource.nonEmpty)
+      DeltaWrite.requireNotAppendOnly(snap, "MERGE with matched/by-source clauses")
     val targetCols = snap.schema.fieldNames.toSeq
     on.foreach { k =>
       require(targetCols.contains(k), s"Join key $k missing from target")
@@ -601,7 +648,8 @@ object DeltaDml {
             "explicit values refuse; omit the column and the writer allocates " +
             "(inserts) or keeps (updates) its values")
       }
-    val needsFullSource = insertNotMatched || whenMatched == WhenMatched.UpdateAll
+    val needsFullSource =
+      insertNotMatched || matched.exists(_.action == WhenMatched.UpdateAll)
     val identityOmitted = identityInfo.map(_.name)
       .filterNot(source.schema.fieldNames.contains).toSet
     if (needsFullSource)
@@ -609,29 +657,35 @@ object DeltaDml {
         s"Source must carry every target column for UpdateAll/insert; missing " +
           targetCols.filterNot(identityOmitted)
             .filterNot(source.schema.fieldNames.contains).mkString(", "))
-    whenMatched match {
-      case WhenMatched.Update(set) =>
-        val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
-        val identityCols = DeltaWrite.identityColumnsOf(snap.schema).map(_.name).toSet
-        set.keys.foreach { c =>
-          require(targetCols.contains(c), s"Unknown column in SET: $c")
-          require(!snap.partitionColumns.contains(c),
-            s"Updating partition column $c is not supported")
-          require(!generatedCols.contains(c),
-            s"Column $c is generated (delta.generationExpression) — it re-derives " +
-              "from its expression and cannot be SET directly")
-          require(!identityCols.contains(c),
-            s"Column $c is an identity column (delta.identity.*) — its values are " +
-              "writer-allocated and cannot be SET")
-        }
+    def validateSet(set: Map[String, Column]): Unit = {
+      val generatedCols = DeltaWrite.generatedColumnsOf(snap.schema).map(_._1).toSet
+      val identityCols = DeltaWrite.identityColumnsOf(snap.schema).map(_.name).toSet
+      set.keys.foreach { c =>
+        require(targetCols.contains(c), s"Unknown column in SET: $c")
+        require(!snap.partitionColumns.contains(c),
+          s"Updating partition column $c is not supported")
+        require(!generatedCols.contains(c),
+          s"Column $c is generated (delta.generationExpression) — it re-derives " +
+            "from its expression and cannot be SET directly")
+        require(!identityCols.contains(c),
+          s"Column $c is an identity column (delta.identity.*) — its values are " +
+            "writer-allocated and cannot be SET")
+      }
+    }
+    matched.foreach {
+      case MatchedClause(WhenMatched.Update(set), _) => validateSet(set)
+      case _ => ()
+    }
+    bySource.foreach {
+      case BySourceClause(BySourceAction.Update(set), _) => validateSet(set)
       case _ => ()
     }
 
-    // the merge consults the source ~5× (dup guard, key-range agg, match
+    // the merge consults the source ~4× (fused guard+span agg, match
     // scan, rewrite join, insert anti-join); at scale it is a real query
     // — materialize it once for the merge's lifetime
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeImpl(spark, path, src, on, whenMatched, insertNotMatched,
+    try mergeImpl(spark, path, src, on, matched, insertNotMatched, bySource,
       checkpointInterval, log, snap, targetCols)
     finally src.unpersist()
   }
@@ -652,8 +706,9 @@ object DeltaDml {
       path: String,
       source: DataFrame,
       on: Seq[String],
-      whenMatched: WhenMatched,
+      matched: Seq[MatchedClause],
       insertNotMatched: Boolean,
+      bySource: Seq[BySourceClause],
       checkpointInterval: Int,
       log: DeltaLog,
       snap: Snapshot,
@@ -708,14 +763,23 @@ object DeltaDml {
       matchedByFile.contains(normalizePath(DeltaRead.resolvePath(path, f.path))))
     val matchedRows = matchedByFile.values.sum
 
-    val rewriteNeeded = whenMatched != WhenMatched.Ignore && touched.nonEmpty
+    // by-source clauses apply to target rows NO source key matches —
+    // those can live in any file, so the rewrite set is the whole active
+    // set (the full-synchronization cost, same as delta-spark); without
+    // them only key-matched files rewrite.
+    val rewriteFiles: Seq[AddFile] =
+      if (bySource.nonEmpty) snap.activeFiles
+      else if (matched.nonEmpty) touched
+      else Nil
+    val rewriteNeeded = rewriteFiles.nonEmpty &&
+      (bySource.nonEmpty || (matched.nonEmpty && touched.nonEmpty))
 
-    // On CDF tables the touched files feed BOTH the rewrite join and the
+    // On CDF tables the rewrite files feed BOTH the rewrite join and the
     // cdc capture join — persist the scan so they're read once, not twice
     val touchedSrc: Option[DataFrame] =
       if (!rewriteNeeded) None
       else {
-        val s = readFiles(spark, path, snap, touched)
+        val s = readFiles(spark, path, snap, rewriteFiles)
         Some(if (DeltaWrite.cdfEnabled(snap))
           s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else s)
@@ -727,30 +791,59 @@ object DeltaDml {
     val identityOmitted: Set[String] = DeltaWrite.identityColumnsOf(snap.schema)
       .map(_.name).filterNot(source.schema.fieldNames.contains).toSet
 
-    // ---- phase 2: rewrite touched files + append unmatched inserts ------
+    // ---- phase 2: rewrite files + append unmatched inserts --------------
+    // Clause dispatch: every row of the rewrite scan is tagged with the
+    // index of the FIRST matched clause (or by-source clause) whose
+    // condition holds — first-match-wins, the delta-spark contract. All
+    // value expressions evaluate against the PRE-merge row inside one
+    // select, so cross-column swaps keep update semantics.
+    val isMatchCol = col(s"$SrcPrefix${on.head}").isNotNull
+    def firstMatchIdx(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1): Column) { case ((cond, i), els) =>
+        when(cond.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val MIdx = "__graft_m_idx"
+    val BIdx = "__graft_b_idx"
+    def tagClauses(joined: DataFrame): DataFrame =
+      joined
+        .withColumn(MIdx,
+          if (matched.isEmpty) lit(-1)
+          else when(isMatchCol, firstMatchIdx(matched.map(_.condition))).otherwise(lit(-1)))
+        .withColumn(BIdx,
+          if (bySource.isEmpty) lit(-1)
+          else when(!isMatchCol, firstMatchIdx(bySource.map(_.condition))).otherwise(lit(-1)))
+    val matchedDeleteIdx = matched.zipWithIndex.collect {
+      case (MatchedClause(WhenMatched.Delete, _), i) => i }
+    val bySourceDeleteIdx = bySource.zipWithIndex.collect {
+      case (BySourceClause(BySourceAction.Delete, _), i) => i }
+    def deleteCond: Column =
+      (matchedDeleteIdx.map(i => col(MIdx) === i) ++
+        bySourceDeleteIdx.map(i => col(BIdx) === i))
+        .foldLeft(lit(false))(_ || _)
+    /** The post-merge value of target column `c` on a tagged row. */
+    def valueFor(c: String): Column = {
+      val matchedBranches = matched.zipWithIndex.flatMap {
+        case (MatchedClause(WhenMatched.UpdateAll, _), i) if !identityOmitted(c) =>
+          Some(i -> col(s"$SrcPrefix$c"))
+        case (MatchedClause(WhenMatched.Update(set), _), i) if set.contains(c) =>
+          Some(i -> set(c))
+        case _ => None
+      }
+      val bySourceBranches = bySource.zipWithIndex.flatMap {
+        case (BySourceClause(BySourceAction.Update(set), _), i) if set.contains(c) =>
+          Some(i -> set(c))
+        case _ => None
+      }
+      (matchedBranches.map { case (i, e) => (col(MIdx) === i, e) } ++
+        bySourceBranches.map { case (i, e) => (col(BIdx) === i, e) })
+        .foldRight(col(c)) { case ((cond, e), els) => when(cond, e).otherwise(els) }
+    }
     val rewritten: Option[DataFrame] =
       if (!rewriteNeeded) None
       else {
-        val joined = touchedSrc.get.join(srcKeyed, joinCond, "left")
-        val isMatch = col(s"$SrcPrefix${on.head}").isNotNull
-        val out = whenMatched match {
-          case WhenMatched.Delete => joined.filter(!isMatch).select(targetCols.map(col): _*)
-          case WhenMatched.UpdateAll =>
-            joined.select(targetCols.map(c =>
-              (if (identityOmitted(c)) col(c)
-               else when(isMatch, col(s"$SrcPrefix$c")).otherwise(col(c))).as(c)): _*)
-          case WhenMatched.Update(set) =>
-            val shadowed = set.zipWithIndex.foldLeft(joined) {
-              case (d, ((c, expr), i)) =>
-                d.withColumn(s"__set_$i", when(isMatch, expr).otherwise(col(c)))
-            }
-            val swapped = set.zipWithIndex.foldLeft(shadowed) {
-              case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
-            }
-            swapped.select(targetCols.map(col): _*)
-          case WhenMatched.Ignore => joined // unreachable
-        }
-        Some(out)
+        val tagged = tagClauses(touchedSrc.get.join(srcKeyed, joinCond, "left"))
+        Some(tagged.filter(!deleteCond)
+          .select(targetCols.map(c => valueFor(c).as(c)): _*))
       }
 
     val inserts: Option[DataFrame] =
@@ -785,7 +878,7 @@ object DeltaDml {
       case (None, None) => None
     }
 
-    val removes0 = if (rewriteNeeded) touched else Seq.empty[AddFile]
+    val removes0 = if (rewriteNeeded) rewriteFiles else Seq.empty[AddFile]
     if (toWrite.isEmpty && removes0.isEmpty) return MergeResult(matchedRows, 0, 0, 0)
 
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -811,28 +904,30 @@ object DeltaDml {
             col(f.name).cast(f.dataType).as(f.name)).toSeq :+ col(ct): _*)
         val frames = Seq.newBuilder[DataFrame]
         if (rewriteNeeded) {
-          val matched = touchedSrc.get.join(srcKeyed, joinCond, "inner")
-          whenMatched match {
-            case WhenMatched.Delete =>
-              frames += conform(matched.select(targetCols.map(col): _*)
-                .withColumn(ct, lit("delete")))
-            case WhenMatched.UpdateAll =>
-              frames += conform(matched.select(targetCols.map(col): _*)
-                .withColumn(ct, lit("update_preimage")))
-              frames += conform(matched.select(targetCols.map(c =>
-                (if (identityOmitted(c)) col(c) else col(s"$SrcPrefix$c")).as(c)): _*)
-                .withColumn(ct, lit("update_postimage")))
-            case WhenMatched.Update(set) =>
-              frames += conform(matched.select(targetCols.map(col): _*)
-                .withColumn(ct, lit("update_preimage")))
-              val shadowed = set.zipWithIndex.foldLeft(matched) {
-                case (d, ((_, e), i)) => d.withColumn(s"__set_$i", e)
-              }
-              val post = set.zipWithIndex.foldLeft(shadowed) {
-                case (d, ((c, _), i)) => d.withColumn(c, col(s"__set_$i"))
-              }.select(targetCols.map(col): _*)
-              frames += conform(post.withColumn(ct, lit("update_postimage")))
-            case WhenMatched.Ignore => ()
+          val tagged = tagClauses(touchedSrc.get.join(srcKeyed, joinCond, "left"))
+          def preRows(idxCol: String, i: Int): DataFrame =
+            tagged.filter(col(idxCol) === i).select(targetCols.map(col): _*)
+          def postRows(idxCol: String, i: Int): DataFrame =
+            tagged.filter(col(idxCol) === i)
+              .select(targetCols.map(c => valueFor(c).as(c)): _*)
+          matched.zipWithIndex.foreach { case (cl, i) =>
+            cl.action match {
+              case WhenMatched.Delete =>
+                frames += conform(preRows(MIdx, i).withColumn(ct, lit("delete")))
+              case WhenMatched.UpdateAll | WhenMatched.Update(_) =>
+                frames += conform(preRows(MIdx, i).withColumn(ct, lit("update_preimage")))
+                frames += conform(postRows(MIdx, i).withColumn(ct, lit("update_postimage")))
+              case WhenMatched.Ignore => ()
+            }
+          }
+          bySource.zipWithIndex.foreach { case (cl, j) =>
+            cl.action match {
+              case BySourceAction.Delete =>
+                frames += conform(preRows(BIdx, j).withColumn(ct, lit("delete")))
+              case BySourceAction.Update(_) =>
+                frames += conform(preRows(BIdx, j).withColumn(ct, lit("update_preimage")))
+                frames += conform(postRows(BIdx, j).withColumn(ct, lit("update_postimage")))
+            }
           }
         }
         inserts.foreach(i => frames += conform(i.withColumn(ct, lit("insert"))))
@@ -850,13 +945,26 @@ object DeltaDml {
       val counts = fl.map(f => StatsPruning.parse(f.stats).flatMap(_.numRecords))
       if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
-    val deleted = if (whenMatched == WhenMatched.Delete) matchedRows else 0L
-    val inserted = (rowsOf(adds), rowsOf(removes0)) match {
-      case (Some(a), Some(r)) => a - (r - deleted)
-      // stats-less (foreign-written) removes: count the already-computed
-      // inserts frame directly — one extra job on this rare path only
-      case _ => inserts.map(_.count()).getOrElse(0L)
-    }
+    // stats arithmetic needs the exact deleted-row count; it is knowable
+    // without a job only when deletion is all-or-nothing of the matched
+    // set (the single unconditional clause shapes). Conditional or
+    // by-source deletes count the inserts frame directly instead — one
+    // extra job on the multi-clause path only.
+    val deletesKnowable =
+      matched.forall(_.condition.isEmpty) &&
+        bySource.isEmpty &&
+        (matchedDeleteIdx.isEmpty || matched.size == 1)
+    val inserted =
+      if (!deletesKnowable) inserts.map(_.count()).getOrElse(0L)
+      else {
+        val deleted = if (matchedDeleteIdx.nonEmpty) matchedRows else 0L
+        (rowsOf(adds), rowsOf(removes0)) match {
+          case (Some(a), Some(r)) => a - (r - deleted)
+          // stats-less (foreign-written) removes: count the already-
+          // computed inserts frame directly — rare path only
+          case _ => inserts.map(_.count()).getOrElse(0L)
+        }
+      }
     if (DeltaWrite.cdfEnabled(snap))
       touchedSrc.foreach(_.unpersist(blocking = false))
     if (DeltaWrite.cdfEnabled(snap) || identityOmitted.nonEmpty)
@@ -891,8 +999,15 @@ object DeltaDml {
       operation = "MERGE",
       operationParameters = Map(
         "predicate" -> on.mkString("[", ",", "]"),
-        "matchedAction" -> whenMatched.toString,
-        "notMatchedAction" -> (if (insertNotMatched) "insert" else "ignore")),
+        "matchedAction" -> (if (matched.isEmpty) "Ignore"
+          else matched.map(c =>
+            c.action.toString + c.condition.map(_ => "[cond]").getOrElse(""))
+            .mkString(";")),
+        "notMatchedAction" -> (if (insertNotMatched) "insert" else "ignore"),
+        "notMatchedBySourceAction" -> (if (bySource.isEmpty) "ignore"
+          else bySource.map(c =>
+            c.action.toString + c.condition.map(_ => "[cond]").getOrElse(""))
+            .mkString(";"))),
       operationMetrics = Map(
         "numTargetRowsMatched" -> matchedRows.toString,
         "numTargetRowsInserted" -> inserted.toString,
@@ -909,8 +1024,13 @@ object DeltaDml {
     // hold keys inside the source's key span (keyRanges) — the same
     // range the target pruning used. An all-null-key source (empty
     // keyRanges) equality-matches nothing, so no add conflicts.
+    // by-source clauses read EVERY unmatched target row, so any
+    // concurrently added file is a phantom; otherwise only adds that may
+    // hold keys inside the source's span conflict
     val mergeAddMatcher: AddFile => Boolean =
-      if (keyRanges.isEmpty) _ => false else addMatcher(snap, keyRanges)
+      if (bySource.nonEmpty) _ => true
+      else if (keyRanges.isEmpty) _ => false
+      else addMatcher(snap, keyRanges)
     val committed =
       try commitDmlWithRetry(log, path, version, mkActions,
         removes.map(_.path).toSet, mergeAddMatcher)

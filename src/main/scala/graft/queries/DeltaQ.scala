@@ -772,6 +772,43 @@ object DeltaQ {
         .orderBy($"key")
     }),
 
+    // MULTI-CLAUSE MERGE: ordered conditioned WHEN MATCHED clauses
+    // (first-match-wins) + WHEN NOT MATCHED BY SOURCE delete/update —
+    // the delta-spark clause surface over the CDC-apply shape. The
+    // oracle mirrors the whole dispatch as CASE/WHERE over the raw
+    // source: matched rows (key % 3 = 0) delete when negative, get the
+    // source balance +1000 when nationkey < 10, else bump by 5; rows
+    // the source no longer carries delete when nationkey >= 20, else
+    // age out their segment.
+    "d50_merge_clauses" -> ((s, dir) => {
+      import s.implicits._
+      import graft.delta.DeltaDml
+      val path = tmp("d50")
+      val c = t(s, dir, "customer")
+      GraftDelta.toDelta(c.repartition(4), path)                         // v0
+      val src = c.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", $"c_acctbal", $"c_nationkey")
+      DeltaDml.mergeClauses(s, path, src, Seq("c_custkey"),
+        matched = Seq(
+          DeltaDml.MatchedClause(DeltaDml.WhenMatched.Delete,
+            Some(DeltaDml.src("c_acctbal") < 0.0)),
+          DeltaDml.MatchedClause(DeltaDml.WhenMatched.Update(
+            Map("c_acctbal" -> (DeltaDml.src("c_acctbal") + 1000.0))),
+            Some(DeltaDml.src("c_nationkey") < 10)),
+          DeltaDml.MatchedClause(DeltaDml.WhenMatched.Update(
+            Map("c_acctbal" -> (col("c_acctbal") + 5.0))))),
+        insertNotMatched = false,
+        bySource = Seq(
+          DeltaDml.BySourceClause(DeltaDml.BySourceAction.Delete,
+            Some(col("c_nationkey") >= 20)),
+          DeltaDml.BySourceClause(DeltaDml.BySourceAction.Update(
+            Map("c_mktsegment" -> lit("AGED"))))))                       // v1
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey".cast("long").as("key"), $"c_nationkey",
+          cents($"c_acctbal").as("bal_c"), $"c_mktsegment".as("seg"))
+        .orderBy($"key")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1296,6 +1333,17 @@ object DeltaQ {
         | 'insert' AS _change_type,
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
+    "d50_merge_clauses" ->
+      """SELECT c_custkey AS key, c_nationkey,
+        | CAST(ROUND((CASE
+        |   WHEN c_custkey % 3 = 0 AND c_nationkey < 10 THEN c_acctbal + 1000
+        |   WHEN c_custkey % 3 = 0 THEN c_acctbal + 5
+        |   ELSE c_acctbal END)*100) AS BIGINT) AS bal_c,
+        | CASE WHEN c_custkey % 3 <> 0 THEN 'AGED' ELSE c_mktsegment END AS seg
+        |FROM customer
+        |WHERE NOT (c_custkey % 3 = 0 AND c_acctbal < 0)
+        |  AND NOT (c_custkey % 3 <> 0 AND c_nationkey >= 20)
+        |ORDER BY key""".stripMargin,
     "d49_mapped_dml" ->
       """SELECT c_custkey AS key, c_nationkey,
         | CAST(ROUND((CASE WHEN c_nationkey < 5 THEN c_acctbal + 100

@@ -665,14 +665,14 @@ object GraftSql {
 
   // ---- MERGE ------------------------------------------------------------
 
-  private val WhenMatchedUpdateAllRe =
-    """(?is)WHEN\s+MATCHED\s+(?:THEN\s+)?UPDATE\s+SET\s+\*""".r
-  private val WhenMatchedUpdateRe =
-    """(?is)WHEN\s+MATCHED\s+(?:THEN\s+)?UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$)""".r
-  private val WhenMatchedDeleteRe =
-    """(?is)WHEN\s+MATCHED\s+(?:THEN\s+)?DELETE""".r
-  private val WhenNotMatchedRe =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+(?:THEN\s+)?INSERT\s+\*""".r
+  /** One MERGE clause, in order: kind (MATCHED / NOT MATCHED [BY
+    * TARGET] / NOT MATCHED BY SOURCE), optional AND-condition, action.
+    * Multiple MATCHED / BY SOURCE clauses evaluate first-match-wins —
+    * the delta-spark grammar. */
+  private val MergeClauseRe =
+    ("""(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)""" +
+      """(?:\s+AND\s+(.+?))?\s+(?:THEN\s+)?""" +
+      """(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*(?=WHEN\s+|$)""").r
 
   private def runMerge(
       spark: SparkSession, targetPath: String, targetAlias: Option[String],
@@ -681,34 +681,72 @@ object GraftSql {
     val source = sourceFrame(spark, sourceRef)
     val keys = equiKeysOf(spark, onClause, targetAlias, sourceAlias)
 
-    val whenMatched: DeltaDml.WhenMatched =
-      if (existsIn(WhenMatchedUpdateAllRe, clauses))
-        DeltaDml.WhenMatched.UpdateAll
-      else if (existsIn(WhenMatchedDeleteRe, clauses))
-        DeltaDml.WhenMatched.Delete
-      else findIn(WhenMatchedUpdateRe, clauses) match {
-        case Some(u) =>
-          // source-column references (s.col / source.col) map to the
-          // engine's src() marker columns
-          val srcAliases = (sourceAlias.toSeq :+ "source").distinct
-          val set = splitAssignments(u(0)).map { a =>
-            val (name, raw) = splitOnce(a)
-            val rewritten = srcAliases.foldLeft(raw)((e, al) =>
-              e.replaceAll(s"(?i)\\b$al\\.", "__graft_src_"))
-            name -> expr(rewritten)
-          }.toMap
-          DeltaDml.WhenMatched.Update(set)
-        case None =>
-          if (clauses.trim.isEmpty || existsIn(WhenNotMatchedRe, clauses))
-            DeltaDml.WhenMatched.UpdateAll
-          else throw new IllegalArgumentException(
-            s"Unsupported MERGE clause: $clauses — supported: UPDATE SET star, " +
-              "UPDATE SET a=e, DELETE, WHEN NOT MATCHED [THEN] INSERT star")
+    // source-column references (s.col / source.col) map to the engine's
+    // src() marker columns; target-alias prefixes strip
+    val srcAliases = (sourceAlias.toSeq :+ "source").distinct
+    def rewriteRefs(raw: String): String = {
+      val s = srcAliases.foldLeft(raw)((e, al) =>
+        e.replaceAll(s"(?i)\\b$al\\.", "__graft_src_"))
+      (targetAlias.toSeq :+ "target").distinct.foldLeft(s)((e, al) =>
+        e.replaceAll(s"(?i)\\b$al\\.", ""))
+    }
+    def setOf(updateBody: String): Map[String, org.apache.spark.sql.Column] =
+      splitAssignments(updateBody.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+        .map { a =>
+          val (name, raw) = splitOnce(a)
+          name -> expr(rewriteRefs(raw))
+        }.toMap
+
+    val matchedClauses = Seq.newBuilder[DeltaDml.MatchedClause]
+    val bySourceClauses = Seq.newBuilder[DeltaDml.BySourceClause]
+    var insertNotMatched = false
+    var sawAny = false
+    // clause shapes match against the quote-MASKED text (keywords inside
+    // string literals must not split clauses); bodies extract from the
+    // ORIGINAL by position — masking is length-preserving
+    MergeClauseRe.findAllMatchIn(maskQuoted(clauses)).foreach { m =>
+      sawAny = true
+      def orig(g: Int): String =
+        if (m.start(g) < 0) null else clauses.substring(m.start(g), m.end(g))
+      val kind = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      val cond = Option(orig(2)).map(c => expr(rewriteRefs(c)))
+      val maskedAction = m.group(3).trim
+      val action = orig(3).trim
+      kind match {
+        case "MATCHED" =>
+          val a =
+            if (maskedAction.equalsIgnoreCase("DELETE")) DeltaDml.WhenMatched.Delete
+            else if (maskedAction.matches("(?is)UPDATE\\s+SET\\s+\\*"))
+              DeltaDml.WhenMatched.UpdateAll
+            else DeltaDml.WhenMatched.Update(setOf(action))
+          matchedClauses += DeltaDml.MatchedClause(a, cond)
+        case "NOT MATCHED BY SOURCE" =>
+          val a =
+            if (maskedAction.equalsIgnoreCase("DELETE")) DeltaDml.BySourceAction.Delete
+            else if (maskedAction.matches("(?is)UPDATE\\s+SET\\s+\\*"))
+              throw new IllegalArgumentException(
+                "WHEN NOT MATCHED BY SOURCE UPDATE SET * is meaningless — no source row")
+            else DeltaDml.BySourceAction.Update(setOf(action))
+          bySourceClauses += DeltaDml.BySourceClause(a, cond)
+        case _ => // NOT MATCHED [BY TARGET]
+          require(maskedAction.matches("(?is)INSERT\\s+\\*"),
+            s"Unsupported WHEN NOT MATCHED action: $action — only INSERT * is supported")
+          require(cond.isEmpty,
+            "Conditional WHEN NOT MATCHED INSERT is not supported")
+          insertNotMatched = true
       }
-    val insertNotMatched =
-      clauses.trim.isEmpty || existsIn(WhenNotMatchedRe, clauses)
-    val r = GraftDelta.mergeInto(spark, targetPath, source, keys,
-      whenMatched, insertNotMatched)
+    }
+    if (sawAny && matchedClauses.result().isEmpty && bySourceClauses.result().isEmpty
+        && !insertNotMatched)
+      throw new IllegalArgumentException(s"Unsupported MERGE clause: $clauses")
+    val matched =
+      // legacy default: a bare MERGE (no clauses) upserts
+      if (!sawAny) Seq(DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll))
+      else matchedClauses.result()
+    val r = DeltaDml.mergeClauses(spark, targetPath, source, keys,
+      matched = matched,
+      insertNotMatched = !sawAny || insertNotMatched,
+      bySource = bySourceClauses.result())
     oneRow(spark,
       Seq("operation", "matchedRows", "insertedRows", "removedFiles", "addedFiles"),
       Row("MERGE", r.matchedRows, r.insertedRows, r.removedFiles, r.addedFiles))

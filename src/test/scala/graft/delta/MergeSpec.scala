@@ -161,6 +161,88 @@ class MergeSpec extends GraftSuite {
     assert(r2.getAs[Long]("__cnt") > r2.getAs[Long]("__dk"), r2)
   }
 
+  test("multi-clause: ordered conditioned WHEN MATCHED, first-match-wins") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq(
+      (1L, "keep", 10L), (2L, "del", 10L), (3L, "upd", 10L), (4L, "upd", 10L))
+      .toDF("id", "tag", "v"), path)
+    val src = Seq((2L, "x", 0L), (3L, "x", 0L), (4L, "x", 99L), (9L, "new", 1L))
+      .toDF("id", "tag", "v")
+    val r = DeltaDml.mergeClauses(spark, path, src, Seq("id"),
+      matched = Seq(
+        // clause 0: delete matched rows tagged 'del'
+        DeltaDml.MatchedClause(DeltaDml.WhenMatched.Delete,
+          Some(col("tag") === "del")),
+        // clause 1: source v > 50 wins the value
+        DeltaDml.MatchedClause(
+          DeltaDml.WhenMatched.Update(Map("v" -> DeltaDml.src("v"))),
+          Some(DeltaDml.src("v") > 50L)),
+        // clause 2: unconditional fallback — bump by 1
+        DeltaDml.MatchedClause(
+          DeltaDml.WhenMatched.Update(Map("v" -> (col("v") + 1L))))),
+      insertNotMatched = true)
+    assert(r.matchedRows == 3L && r.insertedRows == 1L, s"$r")
+    val out = GraftDelta.readDelta(spark, path)
+      .select($"id", $"v").as[(Long, Long)].collect().toMap
+    assert(!out.contains(2L), "clause 0 deleted id=2")
+    assert(out(3L) == 11L, s"clause 2 (fallback) bumped id=3: ${out(3L)}")
+    assert(out(4L) == 99L, s"clause 1 won for id=4 (first-match-wins): ${out(4L)}")
+    assert(out(1L) == 10L, "unmatched target row untouched")
+    assert(out(9L) == 1L, "unmatched source row inserted")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: delete scoped by condition, update elsewhere") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq(
+      (1L, "live", 10L), (2L, "stale", 10L), (3L, "stale", 10L), (4L, "live", 10L))
+      .toDF("id", "status", "v"), path)
+    // source carries only id=1: rows 2,3,4 are not-matched-by-source
+    val src = Seq((1L, "live", 20L)).toDF("id", "status", "v")
+    val r = DeltaDml.mergeClauses(spark, path, src, Seq("id"),
+      matched = Seq(DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll)),
+      insertNotMatched = false,
+      bySource = Seq(
+        DeltaDml.BySourceClause(DeltaDml.BySourceAction.Delete,
+          Some(col("status") === "stale")),
+        DeltaDml.BySourceClause(DeltaDml.BySourceAction.Update(
+          Map("status" -> lit("aged"))))))
+    assert(r.matchedRows == 1L && r.insertedRows == 0L, s"$r")
+    val out = GraftDelta.readDelta(spark, path)
+      .select($"id", $"status", $"v").as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.keySet == Set(1L, 4L), s"stale rows deleted: ${out.keySet}")
+    assert(out(1L) == (("live", 20L)), "matched row upserted, never by-source'd")
+    assert(out(4L) == (("aged", 10L)), "surviving unmatched row aged by clause 1")
+  }
+
+  test("multi-clause CDF records per-clause deletes and update images") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("id", "v"), path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = Seq((1L, 100L), (2L, 0L)).toDF("id", "v")
+    DeltaDml.mergeClauses(spark, path, src, Seq("id"),
+      matched = Seq(
+        DeltaDml.MatchedClause(DeltaDml.WhenMatched.Delete,
+          Some(DeltaDml.src("v") === 0L)),
+        DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll)),
+      insertNotMatched = false,
+      bySource = Seq(DeltaDml.BySourceClause(DeltaDml.BySourceAction.Delete)))
+    val feed = GraftDelta.tableChanges(spark, path, fromVersion = 0L)
+      .select($"id", $"v", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    assert(feed == Set(
+      (1L, 10L, "update_preimage"), (1L, 100L, "update_postimage"),
+      (2L, 10L, "delete"),  // matched clause 0
+      (3L, 10L, "delete")), // by-source delete
+      feed.toString)
+    // the feed agrees with the table
+    assert(GraftDelta.readDelta(spark, path).select($"id", $"v")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 100L)))
+  }
+
   test("merge into a hive-partitioned target keeps partition layout") {
     import spark.implicits._
     val path = tmp()

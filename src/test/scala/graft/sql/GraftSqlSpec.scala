@@ -139,6 +139,29 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftDelta.readDelta(spark, p2).filter($"k" === 100L).count() == 0L)
   }
 
+  test("MERGE multi-clause SQL: conditioned MATCHED order + NOT MATCHED BY SOURCE") {
+    val path = tmp()
+    seed(path) // k=1..20, v=v<k>, g=k%4
+    Seq((2L, "zero", 0L), (3L, "big", 99L), (7L, "mid", 50L))
+      .toDF("k", "v", "g").createOrReplaceTempView("mc_src")
+    val r = GraftSql.sql(spark,
+      s"MERGE INTO delta.`$path` AS t USING mc_src AS s ON t.k = s.k " +
+        "WHEN MATCHED AND s.g = 0 THEN DELETE " +
+        "WHEN MATCHED AND s.g > 60 THEN UPDATE SET v = s.v " +
+        "WHEN MATCHED THEN UPDATE SET v = 'fallback' " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k > 18 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.g = 1 THEN UPDATE SET v = 'aged'")
+    assert(r.select("matchedRows").as[Long].head() == 3L)
+    val out = GraftDelta.readDelta(spark, path)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(!out.contains(2L), "clause 1 deleted k=2")
+    assert(out(3L) == "big", "clause 2 won for k=3 (first-match-wins)")
+    assert(out(7L) == "fallback", "clause 3 caught k=7 (g=50 fails clause 2)")
+    assert(!out.contains(19L) && !out.contains(20L), "by-source delete for k>18")
+    assert(out(5L) == "aged" && out(9L) == "aged", "by-source update for g=1")
+    assert(out(4L) == "v4", "unmatched by-source rows outside both conditions keep")
+  }
+
   test("OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL round-trip") {
     val path = tmp()
     GraftDelta.toDelta((1L to 10L).toDF("k").repartition(4), path)        // v0
