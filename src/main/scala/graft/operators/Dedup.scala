@@ -682,12 +682,20 @@ object Dedup {
     val base = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(t.isNotNull && length(t) >= spanLen)
-    val pos = base.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
-        i => t.substr(i, lit(spanLen)))).as("sh"))
-    val key = if (hashedShingles) xxhash64(col("sh")) else col("sh")
-    val perDoc = pos.select(col("doc_id"), key.as("k"))
-      .groupBy("doc_id", "k").agg(count(lit(1)).as("c"))
+    // hashed mode (the scale default): one generated O(n) rolling-hash
+    // pass emits an 8-byte key per span position — the substring
+    // materialization (O(n·spanLen) bytes per doc BEFORE the explode)
+    // only happens in exact mode, where the DuckDB oracle needs the
+    // literal strings
+    val pos =
+      if (hashedShingles)
+        base.select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.VectorBridge.rollingHash60(t, spanLen)).as("k"))
+      else
+        base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
+            i => t.substr(i, lit(spanLen)))).as("k"))
+    val perDoc = pos.groupBy("doc_id", "k").agg(count(lit(1)).as("c"))
     // document frequency per span key: perDoc is already distinct by
     // (doc, key), so count(*) counts documents
     val dupKeys = perDoc.groupBy("k").agg(count(lit(1)).as("df"))

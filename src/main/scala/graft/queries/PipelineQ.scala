@@ -472,13 +472,16 @@ object PipelineQ {
 
     // Duplicated-span coverage (Lee et al. exact-substring diagnostic):
     // per doc, how many 40-char span positions also occur in another
-    // document. Exact string keys here so the DuckDB oracle mirrors
-    // bit-for-bit; the operator's scale default is 8-byte hashed keys
-    // (mode-agreement pinned in DedupSpec).
+    // document. Runs the SCALE mode: one generated O(n) rolling-hash
+    // pass emits an exact-BIGINT polynomial key per span position (no
+    // substring materialization), and the DuckDB oracle rebuilds the
+    // same polyhash60-family window hash bit-for-bit — the t04
+    // portability contract. Exact-string mode stays available and
+    // mode-agreement is pinned in DedupSpec.
     "t38_dup_spans" -> ((s, dir) => {
       import s.implicits._
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text",
-        spanLen = 40, hashedShingles = false)
+        spanLen = 40, hashedShingles = true)
         .filter($"dup_positions" > 0)
         .orderBy($"doc_id")
     }),
@@ -1087,7 +1090,13 @@ object PipelineQ {
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
     "t38_dup_spans" ->
       """WITH pos AS (
-        |  SELECT doc_id, substr(text, CAST(i AS INT), 40) AS sh
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 31 + x) % 1000000007)
+        |    + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 131 + x) % 998244353) AS sh
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, length(text) - 39)) AS i
         |        FROM documents WHERE length(text) >= 40)

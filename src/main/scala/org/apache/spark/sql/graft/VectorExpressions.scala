@@ -420,6 +420,106 @@ case class AdcLookupQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All length-`spanLen` window hashes of a string in ONE generated O(n)
+  * pass — the exact-substring-dedup span keys (Lee et al.) without
+  * materializing the O(n·spanLen) substring payload before hashing.
+  * Window i carries the polyhash60-family value over the window's
+  * UTF-16 code units: h1 ← base-31 mod 1e9+7, h2 ← base-131 mod
+  * 998244353, combined h2·2³⁰ + h1 (< 2⁶⁰). Rolling update removes the
+  * leading unit via the precomputed baseᴸ⁻¹ mod P, so every
+  * intermediate stays far below 2⁶³ (max ~2·P·base + 2¹⁶). Strings
+  * shorter than the span yield an empty array. */
+case class RollingHash60(child: Expression, spanLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(spanLen > 0, s"spanLen must be positive: $spanLen")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hash60"
+
+  private val P1 = 1000000007L
+  private val P2 = 998244353L
+  private def powMod(b: Long, e: Int, p: Long): Long = {
+    var r = 1L; var base = b % p; var n = e
+    while (n > 0) {
+      if ((n & 1) == 1) r = r * base % p
+      base = base * base % p
+      n >>= 1
+    }
+    r
+  }
+  private val pow31: Long = powMod(31L, spanLen - 1, P1)
+  private val pow131: Long = powMod(131L, spanLen - 1, P2)
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < spanLen) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val m = n - spanLen + 1
+    val out = new Array[Long](m)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < spanLen) {
+      val c = s.charAt(i).toLong
+      h1 = (31L * h1 + c) % P1
+      h2 = (131L * h2 + c) % P2
+      i += 1
+    }
+    out(0) = h2 * 1073741824L + h1
+    i = 1
+    while (i < m) {
+      val drop = s.charAt(i - 1).toLong
+      val add = s.charAt(i + spanLen - 1).toLong
+      h1 = ((h1 - drop * pow31 % P1 + P1) * 31L + add) % P1
+      h2 = ((h2 - drop * pow131 % P2 + P2) * 131L + add) % P2
+      out(i) = h2 * 1073741824L + h1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val drop = ctx.freshName("drop")
+      val add = ctx.freshName("add")
+      s"""
+         |final String $s = $a.toString();
+         |final int $n = $s.length();
+         |final int $m = $n < $spanLen ? 0 : $n - ${spanLen - 1};
+         |final long[] $out = new long[$m];
+         |long $h1 = 0L, $h2 = 0L;
+         |if ($m > 0) {
+         |  for (int $i = 0; $i < $spanLen; $i++) {
+         |    final long $c = $s.charAt($i);
+         |    $h1 = (31L * $h1 + $c) % ${P1}L;
+         |    $h2 = (131L * $h2 + $c) % ${P2}L;
+         |  }
+         |  $out[0] = $h2 * 1073741824L + $h1;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    final long $drop = $s.charAt($i - 1);
+         |    final long $add = $s.charAt($i + ${spanLen - 1});
+         |    $h1 = (($h1 - $drop * ${pow31}L % ${P1}L + ${P1}L) * 31L + $add) % ${P1}L;
+         |    $h2 = (($h2 - $drop * ${pow131}L % ${P2}L + ${P2}L) * 131L + $add) % ${P2}L;
+         |    $out[$i] = $h2 * 1073741824L + $h1;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
@@ -433,6 +533,9 @@ object VectorBridge {
 
   def polyhash60(s: Column): Column =
     ExpressionUtils.column(PolyHash60(ExpressionUtils.expression(s)))
+
+  def rollingHash60(s: Column, spanLen: Int): Column =
+    ExpressionUtils.column(RollingHash60(ExpressionUtils.expression(s), spanLen))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

@@ -366,4 +366,38 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"span-frequency must not plan a Window:\n$plan")
   }
+
+  test("rollingHash60 is bit-equal to the per-window polynomial reference") {
+    import spark.implicits._
+    // pure-Scala reference: polyhash60-family over each window's UTF-16
+    // code units — the contract the generated rolling update must hit
+    def ref(s: String, L: Int): Seq[Long] =
+      if (s.length < L) Nil
+      else (0 to s.length - L).map { i =>
+        var h1 = 0L; var h2 = 0L
+        s.substring(i, i + L).foreach { c =>
+          h1 = (31L * h1 + c) % 1000000007L
+          h2 = (131L * h2 + c) % 998244353L
+        }
+        h2 * 1073741824L + h1
+      }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",             // degenerate repetition
+      "short",                            // below span length
+      "exactly-ten",                      // around the boundary
+      "unicode: äöü߀ and £¥ plus emoji-free BMP text")
+    for (l <- Seq(1, 7, 10, 40)) {
+      val got = samples.toDF("s")
+        .select(org.apache.spark.sql.graft.VectorBridge.rollingHash60($"s", l).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      val want = samples.map(ref(_, l))
+      assert(got == want, s"span length $l drifted from the reference")
+    }
+    // hashes of equal spans collide iff the spans are equal (on this
+    // corpus): the repetition sample's windows are all identical
+    val rep = samples(1)
+    val hs = ref(rep, 7)
+    assert(hs.distinct.size == 1, "identical windows must share one hash")
+  }
 }
