@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Operator-only scale probes: times the OPERATOR at a given sf dir
+  * without the harness queries' in-query oracle machinery (t31's
+  * all-pairs truth is O(N²) by construction — it is the verification's
+  * cost, not the operator's, and would drown the scale curve).
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> [probe,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def table(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val probes: Seq[(String, () => Long)] = Seq(
+      "semantic_dedup" -> (() => {
+        val emb = table("embeddings")
+        val nlist = math.max(16, (emb.count() / 250L).toInt)
+        operators.Similarity.semanticNearDups(
+          emb, "vec_id", "embedding", threshold = 0.42, nlist = nlist).count()
+      }),
+      "minhash" -> (() =>
+        operators.Dedup.minhashNearDups(table("documents"), "doc_id", "text", 0.5).count()),
+      "dup_spans" -> (() =>
+        operators.Dedup.duplicatedSpanStats(table("documents"), "doc_id", "text", 40)
+          .agg(org.apache.spark.sql.functions.sum("dup_positions")).head().getLong(0)))
+
+    probes.filter(p => only.forall(_.contains(p._1))).foreach { case (name, f) =>
+      val t0 = System.nanoTime()
+      val n = f()
+      println(f"[scale-probe] $name: result=$n%,d in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

@@ -290,14 +290,21 @@ object DeltaTableOps {
     * petabyte table is one driver-side log write. */
   def shallowClone(
       spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): CloneResult = {
+      version: Option[Long] = None, replace: Boolean = false): CloneResult = {
     val srcLog = DeltaLog.forTable(spark, sourcePath)
     val snap = srcLog.snapshot(version)
     val tgtLog = DeltaLog.forTable(spark, targetPath)
     val exists =
       try { tgtLog.latestVersion; true }
       catch { case _: IllegalArgumentException => false }
-    require(!exists, s"Cannot clone into $targetPath: already a Delta table")
+    require(!exists || replace,
+      s"Cannot clone into $targetPath: already a Delta table (use OR REPLACE)")
+    // CREATE OR REPLACE ... CLONE: one history-preserving commit swaps
+    // the whole snapshot — the prior actives tombstone beside the
+    // clone's adds, metadata/protocol replace wholesale, the table id
+    // stays (it is the same table, replaced)
+    val tgtSnap = if (exists) Some(tgtLog.snapshot(None)) else None
+    val commitV = tgtSnap.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
     val adds = snap.activeFiles.map { f =>
       val abs = DeltaRead.resolvePath(sourcePath, f.path)
@@ -319,7 +326,9 @@ object DeltaTableOps {
       f.copy(path = stored, dataChange = true, deletionVector = dv)
     }
     val meta = snap.metadata.copy(
-      id = java.util.UUID.randomUUID().toString, createdTime = Some(now))
+      id = tgtSnap.map(_.metadata.id)
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      createdTime = Some(now))
     val ci = CommitInfo(now, "CLONE",
       operationParameters = Map(
         "source" -> sourcePath,
@@ -327,6 +336,7 @@ object DeltaTableOps {
       operationMetrics = Map(
         "numClonedFiles" -> adds.size.toString,
         "numOutputRows" -> "0"),
+      readVersion = tgtSnap.map(_.version),
       isBlindAppend = Some(false))
     // a clone of a row-tracking table carries the id watermark too —
     // without it the clone's next append would re-allocate ids the
@@ -334,8 +344,12 @@ object DeltaTableOps {
     val domainActs = snap.domainMetadata.toSeq.map { case (d, cfg) =>
       DomainMetadata(d, cfg)
     }
-    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds)
-    CloneResult(0L, adds.size)
+    val removes = tgtSnap.toSeq.flatMap(_.activeFiles).map(f =>
+      RemoveFile(f.path, Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size), deletionVector = f.deletionVector))
+    tgtLog.writeCommit(commitV, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds ++ removes)
+    CloneResult(commitV, adds.size)
   }
 
   private def hasScheme(p: String): Boolean =
@@ -358,14 +372,17 @@ object DeltaTableOps {
     * driver-side control-plane write like every other commit. */
   def deepClone(
       spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): CloneResult = {
+      version: Option[Long] = None, replace: Boolean = false): CloneResult = {
     val srcLog = DeltaLog.forTable(spark, sourcePath)
     val snap = srcLog.snapshot(version)
     val tgtLog = DeltaLog.forTable(spark, targetPath)
     val exists =
       try { tgtLog.latestVersion; true }
       catch { case _: IllegalArgumentException => false }
-    require(!exists, s"Cannot clone into $targetPath: already a Delta table")
+    require(!exists || replace,
+      s"Cannot clone into $targetPath: already a Delta table (use OR REPLACE)")
+    val tgtSnap = if (exists) Some(tgtLog.snapshot(None)) else None
+    val commitV = tgtSnap.map(_.version + 1).getOrElse(0L)
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = new Path(sourcePath)
     val tgtRoot = new Path(targetPath)
@@ -376,7 +393,12 @@ object DeltaTableOps {
     val plan: Seq[(String, String)] = snap.activeFiles.zipWithIndex.map { case (f, i) =>
       val abs = DeltaRead.resolvePath(sourcePath, f.path)
       val stored =
-        if (hasScheme(f.path) || f.path.startsWith("/"))
+        if (tgtSnap.isDefined)
+          // REPLACE: the prior snapshot's files stay live for time travel
+          // until vacuum — copies take commit-versioned unique names so
+          // they can never overwrite a still-referenced file
+          f"deep-v$commitV-$i%05d-${new Path(abs).getName}"
+        else if (hasScheme(f.path) || f.path.startsWith("/"))
           f"deep-$i%05d-${new Path(abs).getName}"
         else f.path // keep the original relative (encoded) layout
       (abs, stored)
@@ -423,7 +445,9 @@ object DeltaTableOps {
         deletionVector = f.deletionVector.map(_ => freshDvs(f.path)))
     }
     val meta = snap.metadata.copy(
-      id = java.util.UUID.randomUUID().toString, createdTime = Some(now))
+      id = tgtSnap.map(_.metadata.id)
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      createdTime = Some(now))
     val ci = CommitInfo(now, "CLONE",
       operationParameters = Map(
         "source" -> sourcePath,
@@ -432,12 +456,17 @@ object DeltaTableOps {
       operationMetrics = Map(
         "numClonedFiles" -> adds.size.toString,
         "numCopiedBytes" -> adds.map(_.size).sum.toString),
+      readVersion = tgtSnap.map(_.version),
       isBlindAppend = Some(false))
     val domainActs = snap.domainMetadata.toSeq.map { case (d, cfg) =>
       DomainMetadata(d, cfg)
     }
-    tgtLog.writeCommit(0L, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds)
-    CloneResult(0L, adds.size)
+    val removes = tgtSnap.toSeq.flatMap(_.activeFiles).map(f =>
+      RemoveFile(f.path, Some(now), dataChange = true,
+        extendedFileMetadata = Some(true), partitionValues = f.partitionValues,
+        size = Some(f.size), deletionVector = f.deletionVector))
+    tgtLog.writeCommit(commitV, Seq(ci, snap.protocol, meta) ++ domainActs ++ adds ++ removes)
+    CloneResult(commitV, adds.size)
   }
 
   final case class FsckResult(tableVersion: Long, removedEntries: Long)
@@ -1249,7 +1278,17 @@ object DeltaTableOps {
       }
     require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
       s"DEFAULT must be deterministic: $exprSql")
-    probe.collect()
+    // the cast must actually PRODUCE a value: under non-ANSI mode an
+    // uncastable constant ('abc' AS BIGINT) casts to NULL silently —
+    // accepting it would make later INSERTs fill NULL where the user
+    // declared a default. A literal NULL default is still legal.
+    val casted = probe.collect()(0).isNullAt(0)
+    if (casted) {
+      val rawIsNull = spark.sql(s"SELECT ($exprSql) IS NULL AS n").collect()(0).getBoolean(0)
+      require(rawIsNull,
+        s"DEFAULT $exprSql does not cast to ${field.dataType.sql} " +
+          "(the cast yields NULL); declare a castable constant")
+    }
     val updated = StructType(snap.schema.fields.map { f =>
       if (f.name.equalsIgnoreCase(column))
         StructField(f.name, f.dataType, f.nullable,

@@ -662,9 +662,25 @@ object DeltaWrite {
     val n = tableConfig.get("delta.dataSkippingNumIndexedCols")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(32)
+    // the N bound counts LEAF columns (nested structs count per leaf),
+    // matching delta-spark's indexed-column accounting on wide nested
+    // schemas; we keep whole top-level fields while the leaf budget
+    // lasts (no partial-struct truncation — our harvest is per
+    // top-level column). Partition columns consume budget but never
+    // carry file stats (their values live in the log), like delta-spark.
+    def leaves(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case st: StructType => st.fields.map(f => leaves(f.dataType)).sum.max(1)
+      case _ => 1
+    }
     val prefix =
       if (n < 0) schema.fields
-      else schema.fields.take(n)
+      else {
+        var budget = n
+        schema.fields.takeWhile { f =>
+          val c = leaves(f.dataType)
+          if (c <= budget) { budget -= c; true } else false
+        }
+      }
     StructType(prefix.filterNot(f => partitionBy.contains(f.name)))
   }
 

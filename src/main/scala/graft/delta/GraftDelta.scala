@@ -92,14 +92,16 @@ object GraftDelta {
     * surface). */
   def shallowClone(
       spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): DeltaTableOps.CloneResult =
-    DeltaTableOps.shallowClone(spark, sourcePath, targetPath, version)
+      version: Option[Long] = None,
+      replace: Boolean = false): DeltaTableOps.CloneResult =
+    DeltaTableOps.shallowClone(spark, sourcePath, targetPath, version, replace)
 
   /** DEEP CLONE: independent physical copy (data + DV files copied). */
   def deepClone(
       spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): DeltaTableOps.CloneResult =
-    DeltaTableOps.deepClone(spark, sourcePath, targetPath, version)
+      version: Option[Long] = None,
+      replace: Boolean = false): DeltaTableOps.CloneResult =
+    DeltaTableOps.deepClone(spark, sourcePath, targetPath, version, replace)
 
   /** ALTER TABLE … ADD CONSTRAINT … CHECK (beyond the reference's
     * surface; writer protocol v3). */

@@ -114,33 +114,69 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   }
 }
 
-/** `whenMatched*` pick ONE matched action (last call wins, delta-spark
-  * builder style); `whenNotMatchedInsertAll()` opts into inserting
-  * unmatched source rows (default: update-only merge). */
+/** Ordered clause accumulation, delta-spark builder style: each
+  * `whenMatched*` call appends a clause (optional `condition` expression
+  * string — target columns by name, source columns as `source.col` /
+  * `s.col`), evaluated FIRST-MATCH-WINS; `whenNotMatchedBySource*`
+  * clauses apply to target rows the source no longer carries;
+  * `whenNotMatchedInsertAll()` opts into inserting unmatched source
+  * rows (default: update-only merge). With no whenMatched call the
+  * builder keeps its original upsert default (UpdateAll). */
 final class GraftMergeBuilder private[delta] (
     spark: SparkSession, path: String, source: DataFrame, on: Seq[String]) {
-  private var matched: DeltaDml.WhenMatched = DeltaDml.WhenMatched.UpdateAll
+  private val matched = Seq.newBuilder[DeltaDml.MatchedClause]
+  private val bySource = Seq.newBuilder[DeltaDml.BySourceClause]
   private var insertAll = false
 
-  def whenMatchedUpdateAll(): this.type = { matched = DeltaDml.WhenMatched.UpdateAll; this }
-  def whenMatchedDelete(): this.type = { matched = DeltaDml.WhenMatched.Delete; this }
+  private def rewrite(e: String) =
+    org.apache.spark.sql.functions.expr(
+      e.replaceAll("(?i)\\b(?:source|s)\\.", "__graft_src_"))
+  private def condOf(condition: String) = Option(condition).map(rewrite)
+
+  def whenMatchedUpdateAll(condition: String = null): this.type = {
+    matched += DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll, condOf(condition))
+    this
+  }
+  def whenMatchedDelete(condition: String = null): this.type = {
+    matched += DeltaDml.MatchedClause(DeltaDml.WhenMatched.Delete, condOf(condition))
+    this
+  }
 
   /** UPDATE SET with expression strings; `source.col` / `s.col` refer to
     * the merge source's columns (same rewrite as the SQL surface). */
-  def whenMatchedUpdateExpr(set: Map[String, String]): this.type = {
+  def whenMatchedUpdateExpr(set: Map[String, String], condition: String = null): this.type = {
     require(set.nonEmpty, "whenMatchedUpdateExpr requires at least one assignment")
-    val cols = set.map { case (k, v) =>
-      k -> org.apache.spark.sql.functions.expr(
-        v.replaceAll("(?i)\\b(?:source|s)\\.", "__graft_src_"))
-    }
-    matched = DeltaDml.WhenMatched.Update(cols)
+    matched += DeltaDml.MatchedClause(
+      DeltaDml.WhenMatched.Update(set.map { case (k, v) => k -> rewrite(v) }),
+      condOf(condition))
     this
   }
 
   def whenNotMatchedInsertAll(): this.type = { insertAll = true; this }
 
-  def execute(): DeltaDml.MergeResult =
-    GraftDelta.mergeInto(spark, path, source, on, matched, insertAll)
+  def whenNotMatchedBySourceDelete(condition: String = null): this.type = {
+    bySource += DeltaDml.BySourceClause(DeltaDml.BySourceAction.Delete, condOf(condition))
+    this
+  }
+  /** Assignments see target columns only (there is no source row). */
+  def whenNotMatchedBySourceUpdateExpr(
+      set: Map[String, String], condition: String = null): this.type = {
+    require(set.nonEmpty, "whenNotMatchedBySourceUpdateExpr requires at least one assignment")
+    bySource += DeltaDml.BySourceClause(
+      DeltaDml.BySourceAction.Update(
+        set.map { case (k, v) => k -> org.apache.spark.sql.functions.expr(v) }),
+      condOf(condition))
+    this
+  }
+
+  def execute(): DeltaDml.MergeResult = {
+    val m = matched.result()
+    DeltaDml.mergeClauses(spark, path, source, on,
+      matched = if (m.isEmpty && bySource.result().isEmpty)
+        Seq(DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll)) else m,
+      insertNotMatched = insertAll,
+      bySource = bySource.result())
+  }
 }
 
 /** OPTIMIZE builder: optional partition predicate, compaction or

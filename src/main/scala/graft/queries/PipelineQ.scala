@@ -570,8 +570,13 @@ object PipelineQ {
     "t31_semantic_dedup" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // nlist scales with the corpus (target ~500 vectors/cell, floor 16
+      // = the sf0.01/sf0.1 value): a FIXED cell count at 10x data pushes
+      // every cell past the candidate cap and recall collapses — the
+      // knob a real deployment turns with corpus size (measured at sf1)
+      val nlist = math.max(16, (emb.count() / 250L).toInt)
       val sem = Similarity.semanticNearDups(emb, "vec_id", "embedding",
-          threshold = 0.42, nlist = 16)
+          threshold = 0.42, nlist = nlist)
         .select($"id_a", $"id_b")
       val q = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("v"))
       val exact = q.as("l").join(q.as("r"), $"l.id" < $"r.id")

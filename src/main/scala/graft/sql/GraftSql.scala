@@ -69,8 +69,11 @@ object GraftSql {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.sql")
 
-  // table reference: delta.`p` | graft.`p` | `p` | 'p' | bare-token
-  private val Ref = """(?:(?:delta|graft)\.)?(?:`([^`]+)`|'([^']+)'|([^\s`';]+))"""
+  // table reference: delta.`p` | graft.`p` | `p` | 'p' | bare-token.
+  // '(' is excluded from the bare alternative so standard SQL
+  // `INSERT INTO t(a,b) ...` (no space before the column list) parses
+  // as ref `t` + list, not ref `t(a,b)`.
+  private val Ref = """(?:(?:delta|graft)\.)?(?:`([^`]+)`|'([^']+)'|([^\s`';(]+))"""
 
   private val DvHint = """(?is)/\*\+\s*DV\s*\*/"""
 
@@ -199,7 +202,7 @@ object GraftSql {
   private val ClusterByRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([\\w,\\s`]*)\\)|NONE)\\s*;?\\s*$$""")
   private val CloneRe = new Q(
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ref""" +
+    s"""(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ref""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
   private val InsertRe = new Q(
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
@@ -403,13 +406,16 @@ object GraftSql {
         val n = DeltaTableOps.generateSymlinkManifest(spark, path)
         oneRow(spark, Seq("operation", "manifests"),
           Row("GENERATE", n))
-      case CloneRe(t1, t2, t3, flavor, s1, s2, s3, v) =>
+      case CloneRe(orReplace, t1, t2, t3, flavor, s1, s2, s3, v) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)
         val deep = flavor.equalsIgnoreCase("DEEP")
+        val replace = orReplace != null
         val r =
-          if (deep) GraftDelta.deepClone(spark, source, target, Option(v).map(_.toLong))
-          else GraftDelta.shallowClone(spark, source, target, Option(v).map(_.toLong))
+          if (deep) GraftDelta.deepClone(spark, source, target,
+            Option(v).map(_.toLong), replace)
+          else GraftDelta.shallowClone(spark, source, target,
+            Option(v).map(_.toLong), replace)
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
           Row(if (deep) "DEEP CLONE" else "SHALLOW CLONE",
             r.tableVersion, r.clonedFiles))
@@ -497,23 +503,35 @@ object GraftSql {
       case s @ ShowPartitionsRe(p1, p2, p3) =>
         // answered from the log alone (partition values ride the adds):
         // zero data I/O at any table size. A ref that is NOT a graft
-        // table (a temp view, a hive table) falls through to spark.sql —
-        // this route is an optimization, not a semantic capture.
-        scala.util.Try(resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get))
-          .toOption.map { path =>
+        // table (a temp view, a hive table, a path-shaped non-Delta
+        // location) falls through to spark.sql — the Try covers the
+        // SNAPSHOT LOAD too, not just name resolution, because a
+        // path-shaped ref always "resolves" and only the log read can
+        // tell it isn't ours. Partition-less Delta tables REFUSE (the
+        // delta-spark contract) instead of listing N empty tuples.
+        (try {
+          val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+          val snap = DeltaLog.forTable(spark, path).snapshot(None)
+          Some((path, snap.partitionColumns))
+        } catch { case _: IllegalArgumentException => None })
+          .map { case (path, partCols2) =>
+            require(partCols2.nonEmpty,
+              s"SHOW PARTITIONS is not allowed on a table that is not partitioned")
             val pc = DeltaTableOps.partitionCounts(spark, path)
-            val partCols2 =
-              DeltaLog.forTable(spark, path).snapshot(None).partitionColumns
             pc.df.select(
                 partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
               .orderBy(
                 partCols2.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
           }.getOrElse(spark.sql(rewriteDeltaRefs(spark, s)))
       case s @ DescribeTableRe(p1, p2, p3) =>
-        // same fall-through stance: only graft/delta refs are ours
-        scala.util.Try(resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get))
-          .toOption.map { path =>
-            val snap = DeltaLog.forTable(spark, path).snapshot(None)
+        // same fall-through stance: only graft/delta refs are ours — the
+        // Try covers the snapshot load (a path-shaped non-Delta ref
+        // passes resolveRef but fails the log read)
+        (try {
+          val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+          Some(DeltaLog.forTable(spark, path).snapshot(None))
+        } catch { case _: IllegalArgumentException => None })
+          .map { snap =>
             val partSet = snap.partitionColumns.toSet
             val rows = snap.schema.fields.toSeq.map(f =>
               Row(f.name, f.dataType.simpleString,

@@ -132,6 +132,44 @@ class CloneConstraintSpec extends GraftSuite {
     }
   }
 
+  test("CREATE OR REPLACE CLONE swaps the snapshot, preserves history and table id") {
+    import spark.implicits._
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(Seq((1L, "new"), (2L, "new")).toDF("id", "v"), src)
+    GraftDelta.toDelta(Seq((10L, "old"), (11L, "old"), (12L, "old")).toDF("id", "v"), cln)
+    val oldId = DeltaLog.forTable(spark, cln).snapshot(None).metadata.id
+    val r = graft.sql.GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE delta.`$cln` SHALLOW CLONE delta.`$src`")
+    assert(r.collect()(0).getLong(1) == 1L, "replace commits at v1, preserving history")
+    val snap = DeltaLog.forTable(spark, cln).snapshot(None)
+    assert(snap.metadata.id == oldId, "the replaced table keeps its identity")
+    assert(GraftDelta.readDelta(spark, cln).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // time travel still reads the pre-replace snapshot
+    assert(GraftDelta.readDelta(spark, cln, version = Some(0L)).count() == 3L)
+  }
+
+  test("deep OR REPLACE copies under commit-versioned names; old files stay readable") {
+    import spark.implicits._
+    val src = tmp(); val cln = tmp()
+    GraftDelta.toDelta(Seq((1L, "s")).toDF("id", "v"), src)
+    // the target IS a deep clone of src already — replacing with the same
+    // source must not overwrite the still-referenced v0 copies
+    GraftDelta.deepClone(spark, src, cln)
+    GraftDelta.toDelta(Seq((2L, "s2")).toDF("id", "v"), src, mode = "append")
+    val v0Files = DeltaLog.forTable(spark, cln).snapshot(None).activeFiles.map(_.path)
+    val r = GraftDelta.deepClone(spark, src, cln, replace = true)
+    assert(r.tableVersion == 1L)
+    val snap = DeltaLog.forTable(spark, cln).snapshot(None)
+    assert(snap.activeFiles.forall(_.path.startsWith("deep-v1-")),
+      snap.activeFiles.map(_.path).toString)
+    assert(snap.activeFiles.map(_.path).toSet.intersect(v0Files.toSet).isEmpty)
+    assert(GraftDelta.readDelta(spark, cln).count() == 2L)
+    // the pre-replace version still reads from its own untouched copies
+    assert(GraftDelta.readDelta(spark, cln, version = Some(0L))
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("ADD CONSTRAINT validates existing rows and rejects violating appends") {
     import spark.implicits._
     val path = tmp()

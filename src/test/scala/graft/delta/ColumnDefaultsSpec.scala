@@ -104,6 +104,23 @@ class ColumnDefaultsSpec extends GraftSuite {
     // unknown column refuses
     intercept[IllegalArgumentException](
       DeltaTableOps.setColumnDefault(spark, path, "zzz", "1"))
+    // uncastable constant refuses at declaration in BOTH dialects:
+    // ANSI mode errors inside the probe; non-ANSI casts to NULL
+    // silently, which the explicit null-production check catches
+    // (accepting it would fill NULL where the user declared a default)
+    val e3 = intercept[Exception](
+      DeltaTableOps.setColumnDefault(spark, path, "n", "'abc'"))
+    assert(e3.getMessage.contains("does not cast") ||
+      e3.getMessage.contains("CAST_INVALID_INPUT"), e3.getMessage)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e4 = intercept[IllegalArgumentException](
+        DeltaTableOps.setColumnDefault(spark, path, "n", "'abc'"))
+      assert(e4.getMessage.contains("does not cast"), e4.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // a literal NULL default stays legal
+    DeltaTableOps.setColumnDefault(spark, path, "n", "NULL")
   }
 
   test("TRUNCATE TABLE wipes rows, keeps schema/history/time-travel") {

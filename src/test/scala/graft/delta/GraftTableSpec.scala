@@ -81,6 +81,25 @@ class GraftTableSpec extends GraftSuite {
     assert(t.toDF.count() == 19L)
   }
 
+  test("merge builder: ordered conditioned clauses + by-source, first-match-wins") {
+    val path = tmp()
+    seed(path) // k=1..20, v=v<k>, g=k%4
+    val t = GraftTable.forPath(spark, path)
+    val src = Seq((2L, "zero", 0L), (3L, "big", 99L), (7L, "mid", 50L)).toDF("k", "v", "g")
+    val r = t.merge(src, Seq("k"))
+      .whenMatchedDelete(condition = "s.g = 0")
+      .whenMatchedUpdateExpr(Map("v" -> "source.v"), condition = "source.g > 60")
+      .whenMatchedUpdateExpr(Map("v" -> "'fallback'"))
+      .whenNotMatchedBySourceDelete(condition = "k > 18")
+      .whenNotMatchedBySourceUpdateExpr(Map("v" -> "'aged'"), condition = "g = 1")
+      .execute()
+    assert(r.matchedRows == 3L, s"$r")
+    val out = t.toDF.select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(!out.contains(2L) && out(3L) == "big" && out(7L) == "fallback")
+    assert(!out.contains(19L) && !out.contains(20L))
+    assert(out(5L) == "aged" && out(4L) == "v4")
+  }
+
   test("optimize compaction and zorder; restore round-trips") {
     val path = tmp()
     GraftDelta.toDelta(

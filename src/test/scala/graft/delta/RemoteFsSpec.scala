@@ -44,7 +44,10 @@ class RacyFs extends RawLocalFileSystem {
 object RacyFs {
   @volatile var gate: Option[java.util.concurrent.CyclicBarrier] = None
   private[delta] def widenWindow(): Unit = gate.foreach { b =>
-    try b.await(2, java.util.concurrent.TimeUnit.SECONDS)
+    // generous bound: under full-suite CPU contention the two committers
+    // can start far apart; the timeout exists only so a test failure
+    // can't deadlock the pool
+    try b.await(60, java.util.concurrent.TimeUnit.SECONDS)
     catch { case _: Exception => () } // lone committer proceeds
   }
 }

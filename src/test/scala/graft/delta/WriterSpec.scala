@@ -51,6 +51,31 @@ class WriterSpec extends GraftSuite {
     assert(!s2b.contains("\"c3\":"), "append must honor the stored property")
   }
 
+  test("the stats bound counts LEAF columns (nested structs consume per leaf)") {
+    import org.apache.spark.sql.types._
+    val inner = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType), StructField("z", LongType)))
+    val schema = StructType(Seq(
+      StructField("a", LongType),        // 1 leaf  (budget 4 -> 3)
+      StructField("s", inner),           // 3 leaves (budget 3 -> 0)
+      StructField("b", LongType),        // over budget
+      StructField("c", LongType)))
+    val bounded = DeltaWrite.statsSchemaOf(schema, Nil,
+      Map("delta.dataSkippingNumIndexedCols" -> "4"))
+    assert(bounded.fieldNames.toSeq == Seq("a", "s"), bounded.fieldNames.toSeq)
+    // a struct that CROSSES the boundary is excluded whole (no partial
+    // truncation — harvest is per top-level column), and later scalars
+    // never leapfrog it
+    val tight = DeltaWrite.statsSchemaOf(schema, Nil,
+      Map("delta.dataSkippingNumIndexedCols" -> "3"))
+    assert(tight.fieldNames.toSeq == Seq("a"), tight.fieldNames.toSeq)
+    // -1 keeps everything; partition columns still consume budget
+    assert(DeltaWrite.statsSchemaOf(schema, Nil,
+      Map("delta.dataSkippingNumIndexedCols" -> "-1")).fields.length == 4)
+    assert(DeltaWrite.statsSchemaOf(schema, Seq("a"),
+      Map("delta.dataSkippingNumIndexedCols" -> "4")).fieldNames.toSeq == Seq("s"))
+  }
+
   test("roundtrip: commit 0 exists and data reads back (test_writer.py:19-27)") {
     val path = tmp()
     GraftDelta.toDelta(sample, path)

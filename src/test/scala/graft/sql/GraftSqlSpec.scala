@@ -139,6 +139,41 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftDelta.readDelta(spark, p2).filter($"k" === 100L).count() == 0L)
   }
 
+  test("INSERT INTO t(cols) with no space before the list parses the column list") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 3L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "n"), path)
+    GraftSql.sql(spark,
+      s"ALTER TABLE delta.`$path` ALTER COLUMN n SET DEFAULT 7")
+    // standard SQL shape: ref immediately followed by '(' — previously
+    // matched ref='t(k,v)' and failed with a confusing resolve error
+    GraftSql.sql(spark, s"INSERT INTO delta.`$path`(k, v) VALUES (9, 'ins')")
+    val row = GraftDelta.readDelta(spark, path).filter($"k" === 9L)
+      .select($"v", $"n").as[(String, Long)].head()
+    assert(row == (("ins", 7L)), s"$row")
+  }
+
+  test("SHOW PARTITIONS refuses unpartitioned delta tables; non-delta paths fall through") {
+    val path = tmp()
+    seed(path) // unpartitioned
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"SHOW PARTITIONS delta.`$path`"))
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+    // a path-shaped ref to a NON-delta location must fall through to
+    // spark.sql (whose own error names the statement), not die inside
+    // the snapshot load
+    val plainDir = tmp()
+    (1L to 3L).toDF("x").write.parquet(plainDir)
+    val e2 = intercept[Exception](
+      GraftSql.sql(spark, s"SHOW PARTITIONS '$plainDir'"))
+    assert(!e2.getMessage.contains("Invalid version"),
+      s"must fall through to spark.sql, got: ${e2.getMessage}")
+    // DESCRIBE on the same non-delta path also falls through
+    val e3 = intercept[Exception](
+      GraftSql.sql(spark, s"DESCRIBE TABLE '$plainDir'"))
+    assert(!e3.getMessage.contains("Invalid version"), e3.getMessage)
+  }
+
   test("MERGE multi-clause SQL: conditioned MATCHED order + NOT MATCHED BY SOURCE") {
     val path = tmp()
     seed(path) // k=1..20, v=v<k>, g=k%4
