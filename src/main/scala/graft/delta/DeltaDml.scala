@@ -230,7 +230,7 @@ object DeltaDml {
         // postimages re-derive generated columns exactly like stageDml
         // (identity on every already-valid pre/delete row)
         DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
-          spark, fs, path, version, snap.partitionColumns)
+          spark, fs, path, version, snap)
       }
     if (matchedUses > 1) matchedCached.unpersist(blocking = false)
 
@@ -483,7 +483,7 @@ object DeltaDml {
           }
         // postimages re-derive generated columns exactly like stageDml
         DeltaWrite.stageCdc(DeltaWrite.withGeneratedRecomputed(changes, snap.schema),
-          spark, fs, path, version, snap.partitionColumns)
+          spark, fs, path, version, snap)
       }
     if (DeltaWrite.cdfEnabled(snap))
       partialSrc.foreach(_.unpersist(blocking = false))
@@ -935,7 +935,7 @@ object DeltaDml {
         if (all.isEmpty) Nil
         else DeltaWrite.stageCdc(
           DeltaWrite.withGeneratedRecomputed(all.reduce(_ unionByName _), snap.schema),
-          spark, fs, path, version, snap.partitionColumns)
+          spark, fs, path, version, snap)
       }
 
     // inserted = rows added minus rows carried over from rewrites (stats

@@ -125,6 +125,43 @@ object DeltaRead {
     finishProjection(base, schema, partCols, columns, filters)
   }
 
+  /** The cdc-plane twin of [[mappedScan]]: `_change_data` files of a
+    * column-mapped table carry PHYSICAL data-column names beside the
+    * protocol's `_change_type` column (which has no mapping id and binds
+    * by its own name in both modes); partition values attach from the
+    * physical-keyed action partitionValues via the broadcast index. */
+  private[delta] def mappedCdcScan(
+      spark: SparkSession, path: String, snap: Snapshot,
+      files: Seq[AddCDCFile]): DataFrame = {
+    val schema = snap.schema
+    val byId = mappingModeOf(snap) == "id"
+    val readSession = if (byId) fieldIdReadSession(spark) else spark
+    val partCols = snap.partitionColumns
+    val physOf: Map[String, String] =
+      schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val ct = ChangeFeed.ChangeTypeCol
+    val readSchema = StructType(
+      (if (byId) fieldIdSchema(StructType(dataFields)).fields
+       else dataFields.map(f =>
+         StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable))) :+
+        StructField(ct, StringType, nullable = false))
+    val shims = files.map(c => AddFile(c.path, c.partitionValues, c.size))
+    val resolved = shims.map(f => resolvePath(path, f.path))
+    val g = readSession.read.format("parquet").schema(readSchema).load(resolved: _*)
+    val partFields = schema.fields.filter(f => partCols.contains(f.name))
+    val withPv =
+      if (partFields.isEmpty) g
+      else attachLogPartitionValues(spark, g, shims, resolved,
+        partFields.map(f => f.copy(name = s"__graft_pv_${f.name}")),
+        n => physOf.getOrElse(n.stripPrefix("__graft_pv_"), n.stripPrefix("__graft_pv_")))
+    val renamed = dataFields.map(f =>
+      (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
+      partFields.map(f => col(s"__graft_pv_${f.name}").as(f.name)) :+ col(ct)
+    withPv.select(renamed: _*)
+      .select((schema.fieldNames.toSeq :+ ct).map(col): _*)
+  }
+
   /** Attach a partitioned table's log-carried partition values to a
     * single-relation scan of its files: one broadcast file→values index,
     * one codegen'd lookup per partition column keyed on

@@ -616,8 +616,6 @@ object DeltaTableOps {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
-    require(DeltaRead.mappingModeOf(snap) == "none",
-      "delta.enableChangeDataFeed on a column-mapped table is not supported")
     val reserved =
       Set(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol, "_commit_timestamp")
     val clash = snap.schema.fieldNames.filter(reserved.contains)
@@ -1227,7 +1225,7 @@ object DeltaTableOps {
       if (!DeltaWrite.cdfEnabled(snap)) Nil
       else DeltaWrite.stageCdc(
         DeltaRead.load(spark, path).withColumn("_change_type", lit("delete")),
-        spark, fs, path, snap.version + 1, snap.partitionColumns)
+        spark, fs, path, snap.version + 1, snap)
     val ci = CommitInfo(now, "TRUNCATE",
       operationParameters = Map.empty,
       operationMetrics = Map(
@@ -1520,7 +1518,7 @@ object DeltaTableOps {
           frames += DeltaDml.readFiles(spark, path, target, adds)
             .withColumn(ct, lit("insert"))
         DeltaWrite.stageCdc(frames.result().reduce(_ unionByName _),
-          spark, fsc, path, latest + 1, current.partitionColumns)
+          spark, fsc, path, latest + 1, current)
       }
     val ci = CommitInfo(now, "RESTORE",
       operationParameters = Map("version" -> toVersion.toString),
@@ -1585,21 +1583,30 @@ object DeltaTableOps {
     require(fromVersion <= hi,
       s"tableChanges range is empty: ($fromVersion, $hi]")
     val hiSnap = log.snapshot(Some(hi))
-    DeltaWrite.requireNotColumnMapped(hiSnap, "tableChanges")
+    val mapped = DeltaRead.mappingModeOf(hiSnap) != "none"
     val schema = hiSnap.schema
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    def scan(files: Seq[AddFile]) = spark.read
-      .schema(schema)
-      .option("basePath", path)
-      .parquet(files.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+    // mapped tables read physical names back to the logical schema on
+    // BOTH planes (data adds via mappedScan, cdc files via its cdc twin)
+    def scan(files: Seq[AddFile]) =
+      if (mapped) DeltaRead.mappedScan(spark, path, hiSnap, files)
+      else spark.read
+        .schema(schema)
+        .option("basePath", path)
+        .parquet(files.map(a => DeltaRead.resolvePath(path, a.path)): _*)
+    def scanWithMeta(files: Seq[AddFile]) =
+      if (mapped) DeltaRead.mappedScan(spark, path, hiSnap, files, keepMeta = true)
+      else scan(files)
     // cdc files carry _change_type physically; partition columns ride
     // the hive dirs under _change_data/ exactly like the data plane
-    def scanCdc(files: Seq[AddCDCFile]) = spark.read
-      .schema(StructType(schema.fields :+
-        StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false)))
-      .option("basePath", new Path(path, "_change_data").toString)
-      .parquet(files.map(c => DeltaRead.resolvePath(path, c.path)): _*)
+    def scanCdc(files: Seq[AddCDCFile]) =
+      if (mapped) DeltaRead.mappedCdcScan(spark, path, hiSnap, files)
+      else spark.read
+        .schema(StructType(schema.fields :+
+          StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false)))
+        .option("basePath", new Path(path, "_change_data").toString)
+        .parquet(files.map(c => DeltaRead.resolvePath(path, c.path)): _*)
     val commits = ((fromVersion + 1) to hi).map(v => v -> log.readCommitActions(v))
     // all DV bitmap diffs across the range load in one batched pass
     // (one Spark job beyond the threshold) instead of per-commit
@@ -1626,7 +1633,9 @@ object DeltaTableOps {
         val deletes =
           if (plan.deleteCarriers.isEmpty) None
           else Some(stamp(
-            DeletionVectors.selectDeleted(scan(plan.deleteCarriers), plan.deleteDiffs)
+            DeletionVectors.selectDeleted(
+                scanWithMeta(plan.deleteCarriers), plan.deleteDiffs)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
               .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))))
         inserts.toSeq ++ deletes.toSeq
       }

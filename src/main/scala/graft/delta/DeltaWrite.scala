@@ -63,15 +63,9 @@ object DeltaWrite {
           s"(writerFeatures=${p.writerFeatures.getOrElse(Nil).mkString(",")}) — " +
           s"supported: ≤ $MaxSupportedWriterVersion, or 7 with features all in " +
           s"${DeltaLog.SupportedWriterFeatures.mkString("{", ",", "}")}")
-    // change data feed is implemented (DML/overwrite stage _change_data
-    // files, stageCdc), but the cdc plane writes LOGICAL column names —
-    // on a column-mapped table those wouldn't line up with the physical
-    // data files, so the combination refuses rather than emit a feed a
-    // mapped-aware reader can't reconcile
-    if (cdfEnabled(snap) && DeltaRead.mappingModeOf(snap) != "none")
-      throw new IllegalStateException(
-        "delta.enableChangeDataFeed on a column-mapped table is not supported " +
-          "(the change-data plane is not mapped-aware)")
+    // change data feed + column mapping compose: stageCdc writes the
+    // cdc plane with PHYSICAL names and physical-keyed dirs (like the
+    // data plane) and tableChanges renames back to the logical schema
     // generated columns are computed/validated for TOP-LEVEL fields
     // (write() computes missing ones, checkConstraintsOf enforces
     // provided ones, stageDml recomputes on rewrite); a generation
@@ -261,7 +255,8 @@ object DeltaWrite {
     * without them would be unreadable under field-id matching. */
   private[delta] def physicalizeForWrite(
       df: DataFrame, snap: Snapshot,
-      exclude: Set[String] = Set.empty): DataFrame = {
+      exclude: Set[String] = Set.empty,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val byId = DeltaRead.mappingModeOf(snap) == "id"
     val cols = snap.schema.fields.filterNot(f => exclude.contains(f.name)).map { f =>
       if (byId && f.dataType.isInstanceOf[StructType])
@@ -276,7 +271,7 @@ object DeltaWrite {
             .build())
       else c.as(DeltaRead.physicalNameOf(f))
     }
-    df.select(cols.toIndexedSeq: _*)
+    df.select(cols.toIndexedSeq ++ extra: _*)
   }
 
   // Continuation of write(): stage files, harvest stats, commit atomically.
@@ -390,7 +385,7 @@ object DeltaWrite {
         val inserts = DeltaDml.readFiles(spark, path, snap, adds)
           .withColumn(ct, lit("insert"))
         stageCdc(deletes.unionByName(inserts),
-          spark, fs, path, version, effectivePartitionBy)
+          spark, fs, path, version, snap)
       case _ => Nil
     }
 
@@ -870,12 +865,26 @@ object DeltaWrite {
     * changes frame is a normal distributed plan — nothing is collected;
     * the move phase reuses the data plane's serial/distributed split. */
   private[delta] def stageCdc(
-      changes: DataFrame,
+      changes0: DataFrame,
       spark: SparkSession,
       fs: FileSystem,
       path: String,
       version: Long,
-      partitionBy: Seq[String]): Seq[AddCDCFile] = {
+      snap: Snapshot): Seq[AddCDCFile] = {
+    // column-mapped tables: the cdc plane carries PHYSICAL column names
+    // and physical-keyed hive dirs/partitionValues, exactly like the
+    // data plane (a mapped-aware foreign CDF reader reconciles both the
+    // same way); `_change_type` stays by its protocol name
+    val (changes, partitionBy) =
+      if (DeltaRead.mappingModeOf(snap) == "none")
+        (changes0, snap.partitionColumns)
+      else {
+        val physOf = snap.schema.fields
+          .map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+        (physicalizeForWrite(changes0, snap,
+          extra = Seq(col(ChangeFeed.ChangeTypeCol))),
+          snap.partitionColumns.map(c => physOf.getOrElse(c, c)))
+      }
     val stagingDir = new Path(path, s".graft_cdc_${UUID.randomUUID().toString.take(12)}")
     try {
       val tsTypeKey = "spark.sql.parquet.outputTimestampType"

@@ -809,6 +809,29 @@ object DeltaQ {
         .orderBy($"key")
     }),
 
+    // CHANGE DATA FEED on a COLUMN-MAPPED table: the cdc plane stores
+    // PHYSICAL column names (like the data plane) and the feed renames
+    // back to the logical schema — rewrite DELETE cdc rows and DV UPDATE
+    // pre/post images addressed by the RENAMED column, vs a DuckDB
+    // reconstruction of both change sets from the raw source.
+    "d51_mapped_cdf" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d51")
+      GraftDelta.toDelta(t(s, dir, "supplier").repartition(4), path,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))     // v0
+      GraftDelta.enableColumnMapping(s, path)                            // v1
+      GraftDelta.renameColumn(s, path, "s_acctbal", "balance")           // v2
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("balance", "<", 0.0))))                        // v3 rewrite cdc
+      GraftDelta.updateWhereWithDv(s, path,
+        Seq(Seq(Predicate("s_nationkey", "<", 5))),
+        Map("balance" -> (col("balance") + 100)))                        // v4 DV cdc
+      GraftDelta.tableChanges(s, path, fromVersion = 2L)
+        .select($"s_suppkey", $"s_nationkey", cents($"balance").as("bal_c"),
+          $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"_change_type", $"s_suppkey")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1333,6 +1356,24 @@ object DeltaQ {
         | 'insert' AS _change_type,
         | CAST(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey >= 3000 ORDER BY o_orderkey""".stripMargin,
+    "d51_mapped_cdf" ->
+      """WITH chg AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c,
+        |    'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+        |  FROM supplier WHERE s_acctbal < 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(ROUND(s_acctbal*100) AS BIGINT),
+        |    'update_preimage', CAST(4 AS BIGINT)
+        |  FROM supplier WHERE s_nationkey < 5 AND s_acctbal >= 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(ROUND((s_acctbal+100)*100) AS BIGINT),
+        |    'update_postimage', CAST(4 AS BIGINT)
+        |  FROM supplier WHERE s_nationkey < 5 AND s_acctbal >= 0)
+        |SELECT * FROM chg
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
     "d50_merge_clauses" ->
       """SELECT c_custkey AS key, c_nationkey,
         | CAST(ROUND((CASE

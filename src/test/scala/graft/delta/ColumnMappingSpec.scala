@@ -295,6 +295,58 @@ class ColumnMappingSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
   }
 
+  test("change data feed composes with column mapping: physical cdc plane, logical feed") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, s"v$i", s"g${i % 2}"))
+      .toDF("k", "v", "g"), path, partitionBy = Seq("g"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))          // v0
+    GraftDelta.enableColumnMapping(spark, path)                             // v1
+    GraftDelta.renameColumn(spark, path, "k", "id")                         // v2
+    // rewrite DELETE records exact per-row cdc deletes; DV UPDATE records
+    // pre/post images — both through the PHYSICAL cdc plane
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("id", "<=", 2L))))  // v3
+    GraftDelta.updateWhereWithDv(spark, path, Seq(Seq(Predicate("id", "==", 5L))),
+      Map("v" -> lit("up")))                                                // v4
+    // cdc files on disk carry PHYSICAL names + physical hive dirs
+    val log = DeltaLog.forTable(spark, path)
+    val cdc3 = log.readCommitActions(3L).collect { case c: AddCDCFile => c }
+    assert(cdc3.nonEmpty)
+    assert(cdc3.forall(_.partitionValues.keySet == Set("g")),
+      cdc3.map(_.partitionValues).toString) // physicalName of g == "g" (upgrade identity)
+    val raw = spark.read.parquet(s"$path/${cdc3.head.path}")
+    assert(raw.columns.toSet == Set("k", "v", "_change_type"),
+      s"physical data names + _change_type: ${raw.columns.toSeq}")
+    // the feed surfaces the LOGICAL schema across pre- and post-mapping commits
+    val feed = GraftDelta.tableChanges(spark, path, fromVersion = 2L)
+      .select($"id", $"v", $"g", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "v1", "g1", "delete", 3L), (2L, "v2", "g0", "delete", 3L),
+      (5L, "v5", "g1", "update_preimage", 4L), (5L, "up", "g1", "update_postimage", 4L)),
+      feed.toString)
+    // the insert fallback (cdc-less commit 0) also reads; a range ENDING
+    // before the rename serves the range-end schema (pre-rename "k")
+    val v0 = GraftDelta.tableChanges(spark, path, fromVersion = -1L, toVersion = Some(0L))
+    assert(v0.filter($"_change_type" === "insert").count() == 10L)
+    assert(v0.columns.contains("k"), v0.columns.toSeq.toString)
+    // the same commit through a MAPPED range end re-surfaces as "id"
+    val v0mapped = GraftDelta.tableChanges(spark, path, fromVersion = -1L,
+      toVersion = Some(2L))
+    assert(v0mapped.columns.contains("id"), v0mapped.columns.toSeq.toString)
+    assert(v0mapped.filter($"_change_type" === "insert").count() == 10L)
+    // enabling CDF on an ALREADY-mapped table works too
+    val p2 = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("k", "v"), p2)
+    GraftDelta.enableColumnMapping(spark, p2)
+    GraftDelta.renameColumn(spark, p2, "k", "id")
+    GraftDelta.enableChangeDataFeed(spark, p2)
+    GraftDelta.deleteWhere(spark, p2, Seq(Seq(Predicate("id", "==", 1L))))
+    val f2 = GraftDelta.tableChanges(spark, p2, fromVersion = 3L)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(f2 == Set((1L, "delete")), f2.toString)
+  }
+
   test("deletion vectors apply on mapped scans; mapping can enable over live DVs") {
     import spark.implicits._
     // (a) foreign shape: a name-mapped add carrying an inline DV
