@@ -42,13 +42,18 @@ object DeltaTableOps {
       case _ => false
     }) && !snap.partitionColumns.contains(c)
 
+    // stats are PHYSICAL-keyed under column mapping; the requested
+    // columns arrive logical — translate for every stats lookup
+    val physOf = schema.fields
+      .map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+    def physName(c: String): String = physOf.getOrElse(c, c)
     val parsed = snap.activeFiles.map(f => StatsPruning.parse(f.stats))
     // a deletion vector invalidates per-file min/max/null-counts for the
     // LIVE rows (the deleted row may have been the extreme) → scan
     val metaComplete = cols.forall(numericField) &&
       snap.activeFiles.forall(_.deletionVector.isEmpty) &&
       parsed.forall(_.exists { st =>
-        st.numRecords.isDefined && cols.forall { c =>
+        st.numRecords.isDefined && cols.map(physName).forall { c =>
           st.nullCount.contains(c) &&
             (st.nullCount(c) == st.numRecords.get ||
               (st.min.contains(c) && st.max.contains(c)))
@@ -92,14 +97,15 @@ object DeltaTableOps {
         ord.asInstanceOf[Ordering[Any]]
       }
       val vals = cols.flatMap { c =>
-        val withData = sts.filter(s => s.nullCount(c) < s.numRecords.get)
-        val mins = withData.map(s => typed(c, s.min(c)))
-        val maxs = withData.map(s => typed(c, s.max(c)))
+        val pc = physName(c)
+        val withData = sts.filter(s => s.nullCount(pc) < s.numRecords.get)
+        val mins = withData.map(s => typed(c, s.min(pc)))
+        val maxs = withData.map(s => typed(c, s.max(pc)))
         val o = ordered(c)
         Seq(
           if (mins.isEmpty) null else mins.min(o),
           if (maxs.isEmpty) null else maxs.max(o),
-          sts.map(_.nullCount(c)).sum)
+          sts.map(_.nullCount(pc)).sum)
       }
       val row = Row.fromSeq(nRows +: vals)
       StatsAggResult(
@@ -134,6 +140,10 @@ object DeltaTableOps {
     val pcols = snap.partitionColumns
     require(pcols.nonEmpty, s"table at $path is not partitioned")
     val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    // partitionValues are PHYSICAL-keyed under column mapping — look up
+    // by physical name or a mapped table's partitions would all read null
+    val physOf = snap.schema.fields
+      .map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
     // DV cardinality is exactly the file's deleted-row count, so live
     // rows = numRecords − cardinality stays metadata-exact
     val counts = snap.activeFiles.map(f =>
@@ -148,7 +158,8 @@ object DeltaTableOps {
         pcols.map(c => StructField(c, StringType)) :+
           StructField("n_rows", LongType, nullable = false))
       val rows = grouped.map { case (pv, n) =>
-        Row.fromSeq(pcols.map(c => pv.get(c).flatMap(Option(_)).orNull) :+ n)
+        Row.fromSeq(pcols.map(c =>
+          pv.get(physOf.getOrElse(c, c)).flatMap(Option(_)).orNull) :+ n)
       }
       import scala.jdk.CollectionConverters._
       val df = spark.createDataFrame(rows.asJava, raw)
@@ -191,16 +202,20 @@ object DeltaTableOps {
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
 
     val may = DeltaRead.prunedFiles(snap, filters)
+    // partitionValues and stats are PHYSICAL-keyed under column mapping;
+    // predicates arrive logical — translate (the prunedFiles contract)
+    val physOf = snap.schema.fields
+      .map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+    def physName(c: String): String = physOf.getOrElse(c, c)
     val (proven, boundary) =
-      if (DeltaRead.mappingModeOf(snap) != "none") (Nil, may)
-      else may.partition { f =>
+      may.partition { f =>
         lazy val stats = StatsPruning.parse(f.stats)
         stats.exists(_.numRecords.isDefined) && filters.exists(_.forall { p =>
           if (partCols.contains(p.column))
             DeltaRead.evalPredicate(
-              f.partitionValues.get(p.column).flatMap(Option(_)),
+              f.partitionValues.get(physName(p.column)).flatMap(Option(_)),
               fieldTypes.getOrElse(p.column, StringType), p)
-          else StatsPruning.mustMatch(stats, p)
+          else StatsPruning.mustMatch(stats, p.copy(column = physName(p.column)))
         })
       }
     // proven files with a DV: every LIVE row still matches (live ⊆ all,

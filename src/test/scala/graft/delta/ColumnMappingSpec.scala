@@ -347,6 +347,33 @@ class ColumnMappingSpec extends GraftSuite {
     assert(f2 == Set((1L, "delete")), f2.toString)
   }
 
+  test("metadata-only surfaces translate to physical stats keys on mapped tables") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, s"g${i % 2}"))
+      .toDF("k", "g"), path, partitionBy = Seq("g"))
+    GraftDelta.enableColumnMapping(spark, path)
+    GraftDelta.renameColumn(spark, path, "k", "id")
+    GraftDelta.renameColumn(spark, path, "g", "grp")
+    // SHOW PARTITIONS / partitionCounts: physical-keyed pv resolves —
+    // previously every partition value read back null on mapped tables
+    val pc = DeltaTableOps.partitionCounts(spark, path)
+    assert(pc.metadataOnly, "must answer from the log")
+    val parts = pc.df.select($"grp", $"n_rows").as[(String, Long)].collect().toMap
+    assert(parts == Map("g0" -> 10L, "g1" -> 10L), parts.toString)
+    // statsAggregate: metadata-only through physical stats keys
+    val agg = DeltaTableOps.statsAggregate(spark, path, Seq("id"))
+    assert(agg.metadataOnly, "stats keys must translate, not force a scan")
+    val r = agg.df.head()
+    assert(r.getAs[Long]("n_rows") == 20L && r.getAs[Long]("min_id") == 1L &&
+      r.getAs[Long]("max_id") == 20L && r.getAs[Long]("nulls_id") == 0L, r.toString)
+    // countWhere: interior files PROVE from stats (logical predicate name)
+    val cw = DeltaTableOps.countWhere(spark, path, Seq(Seq(Predicate("id", ">=", 1L))))
+    assert(cw.count == 20L)
+    assert(cw.filesFromStats > 0 && cw.filesScanned == 0,
+      s"fully-matching files must settle from stats: $cw")
+  }
+
   test("deletion vectors apply on mapped scans; mapping can enable over live DVs") {
     import spark.implicits._
     // (a) foreign shape: a name-mapped add carrying an inline DV
