@@ -130,9 +130,10 @@ object DeltaRead {
     * protocol's `_change_type` column (which has no mapping id and binds
     * by its own name in both modes); partition values attach from the
     * physical-keyed action partitionValues via the broadcast index. */
-  private[delta] def mappedCdcScan(
+  private[graft] def mappedCdcScan(
       spark: SparkSession, path: String, snap: Snapshot,
-      files: Seq[AddCDCFile]): DataFrame = {
+      files: Seq[AddCDCFile],
+      streaming: Boolean = false): DataFrame = {
     val schema = snap.schema
     val byId = mappingModeOf(snap) == "id"
     val readSession = if (byId) fieldIdReadSession(spark) else spark
@@ -148,7 +149,10 @@ object DeltaRead {
         StructField(ct, StringType, nullable = false))
     val shims = files.map(c => AddFile(c.path, c.partitionValues, c.size))
     val resolved = shims.map(f => resolvePath(path, f.path))
-    val g = readSession.read.format("parquet").schema(readSchema).load(resolved: _*)
+    val g =
+      if (streaming) org.apache.spark.sql.graft.StreamingBridge
+        .streamingParquetBatch(readSession, resolved, readSchema, Map.empty)
+      else readSession.read.format("parquet").schema(readSchema).load(resolved: _*)
     val partFields = schema.fields.filter(f => partCols.contains(f.name))
     val withPv =
       if (partFields.isEmpty) g
@@ -214,7 +218,7 @@ object DeltaRead {
 
   // ---- Column mapping (delta.columnMapping.mode = name) ------------------
 
-  private[delta] def mappingModeOf(snap: Snapshot): String =
+  private[graft] def mappingModeOf(snap: Snapshot): String =
     snap.metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
 
   /** A field's on-disk (parquet) name under column mapping. */
@@ -286,10 +290,11 @@ object DeltaRead {
   /** `keepMeta` additionally surfaces the scan's `_metadata` struct as a
     * regular column (the DML paths need file_path/row_index through the
     * logical rename projection, which would otherwise drop it). */
-  private[delta] def mappedScan(
+  private[graft] def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty,
-      keepMeta: Boolean = false): DataFrame = {
+      keepMeta: Boolean = false,
+      streaming: Boolean = false): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -320,9 +325,14 @@ object DeltaRead {
     // column mapping. Values land under collision-proof temp names: a
     // logical partition name may equal some data field's PHYSICAL name.
     val resolved = files.map(f => resolvePath(path, f.path))
-    val g = DeletionVectors.applyFilter(
-      readSession.read.format("parquet").schema(readSchema).load(resolved: _*),
-      dvBytes)
+    // `streaming` roots the relation as a streaming-tagged
+    // LogicalRelation (the micro-batch source contract); the rename
+    // projection and DV probe compose identically on top
+    val base =
+      if (streaming) org.apache.spark.sql.graft.StreamingBridge
+        .streamingParquetBatch(readSession, resolved, readSchema, Map.empty)
+      else readSession.read.format("parquet").schema(readSchema).load(resolved: _*)
+    val g = DeletionVectors.applyFilter(base, dvBytes)
     val withPv =
       if (partFields.isEmpty) g
       else attachLogPartitionValues(spark, g, files, resolved,

@@ -75,13 +75,14 @@ class GraftStreamSource(
     * version are already reflected in the schema (backfill replays them
     * with schema-evolution read semantics: absent columns read as null);
     * a metadata change AFTER it invalidates the running stream. */
-  private val (initSchema, schemaVersion): (StructType, Long) = {
-    val s = log.snapshot(None)
-    // mapped tables store physical names on disk; streaming the raw files
-    // with the logical schema would silently read nulls
-    graft.delta.DeltaWrite.requireNotColumnMapped(s, "streaming source")
-    (s.schema, s.version)
-  }
+  private val initSnap: graft.delta.Snapshot = log.snapshot(None)
+  private val (initSchema, schemaVersion): (StructType, Long) =
+    (initSnap.schema, initSnap.version)
+  /** Column-mapped tables stream through the mapped scan (physical
+    * files renamed to the logical schema, streaming-tagged); a rename
+    * mid-stream is a metadata change and fails the stream like any
+    * other schema change. */
+  private val mapped = DeltaRead.mappingModeOf(initSnap) != "none"
   override val schema: StructType =
     if (opt("changeFeed").exists(_.toBoolean))
       StructType(initSchema.fields :+
@@ -318,7 +319,11 @@ class GraftStreamSource(
         if (dvAdds.isEmpty) Map.empty[String, Array[Byte]]
         else graft.delta.DeletionVectors.dvByteMap(
           spark, new org.apache.hadoop.fs.Path(path), dvAdds)
-      graft.delta.DeletionVectors.applyFilter(
+      if (mapped)
+        // physical files renamed to the logical schema, streaming-tagged
+        // (DV bitmaps apply on the raw scan inside)
+        DeltaRead.mappedScan(spark, path, initSnap, adds, dvBytes, streaming = true)
+      else graft.delta.DeletionVectors.applyFilter(
         org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
           spark,
           adds.map(a => DeltaRead.resolvePath(path, a.path)),
@@ -339,9 +344,14 @@ class GraftStreamSource(
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def scan(files: Seq[AddFile]) =
-      org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+      if (mapped) DeltaRead.mappedScan(spark, path, initSnap, files, streaming = true)
+      else org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
         spark, files.map(a => DeltaRead.resolvePath(path, a.path)),
         initSchema, Map("basePath" -> path))
+    def scanDeleteCarriers(files: Seq[AddFile]) =
+      if (mapped) DeltaRead.mappedScan(spark, path, initSnap, files,
+        keepMeta = true, streaming = true)
+      else scan(files)
     val commits = ((from + 1) to to).map { v =>
       val actions = log.readCommitActions(v)
       checkSchemaStable(v, actions)
@@ -361,10 +371,12 @@ class GraftStreamSource(
           initSchema.fields :+ org.apache.spark.sql.types.StructField(
             graft.delta.ChangeFeed.ChangeTypeCol,
             org.apache.spark.sql.types.StringType, nullable = false))
-        Seq(org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
+        Seq((if (mapped)
+          DeltaRead.mappedCdcScan(spark, path, initSnap, plan.cdcFiles, streaming = true)
+        else org.apache.spark.sql.graft.StreamingBridge.streamingParquetBatch(
           spark, plan.cdcFiles.map(c => DeltaRead.resolvePath(path, c.path)),
           cdcSchema,
-          Map("basePath" -> new org.apache.hadoop.fs.Path(path, "_change_data").toString))
+          Map("basePath" -> new org.apache.hadoop.fs.Path(path, "_change_data").toString)))
           .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v))
           .withColumn(graft.delta.ChangeFeed.CommitTimestampCol,
             lit(graft.delta.ChangeFeed.commitTimestamp(fs, log.commitFile(v), actions))))
@@ -394,7 +406,9 @@ class GraftStreamSource(
           if (plan.deleteCarriers.isEmpty) None
           else Some(
             graft.delta.DeletionVectors.selectDeleted(
-              scan(plan.deleteCarriers), plan.deleteDiffs)
+              scanDeleteCarriers(plan.deleteCarriers), plan.deleteDiffs)
+              .select(initSchema.fieldNames.map(
+                org.apache.spark.sql.functions.col).toIndexedSeq: _*)
               .withColumn(graft.delta.ChangeFeed.ChangeTypeCol, lit("delete"))
               .withColumn(graft.delta.ChangeFeed.CommitVersionCol, lit(v))
               .withColumn(graft.delta.ChangeFeed.CommitTimestampCol, lit(ts)))

@@ -45,6 +45,58 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("column-mapped tables stream: logical schema, appends + DV deletes + cdc feed") {
+    import spark.implicits._
+    val path = tmp("mapped")
+    GraftDelta.toDelta((0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    GraftDelta.enableColumnMapping(spark, path)
+    GraftDelta.renameColumn(spark, path, "k", "id")
+    GraftDelta.toDelta(Seq((100L, "new"), (102L, "keep")).toDF("id", "v").coalesce(1),
+      path, mode = "append")
+
+    // plain append-mode stream surfaces the LOGICAL schema
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("graft_mapped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_mapped")
+      assert(got.columns.toSeq == Seq("id", "v"), got.columns.toSeq.toString)
+      assert(got.count() == 22)
+      GraftDelta.toDelta(Seq((101L, "more")).toDF("id", "v"), path, mode = "append")
+      q.processAllAvailable()
+      assert(spark.table("graft_mapped").count() == 23)
+    } finally q.stop()
+
+    // DV delete, then an ignoreChanges re-subscription: the re-emitted
+    // DV-carrying add applies its bitmap through the MAPPED scan — the
+    // soft-deleted row never streams
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "==", 100L))))
+    val dvV = graft.delta.DeltaLog.forTable(spark, path).latestVersion
+    // subscribe AT the DV commit: only the re-emitted DV-carrying add
+    // streams, and its bitmap applies through the mapped scan
+    val q1 = spark.readStream.format("graft")
+      .option("ignoreChanges", "true")
+      .option("startingVersion", dvV.toString).load(path)
+      .writeStream.format("memory").queryName("graft_mapped_dv").outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      val ids = spark.table("graft_mapped_dv").select($"id").as[Long].collect()
+      assert(ids.toSet == Set(102L),
+        s"only the file's surviving row re-emits through the mapped scan: ${ids.toSeq}")
+    } finally q1.stop()
+
+    // changeFeed mode: per-row deletes through the mapped DV-diff scan
+    val q2 = spark.readStream.format("graft")
+      .option("changeFeed", "true").option("startingVersion", "4").load(path)
+      .writeStream.format("memory").queryName("graft_mapped_cdc").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val feed = spark.table("graft_mapped_cdc")
+        .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+      assert(feed == Set((101L, "insert"), (100L, "delete")), feed.toString)
+    } finally q2.stop()
+  }
+
   test("startingVersion=latest emits only post-subscription commits") {
     import spark.implicits._
     val path = tmp("latest")
