@@ -28,7 +28,6 @@ object DeltaTail {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           log.snapshot(None).schema))
     val snap = log.snapshot(Some(latest)) // schema as of the head
-    graft.delta.DeltaWrite.requireNotColumnMapped(snap, "log-tail CDC")
     // dataChange=false adds (OPTIMIZE/compaction rewrites) carry no new
     // rows — re-ingesting them would duplicate the entire compacted data.
     // Delta streaming sources skip them for exactly this reason.
@@ -43,7 +42,10 @@ object DeltaTail {
         // apply the bitmap exactly like batch scans do
         val dvBytes = graft.delta.DeletionVectors.dvByteMap(
           spark, new org.apache.hadoop.fs.Path(path), newAdds)
-        graft.delta.DeletionVectors.applyFilter(
+        if (DeltaRead.mappingModeOf(snap) != "none")
+          // mapped tables: physical files renamed to the logical schema
+          DeltaRead.mappedScan(spark, path, snap, newAdds, dvBytes)
+        else graft.delta.DeletionVectors.applyFilter(
           spark.read
             .schema(snap.schema)
             .option("basePath", path)

@@ -127,9 +127,10 @@ class ColumnMappingSpec extends GraftSuite {
   test("rewriting surfaces refuse mapped tables; plain writes are mapped-aware") {
     import spark.implicits._
     val path = stageUnpartitioned()
-    intercept[IllegalStateException] {
-      graft.streaming.DeltaTail.changesSince(spark, path, -1L)
-    }
+    // log-tail CDC reads the mapped files back to the logical schema
+    val tail = graft.streaming.DeltaTail.changesSince(spark, path, -1L)
+    assert(tail.data.columns.toSeq == Seq("key", "value", "nested"))
+    assert(tail.data.count() == 3L)
     // schema-changing writes refuse (new columns would need fresh ids)
     intercept[IllegalStateException] {
       GraftDelta.toDelta(GraftDelta.readDelta(spark, path).withColumn("extra", lit(1)),
