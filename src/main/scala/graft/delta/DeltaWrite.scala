@@ -539,19 +539,6 @@ object DeltaWrite {
     * Serial on the driver below a threshold; above it, one Spark job does
     * the rename + footer read per file in parallel (at 10^5-10^6 files an
     * O(#files) serial driver phase is the write-path scale-killer). */
-  /** Column-mapped tables store PHYSICAL field names on disk; surfaces
-    * that rewrite or re-emit data files without the logical→physical
-    * translation would corrupt or mis-read the table — they refuse
-    * loudly. Reads (DeltaRead.mappedScan), plain writes
-    * (physicalizeForWrite), and RENAME/DROP COLUMN are mapped-aware. */
-  private[graft] def requireNotColumnMapped(snap: Snapshot, surface: String): Unit = {
-    val mode = snap.metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (mode != "none")
-      throw new IllegalStateException(
-        s"$surface does not support column-mapped tables " +
-          s"(delta.columnMapping.mode=$mode); reads and plain writes are supported")
-  }
-
   /** `delta.appendOnly=true` forbids removing committed rows — DML
     * rewrites, DV soft-deletes, overwrite, restore all refuse (anything
     * that would emit a dataChange=true remove); OPTIMIZE's
