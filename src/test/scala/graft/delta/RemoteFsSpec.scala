@@ -46,12 +46,15 @@ class RacyFs extends RawLocalFileSystem {
 
 object RacyFs {
   @volatile var gate: Option[java.util.concurrent.CyclicBarrier] = None
+  val arrivals = new java.util.concurrent.atomic.AtomicInteger(0)
+  val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private[delta] def widenWindow(): Unit = gate.foreach { b =>
+    arrivals.incrementAndGet()
     // generous bound: under full-suite CPU contention the two committers
     // can start far apart; the timeout exists only so a test failure
     // can't deadlock the pool
-    try b.await(60, java.util.concurrent.TimeUnit.SECONDS)
-    catch { case _: Exception => () } // lone committer proceeds
+    try { b.await(60, java.util.concurrent.TimeUnit.SECONDS); outcomes.add("tripped") }
+    catch { case e: Exception => outcomes.add(e.getClass.getSimpleName) }
   }
 }
 
@@ -162,7 +165,8 @@ class RemoteFsSpec extends GraftSuite {
       finally RacyFs.gate = None
     }
     assert(bothWon,
-      "check-then-put must let both committers win at least once in 10 aligned races")
+      s"check-then-put must let both committers win at least once in 10 aligned races " +
+        s"(barrier arrivals=${RacyFs.arrivals.get()}, outcomes=${RacyFs.outcomes})")
 
     // (b) the fix: register a Locked store for the scheme (stand-in for a
     // DynamoDB/etcd lease) — exactly ONE committer wins, the loser gets
