@@ -117,7 +117,7 @@ object DeltaRead {
         val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
         val scan = DeletionVectors.applyFilter(
           spark.read.format("parquet").schema(dataSchema).load(absolute: _*), dvBytes)
-        attachLogPartitionValues(spark, scan, files, absolute, partFields, identity)
+        attachLogPartitionValues(spark, scan, files, absolute, partFields.toIndexedSeq, identity)
           .select(schema.fieldNames.map(col).toSeq: _*)
       }
     }
@@ -157,12 +157,12 @@ object DeltaRead {
     val withPv =
       if (partFields.isEmpty) g
       else attachLogPartitionValues(spark, g, shims, resolved,
-        partFields.map(f => f.copy(name = s"__graft_pv_${f.name}")),
+        partFields.toIndexedSeq.map(f => f.copy(name = s"__graft_pv_${f.name}")),
         n => physOf.getOrElse(n.stripPrefix("__graft_pv_"), n.stripPrefix("__graft_pv_")))
     val renamed = dataFields.map(f =>
       (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
       partFields.map(f => col(s"__graft_pv_${f.name}").as(f.name)) :+ col(ct)
-    withPv.select(renamed: _*)
+    withPv.select(renamed.toIndexedSeq: _*)
       .select((schema.fieldNames.toSeq :+ ct).map(col): _*)
   }
 
@@ -336,14 +336,14 @@ object DeltaRead {
     val withPv =
       if (partFields.isEmpty) g
       else attachLogPartitionValues(spark, g, files, resolved,
-        partFields.map(f => f.copy(name = s"__graft_pv_${f.name}")),
+        partFields.toIndexedSeq.map(f => f.copy(name = s"__graft_pv_${f.name}")),
         n => physOf.getOrElse(n.stripPrefix("__graft_pv_"), n.stripPrefix("__graft_pv_")))
     val renamed = dataFields.map(f =>
       (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
       partFields.map(f => col(s"__graft_pv_${f.name}").as(f.name)) ++
       (if (keepMeta) Seq(col("_metadata").as("_metadata")) else Nil)
     val ordered = schema.fieldNames.toSeq ++ (if (keepMeta) Seq("_metadata") else Nil)
-    withPv.select(renamed: _*).select(ordered.map(col): _*)
+    withPv.select(renamed.toIndexedSeq: _*).select(ordered.map(col): _*)
   }
 
   /** Two-level log-side file pruning, before any scan exists:

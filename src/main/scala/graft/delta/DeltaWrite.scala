@@ -1144,7 +1144,7 @@ object DeltaWrite {
         b.getColumns.forEach { c =>
           val colPath = c.getPath.toDotString
           if (fieldType.contains(colPath)) {
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
             if (st != null) {
               nulls(colPath) = nulls.getOrElse(colPath, 0L) +
                 (if (st.isNumNullsSet) st.getNumNulls else 0L)

@@ -29,7 +29,7 @@ object Dedup {
       // value is NULL, so a group with only-null orderCol would collapse
       // to one all-null row — the wrapper keeps nulls orderable (last),
       // matching the window variant's group-preserving behavior
-      .agg(min_by(struct(df.columns.map(col): _*),
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
         struct(col(orderCol).isNull.as("n"), col(orderCol).as("v"))).as("__row"))
       .select(col("__row.*"))
 

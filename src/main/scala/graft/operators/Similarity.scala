@@ -405,7 +405,9 @@ object Similarity {
     val bits = (0 until numPlanes).map { p =>
       // dot(vec, plane_p) where plane_p[i] = ±1 from a fixed hash
       val signs = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        // productHash is pinned: its exact values are baked into the t06
+        // oracle constants — caseClassHash would silently re-plane the LSH
+        val h: Int = (scala.util.hashing.MurmurHash3.productHash((p, i)): @scala.annotation.nowarn("cat=deprecation"))
         if ((h & 1) == 0) 1L else -1L
       }
       val planeDot = dotQ(vecQ, typedLit(signs))
@@ -482,7 +484,7 @@ object Similarity {
     // nprobe nearest cells per vector: exact quantized squared distances
     // to each centroid, lexicographic (dist, cell) sort — deterministic
     val centersQ: Seq[Seq[Long]] =
-      model.clusterCenters.map(_.toArray.toSeq.map(d => math.round(d * 1e6)))
+      model.clusterCenters.toIndexedSeq.map(_.toArray.toSeq.map(d => math.round(d * 1e6)))
     val dists = centersQ.zipWithIndex.map { case (c, i) =>
       val d2 = aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)

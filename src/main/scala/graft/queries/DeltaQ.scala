@@ -464,7 +464,7 @@ object DeltaQ {
       GraftDelta.toDelta(o.filter($"o_orderkey" >= 3000), path,
         mode = "append")                                                 // v1 allocated
       // the create commit's watermark: 1 + 2·max(seed orderkey)
-      val seedHwm = part1.agg(max($"o_orderkey".cast("long"))).as[Long].head * 2L + 1L
+      val seedHwm = part1.agg(max($"o_orderkey".cast("long"))).as[Long].head() * 2L + 1L
       GraftDelta.readDelta(s, path).agg(
         count(lit(1)).as("n_total"),
         countDistinct($"row_id").as("n_distinct_ids"),

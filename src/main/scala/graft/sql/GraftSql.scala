@@ -24,8 +24,10 @@ import scala.util.matching.Regex
   *
   *   - DELETE FROM t [WHERE p]            (a DV hint comment selects deletion vectors)
   *   - UPDATE t SET a=e, … [WHERE p]      (same DV hint)
-  *   - MERGE INTO t USING s ON cond [WHEN MATCHED THEN UPDATE SET *|DELETE]
-  *     [WHEN NOT MATCHED THEN INSERT *]
+  *   - MERGE INTO t USING s ON cond
+  *     [WHEN MATCHED [AND c] THEN UPDATE SET *|a=e,…|DELETE]…   (ordered,
+  *     first-match-wins) [WHEN NOT MATCHED THEN INSERT *]
+  *     [WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET a=e,…|DELETE]…
   *   - OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   (clustered tables default
   *     to their stored CLUSTER BY layout)
   *   - VACUUM t [RETAIN n HOURS] [DRY RUN]
