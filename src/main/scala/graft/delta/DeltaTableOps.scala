@@ -1090,9 +1090,8 @@ object DeltaTableOps {
     require(!RowTracking.enabled(snap),
       "column mapping on a row-tracked table is not supported " +
         "(materialized row-id columns bind by name)")
-    require(DeltaWrite.identityColumnsOf(snap.schema).isEmpty,
-      "column mapping on a table with identity columns is not supported " +
-        "(watermark harvesting binds by name)")
+    // identity columns compose: the watermark harvest translates to
+    // physical stats keys (DeltaWrite.identityRebase)
     // mapped scans apply DVs on the raw physical scan (bitmaps are keyed
     // by file name, independent of mapping) — live DVs are fine here
     var nextId = 0L

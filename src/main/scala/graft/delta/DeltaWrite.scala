@@ -84,13 +84,8 @@ object DeltaWrite {
         "Table has NESTED generated columns (delta.generationExpression on a " +
           "struct field); this writer computes top-level generated columns only " +
           "and refuses rather than write stale nested values")
-    // identity watermark harvesting reads footer stats, which are keyed
-    // by PHYSICAL names on mapped tables — refuse the combination rather
-    // than silently fail to advance the watermark
-    if (identityColumnsOf(snap.schema).nonEmpty && DeltaRead.mappingModeOf(snap) != "none")
-      throw new IllegalStateException(
-        "identity columns on a column-mapped table are not supported " +
-          "(watermark harvesting is not mapped-aware)")
+    // identity watermark harvesting translates to physical stats keys
+    // under column mapping (identityRebase), so the combination composes
   }
 
   def write(
@@ -797,21 +792,26 @@ object DeltaWrite {
       adds: Seq[AddFile]): Option[StructType] = {
     val ics = identityColumnsOf(schema)
     if (ics.isEmpty || adds.isEmpty) return None
+    // stats (and on-disk column names) are PHYSICAL-keyed under column
+    // mapping; the schema's field metadata carries the translation
+    val physOfIc: Map[String, String] =
+      schema.fields.map(f => f.name -> DeltaRead.physicalNameOf(f)).toMap
+    def pk(n: String): String = physOfIc.getOrElse(n, n)
     val parsed = adds.map(a => StatsPruning.parse(a.stats))
     def observed(ic: IdentityCol): Option[Long] = {
       val nonEmpty = adds.zip(parsed)
         .filter { case (_, st) => !st.flatMap(_.numRecords).contains(0L) }
       if (nonEmpty.isEmpty) return None
       val perFile: Seq[Option[Long]] = nonEmpty.map { case (_, st) =>
-        st.flatMap(s => (if (ic.step > 0) s.max else s.min).get(ic.name))
+        st.flatMap(s => (if (ic.step > 0) s.max else s.min).get(pk(ic.name)))
           .collect { case l: Long => l }
       }
       if (perFile.forall(_.isDefined))
         Some(if (ic.step > 0) perFile.flatten.max else perFile.flatten.min)
       else {
         val paths = nonEmpty.map { case (a, _) => DeltaRead.resolvePath(path, a.path) }
-        val agg = if (ic.step > 0) max(col(ic.name)) else min(col(ic.name))
-        val row = spark.read.schema(StructType(Seq(StructField(ic.name, LongType))))
+        val agg = if (ic.step > 0) max(col(pk(ic.name))) else min(col(pk(ic.name)))
+        val row = spark.read.schema(StructType(Seq(StructField(pk(ic.name), LongType))))
           .parquet(paths: _*).agg(agg).collect()(0)
         if (row.isNullAt(0)) None else Some(row.getLong(0))
       }

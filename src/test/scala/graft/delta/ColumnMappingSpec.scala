@@ -520,7 +520,7 @@ class ColumnMappingSpec extends GraftSuite {
     assert(e.getMessage.contains("row-tracked"), e.getMessage)
   }
 
-  test("enableColumnMapping refuses tables with identity columns") {
+  test("identity columns compose with mapping: watermark harvests physical stats") {
     import spark.implicits._
     val path = tmp()
     val ident = new MetadataBuilder()
@@ -529,9 +529,25 @@ class ColumnMappingSpec extends GraftSuite {
       .putBoolean("delta.identity.allowExplicitInsert", true).build()
     GraftDelta.toDelta(
       (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-        .withColumn("id", col("id").as("id", ident)), path)
-    val e = intercept[IllegalArgumentException](
-      GraftDelta.enableColumnMapping(spark, path))
-    assert(e.getMessage.contains("identity"), e.getMessage)
+        .withColumn("id", col("id").as("id", ident)), path)               // v0
+    GraftDelta.enableColumnMapping(spark, path)                           // v1
+    GraftDelta.renameColumn(spark, path, "id", "row_no")                  // v2
+    // the explicit seed values covered the watermark at v0; an append
+    // OMITTING the (renamed) identity column allocates ABOVE them — the
+    // harvest must read the PHYSICAL stats key or it would silently
+    // re-allocate colliding ids
+    GraftDelta.toDelta((1 to 3).map(i => s"n$i").toDF("v"), path, mode = "append") // v3
+    val ids = GraftDelta.readDelta(spark, path).select($"row_no").as[Long].collect()
+    assert(ids.length == 8 && ids.distinct.length == 8,
+      s"allocated ids must not collide with the seeded 1..5: ${ids.sorted.toSeq}")
+    assert(ids.count(_ > 5L) == 3, ids.sorted.toSeq.toString)
+    // the watermark advanced in the mapped schema's field metadata
+    val hwm = DeltaLog.forTable(spark, path).snapshot(None)
+      .schema("row_no").metadata.getLong("delta.identity.highWaterMark")
+    assert(hwm == ids.max, s"hwm=$hwm max=${ids.max}")
+    // a second omitting append keeps allocating above — no collisions
+    GraftDelta.toDelta(Seq("x").toDF("v"), path, mode = "append")         // v4
+    val ids2 = GraftDelta.readDelta(spark, path).select($"row_no").as[Long].collect()
+    assert(ids2.length == 9 && ids2.distinct.length == 9, ids2.sorted.toSeq.toString)
   }
 }
