@@ -194,4 +194,51 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
       val again = DeltaLog.forTable(spark, log.tablePath)
       observed(again.snapshot(None)) == modelAt(commits, commits.size - 1)
     }
+
+  // ---- stats compaction soundness ---------------------------------------
+
+  private val statValueGen: Gen[(String, String)] = Gen.oneOf(
+    Gen.chooseNum(-100000L, 100000L).map(v => (v.toString, v.toString)),
+    Gen.chooseNum(-1000.0, 1000.0).map(v => (v.toString, v.toString)),
+    Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
+        .map(s => ("\"" + s + "\"", s))))
+
+  /** compactStats must keep numRecords/nullCount verbatim, keep or
+    * soundly weaken bounds (min: prefix ≤ original; max: verbatim or
+    * dropped), and never emit a column outside the keep set. */
+  property("compactStats preserves counts and only weakens bounds outward") =
+    forAll(Gen.listOfN(4,
+      for { n <- Gen.identifier.map(_.take(8)); v <- statValueGen } yield (n, v))) { cols0 =>
+      val cols = cols0.distinctBy(_._1)
+      val fields = cols.map { case (n, (json, _)) =>
+        s""" "$n" : $json """
+      }
+      val verbose =
+        s"""{
+           |  "numRecords" : 42,
+           |  "minValues" : { ${fields.mkString(",")} },
+           |  "maxValues" : { ${fields.mkString(",")} },
+           |  "nullCount" : { ${cols.map(c => s""" "${c._1}" : 1 """).mkString(",")} },
+           |  "vendor" : { "x" : 1 }
+           |}""".stripMargin
+      val keep = cols.map(_._1).toSet
+      val out = StatsPruning.compactStats(verbose, keep)
+      val st = StatsPruning.parse(Some(out)).get
+      val stIn = StatsPruning.parse(Some(verbose)).get
+      st.numRecords.contains(42L) &&
+        cols.forall { case (n, _) => st.nullCount.get(n).contains(1L) } &&
+        cols.forall { case (n, (_, raw)) =>
+          val minOk = (stIn.min.get(n), st.min.get(n)) match {
+            case (Some(i: String), Some(o: String)) =>
+              i.startsWith(o) && (o.length == i.length || o.length == 64)
+            case (i, o) => i == o
+          }
+          val maxOk = (stIn.max.get(n), st.max.get(n)) match {
+            case (Some(_: String), None) => raw.length > 64 // dropped iff oversized
+            case (i, o) => i == o
+          }
+          minOk && maxOk
+        } && !out.contains("vendor")
+    }
 }

@@ -180,4 +180,26 @@ object OperatorProps extends Properties("Operators") {
           .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
         got == refStrip(docs, maxDf)
     }
+
+  /** Pure-Scala reference of the RollingHash60 window hashes: per-window
+    * polyhash60-family over UTF-16 code units. */
+  private def refRolling(s: String, l: Int): Seq[Long] =
+    if (s.length < l) Nil
+    else (0 to s.length - l).map { i =>
+      var h1 = 0L; var h2 = 0L
+      s.substring(i, i + l).foreach { c =>
+        h1 = (31L * h1 + c) % 1000000007L
+        h2 = (131L * h2 + c) % 998244353L
+      }
+      h2 * 1073741824L + h1
+    }
+
+  property("rollingHash60 equals the per-window reference on ARBITRARY strings") =
+    forAll(Gen.listOfN(8, Gen.asciiPrintableStr), Gen.chooseNum(1, 12)) { (ss, l) =>
+      import spark.implicits._
+      val got = ss.toDF("s")
+        .select(org.apache.spark.sql.graft.VectorBridge.rollingHash60(col("s"), l).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      got == ss.map(refRolling(_, l))
+    }
 }
