@@ -246,6 +246,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(prunedScan.contains("FileScan parquet"), prunedScan)
   }
 
+  test("mapped partitioned scans also plan ONE relation (no per-partition union)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_mapped")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/tbl"
+    GraftDelta.toDelta(
+      spark.range(0, 512).select(($"id" % 64).cast("long").as("p"), $"id".as("v")),
+      path, partitionBy = Seq("p"))
+    GraftDelta.enableColumnMapping(spark, path)
+    GraftDelta.renameColumn(spark, path, "v", "value")
+    val df = GraftDelta.readDelta(spark, path)
+    assert(df.agg(sum($"value")).head.getLong(0) == (0L until 512L).sum)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected ONE scan relation for 64 partitions, got $scans")
+    assert(!p.contains("Union"), p.take(1500))
+  }
+
   test("t33 skew join broadcasts only the hot-key set; both arms hash-join") {
     val df = graft.queries.PipelineQ.queries("t33_skew_join")(spark, sf)
     df.collect()
