@@ -156,7 +156,8 @@ final case class CommitInfo(
     operationMetrics: Map[String, String] = Map.empty,
     readVersion: Option[Long] = None,
     isBlindAppend: Option[Boolean] = None,
-    inCommitTimestamp: Option[Long] = None
+    inCommitTimestamp: Option[Long] = None,
+    engineInfo: Option[String] = None
 ) extends Action
 
 object ActionCodec {
@@ -308,7 +309,8 @@ object ActionCodec {
           operationMetrics = anyMapToStr(n.get("operationMetrics")),
           readVersion = optLong(n.get("readVersion")),
           isBlindAppend = optBool(n.get("isBlindAppend")),
-          inCommitTimestamp = optLong(n.get("inCommitTimestamp"))
+          inCommitTimestamp = optLong(n.get("inCommitTimestamp")),
+          engineInfo = optStr(n.get("engineInfo"))
         ))
     } else None
   }
@@ -429,6 +431,7 @@ object ActionCodec {
         c.readVersion.foreach(n.put("readVersion", _))
         c.isBlindAppend.foreach(n.put("isBlindAppend", _))
         c.inCommitTimestamp.foreach(n.put("inCommitTimestamp", _))
+        c.engineInfo.foreach(n.put("engineInfo", _))
     }
     mapper.writeValueAsString(root)
   }

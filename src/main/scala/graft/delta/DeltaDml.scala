@@ -47,6 +47,54 @@ object DeltaDml {
       checkpointInterval: Int = 10): DmlResult =
     mutate(spark, path, filters, assignments = Map.empty, checkpointInterval)
 
+  /** DELETE with an arbitrary Spark boolean `condition` — the fallback
+    * for WHERE clauses outside the DNF predicate language (e.g.
+    * `NOT (a = 1 AND b = 2)`, arithmetic, IS NULL). No log-level file
+    * pruning happens (the DNF drives that), every active file is
+    * scanned and the condition filters rows scan-side — correct, just
+    * not prune-accelerated. Conflict rebase stays conservative: any
+    * concurrent add is treated as potentially overlapping. */
+  def deleteExpr(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      checkpointInterval: Int = 10): DmlResult =
+    mutate(spark, path, Seq(Seq.empty), assignments = Map.empty,
+      checkpointInterval, condOverride = Some(condition))
+
+  /** UPDATE flavor of [[deleteExpr]] — scan-side condition, no pruning. */
+  def updateExpr(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      assignments: Map[String, Column],
+      checkpointInterval: Int = 10): DmlResult = {
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    mutate(spark, path, Seq(Seq.empty), assignments, checkpointInterval,
+      condOverride = Some(condition))
+  }
+
+  /** DV flavor of [[deleteExpr]] — scan-side condition, no pruning. */
+  def deleteWithDvExpr(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      checkpointInterval: Int = 10): DmlResult =
+    dvMutate(spark, path, Seq(Seq.empty), assignments = Map.empty,
+      checkpointInterval, condOverride = Some(condition))
+
+  /** DV flavor of [[updateExpr]] — scan-side condition, no pruning. */
+  def updateWithDvExpr(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      assignments: Map[String, Column],
+      checkpointInterval: Int = 10): DmlResult = {
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    dvMutate(spark, path, Seq(Seq.empty), assignments, checkpointInterval,
+      condOverride = Some(condition))
+  }
+
   /** DELETE FROM … WHERE, deletion-vector flavor: instead of rewriting
     * partially-matched files, write a per-file bitmap of the matched row
     * positions and re-add each file with the DV attached — a selective
@@ -87,8 +135,9 @@ object DeltaDml {
       path: String,
       filters: Seq[Seq[Predicate]],
       assignments: Map[String, Column],
-      checkpointInterval: Int): DmlResult = {
-    require(filters.nonEmpty && filters.forall(_.nonEmpty),
+      checkpointInterval: Int,
+      condOverride: Option[Column] = None): DmlResult = {
+    require(condOverride.isDefined || (filters.nonEmpty && filters.forall(_.nonEmpty)),
       "DML requires a non-empty predicate (refusing an implicit full-table operation)")
     val isDelete = assignments.isEmpty
     val log = DeltaLog.forTable(spark, path)
@@ -111,7 +160,12 @@ object DeltaDml {
     val partCols = snap.partitionColumns.toSet
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
 
-    val candidates = DeltaRead.prunedFiles(snap, filters)
+    // condOverride (non-DNF WHERE fallback): no log pruning, no
+    // partition-full proof — every active file scans, the condition
+    // filters rows
+    val candidates =
+      if (condOverride.isDefined) snap.activeFiles
+      else DeltaRead.prunedFiles(snap, filters)
     if (candidates.isEmpty) return DmlResult(0, 0, 0, 0)
 
     // partition-full matches drop whole files unread — a DV would only
@@ -126,7 +180,9 @@ object DeltaDml {
             f.partitionValues.get(physOf.getOrElse(p.column, p.column)).flatMap(Option(_)),
             fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))
       }
-    val (provenFull, toScan) = candidates.partition(partitionFullMatch)
+    val (provenFull, toScan) =
+      if (condOverride.isDefined) (Seq.empty[AddFile], candidates)
+      else candidates.partition(partitionFullMatch)
 
     // one scan: LIVE matched positions per file (readFiles applies any
     // existing DVs, so already-deleted rows can't re-match). Positions
@@ -134,7 +190,7 @@ object DeltaDml {
     // (PositionBitmapAgg, map-side combine); the driver collects one
     // compressed blob + count per touched file — O(#files × KB), never
     // O(matched rows).
-    val cond = DeltaRead.dnfToColumn(filters)
+    val cond = condOverride.getOrElse(DeltaRead.dnfToColumn(filters))
     val matched: Map[String, (Array[Byte], Long)] =
       if (toScan.isEmpty) Map.empty
       else matchedBitmapFrame(
@@ -247,8 +303,9 @@ object DeltaDml {
     def mkActions(readVersion: Long): Seq[Action] = (CommitInfo(
       timestamp = now,
       operation = op,
-      operationParameters = Map("predicate" -> filters.map(_.map(p =>
-        s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR ")),
+      operationParameters = Map("predicate" -> condOverride.map(_.toString)
+        .getOrElse(filters.map(_.map(p =>
+          s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR "))),
       operationMetrics = Map(
         (if (isDelete) "numDeletedRows" else "numUpdatedRows") -> affected.toString,
         "numRemovedFiles" -> fullRemoves.size.toString,
@@ -328,8 +385,9 @@ object DeltaDml {
       path: String,
       filters: Seq[Seq[Predicate]],
       assignments: Map[String, Column],
-      checkpointInterval: Int): DmlResult = {
-    require(filters.nonEmpty && filters.forall(_.nonEmpty),
+      checkpointInterval: Int,
+      condOverride: Option[Column] = None): DmlResult = {
+    require(condOverride.isDefined || (filters.nonEmpty && filters.forall(_.nonEmpty)),
       "DML requires a non-empty predicate (refusing an implicit full-table operation)")
     val isDelete = assignments.isEmpty
     val log = DeltaLog.forTable(spark, path)
@@ -354,7 +412,11 @@ object DeltaDml {
     val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
 
     // ---- phase 0: metadata-only pruning ---------------------------------
-    val candidates = DeltaRead.prunedFiles(snap, filters)
+    // condOverride (non-DNF WHERE fallback): no log pruning — every
+    // active file is a candidate and the condition filters scan-side
+    val candidates =
+      if (condOverride.isDefined) snap.activeFiles
+      else DeltaRead.prunedFiles(snap, filters)
     if (candidates.isEmpty) return DmlResult(0, 0, 0, 0)
 
     // Files whose partition values satisfy a whole OR-branch of
@@ -370,11 +432,11 @@ object DeltaDml {
             fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p))
       }
     val (provenFull, toScan) =
-      if (isDelete) candidates.partition(partitionFullMatch)
+      if (isDelete && condOverride.isEmpty) candidates.partition(partitionFullMatch)
       else (Seq.empty[AddFile], candidates)
 
     // ---- phase 1: one scan for per-file matched-row counts --------------
-    val cond = DeltaRead.dnfToColumn(filters)
+    val cond = condOverride.getOrElse(DeltaRead.dnfToColumn(filters))
     val matchedByFile: Map[String, Long] =
       if (toScan.isEmpty) Map.empty
       else readFiles(spark, path, snap, toScan)
@@ -498,8 +560,9 @@ object DeltaDml {
     def mkActions(readVersion: Long): Seq[Action] = CommitInfo(
       timestamp = now,
       operation = op,
-      operationParameters = Map("predicate" -> filters.map(_.map(p =>
-        s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR ")),
+      operationParameters = Map("predicate" -> condOverride.map(_.toString)
+        .getOrElse(filters.map(_.map(p =>
+          s"${p.column} ${p.op} ${p.value}").mkString("(", " AND ", ")")).mkString(" OR "))),
       operationMetrics = Map(
         (if (isDelete) "numDeletedRows" else "numUpdatedRows") -> affected.toString,
         "numRemovedFiles" -> removes.size.toString,

@@ -302,8 +302,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
   }
 
-  /** Build the snapshot at `version` (None = latest). */
-  def snapshot(version: Option[Long] = None): Snapshot = {
+  /** Build the snapshot at `version` (None = latest).
+    *
+    * `compactStats = false` retains every add's stats string VERBATIM —
+    * used by checkpoint writes only, so a checkpoint never bakes the
+    * driver-side compaction (indexed-prefix projection, string-bound
+    * truncation) into the durable log: foreign readers and a later
+    * increase of dataSkippingNumIndexedCols keep the full stats, like
+    * delta-spark. The verbatim copy lives only for the duration of the
+    * checkpoint write; steady-state snapshots stay compacted. */
+  def snapshot(version: Option[Long] = None, compactStats: Boolean = true): Snapshot = {
     val latest = latestVersion
     val target = version.getOrElse(latest)
     if (target > latest || target < 0)
@@ -420,13 +428,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       // under mapping, but a sloppy one may key logically — keep both
       (prefix.fieldNames ++ prefix.fields.map(DeltaRead.physicalNameOf)).toSet
     }
-    val activeFiles = active.values.toSeq.map { f =>
-      f.stats match {
-        case Some(s) if s.length > StatsPruning.CompactThreshold =>
-          f.copy(stats = Some(StatsPruning.compactStats(s, statsKeep)))
-        case _ => f
+    val activeFiles =
+      if (!compactStats) active.values.toSeq
+      else active.values.toSeq.map { f =>
+        f.stats match {
+          case Some(s) if s.length > StatsPruning.CompactThreshold =>
+            f.copy(stats = Some(StatsPruning.compactStats(s, statsKeep)))
+          case _ => f
+        }
       }
-    }
     Snapshot(target, meta, protocol, activeFiles, removed.values.toSeq,
       txns.values.toSeq, domains.toMap)
   }
@@ -481,14 +491,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     // in-commit timestamps: strictly monotonic — max(wall clock,
     // previous ICT + 1) — so travel-by-timestamp stays correct even when
     // the committing host's clock regresses
+    val stamped = actions0.map {
+      // identify this writer in the log (protocol engineInfo field) —
+      // the evidence the multi-writer hazard warning below keys off
+      case ci: CommitInfo if ci.engineInfo.isEmpty =>
+        ci.copy(engineInfo = Some(DeltaLog.engineId))
+      case a => a
+    }
     val actions =
-      if (!actions0.exists(_.isInstanceOf[CommitInfo]) || !ictLive(version, actions0)) actions0
+      if (!stamped.exists(_.isInstanceOf[CommitInfo]) || !ictLive(version, stamped)) stamped
       else {
         val prev =
           if (version == 0) None
           else commitInfoOf(version - 1).flatMap(_.inCommitTimestamp)
         val ict = math.max(System.currentTimeMillis(), prev.map(_ + 1L).getOrElse(Long.MinValue))
-        actions0.map {
+        stamped.map {
           case ci: CommitInfo => ci.copy(inCommitTimestamp = Some(ict))
           case a => a
         }
@@ -505,7 +522,28 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     // check-then-put on S3A unless a locked/conditional store is
     // registered — see LogStore's scaladoc)
     val scheme = Option(target.toUri.getScheme).getOrElse(fs.getUri.getScheme)
-    try LogStore.forScheme(scheme).writePutIfAbsent(fs, target, bytes)
+    val store = LogStore.forScheme(scheme)
+    // non-atomic store + evidence of a second writer in the log = the
+    // lost-update hazard is LIVE on this table; warn once per table.
+    // Evidence check is the previous commit's engineInfo only (one small
+    // file read, and interleaving writers are adjacent within a few
+    // commits); a missing engineInfo means an unknown (foreign) writer.
+    if (!store.atomicPutIfAbsent && version > 0 &&
+        !DeltaLog.nonAtomicWarned.contains(tablePath)) {
+      val prevEngine = commitInfoOf(version - 1).flatMap(_.engineInfo)
+      if (!prevEngine.contains(DeltaLog.engineId)) {
+        DeltaLog.nonAtomicWarned.add(tablePath)
+        val msg = s"Table $tablePath commits through a NON-ATOMIC LogStore " +
+          s"(scheme '$scheme', check-then-put) and shows another writer at version " +
+          s"${version - 1} (engineInfo=${prevEngine.getOrElse("<unknown>")}): " +
+          "concurrent commits can silently LOSE updates. Register a " +
+          "LogStore.Locked (e.g. with LogStore.FileLease) or LogStore.ConditionalPut " +
+          s"for scheme '$scheme' via LogStore.register."
+        DeltaLog.multiWriterWarnings.put(tablePath, msg)
+        DeltaLog.logger.warn(msg)
+      }
+    }
+    try store.writePutIfAbsent(fs, target, bytes)
     catch {
       case e: java.nio.file.FileAlreadyExistsException => conflict(e)
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => conflict(e)
@@ -520,7 +558,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * a single-file checkpoint is a serial bottleneck exactly when the
     * active set is large enough for checkpoints to matter. */
   def writeCheckpoint(version: Long, maxActionsPerPart: Int = 500000): Unit = {
-    val snap = snapshot(Some(version))
+    // verbatim stats: the checkpoint must not make the in-memory
+    // compaction durable (see snapshot()'s compactStats contract)
+    val snap = snapshot(Some(version), compactStats = false)
     // a table carrying the v2Checkpoint reader feature obliges writers
     // to emit V2 checkpoints only — a classic one would be read by
     // v2-only readers as authoritative without its sidecar contract
@@ -842,6 +882,22 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 }
 
 object DeltaLog {
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.delta")
+
+  /** This writer's identity, stamped into every commitInfo (the protocol's
+    * free-form `engineInfo` field, as delta-spark and delta-rs both do).
+    * The per-JVM token is what makes "has another writer touched this
+    * table?" decidable from the log alone. */
+  val engineId: String =
+    s"Graft-Spark/0.1 writer-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Tables already warned about the non-atomic-store × multi-writer
+    * hazard (one WARN per table per JVM). The message map exists so specs
+    * can pin the warning without scraping log output. */
+  private val nonAtomicWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val multiWriterWarnings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Highest protocol reader version this replay implements: 2 = column
     * mapping (mode `name` — physical↔logical rename at scan time; `id`

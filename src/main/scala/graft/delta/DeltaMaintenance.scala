@@ -116,11 +116,10 @@ object DeltaMaintenance {
     // coalesce(materialized, baseRowId + row_index). Fresh baseRowIds
     // are still assigned to the new files (spec-required on every add)
     // but never surface for copied rows.
+    // (composes with column mapping: the materialized columns are
+    // unmapped PHYSICAL parquet names pinned in table config, read and
+    // written through the mapped scan's extraPhysical seam)
     val rtEnabled = RowTracking.enabled(snap)
-    if (mapped && rtEnabled)
-      throw new IllegalStateException(
-        "OPTIMIZE: row tracking + column mapping on one table is not supported " +
-          "(materialized row-id columns are unmapped physical names)")
     val matCols: Option[(String, String)] =
       if (!rtEnabled) None
       else Some(RowTracking.materializedColNames(snap).getOrElse {
@@ -188,10 +187,27 @@ object DeltaMaintenance {
           import org.apache.spark.sql.functions.coalesce
           // preserved id = materialized value if a previous OPTIMIZE
           // already stamped one, else the file's baseRowId arithmetic
-          val scan = spark.read.schema(readSchema).parquet(paths: _*)
-            .withColumn("__rt_path", col("_metadata.file_path"))
-            .withColumn("__rt_idx", col("_metadata.row_index"))
-          DeletionVectors.applyFilter(scan, dvBytes)
+          val filtered =
+            if (mapped)
+              // logical-name frame; DVs applied inside; the materialized
+              // columns ride along as unmapped extraPhysical fields
+              DeltaRead.mappedScan(spark, path, snap, files, dvBytes,
+                keepMeta = true, extraPhysical = Seq(
+                  org.apache.spark.sql.types.StructField(rid,
+                    org.apache.spark.sql.types.LongType, nullable = true),
+                  org.apache.spark.sql.types.StructField(rcv,
+                    org.apache.spark.sql.types.LongType, nullable = true)))
+                .drop(snap.partitionColumns: _*)
+                .withColumn("__rt_path", col("_metadata.file_path"))
+                .withColumn("__rt_idx", col("_metadata.row_index"))
+                .drop("_metadata")
+            else {
+              val scan = spark.read.schema(readSchema).parquet(paths: _*)
+                .withColumn("__rt_path", col("_metadata.file_path"))
+                .withColumn("__rt_idx", col("_metadata.row_index"))
+              DeletionVectors.applyFilter(scan, dvBytes)
+            }
+          filtered
             .withColumn(rid, coalesce(col(rid),
               org.apache.spark.sql.graft.RowIdExpressions
                 .rowId(bcast, col("__rt_path"), col("__rt_idx"))))
@@ -225,7 +241,11 @@ object DeltaMaintenance {
       val staged =
         if (!mapped) clustered
         else DeltaWrite.physicalizeForWrite(clustered, snap,
-          exclude = snap.partitionColumns.toSet)
+          exclude = snap.partitionColumns.toSet,
+          // the materialized row-id columns are already physical —
+          // carried through the select verbatim, never renamed
+          extra = matCols.toSeq.flatMap { case (rid, rcv) =>
+            Seq(col(rid), col(rcv)) })
       staged.write.parquet(tmp.toString)
       fs.listStatus(tmp)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -183,14 +183,27 @@ object DeltaRead {
       pvKeyOf: String => String): DataFrame = {
     val keys = partFields.map(f => pvKeyOf(f.name))
     // keys are the RESOLVED (uri-decoded) basenames — what
-    // `_metadata.file_path` carries at scan time, same as RowIdIndex
+    // `_metadata.file_path` carries at scan time, same as RowIdIndex.
+    // Delta file names embed UUIDs, so basenames are unique; if a log
+    // nevertheless collides (a shallow clone aggregating outside-root
+    // files from multiple sources), fall back to keying the index by the
+    // decoded FULL path instead of refusing the scan.
     val byName = files.zip(resolvedPaths).map { case (f, p) =>
       val name = p.substring(p.lastIndexOf('/') + 1)
       name -> keys.map(k => f.partitionValues.get(k).flatMap(Option(_)).orNull).toArray
     }
-    require(byName.map(_._1).distinct.size == byName.size,
-      "duplicate data-file basenames across partition roots — cannot key partition values")
-    val idx = spark.sparkContext.broadcast(new PartValueIndex(byName.toMap))
+    val collides = byName.map(_._1).distinct.size != byName.size
+    val idx =
+      if (!collides) spark.sparkContext.broadcast(new PartValueIndex(byName.toMap))
+      else {
+        val byPath = files.zip(resolvedPaths).map { case (f, p) =>
+          PartValueIndex.decodedPath(p) ->
+            keys.map(k => f.partitionValues.get(k).flatMap(Option(_)).orNull).toArray
+        }
+        require(byPath.map(_._1).distinct.size == byPath.size,
+          "duplicate resolved data-file paths in one scan — corrupt log")
+        spark.sparkContext.broadcast(new PartValueIndex(byPath.toMap, fullPath = true))
+      }
     val pathCol = col("_metadata.file_path")
     partFields.zipWithIndex.foldLeft(scan) { case (d, (f, i)) =>
       d.withColumn(f.name,
@@ -290,11 +303,16 @@ object DeltaRead {
   /** `keepMeta` additionally surfaces the scan's `_metadata` struct as a
     * regular column (the DML paths need file_path/row_index through the
     * logical rename projection, which would otherwise drop it). */
+  /** `extraPhysical` surfaces columns that exist ONLY in the parquet
+    * files under unmapped physical names (the row-tracking materialized
+    * id columns): appended to the read schema verbatim, matched by name,
+    * never renamed — files lacking them read null. */
   private[graft] def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty,
       keepMeta: Boolean = false,
-      streaming: Boolean = false): DataFrame = {
+      streaming: Boolean = false,
+      extraPhysical: Seq[StructField] = Nil): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -312,10 +330,11 @@ object DeltaRead {
     val physOf: Map[String, String] =
       schema.fields.map(f => f.name -> physicalNameOf(f)).toMap
     val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
-    val readSchema =
-      if (byId) fieldIdSchema(StructType(dataFields))
-      else StructType(dataFields.map(f =>
-        StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable)))
+    val readSchema = StructType(
+      (if (byId) fieldIdSchema(StructType(dataFields))
+       else StructType(dataFields.map(f =>
+         StructField(physicalNameOf(f), physicalize(f.dataType), f.nullable))))
+        .fields ++ extraPhysical)
     val partFields = schema.fields.filter(f => partCols.contains(f.name))
     // ONE relation over every file; partition values attach per-row from
     // the broadcast file→values index (physical-keyed pv entries), so the
@@ -341,8 +360,10 @@ object DeltaRead {
     val renamed = dataFields.map(f =>
       (if (byId) col(f.name) else col(physicalNameOf(f)).cast(f.dataType)).as(f.name)) ++
       partFields.map(f => col(s"__graft_pv_${f.name}").as(f.name)) ++
+      extraPhysical.map(f => col(f.name)) ++
       (if (keepMeta) Seq(col("_metadata").as("_metadata")) else Nil)
-    val ordered = schema.fieldNames.toSeq ++ (if (keepMeta) Seq("_metadata") else Nil)
+    val ordered = schema.fieldNames.toSeq ++ extraPhysical.map(_.name) ++
+      (if (keepMeta) Seq("_metadata") else Nil)
     withPv.select(renamed.toIndexedSeq: _*).select(ordered.map(col): _*)
   }
 

@@ -1083,13 +1083,10 @@ object DeltaTableOps {
     val snap = log.snapshot(None)
     require(DeltaRead.mappingModeOf(snap) == "none",
       s"columnMapping.mode is already '${DeltaRead.mappingModeOf(snap)}' on $path")
-    // mirror of the one-way guards in RowTracking.enable and the identity
-    // write path: mapping-then-rename would silently re-bind the
-    // materialized row-id columns and the identity watermark harvest,
-    // so the combination refuses in BOTH directions
-    require(!RowTracking.enabled(snap),
-      "column mapping on a row-tracked table is not supported " +
-        "(materialized row-id columns bind by name)")
+    // row tracking composes: the materialized row-id columns are never
+    // schema fields — they bind by PHYSICAL parquet name (stored in table
+    // config), which renames under mapping can't re-bind; the row-id scan
+    // reads them through mappedScan's extraPhysical seam
     // identity columns compose: the watermark harvest translates to
     // physical stats keys (DeltaWrite.identityRebase)
     // mapped scans apply DVs on the raw physical scan (bitmaps are keyed

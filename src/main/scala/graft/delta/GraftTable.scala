@@ -120,8 +120,9 @@ final class GraftTable private (spark: SparkSession, val path: String) {
   * `s.col`), evaluated FIRST-MATCH-WINS; `whenNotMatchedBySource*`
   * clauses apply to target rows the source no longer carries;
   * `whenNotMatchedInsertAll()` opts into inserting unmatched source
-  * rows (default: update-only merge). With no whenMatched call the
-  * builder keeps its original upsert default (UpdateAll). */
+  * rows (default: update-only merge). Only when NO clause method of any
+  * kind was called does the builder keep its original upsert default
+  * (UpdateAll); an insert-only merge leaves matched rows untouched. */
 final class GraftMergeBuilder private[delta] (
     spark: SparkSession, path: String, source: DataFrame, on: Seq[String]) {
   private val matched = Seq.newBuilder[DeltaDml.MatchedClause]
@@ -171,8 +172,14 @@ final class GraftMergeBuilder private[delta] (
 
   def execute(): DeltaDml.MergeResult = {
     val m = matched.result()
+    // the legacy upsert default (UpdateAll) applies ONLY when no clause
+    // method of any kind was called; an insert-only merge
+    // (whenNotMatchedInsertAll alone) must leave matched rows untouched —
+    // injecting UpdateAll there silently rewrites every matched row
+    // (delta-spark builder semantics)
+    val anyClause = m.nonEmpty || bySource.result().nonEmpty || insertAll
     DeltaDml.mergeClauses(spark, path, source, on,
-      matched = if (m.isEmpty && bySource.result().isEmpty)
+      matched = if (!anyClause)
         Seq(DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll)) else m,
       insertNotMatched = insertAll,
       bySource = bySource.result())

@@ -89,6 +89,88 @@ object LogStore {
       })
   }
 
+  /** The conditional-put primitive modern object stores expose natively
+    * (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, Azure
+    * `If-None-Match: *`). Hadoop's FileSystem API doesn't surface it, so
+    * a deployment supplies a thin client against the store's own SDK;
+    * [[ConditionalPut]] turns that one primitive into a fully atomic
+    * LogStore. Return false (or throw) when the key already existed. */
+  trait ConditionalPutClient {
+    def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+  }
+
+  /** LogStore over a native conditional-put primitive — the modern,
+    * lock-free answer for object stores. Atomicity comes from the store
+    * itself, not from a Hadoop create path. */
+  final class ConditionalPut(client: ConditionalPutClient) extends LogStore {
+    override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+      if (!client.putIfAbsent(target.toString, bytes))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"$target already exists (conditional put refused)")
+  }
+
+  /** Shipped lock-provider reference implementation: a TTL lease file per
+    * commit key, arbitrated by atomic create-no-overwrite on `leaseFs`.
+    * Mirrors the externalized-arbitration shape of delta-spark's
+    * S3DynamoDBLogStore: the lease lives on a filesystem whose namespace
+    * IS transactional (HDFS, local POSIX, ABFS — possibly a different
+    * store than the table; placing it on a check-then-put store would
+    * just move the race). Expired leases (a crashed committer) are taken
+    * over: delete + re-race through CREATE_NEW, so the kernel/namenode
+    * stays the arbiter. Use via
+    * `LogStore.register(scheme, new Locked(CheckThenPut, new FileLease(fs, dir).withLock))`.
+    */
+  final class FileLease(
+      leaseFs: FileSystem, leaseDir: Path,
+      ttlMs: Long = 30000L, acquireTimeoutMs: Long = 60000L,
+      ownerId: String = java.util.UUID.randomUUID().toString) {
+
+    private def leasePath(key: String): Path =
+      // one lease per commit key; sanitize the URI into a flat file name
+      new Path(leaseDir, java.net.URLEncoder.encode(key, "UTF-8") + ".lease")
+
+    private def tryAcquire(lock: Path): Boolean = {
+      val body = s"$ownerId ${System.currentTimeMillis() + ttlMs}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val out = leaseFs.create(lock, /*overwrite=*/ false)
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException =>
+          // lease exists (or a transient error): take over iff expired,
+          // then loop back to CREATE_NEW so concurrent takers re-race
+          try {
+            val in = leaseFs.open(lock)
+            val txt = try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+              new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+            val expiry = txt.trim.split("\\s+").lastOption.flatMap(_.toLongOption)
+            if (expiry.exists(_ < System.currentTimeMillis())) leaseFs.delete(lock, false)
+          } catch { case _: java.io.IOException => () /* deleted under us — retry */ }
+          false
+      }
+    }
+
+    def withLock(key: String, body: () => Unit): Unit = {
+      val lock = leasePath(key)
+      leaseFs.mkdirs(leaseDir)
+      val deadline = System.currentTimeMillis() + acquireTimeoutMs
+      var held = tryAcquire(lock)
+      while (!held && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        held = tryAcquire(lock)
+      }
+      if (!held)
+        throw new java.io.IOException(
+          s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
+      try body()
+      finally leaseFs.delete(lock, false)
+    }
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
   Seq("s3", "s3a", "s3n").foreach(registry.put(_, CheckThenPut))

@@ -15,7 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * active file); rows arrive file-by-file, so a per-thread single-entry
   * memo collapses the name-parse + hash lookup to a UTF8String equality
   * check per row. */
-final class PartValueIndex(byName: Map[String, Array[String]]) extends Serializable {
+/** `fullPath = true` keys entries by the DECODED absolute path instead of
+  * the basename — the fallback for the (corrupt-log / multi-source
+  * shallow-clone) case where two partition roots carry the same data-file
+  * basename; Delta's uuid names make this vanishingly rare, so the
+  * basename fast path stays the default. */
+final class PartValueIndex(
+    byName: Map[String, Array[String]],
+    fullPath: Boolean = false) extends Serializable {
 
   @transient private lazy val lookup: java.util.HashMap[String, Array[UTF8String]] = {
     val m = new java.util.HashMap[String, Array[UTF8String]](byName.size * 2)
@@ -34,7 +41,10 @@ final class PartValueIndex(byName: Map[String, Array[String]]) extends Serializa
     if (path.equals(c(0))) c(1).asInstanceOf[Array[UTF8String]]
     else {
       val s = path.toString
-      val e = lookup.get(s.substring(s.lastIndexOf('/') + 1))
+      val key =
+        if (fullPath) PartValueIndex.decodedPath(s)
+        else s.substring(s.lastIndexOf('/') + 1)
+      val e = lookup.get(key)
       if (e == null)
         throw new IllegalStateException(s"No partition-value entry for file $s")
       c(0) = path.clone() // the input may alias a reused scan buffer
@@ -46,4 +56,16 @@ final class PartValueIndex(byName: Map[String, Array[String]]) extends Serializa
   /** The file's value for partition column `ordinal`; null for the
     * `__HIVE_DEFAULT_PARTITION__` sentinel. */
   def value(path: UTF8String, ordinal: Int): UTF8String = entryFor(path)(ordinal)
+}
+
+object PartValueIndex {
+  /** Scan-side paths (`_metadata.file_path`) arrive as URL-encoded
+    * scheme-qualified URIs; file-side keys from resolvePath are decoded.
+    * Normalize both to the decoded scheme-less absolute path so they
+    * compare equal (the DeltaDml.scanFileKey convention). */
+  private[delta] def decodedPath(p: String): String =
+    try Option(new java.net.URI(p).getPath).filter(_.nonEmpty)
+      .getOrElse(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    catch { case _: java.net.URISyntaxException =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath }
 }

@@ -832,6 +832,40 @@ object DeltaQ {
         .orderBy($"_commit_version", $"_change_type", $"s_suppkey")
     }),
 
+    // ROW TRACKING × COLUMN MAPPING: the two features on ONE table — the
+    // default shape of newer delta-spark runtimes. Mapped + renamed →
+    // enable tracking (backfill) → DV DELETE (ids must survive: files
+    // untouched) → OPTIMIZE (ids preserved via PHYSICAL materialized
+    // columns riding outside the mapped schema) → rename AGAIN (binding
+    // is by physical parquet name, so the rename can't re-home an id).
+    // Pins are structural like d34: counts, uniqueness, zero re-homed
+    // rows, business checksum.
+    "d52_rt_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d52")
+      val c = t(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal", $"c_nationkey")
+      GraftDelta.toDelta(c.repartition(4), path)                         // v0
+      GraftDelta.enableColumnMapping(s, path)                            // v1
+      GraftDelta.renameColumn(s, path, "c_acctbal", "balance")           // v2
+      GraftDelta.enableRowTracking(s, path)                              // v3
+      val before = GraftDelta.readDeltaWithRowIds(s, path)
+        .select($"c_custkey", $"_row_id".as("id_before"))
+      GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("balance", "<", 0.0))))                        // v4
+      val (nBefore, nAfter) = DeltaMaintenance.compact(s, path)          // v5
+      require(nAfter < nBefore, s"OPTIMIZE must compact: $nBefore -> $nAfter")
+      GraftDelta.renameColumn(s, path, "balance", "bal")                 // v6
+      val after = GraftDelta.readDeltaWithRowIds(s, path)
+        .select($"c_custkey", $"_row_id".as("id_after"),
+          cents($"bal").as("bal_c"))
+      after.join(before, Seq("c_custkey")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"id_after").as("n_distinct_ids"),
+        sum(when($"id_after" =!= $"id_before", 1L).otherwise(0L)).as("n_rehomed"),
+        sum($"bal_c").as("total_c"))
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1391,6 +1425,12 @@ object DeltaQ {
         |   ELSE c_acctbal END)*100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY key""".stripMargin,
+    "d52_rt_mapping" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_distinct_ids,
+        | CAST(0 AS BIGINT) AS n_rehomed,
+        | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM customer WHERE NOT (c_acctbal < 0)""".stripMargin,
     "d29_column_rename" ->
       """SELECT key, bal_c, mode FROM (
         | SELECT c_custkey AS key,

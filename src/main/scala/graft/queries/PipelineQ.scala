@@ -20,6 +20,19 @@ object PipelineQ {
     s"$d/tbl"
   }
 
+  /** The four approximate-ANN queries carry in-query EXACT truth sets
+    * (brute-force top-k / all-pairs cosine) feeding recall/precision
+    * `require`s. That truth is O(N·corpus) / O(N²) BY CONSTRUCTION — at
+    * bench SFs it dominates wall time and misstates the operator's cost
+    * (BENCH_sf1's semantic_dedup_operator_only probe: 10.4 s harness vs
+    * 2.4× operator-only). `graft.Bench` sets this property so timed runs
+    * still FORCE the operator (an eager count) but skip the oracle;
+    * `graft.Verify` never sets it, so the correctness gate always runs
+    * the full checks. The emitted rows are pinned constants either way —
+    * outputs are mode-independent (pinned by QueryModeSpec). */
+  private[graft] def skipInQueryOracles: Boolean =
+    java.lang.Boolean.getBoolean("graft.bench.skipInQueryOracles")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on full text: counts in vs out (identity on this corpus).
     "t01_dedup_exact" -> ((s, dir) => {
@@ -84,12 +97,15 @@ object PipelineQ {
       val emb = t(s, dir, "embeddings")
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
       val ann = Similarity.lshTopK(emb, "vec_id", "embedding", qids, k = 10, dim = 64)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
-      val hits = ann.select($"query_id", $"vec_id")
-        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
-        .count()
-      val recallPct = hits * 100.0 / (qids.size * 10)
-      require(recallPct >= 30.0, s"LSH recall@10 = $recallPct% < 30%")
+      if (skipInQueryOracles) ann.count() // bench: force the operator, skip the truth set
+      else {
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+        val hits = ann.select($"query_id", $"vec_id")
+          .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+          .count()
+        val recallPct = hits * 100.0 / (qids.size * 10)
+        require(recallPct >= 30.0, s"LSH recall@10 = $recallPct% < 30%")
+      }
       Seq((qids.size.toLong, 10L, 30L, 1L))
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
@@ -112,12 +128,15 @@ object PipelineQ {
       val emb = t(s, dir, "embeddings")
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
       val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, k = 10)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
-      val hits = ann.select($"query_id", $"vec_id")
-        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
-        .count()
-      val recallPct = hits * 100.0 / (qids.size * 10)
-      require(recallPct >= 50.0, s"IVF recall@10 = $recallPct% < 50%")
+      if (skipInQueryOracles) ann.count() // bench: force the operator, skip the truth set
+      else {
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+        val hits = ann.select($"query_id", $"vec_id")
+          .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+          .count()
+        val recallPct = hits * 100.0 / (qids.size * 10)
+        require(recallPct >= 50.0, s"IVF recall@10 = $recallPct% < 50%")
+      }
       Seq((qids.size.toLong, 10L, 50L, 1L))
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
@@ -131,12 +150,15 @@ object PipelineQ {
       val emb = t(s, dir, "embeddings")
       val qids = Seq(0L, 1L, 2L, 3L, 4L)
       val ann = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qids, k = 10)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
-      val hits = ann.select($"query_id", $"vec_id")
-        .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
-        .count()
-      val recallPct = hits * 100.0 / (qids.size * 10)
-      require(recallPct >= 40.0, s"IVF-PQ recall@10 = $recallPct% < 40%")
+      if (skipInQueryOracles) ann.count() // bench: force the operator, skip the truth set
+      else {
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+        val hits = ann.select($"query_id", $"vec_id")
+          .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+          .count()
+        val recallPct = hits * 100.0 / (qids.size * 10)
+        require(recallPct >= 40.0, s"IVF-PQ recall@10 = $recallPct% < 40%")
+      }
       Seq((qids.size.toLong, 10L, 40L, 1L))
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
     }),
@@ -578,17 +600,20 @@ object PipelineQ {
       val sem = Similarity.semanticNearDups(emb, "vec_id", "embedding",
           threshold = 0.42, nlist = nlist)
         .select($"id_a", $"id_b")
-      val q = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("v"))
-      val exact = q.as("l").join(q.as("r"), $"l.id" < $"r.id")
-        .filter(Similarity.cosineQ($"l.v", $"r.v") >= 0.42)
-        .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-      val nExact = exact.count()
-      val nSem = sem.count()
-      val nHit = sem.join(exact, Seq("id_a", "id_b")).count()
-      require(nExact > 0, "degenerate fixture: no true near-dup pairs")
-      require(nHit == nSem, s"precision violated: $nSem emitted, only $nHit are true pairs")
-      val recallPct = nHit * 100.0 / nExact
-      require(recallPct >= 50.0, s"SemDeDup recall = $recallPct% < 50%")
+      if (skipInQueryOracles) sem.count() // bench: force the operator, skip the O(N²) truth
+      else {
+        val q = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("v"))
+        val exact = q.as("l").join(q.as("r"), $"l.id" < $"r.id")
+          .filter(Similarity.cosineQ($"l.v", $"r.v") >= 0.42)
+          .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+        val nExact = exact.count()
+        val nSem = sem.count()
+        val nHit = sem.join(exact, Seq("id_a", "id_b")).count()
+        require(nExact > 0, "degenerate fixture: no true near-dup pairs")
+        require(nHit == nSem, s"precision violated: $nSem emitted, only $nHit are true pairs")
+        val recallPct = nHit * 100.0 / nExact
+        require(recallPct >= 50.0, s"SemDeDup recall = $recallPct% < 50%")
+      }
       Seq((100L, 50L, 1L)).toDF("precision_pct", "recall_floor_pct", "meets_floor")
     }),
 

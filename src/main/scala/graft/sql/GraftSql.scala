@@ -239,16 +239,31 @@ object GraftSql {
     stmt match {
       case DeleteRe(p1, p2, p3, where) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
-        val r = if (useDv) GraftDelta.deleteWhereWithDv(spark, path, filters)
-                else GraftDelta.deleteWhere(spark, path, filters)
+        // DNF when the WHERE lowers (log pruning + scan filter); outside
+        // the DNF language (NOT over AND, arithmetic, IS NULL, other
+        // functions) fall back to scan-side execution of the raw Spark
+        // expression — correct, just not prune-accelerated. A WHERE Spark
+        // can't parse still refuses (at expr()).
+        val r = nonDnfFallback(spark, Option(where), path) match {
+          case Left(filters) =>
+            if (useDv) GraftDelta.deleteWhereWithDv(spark, path, filters)
+            else GraftDelta.deleteWhere(spark, path, filters)
+          case Right(cond) =>
+            if (useDv) graft.delta.DeltaDml.deleteWithDvExpr(spark, path, cond)
+            else graft.delta.DeltaDml.deleteExpr(spark, path, cond)
+        }
         dmlFrame(spark, "DELETE", r)
       case UpdateRe(p1, p2, p3, setClause, where) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val set = assignmentsOf(setClause)
-        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
-        val r = if (useDv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
-                else GraftDelta.updateWhere(spark, path, filters, set)
+        val r = nonDnfFallback(spark, Option(where), path) match {
+          case Left(filters) =>
+            if (useDv) GraftDelta.updateWhereWithDv(spark, path, filters, set)
+            else GraftDelta.updateWhere(spark, path, filters, set)
+          case Right(cond) =>
+            if (useDv) graft.delta.DeltaDml.updateWithDvExpr(spark, path, cond, set)
+            else graft.delta.DeltaDml.updateExpr(spark, path, cond, set)
+        }
         dmlFrame(spark, "UPDATE", r)
       case MergeRe(t1, t2, t3, tAlias, s1, s2, s3, sAlias, on, clauses) =>
         runMerge(spark, resolveRef(spark, Seq(t1, t2, t3).find(_ != null).get),
@@ -702,13 +717,28 @@ object GraftSql {
     val keys = equiKeysOf(spark, onClause, targetAlias, sourceAlias)
 
     // source-column references (s.col / source.col) map to the engine's
-    // src() marker columns; target-alias prefixes strip
+    // src() marker columns; target-alias prefixes strip. Matches are
+    // located in the quote-MASKED text (masking is length-preserving) so
+    // an alias token INSIDE a string literal ('s.smith') is data and
+    // survives verbatim — only real references rewrite.
     val srcAliases = (sourceAlias.toSeq :+ "source").distinct
+    val tgtAliases = (targetAlias.toSeq :+ "target").distinct
     def rewriteRefs(raw: String): String = {
-      val s = srcAliases.foldLeft(raw)((e, al) =>
-        e.replaceAll(s"(?i)\\b$al\\.", "__graft_src_"))
-      (targetAlias.toSeq :+ "target").distinct.foldLeft(s)((e, al) =>
-        e.replaceAll(s"(?i)\\b$al\\.", ""))
+      val masked = maskQuoted(raw)
+      val pat = java.util.regex.Pattern.compile(
+        "(?i)\\b(" + (srcAliases ++ tgtAliases)
+          .map(java.util.regex.Pattern.quote).mkString("|") + ")\\.")
+      val m = pat.matcher(masked)
+      val out = new StringBuilder
+      var last = 0
+      while (m.find()) {
+        out.append(raw.substring(last, m.start))
+        if (srcAliases.exists(_.equalsIgnoreCase(m.group(1))))
+          out.append("__graft_src_")
+        // target-alias prefixes strip: append nothing
+        last = m.end
+      }
+      out.append(raw.substring(last)).toString
     }
     def setOf(updateBody: String): Map[String, org.apache.spark.sql.Column] =
       splitAssignments(updateBody.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
@@ -816,6 +846,25 @@ object GraftSql {
   }
 
   // ---- WHERE → DNF ------------------------------------------------------
+
+  /** DML WHERE dispatch: Left(dnf) when the clause lowers to the DNF
+    * predicate language (log-pruned path), Right(column) when it parses
+    * but can't normalize (scan-side fallback — delta-spark would execute
+    * these, so refusal would shrink the accepted surface for no
+    * correctness gain). A clause Spark can't PARSE still throws. */
+  private def nonDnfFallback(
+      spark: SparkSession, where: Option[String],
+      path: String): Either[Seq[Seq[Predicate]], org.apache.spark.sql.Column] =
+    try Left(dnfOf(spark, where, colTypesOf(spark, path)))
+    catch {
+      case e: IllegalArgumentException if where.exists(_.trim.nonEmpty) =>
+        // parse first so an unparseable WHERE surfaces ITS error, not the
+        // DNF refusal
+        spark.sessionState.sqlParser.parseExpression(where.get)
+        logger.info(s"WHERE falls outside the DNF predicate language " +
+          s"(${e.getMessage}); executing scan-side without log pruning")
+        Right(expr(where.get))
+    }
 
   /** Lower a SQL boolean expression to the engine's DNF predicate form.
     * The supported language is AND/OR trees over `col op literal`

@@ -123,6 +123,43 @@ class CloneConstraintSpec extends GraftSuite {
       (1L to 10L).toSet)
   }
 
+  test("partitioned scan keys partition values by full path when basenames collide") {
+    import spark.implicits._
+    // two source roots carrying the SAME data-file basename — the
+    // multi-source shallow-clone shape; the scan must fall back to
+    // full-path keying instead of refusing
+    def stageDup(dir: java.nio.file.Path, lo: Long, hi: Long): java.io.File = {
+      (lo to hi).map(Tuple1(_)).toDF("k").coalesce(1).write.parquet(dir.toString)
+      val part = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val fixed = new java.io.File(dir.toFile, "part-00000-dup.snappy.parquet")
+      assert(part.renameTo(fixed)); fixed
+    }
+    val dirA = Files.createTempDirectory("graft_dupA")
+    val dirB = Files.createTempDirectory("graft_dupB")
+    val fA = stageDup(dirA, 1L, 3L)
+    val fB = stageDup(dirB, 10L, 13L)
+    val path = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+    DeltaLog.forTable(spark, path).writeCommit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CLONE"),
+      Protocol(1, 2),
+      MetadataAction(id = "dup-basenames", schemaString = schema.json,
+        partitionColumns = Seq("bucket")),
+      AddFile(path = s"file:$fA", partitionValues = Map("bucket" -> "1"),
+        size = fA.length(), modificationTime = fA.lastModified(), dataChange = true),
+      AddFile(path = s"file:$fB", partitionValues = Map("bucket" -> "2"),
+        size = fB.length(), modificationTime = fB.lastModified(), dataChange = true)))
+    val df = GraftDelta.readDelta(spark, path)
+    val got = df.select($"k", $"bucket").as[(Long, Int)].collect().toSet
+    val want = (1L to 3L).map((_, 1)).toSet ++ (10L to 13L).map((_, 2)).toSet
+    assert(got == want, s"got $got")
+    // partition pruning on the attached values still works
+    assert(GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("bucket", "==", 2)))).count() == 4L)
+  }
+
   test("clone refuses an existing delta table target") {
     val src = tmp(); val cln = tmp()
     GraftDelta.toDelta(sample, src)

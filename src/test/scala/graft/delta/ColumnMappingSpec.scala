@@ -510,14 +510,22 @@ class ColumnMappingSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).columns.toSeq == Seq("k", "v", "w"))
   }
 
-  test("enableColumnMapping refuses row-tracked tables (guard mirrors enable)") {
+  test("enableColumnMapping composes with row tracking in BOTH directions") {
     import spark.implicits._
+    // tracking first, mapping second: ids must read identically through
+    // the mapped scan after the upgrade + a rename
     val path = tmp()
-    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    GraftDelta.toDelta((1 to 12).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
     RowTracking.enable(spark, path)
-    val e = intercept[IllegalArgumentException](
-      GraftDelta.enableColumnMapping(spark, path))
-    assert(e.getMessage.contains("row-tracked"), e.getMessage)
+    def ids(): Map[Long, Long] = GraftDelta.readDeltaWithRowIds(spark, path)
+      .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    GraftDelta.enableColumnMapping(spark, path)
+    assert(ids() == before, "mapping upgrade must not re-home a row id")
+    GraftDelta.renameColumn(spark, path, "v", "w")
+    val renamed = GraftDelta.readDeltaWithRowIds(spark, path)
+    assert(renamed.columns.toSet == Set("k", "w", "_row_id", "_row_commit_version"))
+    assert(renamed.select($"k", $"_row_id").as[(Long, Long)].collect().toMap == before)
   }
 
   test("identity columns compose with mapping: watermark harvests physical stats") {

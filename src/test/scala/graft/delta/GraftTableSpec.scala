@@ -51,13 +51,16 @@ class GraftTableSpec extends GraftSuite {
     t.updateExpr("g = 0", Map("v" -> "'zero'"))                // v2
     assert(t.toDF.filter($"v" === "zero").count() ===
       t.toDF.filter($"g" === 0).count())
-    // conditionless full-table DML stays refused at the engine level
-    val full = intercept[IllegalArgumentException](t.delete("1 = 1"))
-    assert(full.getMessage.toLowerCase.contains("unsupported where term") ||
-      full.getMessage.contains("non-empty"), full.getMessage)
     assert(t.history().count() == 3L)
     assert(t.asOf(0L).count() == 20L)
     assert(t.detail().select("numFiles").head().getLong(0) > 0L)
+    // WHERE 1 = 1 is an EXPLICIT full-table predicate: outside the DNF
+    // language, so the scan-side fallback executes it — delta-spark
+    // parity (the engine still refuses an EMPTY predicate, pinned in
+    // DmlSpec)
+    t.delete("1 = 1")                                          // v3
+    assert(t.toDF.count() == 0L)
+    assert(t.asOf(2L).count() == 15L, "time travel still sees the pre-delete rows")
   }
 
   test("merge builder: updateAll+insertAll, updateExpr with source refs, delete") {
@@ -79,6 +82,29 @@ class GraftTableSpec extends GraftSuite {
     t.merge(src, Seq("k")).whenMatchedDelete().execute()
     assert(t.toDF.filter($"k".isin(1L, 99L)).count() == 0L)
     assert(t.toDF.count() == 19L)
+  }
+
+  test("merge builder: insert-only merge leaves matched rows untouched") {
+    val path = tmp()
+    seed(path) // k=1..20
+    val t = GraftTable.forPath(spark, path)
+    val src = Seq((1L, "SHOULD_NOT_LAND", 9L), (99L, "new", 9L)).toDF("k", "v", "g")
+    // whenNotMatchedInsertAll ALONE must not inject the legacy UpdateAll
+    // default — matched row k=1 keeps its value, only k=99 inserts
+    val r = t.merge(src, Seq("k")).whenNotMatchedInsertAll().execute()
+    assert(r.insertedRows == 1L, s"$r")
+    assert(t.toDF.filter($"k" === 1L).select("v").as[String].head() == "v1",
+      "insert-only merge must not rewrite matched rows")
+    assert(t.toDF.filter($"k" === 99L).count() == 1L)
+    assert(t.toDF.count() == 21L)
+    // and it is a legal blind append on an append-only table
+    val p2 = tmp()
+    seed(p2)
+    DeltaTableOps.setTableProperties(spark, p2, Map("delta.appendOnly" -> "true"))
+    val t2 = GraftTable.forPath(spark, p2)
+    t2.merge(Seq((100L, "x", 0L)).toDF("k", "v", "g"), Seq("k"))
+      .whenNotMatchedInsertAll().execute()
+    assert(t2.toDF.count() == 21L)
   }
 
   test("merge builder: ordered conditioned clauses + by-source, first-match-wins") {

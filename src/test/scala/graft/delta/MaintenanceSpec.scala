@@ -237,6 +237,23 @@ class MaintenanceSpec extends GraftSuite {
     GraftDelta.toDelta(Seq((1L, "a")).toDF("v", "s"), own)
     val ownStats = DeltaLog.forTable(spark, own).snapshot(None).activeFiles.head.stats.get
     assert(ownStats.length <= 512, ownStats)
+
+    // the compaction is an IN-MEMORY bound only — a checkpoint persists
+    // the foreign stats string VERBATIM (dropping columns/bounds there
+    // would be irreversible for foreign readers and for a later increase
+    // of dataSkippingNumIndexedCols); the post-checkpoint replay then
+    // re-compacts in memory from the verbatim copy
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(0L)
+    log.fs.delete(log.commitFile(0L), false)
+    val cp = spark.read.parquet(s"$path/_delta_log/00000000000000000000.checkpoint.parquet")
+    val cpStats = cp.select("add.stats").where(cp.col("add").isNotNull)
+      .collect().head.getString(0)
+    assert(cpStats == verbose,
+      s"checkpoint must carry the original stats verbatim, got: $cpStats")
+    val replayed = DeltaLog.forTable(spark, path).snapshot(None).activeFiles.head.stats.get
+    assert(replayed.length < 200 && !replayed.contains("ghost"),
+      s"checkpoint-only replay must still compact in memory: $replayed")
   }
 
   test("tableDetail summarizes the snapshot from the log alone") {

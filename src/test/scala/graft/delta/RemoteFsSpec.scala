@@ -18,29 +18,28 @@ class MockFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mockfs:///")
 }
 
-/** An S3A-shaped filesystem: `create(overwrite=false)` is DELIBERATELY
-  * check-then-put — the existence probe and the (blind, truncating) put
-  * are separated by a barrier so two committers deterministically
-  * interleave check/check/put/put. Models the object-store anomaly the
-  * LogStore seam exists for. */
+/** An S3A-shaped filesystem: `create(overwrite=false)` is check-then-put
+  * (RawLocalFileSystem's own private create does `exists(f)` then opens a
+  * truncating stream), and a barrier between those two steps lets two
+  * committers deterministically interleave check/check/put/put. The hook
+  * point is `createOutputStreamWithMode` — the ONE protected seam every
+  * public `create` overload funnels through AFTER the exists check (the
+  * 7-arg `create(FsPermission,...)` overload is NOT on the
+  * `FileSystem.create(path, overwrite)` convenience-chain path, which is
+  * why an override there silently never fired under the full suite).
+  * Models the object-store anomaly the LogStore seam exists for. */
 class RacyFs extends RawLocalFileSystem {
   override def getScheme: String = "racyfs"
   override def getUri: URI = URI.create("racyfs:///")
-  override def create(
-      f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
-      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
-      progress: org.apache.hadoop.util.Progressable)
-      : org.apache.hadoop.fs.FSDataOutputStream = {
-    if (!overwrite) {
-      if (exists(f))
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
-      // widen the window only for COMMIT files — parquet staging also
-      // creates with overwrite=false and must not consume barrier slots
-      if (f.getName.endsWith(".json") && f.toString.contains("_delta_log"))
-        RacyFs.widenWindow()
-      // blind PUT: last writer silently truncates — the S3 lost update
-      super.create(f, permission, true, bufferSize, replication, blockSize, progress)
-    } else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  override protected def createOutputStreamWithMode(
+      f: Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream = {
+    // widen the window only for COMMIT files — parquet staging also
+    // funnels through here and must not consume barrier slots
+    if (!append && f.getName.endsWith(".json") && f.toString.contains("_delta_log"))
+      RacyFs.widenWindow()
+    // the blind PUT: a truncating FileOutputStream — last writer wins
+    super.createOutputStreamWithMode(f, append, permission)
   }
 }
 
@@ -56,6 +55,7 @@ object RacyFs {
     try { b.await(60, java.util.concurrent.TimeUnit.SECONDS); outcomes.add("tripped") }
     catch { case e: Exception => outcomes.add(e.getClass.getSimpleName) }
   }
+  private[delta] def reset(): Unit = { arrivals.set(0); outcomes.clear() }
 }
 
 class RemoteFsSpec extends GraftSuite {
@@ -124,49 +124,63 @@ class RemoteFsSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, table).count() == 10)
   }
 
-  test("LogStore seam: check-then-put loses an update; a registered locked store serializes") {
+  /** Stage a fresh racyfs table at v0 and return its log. */
+  private def stage(): DeltaLog = {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration
       .set("fs.racyfs.impl", classOf[RacyFs].getName)
-    def stage(): DeltaLog = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_racyfs")
-      dir.toFile.deleteOnExit()
-      val t = s"racyfs:$dir/tbl"
-      DeltaWrite.write(Seq((1L, "a")).toDF("id", "v"), t, mode = "error")
-      DeltaLog.forTable(spark, t)
-    }
-    def race(log: DeltaLog): Seq[Either[Throwable, Unit]] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks = Seq("w1", "w2").map { who =>
-          new java.util.concurrent.Callable[Either[Throwable, Unit]] {
-            override def call(): Either[Throwable, Unit] =
-              try Right(log.writeCommit(1L, Seq(
-                CommitInfo(System.currentTimeMillis(), s"WRITE-$who"))))
-              catch { case e: Throwable => Left(e) }
-          }
-        }
-        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
-      } finally pool.shutdown()
-    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_racyfs")
+    dir.toFile.deleteOnExit()
+    val t = s"racyfs:$dir/tbl"
+    DeltaWrite.write(Seq((1L, "a")).toDF("id", "v"), t, mode = "error")
+    DeltaLog.forTable(spark, t)
+  }
 
+  /** Two committers race on version 1 of `log`; per-committer outcome. */
+  private def race(log: DeltaLog): Seq[Either[Throwable, Unit]] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq("w1", "w2").map { who =>
+        new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+          override def call(): Either[Throwable, Unit] =
+            try Right(log.writeCommit(1L, Seq(
+              CommitInfo(System.currentTimeMillis(), s"WRITE-$who"))))
+            catch { case e: Throwable => Left(e) }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
+  test("LogStore seam: check-then-put loses an update; a registered locked store serializes") {
     // (a) the anomaly: both committers pass the existence check before
     // either puts — both "win", the log keeps only the LAST body (the
-    // object-store lost update the seam exists for). The barrier aligns
-    // the two check→put windows; scheduling can still let one committer
-    // finish before the other starts (in which case no anomaly occurs,
-    // correctly), so the demonstration retries until it manifests.
+    // object-store lost update the seam exists for). The barrier sits at
+    // createOutputStreamWithMode, i.e. AFTER RawLocalFileSystem's exists
+    // check and BEFORE the truncating open: when both committers are
+    // parked there, both have already passed the check with no file
+    // present, so both MUST win — deterministic, not a timing lottery.
     // The gate arms AFTER staging so the v0 commit can't consume a slot.
-    val bothWon = (1 to 10).exists { _ =>
-      val staged = stage()
-      RacyFs.gate = Some(new java.util.concurrent.CyclicBarrier(2))
-      try race(staged).count(_.isRight) == 2
+    val staged = stage()
+    RacyFs.reset()
+    RacyFs.gate = Some(new java.util.concurrent.CyclicBarrier(2))
+    val anomalous =
+      try race(staged)
       finally RacyFs.gate = None
+    val failures = anomalous.collect { case Left(e) =>
+      val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString
     }
-    assert(bothWon,
-      s"check-then-put must let both committers win at least once in 10 aligned races " +
-        s"(barrier arrivals=${RacyFs.arrivals.get()}, outcomes=${RacyFs.outcomes})")
+    // precondition: the hook must have fired for BOTH committers — an
+    // arrivals shortfall means the choke point was bypassed (a Hadoop
+    // call-path change), which must fail with a diagnosis, not a coin flip
+    assert(RacyFs.arrivals.get() == 2,
+      s"createOutputStreamWithMode hook bypassed: arrivals=${RacyFs.arrivals.get()}, " +
+        s"outcomes=${RacyFs.outcomes}, committer errors=${failures.mkString("\n---\n")}")
+    assert(RacyFs.outcomes.asScala.forall(_ == "tripped"),
+      s"barrier must trip cleanly for both committers: outcomes=${RacyFs.outcomes}")
+    assert(anomalous.count(_.isRight) == 2,
+      s"check-then-put must let both aligned committers win; " +
+        s"committer errors=${failures.mkString("\n---\n")}")
 
     // (b) the fix: register a Locked store for the scheme (stand-in for a
     // DynamoDB/etcd lease) — exactly ONE committer wins, the loser gets
@@ -182,6 +196,74 @@ class RemoteFsSpec extends GraftSuite {
         .forall(_.isInstanceOf[java.util.ConcurrentModificationException]), r.toString)
       // the winner's commit is intact and replayable
       assert(log.snapshot(None).version == 1L)
+    } finally LogStore.register("racyfs", LogStore.CreateNoOverwrite)
+  }
+
+  test("shipped FileLease lock provider serializes racing committers on the racy store") {
+    // the lease lives on LOCAL disk (an atomic-create namespace) while the
+    // table lives on the racy store — the externalized-arbitration shape
+    // of delta-spark's S3DynamoDBLogStore, using only shipped pieces
+    val leaseDir = java.nio.file.Files.createTempDirectory("graft_lease")
+    leaseDir.toFile.deleteOnExit()
+    val leasePath = new Path(s"file:$leaseDir")
+    val leaseFs = leasePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = new LogStore.FileLease(leaseFs, leasePath)
+    LogStore.register("racyfs",
+      new LogStore.Locked(LogStore.CheckThenPut, lease.withLock))
+    try {
+      val log = stage()
+      val r = race(log)
+      assert(r.count(_.isRight) == 1, s"exactly one committer must win: $r")
+      assert(r.collect { case Left(e) => e }
+        .forall(_.isInstanceOf[java.util.ConcurrentModificationException]), r.toString)
+      assert(log.snapshot(None).version == 1L)
+      // leases are released, not leaked
+      assert(leaseFs.listStatus(leasePath).forall(!_.getPath.getName.endsWith(".lease")),
+        "all lease files must be deleted after release")
+    } finally LogStore.register("racyfs", LogStore.CreateNoOverwrite)
+  }
+
+  test("expired FileLease from a crashed committer is taken over") {
+    val leaseDir = java.nio.file.Files.createTempDirectory("graft_lease2")
+    leaseDir.toFile.deleteOnExit()
+    val leasePath = new Path(s"file:$leaseDir")
+    val leaseFs = leasePath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a dead committer's lease, already expired
+    val crashed = new LogStore.FileLease(leaseFs, leasePath, ttlMs = -1000L)
+    val stale = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[RuntimeException] {
+      crashed.withLock("k1", () => { stale.set(true); sys.error("committer crash") })
+    }
+    // crash path ran but its finally released; re-create an UNRELEASED stale lease
+    val out = leaseFs.create(new Path(leasePath,
+      java.net.URLEncoder.encode("k1", "UTF-8") + ".lease"), false)
+    out.write(s"deadbeef ${System.currentTimeMillis() - 5000}".getBytes("UTF-8")); out.close()
+    val healthy = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 5000L)
+    var ran = false
+    healthy.withLock("k1", () => { ran = true })
+    assert(ran, "an expired lease must be taken over within the acquire timeout")
+  }
+
+  test("commit on a non-atomic store warns once when another writer is in the log") {
+    LogStore.register("racyfs", LogStore.CheckThenPut) // atomicPutIfAbsent = false
+    try {
+      val log = stage() // v0: this engine
+      // v1: a FOREIGN writer (pre-set engineInfo survives stamping)
+      log.writeCommit(1L, Seq(CommitInfo(System.currentTimeMillis(), "WRITE",
+        engineInfo = Some("other-engine/9.9"))))
+      assert(!DeltaLog.multiWriterWarnings.containsKey(log.tablePath),
+        "v1's predecessor was our own commit — no warning yet")
+      // v2: our commit, predecessor is foreign → hazard is live → WARN
+      log.writeCommit(2L, Seq(CommitInfo(System.currentTimeMillis(), "WRITE")))
+      val msg = DeltaLog.multiWriterWarnings.get(log.tablePath)
+      assert(msg != null && msg.contains("NON-ATOMIC") && msg.contains("other-engine/9.9"),
+        s"warning must name the hazard and the foreign writer, got: $msg")
+      // once per table: clear the record, commit again, no re-warn
+      DeltaLog.multiWriterWarnings.remove(log.tablePath)
+      log.writeCommit(3L, Seq(CommitInfo(System.currentTimeMillis(), "WRITE")))
+      assert(!DeltaLog.multiWriterWarnings.containsKey(log.tablePath), "warn must fire once")
+      // and the log round-trips the engineInfo stamp
+      assert(log.commitInfoOf(3L).flatMap(_.engineInfo).contains(DeltaLog.engineId))
     } finally LogStore.register("racyfs", LogStore.CreateNoOverwrite)
   }
 

@@ -179,6 +179,63 @@ class RowTrackingSpec extends GraftSuite {
     assert(df.count() == 50L)
   }
 
+  test("row tracking composes with column mapping: mapped + renamed table, " +
+      "ids stable under DV DML, preserved through OPTIMIZE, watermark via checkpoint") {
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "payload").coalesce(1), path) // v0
+    GraftDelta.enableColumnMapping(spark, path)                                 // v1
+    GraftDelta.renameColumn(spark, path, "payload", "body")                     // v2
+    GraftDelta.enableRowTracking(spark, path)                                   // v3
+    val orig = ids(path)
+    assert(orig.size == 30 && orig.values.toSeq.distinct.length == 30)
+    // the logical (renamed) schema surfaces alongside the id columns
+    val cols = GraftDelta.readDeltaWithRowIds(spark, path).columns.toSet
+    assert(cols == Set("k", "body", "_row_id", "_row_commit_version"), cols.toString)
+
+    // DV delete on the mapped table: file untouched → survivor ids stable
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 5L)))) // v4
+    val afterDv = ids(path)
+    assert(afterDv.keySet == (6L to 30L).toSet)
+    assert(afterDv.forall { case (k, id) => orig(k) == id },
+      "DV delete on a mapped table re-homed a row id")
+
+    // OPTIMIZE materializes preserved ids into PHYSICAL columns on the
+    // mapped table; reader-visible ids unchanged
+    GraftDelta.toDelta((31L to 45L).map(i => (i, s"w$i")).toDF("k", "body")
+      .repartition(3), path, mode = "append")                                   // v5
+    val before = ids(path)
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)               // v6
+    assert(nAfter < nBefore, "compaction must actually merge files")
+    val afterOpt = ids(path)
+    assert(afterOpt == before,
+      "OPTIMIZE on a mapped table must preserve every surviving row's id")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(RowTracking.materializedColNames(snap).isDefined)
+    // rename AFTER materialization: binding is by physical parquet name,
+    // so logical renames can't re-bind the preserved ids
+    GraftDelta.renameColumn(spark, path, "body", "text")                        // v7
+    val renamed = GraftDelta.readDeltaWithRowIds(spark, path)
+    assert(renamed.columns.toSet == Set("k", "text", "_row_id", "_row_commit_version"))
+    assert(renamed.select($"k", $"_row_id").as[(Long, Long)].collect().toMap == afterOpt)
+    // plain reads never leak the materialized physical columns
+    assert(GraftDelta.readDelta(spark, path).columns.toSet == Set("k", "text"))
+
+    // watermark survives checkpoint-only replay on the mapped table
+    val log = DeltaLog.forTable(spark, path)
+    val wmBefore = RowTracking.highWaterMark(log.snapshot(None))
+    log.writeCheckpoint(log.latestVersion)
+    (0L until log.latestVersion).foreach(v => log.fs.delete(log.commitFile(v), false))
+    val snap2 = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(RowTracking.highWaterMark(snap2) == wmBefore,
+      "watermark must survive checkpoint-only replay")
+    GraftDelta.toDelta(Seq((100L, "z")).toDF("k", "text"), path, mode = "append")
+    val all = ids(path)
+    assert(all.values.toSeq.distinct.length == all.size,
+      "post-checkpoint append on the mapped table must not collide")
+    assert(all(100L) > wmBefore)
+  }
+
   test("a table created with tracking on allocates from commit 0") {
     val path = tmp()
     GraftDelta.toDelta((1L to 8L).map(i => (i, "c")).toDF("k", "v"), path,

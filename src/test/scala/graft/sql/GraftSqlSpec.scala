@@ -238,10 +238,52 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
       mode = "append")
     assert(GraftDelta.readDelta(spark, path).count() == 21L)
 
-    // IS NULL is outside the DNF language → loud refusal, not wrong rows
-    val bad = intercept[IllegalArgumentException](
-      GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE v IS NULL"))
-    assert(bad.getMessage.contains("Unsupported WHERE"), bad.getMessage)
+    // a WHERE Spark can't even parse still refuses loudly (the scan-side
+    // fallback only covers parseable expressions outside the DNF language)
+    val bad = intercept[Exception](
+      GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE v IS NULLISH ==="))
+    assert(bad.getMessage != null)
+  }
+
+  test("non-DNF WHERE falls back to scan-side DML (no pruning, right rows)") {
+    // NOT over AND is outside the DNF language — delta-spark executes it,
+    // so must we: scan-side filtering, no log pruning, same rows as the
+    // dataframe mirror
+    val path = tmp()
+    seed(path) // k=1..20, g=k%4
+    val r = GraftSql.sql(spark,
+      s"DELETE FROM delta.`$path` WHERE NOT (g = 1 AND k <= 10)")
+    // mirror: survivors are rows with g = 1 AND k <= 10 → k in {1,5,9}
+    assert(r.select("affectedRows").as[Long].head() == 17L, r.collect().toSeq.toString)
+    assert(GraftDelta.readDelta(spark, path).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 5L, 9L))
+
+    // arithmetic + IS NULL fallback on UPDATE, DV flavor
+    val p2 = tmp()
+    seed(p2)
+    GraftSql.sql(spark,
+      s"/*+ DV */ UPDATE delta.`$p2` SET v = 'even' WHERE k % 2 = 0 AND v IS NOT NULL")
+    val got = GraftDelta.readDelta(spark, p2)
+    assert(got.filter($"v" === "even").count() == 10L)
+    assert(got.filter($"k" % 2 === 1 && $"v" === "even").count() == 0L)
+    val snap = DeltaLog.forTable(spark, p2).snapshot(None)
+    assert(snap.activeFiles.exists(_.deletionVector.isDefined),
+      "DV hint must still route the fallback to the deletion-vector flavor")
+    assert(got.count() == 20L)
+  }
+
+  test("MERGE alias tokens inside string literals survive the ref rewrite") {
+    val path = tmp()
+    seed(path)
+    // 's.smith' contains the source alias token "s." — it is DATA, not a
+    // reference, and must land verbatim (the rewrite runs on quote-masked
+    // text and splices literals back)
+    Seq((3L, "s.smith", 7L)).toDF("k", "v", "g").createOrReplaceTempView("alias_src")
+    GraftSql.sql(spark,
+      s"MERGE INTO delta.`$path` AS t USING alias_src AS s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v = 's.smith' THEN UPDATE SET v = concat(s.v, ' & t.jones')")
+    val got = GraftDelta.readDelta(spark, path)
+    assert(got.filter($"k" === 3L).select("v").as[String].head() == "s.smith & t.jones")
   }
 
   test("time-function WHERE conjuncts rewrite to exact ranges and prune files") {
@@ -300,10 +342,16 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(left.agg(min($"ts")).as[java.sql.Timestamp].head()
       .toString.startsWith("2024-"))
 
-    // an unrecognized function still refuses loudly (never silently scans)
-    val bad = intercept[IllegalArgumentException](
-      GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE abs(id) = 5"))
-    assert(bad.getMessage.contains("Unsupported WHERE"), bad.getMessage)
+    // an unrecognized function leaves the DNF language → scan-side
+    // fallback executes it correctly (no pruning, right rows) — here no
+    // surviving id has abs(id) = 202405, so nothing is deleted; a real
+    // match deletes exactly it
+    assert(GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE abs(id) = 5")
+      .select("affectedRows").as[Long].head() == 0L)
+    assert(GraftDelta.readDelta(spark, path).count() == 20L)
+    assert(GraftSql.sql(spark, s"DELETE FROM delta.`$path` WHERE abs(id) = 202405")
+      .select("affectedRows").as[Long].head() == 1L)
+    assert(GraftDelta.readDelta(spark, path).count() == 19L)
   }
 
   test("CONVERT TO DELTA and spark.sql fall-through") {
