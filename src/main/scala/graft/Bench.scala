@@ -100,10 +100,15 @@ object Bench {
     // window — duplicating the totals at the end keeps them recoverable
     // from either side (duplicate JSON keys resolve to the last value,
     // identical here).
+    // "oracles":"skipped" makes the workload mode visible IN the artifact:
+    // timed runs skip the in-query O(N²) verification oracles (see the
+    // skipInQueryOracles note above), so round-over-round and baseline
+    // comparisons can account for the definition change (ADVICE r11).
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
-        s""""n_errors":${errors.size},"metric":"total","value":$total,"unit":"sec"}""")
+        s""""n_errors":${errors.size},"oracles":"skipped",""" +
+        s""""metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -349,6 +349,106 @@ object Stress {
     require(perFile < 200.0, f"snapshot must retain < 200 B/file of stats, got $perFile%.0f")
     println(f"[stress] synthetic-log staging+replay total " +
       f"${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- driver snapshot weight at 1M files + checkpoint round-trips ----
+    // ≈10M-file tables are real at 100 TB; this decade probes driver
+    // memory and the checkpoint write/read path at width (the r11
+    // VERDICT's missing item 3). Ten commits of 100k verbose-stats adds
+    // each, then: (a) replay retains < 200 B/file under a measured heap
+    // bound; (b) a MULTI-PART classic checkpoint (500k actions/part)
+    // round-trips with every commit JSON deleted; (c) a V2 uuid+sidecar
+    // checkpoint on a v2Checkpoint-feature twin does the same.
+    def usedHeapMb(): Long = {
+      System.gc(); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
+    def verboseStats1M(i: Int): String =
+      s"""{ "numRecords" : 1000, "tightBounds" : true,
+         | "minValues" : { "v" : $i, "s" : "${"m" * 120}", "ghost" : "${"g" * 80}" },
+         | "maxValues" : { "v" : ${i + 999}, "s" : "${"z" * 120}", "ghost" : "${"h" * 80}" },
+         | "nullCount" : { "v" : 0, "s" : 3, "ghost" : 0 },
+         | "vendorExtension" : { "blob" : "${"x" * 400}" } }""".stripMargin
+    val schema1M = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val nFiles1M = 1000000
+    val perCommit = 100000
+    def stage1M(path: String, protocol: graft.delta.Protocol): Unit = {
+      val log = graft.delta.DeltaLog.forTable(spark, path)
+      (0 until nFiles1M / perCommit).foreach { c =>
+        val adds: Seq[graft.delta.Action] = (0 until perCommit).map { j =>
+          val i = c * perCommit + j
+          graft.delta.AddFile(path = f"part-$i%07d-deadbeef.parquet", size = 1L << 20,
+            modificationTime = 0L, dataChange = true, stats = Some(verboseStats1M(i)))
+        }
+        val head: Seq[graft.delta.Action] =
+          if (c == 0) Seq(
+            graft.delta.CommitInfo(System.currentTimeMillis(), "CREATE"),
+            protocol,
+            graft.delta.MetadataAction(id = s"stress-1m-$path".take(36),
+              schemaString = schema1M.json))
+          else Seq(graft.delta.CommitInfo(System.currentTimeMillis(), "APPEND"))
+        log.writeCommit(c.toLong, head ++ adds)
+      }
+    }
+    val heapBefore = usedHeapMb()
+    val snap1MPath =
+      java.nio.file.Files.createTempDirectory("graft_stress_1m").toString + "/t"
+    t0 = System.nanoTime()
+    stage1M(snap1MPath, graft.delta.Protocol(1, 2))
+    println(f"[stress] 1M-file staging (10 commits) ${(System.nanoTime()-t0)/1e9}%.1f s")
+    t0 = System.nanoTime()
+    val log1M = graft.delta.DeltaLog.forTable(spark, snap1MPath)
+    val snap1M = log1M.snapshot(None)
+    val perFile1M = snap1M.activeFiles
+      .map(_.stats.map(_.length).getOrElse(0)).sum.toDouble / snap1M.activeFiles.size
+    val heapAfter = usedHeapMb()
+    println(f"[stress] 1M-file snapshot: replay ${(System.nanoTime()-t0)/1e9}%.1f s, " +
+      f"retained stats $perFile1M%.0f B/file, heap $heapBefore → $heapAfter MB " +
+      f"(snapshot ≈ ${heapAfter - heapBefore} MB)")
+    require(snap1M.activeFiles.size == nFiles1M)
+    require(perFile1M < 200.0, f"1M-file snapshot must retain < 200 B/file, got $perFile1M%.0f")
+    require(heapAfter - heapBefore < 4096,
+      s"1M-file snapshot must fit in 4 GB of driver heap, measured ${heapAfter - heapBefore} MB")
+
+    // (b) multi-part classic checkpoint: 1M adds at 500k actions/part →
+    // ≥ 2 parts; replay must succeed through the checkpoint ALONE
+    t0 = System.nanoTime()
+    log1M.writeCheckpoint(9L)
+    val cpParts = log1M.checkpointPartFiles(9L)
+    println(f"[stress] multi-part checkpoint: ${cpParts.size} parts written in " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    require(cpParts.size >= 2, s"expected a multi-part checkpoint, got ${cpParts.size}")
+    (0L to 9L).foreach(v => log1M.fs.delete(log1M.commitFile(v), false))
+    t0 = System.nanoTime()
+    val viaCp = graft.delta.DeltaLog.forTable(spark, snap1MPath).snapshot(None)
+    require(viaCp.activeFiles.size == nFiles1M,
+      s"checkpoint-only replay lost files: ${viaCp.activeFiles.size}")
+    val perFileCp = viaCp.activeFiles
+      .map(_.stats.map(_.length).getOrElse(0)).sum.toDouble / viaCp.activeFiles.size
+    require(perFileCp < 200.0, f"post-checkpoint retention regressed: $perFileCp%.0f B/file")
+    println(f"[stress] checkpoint-only replay of 1M files " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s, retained $perFileCp%.0f B/file")
+
+    // (c) V2 uuid+sidecar checkpoint at the same width
+    val v2Path =
+      java.nio.file.Files.createTempDirectory("graft_stress_1m_v2").toString + "/t"
+    stage1M(v2Path, graft.delta.Protocol(3, 7,
+      readerFeatures = Some(Seq("v2Checkpoint")),
+      writerFeatures = Some(Seq("v2Checkpoint"))))
+    val logV2 = graft.delta.DeltaLog.forTable(spark, v2Path)
+    t0 = System.nanoTime()
+    logV2.writeCheckpoint(9L)
+    println(f"[stress] V2 checkpoint (uuid + sidecars) written in " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
+    (0L to 9L).foreach(v => logV2.fs.delete(logV2.commitFile(v), false))
+    t0 = System.nanoTime()
+    val viaV2 = graft.delta.DeltaLog.forTable(spark, v2Path).snapshot(None)
+    require(viaV2.activeFiles.size == nFiles1M,
+      s"V2-checkpoint-only replay lost files: ${viaV2.activeFiles.size}")
+    println(f"[stress] V2-checkpoint-only replay of 1M files " +
+      f"${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
 }

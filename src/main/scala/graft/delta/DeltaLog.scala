@@ -887,10 +887,25 @@ object DeltaLog {
 
   /** This writer's identity, stamped into every commitInfo (the protocol's
     * free-form `engineInfo` field, as delta-spark and delta-rs both do).
-    * The per-JVM token is what makes "has another writer touched this
-    * table?" decidable from the log alone. */
-  val engineId: String =
-    s"Graft-Spark/0.1 writer-${java.util.UUID.randomUUID().toString.take(8)}"
+    * The writer token is what makes "has another writer touched this
+    * table?" decidable from the log alone.
+    *
+    * Identity is keyed on the STABLEST signal available (ADVICE r11: a
+    * random per-JVM UUID makes a single restarting application look like
+    * a different writer and fire the multi-writer warning spuriously):
+    * an explicit `graft.writer.id` system property / `GRAFT_WRITER_ID`
+    * env var first, then the active session's `spark.app.name`, and a
+    * per-JVM UUID only as the last resort. Two genuinely-different
+    * writers sharing an app name are then indistinguishable — the
+    * deployment that needs that distinction sets `graft.writer.id`. */
+  lazy val engineId: String = {
+    val stable = sys.props.get("graft.writer.id")
+      .orElse(sys.env.get("GRAFT_WRITER_ID"))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.appName).map(_.trim).filter(_.nonEmpty))
+      .getOrElse("writer-" + java.util.UUID.randomUUID().toString.take(8))
+    s"Graft-Spark/0.1 ${stable.replaceAll("\\s+", "_").take(64)}"
+  }
 
   /** Tables already warned about the non-atomic-store × multi-writer
     * hazard (one WARN per table per JVM). The message map exists so specs

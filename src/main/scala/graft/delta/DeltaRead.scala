@@ -197,7 +197,7 @@ object DeltaRead {
       if (!collides) spark.sparkContext.broadcast(new PartValueIndex(byName.toMap))
       else {
         val byPath = files.zip(resolvedPaths).map { case (f, p) =>
-          PartValueIndex.decodedPath(p) ->
+          PartValueIndex.fileSideKey(p) ->
             keys.map(k => f.partitionValues.get(k).flatMap(Option(_)).orNull).toArray
         }
         require(byPath.map(_._1).distinct.size == byPath.size,
@@ -306,7 +306,11 @@ object DeltaRead {
   /** `extraPhysical` surfaces columns that exist ONLY in the parquet
     * files under unmapped physical names (the row-tracking materialized
     * id columns): appended to the read schema verbatim, matched by name,
-    * never renamed — files lacking them read null. */
+    * never renamed — files lacking them read null. Under mode `id` this
+    * yields a MIXED read schema (field-id data columns + id-less extras);
+    * Spark's fieldId.read matches per-field — id-carrying fields bind by
+    * id, id-less fields fall back to name — pinned by RowTrackingSpec
+    * "row tracking composes with ID-mode column mapping". */
   private[graft] def mappedScan(
       spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile], dvBytes: Map[String, Array[Byte]] = Map.empty,

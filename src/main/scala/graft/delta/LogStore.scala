@@ -110,48 +110,169 @@ object LogStore {
   }
 
   /** Shipped lock-provider reference implementation: a TTL lease file per
-    * commit key, arbitrated by atomic create-no-overwrite on `leaseFs`.
-    * Mirrors the externalized-arbitration shape of delta-spark's
-    * S3DynamoDBLogStore: the lease lives on a filesystem whose namespace
-    * IS transactional (HDFS, local POSIX, ABFS — possibly a different
-    * store than the table; placing it on a check-then-put store would
-    * just move the race). Expired leases (a crashed committer) are taken
-    * over: delete + re-race through CREATE_NEW, so the kernel/namenode
-    * stays the arbiter. Use via
+    * commit key. Mirrors the externalized-arbitration shape of
+    * delta-spark's S3DynamoDBLogStore: the lease lives on a filesystem
+    * whose namespace IS transactional (HDFS, local POSIX, ABFS — possibly
+    * a different store than the table; placing it on a check-then-put
+    * store would just move the race, and the constructor refuses it).
+    *
+    * Safety design (each step uses an ATOMIC namespace primitive):
+    *  - **Acquire** goes through `LogStore.forScheme(lease scheme)`, i.e.
+    *    `O_CREAT|O_EXCL` on `file:` and transactional create elsewhere —
+    *    NEVER Hadoop's `create(overwrite=false)`, which on
+    *    RawLocalFileSystem is exists-check-then-truncating-open (the very
+    *    anomaly this class exists to fence; it let two committers hold
+    *    the lease concurrently).
+    *  - **Takeover** of an expired lease (a crashed committer) is a
+    *    content-digest-named RENAME, not a blind delete: every taker that
+    *    judged the SAME expired content computes the same tombstone name,
+    *    rename-no-replace lets exactly one win, and the winner verifies
+    *    the tombstone still carries the content it judged before
+    *    re-racing through atomic create. A blind delete could remove a
+    *    FRESH lease created between the read and the delete, silently
+    *    admitting two holders.
+    *  - **Renewal**: a heartbeat rewrites the lease at ttl/3 while the
+    *    body runs, so a body that outlives the initial TTL (driver GC
+    *    pause, slow store) keeps its lease instead of being reaped
+    *    mid-commit. Readers treat a torn/unparsable lease as LIVE.
+    *  - **Release** deletes only after re-reading its own ownerId; if
+    *    ownership was lost mid-body the release logs loudly and leaves
+    *    the usurper's lease alone (`ownershipLostCount` observes this).
+    *
+    * Clock assumptions (document, don't pretend): expiry is absolute
+    * wall-clock millis stamped by the holder. A taker with a fast clock
+    * can reap early; `graceMs` of slack absorbs NTP-grade skew, and
+    * deployments must keep committer clocks within `graceMs` of each
+    * other (the same contract DynamoDB-lease implementations state).
+    * Use via
     * `LogStore.register(scheme, new Locked(CheckThenPut, new FileLease(fs, dir).withLock))`.
     */
   final class FileLease(
       leaseFs: FileSystem, leaseDir: Path,
       ttlMs: Long = 30000L, acquireTimeoutMs: Long = 60000L,
+      graceMs: Long = 1000L,
       ownerId: String = java.util.UUID.randomUUID().toString) {
+
+    private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    /** The atomic create primitive for the LEASE namespace. Refuses a
+      * scheme whose registered store is check-then-put: a lease that can
+      * be double-created provides no mutual exclusion at all. */
+    private val leaseStore: LogStore = {
+      val scheme = Option(leaseFs.getUri.getScheme).getOrElse("file")
+      val s = LogStore.forScheme(scheme)
+      require(s.atomicPutIfAbsent,
+        s"FileLease requires an atomic-create lease namespace, but the LogStore " +
+          s"registered for scheme '$scheme' is check-then-put. Place the lease dir " +
+          "on a transactional namespace (local POSIX, HDFS, ABFS) or register an " +
+          "atomic store for it first — a check-then-put lease just moves the race.")
+      s
+    }
+
+    /** Times ownership was observed lost at renewal/release (the body
+      * outlived its lease). Monitoring/spec hook; any nonzero value means
+      * a commit may have raced and the TTL should be raised. */
+    val ownershipLostCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
     private def leasePath(key: String): Path =
       // one lease per commit key; sanitize the URI into a flat file name
       new Path(leaseDir, java.net.URLEncoder.encode(key, "UTF-8") + ".lease")
 
-    private def tryAcquire(lock: Path): Boolean = {
-      val body = s"$ownerId ${System.currentTimeMillis() + ttlMs}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    private def readLease(p: Path): String = {
+      val in = leaseFs.open(p)
       try {
-        val out = leaseFs.create(lock, /*overwrite=*/ false)
-        try out.write(body) finally out.close()
-        true
-      } catch {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, utf8)
+      } finally in.close()
+    }
+
+    private def ownerOf(txt: String): Option[String] =
+      txt.trim.split("\\s+").headOption
+    private def expiryOf(txt: String): Option[Long] =
+      txt.trim.split("\\s+").lastOption.flatMap(_.toLongOption)
+
+    private def tryAcquire(lock: Path): Boolean = {
+      val body = s"$ownerId ${System.currentTimeMillis() + ttlMs}".getBytes(utf8)
+      try { leaseStore.writePutIfAbsent(leaseFs, lock, body); true }
+      catch {
         case _: java.io.IOException =>
-          // lease exists (or a transient error): take over iff expired,
-          // then loop back to CREATE_NEW so concurrent takers re-race
-          try {
-            val in = leaseFs.open(lock)
-            val txt = try {
-              val buf = new java.io.ByteArrayOutputStream()
-              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-              new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-            } finally in.close()
-            val expiry = txt.trim.split("\\s+").lastOption.flatMap(_.toLongOption)
-            if (expiry.exists(_ < System.currentTimeMillis())) leaseFs.delete(lock, false)
-          } catch { case _: java.io.IOException => () /* deleted under us — retry */ }
+          // lease exists (or a transient error): reap iff expired, then
+          // loop back to the atomic create so concurrent takers re-race
+          reapIfExpired(lock)
           false
       }
+    }
+
+    /** Take over a crashed committer's lease without ever deleting a
+      * live one. Torn/unparsable content reads as live (conservative). */
+    private def reapIfExpired(lock: Path): Unit = {
+      val txt = try readLease(lock) catch { case _: java.io.IOException => return }
+      if (!expiryOf(txt).exists(_ + graceMs < System.currentTimeMillis())) return
+      // Content-addressed tombstone: all takers that judged THIS content
+      // expired race one rename; rename-no-replace admits exactly one.
+      val digest = {
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        md.digest(txt.getBytes(utf8)).map("%02x".format(_)).mkString
+      }
+      val tomb = new Path(lock.getParent, lock.getName + ".reap." + digest)
+      val renamed = try leaseFs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      if (!renamed) return
+      // Verify the tombstone carries the content we judged: if a fresh
+      // lease slid in between our read and our rename, we just reaped a
+      // LIVE lease — restore it instead of proceeding.
+      val got = try Some(readLease(tomb)) catch { case _: java.io.IOException => None }
+      if (got.contains(txt) || got.isEmpty) { leaseFs.delete(tomb, false); () }
+      else {
+        // Restore WITHOUT overwriting (rename would replace a lease
+        // re-created at the path meanwhile): atomic put-if-absent either
+        // puts the stolen content back or refuses, and a refusal is the
+        // (triple-interleaving) hazard we surface loudly rather than
+        // paper over.
+        val restored =
+          try { leaseStore.writePutIfAbsent(leaseFs, lock, got.get.getBytes(utf8)); true }
+          catch { case _: java.io.IOException => false }
+        leaseFs.delete(tomb, false)
+        if (!restored)
+          LogStore.logger.error(
+            s"FileLease: reaped a live lease at $lock and could not restore it " +
+              "(a third committer re-created the path mid-restore); mutual " +
+              "exclusion may have been violated for this key")
+      }
+    }
+
+    /** Heartbeat: extend our lease at ttl/3 until cancelled. Rewrite is a
+      * plain overwrite — a reader catching the torn window parses no
+      * expiry and conservatively treats the lease as live. */
+    private def startRenewer(lock: Path, lost: java.util.concurrent.atomic.AtomicBoolean)
+        : java.util.concurrent.ScheduledExecutorService = {
+      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, s"graft-lease-renew-${lock.getName}"); t.setDaemon(true); t
+      })
+      val period = math.max(ttlMs / 3, 50L)
+      exec.scheduleAtFixedRate(() => {
+        try {
+          val txt = readLease(lock)
+          if (ownerOf(txt).contains(ownerId)) {
+            val out = leaseFs.create(lock, /*overwrite=*/ true)
+            try out.write(s"$ownerId ${System.currentTimeMillis() + ttlMs}".getBytes(utf8))
+            finally out.close()
+          } else {
+            lost.set(true)
+            ownershipLostCount.incrementAndGet()
+            LogStore.logger.error(
+              s"FileLease: lease $lock no longer owned by $ownerId (now " +
+                s"${ownerOf(txt).getOrElse("<unreadable>")}): the lock body outlived " +
+                "its TTL and was taken over — the in-flight commit may have raced. " +
+                "Raise ttlMs above the worst-case commit duration.")
+            throw new InterruptedException("ownership lost — stop renewing")
+          }
+        } catch {
+          case _: InterruptedException => throw new RuntimeException("stop")
+          case _: java.io.IOException => () // transient: retry next period
+        }
+      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      exec
     }
 
     def withLock(key: String, body: () => Unit): Unit = {
@@ -166,10 +287,39 @@ object LogStore {
       if (!held)
         throw new java.io.IOException(
           s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
+      val lostMidBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val renewer = startRenewer(lock, lostMidBody)
       try body()
-      finally leaseFs.delete(lock, false)
+      finally {
+        renewer.shutdownNow()
+        // Wait for an in-flight renewal to finish before releasing: the
+        // heartbeat's rewrite is a truncating create, so releasing
+        // concurrently could read a torn (empty) lease as "not ours" — a
+        // false ownership-loss — or the renewal could re-create the lease
+        // AFTER the delete, leaking it for the next acquirer's TTL.
+        renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+        releaseOwned(lock, lostMidBody.get)
+      }
+    }
+
+    /** Ownership-verified release: delete only OUR lease. An
+      * unconditional delete here could remove a usurper's live lease and
+      * cascade the lost mutual exclusion one committer further. */
+    private def releaseOwned(lock: Path, lostMidBody: Boolean): Unit = {
+      val owner = try ownerOf(readLease(lock)) catch { case _: java.io.IOException => None }
+      if (owner.contains(ownerId)) { leaseFs.delete(lock, false); () }
+      else if (!lostMidBody) {
+        ownershipLostCount.incrementAndGet()
+        LogStore.logger.error(
+          s"FileLease: at release, lease $lock is owned by " +
+            s"${owner.getOrElse("<gone/unreadable>")}, not $ownerId — the lock body " +
+            "outlived its TTL; the commit that just completed may have raced")
+      }
     }
   }
+
+  private[delta] lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.delta.LogStore")
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, LogStore]()

@@ -59,13 +59,22 @@ final class PartValueIndex(
 }
 
 object PartValueIndex {
-  /** Scan-side paths (`_metadata.file_path`) arrive as URL-encoded
-    * scheme-qualified URIs; file-side keys from resolvePath are decoded.
-    * Normalize both to the decoded scheme-less absolute path so they
-    * compare equal (the DeltaDml.scanFileKey convention). */
+  /** Scan-side paths (`_metadata.file_path`) arrive as URL-ENCODED
+    * scheme-qualified URIs: decode them to the scheme-less absolute path
+    * (the DeltaDml.scanFileKey convention). Applies to the SCAN side
+    * only — file-side keys go through [[fileSideKey]], which must NOT
+    * decode (a literal '%' in a raw resolved path is data, not an
+    * escape). */
   private[delta] def decodedPath(p: String): String =
     try Option(new java.net.URI(p).getPath).filter(_.nonEmpty)
       .getOrElse(new org.apache.hadoop.fs.Path(p).toUri.getPath)
     catch { case _: java.net.URISyntaxException =>
       new org.apache.hadoop.fs.Path(p).toUri.getPath }
+
+  /** File-side keys are RAW resolved paths (resolvePath output): take
+    * the hadoop-Path path component verbatim — no percent-decoding
+    * (the DeltaDml.normalizePath convention). Decoding a raw path would
+    * corrupt directory names containing a literal '%XX'. */
+  private[delta] def fileSideKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
 }

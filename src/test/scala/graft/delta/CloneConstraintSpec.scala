@@ -125,19 +125,26 @@ class CloneConstraintSpec extends GraftSuite {
 
   test("partitioned scan keys partition values by full path when basenames collide") {
     import spark.implicits._
-    // two source roots carrying the SAME data-file basename — the
+    // three source roots carrying the SAME data-file basename — the
     // multi-source shallow-clone shape; the scan must fall back to
-    // full-path keying instead of refusing
-    def stageDup(dir: java.nio.file.Path, lo: Long, hi: Long): java.io.File = {
-      (lo to hi).map(Tuple1(_)).toDF("k").coalesce(1).write.parquet(dir.toString)
-      val part = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val fixed = new java.io.File(dir.toFile, "part-00000-dup.snappy.parquet")
+    // full-path keying instead of refusing. Two roots carry
+    // URL-encodable characters (a space; a literal '%41') to pin the
+    // decode normalization: scan-side `_metadata.file_path` arrives
+    // percent-ENCODED ("with%20space", "pct%2541lit") while the
+    // file-side keys are raw resolved paths — '%41' must stay literal,
+    // not decode to 'A'.
+    def stageDup(out: java.nio.file.Path, lo: Long, hi: Long): java.io.File = {
+      (lo to hi).map(Tuple1(_)).toDF("k").coalesce(1).write.parquet(out.toString)
+      val part = out.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val fixed = new java.io.File(out.toFile, "part-00000-dup.snappy.parquet")
       assert(part.renameTo(fixed)); fixed
     }
     val dirA = Files.createTempDirectory("graft_dupA")
     val dirB = Files.createTempDirectory("graft_dupB")
-    val fA = stageDup(dirA, 1L, 3L)
-    val fB = stageDup(dirB, 10L, 13L)
+    val dirC = Files.createTempDirectory("graft_dupC")
+    val fA = stageDup(dirA.resolve("out"), 1L, 3L)
+    val fB = stageDup(dirB.resolve("with space"), 10L, 13L)
+    val fC = stageDup(dirC.resolve("pct%41lit"), 20L, 21L)
     val path = tmp()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
@@ -150,14 +157,20 @@ class CloneConstraintSpec extends GraftSuite {
       AddFile(path = s"file:$fA", partitionValues = Map("bucket" -> "1"),
         size = fA.length(), modificationTime = fA.lastModified(), dataChange = true),
       AddFile(path = s"file:$fB", partitionValues = Map("bucket" -> "2"),
-        size = fB.length(), modificationTime = fB.lastModified(), dataChange = true)))
+        size = fB.length(), modificationTime = fB.lastModified(), dataChange = true),
+      AddFile(path = s"file:$fC", partitionValues = Map("bucket" -> "3"),
+        size = fC.length(), modificationTime = fC.lastModified(), dataChange = true)))
     val df = GraftDelta.readDelta(spark, path)
     val got = df.select($"k", $"bucket").as[(Long, Int)].collect().toSet
-    val want = (1L to 3L).map((_, 1)).toSet ++ (10L to 13L).map((_, 2)).toSet
+    val want = (1L to 3L).map((_, 1)).toSet ++ (10L to 13L).map((_, 2)).toSet ++
+      (20L to 21L).map((_, 3)).toSet
     assert(got == want, s"got $got")
-    // partition pruning on the attached values still works
+    // partition pruning on the attached values still works — including
+    // for the encoded-character roots
     assert(GraftDelta.readDelta(spark, path,
       filters = Seq(Seq(Predicate("bucket", "==", 2)))).count() == 4L)
+    assert(GraftDelta.readDelta(spark, path,
+      filters = Seq(Seq(Predicate("bucket", "==", 3)))).count() == 2L)
   }
 
   test("clone refuses an existing delta table target") {

@@ -1,0 +1,185 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Safety pins for the shipped FileLease lock provider — every property a
+  * lock provider exists to deliver, exercised directly (no Spark needed).
+  *
+  * The r11 verdict's failure mode: `leaseFs.create(overwrite=false)` on
+  * RawLocalFileSystem is exists-check-then-truncating-open, so two
+  * committers could both "hold" the lease. The fix routes acquisition
+  * through the atomic LogStore primitive for the lease scheme
+  * (`O_CREAT|O_EXCL` on `file:`); these pins fail against the pre-fix
+  * code and guard against regressing to any check-then-put acquire. */
+class FileLeaseSpec extends AnyFunSuite {
+
+  private def localFs(dir: java.nio.file.Path) = {
+    val p = new Path(s"file:$dir")
+    (p, p.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+  }
+
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("loop-pin: 120 sequential two-committer races, exactly one holder at a time") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_race"))
+    val a = new LogStore.FileLease(leaseFs, leasePath, ownerId = "owner-a")
+    val b = new LogStore.FileLease(leaseFs, leasePath, ownerId = "owner-b")
+    val inside = new AtomicInteger(0)
+    val violations = new AtomicInteger(0)
+    def critical(): Unit = {
+      // a non-atomic acquire admits both committers here concurrently;
+      // the 2 ms hold makes any overlap certain to be observed
+      if (inside.incrementAndGet() > 1) violations.incrementAndGet()
+      Thread.sleep(2)
+      inside.decrementAndGet()
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (1 to 120).foreach { i =>
+        val gate = new CyclicBarrier(2)
+        // barrier-aligned entry maximizes the odds that a check-then-put
+        // regression's microsecond window is actually hit
+        val fa = pool.submit(new Runnable {
+          override def run(): Unit = { gate.await(); a.withLock(s"race$i", () => critical()) }
+        })
+        val fb = pool.submit(new Runnable {
+          override def run(): Unit = { gate.await(); b.withLock(s"race$i", () => critical()) }
+        })
+        fa.get(30, TimeUnit.SECONDS); fb.get(30, TimeUnit.SECONDS)
+      }
+    } finally pool.shutdown()
+    assert(violations.get() == 0,
+      s"mutual exclusion violated in ${violations.get()} of 120 races")
+    // every lease released
+    assert(leaseFs.listStatus(leasePath).forall(!_.getPath.getName.endsWith(".lease")))
+  }
+
+  test("a live lease is never taken over, even by an impatient waiter") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_live"))
+    // another committer's lease, live for 60 more seconds
+    val liveBody = s"other-owner ${System.currentTimeMillis() + 60000}"
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock, liveBody.getBytes("UTF-8"))
+    val waiter = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 400L)
+    val e = intercept[java.io.IOException](waiter.withLock("k", () => fail("must not run")))
+    assert(e.getMessage.contains("could not acquire"))
+    // the live lease is intact — same owner, same expiry, no reap debris
+    val in = leaseFs.open(lock)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(txt == liveBody, s"live lease must be untouched, got: $txt")
+    assert(!leaseFs.listStatus(leasePath).exists(_.getPath.getName.contains(".reap.")))
+  }
+
+  test("renewal keeps a slow body's lease alive past its initial TTL") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_renew"))
+    // ttl 1.5 s + grace 300 ms: without the ttl/3 (500 ms) heartbeat the
+    // lease is reapable 1.8 s in and the concurrent waiter below would
+    // steal it well before the 4 s body ends. The budget deliberately
+    // absorbs full-suite scheduler/GC stalls: losing the lease requires
+    // the renewer to miss ~3 consecutive periods (an earlier 300 ms/100 ms
+    // tuning failed under suite-wide CPU contention — a correct OBSERVED
+    // loss, but not the property under test)
+    val slow = new LogStore.FileLease(leaseFs, leasePath,
+      ttlMs = 1500L, graceMs = 300L, ownerId = "slow-owner")
+    val thief = new LogStore.FileLease(leaseFs, leasePath,
+      ttlMs = 1500L, graceMs = 300L, acquireTimeoutMs = 2500L, ownerId = "thief")
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val bodyDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val holder = pool.submit(new Runnable {
+        override def run(): Unit =
+          slow.withLock("k", () => { Thread.sleep(4000); bodyDone.set(true) })
+      })
+      Thread.sleep(150) // let the slow holder acquire first
+      val stolen = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean =
+          try { thief.withLock("k", () => ()); true }
+          catch { case _: java.io.IOException => false }
+      })
+      assert(!stolen.get(20, TimeUnit.SECONDS),
+        "the waiter must time out while the renewed lease stays live")
+      holder.get(20, TimeUnit.SECONDS)
+      assert(bodyDone.get())
+      assert(slow.ownershipLostCount.get() == 0,
+        "the renewed holder must never observe lost ownership")
+      // after release the key is acquirable again
+      var ran = false
+      thief.withLock("k", () => { ran = true })
+      assert(ran)
+    } finally pool.shutdown()
+  }
+
+  test("release never deletes a usurper's lease; the loss is observed") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_usurp"))
+    val holder = new LogStore.FileLease(leaseFs, leasePath, ownerId = "original")
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    val usurped = s"usurper ${System.currentTimeMillis() + 60000}"
+    holder.withLock("k", () => {
+      // simulate a takeover mid-body (as if the body had outlived its
+      // TTL): overwrite the lease with another owner's live content
+      val out = leaseFs.create(lock, true)
+      out.write(usurped.getBytes("UTF-8")); out.close()
+    })
+    // the unconditional-delete bug would have removed the usurper's lease
+    val in = leaseFs.open(lock)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(txt == usurped, "release must leave the usurper's live lease in place")
+    assert(holder.ownershipLostCount.get() == 1,
+      "lost ownership at release must be observable")
+  }
+
+  test("concurrent takeover of one expired lease stays mutually exclusive") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_reap"))
+    // a crashed committer's lease, expired far past any grace
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock,
+      s"deadbeef ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+    val inside = new AtomicInteger(0)
+    val violations = new AtomicInteger(0)
+    val done = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val gate = new CyclicBarrier(8)
+      val futures = (1 to 8).map { i =>
+        val lease = new LogStore.FileLease(leaseFs, leasePath, ownerId = s"taker-$i")
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            gate.await()
+            lease.withLock("k", () => {
+              if (inside.incrementAndGet() > 1) violations.incrementAndGet()
+              Thread.sleep(2)
+              inside.decrementAndGet()
+              done.incrementAndGet()
+            })
+          }
+        })
+      }
+      futures.foreach(_.get(60, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(violations.get() == 0, "expired-lease takeover admitted two holders")
+    assert(done.get() == 8, "every taker must eventually run")
+    assert(leaseFs.listStatus(leasePath).forall(s =>
+      !s.getPath.getName.endsWith(".lease") && !s.getPath.getName.contains(".reap.")),
+      "no lease or tombstone debris after all releases")
+  }
+
+  test("a check-then-put lease namespace is refused at construction") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val fs = new Path("mockfs:///").getFileSystem(conf)
+    LogStore.register("mockfs", LogStore.CheckThenPut)
+    try {
+      val e = intercept[IllegalArgumentException](
+        new LogStore.FileLease(fs, new Path("mockfs:/tmp/leases")))
+      assert(e.getMessage.contains("check-then-put"))
+    } finally LogStore.register("mockfs", LogStore.CreateNoOverwrite)
+  }
+}

@@ -236,6 +236,58 @@ class RowTrackingSpec extends GraftSuite {
     assert(all(100L) > wmBefore)
   }
 
+  test("row tracking composes with ID-mode column mapping: materialized " +
+      "columns read by name alongside field-id-matched data columns") {
+    // Pins the ADVICE r11 corner: mappedScan under mode 'id' appends
+    // extraPhysical fields (no parquet.field.id metadata) to a field-id
+    // read schema. Spark's fieldId.read matches per-FIELD — id-carrying
+    // fields bind by id, id-less fields fall back to name — so the
+    // materialized row-id columns must read correctly next to id-matched
+    // data columns. This test executes that exact mixed read schema.
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "payload").coalesce(1), path) // v0
+    GraftDelta.enableColumnMapping(spark, path)                                 // v1
+    val log0 = DeltaLog.forTable(spark, path)
+    val snap0 = log0.snapshot(None)
+    log0.writeCommit(snap0.version + 1, Seq(snap0.metadata.copy(
+      configuration = snap0.metadata.configuration +
+        ("delta.columnMapping.mode" -> "id"))))                                 // v2
+    // overwrite so EVERY active file carries field ids (the id contract)
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "payload").coalesce(1), path,
+      mode = "overwrite")                                                       // v3
+    GraftDelta.enableRowTracking(spark, path)                                   // v4
+    val orig = ids(path)
+    assert(orig.size == 30 && orig.values.toSeq.distinct.length == 30)
+
+    // DV delete: file untouched → survivor ids stable through the id-mode scan
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("k", "<=", 5L)))) // v5
+    val afterDv = ids(path)
+    assert(afterDv.keySet == (6L to 30L).toSet)
+    assert(afterDv.forall { case (k, id) => orig(k) == id },
+      "DV delete on an id-mode table re-homed a row id")
+
+    // OPTIMIZE materializes preserved ids into id-LESS physical columns;
+    // the subsequent scan mixes field-id data columns with name-matched
+    // materialized columns in ONE read schema — the corner under test
+    GraftDelta.toDelta((31L to 45L).map(i => (i, s"w$i")).toDF("k", "payload")
+      .repartition(3), path, mode = "append")                                   // v6
+    val before = ids(path)
+    val (nBefore, nAfter) = DeltaMaintenance.compact(spark, path)               // v7
+    assert(nAfter < nBefore, "compaction must actually merge files")
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(RowTracking.materializedColNames(snap).isDefined,
+      "OPTIMIZE on a tracked table must materialize id columns")
+    val afterOpt = ids(path)
+    assert(afterOpt == before,
+      "OPTIMIZE on an id-mode table must preserve every surviving row's id")
+    // logical schema intact, materialized physical columns never leak
+    assert(GraftDelta.readDelta(spark, path).columns.toSet == Set("k", "payload"))
+    assert(GraftDelta.readDeltaWithRowIds(spark, path).columns.toSet ==
+      Set("k", "payload", "_row_id", "_row_commit_version"))
+  }
+
   test("a table created with tracking on allocates from commit 0") {
     val path = tmp()
     GraftDelta.toDelta((1L to 8L).map(i => (i, "c")).toDF("k", "v"), path,
