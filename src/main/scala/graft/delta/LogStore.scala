@@ -152,6 +152,8 @@ object LogStore {
       ttlMs: Long = 30000L, acquireTimeoutMs: Long = 60000L,
       graceMs: Long = 1000L,
       ownerId: String = java.util.UUID.randomUUID().toString) {
+    require(!ownerId.exists(_.isWhitespace),
+      s"ownerId must not contain whitespace: '$ownerId'")
 
     private val utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -187,13 +189,20 @@ object LogStore {
       } finally in.close()
     }
 
+    // Parses go through the CRC-framed [[FileLease.leaseBody]] format:
+    // a torn read (the renewal heartbeat rewrites in place, and a
+    // truncating write is NOT atomic) must parse as INVALID — treated
+    // live by takers, transient by the renewer — never as a
+    // smaller-number expiry. An earlier CRC-less format lost a full-suite
+    // race exactly that way: a reader caught "owner 17" mid-write,
+    // judged epoch-17 expired, and reaped a live lease.
     private def ownerOf(txt: String): Option[String] =
-      txt.trim.split("\\s+").headOption
+      FileLease.parseLease(txt).map(_._1)
     private def expiryOf(txt: String): Option[Long] =
-      txt.trim.split("\\s+").lastOption.flatMap(_.toLongOption)
+      FileLease.parseLease(txt).map(_._2)
 
     private def tryAcquire(lock: Path): Boolean = {
-      val body = s"$ownerId ${System.currentTimeMillis() + ttlMs}".getBytes(utf8)
+      val body = FileLease.leaseBody(ownerId, System.currentTimeMillis() + ttlMs)
       try { leaseStore.writePutIfAbsent(leaseFs, lock, body); true }
       catch {
         case _: java.io.IOException =>
@@ -241,9 +250,15 @@ object LogStore {
       }
     }
 
-    /** Heartbeat: extend our lease at ttl/3 until cancelled. Rewrite is a
-      * plain overwrite — a reader catching the torn window parses no
-      * expiry and conservatively treats the lease as live. */
+    /** Heartbeat: extend our lease at ttl/3 until cancelled. The rewrite
+      * is a plain truncating overwrite — NOT atomic — which is safe only
+      * because lease bodies are CRC-framed: a reader catching the torn
+      * window fails the checksum and conservatively treats the lease as
+      * live (takers) or transient (this renewer). The read-to-write
+      * window here is microseconds; a legitimate takeover can interleave
+      * only if this holder was already > TTL stalled at exactly that
+      * point, and the NEXT renewal or the release observes and reports
+      * the foreign owner. */
     private def startRenewer(lock: Path, lost: java.util.concurrent.atomic.AtomicBoolean)
         : java.util.concurrent.ScheduledExecutorService = {
       val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
@@ -253,17 +268,20 @@ object LogStore {
       exec.scheduleAtFixedRate(() => {
         try {
           val txt = readLease(lock)
-          if (ownerOf(txt).contains(ownerId)) {
+          val owner = ownerOf(txt)
+          if (owner.contains(ownerId)) {
             val out = leaseFs.create(lock, /*overwrite=*/ true)
-            try out.write(s"$ownerId ${System.currentTimeMillis() + ttlMs}".getBytes(utf8))
+            try out.write(FileLease.leaseBody(ownerId, System.currentTimeMillis() + ttlMs))
             finally out.close()
+          } else if (owner.isEmpty) {
+            () // torn/unparsable (someone mid-write): transient, retry
           } else {
             lost.set(true)
             ownershipLostCount.incrementAndGet()
             LogStore.logger.error(
               s"FileLease: lease $lock no longer owned by $ownerId (now " +
-                s"${ownerOf(txt).getOrElse("<unreadable>")}): the lock body outlived " +
-                "its TTL and was taken over — the in-flight commit may have raced. " +
+                s"${owner.get}): the lock body outlived its TTL and was " +
+                "taken over — the in-flight commit may have raced. " +
                 "Raise ttlMs above the worst-case commit duration.")
             throw new InterruptedException("ownership lost — stop renewing")
           }
@@ -291,13 +309,18 @@ object LogStore {
       val renewer = startRenewer(lock, lostMidBody)
       try body()
       finally {
-        renewer.shutdownNow()
-        // Wait for an in-flight renewal to finish before releasing: the
-        // heartbeat's rewrite is a truncating create, so releasing
-        // concurrently could read a torn (empty) lease as "not ours" — a
-        // false ownership-loss — or the renewal could re-create the lease
-        // AFTER the delete, leaking it for the next acquirer's TTL.
-        renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+        // GRACEFUL shutdown, then wait: an in-flight renewal must COMPLETE
+        // its rewrite before release reads the lease. shutdownNow would
+        // interrupt it mid-write — observed as an InterruptedIOException
+        // between the truncating create and the body write, leaving an
+        // EMPTY lease that release misreads as "not ours" (and an
+        // interrupted renewal could even re-create the lease AFTER the
+        // delete, leaking it for the next acquirer's TTL). A renewal is
+        // µs-scale local IO; the timeout + shutdownNow is a last resort
+        // against a hung lease filesystem.
+        renewer.shutdown()
+        if (!renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
+          renewer.shutdownNow()
         releaseOwned(lock, lostMidBody.get)
       }
     }
@@ -306,15 +329,47 @@ object LogStore {
       * unconditional delete here could remove a usurper's live lease and
       * cascade the lost mutual exclusion one committer further. */
     private def releaseOwned(lock: Path, lostMidBody: Boolean): Unit = {
-      val owner = try ownerOf(readLease(lock)) catch { case _: java.io.IOException => None }
+      val raw: Either[String, String] =
+        try Right(readLease(lock))
+        catch { case e: java.io.IOException => Left(e.toString) }
+      val owner = raw.toOption.flatMap(ownerOf)
       if (owner.contains(ownerId)) { leaseFs.delete(lock, false); () }
       else if (!lostMidBody) {
         ownershipLostCount.incrementAndGet()
         LogStore.logger.error(
           s"FileLease: at release, lease $lock is owned by " +
             s"${owner.getOrElse("<gone/unreadable>")}, not $ownerId — the lock body " +
-            "outlived its TTL; the commit that just completed may have raced")
+            "outlived its TTL; the commit that just completed may have raced " +
+            s"(raw read: ${raw.fold(e => s"error $e", t => s"'$t'")})")
       }
+    }
+  }
+
+  object FileLease {
+    /** CRC-framed lease body: `"<owner> <expiryMs> <crc32(owner expiry)>"`.
+      * The frame is what makes the heartbeat's non-atomic in-place
+      * rewrite safe: any torn read fails the checksum and parses as
+      * None — takers treat it as live, the renewer as transient. A torn
+      * prefix that still passes CRC32 is a 2^-32 coincidence per race. */
+    def leaseBody(owner: String, expiryMs: Long): Array[Byte] = {
+      val payload = s"$owner $expiryMs"
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"$payload ${crc.getValue}".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    /** (owner, expiryMs) iff the body is complete and checksum-valid. */
+    private[delta] def parseLease(txt: String): Option[(String, Long)] = {
+      val parts = txt.trim.split(" ")
+      if (parts.length != 3) return None
+      for {
+        expiry <- parts(1).toLongOption
+        crc <- parts(2).toLongOption
+        payload = s"${parts(0)} $expiry"
+        c = new java.util.zip.CRC32()
+        _ = c.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if c.getValue == crc
+      } yield (parts(0), expiry)
     }
   }
 

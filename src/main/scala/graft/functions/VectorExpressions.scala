@@ -24,6 +24,12 @@ object VectorFunctions {
   def polyhash60(s: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.polyhash60(s)
 
+  /** Per-doc DISTINCT word-n-gram polyhash31 values in one O(len) pass —
+    * the fused form of gram-string materialization + array_distinct +
+    * polyhash31 (distinct-by-string, bit-identical values). */
+  def wordGramHash31(s: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.wordGramHash31(s, n)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

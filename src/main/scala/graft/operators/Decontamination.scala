@@ -145,10 +145,15 @@ object Decontamination {
       s"mBits must be a power of two >= 64: $mBits")
     val words = bloomBits(evalDocs, evalTextCol, n, mBits)
     val wl = typedLit(words.toSeq)
+    // Fused kernel: one O(len) pass per doc emits the distinct grams'
+    // hashes directly (distinct-by-string, values bit-identical to
+    // gramHash over the materialized gram strings — DecontaminationSpec
+    // pins the equivalence). The composed shinglesOfWords path copied
+    // ~n× the corpus text into gram strings before hashing; measured at
+    // sf0.1 this was most of t32's cost.
     val docGrams = docs
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.shinglesOfWords(split(col(textCol), " "), n)).as("gram"))
-      .withColumn("gh", gramHash(col("gram")))
+        explode(graft.functions.VectorFunctions.wordGramHash31(col(textCol), n)).as("gh"))
     val mightContain = probePositions(col("gh"), mBits).map { p =>
       val word = element_at(wl, (p.divide(lit(64))).cast("int") + 1)
       val bit = pmod(p, lit(64L)).cast("int")

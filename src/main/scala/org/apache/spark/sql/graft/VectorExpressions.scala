@@ -520,6 +520,150 @@ case class RollingHash60(child: Expression, spanLen: Int)
     copy(child = newChild)
 }
 
+/** Per-document DISTINCT word-n-gram polyhash31 values in ONE O(len)
+  * pass — the fused form of
+  * `explode(array_distinct(word n-gram strings))` → `polyhash31(gram)`
+  * (the t16/t32 decontamination shape, `Decontamination.gramHash`).
+  *
+  * The composed formulation materializes every gram STRING: a 13-word
+  * gram copies ~13× the text (slice + concat_ws per window), then
+  * array_distinct hashes those strings, then polyhash31 re-walks each —
+  * O(len·n) bytes touched per document. This kernel walks the text once:
+  * prefix hashes + codepoint-count prefix + power table give each
+  * window's hash in O(1), and distinctness dedupes on a 60-bit
+  * double-prime key VERIFIED by an exact substring compare (so the
+  * result is distinct-by-STRING, bit-identical to array_distinct — a
+  * 60-bit collision cannot merge two different grams).
+  *
+  * Semantics contract (pinned in DecontaminationSpec vs the composed
+  * path): words = `split(text, " ")` (single-space regex, trailing
+  * empties kept); gram i = words[i..i+n) rejoined with " ", which is
+  * exactly the original substring between the word boundaries (runs of
+  * spaces round-trip through empty words); fewer than n words → one
+  * whole-text gram; output order = first occurrence. Values are the
+  * same polyhash31 the oracle SQL reproduces — swapping the composed
+  * path for this kernel changes no query result.
+  */
+case class WordGramHash31(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive: $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_gram_hash31"
+
+  override def nullSafeEval(a: Any): Any =
+    WordGramHash31.compute(a.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordGramHash31.compute(" +
+        s"$a.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHash31 {
+  private val P1 = 1000000007L // polyhash31 modulus (the value emitted)
+  private val P2 = 998244353L  // second prime: dedupe-key discriminator only
+
+  /** One-pass distinct gram hashes; static so codegen emits a single
+    * call. Returns the polyhash31 of each distinct gram in
+    * first-occurrence order. */
+  def compute(s: String, n: Int): ArrayData = {
+    val len = s.length
+    // word starts: split on the literal ' ' keeps empty words, so word k
+    // spans [start(k), space_k) and gram (i, i+n) is EXACTLY the text
+    // substring [start(i), end(i+n-1))
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
+    if (nWords < n) {
+      // single whole-text gram (the shinglesOfWords short-doc fallback)
+      var h = 0L; i = 0
+      while (i < len) {
+        val cp = s.codePointAt(i); h = (31L * h + cp) % P1; i += Character.charCount(cp)
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h))
+    }
+    // prefix hashes over code points + codepoint-count prefix + 31^k /
+    // 131^k tables: any substring's (h1, h2) in O(1). Indices inside a
+    // surrogate pair are never queried (gram boundaries are spaces/ends).
+    val h1 = new Array[Long](len + 1)
+    val h2 = new Array[Long](len + 1)
+    val cpn = new Array[Int](len + 1)
+    i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      val nh1 = (31L * h1(i) + cp) % P1
+      val nh2 = (131L * h2(i) + cp) % P2
+      h1(i + cc) = nh1; h2(i + cc) = nh2; cpn(i + cc) = cpn(i) + 1
+      if (cc == 2) { h1(i + 1) = nh1; h2(i + 1) = nh2; cpn(i + 1) = cpn(i) } // unused
+      i += cc
+    }
+    val maxCp = cpn(len)
+    val pw1 = new Array[Long](maxCp + 1)
+    val pw2 = new Array[Long](maxCp + 1)
+    pw1(0) = 1L; pw2(0) = 1L
+    i = 1
+    while (i <= maxCp) {
+      pw1(i) = pw1(i - 1) * 31L % P1; pw2(i) = pw2(i - 1) * 131L % P2; i += 1
+    }
+    @inline def sub1(a: Int, b: Int): Long =
+      ((h1(b) - h1(a) * pw1(cpn(b) - cpn(a)) % P1) % P1 + P1) % P1
+    @inline def sub2(a: Int, b: Int): Long =
+      ((h2(b) - h2(a) * pw2(cpn(b) - cpn(a)) % P2) % P2 + P2) % P2
+    // distinct-by-string: open-addressed table on the 60-bit key; a key
+    // hit verifies the actual substring before dropping the gram, so
+    // even a double-prime collision cannot merge two different grams
+    val m = nWords - n + 1
+    var cap = 16
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)     // 60-bit key + 1 (0 = empty slot)
+    val slotA = new Array[Int](cap)     // kept gram's [start, end)
+    val slotB = new Array[Int](cap)
+    val out = new Array[Long](m)
+    var nOut = 0
+    var g = 0
+    while (g < m) {
+      val a = starts(g)
+      val b = starts(g + n) - 1
+      val k = sub2(a, b) * 1073741824L + sub1(a, b) + 1L
+      var slot = ((k * -7046029254386353131L) >>> (64 - Integer.numberOfTrailingZeros(cap))).toInt
+      var fresh = true
+      var done = false
+      while (!done) {
+        if (keys(slot) == 0L) done = true
+        else if (keys(slot) == k) {
+          // verify by content: equal length then char compare
+          val oa = slotA(slot); val ob = slotB(slot)
+          if (ob - oa == b - a) {
+            var j = 0; var eq = true
+            while (eq && j < b - a) { eq = s.charAt(oa + j) == s.charAt(a + j); j += 1 }
+            if (eq) { fresh = false; done = true }
+            else slot = (slot + 1) & (cap - 1) // true 60-bit collision
+          } else slot = (slot + 1) & (cap - 1)
+        } else slot = (slot + 1) & (cap - 1)
+      }
+      if (fresh) {
+        keys(slot) = k; slotA(slot) = a; slotB(slot) = b
+        out(nOut) = sub1(a, b); nOut += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
@@ -536,6 +680,9 @@ object VectorBridge {
 
   def rollingHash60(s: Column, spanLen: Int): Column =
     ExpressionUtils.column(RollingHash60(ExpressionUtils.expression(s), spanLen))
+
+  def wordGramHash31(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramHash31(ExpressionUtils.expression(s), n))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

@@ -65,7 +65,9 @@ class FileLeaseSpec extends AnyFunSuite {
   test("a live lease is never taken over, even by an impatient waiter") {
     val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_live"))
     // another committer's lease, live for 60 more seconds
-    val liveBody = s"other-owner ${System.currentTimeMillis() + 60000}"
+    val liveBody = new String(
+      LogStore.FileLease.leaseBody("other-owner", System.currentTimeMillis() + 60000),
+      "UTF-8")
     val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
     LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock, liveBody.getBytes("UTF-8"))
     val waiter = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 400L)
@@ -121,7 +123,8 @@ class FileLeaseSpec extends AnyFunSuite {
     val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_usurp"))
     val holder = new LogStore.FileLease(leaseFs, leasePath, ownerId = "original")
     val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
-    val usurped = s"usurper ${System.currentTimeMillis() + 60000}"
+    val usurped = new String(
+      LogStore.FileLease.leaseBody("usurper", System.currentTimeMillis() + 60000), "UTF-8")
     holder.withLock("k", () => {
       // simulate a takeover mid-body (as if the body had outlived its
       // TTL): overwrite the lease with another owner's live content
@@ -141,7 +144,7 @@ class FileLeaseSpec extends AnyFunSuite {
     // a crashed committer's lease, expired far past any grace
     val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
     LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock,
-      s"deadbeef ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+      LogStore.FileLease.leaseBody("deadbeef", System.currentTimeMillis() - 60000))
     val inside = new AtomicInteger(0)
     val violations = new AtomicInteger(0)
     val done = new AtomicInteger(0)

@@ -237,7 +237,8 @@ class RemoteFsSpec extends GraftSuite {
     // crash path ran but its finally released; re-create an UNRELEASED stale lease
     val out = leaseFs.create(new Path(leasePath,
       java.net.URLEncoder.encode("k1", "UTF-8") + ".lease"), false)
-    out.write(s"deadbeef ${System.currentTimeMillis() - 5000}".getBytes("UTF-8")); out.close()
+    out.write(LogStore.FileLease.leaseBody(
+      "deadbeef", System.currentTimeMillis() - 5000)); out.close()
     val healthy = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 5000L)
     var ran = false
     healthy.withLock("k1", () => { ran = true })

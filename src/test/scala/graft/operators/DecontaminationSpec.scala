@@ -81,6 +81,45 @@ class DecontaminationSpec extends AnyFunSuite {
     * gram) the exact path flags MUST be flagged by the sketch — false
     * negatives would let contamination through. On the sf0.001 documents
     * corpus the sketch answer must dominate the exact answer per-doc. */
+  test("word_gram_hash31 kernel equals the composed gram-string path, " +
+      "adversarial whitespace and unicode included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def randWord(): String = {
+      val alphabet = "abc αβ é 𝒜xyz" // incl. an astral-plane char
+      (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val c = alphabet.charAt(rnd.nextInt(alphabet.length))
+        if (c == ' ') 'q' else c
+      }.mkString
+    }
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a b", "one two three four",
+      "lead  double  spaces and a trailing space ",
+      " leading space then words enough to pass thirteen total words here now ok",
+      "dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup",
+      "unicode αβγ mixé 𝒜stral 𝒜stral chars σπασμένα words padded to thirteen plus tokens one two three four",
+      ("w " * 40).trim, // 40 identical words → 1 distinct gram
+      (1 to 30).map(i => s"tok$i").mkString(" ")
+    ) ++ (1 to 40).map(_ => (0 until rnd.nextInt(40)).map(_ => randWord()).mkString(" "))
+    for (n <- Seq(3, 13)) {
+      val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val composed = df.select($"doc_id",
+          explode(Dedup.shinglesOfWords(split($"text", " "), n)).as("gram"))
+        .select($"doc_id", Decontamination.gramHash($"gram").as("gh"))
+        .groupBy($"doc_id").agg(sort_array(collect_list($"gh")).as("ghs"))
+      val fused = df.select($"doc_id",
+          explode(graft.functions.VectorFunctions.wordGramHash31($"text", n)).as("gh"))
+        .groupBy($"doc_id").agg(sort_array(collect_list($"gh")).as("ghs"))
+      val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(f == c, s"n=$n: kernel diverges from the composed path: " +
+        s"${(c.keySet ++ f.keySet).filter(k => c.get(k) != f.get(k)).take(3)
+          .map(k => s"doc $k: composed=${c.get(k)} fused=${f.get(k)} " +
+            s"text='${adversarial(k.toInt)}'")}")
+    }
+  }
+
   test("bloom decontamination has no false negatives vs the exact path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val evals = docs.filter(col("doc_id") < 5)
