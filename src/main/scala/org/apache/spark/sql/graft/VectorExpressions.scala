@@ -512,7 +512,7 @@ case class RollingHash60(child: Expression, spanLen: Int)
          |    $out[$i] = $h2 * 1073741824L + $h1;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

@@ -400,4 +400,30 @@ class DedupSpec extends AnyFunSuite {
     val hs = ref(rep, 7)
     assert(hs.distinct.size == 1, "identical windows must share one hash")
   }
+
+  test("native kernels COMPILE under whole-stage codegen (no silent fallback)") {
+    import spark.implicits._
+    // spark.sql.codegen.fallback=false turns a generated-code compile
+    // failure into a hard error instead of a WARN + interpreted fallback.
+    // RollingHash60's doGenCode shipped for two rounds emitting a
+    // wrong-package UnsafeArrayData reference: every plan containing it
+    // compiled nothing and ran interpreted — correct, silently slow.
+    // This pin makes that class of bug fail loudly.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq("the quick brown fox jumps over the lazy dog and more words",
+        "second sample with enough words to produce several grams here")
+        .toDF("s")
+      val b = org.apache.spark.sql.graft.VectorBridge
+      val out = df.select(
+          b.rollingHash60($"s", 10).as("rh"),
+          b.wordGramHash31($"s", 3).as("wg"),
+          b.polyhash31($"s").as("p31"),
+          b.polyhash60($"s").as("p60"),
+          b.simhash64(b.wordGramHash31($"s", 3)).as("sh"))
+        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh")
+        .collect()
+      assert(out.length == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
