@@ -108,24 +108,41 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         .sortBy(_.getName)
   }
 
-  def readLastCheckpoint(): Option[LastCheckpoint] = {
-    val p = new Path(logPath, "_last_checkpoint")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt =
-        try Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      Some(
-        LastCheckpoint(
-          node.get("version").asLong(),
-          if (node.has("size")) node.get("size").asLong() else -1L,
-          if (node.has("parts") && !node.get("parts").isNull) Some(node.get("parts").asInt())
-          else None
-        ))
+  /** Torn-read tolerant: `_last_checkpoint` is rewritten by every
+    * checkpointing writer, so a concurrent reader can catch an
+    * empty/partial body (or lose the exists→open race). The pointer is
+    * an OPTIMIZATION — any unreadable state falls back to listed
+    * checkpoints / JSON replay with a WARN, never an error. */
+  def readLastCheckpoint(): Option[LastCheckpoint] =
+    try {
+      val p = new Path(logPath, "_last_checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        if (node == null || node.get("version") == null) {
+          DeltaLog.logger.warn(
+            s"_last_checkpoint in $logPath is torn/unparsable ('${txt.take(80)}') — " +
+              "likely a concurrent checkpoint write; falling back to listed checkpoints")
+          None
+        } else Some(
+          LastCheckpoint(
+            node.get("version").asLong(),
+            if (node.has("size")) node.get("size").asLong() else -1L,
+            if (node.has("parts") && !node.get("parts").isNull) Some(node.get("parts").asInt())
+            else None
+          ))
+      }
+    } catch {
+      case e: java.io.IOException =>
+        DeltaLog.logger.warn(
+          s"_last_checkpoint in $logPath unreadable (${e.getMessage}) — " +
+            "falling back to listed checkpoints")
+        None
     }
-  }
 
   def latestVersion: Long = {
     val vs = listCommitVersions
@@ -320,10 +337,28 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
     // Checkpoint-accelerated replay (SURVEY.md §2 ④): prefer
     // _last_checkpoint, fall back to listed checkpoints ≤ target.
-    val cpVersion: Option[Long] = {
-      val fromPointer = readLastCheckpoint().map(_.version).filter(_ <= target)
-      fromPointer.orElse(listCheckpointVersions.filter(_ <= target).maxOption)
+    // Candidates are tried NEWEST-FIRST and an unreadable one (a
+    // concurrent writer's clear-then-rename install window, or genuine
+    // damage) degrades to the next candidate / scratch JSON replay with
+    // a WARN — the replay below still fails loudly if a needed commit
+    // JSON is missing, so a damaged checkpoint plus a cleaned log can
+    // never yield a silently smaller table, it errors.
+    val cpReplay: Option[(Long, Seq[Action])] = {
+      val listed = listCheckpointVersions.filter(_ <= target).sorted(Ordering[Long].reverse)
+      val cands =
+        (readLastCheckpoint().map(_.version).filter(_ <= target).toSeq ++ listed).distinct
+      cands.iterator.flatMap { cv =>
+        try Iterator.single(cv -> readCheckpointActions(cv))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            DeltaLog.logger.warn(
+              s"Checkpoint v$cv in $logPath unreadable (${e.getMessage}) — possibly a " +
+                "concurrent checkpoint install; trying an older checkpoint / JSON replay")
+            Iterator.empty
+        }
+      }.nextOption()
     }
+    val cpVersion: Option[Long] = cpReplay.map(_._1)
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
@@ -374,7 +409,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     }
 
-    cpVersion.foreach(cv => applyBatch(readCheckpointActions(cv)))
+    cpReplay.foreach { case (_, actions) => applyBatch(actions) }
     val startV = cpVersion.map(_ + 1).getOrElse(0L)
     val present = listCommitVersions.toSet
     (startV to target).foreach { v =>
@@ -603,10 +638,27 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         s"""{"version":$version,"size":${rows.size},"parts":${parts.length}}"""
       }
     fs.delete(tmp, true)
+    writeLastCheckpoint(lc)
+  }
+
+  /** Install `_last_checkpoint` via temp-file + rename where the
+    * filesystem supports replace-rename (local POSIX), narrowing the
+    * torn-read window a plain truncating overwrite leaves; falls back to
+    * the overwrite create elsewhere. Readers tolerate torn content
+    * either way ([[readLastCheckpoint]]) — this is belt to that braces. */
+  private def writeLastCheckpoint(lc: String): Unit = {
     val lcPath = new Path(logPath, "_last_checkpoint")
-    val out = fs.create(lcPath, true)
+    val tmp = new Path(logPath, s"._last_checkpoint-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(lc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val renamed = try fs.rename(tmp, lcPath) catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      val out2 = fs.create(lcPath, true)
+      try out2.write(lc.getBytes(StandardCharsets.UTF_8))
+      finally out2.close()
+      fs.delete(tmp, false)
+    }
   }
 
   /** V2 checkpoint write: add/remove actions go to sidecar parquet(s)
@@ -679,11 +731,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     if (!fs.rename(topPart, topDest))
       throw new java.io.IOException(s"Failed to move $topPart -> $topDest")
     fs.delete(tmpTop, true)
-    val lcPath = new Path(logPath, "_last_checkpoint")
-    val lc = s"""{"version":$version,"size":${topRows.size + fileRows.size}}"""
-    val out = fs.create(lcPath, true)
-    try out.write(lc.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeLastCheckpoint(s"""{"version":$version,"size":${topRows.size + fileRows.size}}""")
   }
 
   // ---- checkpoint schema / row conversions ------------------------------

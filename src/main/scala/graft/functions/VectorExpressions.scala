@@ -30,6 +30,11 @@ object VectorFunctions {
   def wordGramHash31(s: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.wordGramHash31(s, n)
 
+  /** 60-bit sibling: per-doc DISTINCT word-n-gram polyhash60 values (the
+    * SimHash feature hashes) in one O(len) pass. */
+  def wordGramHash60(s: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.wordGramHash60(s, n)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

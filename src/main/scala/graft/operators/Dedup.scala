@@ -597,10 +597,15 @@ object Dedup {
     * signature bit-for-bit, which upgrades the simhash harness query from
     * rows-only to a strict hash-checked oracle. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withShingleSet(df, idCol, textCol)
-      .filter(size(col("sh_set")) > 0)
-      .withColumn("__hs", transform(col("sh_set"),
-        sh => graft.functions.VectorFunctions.polyhash60(sh)))
+    // fused kernel: one O(len) pass emits the distinct grams' polyhash60
+    // values directly (no gram-string materialization, no array_distinct
+    // over strings); bit-identical to the composed withShingleSet →
+    // transform(polyhash60) path (DedupSpec pin), so the banded join and
+    // every simhash oracle are unchanged. Null text → null hashes →
+    // dropped, mirroring what the composed path's size filter did.
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions.wordGramHash60(col(textCol), 3).as("__hs"))
+      .filter(size(col("__hs")) > 0)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash64(col("__hs")).as("sig"))
 

@@ -565,6 +565,34 @@ case class WordGramHash31(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The 60-bit sibling of [[WordGramHash31]]: per-document DISTINCT
+  * word-n-gram `polyhash60` values (h2·2³⁰ + h1, the SimHash feature
+  * hash) in one O(len) pass — the fused form of
+  * `withShingleSet` → `transform(polyhash60)` (the t04 simhash shape).
+  * Same distinct-by-STRING contract, same first-occurrence order; values
+  * bit-identical to `polyhash60` over the materialized gram strings
+  * (pinned in DedupSpec), so the simhash oracles are unchanged. */
+case class WordGramHash60(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive: $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_gram_hash60"
+
+  override def nullSafeEval(a: Any): Any =
+    WordGramHash31.compute60(a.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordGramHash31.compute60(" +
+        s"$a.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WordGramHash31 {
   private val P1 = 1000000007L // polyhash31 modulus (the value emitted)
   private val P2 = 998244353L  // second prime: dedupe-key discriminator only
@@ -572,7 +600,13 @@ object WordGramHash31 {
   /** One-pass distinct gram hashes; static so codegen emits a single
     * call. Returns the polyhash31 of each distinct gram in
     * first-occurrence order. */
-  def compute(s: String, n: Int): ArrayData = {
+  def compute(s: String, n: Int): ArrayData = computeImpl(s, n, emit60 = false)
+
+  /** Same pass, emitting the combined 60-bit polyhash60 per distinct
+    * gram (the dedupe key itself). */
+  def compute60(s: String, n: Int): ArrayData = computeImpl(s, n, emit60 = true)
+
+  private def computeImpl(s: String, n: Int, emit60: Boolean): ArrayData = {
     val len = s.length
     // word starts: split on the literal ' ' keeps empty words, so word k
     // spans [start(k), space_k) and gram (i, i+n) is EXACTLY the text
@@ -587,11 +621,14 @@ object WordGramHash31 {
     starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
     if (nWords < n) {
       // single whole-text gram (the shinglesOfWords short-doc fallback)
-      var h = 0L; i = 0
+      var h = 0L; var g2 = 0L; i = 0
       while (i < len) {
-        val cp = s.codePointAt(i); h = (31L * h + cp) % P1; i += Character.charCount(cp)
+        val cp = s.codePointAt(i)
+        h = (31L * h + cp) % P1; g2 = (131L * g2 + cp) % P2
+        i += Character.charCount(cp)
       }
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(if (emit60) g2 * 1073741824L + h else h))
     }
     // prefix hashes over code points + codepoint-count prefix + 31^k /
     // 131^k tables: any substring's (h1, h2) in O(1). Indices inside a
@@ -655,7 +692,7 @@ object WordGramHash31 {
       }
       if (fresh) {
         keys(slot) = k; slotA(slot) = a; slotB(slot) = b
-        out(nOut) = sub1(a, b); nOut += 1
+        out(nOut) = if (emit60) k - 1L else sub1(a, b); nOut += 1
       }
       g += 1
     }
@@ -683,6 +720,9 @@ object VectorBridge {
 
   def wordGramHash31(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHash31(ExpressionUtils.expression(s), n))
+
+  def wordGramHash60(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramHash60(ExpressionUtils.expression(s), n))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

@@ -595,22 +595,51 @@ class MaintenanceSpec extends GraftSuite {
     log.writeCheckpoint(0L, maxActionsPerPart = 3)
     val parts = log.checkpointPartFiles(0L)
     assert(parts.size > 1)
-    // sever one part: the snapshot would silently lose that part's adds
+    // sever one part: the raw read refuses rather than silently losing
+    // that part's adds
     log.fs.delete(parts.head, false)
     val e = intercept[IllegalArgumentException] {
       DeltaLog.forTable(spark, path).readCheckpointActions(0L)
     }
     assert(e.getMessage.contains("Incomplete multi-part checkpoint"), e.getMessage)
-    // snapshots routed through the _last_checkpoint pointer fail the same
-    // way — never a silently smaller table
-    val e2 = intercept[IllegalArgumentException] {
-      GraftDelta.readDelta(spark, path).count()
-    }
-    assert(e2.getMessage.contains("Incomplete multi-part checkpoint"), e2.getMessage)
-    // dropping the stale pointer restores reads via JSON replay
-    // (listCheckpointVersions ignores incomplete part sets)
-    log.fs.delete(new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint"), false)
+    // snapshots routed through the _last_checkpoint pointer DEGRADE to
+    // JSON replay (r12: an unreadable checkpoint is indistinguishable
+    // from a concurrent writer's clear-then-rename install window, so
+    // replay falls back with a WARN) — the FULL table, never a silently
+    // smaller one
     assert(GraftDelta.readDelta(spark, path).count() == 200)
+    // and when the fallback is impossible too (JSON tail gone), the
+    // failure is loud — a damaged checkpoint plus a cleaned log can
+    // never serve a smaller table
+    log.fs.delete(log.commitFile(0L), false)
+    val e2 = intercept[Exception] {
+      DeltaLog.forTable(spark, path).snapshot(None)
+    }
+    assert(e2.getMessage.contains("Missing commit") ||
+      e2.getMessage.contains("Not a Delta table") ||
+      e2.getMessage.contains("No metaData"), e2.getMessage)
+  }
+
+  test("a torn _last_checkpoint never breaks reads (concurrent-writer window)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((0 until 50).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      path, checkpointInterval = 0)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(0L)
+    val lcPath = new org.apache.hadoop.fs.Path(log.logPath, "_last_checkpoint")
+    // every torn shape a reader can catch mid-rewrite: empty (between
+    // truncate and write), a partial JSON prefix, and non-JSON bytes
+    for (torn <- Seq("", """{"ver""", "garbage")) {
+      val out = log.fs.create(lcPath, true)
+      out.write(torn.getBytes("UTF-8")); out.close()
+      assert(DeltaLog.forTable(spark, path).readLastCheckpoint().isEmpty,
+        s"torn pointer '$torn' must parse as absent")
+      // replay still finds the checkpoint by listing — and the table reads
+      val snap = DeltaLog.forTable(spark, path).snapshot(None)
+      assert(snap.activeFiles.nonEmpty)
+      assert(GraftDelta.readDelta(spark, path).count() == 50)
+    }
   }
 
   test("end-to-end micro-batch stream lands in a delta table exactly once") {

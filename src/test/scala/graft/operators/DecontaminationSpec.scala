@@ -104,19 +104,26 @@ class DecontaminationSpec extends AnyFunSuite {
     for (n <- Seq(3, 13)) {
       val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val composed = df.select($"doc_id",
-          explode(Dedup.shinglesOfWords(split($"text", " "), n)).as("gram"))
-        .select($"doc_id", Decontamination.gramHash($"gram").as("gh"))
-        .groupBy($"doc_id").agg(sort_array(collect_list($"gh")).as("ghs"))
-      val fused = df.select($"doc_id",
-          explode(graft.functions.VectorFunctions.wordGramHash31($"text", n)).as("gh"))
-        .groupBy($"doc_id").agg(sort_array(collect_list($"gh")).as("ghs"))
-      val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      assert(f == c, s"n=$n: kernel diverges from the composed path: " +
-        s"${(c.keySet ++ f.keySet).filter(k => c.get(k) != f.get(k)).take(3)
+      def byDoc(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        d.groupBy($"doc_id").agg(sort_array(collect_list($"gh")).as("ghs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      def diff(c: Map[Long, Seq[Long]], f: Map[Long, Seq[Long]]): String =
+        (c.keySet ++ f.keySet).filter(k => c.get(k) != f.get(k)).take(3)
           .map(k => s"doc $k: composed=${c.get(k)} fused=${f.get(k)} " +
-            s"text='${adversarial(k.toInt)}'")}")
+            s"text='${adversarial(k.toInt)}'").toString
+      val grams = df.select($"doc_id",
+        explode(Dedup.shinglesOfWords(split($"text", " "), n)).as("gram"))
+      // h31 (the bloom-decontamination hash)
+      val c31 = byDoc(grams.select($"doc_id", Decontamination.gramHash($"gram").as("gh")))
+      val f31 = byDoc(df.select($"doc_id",
+        explode(graft.functions.VectorFunctions.wordGramHash31($"text", n)).as("gh")))
+      assert(f31 == c31, s"n=$n h31: kernel diverges: ${diff(c31, f31)}")
+      // h60 (the simhash feature hash)
+      val c60 = byDoc(grams.select($"doc_id",
+        graft.functions.VectorFunctions.polyhash60($"gram").as("gh")))
+      val f60 = byDoc(df.select($"doc_id",
+        explode(graft.functions.VectorFunctions.wordGramHash60($"text", n)).as("gh")))
+      assert(f60 == c60, s"n=$n h60: kernel diverges: ${diff(c60, f60)}")
     }
   }
 

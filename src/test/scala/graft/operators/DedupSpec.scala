@@ -420,7 +420,7 @@ class DedupSpec extends AnyFunSuite {
           b.wordGramHash31($"s", 3).as("wg"),
           b.polyhash31($"s").as("p31"),
           b.polyhash60($"s").as("p60"),
-          b.simhash64(b.wordGramHash31($"s", 3)).as("sh"))
+          b.simhash64(b.wordGramHash60($"s", 3)).as("sh"))
         .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh")
         .collect()
       assert(out.length == 2)
