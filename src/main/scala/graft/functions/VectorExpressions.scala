@@ -35,6 +35,17 @@ object VectorFunctions {
   def wordGramHash60(s: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.wordGramHash60(s, n)
 
+  /** xxhash64 sibling: per-doc DISTINCT word-n-gram xxhash64 values (the
+    * MinHash gram hashes — seed 42, the SQL `xxhash64`) in one byte-level
+    * pass; distinct-by-string, first-occurrence order. */
+  def wordGramXxhash64(s: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.wordGramXxhash64(s, n)
+
+  /** Fused k-wide MinHash signature over an array of gram hashes:
+    * sig[j] = min over h of (a_j·pmod(h,p) + b_j) % p, one codegen loop. */
+  def minhashSigQ(hs: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long], p: Long): Column =
+    org.apache.spark.sql.graft.VectorBridge.minhashSigQ(hs, as, bs, p)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

@@ -78,9 +78,32 @@ object Dedup {
   /** Per-doc distinct word n-gram shingles of `text`. */
   def shingles(text: Column, n: Int = 3): Column = shinglesOfWords(split(text, " "), n)
 
-  /** doc_id → 32-wide minhash signature (array<long>), one shuffle. */
+  /** doc_id + DISTINCT gram xxhash64 values — the fused byte-level form
+    * of `withShingleSet` → `transform(sh_set, xxhash64)`: no gram string
+    * is ever materialized (the composed path copied ~n× the text through
+    * slice + concat_ws per window, then array_distinct'd and re-hashed
+    * the strings). Distinct-by-string, first-occurrence order,
+    * bit-identical values (DedupSpec pin). */
+  private[operators] def withGramHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.VectorFunctions.wordGramXxhash64(col(textCol), 3).as("hs"))
+
+  /** Signatures from a (doc_id, hs) gram-hash frame — one fused codegen
+    * loop per row (`MinhashSigQ`), bit-identical to the HOF formulation
+    * over `pmod(xxhash64(gram), P)` (DedupSpec pins all three paths
+    * against each other). Row-local and shuffle-free like the string
+    * path it replaces. */
+  private[operators] def signaturesFromHashes(hashed: DataFrame): DataFrame =
+    hashed
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSigQ(
+          col("hs"), coefs.map(_._1).toIndexedSeq, coefs.map(_._2).toIndexedSeq, P).as("sig"))
+
+  /** doc_id → 32-wide minhash signature (array<long>) — row-local,
+    * shuffle-free (PlanQualitySpec pins zero exchanges). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    signaturesFromShingleSets(withShingleSet(df, idCol, textCol))
+    signaturesFromHashes(withGramHashes(df, idCol, textCol))
 
   /** Typed Aggregator over exploded (doc_id, shingle-hash) rows — the
     * shuffle-based signature path. Kept ONLY as the independent oracle for
@@ -224,33 +247,35 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    // hash arrays ride along for the verify step (8-byte longs vs ~80-byte
-    // gram strings — the same trade the ngram-Jaccard path measured at
-    // ~10×), guarded by the once-per-call corpus-wide collision check:
-    // injective hashes make hash-set intersections EXACTLY the gram-set
-    // intersections; a collision (p < 1e-10) falls back to strings.
-    val sh = withShingleSet(df, idCol, textCol)
-      .withColumn("hs", transform(col("sh_set"), s => xxhash64(s)))
-      .persist()
-    val coll = sh.select(explode(col("sh_set")).as("s"))
-      .agg(countDistinct(col("s")).as("ng"), countDistinct(xxhash64(col("s"))).as("nh"))
-      .head()
-    val vcol = if (coll.getLong(0) == coll.getLong(1)) "hs" else {
-      logger.warn("[minhash] 64-bit gram-hash collision detected — " +
-        "verifying on raw gram strings (slower, still exact)")
-      "sh_set"
-    }
-    val pairs = candidatePairs(signaturesFromShingleSets(sh), maxBucketSize)
+    // The CORPUS never materializes a gram string: signatures and band
+    // buckets run on the fused byte-level gram-hash kernel. Gram strings
+    // exist only PAIR-SCOPED, in the verify step — candidate pairs are
+    // verified on the real gram sets of the docs they name, so the
+    // Jaccard is exact BY CONSTRUCTION (no hash-injectivity guard, no
+    // fallback branch). Scale: the verify shuffle carries string arrays
+    // for PAIR docs only (LSH banding + bucket caps bound the candidate
+    // volume); the alternative — hash-array verify guarded by a
+    // corpus-wide gram-text distinct — shuffles every gram string in the
+    // corpus through a double-distinct Expand, which loses whenever
+    // pairs ≪ corpus (measured: the guard job dominated this operator
+    // at sf0.1, where 480 of 5000 docs pair).
+    val hashed = withGramHashes(df, idCol, textCol).persist()
+    val pairs = candidatePairs(signaturesFromHashes(hashed), maxBucketSize)
+    val pairDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val vsets = withShingleSet(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")).join(pairDocs, "doc_id"),
+      "doc_id", "__text")
     val verified = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col(vcol).as("v_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col(vcol).as("v_b")), "doc_b")
+      .join(vsets.select(col("doc_id").as("doc_a"), col("sh_set").as("v_a")), "doc_a")
+      .join(vsets.select(col("doc_id").as("doc_b"), col("sh_set").as("v_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("v_a"), col("v_b"))).cast("long"))
       .withColumn("uni",
         size(col("v_a")).cast("long") + size(col("v_b")).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
-    materialized(verified, sh, pairs)
+    materialized(verified, hashed, pairs)
   }
 
   // ---- Near-dup clusters (connected components) -------------------------
@@ -341,28 +366,42 @@ object Dedup {
   def incrementalNearDups(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val shB = withShingleSet(batch, idCol, textCol).persist()
-    val shC = withShingleSet(corpus, idCol, textCol).persist()
-    val bandedC = bandedOf(signaturesFromShingleSets(shC)).persist()
+    // both sides sign on the fused gram-hash kernel — no gram string is
+    // materialized outside the pair-scoped verify (same design as
+    // minhashNearDups: exact-by-construction string verify over pair
+    // docs only, no injectivity guard)
+    val hB = withGramHashes(batch, idCol, textCol)
+    val hC = withGramHashes(corpus, idCol, textCol)
+    val bandedC = bandedOf(signaturesFromHashes(hC)).persist()
     val (cappedC, overCache) =
       capBuckets(bandedC, Seq("band", "bh"), maxBucketSize, "incremental")
-    val pairs = bandedOf(signaturesFromShingleSets(shB)).as("l")
+    // persisted: the two pair-doc projections below and the verify join
+    // all consume the candidate list; without the cache the probe join
+    // would run three times
+    val pairs = bandedOf(signaturesFromHashes(hB)).as("l")
       .join(cappedC.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.doc_id").as("batch_id"), col("r.doc_id").as("corpus_id"))
       .distinct()
+      .persist()
+    val vB = withShingleSet(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .join(pairs.select(col("batch_id").as("doc_id")).distinct(), "doc_id"),
+      "doc_id", "__text")
+    val vC = withShingleSet(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+        .join(pairs.select(col("corpus_id").as("doc_id")).distinct(), "doc_id"),
+      "doc_id", "__text")
     val verified = pairs
-      .join(shB.withColumnRenamed("doc_id", "batch_id").withColumnRenamed("sh_set", "sh_a"),
-        "batch_id")
-      .join(shC.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("sh_set", "sh_b"),
-        "corpus_id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .join(vB.select(col("doc_id").as("batch_id"), col("sh_set").as("v_a")), "batch_id")
+      .join(vC.select(col("doc_id").as("corpus_id"), col("sh_set").as("v_b")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("v_a"), col("v_b"))).cast("long"))
       .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+        size(col("v_a")).cast("long") + size(col("v_b")).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "inter", "uni")
-    materialized(verified, Seq(shB, shC, bandedC) ++ overCache: _*)
+    materialized(verified, Seq(bandedC, pairs) ++ overCache: _*)
   }
 
   /** Per-cluster keeper selection by a PREFERENCE column instead of the

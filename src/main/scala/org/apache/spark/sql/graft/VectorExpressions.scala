@@ -701,6 +701,178 @@ object WordGramHash31 {
   }
 }
 
+/** Per-document DISTINCT word-n-gram `xxhash64` values in one O(len·n)
+  * BYTE pass — the fused form of the MinHash shape
+  * `withShingleSet` → `transform(sh_set, xxhash64)`
+  * (gram strings materialized via slice + concat_ws, deduped by
+  * array_distinct, then re-walked by xxhash64). A gram is EXACTLY the
+  * original text's byte range between two word boundaries (split on the
+  * literal ' ' keeps empty words, and 0x20 never occurs inside a UTF-8
+  * multi-byte sequence), so each window hashes in place with Spark's own
+  * `XXH64.hashUnsafeBytes` (seed 42 — the `xxhash64` SQL function's
+  * seed) and no gram string is ever allocated.
+  *
+  * Distinctness is by STRING, bit-identical to `array_distinct`: the
+  * dedupe table keys on the 64-bit hash but VERIFIES the actual bytes on
+  * a key hit, so two different grams sharing an xxhash64 value both
+  * emit (exactly as `transform(array_distinct(...), xxhash64)` would —
+  * the duplicate VALUE is then the caller's collision guard's problem,
+  * same contract as the composed path). First-occurrence order; fewer
+  * than n words → one whole-text gram; null text → null. Pinned
+  * bit-identical to the composed path in DedupSpec. */
+case class WordGramXxhash64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive: $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_gram_xxhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    WordGramXxhash64.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordGramXxhash64.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramXxhash64 {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  private val Seed = 42L // xxhash64's fixed seed (XxHash64's one-arg ctor)
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) nWords += 1; i += 1 }
+    if (nWords < n)
+      // single whole-text gram (the shinglesOfWords short-doc fallback:
+      // array_join(split(text, " "), " ") round-trips to the text itself)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, Seed)))
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
+    // distinct-by-string: open-addressed table on the hash VALUE, a key
+    // hit verifies the gram bytes before dropping — a 64-bit collision
+    // between different grams emits both values, never merges them
+    val m = nWords - n + 1
+    var cap = 16
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val slotA = new Array[Int](cap) // kept gram's byte range [start, end)
+    val slotB = new Array[Int](cap)
+    java.util.Arrays.fill(slotA, -1) // -1 = empty slot
+    val out = new Array[Long](m)
+    var nOut = 0
+    var g = 0
+    while (g < m) {
+      val a = starts(g)
+      val b = starts(g + n) - 1
+      val k = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + a, b - a, Seed)
+      var slot = ((k * -7046029254386353131L) >>> (64 - Integer.numberOfTrailingZeros(cap))).toInt
+      var fresh = true
+      var done = false
+      while (!done) {
+        if (slotA(slot) == -1) done = true
+        else if (keys(slot) == k) {
+          val oa = slotA(slot); val ob = slotB(slot)
+          if (ob - oa == b - a) {
+            var j = 0; var eq = true
+            while (eq && j < b - a) { eq = bytes(oa + j) == bytes(a + j); j += 1 }
+            if (eq) { fresh = false; done = true }
+            else slot = (slot + 1) & (cap - 1) // true 64-bit collision
+          } else slot = (slot + 1) & (cap - 1)
+        } else slot = (slot + 1) & (cap - 1)
+      }
+      if (fresh) {
+        keys(slot) = k; slotA(slot) = a; slotB(slot) = b
+        out(nOut) = k; nOut += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+/** Fused 32-wide MinHash signature from an array of gram xxhash64
+  * values — the fused form of
+  * `transform(sequence(0, k−1), j → array_min(transform(hs, h →
+  * pmod(a_j · pmod(h, P) + b_j, P))))`, which per row allocates k
+  * intermediate arrays and round-trips k·|hs| interpreted lambdas. Same
+  * arithmetic as one generated O(k·|hs|) primitive loop: each input
+  * hash folds to `hp = ((h % p) + p) % p` ONCE, then every permutation
+  * j takes `min((a_j·hp + b_j) % p)` (hp < p < 2³¹ and a_j < 2³¹ keep
+  * the product under 2⁶², so the plain Java % IS pmod here — both
+  * operands non-negative). Bit-identical to the HOF formulation and to
+  * the shuffle-based MinhashSigAgg oracle (DedupSpec pin). Empty array
+  * → NULL (callers filter empty gram sets first — the composed path
+  * yielded an array of nulls there, which no caller consumed). */
+case class MinhashSigQ(child: Expression, as: IndexedSeq[Long],
+    bs: IndexedSeq[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(as.nonEmpty && as.length == bs.length,
+    s"coefficient arrays must be non-empty and equal-length: ${as.length}/${bs.length}")
+  require(p > 0, s"modulus must be positive: $p")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_q"
+
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  override def nullSafeEval(x: Any): Any =
+    MinhashSigQ.compute(x.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.MinhashSigQ.compute(
+         |  $x, $aRef, $bRef, ${p}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSigQ {
+  def compute(x: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val n = x.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = ((x.getLong(i) % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * hp + bs(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object VectorBridge {
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
@@ -723,6 +895,12 @@ object VectorBridge {
 
   def wordGramHash60(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHash60(ExpressionUtils.expression(s), n))
+
+  def wordGramXxhash64(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramXxhash64(ExpressionUtils.expression(s), n))
+
+  def minhashSigQ(hs: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long], p: Long): Column =
+    ExpressionUtils.column(MinhashSigQ(ExpressionUtils.expression(hs), as, bs, p))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

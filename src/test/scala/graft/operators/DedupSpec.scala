@@ -57,6 +57,13 @@ class DedupSpec extends AnyFunSuite {
     assert(rowLocal.keySet == viaAgg.keySet)
     assert(rowLocal.forall { case (k, v) => viaAgg(k) == v },
       s"first mismatch: ${rowLocal.find { case (k, v) => viaAgg(k) != v }}")
+    // and the fused byte-level path (WordGramXxhash64 → MinhashSigQ) —
+    // the hot path minhashSignatures now runs — is bit-identical too
+    val viaKernel = Dedup.signaturesFromHashes(Dedup.withGramHashes(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowLocal.keySet == viaKernel.keySet)
+    assert(rowLocal.forall { case (k, v) => viaKernel(k) == v },
+      s"fused kernel diverges: ${rowLocal.find { case (k, v) => viaKernel(k) != v }}")
 
     val simRowLocal = Dedup.simhashSignatures(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -420,10 +427,41 @@ class DedupSpec extends AnyFunSuite {
           b.wordGramHash31($"s", 3).as("wg"),
           b.polyhash31($"s").as("p31"),
           b.polyhash60($"s").as("p60"),
-          b.simhash64(b.wordGramHash60($"s", 3)).as("sh"))
-        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh")
+          b.simhash64(b.wordGramHash60($"s", 3)).as("sh"),
+          b.minhashSigQ(b.wordGramXxhash64($"s", 3),
+            IndexedSeq(3L, 5L), IndexedSeq(7L, 11L), 2147483647L).as("ms"))
+        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh", "size(ms)")
         .collect()
       assert(out.length == 2)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  /** The byte-level gram-hash kernel must equal the composed
+    * `transform(array_distinct(gram strings), xxhash64)` EXACTLY —
+    * same values, same first-occurrence order — across the shingling
+    * edges: runs of spaces (empty words), leading/trailing spaces,
+    * multi-byte UTF-8 incl. surrogate pairs, short docs (< n words),
+    * empty text, and within-doc repeated grams. */
+  test("WordGramXxhash64 equals composed gram-string xxhash64 path bit-for-bit") {
+    import spark.implicits._
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a a a",                       // repeated grams collapse
+      "double  space   runs keep empty words", // empty words between spaces
+      " leading and trailing spaces ",
+      "two words",                             // < n words: whole-text gram
+      "single",
+      "",                                      // empty text
+      "unicode äöü߀ grams £¥ mixed with ascii words here",
+      "emoji 😀 surrogate 🎉 pairs in words",
+      (1 to 200).map(i => "w" + (i % 17)).mkString(" ")) // heavy dedupe
+    val df = samples.toDF("s")
+    val rows = df.select(
+        graft.functions.VectorFunctions.wordGramXxhash64($"s", 3).as("fused"),
+        transform(Dedup.shingles($"s", 3), g => xxhash64(g)).as("composed"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.zip(samples).foreach { case ((fused, composed), s) =>
+      assert(fused == composed, s"kernel drifted on <$s>")
+    }
   }
 }
