@@ -46,6 +46,17 @@ object VectorFunctions {
   def minhashSigQ(hs: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long], p: Long): Column =
     org.apache.spark.sql.graft.VectorBridge.minhashSigQ(hs, as, bs, p)
 
+  /** `size(array_intersect(a, b))` for ASCENDING-SORTED long arrays as
+    * one allocation-free merge walk (duplicates count once). */
+  def sortedIntersectCountQ(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.sortedIntersectCountQ(a, b)
+
+  /** Per-doc DISTINCT word-n-gram STRINGS in one byte pass — the fused
+    * form of the shingling expression itself (distinct-by-string,
+    * first-occurrence order, bit-identical to the composed path). */
+  def wordGrams(s: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.wordGrams(s, n)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

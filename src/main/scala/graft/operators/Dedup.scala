@@ -70,13 +70,25 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** doc_id + shingle set, with the words array materialized first. */
+  /** doc_id + shingle set — the fused byte-level kernel (`WordGrams`):
+    * the composed split→transform→concat_ws→array_distinct formulation
+    * ran as interpreted higher-order functions and was the dominant map
+    * cost of every string-shingle consumer (DedupSpec pins the kernel
+    * bit-identical to [[shinglesOfWords]], which remains the semantics
+    * oracle). */
   def withShingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh_set"))
+
+  /** The composed-HOF formulation of [[withShingleSet]] — semantics
+    * oracle for the fused kernel; not on any hot path. */
+  private[operators] def withShingleSetComposed(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__words"))
       .select(col("doc_id"), shinglesOfWords(col("__words")).as("sh_set"))
 
-  /** Per-doc distinct word n-gram shingles of `text`. */
-  def shingles(text: Column, n: Int = 3): Column = shinglesOfWords(split(text, " "), n)
+  /** Per-doc distinct word n-gram shingles of `text` (fused kernel). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.VectorFunctions.wordGrams(text, n)
 
   /** doc_id + DISTINCT gram xxhash64 values — the fused byte-level form
     * of `withShingleSet` → `transform(sh_set, xxhash64)`: no gram string
@@ -441,7 +453,9 @@ object Dedup {
     * self-join on prefix tokens (capped + logged, same contract as the
     * banded joins; a cap only ever drops candidates on adversarial
     * corpora where a >cap-frequency token lands in prefixes, which
-    * rarity-ordering avoids) → exact verify on the shingle sets.
+    * rarity-ordering avoids) → exact verify as a sorted merge walk over
+    * gram-hash sets (guarded corpus-wide by the dfreq ndg column; the
+    * collision fallback verifies on the cached gram strings).
     *
     * Cost positioning vs MinHash: a true near-dup pair sharing p prefix
     * tokens is emitted p times before the distinct (MinHash bounds the
@@ -468,13 +482,17 @@ object Dedup {
   private[operators] def ngramJaccardFrames(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
+    // Cached per-doc state: the gram strings (the token explode and the
+    // collision fallback read them — exploding the composed shingle
+    // arrays is the pipeline's single most expensive map, so it must
+    // run ONCE) plus a SORTED hash array for the verify step, so the
+    // verify intersect runs as an allocation-free merge walk
+    // (SortedIntersectCountQ) instead of a per-row array_intersect
+    // hash-set build (measured 4.1 s → 0.6 s on 310k candidates at
+    // sf0.1).
     val sets = withShingleSet(df, idCol, textCol)
       .filter(size(col("sh_set")) > 0)
-      // hash arrays ride along for the verify step: intersecting 8-byte
-      // longs costs ~10× less than ~80-byte gram strings, and the arrays
-      // are what the candidate pairs shuffle — measured 72 s → target
-      // <15 s on the sf0.1 bench, where verify dominated
-      .withColumn("hs", transform(col("sh_set"), s => xxhash64(s)))
+      .withColumn("hs", array_sort(transform(col("sh_set"), s => xxhash64(s))))
       .persist()
     // tokens travel as (hash, string): the 8-byte hash is the shuffle/
     // join key everywhere (a collision only MERGES buckets — extra
@@ -525,10 +543,16 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     val vcol = if (hashesFaithful) "hs" else "sh_set"
+    def inter(a: Column, b: Column): Column =
+      if (hashesFaithful)
+        // sorted merge walk over the cached hash arrays — duplicates
+        // count once, exactly array_intersect's distinct-values contract
+        graft.functions.VectorFunctions.sortedIntersectCountQ(a, b)
+      else size(array_intersect(a, b)).cast("long")
     val verified = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col(vcol).as("v_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col(vcol).as("v_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("v_a"), col("v_b"))).cast("long"))
+      .withColumn("inter", inter(col("v_a"), col("v_b")))
       .withColumn("uni",
         size(col("v_a")).cast("long") + size(col("v_b")).cast("long") - col("inter"))
       .filter(col("inter").cast("double") / col("uni").cast("double") >= threshold)

@@ -81,8 +81,8 @@ object TextAnalysis {
     * High values mark boilerplate/spam for downstream filtering. Single
     * pass over materialized arrays; scan-speed codegen. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol), split(col(textCol), " ").as("__w"))
-      .withColumn("__g", Dedup.shinglesOfWords(col("__w")))
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__w"),
+      Dedup.shingles(col(textCol)).as("__g"))
     def perMyriadDup(all: Column, distinctN: Column): Column =
       when(size(all) === 0, 0L)
         .otherwise(((size(all) - distinctN).cast("long") * 10000L)

@@ -805,6 +805,107 @@ object WordGramXxhash64 {
   }
 }
 
+/** Per-document DISTINCT word n-gram STRINGS in one byte pass — the
+  * fused form of the shingling shape itself,
+  * `array_distinct(transform(sequence(...), i → concat_ws(" ",
+  * slice(words, i+1, n))))` over `split(text, " ")`. The composed
+  * formulation runs as interpreted higher-order functions and copies
+  * every window through slice + concat_ws before array_distinct
+  * re-walks the strings (measured as the dominant cost of every
+  * string-shingle consumer); a gram is EXACTLY the original text's
+  * byte range between two word boundaries, so this kernel emits
+  * zero-copy-deduped substring slices of the input in one walk.
+  * Same distinct-by-STRING dedupe (hash-keyed, content-verified),
+  * same first-occurrence order, same whole-text gram for docs with
+  * fewer than n words — bit-identical to `Dedup.shinglesOfWords`
+  * (DedupSpec pin). */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive: $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordGrams.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordGrams.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) nWords += 1; i += 1 }
+    if (nWords < n)
+      // single whole-text gram (split + rejoin round-trips to the text)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromBytes(bytes, 0, len)))
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1
+    // distinct-by-string via the same hash-keyed content-verified table
+    // as WordGramXxhash64 (the hash is only a dedupe key here)
+    val m = nWords - n + 1
+    var cap = 16
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val slotA = new Array[Int](cap)
+    val slotB = new Array[Int](cap)
+    java.util.Arrays.fill(slotA, -1)
+    val outA = new Array[Int](m)
+    val outB = new Array[Int](m)
+    var nOut = 0
+    var g = 0
+    while (g < m) {
+      val a = starts(g)
+      val b = starts(g + n) - 1
+      val k = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + a, b - a, 42L)
+      var slot = ((k * -7046029254386353131L) >>> (64 - Integer.numberOfTrailingZeros(cap))).toInt
+      var fresh = true
+      var done = false
+      while (!done) {
+        if (slotA(slot) == -1) done = true
+        else if (keys(slot) == k) {
+          val oa = slotA(slot); val ob = slotB(slot)
+          if (ob - oa == b - a) {
+            var j = 0; var eq = true
+            while (eq && j < b - a) { eq = bytes(oa + j) == bytes(a + j); j += 1 }
+            if (eq) { fresh = false; done = true }
+            else slot = (slot + 1) & (cap - 1)
+          } else slot = (slot + 1) & (cap - 1)
+        } else slot = (slot + 1) & (cap - 1)
+      }
+      if (fresh) {
+        keys(slot) = k; slotA(slot) = a; slotB(slot) = b
+        outA(nOut) = a; outB(nOut) = b; nOut += 1
+      }
+      g += 1
+    }
+    val out = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      out(i) = UTF8String.fromBytes(bytes, outA(i), outB(i) - outA(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Fused 32-wide MinHash signature from an array of gram xxhash64
   * values — the fused form of
   * `transform(sequence(0, k−1), j → array_min(transform(hs, h →
@@ -849,6 +950,58 @@ case class MinhashSigQ(child: Expression, as: IndexedSeq[Long],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Count of DISTINCT common values of two ASCENDING-SORTED long arrays —
+  * the fused form of `size(array_intersect(a, b))` for pre-sorted
+  * inputs. `array_intersect` builds a hash set per ROW (allocation +
+  * boxing per element, outside whole-stage codegen when nested in the
+  * verify projection); this is one generated merge walk, O(|a|+|b|) with
+  * zero allocation. Equal runs advance BOTH sides past the value, so
+  * duplicate values count once — exactly array_intersect's
+  * distinct-values contract. Inputs MUST be sorted ascending (callers
+  * sort once at persist time); unsorted inputs silently undercount,
+  * which is why the facade name carries the Sorted prefix. */
+case class SortedIntersectCountQ(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_count_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountQ.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedIntersectCountQ.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountQ {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        cnt += 1
+        while (i < n && a.getLong(i) == x) i += 1
+        while (j < m && b.getLong(j) == x) j += 1
+      }
+    }
+    cnt
+  }
 }
 
 object MinhashSigQ {
@@ -901,6 +1054,13 @@ object VectorBridge {
 
   def minhashSigQ(hs: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long], p: Long): Column =
     ExpressionUtils.column(MinhashSigQ(ExpressionUtils.expression(hs), as, bs, p))
+
+  def sortedIntersectCountQ(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountQ(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def wordGrams(s: Column, n: Int): Column =
+    ExpressionUtils.column(WordGrams(ExpressionUtils.expression(s), n))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

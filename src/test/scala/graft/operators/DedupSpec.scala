@@ -456,12 +456,23 @@ class DedupSpec extends AnyFunSuite {
       "emoji 😀 surrogate 🎉 pairs in words",
       (1 to 200).map(i => "w" + (i % 17)).mkString(" ")) // heavy dedupe
     val df = samples.toDF("s")
+    val composedGrams = Dedup.shinglesOfWords(split($"s", " "), 3)
     val rows = df.select(
         graft.functions.VectorFunctions.wordGramXxhash64($"s", 3).as("fused"),
-        transform(Dedup.shingles($"s", 3), g => xxhash64(g)).as("composed"))
+        transform(composedGrams, g => xxhash64(g)).as("composed"))
       .as[(Seq[Long], Seq[Long])].collect()
     rows.zip(samples).foreach { case ((fused, composed), s) =>
       assert(fused == composed, s"kernel drifted on <$s>")
+    }
+    // and the STRING kernel (WordGrams, what withShingleSet/shingles now
+    // run) equals the composed shinglesOfWords path exactly — values and
+    // first-occurrence order
+    val srows = df.select(
+        graft.functions.VectorFunctions.wordGrams($"s", 3).as("fused"),
+        composedGrams.as("composed"))
+      .as[(Seq[String], Seq[String])].collect()
+    srows.zip(samples).foreach { case ((fused, composed), s) =>
+      assert(fused == composed, s"string kernel drifted on <$s>")
     }
   }
 }
