@@ -57,6 +57,16 @@ object VectorFunctions {
   def wordGrams(s: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.wordGrams(s, n)
 
+  /** Position-weighted rolling checksum fingerprint
+    * (Σ cp_i·((i mod 64)+1) mod 1e9+7) as one codePointAt walk. */
+  def fingerprint31(s: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.fingerprint31(s)
+
+  /** Count of maximal ASCII-alphanumeric runs (the BPE-ish regex token
+    * count) as one byte walk. */
+  def alnumRunCount(s: Column): Column =
+    org.apache.spark.sql.graft.VectorBridge.alnumRunCount(s)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

@@ -16,8 +16,15 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(split(text, " "))
 
   /** Tokens matching a BPE-ish word/punct regex (letters runs, digit
-    * runs, single punct) — a cheap proxy for subword token budgeting. */
+    * runs, single punct) — a cheap proxy for subword token budgeting.
+    * Fused byte-walk kernel; [[regexTokenCountViaSplit]] is the
+    * semantics oracle (TextAnalysisSpec pins equality). */
   def regexTokenCount(text: Column): Column =
+    graft.functions.VectorFunctions.alnumRunCount(text)
+
+  /** The composed regex-split formulation — semantics oracle for the
+    * fused kernel; not on any hot path. */
+  private[operators] def regexTokenCountViaSplit(text: Column): Column =
     size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0))
 
   /** Count of tokens belonging to an English stopword set. */
@@ -61,12 +68,18 @@ object TextAnalysis {
 
   /** Position-weighted rolling checksum fingerprint:
     * (Σ_i code(ch_i) * ((i mod 64)+1)) mod 1_000_000_007 — pure integer
-    * arithmetic, overflow-free, reproducible in any engine. */
-  def fingerprint(text: Column): Column = fingerprintOfChars(split(text, ""))
+    * arithmetic, overflow-free, reproducible in any engine. Fused
+    * codePointAt-walk kernel; [[fingerprintOfChars]] over
+    * `split(text, "")` is the semantics oracle (TextAnalysisSpec pins
+    * bit-equality). */
+  def fingerprint(text: Column): Column =
+    graft.functions.VectorFunctions.fingerprint31(text)
 
-  /** Fingerprint from a char array. Single zip_with pass — indexing the
-    * string per position with substring() is O(n²) per document. A
-    * trailing "" element from split contributes ascii("")=0, harmless. */
+  /** Fingerprint from a char array (the composed HOF formulation —
+    * semantics oracle for the fused kernel; not on any hot path).
+    * Single zip_with pass — indexing the string per position with
+    * substring() is O(n²) per document. A trailing "" element from
+    * split contributes ascii("")=0, harmless. */
   def fingerprintOfChars(chars: Column): Column = {
     val terms = zip_with(chars, sequence(lit(0), size(chars) - 1),
       (c, i) => ascii(c).cast("long") * ((i % 64) + 1).cast("long"))
@@ -271,8 +284,7 @@ object TextAnalysis {
     val base = df.select(
       col(idCol),
       col(textCol).as("__text"),
-      split(col(textCol), " ").as("__w"),
-      split(col(textCol), "").as("__c"))
+      split(col(textCol), " ").as("__w"))
     base.select(
       col(idCol),
       length(col("__text")).cast("long").as("n_chars"),
@@ -281,7 +293,7 @@ object TextAnalysis {
       stopwordCountOfWords(col("__w")).cast("long").as("n_stopwords"),
       qualityScoreOfWords(col("__w")).cast("long").as("quality_score"),
       langIdOfWords(col("__w")).as("lang_pred"),
-      fingerprintOfChars(col("__c")).cast("long").as("fingerprint"))
+      fingerprint(col("__text")).cast("long").as("fingerprint"))
   }
 
   /** Per-group EXACT percentiles (linear interpolation, the R-7 / SQL

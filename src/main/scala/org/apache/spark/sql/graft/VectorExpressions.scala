@@ -805,6 +805,96 @@ object WordGramXxhash64 {
   }
 }
 
+/** Position-weighted rolling checksum fingerprint of a string:
+  * `(Σ_i cp_i · ((i mod 64) + 1)) mod 1e9+7` over CODE POINTS — the
+  * fused form of the t07 fingerprint shape
+  * `aggregate(zip_with(split(text, ""), sequence(...), ...), 0L, +) % P`
+  * (Spark's `split(s, "")` yields one element per code point — a
+  * surrogate pair stays one element — and `ascii()` yields its code
+  * point; empty text splits to an EMPTY array, so the fold's seed 0
+  * survives). The composed path allocates the char array, the index
+  * array, the zipped term array, and folds interpreted per element;
+  * this is the same arithmetic as one generated codePointAt walk.
+  * Per-term products are ≤ 0x10FFFF·64 ≈ 2^27, so the un-modded sum
+  * cannot overflow for any realistic document — one mod at the end,
+  * exactly like the HOF fold (TextAnalysisSpec pins bit-equality). */
+case class Fingerprint31(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fingerprint31"
+
+  override def nullSafeEval(a: Any): Any =
+    Fingerprint31.compute(a.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.Fingerprint31.compute($a.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Fingerprint31 {
+  def compute(s: String): Long = {
+    var sum = 0L
+    var i = 0
+    var idx = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp.toLong * ((idx % 64) + 1)
+      idx += 1
+      i += Character.charCount(cp)
+    }
+    sum % 1000000007L
+  }
+}
+
+/** Count of maximal ASCII-alphanumeric runs in a string — the fused
+  * form of the BPE-ish token-count shape
+  * `size(filter(split(text, "[^A-Za-z0-9]+"), t → length(t) > 0))`:
+  * the regex split's non-empty tokens are exactly the maximal
+  * `[A-Za-z0-9]` runs. Byte-level walk: UTF-8 continuation/lead bytes
+  * are ≥ 0x80 and therefore non-alnum, exactly like the regex's
+  * per-character class (TextAnalysisSpec pins equality). */
+case class AlnumRunCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "alnum_run_count"
+
+  override def nullSafeEval(a: Any): Any =
+    AlnumRunCount.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.AlnumRunCount.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AlnumRunCount {
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var runs = 0
+    var in = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val alnum = (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+      if (alnum && !in) runs += 1
+      in = alnum
+      i += 1
+    }
+    runs
+  }
+}
+
 /** Per-document DISTINCT word n-gram STRINGS in one byte pass — the
   * fused form of the shingling shape itself,
   * `array_distinct(transform(sequence(...), i → concat_ws(" ",
@@ -1061,6 +1151,12 @@ object VectorBridge {
 
   def wordGrams(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGrams(ExpressionUtils.expression(s), n))
+
+  def fingerprint31(s: Column): Column =
+    ExpressionUtils.column(Fingerprint31(ExpressionUtils.expression(s)))
+
+  def alnumRunCount(s: Column): Column =
+    ExpressionUtils.column(AlnumRunCount(ExpressionUtils.expression(s)))
 
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],
       m: Int, codes: Int, w: Int): Column =

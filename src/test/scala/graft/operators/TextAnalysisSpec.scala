@@ -68,4 +68,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(common > gibberish * 3,
       s"common-phrase avg $common must dominate gibberish avg $gibberish")
   }
+
+  /** The fused fingerprint / token-count kernels must equal their
+    * composed-HOF oracles bit-for-bit across the split-semantics edges:
+    * Spark's `split(s, "")` is per CODE POINT (a surrogate pair stays
+    * one element; empty text → empty array) and `ascii()` yields the
+    * code point; `split(s, "[^A-Za-z0-9]+")`'s non-empty tokens are the
+    * maximal ASCII-alnum runs (multi-byte chars are separators). */
+  test("fingerprint and regex-token-count kernels equal composed HOF paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val samples = Seq(
+      "the quick brown fox",
+      "",                                  // empty: fingerprint 0, tokens 0
+      "unicode äöü߀ and £¥",               // multi-byte code points
+      "emoji 😀 and 🎉 pairs",              // non-BMP: one element per emoji
+      "punct!!!only???",                   // alnum runs split by punct
+      "___",                               // no alnum runs at all
+      "a1b2 c3_d4-e5",                     // digits join letter runs
+      " leading and trailing ",
+      (1 to 300).map(i => s"w$i").mkString(", ")) // long mixed doc
+    val df = samples.toDF("s")
+    val rows = df.select(
+        TextAnalysis.fingerprint($"s").as("fp_k"),
+        TextAnalysis.fingerprintOfChars(split($"s", "")).as("fp_h"),
+        TextAnalysis.regexTokenCount($"s").cast("int").as("tc_k"),
+        TextAnalysis.regexTokenCountViaSplit($"s").cast("int").as("tc_h"))
+      .as[(Long, Long, Int, Int)].collect()
+    rows.zip(samples).foreach { case ((fpK, fpH, tcK, tcH), s) =>
+      assert(fpK == fpH, s"fingerprint kernel drifted on <$s>: $fpK != $fpH")
+      assert(tcK == tcH, s"token-count kernel drifted on <$s>: $tcK != $tcH")
+    }
+  }
 }
