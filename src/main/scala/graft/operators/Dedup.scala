@@ -53,6 +53,12 @@ object Dedup {
   private val P = 2147483647L // 2^31-1; keeps a*h+b < 2^62 (ANSI-safe)
 
   /** Deterministic per-function coefficients (fixed seed). */
+  /** The deterministic (a_j, b_j, P) signature parameters — public so
+    * the SQL function surface (`minhash_sig` via GraftExtensions) binds
+    * the exact same family as [[minhashSignatures]]. */
+  def signatureParams: (IndexedSeq[Long], IndexedSeq[Long], Long) =
+    (coefs.map(_._1).toIndexedSeq, coefs.map(_._2).toIndexedSeq, P)
+
   private val coefs: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
