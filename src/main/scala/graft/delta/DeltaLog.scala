@@ -343,7 +343,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     // a WARN — the replay below still fails loudly if a needed commit
     // JSON is missing, so a damaged checkpoint plus a cleaned log can
     // never yield a silently smaller table, it errors.
-    val cpReplay: Option[(Long, Seq[Action])] = {
+    // `cpLoaded` is a var so the materialized O(#files) action list can be
+    // dropped the moment it is replayed (below): holding it across the
+    // JSON-tail replay would keep the full checkpoint list AND the
+    // near-complete active map live simultaneously — ~2× peak driver
+    // memory at 1M-file widths.
+    var cpLoaded: (Long, Seq[Action]) = {
       val listed = listCheckpointVersions.filter(_ <= target).sorted(Ordering[Long].reverse)
       val cands =
         (readLastCheckpoint().map(_.version).filter(_ <= target).toSeq ++ listed).distinct
@@ -356,9 +361,9 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
                 "concurrent checkpoint install; trying an older checkpoint / JSON replay")
             Iterator.empty
         }
-      }.nextOption()
+      }.nextOption().orNull
     }
-    val cpVersion: Option[Long] = cpReplay.map(_._1)
+    val cpVersion: Option[Long] = Option(cpLoaded).map(_._1)
 
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
@@ -409,7 +414,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     }
 
-    cpReplay.foreach { case (_, actions) => applyBatch(actions) }
+    if (cpLoaded != null) {
+      applyBatch(cpLoaded._2)
+      cpLoaded = null // drop the checkpoint action list before the JSON tail
+    }
     val startV = cpVersion.map(_ + 1).getOrElse(0L)
     val present = listCommitVersions.toSet
     (startV to target).foreach { v =>
@@ -949,7 +957,13 @@ object DeltaLog {
   lazy val engineId: String = {
     val stable = sys.props.get("graft.writer.id")
       .orElse(sys.env.get("GRAFT_WRITER_ID"))
+      // active first, but fall back to the default session: this lazy val
+      // is JVM-wide and may first be forced on a thread with no inherited
+      // active session (a pool built before the session existed) — without
+      // the fallback the identity would nondeterministically degrade to
+      // the per-JVM UUID and re-fire the restart warning this exists to fix
       .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sparkContext.appName).map(_.trim).filter(_.nonEmpty))
       .getOrElse("writer-" + java.util.UUID.randomUUID().toString.take(8))
     s"Graft-Spark/0.1 ${stable.replaceAll("\\s+", "_").take(64)}"

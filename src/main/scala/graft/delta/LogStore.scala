@@ -123,14 +123,24 @@ object LogStore {
     *    RawLocalFileSystem is exists-check-then-truncating-open (the very
     *    anomaly this class exists to fence; it let two committers hold
     *    the lease concurrently).
-    *  - **Takeover** of an expired lease (a crashed committer) is a
-    *    content-digest-named RENAME, not a blind delete: every taker that
-    *    judged the SAME expired content computes the same tombstone name,
-    *    rename-no-replace lets exactly one win, and the winner verifies
-    *    the tombstone still carries the content it judged before
-    *    re-racing through atomic create. A blind delete could remove a
-    *    FRESH lease created between the read and the delete, silently
-    *    admitting two holders.
+    *  - **Takeover** of an expired lease (a crashed committer) is
+    *    arbitrated by an atomic CLAIM-file create, then executed as a
+    *    content-digest-named RENAME, never a blind delete. The claim is
+    *    what makes the takeover single-winner: Hadoop's local rename is
+    *    POSIX rename(2), which REPLACES an existing destination, so two
+    *    takers racing the same tombstone name would NOT exclude each
+    *    other — the second rename could displace a fresh live lease
+    *    created in between. With the claim, every taker that judged the
+    *    same expired content races one `O_CREAT|O_EXCL` claim create;
+    *    only the winner re-reads (the content must still be what it
+    *    judged), renames, and verifies the tombstone before re-racing
+    *    through atomic create. A claim whose winner crashed is reclaimed
+    *    by mtime staleness. A torn/unparsable lease (a holder killed
+    *    mid-heartbeat-rewrite) reads as live UNTIL its file has sat
+    *    untouched for a full TTL+grace — live holders rewrite at ttl/3,
+    *    so a stale mtime proves no heartbeat is behind it; without that
+    *    escape hatch a crash in the rewrite window would deadlock the
+    *    key forever.
     *  - **Renewal**: a heartbeat rewrites the lease at ttl/3 while the
     *    body runs, so a body that outlives the initial TTL (driver GC
     *    pause, slow store) keeps its lease instead of being reaped
@@ -154,6 +164,17 @@ object LogStore {
       ownerId: String = java.util.UUID.randomUUID().toString) {
     require(!ownerId.exists(_.isWhitespace),
       s"ownerId must not contain whitespace: '$ownerId'")
+
+    /** Each `withLock` call stamps a FRESH `ownerId:<nonce>` token into
+      * the lease, so ownership checks distinguish ACQUISITIONS, not just
+      * instances: a shared per-JVM FileLease whose thread A stalled past
+      * TTL and whose thread B then reaped and re-acquired the same key
+      * would otherwise present the same owner string to both — A's
+      * renewer would extend B's lease and A's release would delete it,
+      * silently cascading the lost exclusion with ownershipLostCount
+      * still 0. */
+    private def freshToken(): String =
+      ownerId + ":" + java.util.UUID.randomUUID().toString.take(8)
 
     private val utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -201,8 +222,8 @@ object LogStore {
     private def expiryOf(txt: String): Option[Long] =
       FileLease.parseLease(txt).map(_._2)
 
-    private def tryAcquire(lock: Path): Boolean = {
-      val body = FileLease.leaseBody(ownerId, System.currentTimeMillis() + ttlMs)
+    private def tryAcquire(lock: Path, token: String): Boolean = {
+      val body = FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs)
       try { leaseStore.writePutIfAbsent(leaseFs, lock, body); true }
       catch {
         case _: java.io.IOException =>
@@ -214,22 +235,64 @@ object LogStore {
     }
 
     /** Take over a crashed committer's lease without ever deleting a
-      * live one. Torn/unparsable content reads as live (conservative). */
+      * live one. Exactly one taker per lease GENERATION (= exact byte
+      * content) executes the takeover: takers race an atomic claim-file
+      * create, and only the winner touches the lock path (see the class
+      * doc — local rename REPLACES destinations, so tombstone naming
+      * alone cannot arbitrate). */
     private def reapIfExpired(lock: Path): Unit = {
       val txt = try readLease(lock) catch { case _: java.io.IOException => return }
-      if (!expiryOf(txt).exists(_ + graceMs < System.currentTimeMillis())) return
-      // Content-addressed tombstone: all takers that judged THIS content
-      // expired race one rename; rename-no-replace admits exactly one.
+      val now = System.currentTimeMillis()
+      val expired = expiryOf(txt) match {
+        case Some(e) => e + graceMs < now
+        case None =>
+          // torn/unparsable: a holder killed between the heartbeat's
+          // truncate and write leaves this state FOREVER — without an
+          // escape hatch every future commit on the key would deadlock.
+          // A live holder rewrites at ttl/3, so a file untouched for a
+          // full ttl+grace provably has no heartbeat behind it.
+          val mtime =
+            try leaseFs.getFileStatus(lock).getModificationTime
+            catch { case _: java.io.IOException => return }
+          mtime + ttlMs + graceMs < now
+      }
+      if (!expired) return
       val digest = {
         val md = java.security.MessageDigest.getInstance("SHA-1")
         md.digest(txt.getBytes(utf8)).map("%02x".format(_)).mkString
       }
+      // Atomic claim: one winner per judged content. A claim left by a
+      // crashed winner goes stale by mtime (the reap sequence is µs-scale,
+      // a full TTL of stillness is conclusive) and is cleared for retry.
+      val claim = new Path(lock.getParent, lock.getName + ".reap." + digest + ".claim")
+      val claimed =
+        try { leaseStore.writePutIfAbsent(leaseFs, claim, ownerId.getBytes(utf8)); true }
+        catch {
+          case _: java.io.IOException =>
+            val stale =
+              try leaseFs.getFileStatus(claim).getModificationTime + ttlMs < now
+              catch { case _: java.io.IOException => false }
+            if (stale) { leaseFs.delete(claim, false); () }
+            false
+        }
+      if (!claimed) return
+      try reapUnderClaim(lock, txt, digest)
+      finally { leaseFs.delete(claim, false); () }
+    }
+
+    /** The claim-holder's takeover: re-read, rename, verify. */
+    private def reapUnderClaim(lock: Path, txt: String, digest: String): Unit = {
+      // Re-read under the claim: a fresh lease that replaced the judged
+      // content between our first read and the claim win is LIVE.
+      val cur = try readLease(lock) catch { case _: java.io.IOException => return }
+      if (cur != txt) return
       val tomb = new Path(lock.getParent, lock.getName + ".reap." + digest)
       val renamed = try leaseFs.rename(lock, tomb) catch { case _: java.io.IOException => false }
       if (!renamed) return
-      // Verify the tombstone carries the content we judged: if a fresh
-      // lease slid in between our read and our rename, we just reaped a
-      // LIVE lease — restore it instead of proceeding.
+      // Verify the tombstone carries the content we judged: if a
+      // stalled-but-alive holder's heartbeat renewed the lease in the
+      // µs between the re-read and the rename, we just reaped a LIVE
+      // lease — restore it instead of proceeding.
       val got = try Some(readLease(tomb)) catch { case _: java.io.IOException => None }
       if (got.contains(txt) || got.isEmpty) { leaseFs.delete(tomb, false); () }
       else {
@@ -259,7 +322,8 @@ object LogStore {
       * only if this holder was already > TTL stalled at exactly that
       * point, and the NEXT renewal or the release observes and reports
       * the foreign owner. */
-    private def startRenewer(lock: Path, lost: java.util.concurrent.atomic.AtomicBoolean)
+    private def startRenewer(lock: Path, token: String,
+        lost: java.util.concurrent.atomic.AtomicBoolean)
         : java.util.concurrent.ScheduledExecutorService = {
       val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, s"graft-lease-renew-${lock.getName}"); t.setDaemon(true); t
@@ -269,9 +333,9 @@ object LogStore {
         try {
           val txt = readLease(lock)
           val owner = ownerOf(txt)
-          if (owner.contains(ownerId)) {
+          if (owner.contains(token)) {
             val out = leaseFs.create(lock, /*overwrite=*/ true)
-            try out.write(FileLease.leaseBody(ownerId, System.currentTimeMillis() + ttlMs))
+            try out.write(FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs))
             finally out.close()
           } else if (owner.isEmpty) {
             () // torn/unparsable (someone mid-write): transient, retry
@@ -279,7 +343,7 @@ object LogStore {
             lost.set(true)
             ownershipLostCount.incrementAndGet()
             LogStore.logger.error(
-              s"FileLease: lease $lock no longer owned by $ownerId (now " +
+              s"FileLease: lease $lock no longer owned by $token (now " +
                 s"${owner.get}): the lock body outlived its TTL and was " +
                 "taken over — the in-flight commit may have raced. " +
                 "Raise ttlMs above the worst-case commit duration.")
@@ -295,18 +359,19 @@ object LogStore {
 
     def withLock(key: String, body: () => Unit): Unit = {
       val lock = leasePath(key)
+      val token = freshToken()
       leaseFs.mkdirs(leaseDir)
       val deadline = System.currentTimeMillis() + acquireTimeoutMs
-      var held = tryAcquire(lock)
+      var held = tryAcquire(lock, token)
       while (!held && System.currentTimeMillis() < deadline) {
         Thread.sleep(20)
-        held = tryAcquire(lock)
+        held = tryAcquire(lock, token)
       }
       if (!held)
         throw new java.io.IOException(
           s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
       val lostMidBody = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val renewer = startRenewer(lock, lostMidBody)
+      val renewer = startRenewer(lock, token, lostMidBody)
       try body()
       finally {
         // GRACEFUL shutdown, then wait: an in-flight renewal must COMPLETE
@@ -321,24 +386,25 @@ object LogStore {
         renewer.shutdown()
         if (!renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
           renewer.shutdownNow()
-        releaseOwned(lock, lostMidBody.get)
+        releaseOwned(lock, token, lostMidBody.get)
       }
     }
 
-    /** Ownership-verified release: delete only OUR lease. An
-      * unconditional delete here could remove a usurper's live lease and
-      * cascade the lost mutual exclusion one committer further. */
-    private def releaseOwned(lock: Path, lostMidBody: Boolean): Unit = {
+    /** Ownership-verified release: delete only THIS ACQUISITION's lease
+      * (token, not just instance identity). An unconditional delete here
+      * could remove a usurper's live lease and cascade the lost mutual
+      * exclusion one committer further. */
+    private def releaseOwned(lock: Path, token: String, lostMidBody: Boolean): Unit = {
       val raw: Either[String, String] =
         try Right(readLease(lock))
         catch { case e: java.io.IOException => Left(e.toString) }
       val owner = raw.toOption.flatMap(ownerOf)
-      if (owner.contains(ownerId)) { leaseFs.delete(lock, false); () }
+      if (owner.contains(token)) { leaseFs.delete(lock, false); () }
       else if (!lostMidBody) {
         ownershipLostCount.incrementAndGet()
         LogStore.logger.error(
           s"FileLease: at release, lease $lock is owned by " +
-            s"${owner.getOrElse("<gone/unreadable>")}, not $ownerId — the lock body " +
+            s"${owner.getOrElse("<gone/unreadable>")}, not $token — the lock body " +
             "outlived its TTL; the commit that just completed may have raced " +
             s"(raw read: ${raw.fold(e => s"error $e", t => s"'$t'")})")
       }

@@ -281,9 +281,12 @@ object Dedup {
     val pairs = candidatePairs(signaturesFromHashes(hashed), maxBucketSize)
     val pairDocs = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // persist: consumed twice below (doc_a and doc_b sides) — without the
+    // cache each join re-runs the pair-doc probe join AND the fused
+    // shingling of every pair document, the verify step's dominant cost
     val vsets = withShingleSet(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")).join(pairDocs, "doc_id"),
-      "doc_id", "__text")
+      "doc_id", "__text").persist()
     val verified = pairs
       .join(vsets.select(col("doc_id").as("doc_a"), col("sh_set").as("v_a")), "doc_a")
       .join(vsets.select(col("doc_id").as("doc_b"), col("sh_set").as("v_b")), "doc_b")
@@ -293,7 +296,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni")
-    materialized(verified, hashed, pairs)
+    materialized(verified, hashed, pairs, vsets)
   }
 
   // ---- Near-dup clusters (connected components) -------------------------

@@ -614,11 +614,6 @@ object WordGramHash31 {
     var nWords = 1
     var i = 0
     while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
-    val starts = new Array[Int](nWords + 1)
-    var w = 1
-    i = 0
-    while (i < len) { if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
-    starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
     if (nWords < n) {
       // single whole-text gram (the shinglesOfWords short-doc fallback)
       var h = 0L; var g2 = 0L; i = 0
@@ -630,6 +625,11 @@ object WordGramHash31 {
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array(if (emit60) g2 * 1073741824L + h else h))
     }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (s.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
     // prefix hashes over code points + codepoint-count prefix + 31^k /
     // 131^k tables: any substring's (h1, h2) in O(1). Indices inside a
     // surrogate pair are never queried (gram boundaries are spaces/ends).
@@ -744,27 +744,53 @@ object WordGramXxhash64 {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.unsafe.Platform
 
-  private val Seed = 42L // xxhash64's fixed seed (XxHash64's one-arg ctor)
-
   def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
+    val r = WordGramWalk.walk(bytes, n)
+    if (r == null)
+      // single whole-text gram (the shinglesOfWords short-doc fallback:
+      // array_join(split(text, " "), " ") round-trips to the text itself)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, WordGramWalk.Seed)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(r.keys, r.count))
+  }
+}
+
+/** The shared byte-level distinct word-gram core of [[WordGramXxhash64]]
+  * and [[WordGrams]]: one boundary scan builds word starts, then each
+  * n-word window (a byte range of the original text — split on the
+  * literal ' ' keeps empty words, and 0x20 never occurs inside a UTF-8
+  * multi-byte sequence) is deduped by an open-addressed table keyed on
+  * the window's xxhash64 with the actual BYTES verified on every key
+  * hit — a 64-bit collision between different grams keeps both, never
+  * merges (the `array_distinct` contract). First-occurrence order.
+  * Returns null for fewer than n words; callers emit their whole-text
+  * fallback gram. [[WordGramHash31]] does NOT route here: its polyhash
+  * keys come O(1) from code-point prefix hashes — a different scan. */
+private[graft] object WordGramWalk {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  private[graft] val Seed = 42L // xxhash64's fixed seed (XxHash64's one-arg ctor)
+
+  /** Distinct grams: xxhash64 keys + byte ranges `[froms(i), tos(i))`,
+    * valid for indices `< count`. */
+  final class Grams(val keys: Array[Long], val froms: Array[Int],
+      val tos: Array[Int], val count: Int)
+
+  def walk(bytes: Array[Byte], n: Int): Grams = {
     val len = bytes.length
     var nWords = 1
     var i = 0
     while (i < len) { if (bytes(i) == 0x20) nWords += 1; i += 1 }
-    if (nWords < n)
-      // single whole-text gram (the shinglesOfWords short-doc fallback:
-      // array_join(split(text, " "), " ") round-trips to the text itself)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, Seed)))
+    if (nWords < n) return null
     val starts = new Array[Int](nWords + 1)
     var w = 1
     i = 0
     while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
     starts(nWords) = len + 1 // sentinel: end(k) = starts(k+1) - 1
-    // distinct-by-string: open-addressed table on the hash VALUE, a key
-    // hit verifies the gram bytes before dropping — a 64-bit collision
-    // between different grams emits both values, never merges them
     val m = nWords - n + 1
     var cap = 16
     while (cap < m * 2) cap <<= 1
@@ -772,7 +798,9 @@ object WordGramXxhash64 {
     val slotA = new Array[Int](cap) // kept gram's byte range [start, end)
     val slotB = new Array[Int](cap)
     java.util.Arrays.fill(slotA, -1) // -1 = empty slot
-    val out = new Array[Long](m)
+    val outK = new Array[Long](m)
+    val outA = new Array[Int](m)
+    val outB = new Array[Int](m)
     var nOut = 0
     var g = 0
     while (g < m) {
@@ -796,12 +824,11 @@ object WordGramXxhash64 {
       }
       if (fresh) {
         keys(slot) = k; slotA(slot) = a; slotB(slot) = b
-        out(nOut) = k; nOut += 1
+        outK(nOut) = k; outA(nOut) = a; outB(nOut) = b; nOut += 1
       }
       g += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(out, nOut))
+    new Grams(outK, outA, outB, nOut)
   }
 }
 
@@ -930,66 +957,17 @@ case class WordGrams(child: Expression, n: Int)
 }
 
 object WordGrams {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
-  import org.apache.spark.unsafe.Platform
-
   def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    var nWords = 1
-    var i = 0
-    while (i < len) { if (bytes(i) == 0x20) nWords += 1; i += 1 }
-    if (nWords < n)
+    val r = WordGramWalk.walk(bytes, n)
+    if (r == null)
       // single whole-text gram (split + rejoin round-trips to the text)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array[Any](UTF8String.fromBytes(bytes, 0, len)))
-    val starts = new Array[Int](nWords + 1)
-    var w = 1
-    i = 0
-    while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
-    starts(nWords) = len + 1
-    // distinct-by-string via the same hash-keyed content-verified table
-    // as WordGramXxhash64 (the hash is only a dedupe key here)
-    val m = nWords - n + 1
-    var cap = 16
-    while (cap < m * 2) cap <<= 1
-    val keys = new Array[Long](cap)
-    val slotA = new Array[Int](cap)
-    val slotB = new Array[Int](cap)
-    java.util.Arrays.fill(slotA, -1)
-    val outA = new Array[Int](m)
-    val outB = new Array[Int](m)
-    var nOut = 0
-    var g = 0
-    while (g < m) {
-      val a = starts(g)
-      val b = starts(g + n) - 1
-      val k = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + a, b - a, 42L)
-      var slot = ((k * -7046029254386353131L) >>> (64 - Integer.numberOfTrailingZeros(cap))).toInt
-      var fresh = true
-      var done = false
-      while (!done) {
-        if (slotA(slot) == -1) done = true
-        else if (keys(slot) == k) {
-          val oa = slotA(slot); val ob = slotB(slot)
-          if (ob - oa == b - a) {
-            var j = 0; var eq = true
-            while (eq && j < b - a) { eq = bytes(oa + j) == bytes(a + j); j += 1 }
-            if (eq) { fresh = false; done = true }
-            else slot = (slot + 1) & (cap - 1)
-          } else slot = (slot + 1) & (cap - 1)
-        } else slot = (slot + 1) & (cap - 1)
-      }
-      if (fresh) {
-        keys(slot) = k; slotA(slot) = a; slotB(slot) = b
-        outA(nOut) = a; outB(nOut) = b; nOut += 1
-      }
-      g += 1
-    }
-    val out = new Array[Any](nOut)
-    i = 0
-    while (i < nOut) {
-      out(i) = UTF8String.fromBytes(bytes, outA(i), outB(i) - outA(i))
+        Array[Any](UTF8String.fromBytes(bytes, 0, bytes.length)))
+    val out = new Array[Any](r.count)
+    var i = 0
+    while (i < r.count) {
+      out(i) = UTF8String.fromBytes(bytes, r.froms(i), r.tos(i) - r.froms(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

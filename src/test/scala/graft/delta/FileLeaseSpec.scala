@@ -174,6 +174,72 @@ class FileLeaseSpec extends AnyFunSuite {
       "no lease or tombstone debris after all releases")
   }
 
+  test("a torn lease with a stale mtime is reaped; a fresh one is not") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_torn"))
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    // a holder killed between the heartbeat's truncate and write leaves
+    // content that never parses — pre-fix this deadlocked the key forever
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock, "torn".getBytes("UTF-8"))
+    val lease = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 400L)
+    // fresh mtime: someone may be mid-rewrite — must read as LIVE
+    val e = intercept[java.io.IOException](lease.withLock("k", () => fail("must not run")))
+    assert(e.getMessage.contains("could not acquire"))
+    // age the file past ttl+grace: no heartbeat is behind it — reapable
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lock.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    var ran = false
+    lease.withLock("k", () => { ran = true })
+    assert(ran, "a stale torn lease must be reaped, not deadlock the key")
+  }
+
+  test("a stale reap claim left by a crashed taker is cleared, not a deadlock") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_claim"))
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    val body = LogStore.FileLease.leaseBody("deadbeef", System.currentTimeMillis() - 60000)
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock, body)
+    // the claim file a taker that crashed mid-reap would leave for
+    // exactly this lease content
+    val digest = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.digest(new String(body, "UTF-8").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val claim = new Path(leasePath, lock.getName + ".reap." + digest + ".claim")
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, claim, "crashed".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(claim.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    val lease = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 5000L)
+    var ran = false
+    lease.withLock("k", () => { ran = true })
+    assert(ran, "a stale claim must be cleared so the expired lease can be reaped")
+    assert(leaseFs.listStatus(leasePath).forall(s =>
+      !s.getPath.getName.endsWith(".lease") && !s.getPath.getName.contains(".reap.")),
+      "no lease, tombstone, or claim debris after release")
+  }
+
+  test("release distinguishes acquisitions, not just instances (same ownerId)") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_token"))
+    val holder = new LogStore.FileLease(leaseFs, leasePath, ownerId = "shared")
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    // simulate a SIBLING acquisition (same FileLease instance, another
+    // thread) that reaped this stalled body's lease and re-acquired: the
+    // lease carries the same ownerId with a different per-acquisition
+    // nonce. An instance-identity release would delete it.
+    val sibling = new String(
+      LogStore.FileLease.leaseBody("shared:ffffffff", System.currentTimeMillis() + 60000),
+      "UTF-8")
+    holder.withLock("k", () => {
+      val out = leaseFs.create(lock, true)
+      out.write(sibling.getBytes("UTF-8")); out.close()
+    })
+    val in = leaseFs.open(lock)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(txt == sibling, "release must not delete a sibling acquisition's lease")
+    assert(holder.ownershipLostCount.get() == 1,
+      "the same-instance takeover must be observed as lost ownership")
+  }
+
   test("a check-then-put lease namespace is refused at construction") {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.mockfs.impl", classOf[MockFs].getName)
