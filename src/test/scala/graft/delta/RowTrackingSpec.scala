@@ -300,4 +300,37 @@ class RowTrackingSpec extends GraftSuite {
     assert(m.size == 8 && m.values.toSeq.distinct.length == 8)
     assert(m.values.min == 0L, "fresh table allocates from 0")
   }
+
+  test("delta scan-path expressions COMPILE under whole-stage codegen (no silent fallback)") {
+    // Row-id/commit-version materialization (RowIdOf/RowCommitVersionOf),
+    // the DV probe, and log partition-value attachment (PartValueOf, via
+    // the shallow clone whose data files sit outside the clone root) are
+    // injected into the scan as codegen'd expressions.
+    // spark.sql.codegen.fallback=false turns a generated-code compile
+    // failure into a hard error instead of a WARN + interpreted scan —
+    // the RollingHash60 lesson (a wrong-package reference ran every plan
+    // containing it interpreted for two rounds) applied to the scan path.
+    val src = tmp()
+    GraftDelta.toDelta((1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), src)
+    GraftDelta.enableRowTracking(spark, src)
+    GraftDelta.deleteWhereWithDv(spark, src, Seq(Seq(Predicate("k", "<=", 5L))))
+    // partitioned source for the clone path (row-id reads of partitioned
+    // clones are a refused combination, so PartValueOf pins separately)
+    val psrc = tmp()
+    GraftDelta.toDelta(
+      (1L to 30L).map(i => (i, i % 3, s"v$i")).toDF("k", "p", "v"),
+      psrc, partitionBy = Seq("p"))
+    val dst = tmp()
+    GraftDelta.shallowClone(spark, psrc, dst)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = GraftDelta.readDeltaWithRowIds(spark, src)
+        .select($"k", $"_row_id", $"_row_commit_version").collect()
+      assert(rows.length == 25)
+      assert(rows.map(_.getLong(1)).distinct.length == 25, "row ids unique")
+      val cloned = GraftDelta.readDelta(spark, dst).select($"k", $"p").collect()
+      assert(cloned.length == 30)
+      assert(cloned.map(_.getLong(1)).toSet == Set(0L, 1L, 2L), "partition values attached")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }

@@ -429,10 +429,24 @@ class DedupSpec extends AnyFunSuite {
           b.polyhash60($"s").as("p60"),
           b.simhash64(b.wordGramHash60($"s", 3)).as("sh"),
           b.minhashSigQ(b.wordGramXxhash64($"s", 3),
-            IndexedSeq(3L, 5L), IndexedSeq(7L, 11L), 2147483647L).as("ms"))
-        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh", "size(ms)")
+            IndexedSeq(3L, 5L), IndexedSeq(7L, 11L), 2147483647L).as("ms"),
+          b.wordGrams($"s", 3).as("wgs"),
+          b.fingerprint31($"s").as("fp"),
+          b.alnumRunCount($"s").as("arc"))
+        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh", "size(ms)",
+          "size(wgs)", "fp", "arc")
         .collect()
       assert(out.length == 2)
+      // the vector-kernel family (array-typed inputs)
+      val vdf = Seq((Seq(1L, 2L), Seq(3L, 4L), Seq(0, 1), Seq(Seq(10L, 20L), Seq(30L, 40L))))
+        .toDF("va", "vb", "codes", "lut")
+      val vout = vdf.select(
+          b.dotQ($"va", $"vb").as("dot"),
+          b.sortedIntersectCountQ($"va", $"vb").as("ic"),
+          b.pqEncodeQ($"va", IndexedSeq(0L, 0L, 1L, 1L), m = 2, codes = 2, w = 1).as("pq"),
+          b.adcLookupQ($"codes", $"lut").as("adc"))
+        .collect()
+      assert(vout.length == 1 && vout(0).getLong(0) == 11L && vout(0).getLong(3) == 50L)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
