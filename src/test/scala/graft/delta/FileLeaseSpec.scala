@@ -240,6 +240,50 @@ class FileLeaseSpec extends AnyFunSuite {
       "the same-instance takeover must be observed as lost ownership")
   }
 
+  test("abandoned-lease chaos: expired and torn debris is reaped under racing acquirers") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_chaos"))
+    val inside = new AtomicInteger(0)
+    val violations = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (1 to 20).foreach { r =>
+        val key = s"chaos$r"
+        val lock = new Path(leasePath, java.net.URLEncoder.encode(key, "UTF-8") + ".lease")
+        // pre-seed each round's key with a crashed committer's debris:
+        // even rounds a well-formed expired lease, odd rounds a torn one
+        // (killed mid-heartbeat-rewrite) with its mtime past ttl+grace
+        if (r % 2 == 0)
+          LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock,
+            LogStore.FileLease.leaseBody(s"crashed-$r", System.currentTimeMillis() - 60000))
+        else {
+          LogStore.forScheme("file").writePutIfAbsent(leaseFs, lock, "to".getBytes("UTF-8"))
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(lock.toUri.getPath),
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+        }
+        val gate = new CyclicBarrier(4)
+        val racers = (1 to 4).map { i =>
+          val lease = new LogStore.FileLease(leaseFs, leasePath, ownerId = s"t$i")
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              gate.await()
+              lease.withLock(key, () => {
+                if (inside.incrementAndGet() > 1) violations.incrementAndGet()
+                Thread.sleep(1)
+                inside.decrementAndGet()
+              })
+            }
+          })
+        }
+        racers.foreach(_.get(30, TimeUnit.SECONDS))
+      }
+    } finally pool.shutdown()
+    assert(violations.get() == 0, "chaos debris admitted two holders")
+    assert(leaseFs.listStatus(leasePath).forall(s =>
+      !s.getPath.getName.endsWith(".lease") && !s.getPath.getName.contains(".reap.")),
+      "all debris reaped and all leases released")
+  }
+
   test("a check-then-put lease namespace is refused at construction") {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.mockfs.impl", classOf[MockFs].getName)
