@@ -197,6 +197,12 @@ object LogStore {
       * a commit may have raced and the TTL should be raised. */
     val ownershipLostCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+    /** Times a reap displaced a live lease it could not restore (the
+      * triple-interleaving hazard documented in [[reapUnderClaim]]).
+      * Monitoring/spec hook; any nonzero value means exclusion may have
+      * been violated for a key and the TTL/grace tuning needs review. */
+    val reapHazardCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
     private def leasePath(key: String): Path =
       // one lease per commit key; sanitize the URI into a flat file name
       new Path(leaseDir, java.net.URLEncoder.encode(key, "UTF-8") + ".lease")
@@ -305,11 +311,13 @@ object LogStore {
           try { leaseStore.writePutIfAbsent(leaseFs, lock, got.get.getBytes(utf8)); true }
           catch { case _: java.io.IOException => false }
         leaseFs.delete(tomb, false)
-        if (!restored)
+        if (!restored) {
+          reapHazardCount.incrementAndGet()
           LogStore.logger.error(
             s"FileLease: reaped a live lease at $lock and could not restore it " +
               "(a third committer re-created the path mid-restore); mutual " +
               "exclusion may have been violated for this key")
+        }
       }
     }
 

@@ -262,8 +262,9 @@ class FileLeaseSpec extends AnyFunSuite {
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
         }
         val gate = new CyclicBarrier(4)
-        val racers = (1 to 4).map { i =>
-          val lease = new LogStore.FileLease(leaseFs, leasePath, ownerId = s"t$i")
+        val leases = (1 to 4).map(i =>
+          new LogStore.FileLease(leaseFs, leasePath, ownerId = s"t$i"))
+        val racers = leases.map { lease =>
           pool.submit(new Runnable {
             override def run(): Unit = {
               gate.await()
@@ -276,6 +277,9 @@ class FileLeaseSpec extends AnyFunSuite {
           })
         }
         racers.foreach(_.get(30, TimeUnit.SECONDS))
+        leases.foreach(l => assert(
+          l.ownershipLostCount.get() == 0 && l.reapHazardCount.get() == 0,
+          s"round $r: a racer observed lost ownership or an unrestorable reap"))
       }
     } finally pool.shutdown()
     assert(violations.get() == 0, "chaos debris admitted two holders")
