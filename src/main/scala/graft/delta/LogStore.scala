@@ -135,16 +135,27 @@ object LogStore {
     *    only the winner re-reads (the content must still be what it
     *    judged), renames, and verifies the tombstone before re-racing
     *    through atomic create. A claim whose winner crashed is reclaimed
-    *    by mtime staleness. A torn/unparsable lease (a holder killed
-    *    mid-heartbeat-rewrite) reads as live UNTIL its file has sat
-    *    untouched for a full TTL+grace — live holders rewrite at ttl/3,
-    *    so a stale mtime proves no heartbeat is behind it; without that
-    *    escape hatch a crash in the rewrite window would deadlock the
-    *    key forever.
+    *    by mtime staleness through a rename-verified GC (never a raw
+    *    stat-then-delete, which would race the path's reuse and could
+    *    remove a fresh winner's claim). A torn/unparsable lease (a holder
+    *    killed mid-heartbeat-rewrite) reads as live UNTIL its file has
+    *    sat untouched for a full TTL+grace — live holders rewrite at
+    *    ttl/3 and self-repair their own tears (below), so a stale mtime
+    *    proves no heartbeat is behind it; without that escape hatch a
+    *    crash in the rewrite window would deadlock the key forever.
     *  - **Renewal**: a heartbeat rewrites the lease at ttl/3 while the
     *    body runs, so a body that outlives the initial TTL (driver GC
     *    pause, slow store) keeps its lease instead of being reaped
-    *    mid-commit. Readers treat a torn/unparsable lease as LIVE.
+    *    mid-commit. Readers treat a torn/unparsable lease as LIVE. A
+    *    tear the renewer ITSELF produced (its rewrite failed between the
+    *    truncate and the write) is repaired on the next tick — within a
+    *    TTL of the last intact write that repair is single-writer-safe,
+    *    and past it the renewer declares the loss instead of fighting.
+    *  - **Debris sweep**: each acquisition, while holding the key's
+    *    lease, GCs takeover leftovers a crashed taker abandoned (orphan
+    *    tombstones, dead-generation claims, interrupted claim-GC files)
+    *    once they are ttl+grace stale — they never block commits, but
+    *    without a sweeper they would accumulate forever.
     *  - **Release** deletes only after re-reading its own ownerId; if
     *    ownership was lost mid-body the release logs loudly and leaves
     *    the usurper's lease alone (`ownershipLostCount` observes this).
@@ -278,12 +289,84 @@ object LogStore {
             val stale =
               try leaseFs.getFileStatus(claim).getModificationTime + ttlMs < now
               catch { case _: java.io.IOException => false }
-            if (stale) { leaseFs.delete(claim, false); () }
+            if (stale) reclaimJudgedStaleClaim(claim)
             false
         }
       if (!claimed) return
       try reapUnderClaim(lock, txt, digest)
       finally { leaseFs.delete(claim, false); () }
+    }
+
+    /** Reclaim a claim file the caller has ALREADY judged stale by mtime,
+      * without ever deleting a fresh one. A plain stat-then-delete races
+      * the path's reuse: between our stat of a crashed winner's stale
+      * claim and our delete, another taker can reclaim it and land its
+      * own FRESH claim at the same path — our delete would then remove a
+      * live winner's claim and admit two concurrent takeovers. Instead
+      * the claim is RENAMED to a nonce-unique GC name (atomic and
+      * single-winner on the source; the destination is never contended),
+      * and the verdict is re-checked on the renamed file's preserved
+      * mtime: genuinely stale → discard; fresh (we displaced a live
+      * winner) → put it back via atomic create, counting a reap hazard
+      * loudly if the path was re-claimed in the microseconds between. */
+    private[delta] def reclaimJudgedStaleClaim(claim: Path): Unit = {
+      val gc = new Path(claim.getParent,
+        claim.getName + ".gc." + java.util.UUID.randomUUID().toString.take(8))
+      val renamed =
+        try leaseFs.rename(claim, gc) catch { case _: java.io.IOException => false }
+      if (!renamed) return
+      val mtime =
+        try Some(leaseFs.getFileStatus(gc).getModificationTime)
+        catch { case _: java.io.IOException => None }
+      if (mtime.forall(_ + ttlMs < System.currentTimeMillis())) {
+        leaseFs.delete(gc, false); ()
+      } else {
+        val content =
+          try readLease(gc).getBytes(utf8)
+          catch { case _: java.io.IOException => Array.emptyByteArray }
+        val restored =
+          try { leaseStore.writePutIfAbsent(leaseFs, claim, content); true }
+          catch { case _: java.io.IOException => false }
+        leaseFs.delete(gc, false)
+        if (!restored) {
+          reapHazardCount.incrementAndGet()
+          LogStore.logger.error(
+            s"FileLease: displaced a fresh reap claim at $claim and could not " +
+              "restore it (the path was re-claimed mid-restore); two takeovers " +
+              "may run concurrently for this key")
+        }
+      }
+    }
+
+    /** Best-effort GC of takeover debris a CRASHED taker leaves behind:
+      * an orphan tombstone (died between the lock→tomb rename and the
+      * tomb delete), an orphan claim for a dead lease generation (died
+      * between the claim win and the rename), or an orphan `.gc.` file
+      * (died inside [[reclaimJudgedStaleClaim]]). None of these block
+      * commits — the lock path itself is free — but without a sweeper
+      * they accumulate forever on a long-lived table. Runs once per
+      * acquisition, AFTER this committer holds the key's lease, which is
+      * what makes the stale-mtime judgment conclusive: any reap sequence
+      * for this key that is still alive re-reads the lock path and backs
+      * off on our fresh lease, and the sequences are µs-scale, so
+      * ttl+grace of stillness proves abandonment. Tombstone and GC names
+      * embed a content digest / random nonce and are never reused;
+      * claims' paths ARE reused, so they go through the rename-verified
+      * reclaim instead of a raw delete. */
+    private def sweepReapDebris(lock: Path): Unit = {
+      val now = System.currentTimeMillis()
+      val prefix = lock.getName + ".reap."
+      val entries =
+        try leaseFs.listStatus(lock.getParent).filter(_.getPath.getName.startsWith(prefix))
+        catch { case _: java.io.IOException => return }
+      entries.foreach { st =>
+        try {
+          if (st.getModificationTime + ttlMs + graceMs < now) {
+            if (st.getPath.getName.endsWith(".claim")) reclaimJudgedStaleClaim(st.getPath)
+            else { leaseFs.delete(st.getPath, false); () }
+          }
+        } catch { case _: java.io.IOException => () }
+      }
     }
 
     /** The claim-holder's takeover: re-read, rename, verify. */
@@ -337,16 +420,53 @@ object LogStore {
         val t = new Thread(r, s"graft-lease-renew-${lock.getName}"); t.setDaemon(true); t
       })
       val period = math.max(ttlMs / 3, 50L)
+      // Self-tear repair state: `selfTear` is raised while OUR truncating
+      // rewrite is in flight and stays raised if it failed mid-write;
+      // `lastIntact` is the last time the lease provably carried our
+      // token. Without repair, one failed heartbeat write would freeze
+      // the file as torn forever — every later tick would read
+      // owner.isEmpty and no-op, the mtime would stop moving, and
+      // ttl+grace later a taker would reap a LIVE holder's lease.
+      val selfTear = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lastIntact =
+        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+      def rewrite(): Unit = {
+        selfTear.set(true)
+        val out = leaseFs.create(lock, /*overwrite=*/ true)
+        try out.write(FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs))
+        finally out.close()
+        selfTear.set(false)
+        lastIntact.set(System.currentTimeMillis())
+      }
       exec.scheduleAtFixedRate(() => {
         try {
           val txt = readLease(lock)
           val owner = ownerOf(txt)
           if (owner.contains(token)) {
-            val out = leaseFs.create(lock, /*overwrite=*/ true)
-            try out.write(FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs))
-            finally out.close()
+            rewrite()
           } else if (owner.isEmpty) {
-            () // torn/unparsable (someone mid-write): transient, retry
+            if (!selfTear.get) {
+              () // torn/unparsable (someone ELSE mid-write): transient, retry
+            } else if (System.currentTimeMillis() - lastIntact.get < ttlMs) {
+              // OUR failed rewrite left this tear. Within a TTL of the
+              // last intact write nobody can have legitimately reaped it
+              // (the tear's mtime is >= lastIntact, and a reap needs
+              // mtime + ttl + grace of stillness), so the bytes at the
+              // path are still our own tear — repairing in place is
+              // single-writer-safe.
+              rewrite()
+            } else {
+              // the tear persisted a full TTL of failed repairs: a taker
+              // may now legitimately reap — stop fighting, surface the loss
+              lost.set(true)
+              ownershipLostCount.incrementAndGet()
+              LogStore.logger.error(
+                s"FileLease: lease $lock has been torn by this holder's own " +
+                  s"failed heartbeat writes for a full TTL (${ttlMs}ms) and may " +
+                  "be reaped — the in-flight commit may race. Check the lease " +
+                  "filesystem's health.")
+              throw new InterruptedException("self-torn past TTL — stop renewing")
+            }
           } else {
             lost.set(true)
             ownershipLostCount.incrementAndGet()
@@ -380,6 +500,7 @@ object LogStore {
           s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
       val lostMidBody = new java.util.concurrent.atomic.AtomicBoolean(false)
       val renewer = startRenewer(lock, token, lostMidBody)
+      sweepReapDebris(lock) // crashed takers' leftovers; µs-scale, best-effort
       try body()
       finally {
         // GRACEFUL shutdown, then wait: an in-flight renewal must COMPLETE

@@ -15,6 +15,23 @@ import java.util.concurrent.atomic.AtomicInteger
   * through the atomic LogStore primitive for the lease scheme
   * (`O_CREAT|O_EXCL` on `file:`); these pins fail against the pre-fix
   * code and guard against regressing to any check-then-put acquire. */
+/** A local filesystem whose next OVERWRITING `create` truncates the file
+  * and then fails — the exact state a heartbeat rewrite interrupted
+  * between its truncate and its write leaves behind (a torn, empty
+  * lease). Non-overwriting creates and every other operation pass
+  * through untouched. */
+class TearingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  val tearNextOverwrite = new java.util.concurrent.atomic.AtomicBoolean(false)
+  override def create(f: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+    val out = super.create(f, overwrite)
+    if (overwrite && tearNextOverwrite.compareAndSet(true, false)) {
+      out.close() // the truncation already happened at open
+      throw new java.io.IOException("injected tear: write failed after truncate")
+    }
+    out
+  }
+}
+
 class FileLeaseSpec extends AnyFunSuite {
 
   private def localFs(dir: java.nio.file.Path) = {
@@ -286,6 +303,109 @@ class FileLeaseSpec extends AnyFunSuite {
     assert(leaseFs.listStatus(leasePath).forall(s =>
       !s.getPath.getName.endsWith(".lease") && !s.getPath.getName.contains(".reap.")),
       "all debris reaped and all leases released")
+  }
+
+  test("the renewer repairs its own torn heartbeat write; the lease stays live") {
+    val dir = tmpDir("graft_lease_selftear")
+    // a filesystem whose next OVERWRITING create truncates the target and
+    // then fails the write — exactly the failure a transient disk/FS error
+    // in the heartbeat produces. Acquisition is untouched (Posix's
+    // writePutIfAbsent goes through java.nio, not this object), so the
+    // injected tear lands precisely on the renewer's rewrite.
+    val fs = new TearingLocalFs()
+    fs.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
+    val leasePath = new Path(s"file:$dir")
+    val slow = new LogStore.FileLease(fs, leasePath,
+      ttlMs = 1500L, graceMs = 300L, ownerId = "slow-owner")
+    val thief = new LogStore.FileLease(fs, leasePath,
+      ttlMs = 1500L, graceMs = 300L, acquireTimeoutMs = 2500L, ownerId = "thief")
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val bodyDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      fs.tearNextOverwrite.set(true) // first heartbeat (≈ttl/3 in) tears
+      val holder = pool.submit(new Runnable {
+        override def run(): Unit =
+          slow.withLock("k", () => { Thread.sleep(4000); bodyDone.set(true) })
+      })
+      Thread.sleep(150) // let the slow holder acquire first
+      // pre-repair, the tear's mtime froze: a waiter would reap the lease
+      // ttl+grace after the tear (~2.3 s in) while the body still runs —
+      // with self-repair the next tick restores it and the waiter times out
+      val stolen = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean =
+          try { thief.withLock("k", () => ()); true }
+          catch { case _: java.io.IOException => false }
+      })
+      assert(!stolen.get(20, TimeUnit.SECONDS),
+        "the waiter must time out: the self-repaired lease stays live")
+      holder.get(20, TimeUnit.SECONDS)
+      assert(bodyDone.get())
+      assert(!fs.tearNextOverwrite.get(), "the tear must actually have fired")
+      assert(slow.ownershipLostCount.get() == 0,
+        "a repaired self-tear must never surface as lost ownership")
+    } finally pool.shutdown()
+  }
+
+  test("stale-claim reclaim restores a fresh claim instead of deleting it") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_reclaim"))
+    leaseFs.mkdirs(leasePath)
+    val lease = new LogStore.FileLease(leaseFs, leasePath, ttlMs = 1500L)
+    // the TOCTOU victim: a taker judged the OLD claim at this path stale,
+    // but before its removal executed, the path was reclaimed and a FRESH
+    // winner's claim landed at the same name. A raw delete would remove
+    // the live winner's claim and admit two concurrent takeovers.
+    val fresh = new Path(leasePath, "k.lease.reap.aaaa.claim")
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, fresh, "winner".getBytes("UTF-8"))
+    lease.reclaimJudgedStaleClaim(fresh)
+    assert(leaseFs.exists(fresh), "a fresh claim must survive the reclaim")
+    val in = leaseFs.open(fresh)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(txt == "winner", "the restored claim must carry the winner's content")
+    assert(lease.reapHazardCount.get() == 0)
+    leaseFs.delete(fresh, false)
+    // and a genuinely stale claim is discarded, with no .gc debris behind
+    val stale = new Path(leasePath, "k.lease.reap.bbbb.claim")
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs, stale, "crashed".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(stale.toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    lease.reclaimJudgedStaleClaim(stale)
+    assert(!leaseFs.exists(stale), "a genuinely stale claim must be discarded")
+    assert(leaseFs.listStatus(leasePath).isEmpty, "no .gc or claim debris may remain")
+  }
+
+  test("orphan takeover debris from crashed takers is swept at the next acquisition") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_sweep"))
+    leaseFs.mkdirs(leasePath)
+    val old = System.currentTimeMillis() - 120000L
+    def plant(name: String, aged: Boolean): Path = {
+      val p = new Path(leasePath, name)
+      LogStore.forScheme("file").writePutIfAbsent(leaseFs, p, "debris".getBytes("UTF-8"))
+      if (aged) java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(old))
+      p
+    }
+    val lockName = java.net.URLEncoder.encode("k", "UTF-8") + ".lease"
+    // a taker that died between the lock→tomb rename and the tomb delete
+    val tomb = plant(lockName + ".reap.deadbeef", aged = true)
+    // one that died between winning its claim and the rename
+    val claim = plant(lockName + ".reap.cafebabe.claim", aged = true)
+    // one that died inside the claim GC itself
+    val gc = plant(lockName + ".reap.cafebabe.claim.gc.12345678", aged = true)
+    // a FRESH tombstone (a takeover in flight right now) must be left alone
+    val freshTomb = plant(lockName + ".reap.feedface", aged = false)
+    // debris of ANOTHER key is out of scope for this acquisition
+    val otherTomb = plant("other.lease.reap.deadbeef", aged = true)
+    val lease = new LogStore.FileLease(leaseFs, leasePath, ttlMs = 1500L, graceMs = 300L)
+    var ran = false
+    lease.withLock("k", () => { ran = true })
+    assert(ran)
+    assert(!leaseFs.exists(tomb), "a stale orphan tombstone must be swept")
+    assert(!leaseFs.exists(claim), "a stale orphan claim must be swept")
+    assert(!leaseFs.exists(gc), "a stale orphan claim-GC file must be swept")
+    assert(leaseFs.exists(freshTomb), "a fresh tombstone must not be touched")
+    assert(leaseFs.exists(otherTomb), "another key's debris is not this lock's to sweep")
   }
 
   test("a check-then-put lease namespace is refused at construction") {
