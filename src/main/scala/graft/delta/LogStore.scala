@@ -308,7 +308,11 @@ object LogStore {
       * and the verdict is re-checked on the renamed file's preserved
       * mtime: genuinely stale → discard; fresh (we displaced a live
       * winner) → put it back via atomic create, counting a reap hazard
-      * loudly if the path was re-claimed in the microseconds between. */
+      * loudly if the path was re-claimed in the microseconds between.
+      * (The claim is a PRE-arbiter: even if a displaced winner and a
+      * fresh claimant both reach [[reapUnderClaim]], the lock-level
+      * re-read + source-unique rename + tombstone verify there is the
+      * final takeover guard, with its own hazard counter.) */
     private[delta] def reclaimJudgedStaleClaim(claim: Path): Unit = {
       val gc = new Path(claim.getParent,
         claim.getName + ".gc." + java.util.UUID.randomUUID().toString.take(8))
@@ -318,7 +322,10 @@ object LogStore {
       val mtime =
         try Some(leaseFs.getFileStatus(gc).getModificationTime)
         catch { case _: java.io.IOException => None }
-      if (mtime.forall(_ + ttlMs < System.currentTimeMillis())) {
+      // a failed stat must NOT read as stale: discarding on a transient
+      // error would silently destroy a fresh winner's claim — only a
+      // PROVEN-stale mtime discards, anything else restores
+      if (mtime.exists(_ + ttlMs < System.currentTimeMillis())) {
         leaseFs.delete(gc, false); ()
       } else {
         val content =
@@ -352,22 +359,30 @@ object LogStore {
       * ttl+grace of stillness proves abandonment. Tombstone and GC names
       * embed a content digest / random nonce and are never reused;
       * claims' paths ARE reused, so they go through the rename-verified
-      * reclaim instead of a raw delete. */
-    private def sweepReapDebris(lock: Path): Unit = {
+      * reclaim instead of a raw delete. ANOTHER key's lock file can
+      * prefix-match (keys are URL-encoded, which keeps `.`, so a key
+      * literally named `k.lease.reap.x` encodes to a matching name) —
+      * lock files always end in `.lease`, which no debris name can
+      * (digests and nonces are hex), so they are excluded outright.
+      * Never throws: an exception escaping here would skip withLock's
+      * finally and leak an immortal renewer, deadlocking the key. */
+    private def sweepReapDebris(lock: Path): Unit = try {
       val now = System.currentTimeMillis()
       val prefix = lock.getName + ".reap."
       val entries =
-        try leaseFs.listStatus(lock.getParent).filter(_.getPath.getName.startsWith(prefix))
-        catch { case _: java.io.IOException => return }
+        try leaseFs.listStatus(lock.getParent).filter { s =>
+          val n = s.getPath.getName
+          n.startsWith(prefix) && !n.endsWith(".lease")
+        } catch { case _: java.io.IOException => return }
       entries.foreach { st =>
         try {
           if (st.getModificationTime + ttlMs + graceMs < now) {
             if (st.getPath.getName.endsWith(".claim")) reclaimJudgedStaleClaim(st.getPath)
             else { leaseFs.delete(st.getPath, false); () }
           }
-        } catch { case _: java.io.IOException => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     /** The claim-holder's takeover: re-read, rename, verify. */
     private def reapUnderClaim(lock: Path, txt: String, digest: String): Unit = {
@@ -421,22 +436,18 @@ object LogStore {
       })
       val period = math.max(ttlMs / 3, 50L)
       // Self-tear repair state: `selfTear` is raised while OUR truncating
-      // rewrite is in flight and stays raised if it failed mid-write;
-      // `lastIntact` is the last time the lease provably carried our
-      // token. Without repair, one failed heartbeat write would freeze
-      // the file as torn forever — every later tick would read
-      // owner.isEmpty and no-op, the mtime would stop moving, and
-      // ttl+grace later a taker would reap a LIVE holder's lease.
+      // rewrite is in flight and stays raised if it failed mid-write.
+      // Without repair, one failed heartbeat write would freeze the file
+      // as torn forever — every later tick would read owner.isEmpty and
+      // no-op, the mtime would stop moving, and ttl+grace later a taker
+      // would reap a LIVE holder's lease.
       val selfTear = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val lastIntact =
-        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
       def rewrite(): Unit = {
         selfTear.set(true)
         val out = leaseFs.create(lock, /*overwrite=*/ true)
         try out.write(FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs))
         finally out.close()
         selfTear.set(false)
-        lastIntact.set(System.currentTimeMillis())
       }
       exec.scheduleAtFixedRate(() => {
         try {
@@ -447,25 +458,38 @@ object LogStore {
           } else if (owner.isEmpty) {
             if (!selfTear.get) {
               () // torn/unparsable (someone ELSE mid-write): transient, retry
-            } else if (System.currentTimeMillis() - lastIntact.get < ttlMs) {
-              // OUR failed rewrite left this tear. Within a TTL of the
-              // last intact write nobody can have legitimately reaped it
-              // (the tear's mtime is >= lastIntact, and a reap needs
-              // mtime + ttl + grace of stillness), so the bytes at the
-              // path are still our own tear — repairing in place is
-              // single-writer-safe.
-              rewrite()
             } else {
-              // the tear persisted a full TTL of failed repairs: a taker
-              // may now legitimately reap — stop fighting, surface the loss
-              lost.set(true)
-              ownershipLostCount.incrementAndGet()
-              LogStore.logger.error(
-                s"FileLease: lease $lock has been torn by this holder's own " +
-                  s"failed heartbeat writes for a full TTL (${ttlMs}ms) and may " +
-                  "be reaped — the in-flight commit may race. Check the lease " +
-                  "filesystem's health.")
-              throw new InterruptedException("self-torn past TTL — stop renewing")
+              // OUR failed rewrite left this tear. The repair-vs-give-up
+              // decision uses the same quantity the reap rule uses — the
+              // lock file's CURRENT mtime: while it is younger than
+              // ttl+grace no taker can reap it, so the bytes at the path
+              // are still our own tear and repairing in place is
+              // single-writer-safe; each failed repair attempt refreshes
+              // the mtime via its truncate, so a transient failure burst
+              // keeps both the reap impossible and the repair running.
+              // Only once the file HAS sat reap-eligible (this renewer
+              // was fully stalled past ttl+grace) does the holder stop
+              // fighting — a taker may legitimately own the key now —
+              // and surface the loss. A stat failure skips the tick.
+              val mtime =
+                try Some(leaseFs.getFileStatus(lock).getModificationTime)
+                catch { case _: java.io.IOException => None }
+              mtime match {
+                case None => () // transient stat failure: retry next tick
+                case Some(m)
+                    if m + ttlMs + graceMs > System.currentTimeMillis() =>
+                  rewrite()
+                case _ =>
+                  lost.set(true)
+                  ownershipLostCount.incrementAndGet()
+                  LogStore.logger.error(
+                    s"FileLease: lease $lock was torn by this holder's own " +
+                      "failed heartbeat write and has sat reap-eligible for a " +
+                      s"full TTL+grace (${ttlMs + graceMs}ms) — a taker may own " +
+                      "the key now; the in-flight commit may race. Check the " +
+                      "lease filesystem's health.")
+                  throw new InterruptedException("self-torn past TTL — stop renewing")
+              }
             }
           } else {
             lost.set(true)
@@ -490,8 +514,10 @@ object LogStore {
       val token = freshToken()
       leaseFs.mkdirs(leaseDir)
       val deadline = System.currentTimeMillis() + acquireTimeoutMs
+      var contended = false
       var held = tryAcquire(lock, token)
       while (!held && System.currentTimeMillis() < deadline) {
+        contended = true
         Thread.sleep(20)
         held = tryAcquire(lock, token)
       }
@@ -500,7 +526,13 @@ object LogStore {
           s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
       val lostMidBody = new java.util.concurrent.atomic.AtomicBoolean(false)
       val renewer = startRenewer(lock, token, lostMidBody)
-      sweepReapDebris(lock) // crashed takers' leftovers; µs-scale, best-effort
+      // Crashed takers' leftovers. Debris only ever stems from a takeover,
+      // so a CONTENDED acquisition always sweeps; uncontended ones sample
+      // at 1/16 (debris on a since-quiet key still drains within a few
+      // commits) rather than pay a directory listing on every commit.
+      if (contended ||
+          java.util.concurrent.ThreadLocalRandom.current().nextInt(16) == 0)
+        sweepReapDebris(lock)
       try body()
       finally {
         // GRACEFUL shutdown, then wait: an in-flight renewal must COMPLETE

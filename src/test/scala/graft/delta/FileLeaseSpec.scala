@@ -327,7 +327,13 @@ class FileLeaseSpec extends AnyFunSuite {
         override def run(): Unit =
           slow.withLock("k", () => { Thread.sleep(4000); bodyDone.set(true) })
       })
-      Thread.sleep(150) // let the slow holder acquire first
+      // readiness latch: the thief must start only once the holder OWNS
+      // the lease, or scheduling jitter lets the thief acquire first
+      val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+      val acquireDeadline = System.currentTimeMillis() + 5000
+      while (!fs.exists(lock) && System.currentTimeMillis() < acquireDeadline)
+        Thread.sleep(10)
+      assert(fs.exists(lock), "the holder must acquire within 5s")
       // pre-repair, the tear's mtime froze: a waiter would reap the lease
       // ttl+grace after the tear (~2.3 s in) while the body still runs —
       // with self-repair the next tick restores it and the waiter times out
@@ -397,6 +403,15 @@ class FileLeaseSpec extends AnyFunSuite {
     val freshTomb = plant(lockName + ".reap.feedface", aged = false)
     // debris of ANOTHER key is out of scope for this acquisition
     val otherTomb = plant("other.lease.reap.deadbeef", aged = true)
+    // a pathological KEY whose encoded lock name prefix-matches k's debris
+    // namespace — a lock file is never sweep fodder, even when stale
+    val foreignLock = plant(lockName + ".reap.x.lease", aged = true)
+    // an expired lease at k itself: the acquisition goes through a reap,
+    // i.e. is CONTENDED, which is what makes the sweep deterministic
+    // (uncontended acquisitions only sample the sweep)
+    LogStore.forScheme("file").writePutIfAbsent(leaseFs,
+      new Path(leasePath, lockName),
+      LogStore.FileLease.leaseBody("crashed", System.currentTimeMillis() - 60000))
     val lease = new LogStore.FileLease(leaseFs, leasePath, ttlMs = 1500L, graceMs = 300L)
     var ran = false
     lease.withLock("k", () => { ran = true })
@@ -406,6 +421,8 @@ class FileLeaseSpec extends AnyFunSuite {
     assert(!leaseFs.exists(gc), "a stale orphan claim-GC file must be swept")
     assert(leaseFs.exists(freshTomb), "a fresh tombstone must not be touched")
     assert(leaseFs.exists(otherTomb), "another key's debris is not this lock's to sweep")
+    assert(leaseFs.exists(foreignLock),
+      "a prefix-matching foreign LOCK file must never be swept")
   }
 
   test("a check-then-put lease namespace is refused at construction") {
