@@ -359,20 +359,26 @@ object LogStore {
       * ttl+grace of stillness proves abandonment. Tombstone and GC names
       * embed a content digest / random nonce and are never reused;
       * claims' paths ARE reused, so they go through the rename-verified
-      * reclaim instead of a raw delete. ANOTHER key's lock file can
+      * reclaim instead of a raw delete. ANOTHER key's whole namespace can
       * prefix-match (keys are URL-encoded, which keeps `.`, so a key
-      * literally named `k.lease.reap.x` encodes to a matching name) —
-      * lock files always end in `.lease`, which no debris name can
-      * (digests and nonces are hex), so they are excluded outright.
-      * Never throws: an exception escaping here would skip withLock's
-      * finally and leak an immortal renewer, deadlocking the key. */
+      * literally named `k.lease.reap.x` has lock `k.lease.reap.x.lease`
+      * and debris `k.lease.reap.x.lease.reap.<digest>`, both matching
+      * key k's prefix) — so the suffix after this lock's prefix must not
+      * contain `.lease` at all; our own debris suffixes never can (hex
+      * digests, hex nonces, and the literal words `claim`/`gc`), while
+      * every foreign-key name necessarily carries its own `.lease`
+      * segment there. This lock's lease makes staleness conclusive only
+      * for its OWN debris — a foreign key's tombstone may be mid-takeover
+      * under a lease this holder knows nothing about. Guarded by NonFatal
+      * (an exception escaping would abort the commit body), and called
+      * inside withLock's try so even non-NonFatal throwables release. */
     private def sweepReapDebris(lock: Path): Unit = try {
       val now = System.currentTimeMillis()
       val prefix = lock.getName + ".reap."
       val entries =
         try leaseFs.listStatus(lock.getParent).filter { s =>
           val n = s.getPath.getName
-          n.startsWith(prefix) && !n.endsWith(".lease")
+          n.startsWith(prefix) && !n.drop(prefix.length).contains(".lease")
         } catch { case _: java.io.IOException => return }
       entries.foreach { st =>
         try {
@@ -442,6 +448,13 @@ object LogStore {
       // no-op, the mtime would stop moving, and ttl+grace later a taker
       // would reap a LIVE holder's lease.
       val selfTear = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // last time this renewer's task actually RAN: a tick gap past the
+      // TTL means the holder was stalled long enough that a taker may
+      // have reaped and be mid-acquisition — a torn read then could be
+      // the TAKER's µs create window, not our own tear, and "repairing"
+      // would clobber a legitimately taken-over lease
+      val lastTick =
+        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
       def rewrite(): Unit = {
         selfTear.set(true)
         val out = leaseFs.create(lock, /*overwrite=*/ true)
@@ -449,7 +462,19 @@ object LogStore {
         finally out.close()
         selfTear.set(false)
       }
+      def giveUp(why: String): Nothing = {
+        lost.set(true)
+        ownershipLostCount.incrementAndGet()
+        LogStore.logger.error(
+          s"FileLease: lease $lock was torn by this holder's own failed " +
+            s"heartbeat write and $why — a taker may own the key now; the " +
+            "in-flight commit may race. Check the lease filesystem's health.")
+        throw new InterruptedException("self-torn, possibly reaped — stop renewing")
+      }
       exec.scheduleAtFixedRate(() => {
+        val now = System.currentTimeMillis()
+        val stalled = now - lastTick.get > ttlMs
+        lastTick.set(now)
         try {
           val txt = readLease(lock)
           val owner = ownerOf(txt)
@@ -458,37 +483,34 @@ object LogStore {
           } else if (owner.isEmpty) {
             if (!selfTear.get) {
               () // torn/unparsable (someone ELSE mid-write): transient, retry
+            } else if (stalled) {
+              // can't trust the tear to be ours after a full-TTL stall
+              giveUp("this renewer then stalled past the TTL")
             } else {
               // OUR failed rewrite left this tear. The repair-vs-give-up
               // decision uses the same quantity the reap rule uses — the
-              // lock file's CURRENT mtime: while it is younger than
-              // ttl+grace no taker can reap it, so the bytes at the path
-              // are still our own tear and repairing in place is
-              // single-writer-safe; each failed repair attempt refreshes
-              // the mtime via its truncate, so a transient failure burst
-              // keeps both the reap impossible and the repair running.
-              // Only once the file HAS sat reap-eligible (this renewer
-              // was fully stalled past ttl+grace) does the holder stop
-              // fighting — a taker may legitimately own the key now —
-              // and surface the loss. A stat failure skips the tick.
+              // lock file's CURRENT mtime — minus a graceMs margin for
+              // clock skew and the stat-to-create window: while the file
+              // is younger than a bare TTL, no taker (even one graceMs
+              // fast) can reap it, so the bytes at the path are still our
+              // own tear and repairing in place is single-writer-safe;
+              // each failed repair attempt refreshes the mtime via its
+              // truncate, so a transient failure burst keeps both the
+              // reap impossible and the repair running. (Residual window,
+              // documented not closed: creates failing WITHOUT truncating
+              // for a full ttl+grace, a taker reaping, and this read
+              // landing in the taker's µs create window — the taker's own
+              // renewer observes and counts the foreign owner.) A stat
+              // failure skips the tick.
               val mtime =
                 try Some(leaseFs.getFileStatus(lock).getModificationTime)
                 catch { case _: java.io.IOException => None }
               mtime match {
                 case None => () // transient stat failure: retry next tick
-                case Some(m)
-                    if m + ttlMs + graceMs > System.currentTimeMillis() =>
+                case Some(m) if m + ttlMs > System.currentTimeMillis() =>
                   rewrite()
                 case _ =>
-                  lost.set(true)
-                  ownershipLostCount.incrementAndGet()
-                  LogStore.logger.error(
-                    s"FileLease: lease $lock was torn by this holder's own " +
-                      "failed heartbeat write and has sat reap-eligible for a " +
-                      s"full TTL+grace (${ttlMs + graceMs}ms) — a taker may own " +
-                      "the key now; the in-flight commit may race. Check the " +
-                      "lease filesystem's health.")
-                  throw new InterruptedException("self-torn past TTL — stop renewing")
+                  giveUp("then sat untouched within graceMs of reap eligibility")
               }
             }
           } else {
@@ -526,15 +548,19 @@ object LogStore {
           s"FileLease: could not acquire $lock within ${acquireTimeoutMs}ms")
       val lostMidBody = new java.util.concurrent.atomic.AtomicBoolean(false)
       val renewer = startRenewer(lock, token, lostMidBody)
-      // Crashed takers' leftovers. Debris only ever stems from a takeover,
-      // so a CONTENDED acquisition always sweeps; uncontended ones sample
-      // at 1/16 (debris on a since-quiet key still drains within a few
-      // commits) rather than pay a directory listing on every commit.
-      if (contended ||
-          java.util.concurrent.ThreadLocalRandom.current().nextInt(16) == 0)
-        sweepReapDebris(lock)
-      try body()
-      finally {
+      try {
+        // Crashed takers' leftovers. Debris only ever stems from a
+        // takeover, so a CONTENDED acquisition always sweeps; uncontended
+        // ones sample at 1/16 (debris on a since-quiet key still drains
+        // within a few commits) rather than pay a directory listing on
+        // every commit. Inside the try so that even a throwable the
+        // sweep's own NonFatal guard can't catch (OOM, interrupt) still
+        // reaches the finally — never a leaked immortal renewer.
+        if (contended ||
+            java.util.concurrent.ThreadLocalRandom.current().nextInt(16) == 0)
+          sweepReapDebris(lock)
+        body()
+      } finally {
         // GRACEFUL shutdown, then wait: an in-flight renewal must COMPLETE
         // its rewrite before release reads the lease. shutdownNow would
         // interrupt it mid-write — observed as an InterruptedIOException

@@ -404,8 +404,10 @@ class FileLeaseSpec extends AnyFunSuite {
     // debris of ANOTHER key is out of scope for this acquisition
     val otherTomb = plant("other.lease.reap.deadbeef", aged = true)
     // a pathological KEY whose encoded lock name prefix-matches k's debris
-    // namespace — a lock file is never sweep fodder, even when stale
+    // namespace — neither its lock file nor its own takeover debris is
+    // k's to sweep (k's lease makes staleness conclusive only for k)
     val foreignLock = plant(lockName + ".reap.x.lease", aged = true)
+    val foreignDebris = plant(lockName + ".reap.x.lease.reap.deadbeef", aged = true)
     // an expired lease at k itself: the acquisition goes through a reap,
     // i.e. is CONTENDED, which is what makes the sweep deterministic
     // (uncontended acquisitions only sample the sweep)
@@ -423,6 +425,8 @@ class FileLeaseSpec extends AnyFunSuite {
     assert(leaseFs.exists(otherTomb), "another key's debris is not this lock's to sweep")
     assert(leaseFs.exists(foreignLock),
       "a prefix-matching foreign LOCK file must never be swept")
+    assert(leaseFs.exists(foreignDebris),
+      "a prefix-matching foreign key's own debris is not k's to judge")
   }
 
   test("a check-then-put lease namespace is refused at construction") {
