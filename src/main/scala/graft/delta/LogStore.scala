@@ -378,7 +378,11 @@ object LogStore {
       val entries =
         try leaseFs.listStatus(lock.getParent).filter { s =>
           val n = s.getPath.getName
-          n.startsWith(prefix) && !n.drop(prefix.length).contains(".lease")
+          // the suffix keeps the prefix's trailing dot, or a foreign
+          // `.lease` segment STRADDLING the boundary escapes the check
+          // (key `k.lease.reap` → lock `k.lease.reap.lease` → suffix
+          // after the full prefix would be the dot-less `lease`)
+          n.startsWith(prefix) && !n.drop(prefix.length - 1).contains(".lease")
         } catch { case _: java.io.IOException => return }
       entries.foreach { st =>
         try {
@@ -472,11 +476,13 @@ object LogStore {
         throw new InterruptedException("self-torn, possibly reaped — stop renewing")
       }
       exec.scheduleAtFixedRate(() => {
-        val now = System.currentTimeMillis()
-        val stalled = now - lastTick.get > ttlMs
-        lastTick.set(now)
         try {
           val txt = readLease(lock)
+          // the stall gap is measured AFTER the read, against the END of
+          // the previous tick's work (the finally below): a pause landing
+          // between a start-of-tick stamp and the read would otherwise
+          // defeat the guard on exactly the tick where it matters
+          val stalled = System.currentTimeMillis() - lastTick.get > ttlMs
           val owner = ownerOf(txt)
           if (owner.contains(token)) {
             rewrite()
@@ -490,18 +496,23 @@ object LogStore {
               // OUR failed rewrite left this tear. The repair-vs-give-up
               // decision uses the same quantity the reap rule uses — the
               // lock file's CURRENT mtime — minus a graceMs margin for
-              // clock skew and the stat-to-create window: while the file
-              // is younger than a bare TTL, no taker (even one graceMs
-              // fast) can reap it, so the bytes at the path are still our
-              // own tear and repairing in place is single-writer-safe;
-              // each failed repair attempt refreshes the mtime via its
-              // truncate, so a transient failure burst keeps both the
-              // reap impossible and the repair running. (Residual window,
-              // documented not closed: creates failing WITHOUT truncating
-              // for a full ttl+grace, a taker reaping, and this read
-              // landing in the taker's µs create window — the taker's own
-              // renewer observes and counts the foreign owner.) A stat
-              // failure skips the tick.
+              // clock skew: while the file is younger than a bare TTL, no
+              // taker (even one graceMs fast) can reap it, so the bytes
+              // at the path are still our own tear and repairing in place
+              // is single-writer-safe; each failed repair attempt
+              // refreshes the mtime via its truncate, so a transient
+              // failure burst keeps both the reap impossible and the
+              // repair running. Residual windows, documented not closed
+              // (a wall-clock lease cannot fence a pause between check
+              // and act — that takes fencing tokens): (a) creates failing
+              // WITHOUT truncating for a full ttl+grace, a taker reaping,
+              // and this read landing in the taker's µs create window;
+              // (b) a descheduling longer than graceMs between this mtime
+              // check and the rewrite's create, with a maximally
+              // skew-fast taker completing its whole takeover inside the
+              // pause. Both end with the taker's own renewer observing
+              // and counting the foreign owner. A stat failure skips the
+              // tick.
               val mtime =
                 try Some(leaseFs.getFileStatus(lock).getModificationTime)
                 catch { case _: java.io.IOException => None }
@@ -526,7 +537,7 @@ object LogStore {
         } catch {
           case _: InterruptedException => throw new RuntimeException("stop")
           case _: java.io.IOException => () // transient: retry next period
-        }
+        } finally lastTick.set(System.currentTimeMillis())
       }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       exec
     }

@@ -315,17 +315,22 @@ class FileLeaseSpec extends AnyFunSuite {
     val fs = new TearingLocalFs()
     fs.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
     val leasePath = new Path(s"file:$dir")
+    // ttl 2000 / period 666: the stall guard added to the repair path
+    // aborts on any >ttl gap between renewer ticks, so the budget must
+    // absorb full-suite scheduler stalls the way the renewal test's
+    // documented tuning does — a 1500 ms ttl left only the same margin
+    // that an earlier 300/100 tuning failed under
     val slow = new LogStore.FileLease(fs, leasePath,
-      ttlMs = 1500L, graceMs = 300L, ownerId = "slow-owner")
+      ttlMs = 2000L, graceMs = 300L, ownerId = "slow-owner")
     val thief = new LogStore.FileLease(fs, leasePath,
-      ttlMs = 1500L, graceMs = 300L, acquireTimeoutMs = 2500L, ownerId = "thief")
+      ttlMs = 2000L, graceMs = 300L, acquireTimeoutMs = 3500L, ownerId = "thief")
     val pool = Executors.newFixedThreadPool(2)
     try {
       val bodyDone = new java.util.concurrent.atomic.AtomicBoolean(false)
       fs.tearNextOverwrite.set(true) // first heartbeat (≈ttl/3 in) tears
       val holder = pool.submit(new Runnable {
         override def run(): Unit =
-          slow.withLock("k", () => { Thread.sleep(4000); bodyDone.set(true) })
+          slow.withLock("k", () => { Thread.sleep(5000); bodyDone.set(true) })
       })
       // readiness latch: the thief must start only once the holder OWNS
       // the lease, or scheduling jitter lets the thief acquire first
@@ -335,7 +340,7 @@ class FileLeaseSpec extends AnyFunSuite {
         Thread.sleep(10)
       assert(fs.exists(lock), "the holder must acquire within 5s")
       // pre-repair, the tear's mtime froze: a waiter would reap the lease
-      // ttl+grace after the tear (~2.3 s in) while the body still runs —
+      // ttl+grace after the tear (~3.0 s in) while the body still runs —
       // with self-repair the next tick restores it and the waiter times out
       val stolen = pool.submit(new java.util.concurrent.Callable[Boolean] {
         override def call(): Boolean =
@@ -408,6 +413,11 @@ class FileLeaseSpec extends AnyFunSuite {
     // k's to sweep (k's lease makes staleness conclusive only for k)
     val foreignLock = plant(lockName + ".reap.x.lease", aged = true)
     val foreignDebris = plant(lockName + ".reap.x.lease.reap.deadbeef", aged = true)
+    // the boundary-straddling shape: a key literally named "k.lease.reap"
+    // has lock "k.lease.reap.lease", whose ".lease" segment begins AT the
+    // prefix edge — the dot must not be consumed by the prefix match
+    val straddleLock = plant(lockName + ".reap.lease", aged = true)
+    val straddleDebris = plant(lockName + ".reap.lease.reap.deadbeef", aged = true)
     // an expired lease at k itself: the acquisition goes through a reap,
     // i.e. is CONTENDED, which is what makes the sweep deterministic
     // (uncontended acquisitions only sample the sweep)
@@ -427,6 +437,10 @@ class FileLeaseSpec extends AnyFunSuite {
       "a prefix-matching foreign LOCK file must never be swept")
     assert(leaseFs.exists(foreignDebris),
       "a prefix-matching foreign key's own debris is not k's to judge")
+    assert(leaseFs.exists(straddleLock),
+      "a .lease segment straddling the prefix boundary must still exclude")
+    assert(leaseFs.exists(straddleDebris),
+      "a boundary-straddling foreign key's debris must still exclude")
   }
 
   test("a check-then-put lease namespace is refused at construction") {
