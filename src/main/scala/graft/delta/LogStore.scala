@@ -378,11 +378,11 @@ object LogStore {
       val entries =
         try leaseFs.listStatus(lock.getParent).filter { s =>
           val n = s.getPath.getName
-          // the suffix keeps the prefix's trailing dot, or a foreign
+          // the scanned suffix is re-anchored with a dot, or a foreign
           // `.lease` segment STRADDLING the boundary escapes the check
           // (key `k.lease.reap` → lock `k.lease.reap.lease` → suffix
           // after the full prefix would be the dot-less `lease`)
-          n.startsWith(prefix) && !n.drop(prefix.length - 1).contains(".lease")
+          n.startsWith(prefix) && !("." + n.stripPrefix(prefix)).contains(".lease")
         } catch { case _: java.io.IOException => return }
       entries.foreach { st =>
         try {
@@ -452,11 +452,11 @@ object LogStore {
       // no-op, the mtime would stop moving, and ttl+grace later a taker
       // would reap a LIVE holder's lease.
       val selfTear = new java.util.concurrent.atomic.AtomicBoolean(false)
-      // last time this renewer's task actually RAN: a tick gap past the
-      // TTL means the holder was stalled long enough that a taker may
-      // have reaped and be mid-acquisition — a torn read then could be
-      // the TAKER's µs create window, not our own tear, and "repairing"
-      // would clobber a legitimately taken-over lease
+      // instant of this renewer's last lease READ: a read-to-read gap
+      // past the TTL means the holder was stalled long enough that a
+      // taker may have reaped and be mid-acquisition — a torn read then
+      // could be the TAKER's µs create window, not our own tear, and
+      // "repairing" would clobber a legitimately taken-over lease
       val lastTick =
         new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
       def rewrite(): Unit = {
@@ -478,11 +478,13 @@ object LogStore {
       exec.scheduleAtFixedRate(() => {
         try {
           val txt = readLease(lock)
-          // the stall gap is measured AFTER the read, against the END of
-          // the previous tick's work (the finally below): a pause landing
-          // between a start-of-tick stamp and the read would otherwise
-          // defeat the guard on exactly the tick where it matters
-          val stalled = System.currentTimeMillis() - lastTick.get > ttlMs
+          // the stall gap is measured READ-to-READ, stamped at the same
+          // instant it is measured: a pause before this read inflates
+          // this tick's gap, and a pause after it (later in this tick)
+          // inflates the NEXT tick's — either way the guard sees it. A
+          // start-of-tick or end-of-tick stamp each leaves one side open.
+          val now = System.currentTimeMillis()
+          val stalled = now - lastTick.getAndSet(now) > ttlMs
           val owner = ownerOf(txt)
           if (owner.contains(token)) {
             rewrite()
@@ -537,7 +539,7 @@ object LogStore {
         } catch {
           case _: InterruptedException => throw new RuntimeException("stop")
           case _: java.io.IOException => () // transient: retry next period
-        } finally lastTick.set(System.currentTimeMillis())
+        }
       }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       exec
     }
