@@ -133,11 +133,18 @@ object LogStore {
     *    created in between. With the claim, every taker that judged the
     *    same expired content races one `O_CREAT|O_EXCL` claim create;
     *    only the winner re-reads (the content must still be what it
-    *    judged), renames, and verifies the tombstone before re-racing
-    *    through atomic create. A claim whose winner crashed is reclaimed
-    *    by mtime staleness through a rename-verified GC (never a raw
-    *    stat-then-delete, which would race the path's reuse and could
-    *    remove a fresh winner's claim). A torn/unparsable lease (a holder
+    *    judged), renames, re-stamps the tombstone's mtime to its own
+    *    birth (rename preserves the reaped — stale by construction —
+    *    source mtime, which would make the tombstone sweep-eligible
+    *    instantly), and verifies the tombstone before re-racing through
+    *    atomic create. Claim bodies are unique per takeover attempt and
+    *    deleted only after verifying they are still this attempt's; a
+    *    claim whose winner crashed is reclaimed at ttl+grace staleness
+    *    through a rename-verified GC (never a raw stat-then-delete,
+    *    which would race the path's reuse and could remove a fresh
+    *    winner's claim; a stat or read failure mid-GC decides NOTHING —
+    *    restoring would re-stamp a dead claim's mtime and starve the
+    *    takeover). A torn/unparsable lease (a holder
     *    killed mid-heartbeat-rewrite) reads as live UNTIL its file has
     *    sat untouched for a full TTL+grace — live holders rewrite at
     *    ttl/3 and self-repair their own tears (below), so a stale mtime
@@ -148,17 +155,26 @@ object LogStore {
     *    pause, slow store) keeps its lease instead of being reaped
     *    mid-commit. Readers treat a torn/unparsable lease as LIVE. A
     *    tear the renewer ITSELF produced (its rewrite failed between the
-    *    truncate and the write) is repaired on the next tick — within a
-    *    TTL of the last intact write that repair is single-writer-safe,
-    *    and past it the renewer declares the loss instead of fighting.
+    *    truncate and the write) is repaired on the next tick — while the
+    *    file's mtime stays a graceMs margin under reap eligibility and
+    *    the renewer has not stalled past a TTL, that repair is
+    *    single-writer-safe; past either bound it declares the loss
+    *    instead of fighting. A lease MISSING for a full TTL of
+    *    consecutive reads (deleted or renamed from under the holder) is
+    *    likewise declared lost at renewal time, not just at release.
     *  - **Debris sweep**: each acquisition, while holding the key's
     *    lease, GCs takeover leftovers a crashed taker abandoned (orphan
     *    tombstones, dead-generation claims, interrupted claim-GC files)
     *    once they are ttl+grace stale — they never block commits, but
     *    without a sweeper they would accumulate forever.
-    *  - **Release** deletes only after re-reading its own ownerId; if
-    *    ownership was lost mid-body the release logs loudly and leaves
-    *    the usurper's lease alone (`ownershipLostCount` observes this).
+    *  - **Release** deletes only after re-reading its own acquisition
+    *    token AND confirming the lease has not already expired (an
+    *    expired own lease may be mid-takeover — it is left for reaping);
+    *    if ownership was lost mid-body the release logs loudly and
+    *    leaves the usurper's lease alone (`ownershipLostCount` observes
+    *    this). The read-to-delete instant remains best-effort — fencing
+    *    a pause between check and act takes fencing tokens, which a
+    *    filesystem cannot provide.
     *
     * Clock assumptions (document, don't pretend): expiry is absolute
     * wall-clock millis stamped by the holder. A taker with a fast clock
@@ -280,21 +296,35 @@ object LogStore {
       }
       // Atomic claim: one winner per judged content. A claim left by a
       // crashed winner goes stale by mtime (the reap sequence is µs-scale,
-      // a full TTL of stillness is conclusive) and is cleared for retry.
+      // ttl+grace of stillness — grace for the same clock-skew contract
+      // every other cross-clock judgment here honors — is conclusive) and
+      // is cleared for retry. The claim body is unique PER TAKEOVER
+      // ATTEMPT, so the finally below can verify it still deletes its own
+      // claim: a winner stalled past the claim TTL may have had its claim
+      // reclaimed and the path re-claimed by a fresh taker (possibly with
+      // this same ownerId, from a sibling thread) — an unverified delete
+      // would remove the live claim.
       val claim = new Path(lock.getParent, lock.getName + ".reap." + digest + ".claim")
+      val claimBody =
+        ownerId + ":" + java.util.UUID.randomUUID().toString.take(8)
       val claimed =
-        try { leaseStore.writePutIfAbsent(leaseFs, claim, ownerId.getBytes(utf8)); true }
+        try { leaseStore.writePutIfAbsent(leaseFs, claim, claimBody.getBytes(utf8)); true }
         catch {
           case _: java.io.IOException =>
             val stale =
-              try leaseFs.getFileStatus(claim).getModificationTime + ttlMs < now
+              try leaseFs.getFileStatus(claim).getModificationTime + ttlMs + graceMs < now
               catch { case _: java.io.IOException => false }
             if (stale) reclaimJudgedStaleClaim(claim)
             false
         }
       if (!claimed) return
       try reapUnderClaim(lock, txt, digest)
-      finally { leaseFs.delete(claim, false); () }
+      finally {
+        val ours =
+          try readLease(claim) == claimBody
+          catch { case _: java.io.IOException => false } // gone or unreadable: leave it
+        if (ours) { leaseFs.delete(claim, false); () }
+      }
     }
 
     /** Reclaim a claim file the caller has ALREADY judged stale by mtime,
@@ -322,26 +352,38 @@ object LogStore {
       val mtime =
         try Some(leaseFs.getFileStatus(gc).getModificationTime)
         catch { case _: java.io.IOException => None }
-      // a failed stat must NOT read as stale: discarding on a transient
-      // error would silently destroy a fresh winner's claim — only a
-      // PROVEN-stale mtime discards, anything else restores
-      if (mtime.exists(_ + ttlMs < System.currentTimeMillis())) {
-        leaseFs.delete(gc, false); ()
-      } else {
-        val content =
-          try readLease(gc).getBytes(utf8)
-          catch { case _: java.io.IOException => Array.emptyByteArray }
-        val restored =
-          try { leaseStore.writePutIfAbsent(leaseFs, claim, content); true }
-          catch { case _: java.io.IOException => false }
-        leaseFs.delete(gc, false)
-        if (!restored) {
-          reapHazardCount.incrementAndGet()
-          LogStore.logger.error(
-            s"FileLease: displaced a fresh reap claim at $claim and could not " +
-              "restore it (the path was re-claimed mid-restore); two takeovers " +
-              "may run concurrently for this key")
-        }
+      mtime match {
+        // a failed stat must decide NOTHING: discarding would destroy a
+        // fresh winner's claim, while restoring would stamp a fresh mtime
+        // onto a possibly-dead claim (putIfAbsent cannot preserve the
+        // original timestamp), rejuvenating it by a TTL per transient
+        // failure and starving the takeover indefinitely. Returning
+        // leaves the claim path FREE (the rename already vacated it), so
+        // the generation's takeover proceeds, and the gc file becomes
+        // sweep fodder after ttl+grace.
+        case None => ()
+        case Some(m) if m + ttlMs + graceMs < System.currentTimeMillis() =>
+          leaseFs.delete(gc, false); () // proven stale: discard
+        case _ =>
+          // fresh: we displaced a live winner — put its claim back
+          val content =
+            try Some(readLease(gc).getBytes(utf8))
+            catch { case _: java.io.IOException => None }
+          content match {
+            case None => () // unreadable: as above, decide nothing
+            case Some(bytes) =>
+              val restored =
+                try { leaseStore.writePutIfAbsent(leaseFs, claim, bytes); true }
+                catch { case _: java.io.IOException => false }
+              leaseFs.delete(gc, false)
+              if (!restored) {
+                reapHazardCount.incrementAndGet()
+                LogStore.logger.error(
+                  s"FileLease: displaced a fresh reap claim at $claim and could " +
+                    "not restore it (the path was re-claimed mid-restore); two " +
+                    "takeovers may run concurrently for this key")
+              }
+          }
       }
     }
 
@@ -403,12 +445,44 @@ object LogStore {
       val tomb = new Path(lock.getParent, lock.getName + ".reap." + digest)
       val renamed = try leaseFs.rename(lock, tomb) catch { case _: java.io.IOException => false }
       if (!renamed) return
+      // Re-stamp the tombstone's mtime to ITS OWN birth: rename preserves
+      // the source's mtime, and a reaped lease is stale by construction —
+      // a born-stale tombstone would be sweep-eligible instantly, letting
+      // a concurrent holder's sweep delete it before the verify below and
+      // silently foreclose the live-lease restore. (Best-effort; the
+      // µs window before the stamp lands is accepted.)
+      try leaseFs.setTimes(tomb, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
       // Verify the tombstone carries the content we judged: if a
       // stalled-but-alive holder's heartbeat renewed the lease in the
       // µs between the re-read and the rename, we just reaped a LIVE
-      // lease — restore it instead of proceeding.
-      val got = try Some(readLease(tomb)) catch { case _: java.io.IOException => None }
-      if (got.contains(txt) || got.isEmpty) { leaseFs.delete(tomb, false); () }
+      // lease — restore it instead of proceeding. A MISSING tombstone
+      // (someone else removed it) leaves nothing to verify or restore; a
+      // transient read error is retried, and persistent failure is a
+      // foreclosed verify — counted as a hazard, the tombstone left for
+      // the sweep, because the content we failed to verify may have been
+      // a live renewal.
+      var got: Option[String] = None
+      var missing = false
+      var verified = false
+      var attempts = 0
+      while (!verified && !missing && attempts < 3) {
+        attempts += 1
+        try { got = Some(readLease(tomb)); verified = true }
+        catch {
+          case _: java.io.FileNotFoundException => missing = true
+          case _: java.io.IOException => Thread.sleep(2)
+        }
+      }
+      if (missing) ()
+      else if (!verified) {
+        reapHazardCount.incrementAndGet()
+        LogStore.logger.error(
+          s"FileLease: could not verify the reaped tombstone $tomb (persistent " +
+            "read failure); if the judged lease was renewed mid-reap its restore " +
+            "is foreclosed — mutual exclusion may have been violated for this key")
+      }
+      else if (got.contains(txt)) { leaseFs.delete(tomb, false); () }
       else {
         // Restore WITHOUT overwriting (rename would replace a lease
         // re-created at the path meanwhile): atomic put-if-absent either
@@ -466,18 +540,35 @@ object LogStore {
         finally out.close()
         selfTear.set(false)
       }
-      def giveUp(why: String): Nothing = {
+      def giveUp(what: String): Nothing = {
         lost.set(true)
         ownershipLostCount.incrementAndGet()
         LogStore.logger.error(
-          s"FileLease: lease $lock was torn by this holder's own failed " +
-            s"heartbeat write and $why — a taker may own the key now; the " +
+          s"FileLease: lease $lock $what — a taker may own the key now; the " +
             "in-flight commit may race. Check the lease filesystem's health.")
-        throw new InterruptedException("self-torn, possibly reaped — stop renewing")
+        throw new InterruptedException("lease possibly reaped — stop renewing")
       }
+      // instant the lease was first observed MISSING (0 = not missing): a
+      // vanished lock file (a taker crashed between its rename and its
+      // restore, or a stray delete) would otherwise read as a transient
+      // IOException forever — the next committer acquires the vacant path
+      // and runs concurrently, detected only at release. A full TTL of
+      // consecutive missing reads is conclusive loss.
+      val firstMissing = new java.util.concurrent.atomic.AtomicLong(0L)
       exec.scheduleAtFixedRate(() => {
         try {
-          val txt = readLease(lock)
+          val txt =
+            try readLease(lock)
+            catch {
+              case e: java.io.FileNotFoundException =>
+                val now = System.currentTimeMillis()
+                if (firstMissing.get == 0L) { firstMissing.set(now); throw e }
+                else if (now - firstMissing.get > ttlMs)
+                  giveUp("has been MISSING for a full TTL (deleted or renamed " +
+                    "from under this holder)")
+                else throw e
+            }
+          firstMissing.set(0L)
           // the stall gap is measured READ-to-READ, stamped at the same
           // instant it is measured: a pause before this read inflates
           // this tick's gap, and a pause after it (later in this tick)
@@ -493,7 +584,8 @@ object LogStore {
               () // torn/unparsable (someone ELSE mid-write): transient, retry
             } else if (stalled) {
               // can't trust the tear to be ours after a full-TTL stall
-              giveUp("this renewer then stalled past the TTL")
+              giveUp("was torn by this holder's own failed heartbeat write, " +
+                "and this renewer then stalled past the TTL")
             } else {
               // OUR failed rewrite left this tear. The repair-vs-give-up
               // decision uses the same quantity the reap rule uses — the
@@ -523,7 +615,8 @@ object LogStore {
                 case Some(m) if m + ttlMs > System.currentTimeMillis() =>
                   rewrite()
                 case _ =>
-                  giveUp("then sat untouched within graceMs of reap eligibility")
+                  giveUp("was torn by this holder's own failed heartbeat write " +
+                    "and then sat untouched within graceMs of reap eligibility")
               }
             }
           } else {
@@ -593,13 +686,31 @@ object LogStore {
     /** Ownership-verified release: delete only THIS ACQUISITION's lease
       * (token, not just instance identity). An unconditional delete here
       * could remove a usurper's live lease and cascade the lost mutual
-      * exclusion one committer further. */
+      * exclusion one committer further. An own-token lease that is
+      * ALREADY EXPIRED is not deleted either — a taker may be mid-claim
+      * on exactly that content, and deleting it would race the takeover;
+      * the expired lease is left for reaping (one extra reap cycle for
+      * the next committer, never a stolen live lease). The read-to-delete
+      * window itself is best-effort, like every check-then-act on a
+      * wall-clock lease: a pause here longer than the remaining TTL can
+      * still remove a successor's lease — closing that for real takes
+      * fencing tokens, which a filesystem cannot provide. */
     private def releaseOwned(lock: Path, token: String, lostMidBody: Boolean): Unit = {
       val raw: Either[String, String] =
         try Right(readLease(lock))
         catch { case e: java.io.IOException => Left(e.toString) }
-      val owner = raw.toOption.flatMap(ownerOf)
-      if (owner.contains(token)) { leaseFs.delete(lock, false); () }
+      val parsed = raw.toOption.flatMap(FileLease.parseLease)
+      val owner = parsed.map(_._1)
+      if (owner.contains(token)) {
+        if (parsed.exists(_._2 + graceMs > System.currentTimeMillis())) {
+          leaseFs.delete(lock, false); ()
+        } else {
+          LogStore.logger.warn(
+            s"FileLease: at release, this acquisition's lease $lock had already " +
+              "expired (the renewer must have been failing at the end of the " +
+              "body); leaving it to be reaped rather than racing a takeover.")
+        }
+      }
       else if (!lostMidBody) {
         ownershipLostCount.incrementAndGet()
         LogStore.logger.error(

@@ -443,6 +443,55 @@ class FileLeaseSpec extends AnyFunSuite {
       "a boundary-straddling foreign key's debris must still exclude")
   }
 
+  test("a lease that vanishes from under its holder is declared lost at renewal") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_vanish"))
+    val holder = new LogStore.FileLease(leaseFs, leasePath,
+      ttlMs = 1500L, graceMs = 300L, ownerId = "holder")
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    var observedMidBody = -1
+    holder.withLock("k", () => {
+      // a stray delete (or a taker crashed between its rename and its
+      // restore): the lock file is simply GONE while the body runs
+      leaseFs.delete(lock, false)
+      // pre-fix, every renewal tick read this as a transient IOException
+      // forever and the loss surfaced only at release — the renewer must
+      // now declare it after a full TTL of consecutive missing reads,
+      // while the body is still running
+      Thread.sleep(5000)
+      observedMidBody = holder.ownershipLostCount.get()
+    })
+    assert(observedMidBody == 1,
+      "the vanished lease must be observed at RENEWAL, mid-body")
+    assert(holder.ownershipLostCount.get() == 1, "release must not double-count")
+  }
+
+  test("release leaves an already-expired own lease for reaping") {
+    val (leasePath, leaseFs) = localFs(tmpDir("graft_lease_relexp"))
+    // default ttl 30 s → renewal period 10 s: no tick fires in this test
+    val holder = new LogStore.FileLease(leaseFs, leasePath, ownerId = "o")
+    val lock = new Path(leasePath, java.net.URLEncoder.encode("k", "UTF-8") + ".lease")
+    holder.withLock("k", () => {
+      // forge this acquisition's own lease as long-expired (as if the
+      // renewer had been failing at the end of the body): same token,
+      // past expiry — a taker may be mid-claim on exactly this content,
+      // so release must NOT delete it
+      val in = leaseFs.open(lock)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val tok = LogStore.FileLease.parseLease(txt).get._1
+      val out = leaseFs.create(lock, true)
+      out.write(LogStore.FileLease.leaseBody(tok, System.currentTimeMillis() - 60000))
+      out.close()
+    })
+    assert(leaseFs.exists(lock),
+      "an expired own lease must be left for reaping, not deleted")
+    assert(holder.ownershipLostCount.get() == 0,
+      "an expired-but-own lease at release is not a lost ownership")
+    // the key stays acquirable through the normal reap path
+    var ran = false
+    new LogStore.FileLease(leaseFs, leasePath, ownerId = "p").withLock("k", () => { ran = true })
+    assert(ran)
+  }
+
   test("a check-then-put lease namespace is refused at construction") {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.mockfs.impl", classOf[MockFs].getName)

@@ -234,9 +234,11 @@ class RemoteFsSpec extends GraftSuite {
     intercept[RuntimeException] {
       crashed.withLock("k1", () => { stale.set(true); sys.error("committer crash") })
     }
-    // crash path ran but its finally released; re-create an UNRELEASED stale lease
+    // the crash path's release correctly LEAVES its already-expired lease
+    // in place (deleting it would race a takeover); overwrite it with a
+    // distinct dead committer's stale content for the takeover below
     val out = leaseFs.create(new Path(leasePath,
-      java.net.URLEncoder.encode("k1", "UTF-8") + ".lease"), false)
+      java.net.URLEncoder.encode("k1", "UTF-8") + ".lease"), true)
     out.write(LogStore.FileLease.leaseBody(
       "deadbeef", System.currentTimeMillis() - 5000)); out.close()
     val healthy = new LogStore.FileLease(leaseFs, leasePath, acquireTimeoutMs = 5000L)
