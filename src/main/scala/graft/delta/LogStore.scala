@@ -259,10 +259,28 @@ object LogStore {
       val body = FileLease.leaseBody(token, System.currentTimeMillis() + ttlMs)
       try { leaseStore.writePutIfAbsent(leaseFs, lock, body); true }
       catch {
-        case _: java.io.IOException =>
-          // lease exists (or a transient error): reap iff expired, then
-          // loop back to the atomic create so concurrent takers re-race
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          // lease exists (normal contention): reap iff expired, then loop
+          // back to the atomic create so concurrent takers re-race
           reapIfExpired(lock)
+          false
+        case _: java.io.IOException =>
+          // NOT an exists-conflict: our own create may have half-succeeded
+          // (CREATE_NEW made the file, the write then failed), leaving a
+          // fresh TORN lease that every committer — including us — would
+          // otherwise treat as live for a full ttl+grace. A torn file
+          // here is OURS with near-certainty (a foreign creator's file
+          // would have surfaced as the exists-conflict above), so clean
+          // it up instead of stalling the key; anything that parses VALID
+          // is someone's live lease and is left alone.
+          val torn =
+            try FileLease.parseLease(readLease(lock)).isEmpty
+            catch { case _: java.io.IOException => false }
+          if (torn) {
+            try { leaseFs.delete(lock, false); () }
+            catch { case _: java.io.IOException => () }
+          } else reapIfExpired(lock)
           false
       }
     }
@@ -305,8 +323,7 @@ object LogStore {
       // this same ownerId, from a sibling thread) — an unverified delete
       // would remove the live claim.
       val claim = new Path(lock.getParent, lock.getName + ".reap." + digest + ".claim")
-      val claimBody =
-        ownerId + ":" + java.util.UUID.randomUUID().toString.take(8)
+      val claimBody = freshToken() // same per-attempt-unique shape as lease tokens
       val claimed =
         try { leaseStore.writePutIfAbsent(leaseFs, claim, claimBody.getBytes(utf8)); true }
         catch {
@@ -320,10 +337,11 @@ object LogStore {
       if (!claimed) return
       try reapUnderClaim(lock, txt, digest)
       finally {
-        val ours =
-          try readLease(claim) == claimBody
-          catch { case _: java.io.IOException => false } // gone or unreadable: leave it
-        if (ours) { leaseFs.delete(claim, false); () }
+        // verified cleanup of DEBRIS must never abort the acquisition:
+        // a failed delete just leaves the claim for the sweep
+        try {
+          if (readLease(claim) == claimBody) { leaseFs.delete(claim, false); () }
+        } catch { case _: java.io.IOException => () } // gone/unreadable: leave it
       }
     }
 
@@ -450,9 +468,12 @@ object LogStore {
       // a born-stale tombstone would be sweep-eligible instantly, letting
       // a concurrent holder's sweep delete it before the verify below and
       // silently foreclose the live-lease restore. (Best-effort; the
-      // µs window before the stamp lands is accepted.)
-      try leaseFs.setTimes(tomb, System.currentTimeMillis(), -1)
-      catch { case _: java.io.IOException => () }
+      // µs window before the stamp lands is accepted. A FAILED stamp is
+      // remembered: a missing tombstone is benign only while the stamp
+      // held, because only a fresh-stamped tomb is sweep-proof.)
+      val restamped =
+        try { leaseFs.setTimes(tomb, System.currentTimeMillis(), -1); true }
+        catch { case _: java.io.IOException => false }
       // Verify the tombstone carries the content we judged: if a
       // stalled-but-alive holder's heartbeat renewed the lease in the
       // µs between the re-read and the rename, we just reaped a LIVE
@@ -474,25 +495,36 @@ object LogStore {
           case _: java.io.IOException => Thread.sleep(2)
         }
       }
-      if (missing) ()
-      else if (!verified) {
+      if (missing && restamped) ()
+      else if (missing || !verified) {
+        // missing without a stamp: a concurrent sweep may have deleted
+        // the born-stale tomb before this verify — the restore is
+        // foreclosed and the content may have been a live renewal.
+        // Same accounting for a persistent read failure.
         reapHazardCount.incrementAndGet()
         LogStore.logger.error(
-          s"FileLease: could not verify the reaped tombstone $tomb (persistent " +
-            "read failure); if the judged lease was renewed mid-reap its restore " +
-            "is foreclosed — mutual exclusion may have been violated for this key")
+          s"FileLease: could not verify the reaped tombstone $tomb (" +
+            (if (missing) "deleted before the verify, and its sweep-proof " +
+              "re-stamp had failed" else "persistent read failure") +
+            "); if the judged lease was renewed mid-reap its restore is " +
+            "foreclosed — mutual exclusion may have been violated for this key")
       }
-      else if (got.contains(txt)) { leaseFs.delete(tomb, false); () }
+      else if (got.contains(txt)) {
+        // verified our reap: the tombstone is debris — a failed delete
+        // must not abort the acquisition (the sweep will take it)
+        try { leaseFs.delete(tomb, false); () }
+        catch { case _: java.io.IOException => () }
+      }
       else {
         // Restore WITHOUT overwriting (rename would replace a lease
         // re-created at the path meanwhile): atomic put-if-absent either
         // puts the stolen content back or refuses, and a refusal is the
         // (triple-interleaving) hazard we surface loudly rather than
-        // paper over.
+        // paper over. Hazard accounting comes BEFORE the debris delete so
+        // a delete failure can never mask a real violation.
         val restored =
           try { leaseStore.writePutIfAbsent(leaseFs, lock, got.get.getBytes(utf8)); true }
           catch { case _: java.io.IOException => false }
-        leaseFs.delete(tomb, false)
         if (!restored) {
           reapHazardCount.incrementAndGet()
           LogStore.logger.error(
@@ -500,6 +532,8 @@ object LogStore {
               "(a third committer re-created the path mid-restore); mutual " +
               "exclusion may have been violated for this key")
         }
+        try { leaseFs.delete(tomb, false); () }
+        catch { case _: java.io.IOException => () }
       }
     }
 
@@ -540,12 +574,13 @@ object LogStore {
         finally out.close()
         selfTear.set(false)
       }
-      def giveUp(what: String): Nothing = {
+      def giveUp(what: String,
+          hint: String = "Check the lease filesystem's health."): Nothing = {
         lost.set(true)
         ownershipLostCount.incrementAndGet()
         LogStore.logger.error(
           s"FileLease: lease $lock $what — a taker may own the key now; the " +
-            "in-flight commit may race. Check the lease filesystem's health.")
+            s"in-flight commit may race. $hint")
         throw new InterruptedException("lease possibly reaped — stop renewing")
       }
       // instant the lease was first observed MISSING (0 = not missing): a
@@ -578,6 +613,16 @@ object LogStore {
           val stalled = now - lastTick.getAndSet(now) > ttlMs
           val owner = ownerOf(txt)
           if (owner.contains(token)) {
+            // Residual window (c), documented not closed: a pause longer
+            // than ttl+grace landing between THIS read and the rewrite's
+            // create lets a taker complete a whole takeover inside it —
+            // the rewrite then truncates the taker's live lease. The
+            // `stalled` verdict cannot help here (the pause is after the
+            // measurement), and refusing to rewrite on the NEXT tick's
+            // stalled=true would punish the common benign stall on an
+            // uncontended key while the destructive case has already
+            // happened. Victim-side detection covers it: the taker's own
+            // renewer reads the foreign owner and counts the loss.
             rewrite()
           } else if (owner.isEmpty) {
             if (!selfTear.get) {
@@ -620,14 +665,9 @@ object LogStore {
               }
             }
           } else {
-            lost.set(true)
-            ownershipLostCount.incrementAndGet()
-            LogStore.logger.error(
-              s"FileLease: lease $lock no longer owned by $token (now " +
-                s"${owner.get}): the lock body outlived its TTL and was " +
-                "taken over — the in-flight commit may have raced. " +
-                "Raise ttlMs above the worst-case commit duration.")
-            throw new InterruptedException("ownership lost — stop renewing")
+            giveUp(s"is no longer owned by $token (now ${owner.get}): the " +
+              "lock body outlived its TTL and was taken over",
+              hint = "Raise ttlMs above the worst-case commit duration.")
           }
         } catch {
           case _: InterruptedException => throw new RuntimeException("stop")
@@ -679,7 +719,20 @@ object LogStore {
         renewer.shutdown()
         if (!renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
           renewer.shutdownNow()
-        releaseOwned(lock, token, lostMidBody.get)
+        // Release failures must NEVER escape this finally: an exception
+        // here would mask the body's own outcome, and upstream commit
+        // code classifies "IOException while the commit file exists" as
+        // a version conflict — a throw from release would re-drive the
+        // retry loop and DOUBLE-COMMIT a transaction that succeeded. A
+        // failed release just leaves an own lease to expire and be
+        // reaped.
+        try releaseOwned(lock, token, lostMidBody.get)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            LogStore.logger.warn(
+              s"FileLease: releasing $lock failed (${e.toString}); the lease " +
+                "will expire and be reaped by the next acquirer")
+        }
       }
     }
 
@@ -702,7 +755,12 @@ object LogStore {
       val parsed = raw.toOption.flatMap(FileLease.parseLease)
       val owner = parsed.map(_._1)
       if (owner.contains(token)) {
-        if (parsed.exists(_._2 + graceMs > System.currentTimeMillis())) {
+        // grace sits on the CONSERVATIVE side, like every other cross-
+        // clock judgment here: delete only while even a graceMs-fast
+        // taker cannot yet judge this lease expired (expiry > now+grace,
+        // not expiry+grace > now — the liberal form would delete while a
+        // contract-compliant fast clock is already mid-claim on it)
+        if (parsed.exists(_._2 > System.currentTimeMillis() + graceMs)) {
           leaseFs.delete(lock, false); ()
         } else {
           LogStore.logger.warn(
