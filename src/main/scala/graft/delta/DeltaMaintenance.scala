@@ -31,6 +31,23 @@ object DeltaMaintenance {
     *   interleaved-bit z-value of per-column quantile buckets instead of
     *   lexicographic order, so predicates on EVERY clustered column
     *   prune files, not just the leading one. */
+  /** REORG TABLE ... APPLY (PURGE): rewrite exactly the files that carry
+    * a deletion vector, materializing the DV away (soft-deleted rows
+    * physically disappear; the new files carry no DV). Visible rows are
+    * unchanged, so the swap commits with dataChange=false like OPTIMIZE.
+    *
+    * Scale: scoped to DV-carrying files only — on a 100 TB table where
+    * DML touched one partition, REORG rewrites that partition's DV files
+    * and nothing else; `where` narrows it further by partition predicate.
+    * This is the GDPR-style physical-erasure companion to DV DML: the
+    * O(matched) soft delete happens at request time, the rewrite is
+    * deferred to one scoped maintenance pass. */
+  def reorgPurge(
+      spark: SparkSession,
+      path: String,
+      where: Seq[Seq[Predicate]] = Nil): (Int, Int) =
+    compact(spark, path, minFilesToCompact = 1, where = where, purge = true)
+
   def compact(
       spark: SparkSession,
       path: String,
@@ -38,7 +55,8 @@ object DeltaMaintenance {
       minFilesToCompact: Int = 2,
       sortBy: Seq[String] = Nil,
       zorder: Boolean = false,
-      where: Seq[Seq[Predicate]] = Nil): (Int, Int) = {
+      where: Seq[Seq[Predicate]] = Nil,
+      purge: Boolean = false): (Int, Int) = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     // Column-mapped tables OPTIMIZE through the same logical-read /
@@ -80,9 +98,16 @@ object DeltaMaintenance {
           pv.get(p.column).flatMap(Option(_)),
           fieldTypes.getOrElse(p.column, org.apache.spark.sql.types.StringType), p)))
       }
-    val toCompact = inScope.filter { case (_, fs) =>
-      fs.size >= minFilesToCompact && fs.map(_.size).sum <= targetFileBytes * fs.size
-    }
+    // purge mode scopes the rewrite to DV-carrying files ONLY and drops
+    // compact's small-file heuristics: a lone 1 GB file with a DV still
+    // rewrites (that is the point), a DV-less partition never does.
+    val toCompact =
+      if (purge)
+        inScope.map { case (pv, fs) => pv -> fs.filter(_.deletionVector.isDefined) }
+          .filter(_._2.nonEmpty)
+      else inScope.filter { case (_, fs) =>
+        fs.size >= minFilesToCompact && fs.map(_.size).sum <= targetFileBytes * fs.size
+      }
     if (toCompact.isEmpty) return (snap.activeFiles.size, snap.activeFiles.size)
 
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -293,8 +318,10 @@ object DeltaMaintenance {
 
     val commitInfo = CommitInfo(
       timestamp = now,
-      operation = "OPTIMIZE",
-      operationParameters = Map("targetFileBytes" -> targetFileBytes.toString) ++
+      operation = if (purge) "REORG" else "OPTIMIZE",
+      operationParameters =
+        (if (purge) Map("applyPurge" -> "true")
+         else Map("targetFileBytes" -> targetFileBytes.toString)) ++
         (if (effSortBy.isEmpty) Map.empty
          else Map("sortBy" -> effSortBy.mkString("[\"", "\",\"", "\"]"),
            "zorder" -> (effZorder && effSortBy.size >= 2).toString)),

@@ -866,6 +866,46 @@ object DeltaQ {
         sum($"bal_c").as("total_c"))
     }),
 
+    // REORG TABLE ... APPLY (PURGE): the physical-erasure companion to
+    // DV DML — rewrites exactly the DV-carrying files with their
+    // soft-deleted rows materialized away. In-query pins: DV-less files
+    // survive by IDENTITY (purge is scoped, not a full rewrite), every
+    // DV file is swapped out, and the post-purge snapshot carries zero
+    // DVs. Oracle = the surviving rows (visible data must not change).
+    "d53_reorg_purge" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d53")
+      // range-layout on the DELETE key: some files match (gain DVs),
+      // others provably contain no match (must survive untouched)
+      GraftDelta.toDelta(
+        t(s, dir, "customer").repartitionByRange(6, $"c_acctbal"), path) // v0
+      val r = GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("c_acctbal", "<", 0.0))))                      // v1
+      require(r.rewrittenFiles == 0, s"DV delete must not rewrite files: $r")
+      val log = DeltaLog.forTable(s, path)
+      val pre = log.snapshot(None)
+      val (dvFiles, cleanFiles) =
+        pre.activeFiles.partition(_.deletionVector.isDefined)
+      require(dvFiles.nonEmpty && cleanFiles.nonEmpty,
+        s"staging must yield both DV and clean files: " +
+          s"${dvFiles.size} dv / ${cleanFiles.size} clean")
+      graft.sql.GraftSql.sql(s, s"REORG TABLE delta.`$path` APPLY (PURGE)") // v2
+      val post = log.snapshot(None)
+      require(post.activeFiles.forall(_.deletionVector.isEmpty),
+        "REORG (PURGE) must leave no deletion vectors")
+      val postPaths = post.activeFiles.map(_.path).toSet
+      require(cleanFiles.forall(f => postPaths.contains(f.path)),
+        "purge must not touch DV-less files")
+      require(dvFiles.forall(f => !postPaths.contains(f.path)),
+        "purge must replace every DV-carrying file")
+      require(log.snapshot(None).version == pre.version + 1,
+        "purge commits exactly once")
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", cents($"c_acctbal").as("acctbal_c"))
+        .withColumn("n_deleted", lit(r.affectedRows))
+        .orderBy($"c_custkey")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1431,6 +1471,11 @@ object DeltaQ {
         | CAST(0 AS BIGINT) AS n_rehomed,
         | CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_c
         |FROM customer WHERE NOT (c_acctbal < 0)""".stripMargin,
+    "d53_reorg_purge" ->
+      """SELECT c_custkey, c_name,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_acctbal < 0) AS n_deleted
+        |FROM customer WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin,
     "d29_column_rename" ->
       """SELECT key, bal_c, mode FROM (
         | SELECT c_custkey AS key,

@@ -30,6 +30,8 @@ import scala.util.matching.Regex
   *     [WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET a=e,…|DELETE]…
   *   - OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   (clustered tables default
   *     to their stored CLUSTER BY layout)
+  *   - REORG TABLE t [WHERE p] APPLY (PURGE)   (rewrite DV-carrying files,
+  *     materializing soft deletes away)
   *   - VACUUM t [RETAIN n HOURS] [DRY RUN]
   *   - RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   *   - DESCRIBE HISTORY t [LIMIT n]  /  DESCRIBE DETAIL t
@@ -167,6 +169,9 @@ object GraftSql {
   private val OptimizeRe = new Q(
     s"""(?is)^\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?))?""" +
       s"""\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w,\\s`]+?)\\s*\\)?)?\\s*;?\\s*$$""")
+  private val ReorgRe = new Q(
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$Ref\\s*(?:WHERE\\s+(.+?))?""" +
+      s"""\\s*APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val VacuumRe = new Q(
     s"""(?is)^\\s*VACUUM\\s+$Ref""" +
       s"""\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""")
@@ -280,6 +285,12 @@ object GraftSql {
           sortBy = sortBy, zorder = sortBy.size >= 2, where = filters)
         oneRow(spark, Seq("operation", "filesBefore", "filesAfter"),
           Row("OPTIMIZE", before, after))
+      case ReorgRe(p1, p2, p3, where) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
+        val (before, after) = DeltaMaintenance.reorgPurge(spark, path, filters)
+        oneRow(spark, Seq("operation", "filesBefore", "filesAfter"),
+          Row("REORG", before, after))
       case VacuumRe(p1, p2, p3, hours, dry) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         // RETAIN overrides; without it the table's

@@ -693,4 +693,71 @@ class MaintenanceSpec extends GraftSuite {
       mode = "append", checkpointInterval = 4)
     assert(DeltaMaintenance.cleanupLog(spark, path, retentionHours = 168.0).isEmpty)
   }
+
+  test("REORG APPLY (PURGE) rewrites exactly the DV files and drops their DVs") {
+    import spark.implicits._
+    val path = tmp()
+    // 4 disjoint-range files; the delete hits ids 1..15 → files 1-2 gain
+    // DVs, files 3-4 provably contain no match
+    val df = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    GraftDelta.toDelta(df.repartitionByRange(4, col("id")), path)        // v0
+    val del = GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 15L))))                              // v1
+    assert(del.rewrittenFiles == 0 && del.affectedRows == 15)
+    val log = DeltaLog.forTable(spark, path)
+    val pre = log.snapshot(None)
+    val (dvF, cleanF) = pre.activeFiles.partition(_.deletionVector.isDefined)
+    assert(dvF.nonEmpty && cleanF.nonEmpty, s"${dvF.size} dv / ${cleanF.size}")
+
+    val (before, after) = DeltaMaintenance.reorgPurge(spark, path)       // v2
+    val post = log.snapshot(None)
+    assert(before == pre.activeFiles.size && after == post.activeFiles.size,
+      s"$before -> $after")
+    assert(post.version == 2L)
+    assert(post.activeFiles.forall(_.deletionVector.isEmpty))
+    val postPaths = post.activeFiles.map(_.path).toSet
+    assert(cleanF.forall(f => postPaths.contains(f.path)),
+      "clean files must survive by identity")
+    assert(dvF.forall(f => !postPaths.contains(f.path)),
+      "every DV file must be replaced")
+    // visible rows unchanged; the purge is copy-only: every add/remove
+    // in the REORG commit carries dataChange=false
+    assert(GraftDelta.readDelta(spark, path).as[(Long, String)].collect().sortBy(_._1)
+      .map(_._1).toSeq == (16L to 40L))
+    val hist = GraftDelta.readDeltaHistory(spark, path, Some(1)).collect().head
+    assert(hist.getAs[String]("operation") == "REORG")
+    assert(log.readCommitActions(2L).forall {
+      case a: AddFile => !a.dataChange
+      case r: RemoveFile => !r.dataChange
+      case _ => true
+    }, "copy-only purge must commit with dataChange=false")
+
+    // idempotent: nothing left to purge → no-op, no new commit
+    val (b2, a2) = DeltaMaintenance.reorgPurge(spark, path)
+    assert(b2 == a2 && log.snapshot(None).version == 2L)
+  }
+
+  test("REORG WHERE purges only the matching partition") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to 40).map(i => (i.toLong, (i % 2).toLong, s"v$i")).toDF("id", "p", "v")
+    GraftDelta.toDelta(df.repartition(2), path, partitionBy = Seq("p"))  // v0
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 10L))))                              // v1 (DVs in both partitions)
+    val log = DeltaLog.forTable(spark, path)
+    val pre = log.snapshot(None)
+    assert(pre.activeFiles.count(_.deletionVector.isDefined) >= 2)
+
+    val res = graft.sql.GraftSql.sql(spark,
+      s"REORG TABLE delta.`$path` WHERE p = 0 APPLY (PURGE)").collect().head
+    assert(res.getAs[String]("operation") == "REORG")
+    val post = log.snapshot(None)
+    // p=0 purged; p=1 still carries its DV (out of scope)
+    assert(post.activeFiles.filter(_.partitionValues.get("p").contains("0"))
+      .forall(_.deletionVector.isEmpty), "scoped partition must be purged")
+    assert(post.activeFiles.filter(_.partitionValues.get("p").contains("1"))
+      .exists(_.deletionVector.isDefined), "out-of-scope partition untouched")
+    // rows still correct through the mixed DV/purged snapshot
+    assert(GraftDelta.readDelta(spark, path).count() == 30)
+  }
 }
