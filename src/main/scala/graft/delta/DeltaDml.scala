@@ -685,11 +685,33 @@ object DeltaDml {
       matched: Seq[MatchedClause],
       insertNotMatched: Boolean = true,
       bySource: Seq[BySourceClause] = Nil,
-      checkpointInterval: Int = 10): MergeResult = {
+      checkpointInterval: Int = 10,
+      schemaEvolution: Boolean = false): MergeResult = {
     require(on.nonEmpty, "MERGE requires at least one join key")
     val log = DeltaLog.forTable(spark, path)
-    val snap = log.snapshot(None)
-    DeltaWrite.requireWriterSupported(snap)
+    val snap0 = log.snapshot(None)
+    DeltaWrite.requireWriterSupported(snap0)
+    // WITH SCHEMA EVOLUTION: source-only top-level columns extend the
+    // target schema (appended, forced nullable), the merge plans against
+    // the evolved snapshot, and the evolved metaData commits atomically
+    // with the data swap. Existing files read null for the new fields
+    // (the d08 schema-evolution read), so only touched files rewrite —
+    // evolution itself costs zero data movement. Under column mapping
+    // the new fields get fresh ids/physical names and maxColumnId
+    // advances (shared ADD COLUMN seam). UpdateAll/insert additionally
+    // tolerate source frames MISSING target columns: updates keep the
+    // target's value, inserts fill null (the delta-spark semantics).
+    val evolutionMeta: Option[MetadataAction] =
+      if (!schemaEvolution) None
+      else {
+        val newFields = source.schema.fields.toSeq
+          .filterNot(f => snap0.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(f => org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true))
+        if (newFields.isEmpty) None
+        else Some(DeltaTableOps.evolvedMetadata(snap0, newFields))
+      }
+    val snap = evolutionMeta.map(m => snap0.copy(metadata = m)).getOrElse(snap0)
     // matched-row mutation / by-source clauses remove committed rows; an
     // insert-only merge (no clauses) is a legal append
     if (matched.nonEmpty || bySource.nonEmpty)
@@ -715,7 +737,9 @@ object DeltaDml {
       insertNotMatched || matched.exists(_.action == WhenMatched.UpdateAll)
     val identityOmitted = identityInfo.map(_.name)
       .filterNot(source.schema.fieldNames.contains).toSet
-    if (needsFullSource)
+    // under schema evolution a partial source is legal: UpdateAll keeps
+    // the target's value for missing columns, inserts fill null
+    if (needsFullSource && !schemaEvolution)
       require(targetCols.filterNot(identityOmitted).forall(source.schema.fieldNames.contains),
         s"Source must carry every target column for UpdateAll/insert; missing " +
           targetCols.filterNot(identityOmitted)
@@ -749,7 +773,7 @@ object DeltaDml {
     // — materialize it once for the merge's lifetime
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeImpl(spark, path, src, on, matched, insertNotMatched, bySource,
-      checkpointInterval, log, snap, targetCols)
+      checkpointInterval, log, snap, targetCols, evolutionMeta)
     finally src.unpersist()
   }
 
@@ -775,7 +799,13 @@ object DeltaDml {
       checkpointInterval: Int,
       log: DeltaLog,
       snap: Snapshot,
-      targetCols: Seq[String]): MergeResult = {
+      targetCols: Seq[String],
+      evolutionMeta: Option[MetadataAction] = None): MergeResult = {
+    // schema-evolution: which target columns the source actually carries
+    // (UpdateAll falls back to the target value for the rest; inserts
+    // fill null). Without evolution srcHas covers every non-identity
+    // target column (validated by the caller), so the guards are inert.
+    val srcHas: Set[String] = source.schema.fieldNames.toSet
     // ---- phase 0: ONE aggregation over the source fuses the protocol's
     // unique-source-match guard with the key-span harvest (r9 VERDICT:
     // separate guard + span passes made a large-source merge pay an
@@ -886,7 +916,8 @@ object DeltaDml {
     /** The post-merge value of target column `c` on a tagged row. */
     def valueFor(c: String): Column = {
       val matchedBranches = matched.zipWithIndex.flatMap {
-        case (MatchedClause(WhenMatched.UpdateAll, _), i) if !identityOmitted(c) =>
+        case (MatchedClause(WhenMatched.UpdateAll, _), i)
+            if !identityOmitted(c) && srcHas(c) =>
           Some(i -> col(s"$SrcPrefix$c"))
         case (MatchedClause(WhenMatched.Update(set), _), i) if set.contains(c) =>
           Some(i -> set(c))
@@ -924,7 +955,11 @@ object DeltaDml {
         val withIds = DeltaWrite.identityColumnsOf(snap.schema)
           .filter(ic => identityOmitted(ic.name))
           .foldLeft(unmatched)((d, ic) => d.withColumn(ic.name, DeltaWrite.identityAlloc(ic)))
-        val frame = withIds.select(targetCols.map(col): _*)
+        val withIdsCols = withIds.schema.fieldNames.toSet
+        val frame = withIds.select(targetCols.map { c =>
+          if (withIdsCols(c)) col(c)
+          else lit(null).cast(snap.schema(c).dataType).as(c) // evolution null-fill
+        }: _*)
         // on CDF tables the inserts feed staging, the cdc capture, and
         // (stats-less tables) the inserted-count — compute the anti-join
         // once. Allocated identity values are NONDETERMINISTIC, so any
@@ -1080,7 +1115,10 @@ object DeltaDml {
       isBlindAppend = Some(false)) +: {
       val (rtAdds, rtDomain) = RowTracking.assign(RowTracking.enabled(snap),
         RowTracking.highWaterMark(snap), adds, readVersion + 1)
-      identityMeta.toSeq ++ rtDomain ++ cdcActions ++ rtAdds ++ removes
+      // identityMeta already embeds the evolved schema (it copies the
+      // evolved snap's metadata), so at most ONE metaData action commits
+      identityMeta.orElse(evolutionMeta).toSeq ++
+        rtDomain ++ cdcActions ++ rtAdds ++ removes
     }
 
     // phantom check for merge: a concurrent add conflicts iff it may

@@ -1365,16 +1365,12 @@ object DeltaTableOps {
     (DeltaWrite.generatedColumnsOf(snap.schema).map(_._1) ++
       DeltaWrite.identityColumnsOf(snap.schema).map(_.name)).toSet
 
-  def addColumn(
-      spark: SparkSession, path: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType,
-      after: Option[String] = None, first: Boolean = false): MappingResult = {
-    require(!(first && after.nonEmpty), "ADD COLUMN takes FIRST or AFTER, not both")
-    val log = DeltaLog.forTable(spark, path)
-    val snap = log.snapshot(None)
-    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"Column $name already exists in ${snap.schema.fieldNames.mkString(", ")}")
-    val mapped = DeltaRead.mappingModeOf(snap) != "none"
+  /** Stamp fresh column-mapping ids + physical names onto new fields
+    * (recursing into nested types), starting above the table's current
+    * maxColumnId. Returns the stamped fields and the advanced id — the
+    * shared seam for ADD COLUMN and MERGE schema evolution. */
+  private[delta] def stampMappedFields(
+      snap: Snapshot, fields: Seq[StructField]): (Seq[StructField], Long) = {
     var nextId = snap.metadata.configuration
       .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
     def stampType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
@@ -1394,9 +1390,40 @@ object DeltaTableOps {
             s"col-${java.util.UUID.randomUUID()}")
           .build())
     }
-    val field =
-      if (mapped) stampField(StructField(name, dataType, nullable = true))
-      else StructField(name, dataType, nullable = true)
+    (fields.map(stampField), nextId)
+  }
+
+  /** Target metadata with `newFields` appended at the end — the MERGE
+    * WITH SCHEMA EVOLUTION seam. Mapped tables stamp fresh ids/physical
+    * names and advance maxColumnId (the ADD COLUMN contract); existing
+    * files read null for the new fields (the d08 schema-evolution read). */
+  private[delta] def evolvedMetadata(
+      snap: Snapshot, newFields: Seq[StructField]): MetadataAction = {
+    val mapped = DeltaRead.mappingModeOf(snap) != "none"
+    val (stamped, nextId) =
+      if (mapped) stampMappedFields(snap, newFields) else (newFields, 0L)
+    snap.metadata.copy(
+      schemaString = StructType(snap.schema.fields ++ stamped).json,
+      configuration =
+        if (mapped) snap.metadata.configuration +
+          ("delta.columnMapping.maxColumnId" -> nextId.toString)
+        else snap.metadata.configuration)
+  }
+
+  def addColumn(
+      spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      after: Option[String] = None, first: Boolean = false): MappingResult = {
+    require(!(first && after.nonEmpty), "ADD COLUMN takes FIRST or AFTER, not both")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"Column $name already exists in ${snap.schema.fieldNames.mkString(", ")}")
+    val mapped = DeltaRead.mappingModeOf(snap) != "none"
+    val bare = StructField(name, dataType, nullable = true)
+    val (field, nextId) =
+      if (mapped) { val (fs, id) = stampMappedFields(snap, Seq(bare)); (fs.head, id) }
+      else (bare, 0L)
     val fields = snap.schema.fields
     val ordered: Array[StructField] =
       if (first) field +: fields

@@ -906,6 +906,48 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION: the source brings a column the target
+    // lacks (bal_c) — the merge appends it to the target schema in the
+    // SAME commit as the data swap. Matched rows take the source values,
+    // untouched rows read null for the evolved column (no rewrite of
+    // cold files — pinned: only the matched file set swaps), inserts
+    // carry it. Oracle rebuilds all three populations from the source.
+    "d54_merge_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d54")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(
+        sup.select($"s_suppkey", $"s_name", $"s_nationkey")
+          .repartitionByRange(4, $"s_suppkey"), path)                    // v0
+      // matched keys confined to the LOW half of the key range, so the
+      // range-clustered upper files provably contain no match and must
+      // survive the evolving merge by identity (evolution is metadata,
+      // not a table rewrite)
+      val half = sup.agg(max($"s_suppkey")).as[Long].head() / 2
+      val src = sup.filter($"s_suppkey" % 3 === 0 && $"s_suppkey" <= half)
+        .select($"s_suppkey", concat($"s_name", lit("*")).as("s_name"),
+          $"s_nationkey", cents($"s_acctbal").as("bal_c"))
+      val source = src.unionByName(
+        src.select(($"s_suppkey" + 1000000L).as("s_suppkey"),
+          $"s_name", $"s_nationkey", $"bal_c"))
+      val pre = DeltaLog.forTable(s, path).snapshot(None)
+      require(!pre.schema.fieldNames.contains("bal_c"))
+      val r = graft.delta.DeltaDml.mergeClauses(s, path, source, Seq("s_suppkey"),
+        matched = Seq(graft.delta.DeltaDml.MatchedClause(
+          graft.delta.DeltaDml.WhenMatched.UpdateAll)),
+        schemaEvolution = true)                                          // v1
+      val post = DeltaLog.forTable(s, path).snapshot(None)
+      require(post.schema.fieldNames.toSeq ==
+        Seq("s_suppkey", "s_name", "s_nationkey", "bal_c"),
+        s"evolved schema: ${post.schema.fieldNames.mkString(",")}")
+      val postPaths = post.activeFiles.map(_.path).toSet
+      require(pre.activeFiles.exists(f => postPaths.contains(f.path)),
+        "out-of-range cold files must survive the evolving merge untouched")
+      GraftDelta.readDelta(s, path)
+        .withColumn("n_matched", lit(r.matchedRows))
+        .orderBy($"s_suppkey")
+    }),
+
     // COLUMN DEFAULTS (writer feature allowColumnDefaults): ADD COLUMN →
     // SET DEFAULT → INSERT with a column list omitting the defaulted
     // column; pre-existing rows keep null (defaults never rewrite
@@ -1476,6 +1518,19 @@ object DeltaQ {
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_acctbal < 0) AS n_deleted
         |FROM customer WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin,
+    "d54_merge_evolution" ->
+      """WITH m AS (SELECT CAST(MAX(s_suppkey) AS BIGINT) // 2 AS half FROM supplier),
+        |src AS (SELECT s_suppkey, s_name || '*' AS s_name, s_nationkey,
+        |          CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c
+        |        FROM supplier, m WHERE s_suppkey % 3 = 0 AND s_suppkey <= m.half)
+        |SELECT s_suppkey, s_name, s_nationkey, bal_c, n_matched FROM (
+        |  SELECT t.s_suppkey, COALESCE(u.s_name, t.s_name) AS s_name,
+        |         t.s_nationkey, u.bal_c AS bal_c
+        |  FROM supplier t LEFT JOIN src u USING (s_suppkey)
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_name, s_nationkey, bal_c FROM src
+        |) CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM src)
+        |ORDER BY s_suppkey""".stripMargin,
     "d29_column_rename" ->
       """SELECT key, bal_c, mode FROM (
         | SELECT c_custkey AS key,

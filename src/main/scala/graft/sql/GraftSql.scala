@@ -24,7 +24,8 @@ import scala.util.matching.Regex
   *
   *   - DELETE FROM t [WHERE p]            (a DV hint comment selects deletion vectors)
   *   - UPDATE t SET a=e, … [WHERE p]      (same DV hint)
-  *   - MERGE INTO t USING s ON cond
+  *   - MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON cond
+  *     (evolution appends source-only columns to the target schema)
   *     [WHEN MATCHED [AND c] THEN UPDATE SET *|a=e,…|DELETE]…   (ordered,
   *     first-match-wins) [WHEN NOT MATCHED THEN INSERT *]
   *     [WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET a=e,…|DELETE]…
@@ -164,7 +165,7 @@ object GraftSql {
   private val UpdateRe = new Q(
     s"""(?is)^\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*(?:\\bWHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val MergeRe = new Q(
-    s"""(?is)^\\s*MERGE\\s+INTO\\s+$Ref(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+$Ref""" +
+    s"""(?is)^\\s*MERGE\\s+(?:(WITH\\s+SCHEMA\\s+EVOLUTION)\\s+)?INTO\\s+$Ref(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+$Ref""" +
       s"""(?:\\s+AS\\s+(\\w+))?\\s+ON\\s+(.+?)((?:\\s+WHEN\\s+.+?)?)\\s*;?\\s*$$""")
   private val OptimizeRe = new Q(
     s"""(?is)^\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?))?""" +
@@ -270,11 +271,11 @@ object GraftSql {
             else graft.delta.DeltaDml.updateExpr(spark, path, cond, set)
         }
         dmlFrame(spark, "UPDATE", r)
-      case MergeRe(t1, t2, t3, tAlias, s1, s2, s3, sAlias, on, clauses) =>
+      case MergeRe(evo, t1, t2, t3, tAlias, s1, s2, s3, sAlias, on, clauses) =>
         runMerge(spark, resolveRef(spark, Seq(t1, t2, t3).find(_ != null).get),
           Option(tAlias),
           Seq(s1, s2, s3).find(_ != null).get, Option(sAlias), on,
-          Option(clauses).getOrElse(""))
+          Option(clauses).getOrElse(""), schemaEvolution = evo != null)
       case OptimizeRe(p1, p2, p3, where, zorderCols) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val filters = dnfOf(spark, Option(where), colTypesOf(spark, path))
@@ -723,7 +724,7 @@ object GraftSql {
   private def runMerge(
       spark: SparkSession, targetPath: String, targetAlias: Option[String],
       sourceRef: String, sourceAlias: Option[String], onClause: String,
-      clauses: String): DataFrame = {
+      clauses: String, schemaEvolution: Boolean = false): DataFrame = {
     val source = sourceFrame(spark, sourceRef)
     val keys = equiKeysOf(spark, onClause, targetAlias, sourceAlias)
 
@@ -807,7 +808,8 @@ object GraftSql {
     val r = DeltaDml.mergeClauses(spark, targetPath, source, keys,
       matched = matched,
       insertNotMatched = !sawAny || insertNotMatched,
-      bySource = bySourceClauses.result())
+      bySource = bySourceClauses.result(),
+      schemaEvolution = schemaEvolution)
     oneRow(spark,
       Seq("operation", "matchedRows", "insertedRows", "removedFiles", "addedFiles"),
       Row("MERGE", r.matchedRows, r.insertedRows, r.removedFiles, r.addedFiles))

@@ -258,4 +258,107 @@ class MergeSpec extends GraftSuite {
     // inserted row landed in its hive partition and reads back typed
     assert(out.filter($"p" === "2" && $"k" === 1000L).count() == 1)
   }
+
+  test("schema evolution appends source-only columns; old rows read null") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, $"k"), path)
+    // source carries a NEW column `extra` and misses nothing
+    val source = Seq((5L, "new5", 50L), (100L, "ins100", 999L))
+      .toDF("k", "v", "extra")
+    val r = DeltaDml.mergeClauses(spark, path, source, Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)),
+      schemaEvolution = true)
+    assert(r.matchedRows == 1 && r.insertedRows == 1)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(snap.schema("extra").nullable)
+    val out = GraftDelta.readDelta(spark, path).orderBy($"k")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(out.size == 21)
+    assert(out.find(_._1 == 5L).get == ((5L, "new5", Some(50L))))
+    assert(out.find(_._1 == 100L).get == ((100L, "ins100", Some(999L))))
+    // untouched rows (other file) read null for the evolved column
+    assert(out.filter(t => t._1 != 5L && t._1 != 100L).forall(_._3.isEmpty))
+    // time travel BEFORE the merge sees the old 2-column schema
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L))
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("schema evolution tolerates a partial source: update keeps, insert nulls") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i.toLong, s"v$i", i * 10L)).toDF("k", "v", "w"), path)
+    // source misses target column `w` and brings new column `n`
+    val source = Seq((3L, "up3", "x3"), (50L, "ins50", "x50")).toDF("k", "v", "n")
+    val r = DeltaDml.mergeClauses(spark, path, source, Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)),
+      schemaEvolution = true)
+    assert(r.matchedRows == 1 && r.insertedRows == 1)
+    val out = GraftDelta.readDelta(spark, path)
+      .as[(Long, String, Option[Long], Option[String])].collect()
+      .sortBy(_._1).toSeq
+    // updated row: v from source, w KEPT from target, n from source
+    assert(out.find(_._1 == 3L).get == ((3L, "up3", Some(30L), Some("x3"))))
+    // inserted row: missing target column w fills null
+    assert(out.find(_._1 == 50L).get == ((50L, "ins50", None, Some("x50"))))
+    // without the flag the same partial source refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaDml.mergeClauses(spark, path, Seq((1L, "z")).toDF("k", "v"), Seq("k"),
+        matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)))
+    }
+    assert(e.getMessage.contains("every target column"))
+  }
+
+  test("schema evolution under column mapping stamps ids and advances maxColumnId") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)       // v0
+    GraftDelta.enableColumnMapping(spark, path)                          // v1
+    GraftDelta.renameColumn(spark, path, "v", "val")                     // v2
+    val pre = DeltaLog.forTable(spark, path).snapshot(None)
+    val preMax = pre.metadata.configuration("delta.columnMapping.maxColumnId").toLong
+
+    val src = tmp()
+    Seq((2L, "up2", 7L), (99L, "ins99", 8L)).toDF("k", "val", "extra")
+      .write.parquet(src)
+    // SQL surface end to end: WITH SCHEMA EVOLUTION keyword
+    val row = graft.sql.GraftSql.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO delta.`$path` AS t " +
+        s"USING `$src` AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .collect().head
+    assert(row.getAs[Long]("matchedRows") == 1 && row.getAs[Long]("insertedRows") == 1)
+
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    val f = snap.schema("extra")
+    assert(f.metadata.contains("delta.columnMapping.id") &&
+      f.metadata.contains("delta.columnMapping.physicalName"),
+      s"evolved field must be mapping-stamped: $f")
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId").toLong
+      == preMax + 1)
+    val out = GraftDelta.readDelta(spark, path)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out.find(_._1 == 2L).get == ((2L, "up2", Some(7L))))
+    assert(out.find(_._1 == 99L).get == ((99L, "ins99", Some(8L))))
+    assert(out.filter(t => t._1 != 2L && t._1 != 99L).forall(_._3.isEmpty))
+  }
+
+  test("schema evolution with no new columns is a plain merge (no metaData action)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    DeltaDml.mergeClauses(spark, path, Seq((1L, "a2")).toDF("k", "v"), Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)),
+      schemaEvolution = true)
+    val log = DeltaLog.forTable(spark, path)
+    assert(!log.readCommitActions(1L).exists(_.isInstanceOf[MetadataAction]),
+      "no-op evolution must not re-emit metaData")
+    assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
+      .select($"v").as[String].head() == "a2")
+  }
 }
