@@ -818,4 +818,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     materialized(result, Seq(banded) ++ overCache: _*)
   }
+
+  /** Vocabulary typo pairs: distinct word pairs (w1 < w2) within
+    * Levenshtein distance 1 — the data-cleaning primitive behind typo
+    * normalization and OCR-noise detection (SymSpell's scheme).
+    *
+    * Candidate generation is the 1-deletion neighborhood: every word
+    * emits itself plus its len 1-char-deletion variants. Two words
+    * within distance 1 ALWAYS share a variant — substitution at i: both
+    * delete i; insertion/deletion: the longer's deletion IS the shorter
+    * (its identity variant) — so the variant equi-join is candidate-
+    * complete without an all-pairs product. Collisions that are NOT
+    * within distance 1 exist ("ab"/"ba" share variants "a" and "b" at
+    * distance 2), so candidates verify with the codegen'd levenshtein
+    * builtin before dedup.
+    *
+    * Scale: keys per word = len+1 (bounded by `minLen ≥ 4` dropping the
+    * short-word cliques), the join shuffles (variant, word) pairs only —
+    * vocabulary-sized, never corpus-sized — and verification runs inside
+    * the join's codegen stage. */
+  def typoPairs(words: DataFrame, wordCol: String, minLen: Int = 4): DataFrame = {
+    val vocab = words.select(col(wordCol).as("w"))
+      .filter(length(col("w")) >= minLen).distinct()
+    // identity + all 1-deletions, deduped (doubled letters collapse)
+    val variants = vocab.select(col("w"), explode(expr(
+      "array_union(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substr(w, 1, i-1), substr(w, i+1, length(w)))))")).as("v"))
+      .persist()
+    val result = variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+    materialized(result, variants)
+  }
 }

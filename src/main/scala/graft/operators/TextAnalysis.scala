@@ -253,6 +253,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 relevance ranking for a multi-term query — top-k docs by the
+    * Okapi BM25 score, computed in EXACT integer/decimal arithmetic via
+    * a log-free rational variant so the quantized score reproduces
+    * bit-for-bit across engines (the t41 integer-oracle pattern):
+    *
+    *   idf_t  = (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1)
+    *   tfpart = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *          = 22·tf·S / (10·S·tf + 3·S + 9·dl·N)     k1=6/5, b=3/4,
+    *                                                    S=Σdl, N=#docs
+    *   score  = Σ_t (scale · idf_t · tfpart_t) DIV 1   (floored per term)
+    *
+    * The standard log-idf damping is traded for the raw rational idf —
+    * rank order per term is identical (both are monotone in df) and the
+    * arithmetic stays exact; products run in decimal(38) so a 100 TB
+    * corpus' S·tf·scale cannot overflow a long.
+    *
+    * Scale: the corpus text never shuffles — only (doc_id, dl, term)
+    * rows for QUERY terms survive the scan filter, tf/df aggregate with
+    * map-side combine, N/S are one tiny agg turned into plan literals,
+    * and the final top-k is a TakeOrderedAndProject, never a full sort. */
+  def bm25Rank(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, scale: Long = 10000L): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one term")
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val words = df.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("w"))
+    val statsRow = words
+      .agg(count(lit(1)).as("n"), sum(size(col("w")).cast("long")).as("s"))
+      .head()
+    val nDocs = statsRow.getAs[Long]("n")
+    val sumDl = statsRow.getAs[Long]("s")
+    val tok = words
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = tok.groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfq = tok.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val idfNum = dec(lit(2 * nDocs + 1)) - dec(lit(2L)) * dec(col("df"))
+    val idfDen = dec(lit(2L)) * dec(col("df")) + dec(lit(1L))
+    val num = dec(lit(scale)) * idfNum * dec(lit(22L)) * dec(col("tf")) * dec(lit(sumDl))
+    val den = idfDen * (dec(lit(10L * sumDl)) * dec(col("tf")) +
+      dec(lit(3L * sumDl)) + dec(lit(9L * nDocs)) * dec(col("dl")))
+    tf.join(dfq, "t")
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn("p", expr("__num DIV __den"))
+      .groupBy("doc_id").agg(sum(col("p")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Email pattern shared by redaction and the oracle — kept inside the

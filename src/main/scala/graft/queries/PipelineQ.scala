@@ -352,6 +352,34 @@ object PipelineQ {
         .orderBy($"score".desc, $"doc_id")
     }),
 
+    // BM25 ranking: the standard retrieval scorer (idf × saturated tf ×
+    // length normalization), in its exact rational form quantized to
+    // integers so the DuckDB oracle hash-matches bit-for-bit.
+    "t45_bm25_rank" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "vector", "dup"), k = 20)
+        .orderBy($"score".desc, $"doc_id")
+    }),
+
+    // Edit-distance≤1 vocabulary pairs via the SymSpell deletion-
+    // neighborhood join (typo/OCR-noise detection). The corpus word list
+    // is clean by construction, so the query stages a deterministic
+    // noise channel — every third doc contributes its first word with
+    // the 2nd character deleted — and the operator must pair exactly
+    // those typos back to their originals. The oracle is the exact
+    // all-pairs levenshtein join over the same vocabulary.
+    "t46_typo_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val corpus = d.select(explode(split($"text", " ")).as("w"))
+      val noise = d.filter($"doc_id" % 3 === 0)
+        .select(element_at(split($"text", " "), 1).as("w0"))
+        .select(concat(substring($"w0", 1, 1), expr("substr(w0, 3)")).as("w"))
+      Dedup.typoPairs(corpus.unionAll(noise), "w")
+        .orderBy($"w1", $"w2")
+    }),
+
     // Eval-set decontamination: docs sharing a 13-gram with the "eval"
     // docs (ids < 5) — the GPT-3/PaLM n-gram-overlap protocol.
     "t16_decontamination" -> ((s, dir) => {
@@ -836,6 +864,32 @@ object PipelineQ {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "t45_bm25_rank" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |                  x -> len(x) > 0) AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS HUGEINT) AS dl FROM w),
+        |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |              CAST(SUM(dl) AS HUGEINT) AS s FROM d),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |m AS (SELECT doc_id, t FROM tok WHERE t IN ('join', 'vector', 'dup')),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS HUGEINT) AS tf FROM m GROUP BY 1, 2),
+        |dfq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df FROM m GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         (10000 * (2*st.n - 2*dfq.df + 1) * 22 * tf.tf * st.s)
+        |         // ((2*dfq.df + 1) * (10*st.s*tf.tf + 3*st.s + 9*d.dl*st.n)) AS p
+        |       FROM tf JOIN dfq USING (t) JOIN d ON tf.doc_id = d.doc_id CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(p) AS BIGINT) AS score
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t46_typo_pairs" ->
+      """WITH corpus AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |noise AS (SELECT substr(w0, 1, 1) || substr(w0, 3) AS w FROM (
+        |  SELECT string_split(text, ' ')[1] AS w0 FROM documents WHERE doc_id % 3 = 0)),
+        |v AS (SELECT DISTINCT w FROM (SELECT w FROM corpus UNION ALL SELECT w FROM noise)
+        |      WHERE len(w) >= 4)
+        |SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b
+        |  ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+        |  AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin,
     // t06/t13/t31 verify themselves in-query (require on recall/
     // precision vs an in-query brute force); the oracle pins the
     // constants the query may only emit by passing those checks.

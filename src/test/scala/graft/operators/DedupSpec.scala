@@ -489,4 +489,39 @@ class DedupSpec extends AnyFunSuite {
       assert(fused == composed, s"string kernel drifted on <$s>")
     }
   }
+
+  test("typoPairs finds every ed<=1 shape and rejects variant-collision impostors") {
+    import spark.implicits._
+    val words = Seq(
+      "table", "tible",   // substitution (interior)
+      "gable",            // substitution of 'table' at position 1
+      "tables",           // insertion at the end (ed 1 from 'table')
+      "able",             // deletion of 'table''s first char (ed 1)
+      "abcd", "abdc",     // share deletion variant 'abc'/'abd'? -> lev 2, must NOT pair
+      "zzzz",             // isolated
+      "wheel", "wheel",   // duplicate input word: no self-pair
+      "cat"               // below minLen, excluded entirely
+    ).toDF("w")
+    val got = Dedup.typoPairs(words, "w").as[(String, String)]
+      .collect().toSet
+    // expectation computed from a reference levenshtein, not hand-listed
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Seq("table", "tible", "gable", "tables", "able",
+      "abcd", "abdc", "zzzz", "wheel")
+    val truth = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == truth, s"got $got\nexpected $truth")
+    // the impostor pair sharing a deletion variant at distance 2 is out
+    assert(!got.contains(("abcd", "abdc")))
+    // no self-pairs, no short words
+    assert(got.forall { case (a, b) => a < b && a.length >= 4 && b.length >= 4 })
+  }
 }

@@ -100,4 +100,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(tcK == tcH, s"token-count kernel drifted on <$s>: $tcK != $tcH")
     }
   }
+
+  test("bm25Rank matches hand-computed rational BM25 and plans a top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // N=3 docs, S=10 total tokens, query term "join" with df=2:
+    //   idf       = (2N-2df+1)/(2df+1) = 3/5
+    //   p(doc)    = (10000·3·22·tf·10) DIV (5·(100·tf + 30 + 27·dl))
+    //   d1 tf=1,dl=3 → 6600000 DIV 1055 = 6256 (floor)
+    //   d2 tf=2,dl=3 → 13200000 DIV 1555 = 8488
+    val docs = Seq(
+      (1L, "a b join"), (2L, "join join b"), (3L, "c c c c")).toDF("id", "txt")
+    val out = TextAnalysis.bm25Rank(docs, "id", "txt", Seq("join"), k = 10)
+    val got = out.as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 13200000L / 1555), (1L, 6600000L / 1055)), got.toString)
+    // saturation: tf=2 scores less than 2× tf=1 (the k1 damping)
+    assert(got.head._2 < 2 * got(1)._2)
+
+    // longer doc with the same tf is penalized (b-length normalization)
+    val docs2 = Seq(
+      (1L, "join a"), (2L, "join a b c d e f g")).toDF("id", "txt")
+    val got2 = TextAnalysis.bm25Rank(docs2, "id", "txt", Seq("join"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got2.map(_._1) == Seq(1L, 2L), got2.toString)
+
+    // scale shape: the top-k is a TakeOrderedAndProject, never a full sort
+    val plan = TextAnalysis.bm25Rank(docs, "id", "txt", Seq("join"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+
+    // repartition-invariant (pure aggregation arithmetic)
+    val shuffled = TextAnalysis.bm25Rank(docs.repartition(7), "id", "txt",
+      Seq("join"), 10).as[(Long, Long)].collect().toSeq
+    assert(shuffled == got)
+  }
 }
