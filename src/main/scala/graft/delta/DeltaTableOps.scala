@@ -1365,6 +1365,85 @@ object DeltaTableOps {
     (DeltaWrite.generatedColumnsOf(snap.schema).map(_._1) ++
       DeltaWrite.identityColumnsOf(snap.schema).map(_.name)).toSet
 
+  final case class DropFeatureResult(
+      tableVersion: Long, checkpointed: Boolean, removedLogFiles: Int)
+
+  /** ALTER TABLE … DROP FEATURE — the protocol DOWNGRADE that completes
+    * a feature's lifecycle (deletionVectors: enable → DV DML → REORG
+    * APPLY (PURGE) → DROP FEATURE). Contract:
+    *
+    *  - the feature must be listed by the protocol and no longer IN USE
+    *    by the head snapshot (deletionVectors: no active file carries a
+    *    DV — REORG first; the error says so).
+    *  - retained history may still carry DV file actions; a foreign
+    *    DV-unaware reader time-traveling there would misread. Without
+    *    `truncateHistory` the drop refuses while any retained commit
+    *    references a DV. With `truncateHistory` it commits the
+    *    downgraded protocol, writes a checkpoint at that version (a
+    *    from-scratch replay starts there and never sees a DV action),
+    *    and deletes the superseded log — time travel to pre-drop
+    *    versions stops working, the documented price (the delta-spark
+    *    TRUNCATE HISTORY contract).
+    *
+    * Version numbers downgrade when the feature lists empty out
+    * ((3,7) → (1,2) legacy); otherwise the lists just shrink. Scale:
+    * control-plane only — one log scan, one commit, one checkpoint. */
+  def dropFeature(
+      spark: SparkSession, path: String, feature: String,
+      truncateHistory: Boolean = false): DropFeatureResult = {
+    require(feature == "deletionVectors",
+      s"DROP FEATURE supports: deletionVectors (got '$feature')")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val p = snap.protocol
+    val listed = p.readerFeatures.exists(_.contains(feature)) ||
+      p.writerFeatures.exists(_.contains(feature))
+    require(listed, s"Feature $feature is not present on ${path}: $p")
+    val inUse = snap.activeFiles.filter(_.deletionVector.isDefined)
+    require(inUse.isEmpty,
+      s"Feature $feature is in use by ${inUse.size} active file(s) — run " +
+        s"REORG TABLE delta.`$path` APPLY (PURGE) first")
+    // retained-history traces: any commit whose file actions carry a DV
+    val traceVersions = log.listCommitVersions.filter(v =>
+      log.readCommitActions(v).exists {
+        case a: AddFile => a.deletionVector.isDefined
+        case r: RemoveFile => r.deletionVector.isDefined
+        case _ => false
+      })
+    require(traceVersions.isEmpty || truncateHistory,
+      s"Feature $feature still appears in retained history (versions " +
+        s"${traceVersions.mkString(", ")}) — a reader without it could not " +
+        "time-travel there. Re-run with TRUNCATE HISTORY to drop the " +
+        "history along with the feature, or wait for log retention cleanup.")
+    val newReader = p.readerFeatures.map(_.filterNot(_ == feature)).filter(_.nonEmpty)
+    val newWriter = p.writerFeatures.map(_.filterNot(_ == feature)).filter(_.nonEmpty)
+    // a feature upgrade enumerated the LEGACY-IMPLIED features (appendOnly,
+    // invariants, …); when nothing beyond a legacy version's implication
+    // remains, the downgrade returns to that plain version instead of
+    // keeping a featured protocol that lists only what the version implies
+    val legacy2 = Protocol(1, 2)
+    val writerIsLegacy2 = newWriter.forall(
+      _.toSet.subsetOf(DeltaLog.legacyWriterFeatures(legacy2).toSet))
+    val newProtocol =
+      if (newReader.isEmpty && writerIsLegacy2) legacy2
+      else Protocol(
+        if (newReader.isEmpty) 1 else p.minReaderVersion,
+        p.minWriterVersion, newReader, newWriter)
+    val version = snap.version + 1
+    val ci = CommitInfo(System.currentTimeMillis(), "DROP FEATURE",
+      operationParameters = Map("feature" -> feature,
+        "truncateHistory" -> truncateHistory.toString),
+      readVersion = Some(snap.version), isBlindAppend = Some(false))
+    log.writeCommit(version, Seq(ci, newProtocol))
+    // checkpoint the downgraded state so replay never crosses a DV action
+    log.writeCheckpoint(version)
+    val removed =
+      if (!truncateHistory) 0
+      else DeltaMaintenance.cleanupLog(spark, path,
+        retentionHours = 0.0, dryRun = false).size
+    DropFeatureResult(version, checkpointed = true, removed)
+  }
+
   /** Stamp fresh column-mapping ids + physical names onto new fields
     * (recursing into nested types), starting above the table's current
     * maxColumnId. Returns the stamped fields and the advanced id — the

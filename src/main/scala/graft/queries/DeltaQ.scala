@@ -906,6 +906,44 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // DROP FEATURE (protocol downgrade, TRUNCATE HISTORY): the full DV
+    // lifecycle — enable via DV delete, physically erase via REORG
+    // purge, then drop the feature. In-query pins: the downgraded
+    // protocol no longer lists deletionVectors, replay starts from the
+    // drop-version checkpoint (every earlier commit JSON is GONE), and
+    // time travel into the truncated history refuses. Oracle = the rows
+    // a DV-unaware reader must now see through the plain replay.
+    "d55_drop_feature" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d55")
+      GraftDelta.toDelta(
+        t(s, dir, "orders").repartitionByRange(4, $"o_orderkey"), path)  // v0
+      val del = GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("o_totalprice", "<", 50000.0))))               // v1
+      require(del.rewrittenFiles == 0 && del.affectedRows > 0)
+      graft.sql.GraftSql.sql(s, s"REORG TABLE delta.`$path` APPLY (PURGE)") // v2
+      val row = graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE delta.`$path` DROP FEATURE deletionVectors TRUNCATE HISTORY")
+        .collect().head                                                 // v3
+      require(row.getAs[Long]("tableVersion") == 3L &&
+        row.getAs[Int]("removedLogFiles") > 0, row.toString)
+      val log = DeltaLog.forTable(s, path)
+      val p = log.snapshot(None).protocol
+      require(!p.readerFeatures.exists(_.contains("deletionVectors")) &&
+        !p.writerFeatures.exists(_.contains("deletionVectors")),
+        s"feature must be gone: $p")
+      require(log.listCommitVersions == Seq(3L),
+        s"history must be truncated: ${log.listCommitVersions}")
+      val travelRefused =
+        try { GraftDelta.readDelta(s, path, version = Some(0L)).count(); false }
+        catch { case _: Exception => true }
+      require(travelRefused, "time travel into truncated history must refuse")
+      GraftDelta.readDelta(s, path)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          cents($"o_totalprice").as("total_c"))
+        .orderBy($"o_orderkey")
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source brings a column the target
     // lacks (bal_c) — the merge appends it to the target schema in the
     // SAME commit as the data swap. Matched rows take the source values,
@@ -1518,6 +1556,11 @@ object DeltaQ {
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c,
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_acctbal < 0) AS n_deleted
         |FROM customer WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin,
+    "d55_drop_feature" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders WHERE NOT (o_totalprice < 50000)
+        |ORDER BY o_orderkey""".stripMargin,
     "d54_merge_evolution" ->
       """WITH m AS (SELECT CAST(MAX(s_suppkey) AS BIGINT) // 2 AS half FROM supplier),
         |src AS (SELECT s_suppkey, s_name || '*' AS s_name, s_nationkey,

@@ -39,6 +39,8 @@ import scala.util.matching.Regex
   *   - ALTER TABLE t ADD CONSTRAINT name CHECK (e)  /  DROP CONSTRAINT name
   *   - ALTER TABLE t ADD COLUMN c type [FIRST | AFTER c0]
   *   - ALTER TABLE t RENAME COLUMN a TO b  /  DROP COLUMN a
+  *   - ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY]   (protocol
+  *     downgrade; deletionVectors after a REORG purge)
   *   - ALTER TABLE t SET TBLPROPERTIES (…)  /  UNSET TBLPROPERTIES [IF EXISTS] (…)
   *   - ALTER TABLE t ALTER COLUMN c TYPE type   (protocol type widening)
   *   - ALTER TABLE t CLUSTER BY (a, b) | NONE
@@ -197,6 +199,9 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*;?\\s*$$""")
   private val DropColumnRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+`?(\\w+)`?\\s*;?\\s*$$""")
+  private val DropFeatureRe = new Q(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+FEATURE\\s+`?(\\w+)`?""" +
+      s"""\\s*(TRUNCATE\\s+HISTORY)?\\s*;?\\s*$$""")
   private val SetPropsRe = new Q(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val UnsetPropsRe = new Q(
@@ -350,6 +355,13 @@ object GraftSql {
         val r = GraftDelta.dropColumn(spark, path, colName)
         oneRow(spark, Seq("operation", "tableVersion"),
           Row("DROP COLUMN", r.tableVersion))
+      case DropFeatureRe(p1, p2, p3, feature, truncate) =>
+        val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
+        val r = DeltaTableOps.dropFeature(spark, path, feature,
+          truncateHistory = truncate != null)
+        oneRow(spark,
+          Seq("operation", "tableVersion", "checkpointed", "removedLogFiles"),
+          Row("DROP FEATURE", r.tableVersion, r.checkpointed, r.removedLogFiles))
       case SetPropsRe(p1, p2, p3, propList) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         val props = splitAssignments(propList).map { kv =>
@@ -1203,6 +1215,7 @@ object GraftSql {
       case (n, _: String) => StructField(n, StringType)
       case (n, _: Long) => StructField(n, LongType)
       case (n, _: Int) => StructField(n, IntegerType)
+      case (n, _: Boolean) => StructField(n, BooleanType)
       case (n, _) => StructField(n, StringType)
     }
     spark.createDataFrame(

@@ -365,4 +365,74 @@ class ProtocolFeatureSpec extends GraftSuite {
     intercept[IllegalArgumentException](
       DeltaTableOps.widenColumnType(spark, path, "nope", LongType))
   }
+
+  test("DROP FEATURE deletionVectors walks the full lifecycle gate by gate") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    GraftDelta.toDelta(df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      path)                                                              // v0
+    // not listed yet → refuse
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "deletionVectors"))
+    assert(e0.getMessage.contains("not present"))
+    // unsupported feature name → refuse
+    intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "columnMapping"))
+
+    // id<=15 straddles a file boundary, so at least one file is PARTIALLY
+    // matched and carries a real DV (a fully-matched file just drops)
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 15L))))                              // v1
+    assert(DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.exists(_.deletionVector.isDefined), "staging needs a DV")
+    // in use by active files → refuse, pointing at REORG
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "deletionVectors"))
+    assert(e1.getMessage.contains("REORG"))
+
+    DeltaMaintenance.reorgPurge(spark, path)                             // v2
+    // purged, but history still carries DV actions → refuse w/o TRUNCATE
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "deletionVectors"))
+    assert(e2.getMessage.contains("TRUNCATE HISTORY"))
+
+    val r = DeltaTableOps.dropFeature(spark, path, "deletionVectors",
+      truncateHistory = true)                                            // v3
+    assert(r.tableVersion == 3L && r.checkpointed && r.removedLogFiles > 0)
+    val log = DeltaLog.forTable(spark, path)
+    val p = log.snapshot(None).protocol
+    assert(!p.readerFeatures.exists(_.contains("deletionVectors")))
+    assert(!p.writerFeatures.exists(_.contains("deletionVectors")))
+    // DV was the only table feature → versions downgrade to legacy (1,2)
+    assert(p.minReaderVersion == 1 && p.minWriterVersion == 2, p.toString)
+    // replay starts at the checkpoint; pre-drop history is gone
+    assert(log.listCommitVersions == Seq(3L))
+    assert(GraftDelta.readDelta(spark, path).count() == 25)
+    intercept[Exception](
+      GraftDelta.readDelta(spark, path, version = Some(1L)).count())
+    // the table still writes and DMLs normally after the downgrade
+    GraftDelta.toDelta(Seq((100L, "x")).toDF("id", "v"), path, mode = "append")
+    assert(GraftDelta.readDelta(spark, path).count() == 26)
+  }
+
+  test("DROP FEATURE keeps other table features and their versions") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)      // v0
+    GraftDelta.enableColumnMapping(spark, path)                          // v1 (reader 3 feature)
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 5L))))                               // v2
+    DeltaMaintenance.reorgPurge(spark, path)                             // v3
+    val r = DeltaTableOps.dropFeature(spark, path, "deletionVectors",
+      truncateHistory = true)                                            // v4
+    val p = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(p.readerFeatures.exists(_.contains("columnMapping")), p.toString)
+    assert(!p.readerFeatures.exists(_.contains("deletionVectors")))
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, p.toString)
+    // the mapped table reads correctly through the post-drop checkpoint
+    assert(GraftDelta.readDelta(spark, path).count() == 15)
+    assert(r.removedLogFiles > 0)
+  }
 }
