@@ -202,4 +202,35 @@ object OperatorProps extends Properties("Operators") {
         .as[Seq[Long]].collect().toSeq
       got == ss.map(refRolling(_, l))
     }
+
+  /** Reference Levenshtein for the typo-pair completeness property. */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Small-alphabet words maximize near-collisions, so the deletion-
+    * neighborhood candidate scheme is stressed where it could break:
+    * dense clusters of distance-1 AND distance-2 lookalikes. */
+  private val typoVocabGen: Gen[List[String]] =
+    Gen.listOfN(30, for {
+      len <- Gen.chooseNum(4, 7)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+
+  property("typoPairs equals the brute-force ed<=1 join on dense random vocabularies") =
+    forAll(typoVocabGen) { words =>
+      import spark.implicits._
+      val got = Dedup.typoPairs(words.toDF("w"), "w")
+        .as[(String, String)].collect().toSet
+      val vocab = words.distinct.filter(_.length >= 4)
+      val truth = (for {
+        a <- vocab; b <- vocab if a < b && refLev(a, b) <= 1
+      } yield (a, b)).toSet
+      got == truth
+    }
 }
