@@ -26,7 +26,8 @@ class FuzzRacyFs extends RawLocalFileSystem {
 
 /** Concurrent-writer fuzz over the LogStore matrix (r10/r11 VERDICT item):
   * N threads drive seeded-random mixed operations — appends, predicate
-  * DELETEs, OPTIMIZE, checkpoints — against ONE table through each commit
+  * DELETEs (rewriting AND deletion-vector), OPTIMIZE, REORG purges,
+  * checkpoints — against ONE table through each commit
   * arbitration config:
   *
   *   - `Posix` (`file:` — `O_CREAT|O_EXCL`)
@@ -81,7 +82,7 @@ class LogStoreFuzzSpec extends GraftSuite {
         val live = mutable.SortedSet.empty[Long]
         var nextId = (t + 1) * 1000000L
         (0 until OpsPerThread).foreach { _ =>
-          rnd.nextInt(6) match {
+          rnd.nextInt(8) match {
             case 0 | 1 | 2 => // append a batch of 10 owned keys
               val ids = (nextId until nextId + 10L); nextId += 10
               try {
@@ -119,6 +120,28 @@ class LogStoreFuzzSpec extends GraftSuite {
                 val log = DeltaLog.forTable(spark, table)
                 log.writeCheckpoint(log.latestVersion)
               } catch { case _: java.io.IOException => () }
+            case 6 => // DV (soft) delete of the oldest live owned batch —
+              // races REORG purges and rewriting DMLs on the same files
+              if (live.nonEmpty) {
+                val lo = live.head
+                try {
+                  GraftDelta.deleteWhereWithDv(spark, table, Seq(Seq(
+                    Predicate("id", ">=", lo), Predicate("id", "<", lo + 10L),
+                    Predicate("t", "==", t))))
+                  live --= (lo until lo + 10L)
+                } catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    aborted.incrementAndGet()
+                }
+              }
+            case 7 => // REORG purge: copy-only DV materialization; a lost
+              // race aborts with CME like any maintenance rewrite
+              try DeltaMaintenance.reorgPurge(spark, table)
+              catch {
+                case _: java.util.ConcurrentModificationException =>
+                  aborted.incrementAndGet()
+                case _: IllegalStateException => ()
+              }
           }
         }
         live.toSet
