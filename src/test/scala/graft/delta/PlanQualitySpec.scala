@@ -273,4 +273,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"hot-key semi/anti must broadcast:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("t45 BM25: term filter scan-side, no global sort, no cartesian") {
+    val df = graft.queries.PipelineQ.queries("t45_bm25_rank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the final top-k must not be a full sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // tf×df×stats combine via hash joins — a cartesian/nested-loop would
+    // mean the tiny sides failed to join on the term key
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the term filter runs before any exchange: the exploded token column
+    // filters in the same stage as the scan (corpus text never shuffles)
+    val firstExchange = p.linesIterator.indexWhere(_.contains("Exchange"))
+    val scanIdx = p.linesIterator.toSeq.lastIndexWhere(_.contains("FileScan parquet"))
+    assert(firstExchange >= 0 && scanIdx > firstExchange,
+      s"scan must sit below every exchange (filter scan-side):\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("t46 typo pairs: variant candidates hash-join, never a cartesian") {
+    val df = graft.queries.PipelineQ.queries("t46_typo_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion-variant join must be an equi hash join:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    spark.catalog.clearCache()
+  }
 }
