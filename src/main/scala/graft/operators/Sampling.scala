@@ -70,6 +70,32 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Group-aware (leakage-safe) split: each row takes the split of its
+    * GROUP representative rather than its own id, so every member of a
+    * near-dup cluster lands in the SAME split — train/eval leakage
+    * through near-duplicates becomes structurally impossible (the reason
+    * naive per-doc splitting inflates eval scores). `groups` maps
+    * member → representative (e.g. Dedup.nearDupClusters' (doc_id,
+    * cluster_id)); rows absent from it are singletons and split on their
+    * own id, so the assignment stays a pure hash — repartition-invariant
+    * and stable as the corpus grows.
+    *
+    * Scale: one left hash join against the (small) cluster map, then the
+    * same narrow codegen'd bucket arithmetic as [[stableSplit]]. */
+  def groupAwareSplit(df: DataFrame, idCol: String, groups: DataFrame,
+      trainBuckets: Int, evalBuckets: Int, buckets: Int = 10000): DataFrame = {
+    require(trainBuckets >= 0 && evalBuckets >= 0 && trainBuckets + evalBuckets <= buckets,
+      s"train+eval buckets must fit in [0, $buckets]: $trainBuckets + $evalBuckets")
+    val rep = groups.select(col("doc_id").as(idCol), col("cluster_id").as("__rep"))
+    val b = hashBucket(coalesce(col("__rep"), col(idCol)), buckets)
+    df.join(rep, Seq(idCol), "left")
+      .withColumn("split",
+        when(b < trainBuckets, lit("train"))
+          .when(b < trainBuckets + evalBuckets, lit("eval"))
+          .otherwise(lit("test")))
+      .drop("__rep")
+  }
+
   /** Seed-keyed 31-bit shuffle key — same ANSI-safe LCG family as
     * [[hashBucket]], with the seed XOR-mixed into the fold round so
     * every seed induces an independent permutation. */

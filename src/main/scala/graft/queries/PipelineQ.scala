@@ -69,6 +69,30 @@ object PipelineQ {
       Dedup.nearDupClusters(pairs).orderBy($"doc_id")
     }),
 
+    // Leakage-safe split: near-dup clusters split as UNITS (every member
+    // takes its cluster representative's split), so a train doc's
+    // near-duplicate can never land in eval — the in-query require
+    // machine-checks zero straddling clusters, the oracle rebuilds the
+    // full closure + hash arithmetic and pins membership via id sums.
+    "t47_groupaware_split" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+      val clusters = Dedup.nearDupClusters(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Sampling.groupAwareSplit(d, "doc_id", clusters, 8000, 1000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val straddling = out.join(clusters, "doc_id")
+        .groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("ns"))
+        .filter($"ns" > 1).count()
+      require(straddling == 0,
+        s"$straddling clusters straddle a split boundary — leakage")
+      out.groupBy($"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"split")
+    }),
+
     // SimHash near-dedup — strict oracle: the polyhash60 feature hash is
     // exact BIGINT arithmetic, so the oracle rebuilds signatures (bit
     // votes included) and brute-force hamming-joins them; the banded join
@@ -762,6 +786,24 @@ object PipelineQ {
          |SELECT CAST(src AS BIGINT) AS doc_id,
          |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "t47_groupaware_split" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |p AS (SELECT da AS a, db AS b
+         |      FROM it JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+         |      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |k AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |bk AS (SELECT doc_id, ${Sampling.hashBucketSql("rep", 10000)} AS b FROM k)
+         |SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'eval'
+         |            ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM bk GROUP BY split ORDER BY split""".stripMargin,
     "t26_dedup_ngram" ->
       s"""WITH $minhashPairsCte
          |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,

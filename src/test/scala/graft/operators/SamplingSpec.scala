@@ -116,4 +116,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(shards == shards.sorted, "shards must slice the shuffled order contiguously")
     assert(shards.distinct.sorted == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("groupAwareSplit keeps every cluster in one split; singletons match stableSplit") {
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    // synthetic clusters: docs 1..300 clustered in threes on the smallest
+    // member — mixing ids whose OWN splits would differ
+    val clusters = (1L to 300L).map(i => (i, ((i - 1) / 3) * 3 + 1))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.groupAwareSplit(docs, "doc_id", clusters, 8000, 1000)
+      .persist()
+    // 1. leakage-impossible: every cluster maps to exactly one split
+    val straddle = out.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1).count()
+    assert(straddle == 0)
+    // 2. a cluster's split IS the representative's own stable split
+    val repSplit = Sampling.stableSplit(
+        clusters.select($"cluster_id".as("doc_id")).distinct(), "doc_id", 8000, 1000)
+      .select($"doc_id".as("cluster_id"), $"split".as("rep_split"))
+    assert(out.join(clusters, "doc_id").join(repSplit, "cluster_id")
+      .filter($"split" =!= $"rep_split").count() == 0)
+    // 3. unclustered docs split exactly as stableSplit would
+    val single = Sampling.stableSplit(docs.filter($"doc_id" > 300L), "doc_id", 8000, 1000)
+      .select($"doc_id", $"split".as("own_split"))
+    assert(out.join(single, "doc_id").filter($"split" =!= $"own_split").count() == 0)
+    // 4. pure function of (id, cluster map): repartition-invariant
+    val re = Sampling.groupAwareSplit(docs.repartition(13), "doc_id",
+        clusters.repartition(7), 8000, 1000)
+      .select($"doc_id", $"split".as("s2"))
+    assert(out.join(re, "doc_id").filter($"split" =!= $"s2").count() == 0)
+    out.unpersist()
+  }
 }
