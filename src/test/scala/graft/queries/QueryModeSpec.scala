@@ -10,7 +10,8 @@ class QueryModeSpec extends GraftSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private val annQueries =
-    Seq("t06_sim_lsh", "t13_sim_ivf", "t40_sim_ivfpq", "t31_semantic_dedup")
+    Seq("t06_sim_lsh", "t13_sim_ivf", "t40_sim_ivfpq", "t31_semantic_dedup",
+      "t47_groupaware_split")
 
   test("bench mode skips only the in-query oracles; outputs are identical") {
     assume(new java.io.File(sf).isDirectory, s"$sf testdata missing")
