@@ -348,6 +348,28 @@ class MergeSpec extends GraftSuite {
     assert(out.filter(t => t._1 != 2L && t._1 != 99L).forall(_._3.isEmpty))
   }
 
+  test("schema evolution composes with the change feed: CDC rows carry the new column") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)       // v0
+    GraftDelta.enableChangeDataFeed(spark, path)                         // v1
+    val source = Seq((3L, "up3", 33L), (50L, "ins50", 55L)).toDF("k", "v", "extra")
+    DeltaDml.mergeClauses(spark, path, source, Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)),
+      schemaEvolution = true)                                            // v2
+    // fromVersion is EXCLUSIVE: (1, head] covers the v2 merge
+    val chg = GraftDelta.tableChanges(spark, path, 1L)
+      .select($"k", $"extra", $"_change_type".as("ct"))
+      .as[(Long, Option[Long], String)].collect().toSet
+    assert(chg == Set(
+      (3L, None, "update_preimage"),       // pre-image predates the column
+      (3L, Some(33L), "update_postimage"),
+      (50L, Some(55L), "insert")), chg.toString)
+    // the feed's schema at this range end IS the evolved schema
+    assert(GraftDelta.tableChanges(spark, path, 1L).columns.contains("extra"))
+  }
+
   test("schema evolution with no new columns is a plain merge (no metaData action)") {
     import spark.implicits._
     val path = tmp()
