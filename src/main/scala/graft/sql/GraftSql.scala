@@ -47,7 +47,8 @@ import scala.util.matching.Regex
   *   - SHOW TBLPROPERTIES t [('key')]
   *   - GENERATE symlink_format_manifest FOR TABLE t
   *   - CREATE TABLE t [PARTITIONED BY (…) | CLUSTER BY (…)] AS SELECT …
-  *   - CREATE [OR REPLACE] TABLE t SHALLOW|DEEP CLONE s [VERSION AS OF n]
+  *   - CREATE [OR REPLACE] TABLE t SHALLOW|DEEP CLONE s
+  *     [VERSION AS OF n | TIMESTAMP AS OF 'ts']
   *   - INSERT INTO|OVERWRITE t SELECT …|VALUES …|TABLE …
   *   - CONVERT TO DELTA parquet.`/path`
   *
@@ -216,7 +217,7 @@ object GraftSql {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([\\w,\\s`]*)\\)|NONE)\\s*;?\\s*$$""")
   private val CloneRe = new Q(
     s"""(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Ref\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ref""" +
-      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""")
+      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$$""")
   private val InsertRe = new Q(
     s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s*(?:\\(([\\w,\\s`]+)\\)\\s*)?\\s+(SELECT\\s+.+|VALUES\\s+.+|TABLE\\s+.+)\\s*;?\\s*$$""")
   private val TruncateRe = new Q(
@@ -447,16 +448,20 @@ object GraftSql {
         val n = DeltaTableOps.generateSymlinkManifest(spark, path)
         oneRow(spark, Seq("operation", "manifests"),
           Row("GENERATE", n))
-      case CloneRe(orReplace, t1, t2, t3, flavor, s1, s2, s3, v) =>
+      case CloneRe(orReplace, t1, t2, t3, flavor, s1, s2, s3, v, ts) =>
         val target = Seq(t1, t2, t3).find(_ != null).get
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)
         val deep = flavor.equalsIgnoreCase("DEEP")
         val replace = orReplace != null
+        // TIMESTAMP AS OF resolves on the same per-commit clock as time
+        // travel, so clone/read/CDF can never disagree about "when"
+        val version = Option(v).map(_.toLong).orElse(Option(ts).map { t =>
+          val millis = java.sql.Timestamp.valueOf(t.replace("T", " ")).getTime
+          DeltaLog.forTable(spark, source).versionAtOrBefore(millis)
+        })
         val r =
-          if (deep) GraftDelta.deepClone(spark, source, target,
-            Option(v).map(_.toLong), replace)
-          else GraftDelta.shallowClone(spark, source, target,
-            Option(v).map(_.toLong), replace)
+          if (deep) GraftDelta.deepClone(spark, source, target, version, replace)
+          else GraftDelta.shallowClone(spark, source, target, version, replace)
         oneRow(spark, Seq("operation", "tableVersion", "clonedFiles"),
           Row(if (deep) "DEEP CLONE" else "SHALLOW CLONE",
             r.tableVersion, r.clonedFiles))

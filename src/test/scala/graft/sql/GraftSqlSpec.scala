@@ -401,11 +401,20 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     val target = s"$cloneDir/clone"
     val src = tmp()
     GraftDelta.toDelta((1L to 9L).toDF("k"), src)                         // v0
+    Thread.sleep(20) // v1's clock strictly later: the TIMESTAMP AS OF pin below
     GraftDelta.toDelta((10L to 20L).toDF("k"), src, mode = "append")      // v1
     val r = GraftSql.sql(spark,
       s"CREATE TABLE delta.`$target` SHALLOW CLONE delta.`$src` VERSION AS OF 0")
     assert(r.select("clonedFiles").as[Long].head() > 0L)
     assert(GraftDelta.readDelta(spark, target).count() == 9L)
+
+    // TIMESTAMP AS OF resolves on the travel clock: v0's instant pins v0
+    val ts0 = DeltaLog.forTable(spark, src).commitTimestamps.head._2
+    val tsLit = new java.sql.Timestamp(ts0).toString
+    val target2 = s"$cloneDir/clone_ts"
+    GraftSql.sql(spark,
+      s"CREATE TABLE delta.`$target2` DEEP CLONE delta.`$src` TIMESTAMP AS OF '$tsLit'")
+    assert(GraftDelta.readDelta(spark, target2).count() == 9L)
   }
 
   test("INSERT INTO/OVERWRITE and CTAS write through the engine") {
