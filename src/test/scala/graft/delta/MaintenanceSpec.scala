@@ -155,7 +155,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(after.activeFiles.forall(!_.dataChange))
     val out = GraftDelta.readDelta(spark, path)
     assert(out.count() == 2000)
-    assert(out.agg(sum($"v")).head.getLong(0) == 2L * (0 until 1000).sum)
+    assert(out.agg(sum($"v")).head().getLong(0) == 2L * (0 until 1000).sum)
     val h = GraftDelta.readDeltaHistory(spark, path).collect()
     assert(h.head.getString(1) == "OPTIMIZE")
     // time travel to the pre-compaction version still reads old files
@@ -175,7 +175,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(nAfter < nBefore, s"$nBefore -> $nAfter")
     val out = GraftDelta.readDelta(spark, path)
     assert(out.columns.length == 40)
-    assert(out.agg(sum($"c39")).head.getLong(0) == 2L * 40 * (0 until 100).sum,
+    assert(out.agg(sum($"c39")).head().getLong(0) == 2L * 40 * (0 until 100).sum,
       "the 40th column's values must survive compaction")
     // stats stayed bounded: the compacted adds carry ≤ 32 stats columns
     val snap = DeltaLog.forTable(spark, path).snapshot(None)
@@ -320,7 +320,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(pruned.size < snapAfter.activeFiles.size,
       s"sorted files must prune: ${pruned.size} of ${snapAfter.activeFiles.size}")
     // rows intact
-    assert(GraftDelta.readDelta(spark, path).agg(sum($"id")).head.getLong(0) ==
+    assert(GraftDelta.readDelta(spark, path).agg(sum($"id")).head().getLong(0) ==
       (0 until 8000).map(_.toLong).sum)
     // guards: unknown / partition sortBy refused
     intercept[IllegalArgumentException] {
@@ -363,7 +363,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(ly == lTotal, s"lexicographic files all span y: $ly/$lTotal")
 
     // rows intact after the z-order rewrite
-    assert(GraftDelta.readDelta(spark, zPath).agg(sum($"payload")).head.getLong(0) ==
+    assert(GraftDelta.readDelta(spark, zPath).agg(sum($"payload")).head().getLong(0) ==
       (0 until 4096).map(_.toLong).sum)
   }
 
@@ -404,7 +404,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(params.get("sortBy").exists(_.contains("x")) &&
       params.get("zorder").contains("true"), params.toString)
     // rows intact
-    assert(GraftDelta.readDelta(spark, path).agg(sum($"payload")).head.getLong(0) ==
+    assert(GraftDelta.readDelta(spark, path).agg(sum($"payload")).head().getLong(0) ==
       (0 until 4096).map(_.toLong).sum)
     // CLUSTER BY NONE unclusters: next OPTIMIZE coalesces (no sortBy param)
     graft.sql.GraftSql.sql(spark, s"ALTER TABLE delta.`$path` CLUSTER BY NONE")
@@ -583,7 +583,7 @@ class MaintenanceSpec extends GraftSuite {
     (0L to 1L).foreach(v => log.fs.delete(log.commitFile(v), false))
     val back = GraftDelta.readDelta(spark, path)
     assert(back.count() == 300)
-    assert(back.agg(sum($"id")).head.getLong(0) == (0 until 300).map(_.toLong).sum)
+    assert(back.agg(sum($"id")).head().getLong(0) == (0 until 300).map(_.toLong).sum)
   }
 
   test("a missing multi-part checkpoint piece fails loudly, not silently") {

@@ -231,7 +231,7 @@ class PlanQualitySpec extends AnyFunSuite {
       src, partitionBy = Seq("p"))
     GraftDelta.shallowClone(spark, src, clone)
     val df = GraftDelta.readDelta(spark, clone)
-    assert(df.agg(sum($"v")).head.getLong(0) == (0L until 2048L).sum)
+    assert(df.agg(sum($"v")).head().getLong(0) == (0L until 2048L).sum)
     assert(df.filter($"p" === 7L).count() == 4L)
     val p = df.queryExecution.executedPlan.toString
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
@@ -258,7 +258,7 @@ class PlanQualitySpec extends AnyFunSuite {
     GraftDelta.enableColumnMapping(spark, path)
     GraftDelta.renameColumn(spark, path, "v", "value")
     val df = GraftDelta.readDelta(spark, path)
-    assert(df.agg(sum($"value")).head.getLong(0) == (0L until 512L).sum)
+    assert(df.agg(sum($"value")).head().getLong(0) == (0L until 512L).sum)
     val p = df.queryExecution.executedPlan.toString
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected ONE scan relation for 64 partitions, got $scans")

@@ -351,7 +351,7 @@ class ProtocolFeatureSpec extends GraftSuite {
     GraftDelta.toDelta(Seq((100L, "wide")).toDF("k", "v"), path, mode = "append")
     val got = GraftDelta.readDelta(spark, path)
     assert(got.schema("k").dataType == LongType)
-    assert(got.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0) ==
+    assert(got.agg(org.apache.spark.sql.functions.sum($"k")).head().getLong(0) ==
       (1 to 10).sum.toLong + 100L)
     // DML through the widened schema still works on the narrow file
     GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 3L))))

@@ -83,7 +83,7 @@ class WriterSpec extends GraftSuite {
     val out = GraftDelta.readDelta(spark, path)
     assert(out.count() == 100)
     assert(out.columns.sorted.toSeq == Seq("floats", "ints", "strings"))
-    assert(out.agg(sum("ints")).head.getLong(0) == (0 until 100).sum)
+    assert(out.agg(sum("ints")).head().getLong(0) == (0 until 100).sum)
   }
 
   test("append accumulates, versions pin (writer.py mode=append)") {
@@ -136,7 +136,7 @@ class WriterSpec extends GraftSuite {
     assert(pvs == Set("a", "b", null))
     val out = GraftDelta.readDelta(spark, path)
     assert(out.count() == 3)
-    assert(out.filter(col("k").isNull).select("v").head.getLong(0) == 3L)
+    assert(out.filter(col("k").isNull).select("v").head().getLong(0) == 3L)
     // partition pruning on our own table
     val pruned = DeltaRead.prunedFiles(snap, Seq(Seq(Predicate("k", "==", "a"))))
     assert(pruned.size == 1 && pruned.head.partitionValues("k") == "a")

@@ -79,7 +79,7 @@ class StreamingSpec extends AnyFunSuite {
     GraftDelta.toDelta(mk(15, 5), path, mode = "append")
     val b2 = DeltaTail.changesSince(spark, path, b1.toVersion)
     assert(b2.toVersion == 2 && b2.data.count() == 10)
-    assert(b2.data.agg(min($"id")).head.getLong(0) == 10)
+    assert(b2.data.agg(min($"id")).head().getLong(0) == 10)
     // follow() drains to the head and stops advancing
     var seen = 0L
     val cursor = DeltaTail.follow(spark, path, -1L, maxBatches = 3)(b => seen += b.data.count())
