@@ -680,7 +680,7 @@ object DeltaDml {
   def mergeClauses(
       spark: SparkSession,
       path: String,
-      source: DataFrame,
+      source0: DataFrame,
       on: Seq[String],
       matched: Seq[MatchedClause],
       insertNotMatched: Boolean = true,
@@ -691,6 +691,19 @@ object DeltaDml {
     val log = DeltaLog.forTable(spark, path)
     val snap0 = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap0)
+    // Resolve source columns against the target CASE-INSENSITIVELY once
+    // (Spark's default resolver): a source column differing from a
+    // target column only in case binds to the existing column — it
+    // updates/inserts into it rather than being silently neither evolved
+    // (the evolution check was already case-insensitive) nor consumed
+    // (the downstream srcHas/insert-fill sets are exact-case).
+    val source = {
+      val byLower = snap0.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val renames = source0.schema.fieldNames.toSeq.collect {
+        case n if byLower.get(n.toLowerCase).exists(_ != n) => n -> byLower(n.toLowerCase)
+      }
+      renames.foldLeft(source0) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    }
     // WITH SCHEMA EVOLUTION: source-only top-level columns extend the
     // target schema (appended, forced nullable), the merge plans against
     // the evolved snapshot, and the evolved metaData commits atomically

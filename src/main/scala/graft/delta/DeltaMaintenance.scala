@@ -405,11 +405,19 @@ object DeltaMaintenance {
     }
   }
 
+  /** `ignoreRetention = true` is the DROP FEATURE … TRUNCATE HISTORY
+    * mode: truncation is the POINT of that command, so neither the
+    * table's `delta.logRetentionDuration` property nor the file-mtime
+    * age filter may veto it — otherwise the drop would commit the
+    * downgraded protocol while feature-bearing commits stay
+    * time-travelable, and a feature-unaware reader could misread them.
+    * Regular retention cleanup never sets it. */
   def cleanupLog(
       spark: SparkSession,
       path: String,
       retentionHours: Double = 720.0,
-      dryRun: Boolean = true): Seq[String] = {
+      dryRun: Boolean = true,
+      ignoreRetention: Boolean = false): Seq[String] = {
     val log = DeltaLog.forTable(spark, path)
     val cps = log.listCheckpointVersions
     if (cps.isEmpty) return Nil // nothing supersedes the JSON tail
@@ -420,7 +428,9 @@ object DeltaMaintenance {
     val effectiveHours = log.snapshot(None).metadata.configuration
       .get("delta.logRetentionDuration").flatMap(parseRetentionHours)
       .getOrElse(retentionHours)
-    val cutoff = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
+    val cutoff =
+      if (ignoreRetention) Long.MaxValue
+      else System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
     val fs = log.fs
     val CommitRe = """(\d{20})\.json""".r
     val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r

@@ -701,6 +701,10 @@ object DeltaRead {
       () => LocalDateTime
         .parse(trimmed, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         .toInstant(ZoneOffset.UTC),
+      // space-separated with fractional seconds (java.sql.Timestamp
+      // .toString's shape, "2026-08-15 11:26:20.084"): ISO-ify the
+      // separator and let the full-precision ISO parser take it
+      () => LocalDateTime.parse(trimmed.replaceFirst(" ", "T")).toInstant(ZoneOffset.UTC),
       () => LocalDateTime.parse(trimmed).toInstant(ZoneOffset.UTC),
       () => LocalDateTime.parse(trimmed + "T00:00:00").toInstant(ZoneOffset.UTC)
     )

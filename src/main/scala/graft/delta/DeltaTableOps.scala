@@ -1404,12 +1404,25 @@ object DeltaTableOps {
       s"Feature $feature is in use by ${inUse.size} active file(s) — run " +
         s"REORG TABLE delta.`$path` APPLY (PURGE) first")
     // retained-history traces: any commit whose file actions carry a DV
-    val traceVersions = log.listCommitVersions.filter(v =>
+    val commitTraces = log.listCommitVersions.filter(v =>
       log.readCommitActions(v).exists {
         case a: AddFile => a.deletionVector.isDefined
         case r: RemoveFile => r.deletionVector.isDefined
         case _ => false
       })
+    // …and any RETAINED CHECKPOINT whose add actions carry a DV: log
+    // retention may already have cleaned the originating commit JSONs,
+    // but a replay anchored at that checkpoint reconstructs those adds —
+    // a DV-unaware reader time-traveling there reads soft-deleted rows
+    // as live. Checkpoint REMOVE tombstones are liveness-inert for
+    // readers (a tombstone only suppresses, never materializes, rows),
+    // so only DV-bearing adds gate here.
+    val checkpointTraces = log.listCheckpointVersions.filter(v =>
+      log.readCheckpointActions(v).exists {
+        case a: AddFile => a.deletionVector.isDefined
+        case _ => false
+      })
+    val traceVersions = (commitTraces ++ checkpointTraces).distinct.sorted
     require(traceVersions.isEmpty || truncateHistory,
       s"Feature $feature still appears in retained history (versions " +
         s"${traceVersions.mkString(", ")}) — a reader without it could not " +
@@ -1439,8 +1452,20 @@ object DeltaTableOps {
     log.writeCheckpoint(version)
     val removed =
       if (!truncateHistory) 0
-      else DeltaMaintenance.cleanupLog(spark, path,
-        retentionHours = 0.0, dryRun = false).size
+      else {
+        // ignoreRetention: the table's delta.logRetentionDuration (and
+        // the mtime age filter) must not veto the truncation — TRUNCATE
+        // HISTORY's whole contract is that pre-drop commits stop being
+        // time-travelable the moment the downgrade commits
+        val n = DeltaMaintenance.cleanupLog(spark, path,
+          retentionHours = 0.0, dryRun = false, ignoreRetention = true).size
+        val survivors = log.listCommitVersions.filter(_ < version)
+        require(survivors.isEmpty,
+          s"DROP FEATURE $feature TRUNCATE HISTORY: pre-drop commit JSON(s) " +
+            s"survived cleanup (versions ${survivors.mkString(", ")}) — " +
+            "refusing to report success while the history remains readable")
+        n
+      }
     DropFeatureResult(version, checkpointed = true, removed)
   }
 

@@ -80,20 +80,31 @@ object Sampling {
     * own id, so the assignment stays a pure hash — repartition-invariant
     * and stable as the corpus grows.
     *
+    * `groupIdCol`/`groupRepCol` name the member/representative columns
+    * of `groups` (defaults match Dedup.nearDupClusters' output); the
+    * join column is uniquified against `df`'s columns so a frame that
+    * already carries a `__rep` cannot collide.
+    *
     * Scale: one left hash join against the (small) cluster map, then the
     * same narrow codegen'd bucket arithmetic as [[stableSplit]]. */
   def groupAwareSplit(df: DataFrame, idCol: String, groups: DataFrame,
-      trainBuckets: Int, evalBuckets: Int, buckets: Int = 10000): DataFrame = {
+      trainBuckets: Int, evalBuckets: Int, buckets: Int = 10000,
+      groupIdCol: String = "doc_id", groupRepCol: String = "cluster_id"): DataFrame = {
     require(trainBuckets >= 0 && evalBuckets >= 0 && trainBuckets + evalBuckets <= buckets,
       s"train+eval buckets must fit in [0, $buckets]: $trainBuckets + $evalBuckets")
-    val rep = groups.select(col("doc_id").as(idCol), col("cluster_id").as("__rep"))
-    val b = hashBucket(coalesce(col("__rep"), col(idCol)), buckets)
+    require(groups.columns.contains(groupIdCol) && groups.columns.contains(groupRepCol),
+      s"groups frame must carry $groupIdCol and $groupRepCol " +
+        s"(has: ${groups.columns.mkString(", ")})")
+    val repCol = Iterator.from(0).map(i => if (i == 0) "__rep" else s"__rep$i")
+      .find(n => !df.columns.contains(n)).get
+    val rep = groups.select(col(groupIdCol).as(idCol), col(groupRepCol).as(repCol))
+    val b = hashBucket(coalesce(col(repCol), col(idCol)), buckets)
     df.join(rep, Seq(idCol), "left")
       .withColumn("split",
         when(b < trainBuckets, lit("train"))
           .when(b < trainBuckets + evalBuckets, lit("eval"))
           .otherwise(lit("test")))
-      .drop("__rep")
+      .drop(repCol)
   }
 
   /** Seed-keyed 31-bit shuffle key — same ANSI-safe LCG family as

@@ -318,7 +318,10 @@ object GraftSql {
           Row("RESTORE", r.tableVersion, v.toLong))
       case RestoreTimestampRe(p1, p2, p3, ts) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
-        val millis = java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime
+        // the READER's parser (zone-less strings are UTC, bare dates and
+        // ISO offsets accepted) — SQL RESTORE and read-path time travel
+        // must resolve the same string to the same millis on any JVM zone
+        val millis = graft.delta.DeltaRead.parseTimestampMillis(ts)
         val target = DeltaLog.forTable(spark, path).versionAtOrBefore(millis)
         val r = GraftDelta.restore(spark, path, target)
         oneRow(spark, Seq("operation", "tableVersion", "restoredToVersion"),
@@ -453,10 +456,11 @@ object GraftSql {
         val source = resolveRef(spark, Seq(s1, s2, s3).find(_ != null).get)
         val deep = flavor.equalsIgnoreCase("DEEP")
         val replace = orReplace != null
-        // TIMESTAMP AS OF resolves on the same per-commit clock as time
-        // travel, so clone/read/CDF can never disagree about "when"
+        // TIMESTAMP AS OF resolves through the READER's parser and the
+        // same per-commit clock as time travel, so clone/read/CDF can
+        // never disagree about "when" — including on non-UTC JVMs
         val version = Option(v).map(_.toLong).orElse(Option(ts).map { t =>
-          val millis = java.sql.Timestamp.valueOf(t.replace("T", " ")).getTime
+          val millis = graft.delta.DeltaRead.parseTimestampMillis(t)
           DeltaLog.forTable(spark, source).versionAtOrBefore(millis)
         })
         val r =

@@ -383,4 +383,34 @@ class MergeSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
       .select($"v").as[String].head() == "a2")
   }
+
+  test("case-variant source columns resolve to existing target columns (r12 ADVICE)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "bal"), path)
+    // source carries V and BAL — same columns, different case. Spark's
+    // default resolver is case-insensitive, so they must bind to the
+    // existing target columns: update takes them, insert consumes them,
+    // and schema evolution must NOT mint duplicate near-miss columns.
+    val src = Seq((2L, "b2", 22L), (3L, "c", 30L)).toDF("k", "V", "BAL")
+    val r = DeltaDml.mergeClauses(spark, path, src, Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)),
+      schemaEvolution = true)
+    assert(r.matchedRows == 1 && r.insertedRows == 1)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "bal"),
+      s"case variants must not evolve new columns: ${snap.schema.fieldNames.mkString(",")}")
+    val out = GraftDelta.readDelta(spark, path)
+      .select($"k", $"v", $"bal").as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "a", 10L), (2L, "b2", 22L), (3L, "c", 30L)), out.toString)
+    // and without evolution: a case-variant full source is a legal
+    // UpdateAll/insert source (the exact-case require used to reject it)
+    val src2 = Seq((1L, "a9", 99L)).toDF("K", "V", "BAL")
+    val r2 = DeltaDml.mergeClauses(spark, path, src2, Seq("k"),
+      matched = Seq(DeltaDml.MatchedClause(WhenMatched.UpdateAll)))
+    assert(r2.matchedRows == 1)
+    assert(GraftDelta.readDelta(spark, path).filter($"k" === 1L)
+      .select($"bal").as[Long].head() == 99L)
+  }
 }

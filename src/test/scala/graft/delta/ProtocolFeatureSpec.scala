@@ -435,4 +435,73 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 15)
     assert(r.removedLogFiles > 0)
   }
+
+  test("TRUNCATE HISTORY overrides delta.logRetentionDuration (r12 ADVICE)") {
+    import spark.implicits._
+    val path = tmp()
+    // id<=15 straddles a file boundary so at least one file carries a
+    // real DV (a boundary-aligned delete would just drop whole files and
+    // REORG would no-op, shifting version numbers)
+    GraftDelta.toDelta(
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id"), path)                             // v0
+    // the table property that used to silently veto the truncation:
+    // cleanupLog gave it precedence over the caller's retentionHours, so
+    // the drop reported success while DV-bearing commits stayed
+    // time-travelable by a DV-unaware reader
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.logRetentionDuration" -> "interval 30 days"))           // v1
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 15L))))                              // v2
+    assert(DeltaLog.forTable(spark, path).snapshot(None)
+      .activeFiles.exists(_.deletionVector.isDefined), "staging needs a DV")
+    DeltaMaintenance.reorgPurge(spark, path)                             // v3
+    val r = DeltaTableOps.dropFeature(spark, path, "deletionVectors",
+      truncateHistory = true)                                            // v4
+    assert(r.tableVersion == 4L && r.removedLogFiles > 0, r.toString)
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.listCommitVersions == Seq(4L),
+      s"retention property must not keep pre-drop history alive: " +
+        log.listCommitVersions.mkString(", "))
+    intercept[Exception](
+      GraftDelta.readDelta(spark, path, version = Some(2L)).count())
+    assert(GraftDelta.readDelta(spark, path).count() == 25)
+  }
+
+  test("non-truncating drop refuses on DV adds retained only in a checkpoint") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id"), path)                             // v0
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 15L))))                              // v1: DV adds
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(1L)            // checkpoint whose adds carry DVs
+    DeltaMaintenance.reorgPurge(spark, path)                             // v2
+    GraftDelta.toDelta(Seq((100L, "x")).toDF("id", "v"), path, mode = "append") // v3
+    log.writeCheckpoint(3L)            // head checkpoint, no DV adds
+    // simulate log-retention cleanup having already aged out the commit
+    // JSONs: the only remaining DV trace is checkpoint v1's add actions
+    val logDir = new java.io.File(path, "_delta_log")
+    (0L to 2L).foreach { v =>
+      assert(new java.io.File(logDir, f"$v%020d.json").delete(), s"delete $v.json")
+    }
+    assert(log.listCommitVersions == Seq(3L))
+    // a commit-JSON-only scan sees nothing — but time travel to v1
+    // replays checkpoint v1 and surfaces its DV adds to a DV-unaware
+    // reader, so the non-truncating drop must refuse
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "deletionVectors"))
+    assert(e.getMessage.contains("TRUNCATE HISTORY") && e.getMessage.contains("1"),
+      e.getMessage)
+    // TRUNCATE HISTORY removes the checkpoint along with the history
+    val r = DeltaTableOps.dropFeature(spark, path, "deletionVectors",
+      truncateHistory = true)                                            // v4
+    assert(r.removedLogFiles > 0)
+    assert(log.listCheckpointVersions == Seq(4L), log.listCheckpointVersions.toString)
+    intercept[Exception](
+      GraftDelta.readDelta(spark, path, version = Some(1L)).count())
+    assert(GraftDelta.readDelta(spark, path).count() == 26)
+  }
 }

@@ -148,4 +148,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.join(re, "doc_id").filter($"split" =!= $"s2").count() == 0)
     out.unpersist()
   }
+
+  test("groupAwareSplit takes custom group column names and survives a __rep column") {
+    import spark.implicits._
+    // caller's cluster frame uses its own naming, and the data frame
+    // already carries a __rep column (the old internal join name) plus a
+    // stray doc_id that must NOT be joined through (r12 ADVICE)
+    val docs = (1L to 500L).map(i => (i, s"payload$i", i + 7000L))
+      .toDF("doc_id", "__rep", "other_id")
+    val groups = (1L to 90L).map(i => (i, ((i - 1) / 3) * 3 + 1))
+      .toDF("member", "keeper")
+    val out = Sampling.groupAwareSplit(docs, "doc_id", groups, 8000, 1000,
+      groupIdCol = "member", groupRepCol = "keeper").persist()
+    assert(out.columns.toSeq == Seq("doc_id", "__rep", "other_id", "split"),
+      out.columns.mkString(","))
+    // the caller's __rep column passes through untouched
+    assert(out.filter($"__rep" =!= concat(lit("payload"), $"doc_id")).count() == 0)
+    val straddle = out.join(groups, $"doc_id" === $"member")
+      .groupBy("keeper").agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1).count()
+    assert(straddle == 0)
+    // a groups frame missing the named columns refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Sampling.groupAwareSplit(docs, "doc_id", groups, 8000, 1000))
+    assert(e.getMessage.contains("doc_id"), e.getMessage)
+    out.unpersist()
+  }
 }

@@ -417,6 +417,37 @@ class GraftSqlSpec extends graft.delta.GraftSuite {
     assert(GraftDelta.readDelta(spark, target2).count() == 9L)
   }
 
+  test("CLONE/RESTORE TIMESTAMP AS OF parse like the reader on a non-UTC JVM") {
+    val dir = Files.createTempDirectory("graft_sql_tz")
+    dir.toFile.deleteOnExit()
+    val src = s"$dir/src"
+    GraftDelta.toDelta((1L to 9L).toDF("k"), src)                        // v0
+    Thread.sleep(20)
+    GraftDelta.toDelta((10L to 20L).toDF("k"), src, mode = "append")     // v1
+    val ts0 = DeltaLog.forTable(spark, src).commitTimestamps.head._2
+    // zone-less ISO literal rendered in UTC — the reader's convention
+    val tsLit = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts0))
+    // same string through the READ path resolves v0
+    assert(GraftDelta.readDelta(spark, src, timestamp = Some(tsLit)).count() == 9L)
+    val prevTz = java.util.TimeZone.getDefault
+    try {
+      // the r12 ADVICE bug: Timestamp.valueOf parsed in the JVM-local
+      // zone, so on a non-UTC JVM the SAME string resolved a different
+      // millis — hence a different version — than the read path
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/Chicago"))
+      val target = s"$dir/clone_tz"
+      GraftSql.sql(spark,
+        s"CREATE TABLE delta.`$target` SHALLOW CLONE delta.`$src` TIMESTAMP AS OF '$tsLit'")
+      assert(GraftDelta.readDelta(spark, target).count() == 9L,
+        "CLONE must resolve the timestamp exactly as the reader does")
+      GraftSql.sql(spark, s"RESTORE TABLE delta.`$src` TO TIMESTAMP AS OF '$tsLit'")
+      assert(GraftDelta.readDelta(spark, src).count() == 9L,
+        "RESTORE must resolve the timestamp exactly as the reader does")
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("INSERT INTO/OVERWRITE and CTAS write through the engine") {
     val dir = Files.createTempDirectory("graft_sql_ins")
     dir.toFile.deleteOnExit()
