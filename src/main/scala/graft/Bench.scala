@@ -62,8 +62,19 @@ object Bench {
         resetBetweenQueries()
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // Two timed passes, min per query: a transient host-load spike during
-    // one pass must not masquerade as a slow query.
+    // Host-load context per pass: the ±20-30% cross-session variance seen
+    // since r10 tracks the 1-min loadavg, so every measurement carries the
+    // load it was taken under — a regression under load-3 is noise, one
+    // under load-0.2 is a plan change (VERDICT r12 next-round #4).
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Exception => -1.0 }
+    // Three timed passes, MEDIAN per query: robust to one spike in either
+    // direction (min-of-2 is biased optimistic under a quiet outlier);
+    // the raw per-pass times + loads persist alongside so any statistic
+    // can be recomputed offline.
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -79,22 +90,33 @@ object Bench {
       resetBetweenQueries()
       elapsed
     }
-    val results = benchNames.map { name =>
-      val a = timeOnce(name)
-      val b = timeOnce(name)
-      val best = (a, b) match {
-        case (-1.0, x) => x
-        case (x, -1.0) => x
-        case (x, y) => math.min(x, y)
-      }
-      name -> best
+    val passes = 3
+    val tsStart = System.currentTimeMillis() / 1000
+    val loadStart = loadavg()
+    val measured: Seq[(String, Seq[Double], Seq[Double])] = benchNames.map { name =>
+      val obs = (1 to passes).map { _ => (loadavg(), timeOnce(name)) }
+      (name, obs.map(_._2), obs.map(_._1))
     }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = measured.map { case (name, times, _) => name -> median(times) }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    def passMap(sel: ((String, Seq[Double], Seq[Double])) => Seq[Double]): String =
+      measured
+        .map(m => "\"" + m._1 + "\":" + sel(m).map(v => f"$v%.3f").mkString("[", ",", "]"))
+        .mkString("{", ",", "}")
+    val rawJson = passMap(_._2)
+    val loadJson = passMap(_._3)
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
-    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val errJson = errors.distinct
+      .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     // headline fields lead AND trail: downstream log capture keeps only
     // the tail of the line, and the per-query map is wider than that
     // window — duplicating the totals at the end keeps them recoverable
@@ -106,8 +128,11 @@ object Bench {
     // comparisons can account for the definition change (ADVICE r11).
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stat":"median","passes":$passes,"raw":$rawJson,"load":$loadJson,""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+        s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
         s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
-        s""""n_errors":${errors.size},"oracles":"skipped",""" +
+        s""""n_errors":${errors.distinct.size},"oracles":"skipped",""" +
         s""""metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
