@@ -213,7 +213,7 @@ object DeletionVectors {
     * Z85 of the 16-byte UUID; the spec allows an optional random prefix
     * before them, which is a directory under the table root (foreign
     * writers use it to spread object-store key load). */
-  private[delta] def relativeDvName(pathOrInlineDv: String): String = {
+  private[graft] def relativeDvName(pathOrInlineDv: String): String = {
     require(pathOrInlineDv.length >= 20,
       s"storageType-u DV pathOrInlineDv too short for a UUID: '$pathOrInlineDv'")
     val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)

@@ -1796,13 +1796,32 @@ object DeltaTableOps {
     * (reference core.py:121-151). dryRun returns the list; otherwise the
     * deletes fan out as a Spark job when the list is large (the
     * reference's delayed-per-file pattern), driver-side below a threshold.
-    */
+    *
+    * `includeOrphans = true` additionally reclaims UNTRACKED files — the
+    * delta-spark directory-listing mode the reference lacks: a crashed
+    * write job (files staged, commit never written) leaves parquet on
+    * disk that no log action references, and at 100 TB with task retries
+    * that is the most common real leak. Orphan mode lists the table root
+    * (per-directory fan-out as a Spark job above
+    * `distributedListThreshold` visible directories), subtracts every
+    * path ANY retained log file references (commit JSONs and checkpoints
+    * alike, adds and removes, data and DV files), and deletes the
+    * unreferenced remainder whose mtime is past the retention window —
+    * in-retention orphans survive, because a concurrent writer's staged
+    * files look exactly like young orphans. Hidden trees (`_delta_log`,
+    * `_change_data`, `_`/`.`-prefixed anything) are never orphan
+    * candidates, and shallow-clone sources are structurally safe: their
+    * files live outside this table's root, which is the only tree
+    * listed. Default-off — the reference-parity tombstone mode is
+    * unchanged. */
   def vacuum(
       spark: SparkSession,
       path: String,
       retentionHours: Double = 168.0,
       dryRun: Boolean = true,
-      distributedDeleteThreshold: Int = 1000
+      distributedDeleteThreshold: Int = 1000,
+      includeOrphans: Boolean = false,
+      distributedListThreshold: Int = 64
   ): Seq[String] = {
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
@@ -1869,7 +1888,64 @@ object DeltaTableOps {
         out.result()
       }
     }
-    val tombstones = tombstones0 ++ expiredDvFiles ++ expiredCdc
+    // ---- orphan mode: directory listing minus everything the log knows --
+    val orphans: Seq[String] =
+      if (!includeOrphans) Nil
+      else {
+        // referenced = every data/DV path ANY retained log file mentions.
+        // Adds AND removes, commit JSONs AND checkpoints: a file visible
+        // to any time-travelable version — live, tombstoned-in-retention,
+        // or only reachable through an old checkpoint — is not an orphan.
+        // Control-plane-sized (bounded by retained log × files/commit,
+        // the same order as the snapshot itself).
+        val referenced: Set[String] =
+          (log.listCommitVersions.iterator.flatMap(log.readCommitActions) ++
+            log.listCheckpointVersions.iterator.flatMap(log.readCheckpointActions))
+            .flatMap {
+              case a: AddFile => Iterator(a.path) ++ a.deletionVector.flatMap(dvOf).iterator
+              case r: RemoveFile => Iterator(r.path) ++ r.deletionVector.flatMap(dvOf).iterator
+              case _ => Iterator.empty
+            }
+            .map(p => rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p))).toString)
+            .toSet
+        def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+        // visible directories, breadth-first, driver-side: O(partition
+        // directories) — control plane. The O(#files) per-directory
+        // listing fans out as a Spark job above the threshold.
+        val dirs = scala.collection.mutable.ArrayBuffer(
+          rootFs.makeQualified(new Path(path)))
+        var i = 0
+        while (i < dirs.size) {
+          dirs ++= rootFs.listStatus(dirs(i)).iterator
+            .filter(st => st.isDirectory && visible(st.getPath.getName))
+            .map(_.getPath)
+          i += 1
+        }
+        val listed: Seq[(String, Long)] =
+          if (dirs.size <= distributedListThreshold)
+            dirs.toSeq.flatMap(d => rootFs.listStatus(d).iterator
+              .filter(st => st.isFile && visible(st.getPath.getName))
+              .map(st => (st.getPath.toString, st.getModificationTime)))
+          else {
+            val confBc = spark.sparkContext.broadcast(
+              new org.apache.spark.util.SerializableConfiguration(
+                spark.sessionState.newHadoopConf()))
+            spark.sparkContext
+              .parallelize(dirs.toSeq.map(_.toString), math.min(64, dirs.size))
+              .flatMap { d =>
+                val dp = new Path(d)
+                dp.getFileSystem(confBc.value.value).listStatus(dp).iterator
+                  .filter(st => st.isFile && visible(st.getPath.getName))
+                  .map(st => (st.getPath.toString, st.getModificationTime))
+              }
+              .collect().toSeq
+          }
+        listed
+          .filter { case (p, mtime) => mtime < cutoff && !referenced.contains(p) }
+          .map { case (p, _) => DeltaWrite.uriEncodePath(p.stripPrefix(rootPrefix)) }
+          .sorted
+      }
+    val tombstones = tombstones0 ++ expiredDvFiles ++ expiredCdc ++ orphans
     if (foreign.nonEmpty)
       org.slf4j.LoggerFactory.getLogger("graft.delta").info(
         s"vacuum($path): skipping ${foreign.size} expired tombstone(s) outside " +

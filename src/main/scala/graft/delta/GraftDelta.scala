@@ -190,13 +190,17 @@ object GraftDelta {
       endingTs: Option[Long] = None): DataFrame =
     DeltaTableOps.tableChangesByTimestamp(spark, path, startingTs, endingTs)
 
-  /** vacuum (reference core.py:296-324). */
+  /** vacuum (reference core.py:296-324). `includeOrphans` adds the
+    * delta-spark directory-listing mode (crashed-write debris past
+    * retention; beyond the reference's tombstone-only surface). */
   def vacuum(
       spark: SparkSession,
       path: String,
       retentionHours: Double = 168.0,
-      dryRun: Boolean = true
-  ): Seq[String] = DeltaTableOps.vacuum(spark, path, retentionHours, dryRun)
+      dryRun: Boolean = true,
+      includeOrphans: Boolean = false
+  ): Seq[String] = DeltaTableOps.vacuum(spark, path, retentionHours, dryRun,
+    includeOrphans = includeOrphans)
 
   /** Log-retention cleanup — the `_delta_log` twin of vacuum (delta's
     * logRetentionDuration; beyond the reference's surface). */

@@ -944,6 +944,64 @@ object DeltaQ {
         .orderBy($"o_orderkey")
     }),
 
+    // Orphan-file vacuum (directory-listing mode): crashed-write debris
+    // — parquet staged by a failed job, never committed — is invisible
+    // to the log-tracked tombstone vacuum and leaks forever. Orphan mode
+    // lists the table root, subtracts every path ANY retained log file
+    // references, and reclaims the aged unreferenced remainder. Pinned
+    // in-query: aged orphans (root + partition dir) are found by dry-run
+    // and deleted; a YOUNG orphan (indistinguishable from a concurrent
+    // writer's staging) survives; an ACTIVE file and the LIVE DV file
+    // survive on reference-protection despite ancient mtimes; hidden
+    // trees are untouchable. Readback after deletion proves the table
+    // intact.
+    "d56_vacuum_orphans" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d56")
+      GraftDelta.toDelta(
+        t(s, dir, "customer").withColumn("seg", substring($"c_mktsegment", 1, 1)),
+        path, partitionBy = Seq("seg"))                                  // v0
+      val del = GraftDelta.deleteWhereWithDv(s, path,
+        Seq(Seq(Predicate("c_acctbal", "<", 0.0))))                      // v1
+      require(del.affectedRows > 0 && del.rewrittenFiles == 0)
+      val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+      def plant(rel: String, aged: Boolean): Unit = {
+        val f = new java.io.File(path, rel)
+        f.getParentFile.mkdirs()
+        val out = new java.io.FileOutputStream(f)
+        out.write("debris".getBytes); out.close()
+        if (aged) require(f.setLastModified(oldMs))
+      }
+      plant("part-crashed-root.snappy.parquet", aged = true)
+      plant("seg=A/part-crashed-part.snappy.parquet", aged = true)
+      plant("part-staged-young.snappy.parquet", aged = false)
+      plant("_staging/leftover.parquet", aged = true)
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      val activeAbs = new java.io.File(path, snap.activeFiles.head.path)
+      val dvAbs = new java.io.File(path, snap.activeFiles
+        .flatMap(_.deletionVector).filter(_.storageType == "u")
+        .map(d => graft.delta.DeletionVectors.relativeDvName(d.pathOrInlineDv)).head)
+      require(activeAbs.setLastModified(oldMs) && dvAbs.setLastModified(oldMs))
+      require(GraftDelta.vacuum(s, path, 168.0, dryRun = true).isEmpty,
+        "tombstone-only mode must not see orphans")
+      val dry = GraftDelta.vacuum(s, path, 168.0, dryRun = true, includeOrphans = true)
+      require(dry.size == 2, s"dry-run must name exactly the aged orphans: $dry")
+      val deleted = GraftDelta.vacuum(s, path, 168.0, dryRun = false, includeOrphans = true)
+      require(deleted.toSet == dry.toSet)
+      require(!new java.io.File(path, "part-crashed-root.snappy.parquet").exists())
+      require(new java.io.File(path, "part-staged-young.snappy.parquet").exists(),
+        "in-retention orphan must survive")
+      require(new java.io.File(path, "_staging/leftover.parquet").exists(),
+        "hidden trees are never candidates")
+      require(activeAbs.exists() && dvAbs.exists(),
+        "referenced files survive any age")
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", $"c_nationkey",
+          cents($"c_acctbal").as("bal_c"),
+          lit(deleted.size.toLong).as("orphans_removed"))
+        .orderBy($"c_custkey")
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source brings a column the target
     // lacks (bal_c) — the merge appends it to the target schema in the
     // SAME commit as the data swap. Matched rows take the source values,
@@ -1561,6 +1619,12 @@ object DeltaQ {
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders WHERE NOT (o_totalprice < 50000)
         |ORDER BY o_orderkey""".stripMargin,
+    "d56_vacuum_orphans" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
+        | CAST(2 AS BIGINT) AS orphans_removed
+        |FROM customer WHERE NOT (c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
     "d54_merge_evolution" ->
       """WITH m AS (SELECT CAST(MAX(s_suppkey) AS BIGINT) // 2 AS half FROM supplier),
         |src AS (SELECT s_suppkey, s_name || '*' AS s_name, s_nationkey,

@@ -33,7 +33,7 @@ import scala.util.matching.Regex
   *     to their stored CLUSTER BY layout)
   *   - REORG TABLE t [WHERE p] APPLY (PURGE)   (rewrite DV-carrying files,
   *     materializing soft deletes away)
-  *   - VACUUM t [RETAIN n HOURS] [DRY RUN]
+  *   - VACUUM t [RETAIN n HOURS] [INCLUDE ORPHANS] [DRY RUN]
   *   - RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   *   - DESCRIBE HISTORY t [LIMIT n]  /  DESCRIBE DETAIL t
   *   - ALTER TABLE t ADD CONSTRAINT name CHECK (e)  /  DROP CONSTRAINT name
@@ -178,7 +178,8 @@ object GraftSql {
       s"""\\s*APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val VacuumRe = new Q(
     s"""(?is)^\\s*VACUUM\\s+$Ref""" +
-      s"""\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""")
+      s"""\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
+      s"""\\s*(INCLUDE\\s+ORPHANS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val RestoreVersionRe = new Q(
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val RestoreTimestampRe = new Q(
@@ -298,7 +299,7 @@ object GraftSql {
         val (before, after) = DeltaMaintenance.reorgPurge(spark, path, filters)
         oneRow(spark, Seq("operation", "filesBefore", "filesAfter"),
           Row("REORG", before, after))
-      case VacuumRe(p1, p2, p3, hours, dry) =>
+      case VacuumRe(p1, p2, p3, hours, orphans, dry) =>
         val path = resolveRef(spark, Seq(p1, p2, p3).find(_ != null).get)
         // RETAIN overrides; without it the table's
         // delta.deletedFileRetentionDuration property is the default
@@ -308,7 +309,8 @@ object GraftSql {
             .metadata.configuration.get("delta.deletedFileRetentionDuration")
             .flatMap(graft.delta.DeltaMaintenance.parseRetentionHours)
             .getOrElse(168.0))
-        val deleted = GraftDelta.vacuum(spark, path, retention, dryRun = dry != null)
+        val deleted = GraftDelta.vacuum(spark, path, retention, dryRun = dry != null,
+          includeOrphans = orphans != null)
         import spark.implicits._
         deleted.toDF("path")
       case RestoreVersionRe(p1, p2, p3, v) =>
