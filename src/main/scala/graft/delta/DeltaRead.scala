@@ -554,7 +554,7 @@ object DeltaRead {
     }
   }
 
-  private[delta] def prunedFiles(snap: Snapshot, filters0: Seq[Seq[Predicate]]): Seq[AddFile] = {
+  private[graft] def prunedFiles(snap: Snapshot, filters0: Seq[Seq[Predicate]]): Seq[AddFile] = {
     if (filters0.isEmpty) return snap.activeFiles
     // data-column predicates imply partition bounds through monotone
     // generation expressions — augment each conjunction before pruning
@@ -607,6 +607,16 @@ object DeltaRead {
     def castNum(n: Number): Any = dt match {
       case LongType | IntegerType | ShortType | ByteType => n.longValue()
       case DoubleType | FloatType => n.doubleValue()
+      // decimal partition column: normalize ANY numeric predicate value
+      // to scala BigDecimal so it compares value-wise against the parsed
+      // partition string ("2.00" == 2 == 2.0) instead of failing on
+      // class mismatch
+      case _: DecimalType => n match {
+        case b: java.math.BigDecimal => BigDecimal(b)
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => BigDecimal(n.longValue())
+        case _ => BigDecimal(n.doubleValue())
+      }
       case _ => n
     }
     raw match {

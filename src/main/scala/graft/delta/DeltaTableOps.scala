@@ -669,9 +669,18 @@ object DeltaTableOps {
       "delta.enableChangeDataFeed" -> "enableChangeDataFeed",
       "delta.enableRowTracking" -> "RowTracking.enable",
       "delta.enableInCommitTimestamps" -> "enableInCommitTimestamps")
-    props.keys.find(dedicated.contains).foreach(k =>
+    // ENABLING carries feature obligations (protocol upgrade, backfill)
+    // → the dedicated API; DISABLING a boolean enablement property is a
+    // plain metadata flip and is the documented prerequisite of DROP
+    // FEATURE. columnMapping.mode has no safe "off" — always dedicated.
+    val disableOk = Set("delta.enableChangeDataFeed", "delta.enableRowTracking",
+      "delta.enableInCommitTimestamps")
+    props.find { case (k, v) =>
+      dedicated.contains(k) && !(disableOk(k) && v.trim.equalsIgnoreCase("false"))
+    }.foreach { case (k, _) =>
       throw new IllegalArgumentException(
-        s"Property $k has feature obligations — use ${dedicated(k)} instead"))
+        s"Property $k has feature obligations — use ${dedicated(k)} instead")
+    }
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     DeltaWrite.requireWriterSupported(snap)
@@ -1369,12 +1378,18 @@ object DeltaTableOps {
       tableVersion: Long, checkpointed: Boolean, removedLogFiles: Int)
 
   /** ALTER TABLE … DROP FEATURE — the protocol DOWNGRADE that completes
-    * a feature's lifecycle (deletionVectors: enable → DV DML → REORG
-    * APPLY (PURGE) → DROP FEATURE). Contract:
+    * a feature's lifecycle. Supported: `deletionVectors` (enable → DV
+    * DML → REORG APPLY (PURGE) → drop), plus the metadata-only removals
+    * `changeDataFeed`, `inCommitTimestamps`, and `rowTracking` (disable
+    * the table property, then drop — the enablement/marker properties
+    * strip and the row-tracking watermark domain evicts atomically with
+    * the downgrade). Contract:
     *
     *  - the feature must be listed by the protocol and no longer IN USE
     *    by the head snapshot (deletionVectors: no active file carries a
-    *    DV — REORG first; the error says so).
+    *    DV — REORG first; property-gated features: the property is off;
+    *    rowTracking additionally refuses while materialized row-id
+    *    columns exist; each error says so).
     *  - retained history may still carry DV file actions; a foreign
     *    DV-unaware reader time-traveling there would misread. Without
     *    `truncateHistory` the drop refuses while any retained commit
@@ -1389,47 +1404,115 @@ object DeltaTableOps {
     * ((3,7) → (1,2) legacy); otherwise the lists just shrink. Scale:
     * control-plane only — one log scan, one commit, one checkpoint. */
   def dropFeature(
-      spark: SparkSession, path: String, feature: String,
+      spark: SparkSession, path: String, feature0: String,
       truncateHistory: Boolean = false): DropFeatureResult = {
-    require(feature == "deletionVectors",
-      s"DROP FEATURE supports: deletionVectors (got '$feature')")
+    // the PROTOCOL feature is `inCommitTimestamp` (singular) while the
+    // enablement property is delta.enableInCommitTimestampS — accept the
+    // property-style plural as an alias rather than punishing the
+    // near-universal confusion
+    val feature =
+      if (feature0 == "inCommitTimestamps") "inCommitTimestamp" else feature0
+    val supported =
+      Set("deletionVectors", "changeDataFeed", "inCommitTimestamp", "rowTracking")
+    require(supported.contains(feature),
+      s"DROP FEATURE supports: ${supported.toSeq.sorted.mkString(", ")} (got '$feature0')")
     val log = DeltaLog.forTable(spark, path)
     val snap = log.snapshot(None)
     val p = snap.protocol
-    val listed = p.readerFeatures.exists(_.contains(feature)) ||
-      p.writerFeatures.exists(_.contains(feature))
+    // EFFECTIVE feature lists: a legacy protocol version IMPLIES its
+    // features (minWriter 4 ⇒ changeDataFeed without ever listing it) —
+    // dropping one from a legacy protocol enumerates the version's
+    // implied set and removes from that, exactly the conversion a
+    // features-upgrade performs
+    val effReader: Seq[String] = DeltaLog.legacyReaderFeatures(p)
+    val effWriter: Seq[String] = DeltaLog.legacyWriterFeatures(p)
+    val listed = effReader.contains(feature) || effWriter.contains(feature)
     require(listed, s"Feature $feature is not present on ${path}: $p")
-    val inUse = snap.activeFiles.filter(_.deletionVector.isDefined)
-    require(inUse.isEmpty,
-      s"Feature $feature is in use by ${inUse.size} active file(s) — run " +
-        s"REORG TABLE delta.`$path` APPLY (PURGE) first")
-    // retained-history traces: any commit whose file actions carry a DV
-    val commitTraces = log.listCommitVersions.filter(v =>
-      log.readCommitActions(v).exists {
-        case a: AddFile => a.deletionVector.isDefined
-        case r: RemoveFile => r.deletionVector.isDefined
-        case _ => false
-      })
-    // …and any RETAINED CHECKPOINT whose add actions carry a DV: log
-    // retention may already have cleaned the originating commit JSONs,
-    // but a replay anchored at that checkpoint reconstructs those adds —
-    // a DV-unaware reader time-traveling there reads soft-deleted rows
-    // as live. Checkpoint REMOVE tombstones are liveness-inert for
-    // readers (a tombstone only suppresses, never materializes, rows),
-    // so only DV-bearing adds gate here.
-    val checkpointTraces = log.listCheckpointVersions.filter(v =>
-      log.readCheckpointActions(v).exists {
-        case a: AddFile => a.deletionVector.isDefined
-        case _ => false
-      })
-    val traceVersions = (commitTraces ++ checkpointTraces).distinct.sorted
+    def propOff(prop: String, hint: String): Unit =
+      require(!snap.metadata.configuration.get(prop).exists(_.trim.equalsIgnoreCase("true")),
+        s"Feature $feature is still enabled ($prop=true) — $hint first")
+    // feature-specific IN-USE gates: the head snapshot must no longer
+    // depend on the feature before its protocol entry can go
+    feature match {
+      case "deletionVectors" =>
+        val inUse = snap.activeFiles.filter(_.deletionVector.isDefined)
+        require(inUse.isEmpty,
+          s"Feature $feature is in use by ${inUse.size} active file(s) — run " +
+            s"REORG TABLE delta.`$path` APPLY (PURGE) first")
+      case "changeDataFeed" =>
+        propOff("delta.enableChangeDataFeed",
+          "ALTER TABLE … SET TBLPROPERTIES('delta.enableChangeDataFeed'='false')")
+      case "inCommitTimestamp" =>
+        propOff("delta.enableInCommitTimestamps",
+          "ALTER TABLE … SET TBLPROPERTIES('delta.enableInCommitTimestamps'='false')")
+      case "rowTracking" =>
+        propOff(RowTracking.Prop,
+          s"ALTER TABLE … SET TBLPROPERTIES('${RowTracking.Prop}'='false')")
+        require(RowTracking.materializedColNames(snap).isEmpty,
+          s"Feature $feature has materialized row-id columns " +
+            s"(${RowTracking.MaterializedRowIdProp}) — files carry physical id " +
+            "columns a feature-less writer would corrupt; rewrite them first")
+    }
+    // retained-history trace gates — only traces a FOREIGN consumer could
+    // misread require truncation:
+    //  - deletionVectors: DV-bearing adds/removes in commits, and DV
+    //    adds in any RETAINED CHECKPOINT (log retention may already have
+    //    cleaned the originating commit JSONs, but a replay anchored at
+    //    that checkpoint reconstructs those adds — a DV-unaware reader
+    //    time-traveling there reads soft-deleted rows as live; checkpoint
+    //    REMOVE tombstones are liveness-inert for readers).
+    //  - changeDataFeed: cdc file actions in retained commits — a feed
+    //    consumer without the feature would misread the change plane.
+    //  - inCommitTimestamps / rowTracking: writer-only bookkeeping
+    //    (commitInfo timestamps, baseRowId fields, domain watermarks) is
+    //    benign to any reader — no truncation needed.
+    val traceVersions: Seq[Long] = feature match {
+      case "deletionVectors" =>
+        val commitTraces = log.listCommitVersions.filter(v =>
+          log.readCommitActions(v).exists {
+            case a: AddFile => a.deletionVector.isDefined
+            case r: RemoveFile => r.deletionVector.isDefined
+            case _ => false
+          })
+        val checkpointTraces = log.listCheckpointVersions.filter(v =>
+          log.readCheckpointActions(v).exists {
+            case a: AddFile => a.deletionVector.isDefined
+            case _ => false
+          })
+        (commitTraces ++ checkpointTraces).distinct.sorted
+      case "changeDataFeed" =>
+        log.listCommitVersions.filter(v =>
+          log.readCommitActions(v).exists(_.isInstanceOf[AddCDCFile]))
+      case _ => Nil
+    }
     require(traceVersions.isEmpty || truncateHistory,
       s"Feature $feature still appears in retained history (versions " +
         s"${traceVersions.mkString(", ")}) — a reader without it could not " +
         "time-travel there. Re-run with TRUNCATE HISTORY to drop the " +
         "history along with the feature, or wait for log retention cleanup.")
-    val newReader = p.readerFeatures.map(_.filterNot(_ == feature)).filter(_.nonEmpty)
-    val newWriter = p.writerFeatures.map(_.filterNot(_ == feature)).filter(_.nonEmpty)
+    // feature bookkeeping leaves WITH the protocol entry, atomically:
+    // enablement/marker properties strip from the metadata and the row-
+    // tracking watermark domain is evicted — a later re-enable starts
+    // the feature's lifecycle clean
+    val strippedProps: Seq[String] = feature match {
+      case "changeDataFeed" => Seq("delta.enableChangeDataFeed")
+      case "inCommitTimestamp" => Seq("delta.enableInCommitTimestamps",
+        "delta.inCommitTimestampEnablementVersion",
+        "delta.inCommitTimestampEnablementTimestamp")
+      case "rowTracking" => Seq(RowTracking.Prop,
+        RowTracking.MaterializedRowIdProp, RowTracking.MaterializedCommitVersionProp)
+      case _ => Nil
+    }
+    val newConfig = snap.metadata.configuration -- strippedProps
+    val metaAction: Option[MetadataAction] =
+      if (newConfig == snap.metadata.configuration) None
+      else Some(snap.metadata.copy(configuration = newConfig))
+    val domainAction: Option[DomainMetadata] =
+      if (feature == "rowTracking" && snap.domainMetadata.contains(RowTracking.Domain))
+        Some(DomainMetadata(RowTracking.Domain, "", removed = true))
+      else None
+    val newReader = Some(effReader.filterNot(_ == feature)).filter(_.nonEmpty)
+    val newWriter = Some(effWriter.filterNot(_ == feature)).filter(_.nonEmpty)
     // a feature upgrade enumerated the LEGACY-IMPLIED features (appendOnly,
     // invariants, …); when nothing beyond a legacy version's implication
     // remains, the downgrade returns to that plain version instead of
@@ -1440,14 +1523,18 @@ object DeltaTableOps {
     val newProtocol =
       if (newReader.isEmpty && writerIsLegacy2) legacy2
       else Protocol(
-        if (newReader.isEmpty) 1 else p.minReaderVersion,
-        p.minWriterVersion, newReader, newWriter)
+        // the features FORM: reader 3 only when reader features remain,
+        // writer 7 always (a legacy source protocol converts here — its
+        // remaining implied features stay enumerated as obligations)
+        if (newReader.isEmpty) 1 else 3,
+        7, newReader, newWriter)
     val version = snap.version + 1
     val ci = CommitInfo(System.currentTimeMillis(), "DROP FEATURE",
       operationParameters = Map("feature" -> feature,
         "truncateHistory" -> truncateHistory.toString),
       readVersion = Some(snap.version), isBlindAppend = Some(false))
-    log.writeCommit(version, Seq(ci, newProtocol))
+    log.writeCommit(version,
+      Seq(ci, newProtocol) ++ metaAction.toSeq ++ domainAction.toSeq)
     // checkpoint the downgraded state so replay never crosses a DV action
     log.writeCheckpoint(version)
     val removed =

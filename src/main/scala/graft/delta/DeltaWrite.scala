@@ -1176,6 +1176,7 @@ object DeltaWrite {
           case (k, v: Double) => n.put(k, v)
           case (k, v: String) => n.put(k, v)
           case (k, v: Boolean) => n.put(k, v)
+          case (k, v: java.math.BigDecimal) => n.put(k, v)
           case (k, v) => n.put(k, v.toString)
         }
       }
@@ -1192,7 +1193,13 @@ object DeltaWrite {
     case (x: Double, y: Double) => x < y
     case (x: String, y: String) => x < y
     case (x: Boolean, y: Boolean) => !x && y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
     case _ => false
+  }
+
+  private def decimalScale(logical: LogicalTypeAnnotation): Int = logical match {
+    case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
+    case _ => 0
   }
 
   /** Decode a parquet Statistics min/max into Delta's stats JSON value
@@ -1204,6 +1211,18 @@ object DeltaWrite {
     def dec(v: Any): Option[Any] = (v, sparkType) match {
       case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
         Some(b.toStringUsingUTF8)
+      // decimal: parquet stores the UNSCALED integer (INT32/INT64 up to
+      // precision 18, fixed-len binary above); the stats JSON value
+      // space wants the SCALED decimal — recording the raw unscaled
+      // long (the pre-d57 bug) made data skipping compare 123456
+      // against a predicate's 1234.56 and prune wrong files
+      case (n: java.lang.Long, _: DecimalType) =>
+        Some(java.math.BigDecimal.valueOf(n, decimalScale(logical)))
+      case (n: java.lang.Integer, _: DecimalType) =>
+        Some(java.math.BigDecimal.valueOf(n.longValue(), decimalScale(logical)))
+      case (b: org.apache.parquet.io.api.Binary, _: DecimalType) =>
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(b.getBytes), decimalScale(logical)))
       case (n: java.lang.Long, TimestampType | TimestampNTZType) =>
         val micros = logical match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation

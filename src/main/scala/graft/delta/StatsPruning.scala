@@ -20,7 +20,11 @@ object StatsPruning {
       max: Map[String, Any],
       nullCount: Map[String, Long])
 
-  private val mapper = new ObjectMapper()
+  // BigDecimal floats: a DECIMAL(38,x) bound re-read as a double would
+  // lose digits past 17 and could flip a boundary comparison — exact
+  // decimal parse keeps pruning proofs sound at any precision
+  private val mapper = new ObjectMapper().configure(
+    com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   /** Stats strings longer than this get canonicalized at snapshot
     * construction (compactStats); shorter ones — everything our own
@@ -107,7 +111,9 @@ object StatsPruning {
   private def decode(n: JsonNode): Option[Any] =
     if (n == null || n.isNull) None
     else if (n.isIntegralNumber) Some(n.asLong())
-    else if (n.isFloatingPointNumber) Some(n.asDouble())
+    // exact: decimalValue() of a DecimalNode (USE_BIG_DECIMAL_FOR_FLOATS)
+    // is the digits as written — no double round-trip
+    else if (n.isFloatingPointNumber) Some(n.decimalValue())
     else if (n.isTextual) Some(n.asText())
     else if (n.isBoolean) Some(n.asBoolean())
     else None
@@ -183,7 +189,17 @@ object StatsPruning {
       case (None, Some(y)) => parsed(a).map(java.lang.Long.compare(_, y))
       case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
       case (None, None) => (norm(a), norm(b)) match {
+        // finite numerics normalize to BigDecimal: exact at any scale
+        // and precision (a double round-trip of a DECIMAL(38,x) bound
+        // could flip an equality/boundary comparison and prune wrong)
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+        // a surviving Double is NaN/±Inf (norm keeps them): NaN is
+        // incomparable (no pruning proof), infinities bound everything
         case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+        case (_: java.math.BigDecimal, y: Double) =>
+          if (y.isNaN) None else Some(if (y.isPosInfinity) -1 else 1)
+        case (x: Double, _: java.math.BigDecimal) =>
+          if (x.isNaN) None else Some(if (x.isPosInfinity) 1 else -1)
         case (x: String, y: String) => Some(x.compareTo(y))
         case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
         case _ => None
@@ -249,18 +265,26 @@ object StatsPruning {
     }
   }
 
-  /** Normalize numerics to Double for range comparison (stats JSON longs
-    * vs predicate ints/doubles). Strings/booleans stay as-is; mixed
-    * types → incomparable → no pruning. */
+  /** Normalize finite numerics to BigDecimal for EXACT range comparison
+    * (stats JSON longs/decimals vs predicate ints/doubles/decimals — a
+    * shared double representation rounded 19-digit longs and high-
+    * precision decimals, so a boundary comparison could prune a file
+    * that held matching rows). NaN/±Inf stay Double; strings/booleans
+    * stay as-is; mixed types → incomparable → no pruning. */
   private def norm(v: Any): Any = v match {
-    case n: Byte => n.toDouble
-    case n: Short => n.toDouble
-    case n: Int => n.toDouble
-    case n: Long => n.toDouble
-    case n: Float => n.toDouble
-    case n: Double => n
-    case n: BigDecimal => n.toDouble
-    case n: java.math.BigDecimal => n.doubleValue()
+    case n: Byte => java.math.BigDecimal.valueOf(n.toLong)
+    case n: Short => java.math.BigDecimal.valueOf(n.toLong)
+    case n: Int => java.math.BigDecimal.valueOf(n.toLong)
+    case n: Long => java.math.BigDecimal.valueOf(n)
+    // floats widen THROUGH DOUBLE (0.1f → 0.10000000149…), matching the
+    // harvest's float→double stats encode, so float equality still meets
+    case n: Float =>
+      if (n.isNaN || n.isInfinite) n.toDouble
+      else java.math.BigDecimal.valueOf(n.toDouble)
+    case n: Double =>
+      if (n.isNaN || n.isInfinite) n else java.math.BigDecimal.valueOf(n)
+    case n: BigDecimal => n.bigDecimal
+    case n: java.math.BigDecimal => n
     case other => other
   }
 }

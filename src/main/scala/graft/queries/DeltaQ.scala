@@ -1002,6 +1002,123 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // Generalized DROP FEATURE: the metadata-only removals walk the full
+    // lifecycle — enable changeDataFeed + rowTracking + inCommitTimestamps,
+    // USE all three (an update writes cdc files, allocates row ids,
+    // stamps in-commit timestamps), then drop them gate by gate:
+    // property-enabled → refuse; CDF with cdc in retained history →
+    // refuse without TRUNCATE HISTORY; after the drops the protocol
+    // lists none of them, the enablement/marker properties are stripped,
+    // the row-tracking watermark domain is evicted, and the table reads
+    // foreign-plain.
+    "d58_drop_features" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d58")
+      GraftDelta.toDelta(
+        t(s, dir, "supplier").repartitionByRange(2, $"s_suppkey"), path) // v0
+      GraftDelta.enableChangeDataFeed(s, path)
+      GraftDelta.enableRowTracking(s, path)
+      val vIct = GraftDelta.enableInCommitTimestamps(s, path)
+      GraftDelta.updateWhere(s, path,
+        Seq(Seq(Predicate("s_suppkey", "<=", 5L))),
+        Map("s_name" -> lit("updated")))
+      require(GraftDelta.tableChanges(s, path, vIct)
+        .filter($"_change_type" === "update_postimage").count() > 0, "CDF must be in use")
+      val e0 = try { DeltaTableOps.dropFeature(s, path, "rowTracking"); "" }
+               catch { case ex: IllegalArgumentException => ex.getMessage }
+      require(e0.contains("still enabled"), e0)
+      Seq("delta.enableChangeDataFeed", "delta.enableRowTracking",
+        "delta.enableInCommitTimestamps").foreach(p =>
+        DeltaTableOps.setTableProperties(s, path, Map(p -> "false")))
+      val e1 = try { DeltaTableOps.dropFeature(s, path, "changeDataFeed"); "" }
+               catch { case ex: IllegalArgumentException => ex.getMessage }
+      require(e1.contains("TRUNCATE HISTORY"), e1)
+      val rCdf = DeltaTableOps.dropFeature(s, path, "changeDataFeed",
+        truncateHistory = true)
+      require(rCdf.removedLogFiles > 0)
+      DeltaTableOps.dropFeature(s, path, "rowTracking")
+      DeltaTableOps.dropFeature(s, path, "inCommitTimestamps")
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      val feats = snap.protocol.readerFeatures.toSeq.flatten ++
+        snap.protocol.writerFeatures.toSeq.flatten
+      require(!feats.exists(Set("changeDataFeed", "rowTracking", "inCommitTimestamps")),
+        feats.toString)
+      val cfg = snap.metadata.configuration
+      require(!cfg.contains("delta.enableChangeDataFeed") &&
+        !cfg.contains("delta.enableRowTracking") &&
+        !cfg.keys.exists(_.startsWith("delta.rowTracking")) &&
+        !cfg.contains("delta.enableInCommitTimestamps") &&
+        !cfg.keys.exists(_.startsWith("delta.inCommitTimestamp")), cfg.toString)
+      require(!snap.domainMetadata.contains("delta.rowTracking"),
+        snap.domainMetadata.keys.toString)
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_nationkey",
+          when($"s_name" === "updated", 1L).otherwise(0L).as("upd"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // Complex types END-TO-END through the engine's own paths: ArrayType,
+    // MapType, DecimalType(38,6) + (18,2), and a struct-of-array column
+    // go write → stats harvest (decimal JSON encoding is the known hard
+    // spot: parquet stores UNSCALED ints, the stats value space wants
+    // scaled decimals — the pre-r13 harvest recorded 123456 for 1234.56)
+    // → partition pruning on a DECIMAL partition column → data skipping
+    // on decimal stats (machine-checked in-query: an impossible decimal
+    // range must prune EVERY file, for both int64- and binary-backed
+    // precisions) → DELETE + UPDATE rewrites that round-trip the complex
+    // columns → strict scalar-projected DuckDB readback.
+    "d57_complex_types" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d57")
+      val base = t(s, dir, "customer").select(
+        $"c_custkey",
+        $"c_acctbal".cast("decimal(38,6)").as("bal_d"),     // binary-backed
+        $"c_acctbal".cast("decimal(18,2)").as("bal_s"),     // int64-backed
+        ($"c_nationkey" % 5).cast("decimal(10,2)").as("np"), // partition col
+        array($"c_custkey", $"c_nationkey").as("arr"),
+        map(lit("bal"), cents($"c_acctbal")).as("mp"),
+        struct(array($"c_mktsegment", $"c_name").as("tags"),
+          $"c_nationkey".as("n")).as("nested"))
+      GraftDelta.toDelta(base, path, partitionBy = Seq("np"))            // v0
+      val log = DeltaLog.forTable(s, path)
+      val snap0 = log.snapshot(None)
+      val total = snap0.activeFiles.size
+      // decimal partition pruning at the LOG level: np == 2.00 keeps a
+      // strict, non-empty subset of files
+      val p2 = graft.delta.DeltaRead.prunedFiles(snap0,
+        Seq(Seq(Predicate("np", "==", BigDecimal("2.00"))))).size
+      require(p2 > 0 && p2 < total, s"decimal partition pruning: $p2 of $total")
+      // decimal DATA SKIPPING from the harvested stats: no acctbal
+      // reaches 99999, so a correct scaled encode prunes every file;
+      // the unscaled-encode bug (or missing binary-decimal stats) keeps
+      // them all
+      require(graft.delta.DeltaRead.prunedFiles(snap0,
+        Seq(Seq(Predicate("bal_d", ">", BigDecimal("99999"))))).isEmpty,
+        "binary-backed decimal stats must prune an impossible range")
+      require(graft.delta.DeltaRead.prunedFiles(snap0,
+        Seq(Seq(Predicate("bal_s", ">", BigDecimal("99999"))))).isEmpty,
+        "int64-backed decimal stats must prune an impossible range")
+      val mx = base.agg(max($"c_custkey")).as[Long].head()
+      // DELETE low keys (file rewrite round-trips array/map/struct);
+      // UPDATE high keys' decimal through the rewrite path too
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("c_custkey", "<=", mx / 10))))                 // v1
+      GraftDelta.updateWhere(s, path,
+        Seq(Seq(Predicate("c_custkey", ">", mx - mx / 10))),
+        Map("bal_d" -> ($"bal_d" + 100)))                                // v2
+      GraftDelta.readDelta(s, path)
+        .select(
+          $"c_custkey",
+          ($"bal_d" * 100).cast("long").as("bal_c"),
+          ($"bal_s" * 100).cast("long").as("bal_c2"),
+          $"np".cast("long").as("np_l"),
+          (element_at($"arr", 1) + element_at($"arr", 2)).as("arr_sum"),
+          element_at($"mp", "bal").as("map_bal"),
+          element_at($"nested.tags", 1).as("tag0"),
+          $"nested.n".as("nested_n"))
+        .orderBy($"c_custkey")
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source brings a column the target
     // lacks (bal_c) — the merge appends it to the target schema in the
     // SAME commit as the data swap. Matched rows take the source values,
@@ -1619,6 +1736,23 @@ object DeltaQ {
         | CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
         |FROM orders WHERE NOT (o_totalprice < 50000)
         |ORDER BY o_orderkey""".stripMargin,
+    "d58_drop_features" ->
+      """SELECT s_suppkey, s_nationkey,
+        | CAST(CASE WHEN s_suppkey <= 5 THEN 1 ELSE 0 END AS BIGINT) AS upd
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d57_complex_types" ->
+      """WITH m AS (SELECT CAST(MAX(c_custkey) AS BIGINT) AS mx FROM customer)
+        |SELECT c_custkey,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) +
+        |   CASE WHEN c_custkey > mx - mx // 10 THEN 10000 ELSE 0 END AS bal_c,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c2,
+        | CAST(c_nationkey % 5 AS BIGINT) AS np_l,
+        | CAST(c_custkey + c_nationkey AS BIGINT) AS arr_sum,
+        | CAST(ROUND(c_acctbal*100) AS BIGINT) AS map_bal,
+        | c_mktsegment AS tag0,
+        | c_nationkey AS nested_n
+        |FROM customer, m WHERE c_custkey > mx // 10
+        |ORDER BY c_custkey""".stripMargin,
     "d56_vacuum_orphans" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,

@@ -341,6 +341,23 @@ class GraftStreamSource(
     * ignoreChanges/skipChangeCommits escape hatches apply to those. */
   private def getChangeFeedBatch(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    // a change-feed batch replays COMMIT JSONs (from, to] — if any were
+    // removed underneath a subscribed stream (log-retention cleanup or
+    // DROP FEATURE … TRUNCATE HISTORY), the feed for those versions is
+    // unreconstructable. Name the condition instead of surfacing a
+    // downstream FileNotFoundException mid-plan.
+    {
+      val have = log.listCommitVersions.toSet
+      val missing = ((from + 1) to to).filterNot(have)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"GraftStreamSource[changeFeed] at $path: checkpoint offset $from predates " +
+            s"the retained log — commit(s) ${missing.mkString(", ")} no longer exist " +
+            "(log retention cleanup or DROP FEATURE … TRUNCATE HISTORY ran since the " +
+            "last trigger). The change feed for those versions cannot be " +
+            "reconstructed; restart the stream with a fresh checkpoint " +
+            "(startingVersion at or after the truncation point).")
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def scan(files: Seq[AddFile]) =

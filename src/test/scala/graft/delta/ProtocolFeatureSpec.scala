@@ -468,6 +468,85 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 25)
   }
 
+  test("DROP FEATURE changeDataFeed: property gate, cdc-trace gate, legacy downgrade") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path) // v0
+    GraftDelta.enableChangeDataFeed(spark, path)                         // v1
+    // enabled property → refuse with the disable hint
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "changeDataFeed"))
+    assert(e0.getMessage.contains("still enabled"), e0.getMessage)
+    // use the feed: a delete writes cdc actions
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("id", "<=", 3L)))) // v2
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "false"))                      // v3
+    // cdc in retained history → refuse without TRUNCATE HISTORY
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "changeDataFeed"))
+    assert(e1.getMessage.contains("TRUNCATE HISTORY") && e1.getMessage.contains("2"),
+      e1.getMessage)
+    val r = DeltaTableOps.dropFeature(spark, path, "changeDataFeed",
+      truncateHistory = true)                                            // v4
+    assert(r.removedLogFiles > 0)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    // the drop came from a LEGACY (1,4) protocol — the downgrade converts
+    // to the features form, enumerating the version's other implied
+    // features, with changeDataFeed gone and reader version still 1
+    assert(!DeltaLog.legacyWriterFeatures(snap.protocol).contains("changeDataFeed"),
+      snap.protocol.toString)
+    assert(snap.protocol.minReaderVersion == 1, snap.protocol.toString)
+    assert(!snap.metadata.configuration.contains("delta.enableChangeDataFeed"),
+      "enablement property strips with the feature")
+    assert(GraftDelta.readDelta(spark, path).count() == 17)
+  }
+
+  test("DROP FEATURE inCommitTimestamps and rowTracking: no truncation needed") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path) // v0
+    GraftDelta.enableRowTracking(spark, path)
+    GraftDelta.enableInCommitTimestamps(spark, path)
+    GraftDelta.toDelta(Seq((100L, "x")).toDF("id", "v"), path, mode = "append")
+    val preVersions = DeltaLog.forTable(spark, path).listCommitVersions
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.enableRowTracking" -> "false"))
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.enableInCommitTimestamps" -> "false"))
+    // writer-only bookkeeping in history is benign: both drop plainly
+    DeltaTableOps.dropFeature(spark, path, "rowTracking")
+    DeltaTableOps.dropFeature(spark, path, "inCommitTimestamps")
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val feats = snap.protocol.readerFeatures.toSeq.flatten ++
+      snap.protocol.writerFeatures.toSeq.flatten
+    assert(!feats.contains("rowTracking") && !feats.contains("inCommitTimestamps"),
+      feats.toString)
+    // history SURVIVES (no truncation): every pre-drop version still lists
+    assert(preVersions.toSet.subsetOf(log.listCommitVersions.toSet))
+    assert(!snap.domainMetadata.contains("delta.rowTracking"),
+      "watermark domain evicts with the feature")
+    assert(!snap.metadata.configuration.keys.exists(_.startsWith("delta.inCommitTimestamp")),
+      snap.metadata.configuration.toString)
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 20,
+      "time travel keeps working — nothing was truncated")
+  }
+
+  test("DROP FEATURE rowTracking refuses while materialized row-id columns exist") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    GraftDelta.enableRowTracking(spark, path)
+    DeltaTableOps.setTableProperties(spark, path, Map(
+      RowTracking.MaterializedRowIdProp -> "_row_id_phys",
+      RowTracking.MaterializedCommitVersionProp -> "_row_cv_phys"))
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.enableRowTracking" -> "false"))
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "rowTracking"))
+    assert(e.getMessage.contains("materialized"), e.getMessage)
+  }
+
   test("non-truncating drop refuses on DV adds retained only in a checkpoint") {
     import spark.implicits._
     val path = tmp()

@@ -448,4 +448,42 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq == (1L to 14L),
       s"recovery replayed or dropped rows: ${seen.sorted}")
   }
+
+  test("changeFeed stream names the error when DROP FEATURE truncates under it") {
+    import spark.implicits._
+    val path = tmp("cdftrunc")
+    GraftDelta.toDelta((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id"), path)                               // v0
+    GraftDelta.enableChangeDataFeed(spark, path)                         // v1
+    val ckpt = Files.createTempDirectory("graft_cdf_ck").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // foreachBatch (not the memory sink — it refuses checkpoint recovery)
+    def subscribe() = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(path)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(b.count()): Unit)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = subscribe()
+    try {
+      q.processAllAvailable()
+      assert(seen.get() == 20, s"backfill streams: ${seen.get()}")
+    } finally q.stop()
+    // history truncates underneath the checkpointed offset: DV lifecycle
+    // ending in DROP FEATURE … TRUNCATE HISTORY
+    GraftDelta.deleteWhereWithDv(spark, path, Seq(Seq(Predicate("id", "<=", 5L)))) // v2
+    DeltaMaintenance.reorgPurge(spark, path)                             // v3
+    graft.delta.DeltaTableOps.dropFeature(spark, path, "deletionVectors",
+      truncateHistory = true)                                            // v4, log truncated
+    val q2 = subscribe()
+    val ex = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("predates the retained log")),
+      s"must fail with the NAMED truncation error, not a raw file error: " +
+        messages(ex).mkString(" | "))
+  }
 }
