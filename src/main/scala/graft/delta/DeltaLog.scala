@@ -204,7 +204,18 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val lines =
       try Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+    val actions = lines.filter(_.trim.nonEmpty).flatMap(ActionCodec.fromJsonLine)
+    // a legal Delta commit always carries ≥1 action — an empty parse is
+    // a torn/truncated body (or foreign corruption) and replaying it as
+    // "no actions" would silently drop its effects from snapshots AND
+    // from any checkpoint written off them (durable corruption). The
+    // write side publishes all-or-nothing (LogStore temp+rename), so
+    // this should never fire for our own writer; it guards foreign ones.
+    if (actions.isEmpty)
+      throw new IllegalStateException(
+        s"Commit ${commitFile(v)} parses to ZERO actions — torn, truncated, " +
+          "or corrupt; refusing to replay it as an empty commit")
+    actions
   }
 
   /** Read a checkpoint parquet into actions. Uses Spark's (distributed,

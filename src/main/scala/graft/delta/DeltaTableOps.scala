@@ -70,9 +70,10 @@ object DeltaTableOps {
     if (metaComplete) {
       val sts = parsed.map(_.get)
       val nRows = sts.map(_.numRecords.get).sum
-      // stats decode integral JSON as Long and decimal as Double; a
-      // floating column whose file-extreme is integral can legally arrive
-      // as Long — coerce through the schema type, refuse the reverse.
+      // stats decode integral JSON as Long and floating as EXACT
+      // BigDecimal (the r13 pruning-precision change); a floating column
+      // whose file-extreme is integral can legally arrive as Long —
+      // coerce through the schema type, refuse the reverse.
       def typed(c: String, v: Any): Any = (fieldOf(c).dataType, v) match {
         case (ByteType, l: Long) => l.toByte
         case (ShortType, l: Long) => l.toShort
@@ -80,8 +81,10 @@ object DeltaTableOps {
         case (LongType, l: Long) => l
         case (FloatType, l: Long) => l.toFloat
         case (FloatType, d: Double) => d.toFloat
+        case (FloatType, b: java.math.BigDecimal) => b.floatValue()
         case (DoubleType, l: Long) => l.toDouble
         case (DoubleType, d: Double) => d
+        case (DoubleType, b: java.math.BigDecimal) => b.doubleValue()
         case (t, x) => throw new IllegalStateException(s"stats value $x for $t")
       }
       def ordered(c: String): Ordering[Any] = {

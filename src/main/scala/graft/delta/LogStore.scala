@@ -34,44 +34,89 @@ trait LogStore {
 object LogStore {
 
   /** POSIX CREATE_NEW — atomic on local filesystems. */
-  object Posix extends LogStore {
-    override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
-      val p = java.nio.file.Paths.get(target.toUri.getPath)
-      val out = java.nio.file.Files.newOutputStream(p,
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      try out.write(bytes) finally out.close()
+  /** Write fully to a same-directory hidden temp file, close, then move
+    * into place — the commit body becomes visible to listers and readers
+    * ALL-OR-NOTHING. Creating the destination and then streaming bytes
+    * into it (the pre-r13 shape) exposed a window where a concurrent
+    * `latestVersion` saw the version and a concurrent replay read an
+    * EMPTY or TORN body — a checkpoint written from that replay
+    * persisted the wrong state durably (caught by LogStoreFuzzSpec as
+    * resurrected rows). Object-store PUTs are content-atomic natively;
+    * this gives filesystem namespaces the same property, exactly
+    * delta-spark's HDFSLogStore rename contract. Exclusivity: an exists
+    * pre-check plus rename (atomic no-overwrite on HDFS/ABFS; on raw
+    * local the pre-check carries it, same as before). */
+  private def publishViaRename(
+      fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, /*overwrite=*/ true)
+    try out.write(bytes) finally out.close()
+    var published = false
+    try {
+      if (fs.exists(target))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"$target already exists")
+      if (!fs.rename(tmp, target)) {
+        if (fs.exists(target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$target already exists")
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      }
+      published = true
+    } finally {
+      if (!published)
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
     }
   }
 
-  /** `FileSystem.create(overwrite=false)` — atomic where the namespace
-    * is transactional (HDFS, ABFS, GCS connector). */
-  object CreateNoOverwrite extends LogStore {
+  object Posix extends LogStore {
     override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
-      val out =
-        try fs.create(target, /*overwrite=*/ false)
-        catch {
-          case e: java.io.IOException if fs.exists(target) =>
-            val ex = new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"$target already exists")
-            ex.initCause(e)
-            throw ex
-        }
+      val p = java.nio.file.Paths.get(target.toUri.getPath)
+      // full body to a temp sibling first, then PUBLISH atomically via
+      // hard link — link(2) is all-or-nothing AND fails with EEXIST, so
+      // this keeps CREATE_NEW's exclusivity while closing the torn-read
+      // window the old create-then-stream left open (see
+      // [[publishViaRename]]). Filesystems without hard links fall back
+      // to exists-check + ATOMIC_MOVE (content still atomic).
+      val tmp = p.resolveSibling(
+        s".${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = java.nio.file.Files.newOutputStream(tmp,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
       try out.write(bytes) finally out.close()
+      try {
+        try java.nio.file.Files.createLink(p, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            if (java.nio.file.Files.exists(p))
+              throw new java.nio.file.FileAlreadyExistsException(p.toString)
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
+  }
+
+  /** `FileSystem.create(overwrite=false)` exclusivity on transactional
+    * namespaces (HDFS, ABFS, GCS connector), now with content-atomic
+    * publish via temp + rename (rename refuses an existing destination
+    * on those namespaces, so exclusivity is preserved). */
+  object CreateNoOverwrite extends LogStore {
+    override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+      publishViaRename(fs, target, bytes)
   }
 
   /** S3A-style fallback: an explicit existence probe narrows (but cannot
     * close) the lost-update window; `atomicPutIfAbsent` is honestly
-    * false. Matches the reference stack's documented S3 behavior. */
+    * false. Matches the reference stack's documented S3 behavior. The
+    * content-atomic temp+rename publish mirrors a real PUT's
+    * all-or-nothing visibility. */
   object CheckThenPut extends LogStore {
     override def atomicPutIfAbsent: Boolean = false
-    override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
-      if (fs.exists(target))
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"$target already exists")
-      val out = fs.create(target, /*overwrite=*/ false)
-      try out.write(bytes) finally out.close()
-    }
+    override def writePutIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+      publishViaRename(fs, target, bytes)
   }
 
   /** Wrap a non-atomic store with external mutual exclusion (the

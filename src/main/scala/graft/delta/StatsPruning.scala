@@ -112,8 +112,17 @@ object StatsPruning {
     if (n == null || n.isNull) None
     else if (n.isIntegralNumber) Some(n.asLong())
     // exact: decimalValue() of a DecimalNode (USE_BIG_DECIMAL_FOR_FLOATS)
-    // is the digits as written — no double round-trip
-    else if (n.isFloatingPointNumber) Some(n.decimalValue())
+    // is the digits as written — no double round-trip. The node factory
+    // normalizes trailing zeros ("1.0" parses as decimal 1), so an
+    // integral-VALUED decimal decodes as Long exactly like its
+    // re-serialized form would — compactStats round-trips stay
+    // structurally equal, not just value-equal.
+    else if (n.isFloatingPointNumber) {
+      val bd = n.decimalValue()
+      if (bd.scale <= 0)
+        try Some(bd.longValueExact()) catch { case _: ArithmeticException => Some(bd) }
+      else Some(bd)
+    }
     else if (n.isTextual) Some(n.asText())
     else if (n.isBoolean) Some(n.asBoolean())
     else None

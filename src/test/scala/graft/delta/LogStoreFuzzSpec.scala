@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
 
 import java.net.URI
 import scala.collection.mutable
+import scala.io.Source
 import scala.concurrent.{Await, Future}
 import scala.concurrent.duration._
 import scala.concurrent.ExecutionContext.Implicits.global
@@ -171,6 +172,57 @@ class LogStoreFuzzSpec extends GraftSuite {
     assert(viaCp.version == head, s"checkpoint replay at $head, got ${viaCp.version}")
     val gotCp = GraftDelta.readDelta(spark, table).select($"id").as[Long].collect().toSet
     assert(gotCp == expect, "checkpoint-only replay must serve the same rows")
+  }
+
+  test("commit publish is all-or-nothing, exclusive, and leaves no temp debris") {
+    val dir = freshDir("graft_pub")
+    val fs = new Path(s"file:$dir").getFileSystem(
+      TestBase.spark.sessionState.newHadoopConf())
+    val bytes = "line1\nline2\n".getBytes("UTF-8")
+    Seq(("posix", LogStore.Posix), ("cno", LogStore.CreateNoOverwrite),
+        ("ctp", LogStore.CheckThenPut)).foreach { case (tag, store) =>
+      val target = new Path(s"file:$dir/$tag.json")
+      store.writePutIfAbsent(fs, target, bytes)
+      val in = fs.open(target)
+      val got = try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(got == "line1\nline2\n", s"$tag content")
+      // exclusive: a second put of the same target refuses
+      val refused =
+        try { store.writePutIfAbsent(fs, target, "other\n".getBytes("UTF-8")); false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+          case _: java.nio.file.FileAlreadyExistsException => true
+        }
+      assert(refused, s"$tag must refuse an existing target")
+      val in2 = fs.open(target)
+      val got2 = try Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()
+      assert(got2 == "line1\nline2\n", s"$tag refused put must not damage the body")
+    }
+    // no .tmp siblings survive any of the above
+    val leftovers = fs.listStatus(new Path(s"file:$dir"))
+      .map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("a torn (zero-action) commit body refuses to replay as an empty commit") {
+    import TestBase.spark.implicits._
+    val table = s"${freshDir("graft_torn")}/tbl"
+    GraftDelta.toDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)  // v0
+    GraftDelta.toDelta(Seq((3L, "c")).toDF("id", "v"), table, mode = "append") // v1
+    // simulate the pre-r13 torn-visibility window (or foreign-writer
+    // truncation): version 2 exists but its body is empty
+    val torn = new java.io.File(s"$table/_delta_log", f"${2L}%020d.json")
+    assert(torn.createNewFile())
+    val log = DeltaLog.forTable(TestBase.spark, table)
+    val e = intercept[IllegalStateException](log.readCommitActions(2L))
+    assert(e.getMessage.contains("ZERO actions"), e.getMessage)
+    // replay must surface the corruption, not serve a state that
+    // silently drops v2's (unknown) effects — and a checkpoint written
+    // off such a replay would have made the damage durable
+    intercept[Exception](log.snapshot(None))
+    intercept[Exception](log.writeCheckpoint(2L))
+    // the table below the tear still reads when pinned
+    assert(GraftDelta.readDelta(TestBase.spark, table, version = Some(1L)).count() == 3)
   }
 
   test("fuzz: mixed append/DML/OPTIMIZE/checkpoint through Posix (file:)") {
