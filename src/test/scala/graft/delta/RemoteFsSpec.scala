@@ -31,15 +31,17 @@ class MockFs extends RawLocalFileSystem {
 class RacyFs extends RawLocalFileSystem {
   override def getScheme: String = "racyfs"
   override def getUri: URI = URI.create("racyfs:///")
-  override protected def createOutputStreamWithMode(
-      f: Path, append: Boolean,
-      permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream = {
-    // widen the window only for COMMIT files — parquet staging also
-    // funnels through here and must not consume barrier slots
-    if (!append && f.getName.endsWith(".json") && f.toString.contains("_delta_log"))
+  // The blind PUT in the r13 temp+RENAME publish shape: the commit body
+  // is fully staged before the exists check, and the rename IS the
+  // publish — park committers here (after both passed the check, before
+  // either publishes) to stage the lost-update window deterministically.
+  // Only COMMIT destinations consume barrier slots: parquet staging and
+  // temp files also funnel through rename on some paths.
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (dst.getName.endsWith(".json") && dst.toString.contains("_delta_log"))
       RacyFs.widenWindow()
-    // the blind PUT: a truncating FileOutputStream — last writer wins
-    super.createOutputStreamWithMode(f, append, permission)
+    // raw-local rename REPLACES an existing destination — last writer wins
+    super.rename(src, dst)
   }
 }
 
@@ -156,8 +158,8 @@ class RemoteFsSpec extends GraftSuite {
     // (a) the anomaly: both committers pass the existence check before
     // either puts — both "win", the log keeps only the LAST body (the
     // object-store lost update the seam exists for). The barrier sits at
-    // createOutputStreamWithMode, i.e. AFTER RawLocalFileSystem's exists
-    // check and BEFORE the truncating open: when both committers are
+    // RENAME of the commit destination, i.e. AFTER publishViaRename's
+    // exists check and BEFORE the publish: when both committers are
     // parked there, both have already passed the check with no file
     // present, so both MUST win — deterministic, not a timing lottery.
     // The gate arms AFTER staging so the v0 commit can't consume a slot.
@@ -174,7 +176,7 @@ class RemoteFsSpec extends GraftSuite {
     // arrivals shortfall means the choke point was bypassed (a Hadoop
     // call-path change), which must fail with a diagnosis, not a coin flip
     assert(RacyFs.arrivals.get() == 2,
-      s"createOutputStreamWithMode hook bypassed: arrivals=${RacyFs.arrivals.get()}, " +
+      s"commit-rename hook bypassed: arrivals=${RacyFs.arrivals.get()}, " +
         s"outcomes=${RacyFs.outcomes}, committer errors=${failures.mkString("\n---\n")}")
     assert(RacyFs.outcomes.asScala.forall(_ == "tripped"),
       s"barrier must trip cleanly for both committers: outcomes=${RacyFs.outcomes}")
