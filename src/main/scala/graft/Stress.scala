@@ -449,6 +449,72 @@ object Stress {
       s"V2-checkpoint-only replay lost files: ${viaV2.activeFiles.size}")
     println(f"[stress] V2-checkpoint-only replay of 1M files " +
       f"${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    // ---- orphan-vacuum at directory-listing width -----------------------
+    // 200 partition dirs × 250 PHYSICAL files (50k on disk): half
+    // referenced by the log, half planted as aged crashed-write debris.
+    // Measures the full orphan pass — referenced-set build (one commit
+    // read), visible-dir BFS, the per-directory file listing as a SPARK
+    // JOB (threshold 0), and the subtraction — and requires it to name
+    // EXACTLY the 25k orphans. The driver-vs-distributed equivalence is
+    // spec-pinned (VacuumOrphanSpec); this is the width/time point.
+    val ovPath =
+      java.nio.file.Files.createTempDirectory("graft_stress_orphan").toString + "/t"
+    locally {
+      val nDirs = 200; val perDir = 250
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType)))
+      val log = graft.delta.DeltaLog.forTable(spark, ovPath)
+      val refPairs = for { d <- 0 until nDirs; i <- 0 until perDir / 2 }
+        yield (d, f"g=$d/part-ref-$i%04d.parquet")
+      val referenced = refPairs.map(_._2)
+      val orphans = for { d <- 0 until nDirs; i <- 0 until perDir / 2 }
+        yield f"g=$d/part-crashed-$i%04d.parquet"
+      log.writeCommit(0L, Seq(
+        graft.delta.CommitInfo(System.currentTimeMillis(), "CREATE"),
+        graft.delta.Protocol(1, 2),
+        graft.delta.MetadataAction(id = "stress-orphan", schemaString = schema.json,
+          partitionColumns = Seq("g"))) ++
+        refPairs.map { case (d, p) =>
+          graft.delta.AddFile(path = p, size = 4L,
+            partitionValues = Map("g" -> d.toString),
+            modificationTime = 0L, dataChange = true)
+        })
+      t0 = System.nanoTime()
+      val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+      val root = ovPath
+      spark.sparkContext.parallelize((referenced ++ orphans).toSeq, 64)
+        .foreachPartition { it =>
+          it.foreach { rel =>
+            val f = new java.io.File(root, rel)
+            f.getParentFile.mkdirs()
+            val out = new java.io.FileOutputStream(f)
+            out.write(1); out.close()
+            if (rel.contains("crashed")) f.setLastModified(oldMs)
+          }
+        }
+      println(f"[stress] orphan probe: ${referenced.size + orphans.size}%,d physical " +
+        f"files staged in ${(System.nanoTime()-t0)/1e9}%.1f s")
+      t0 = System.nanoTime()
+      val named = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
+        retentionHours = 168.0, dryRun = true,
+        includeOrphans = true, distributedListThreshold = 0)
+      require(named.size == orphans.size,
+        s"orphan pass must name exactly the debris: ${named.size} vs ${orphans.size}")
+      println(f"[stress] orphan dry-run over 50k files / $nDirs dirs " +
+        f"(distributed listing): ${named.size}%,d orphans in " +
+        f"${(System.nanoTime()-t0)/1e9}%.1f s")
+      t0 = System.nanoTime()
+      val deleted = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
+        retentionHours = 168.0, dryRun = false,
+        includeOrphans = true, distributedListThreshold = 0)
+      require(deleted.size == orphans.size)
+      require(!new java.io.File(root, orphans.head).exists())
+      require(new java.io.File(root, referenced.head).exists())
+      println(f"[stress] orphan delete (distributed fan-out): " +
+        f"${deleted.size}%,d files in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
     spark.stop()
   }
 }

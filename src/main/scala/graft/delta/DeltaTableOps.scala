@@ -20,9 +20,9 @@ object DeltaTableOps {
     *
     * Exactness over cleverness — falls back to a real scan (same schema,
     * same values) whenever the metadata answer could be inexact:
-    *  - a requested column is not integral/floating (string min/max in
-    *    foreign-written logs may be TRUNCATED; delta-spark truncates at
-    *    32 chars) or is a partition column;
+    *  - a requested column is not integral/floating/decimal (string
+    *    min/max in foreign-written logs may be TRUNCATED; delta-spark
+    *    truncates at 32 chars) or is a partition column;
     *  - any active file lacks numRecords, nullCount(c), or — unless the
     *    file is all-null for c (nullCount == numRecords) — min/max(c).
     *
@@ -39,6 +39,7 @@ object DeltaTableOps {
 
     def numericField(c: String): Boolean = fieldOf.get(c).exists(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: DecimalType => true // r13: exact scaled decimal stats exist
       case _ => false
     }) && !snap.partitionColumns.contains(c)
 
@@ -85,6 +86,14 @@ object DeltaTableOps {
         case (DoubleType, l: Long) => l.toDouble
         case (DoubleType, d: Double) => d
         case (DoubleType, b: java.math.BigDecimal) => b.doubleValue()
+        // decimal: rescale to the COLUMN's scale — exact by construction
+        // (the harvest writes the column's own values; trailing-zero
+        // normalization only ever LOWERS the stored scale). setScale
+        // without a rounding mode throws on any lossy rescale: loud, not
+        // silently wrong.
+        case (dt: DecimalType, l: Long) =>
+          java.math.BigDecimal.valueOf(l).setScale(dt.scale)
+        case (dt: DecimalType, b: java.math.BigDecimal) => b.setScale(dt.scale)
         case (t, x) => throw new IllegalStateException(s"stats value $x for $t")
       }
       def ordered(c: String): Ordering[Any] = {
@@ -95,6 +104,11 @@ object DeltaTableOps {
           case LongType => Ordering.Long
           case FloatType => Ordering.Float.TotalOrdering
           case DoubleType => Ordering.Double.TotalOrdering
+          case _: DecimalType =>
+            new Ordering[java.math.BigDecimal] {
+              def compare(a: java.math.BigDecimal, b: java.math.BigDecimal): Int =
+                a.compareTo(b)
+            }
           case t => throw new IllegalStateException(s"unexpected $t")
         }
         ord.asInstanceOf[Ordering[Any]]

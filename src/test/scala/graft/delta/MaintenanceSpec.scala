@@ -45,6 +45,7 @@ class MaintenanceSpec extends GraftSuite {
       sRow.getLong(6) == 10L)
 
     // a stats-less (foreign-written) table falls back and stays correct
+    // (decimal coverage: see the r13 test below)
     val log = DeltaLog.forTable(spark, path)
     log.writeCommit(1L, Seq(CommitInfo(
       timestamp = java.time.Instant.now().toEpochMilli, operation = "WRITE",
@@ -56,6 +57,37 @@ class MaintenanceSpec extends GraftSuite {
     assert(!foreign.metadataOnly, "stats-less table must fall back to a scan")
     val f = foreign.df.collect().head
     assert(f.getLong(0) == 30L && f.getDouble(4) == 16.5 && f.getLong(6) == 10L)
+  }
+
+  test("metadata-only aggregate covers decimal columns (r13 scaled stats)") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to 30).map(i => (i.toLong, BigDecimal(i * 150L, 2))) // 1.50 … 45.00
+      .toDF("id", "dec")
+      .select($"id", $"dec".cast("decimal(18,2)").as("dec"),     // int64-backed
+        ($"id" % 3).cast("decimal(38,6)").as("wide"))            // binary-backed
+    GraftDelta.toDelta(df.repartitionByRange(3, col("id")), path)
+    val meta = DeltaTableOps.statsAggregate(spark, path, Seq("dec", "wide"))
+    assert(meta.metadataOnly, "decimal columns with scaled stats answer from metadata")
+    val plan = meta.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"), plan)
+    assert(meta.df.schema("min_dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(meta.df.schema("max_wide").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 6))
+    val m = meta.df.collect().head
+    assert(m.getDecimal(1).compareTo(new java.math.BigDecimal("1.50")) == 0, m.toString)
+    assert(m.getDecimal(2).compareTo(new java.math.BigDecimal("45.00")) == 0, m.toString)
+    assert(m.getLong(3) == 0L)
+    assert(m.getDecimal(4).compareTo(java.math.BigDecimal.ZERO) == 0, m.toString)
+    assert(m.getDecimal(5).compareTo(new java.math.BigDecimal("2")) == 0, m.toString)
+    // the real scan agrees exactly
+    val scan = GraftDelta.readDelta(spark, path)
+      .agg(min($"dec"), max($"dec"), min($"wide"), max($"wide")).collect().head
+    assert(scan.getDecimal(0).compareTo(m.getDecimal(1)) == 0 &&
+      scan.getDecimal(1).compareTo(m.getDecimal(2)) == 0 &&
+      scan.getDecimal(2).compareTo(m.getDecimal(4)) == 0 &&
+      scan.getDecimal(3).compareTo(m.getDecimal(5)) == 0)
   }
 
   test("partitionCounts answers GROUP BY partition from the log, typed, nulls included") {
