@@ -85,7 +85,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
   /** V2 top-level checkpoint files for `v` (several uuids possible when
     * writers raced — any one is a complete, equivalent checkpoint). */
-  private def v2CheckpointFiles(v: Long): Seq[Path] =
+  private[delta] def v2CheckpointFiles(v: Long): Seq[Path] =
     if (!fs.exists(logPath)) Nil
     else fs.listStatus(logPath).iterator.map(_.getPath).filter(_.getName match {
       case V2CheckpointFileRe(cv, _, _) => cv.toLong == v

@@ -420,8 +420,6 @@ object DeltaMaintenance {
       ignoreRetention: Boolean = false): Seq[String] = {
     val log = DeltaLog.forTable(spark, path)
     val cps = log.listCheckpointVersions
-    if (cps.isEmpty) return Nil // nothing supersedes the JSON tail
-    val keepFrom = cps.max
     // the delta.logRetentionDuration table property is the authority
     // when present (the delta-spark contract — log retention is a table
     // attribute, not a caller choice); the parameter is the fallback
@@ -437,6 +435,22 @@ object DeltaMaintenance {
     val V2JsonRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.json""".r
     val V2AnyRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(?:parquet|json)""".r
     val allLog = fs.listStatus(log.logPath).toSeq
+    // Crash debris: LogStore's content-atomic publish stages hidden
+    // `.<name>.tmp-<uuid8>` siblings; a crash between staging and publish
+    // leaves them forever (the commit/checkpoint regexes below never
+    // match, orphan vacuum skips hidden trees). Sweep them once aged past
+    // the retention window — a LIVE temp is mid-publish (seconds old) and
+    // survives any sane retention.
+    val TmpRe = """\..*\.tmp-[0-9a-fA-F]{8}""".r
+    val agedTmps = allLog.iterator.filter { st =>
+      TmpRe.pattern.matcher(st.getPath.getName).matches() &&
+        st.getModificationTime < cutoff
+    }.map(_.getPath).toSeq
+    if (cps.isEmpty) { // nothing supersedes the JSON tail; tmps still go
+      if (!dryRun) agedTmps.foreach(p => fs.delete(p, false))
+      return agedTmps.map(_.getName).sorted
+    }
+    val keepFrom = cps.max
     val candidates = allLog.iterator.filter { st =>
       val old = st.getModificationTime < cutoff
       st.getPath.getName match {
@@ -466,7 +480,7 @@ object DeltaMaintenance {
         .filter(st => st.getModificationTime < cutoff &&
           !referenced.contains(st.getPath.getName))
         .map(_.getPath)
-    val all = candidates ++ orphanSidecars
+    val all = candidates ++ orphanSidecars ++ agedTmps
     if (!dryRun) all.foreach(p => fs.delete(p, false))
     all.map(p =>
       if (p.getParent.getName == "_sidecars") s"_sidecars/${p.getName}"

@@ -1996,22 +1996,20 @@ object DeltaTableOps {
     val orphans: Seq[String] =
       if (!includeOrphans) Nil
       else {
-        // referenced = every data/DV path ANY retained log file mentions.
-        // Adds AND removes, commit JSONs AND checkpoints: a file visible
-        // to any time-travelable version — live, tombstoned-in-retention,
-        // or only reachable through an old checkpoint — is not an orphan.
-        // Control-plane-sized (bounded by retained log × files/commit,
-        // the same order as the snapshot itself).
-        val referenced: Set[String] =
-          (log.listCommitVersions.iterator.flatMap(log.readCommitActions) ++
-            log.listCheckpointVersions.iterator.flatMap(log.readCheckpointActions))
-            .flatMap {
-              case a: AddFile => Iterator(a.path) ++ a.deletionVector.flatMap(dvOf).iterator
-              case r: RemoveFile => Iterator(r.path) ++ r.deletionVector.flatMap(dvOf).iterator
-              case _ => Iterator.empty
-            }
-            .map(p => rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p))).toString)
-            .toSet
+        // Retention floor (delta-spark's retentionDurationCheck
+        // analogue): in orphan mode the mtime window is the ONLY guard
+        // against deleting a concurrent writer's staged-but-uncommitted
+        // files — they are indistinguishable from crash debris. RETAIN 0
+        // HOURS would reclaim them mid-write; refuse anything under an
+        // hour unless the operator explicitly disables the check.
+        val floorCheck = spark.conf.get(
+          "spark.graft.vacuum.orphanRetentionCheck", "true").toBoolean
+        if (floorCheck && retentionHours < 1.0)
+          throw new IllegalArgumentException(
+            s"VACUUM INCLUDE ORPHANS with retention $retentionHours h (< 1 h) " +
+              "would delete a concurrent writer's staged-but-uncommitted files " +
+              "(mtime age is orphan mode's only concurrency guard). Set " +
+              "spark.graft.vacuum.orphanRetentionCheck=false to override.")
         def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
         // visible directories, breadth-first, driver-side: O(partition
         // directories) — control plane. The O(#files) per-directory
@@ -2025,29 +2023,118 @@ object DeltaTableOps {
             .map(_.getPath)
           i += 1
         }
-        val listed: Seq[(String, Long)] =
-          if (dirs.size <= distributedListThreshold)
-            dirs.toSeq.flatMap(d => rootFs.listStatus(d).iterator
+        if (dirs.size <= distributedListThreshold) {
+          // Small-table path: referenced = every data/DV path ANY
+          // retained log file mentions — adds AND removes, commit JSONs
+          // AND checkpoints: a file visible to any time-travelable
+          // version is not an orphan. Driver-sided here by design
+          // (control-plane-sized at this width).
+          val referenced: Set[String] =
+            (log.listCommitVersions.iterator.flatMap(log.readCommitActions) ++
+              log.listCheckpointVersions.iterator.flatMap(log.readCheckpointActions))
+              .flatMap {
+                case a: AddFile => Iterator(a.path) ++ a.deletionVector.flatMap(dvOf).iterator
+                case r: RemoveFile => Iterator(r.path) ++ r.deletionVector.flatMap(dvOf).iterator
+                case _ => Iterator.empty
+              }
+              .map(p => rootFs.makeQualified(new Path(DeltaRead.resolvePath(path, p))).toString)
+              .toSet
+          dirs.toSeq.flatMap(d => rootFs.listStatus(d).iterator
               .filter(st => st.isFile && visible(st.getPath.getName))
               .map(st => (st.getPath.toString, st.getModificationTime)))
-          else {
-            val confBc = spark.sparkContext.broadcast(
-              new org.apache.spark.util.SerializableConfiguration(
-                spark.sessionState.newHadoopConf()))
-            spark.sparkContext
-              .parallelize(dirs.toSeq.map(_.toString), math.min(64, dirs.size))
-              .flatMap { d =>
-                val dp = new Path(d)
-                dp.getFileSystem(confBc.value.value).listStatus(dp).iterator
-                  .filter(st => st.isFile && visible(st.getPath.getName))
-                  .map(st => (st.getPath.toString, st.getModificationTime))
+            .filter { case (p, mtime) => mtime < cutoff && !referenced.contains(p) }
+            .map { case (p, _) => DeltaWrite.uriEncodePath(p.stripPrefix(rootPrefix)) }
+            .sorted
+        } else {
+          // 100 TB path: the listing AND the subtraction are distributed
+          // — nothing O(#table-files) ever returns to the driver. The
+          // listed frame stays on executors; the referenced frame is read
+          // by Spark's own sources (commit JSONs + V2 json manifests via
+          // the json reader with an explicit minimal schema — no
+          // inference pass; checkpoint parts + V2 parquet tops + sidecars
+          // via the parquet reader, the requested schema clipping each
+          // file to the add/remove path+DV fields); a left-anti join does
+          // the subtraction; only the orphan list itself — the function's
+          // return value, O(actual debris) — is collected. Driver memory:
+          // O(dirs + log file names + orphans).
+          import spark.implicits._
+          val confBc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+          val listed = spark.sparkContext
+            .parallelize(dirs.toSeq.map(_.toString), math.min(64, dirs.size))
+            .flatMap { d =>
+              val dp = new Path(d)
+              dp.getFileSystem(confBc.value.value).listStatus(dp).iterator
+                .filter(st => st.isFile && visible(st.getPath.getName))
+                .map(st => (st.getPath.toString, st.getModificationTime))
+            }
+            .toDF("p", "mtime")
+          val dvT = StructType(Seq(
+            StructField("storageType", StringType),
+            StructField("pathOrInlineDv", StringType)))
+          val fileT = StructType(Seq(
+            StructField("path", StringType),
+            StructField("deletionVector", dvT)))
+          val actT = StructType(Seq(
+            StructField("add", fileT), StructField("remove", fileT)))
+          val cpVersions = log.listCheckpointVersions
+          val cpParts = cpVersions.flatMap(log.checkpointPartFiles)
+          val v2Tops = cpVersions.flatMap(log.v2CheckpointFiles)
+          val (v2JsonTops, v2PqTops) = v2Tops.partition(_.getName.endsWith(".json"))
+          // sidecar refs resolved per top (V2 tops AND classic-named
+          // compat-mode tops carry them); the ref read is projection-
+          // pruned, control-plane-sized
+          val sidecarDir = new Path(log.logPath, "_sidecars")
+          val sidecars = (cpParts ++ v2Tops).flatMap(log.v2SidecarRefs)
+            .distinct.map(n => new Path(sidecarDir, n))
+          val jsonPaths = log.listCommitVersions.map(v => log.commitFile(v).toString) ++
+            v2JsonTops.map(_.toString)
+          val pqPaths = (cpParts ++ v2PqTops ++ sidecars).map(_.toString)
+          def refsOf(df: DataFrame): DataFrame = df
+            .select(explode(array(
+              struct($"add.path".as("rp"),
+                $"add.deletionVector.storageType".as("st"),
+                $"add.deletionVector.pathOrInlineDv".as("dvp")),
+              struct($"remove.path".as("rp"),
+                $"remove.deletionVector.storageType".as("st"),
+                $"remove.deletionVector.pathOrInlineDv".as("dvp")))).as("f"))
+            .select($"f.rp".as("rp"), $"f.st".as("st"), $"f.dvp".as("dvp"))
+            .where($"rp".isNotNull)
+          val jsonRefs = refsOf(spark.read.schema(actT).json(jsonPaths: _*))
+          val allRefs =
+            if (pqPaths.isEmpty) jsonRefs
+            else jsonRefs.unionByName(
+              refsOf(spark.read.schema(actT).parquet(pqPaths: _*)))
+          val tablePath0 = path
+          val referencedDf = allRefs
+            .as[(String, Option[String], Option[String])]
+            .mapPartitions { it =>
+              // control-plane metadata pass, not a data hot path: the DV
+              // name needs the z85 uuid decode no builtin expresses
+              val conf = confBc.value.value
+              val rfs = new Path(tablePath0).getFileSystem(conf)
+              def abs(rel: String): String =
+                rfs.makeQualified(new Path(
+                  DeltaRead.resolvePath(tablePath0, rel))).toString
+              it.flatMap { case (rp, st, dvp) =>
+                val dv = (st, dvp) match {
+                  case (Some("u"), Some(d)) =>
+                    Some(DeletionVectors.relativeDvName(d))
+                  case (Some("p"), Some(d)) => Some(d)
+                  case _ => None
+                }
+                (Iterator(rp) ++ dv.iterator).map(abs)
               }
-              .collect().toSeq
-          }
-        listed
-          .filter { case (p, mtime) => mtime < cutoff && !referenced.contains(p) }
-          .map { case (p, _) => DeltaWrite.uriEncodePath(p.stripPrefix(rootPrefix)) }
-          .sorted
+            }
+            .toDF("p").distinct()
+          listed.where($"mtime" < cutoff)
+            .join(referencedDf, Seq("p"), "left_anti")
+            .select($"p").as[String]
+            .collect().toSeq
+            .map(p => DeltaWrite.uriEncodePath(p.stripPrefix(rootPrefix)))
+            .sorted
+        }
       }
     val tombstones = tombstones0 ++ expiredDvFiles ++ expiredCdc ++ orphans
     if (foreign.nonEmpty)

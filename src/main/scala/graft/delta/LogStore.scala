@@ -90,10 +90,18 @@ object LogStore {
         catch {
           case e: java.nio.file.FileAlreadyExistsException => throw e
           case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            if (java.nio.file.Files.exists(p))
-              throw new java.nio.file.FileAlreadyExistsException(p.toString)
-            java.nio.file.Files.move(tmp, p,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // No hard links: keep CREATE_NEW's strict exclusivity by
+            // copying the temp's bytes through an exclusive open of the
+            // destination (exists+ATOMIC_MOVE would let two racers both
+            // pass the check and the second move overwrite the first).
+            // Content atomicity is weaker on this path (stream-into-
+            // destination), but exclusivity — the property Delta's
+            // version protocol depends on — is preserved.
+            val dst = java.nio.file.Files.newOutputStream(p,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try dst.write(java.nio.file.Files.readAllBytes(tmp))
+            finally dst.close()
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }

@@ -110,7 +110,14 @@ object StatsPruning {
 
   private def decode(n: JsonNode): Option[Any] =
     if (n == null || n.isNull) None
-    else if (n.isIntegralNumber) Some(n.asLong())
+    // asLong() silently WRAPS for integral values beyond Long range —
+    // reachable since DECIMAL(p>18, scale 0) stats serialize as big
+    // integral JSON numbers (BigIntegerNode on re-read). Keep those as
+    // BigDecimal so the exact-BigDecimal comparison paths handle them.
+    else if (n.isIntegralNumber) {
+      if (n.canConvertToLong) Some(n.asLong())
+      else Some(new java.math.BigDecimal(n.bigIntegerValue()))
+    }
     // exact: decimalValue() of a DecimalNode (USE_BIG_DECIMAL_FOR_FLOATS)
     // is the digits as written — no double round-trip. The node factory
     // normalizes trailing zeros ("1.0" parses as decimal 1), so an

@@ -1041,7 +1041,10 @@ object DeltaQ {
       val snap = DeltaLog.forTable(s, path).snapshot(None)
       val feats = snap.protocol.readerFeatures.toSeq.flatten ++
         snap.protocol.writerFeatures.toSeq.flatten
-      require(!feats.exists(Set("changeDataFeed", "rowTracking", "inCommitTimestamps")),
+      // protocol feature names are SINGULAR (`inCommitTimestamp`) even
+      // though the property is plural — asserting the plural here would
+      // let a failed removal pass (ADVICE r13)
+      require(!feats.exists(Set("changeDataFeed", "rowTracking", "inCommitTimestamp")),
         feats.toString)
       val cfg = snap.metadata.configuration
       require(!cfg.contains("delta.enableChangeDataFeed") &&

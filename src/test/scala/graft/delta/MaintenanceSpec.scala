@@ -726,6 +726,49 @@ class MaintenanceSpec extends GraftSuite {
     assert(DeltaMaintenance.cleanupLog(spark, path, retentionHours = 168.0).isEmpty)
   }
 
+  test("cleanupLog sweeps aged publish-temp debris, keeps live temps") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((0L, "v0")).toDF("id", "v"), path)
+    // LogStore's content-atomic publish stages `.<name>.tmp-<uuid8>`
+    // siblings; a crash between staging and publish leaks them — the
+    // commit/checkpoint regexes never match and orphan vacuum skips
+    // hidden trees, so cleanupLog is the sweeper of record
+    val logDir = new java.io.File(path, "_delta_log")
+    val aged = new java.io.File(logDir, ".00000000000000000001.json.tmp-deadbeef")
+    val young = new java.io.File(logDir, ".00000000000000000002.json.tmp-cafebabe")
+    Seq(aged, young).foreach { f =>
+      val out = new java.io.FileOutputStream(f); out.write(1); out.close()
+    }
+    assert(aged.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    // no checkpoint exists yet — the tmp sweep must still run
+    val dry = DeltaMaintenance.cleanupLog(spark, path, retentionHours = 168.0)
+    assert(dry == Seq(aged.getName), dry.toString)
+    assert(aged.exists(), "dry run deletes nothing")
+    val gone = DeltaMaintenance.cleanupLog(spark, path,
+      retentionHours = 168.0, dryRun = false)
+    assert(gone == Seq(aged.getName) && !aged.exists())
+    assert(young.exists(), "an in-retention temp may be a live mid-publish stage")
+    assert(GraftDelta.readDelta(spark, path).count() == 1)
+  }
+
+  test("stats decode keeps beyond-Long integral bounds exact (no silent wrap)") {
+    // DECIMAL(38,0) stats serialize as big integral JSON numbers; an
+    // asLong() decode WRAPS them (ADVICE r13) — bounds then compare in
+    // the wrong value space and a file holding matches gets pruned
+    val big = new java.math.BigDecimal("99999999999999999999999999999999999999")
+    val json =
+      s"""{"numRecords":3,"minValues":{"d":1},"maxValues":{"d":$big},"nullCount":{"d":0}}"""
+    val st = StatsPruning.parse(Some(json))
+    assert(st.get.max("d") == big, st.get.max("d").toString)
+    // d > 9.3e18 (beyond Long.MaxValue): the true max qualifies, so the
+    // file MUST stay scannable; a wrapped max would wrongly prune it
+    val p = Predicate("d", ">", new java.math.BigDecimal("9300000000000000000"))
+    assert(StatsPruning.mayMatch(st, p), "wrapped decode would prune a matching file")
+    assert(!StatsPruning.mayMatch(st,
+      Predicate("d", ">", big)), "exclusive bound above max must prune")
+  }
+
   test("REORG APPLY (PURGE) rewrites exactly the DV files and drops their DVs") {
     import spark.implicits._
     val path = tmp()

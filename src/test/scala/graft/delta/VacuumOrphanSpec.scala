@@ -108,11 +108,38 @@ class VacuumOrphanSpec extends GraftSuite {
     // tree is structurally unreachable
     val target = s"${Files.createTempDirectory("graft_vo_clone")}/clone"
     GraftDelta.shallowClone(spark, src, target)
-    val cloneOut = DeltaTableOps.vacuum(spark, target, retentionHours = 0.0,
-      dryRun = false, includeOrphans = true)
+    // RETAIN 0 in orphan mode needs the explicit retention-check override
+    // (exercised here on purpose — the clone's root holds no orphans)
+    spark.conf.set("spark.graft.vacuum.orphanRetentionCheck", "false")
+    val cloneOut =
+      try DeltaTableOps.vacuum(spark, target, retentionHours = 0.0,
+        dryRun = false, includeOrphans = true)
+      finally spark.conf.unset("spark.graft.vacuum.orphanRetentionCheck")
     assert(cloneOut.isEmpty, cloneOut.toString)
     assert(GraftDelta.readDelta(spark, target).count() == 10)
     assert(GraftDelta.readDelta(spark, src).count() == 10)
+  }
+
+  test("orphan mode refuses sub-hour retention unless the check is disabled") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)
+    // a concurrent writer's freshly-staged file is indistinguishable from
+    // an orphan — only the mtime window protects it, so RETAIN 0 HOURS
+    // must refuse (delta-spark's retentionDurationCheck analogue)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTableOps.vacuum(spark, path, retentionHours = 0.0,
+        includeOrphans = true)
+    }
+    assert(e.getMessage.contains("orphanRetentionCheck"), e.getMessage)
+    // tombstone-only mode is unaffected (reference parity: retention is
+    // the caller's choice there; removes carry explicit timestamps)
+    assert(DeltaTableOps.vacuum(spark, path, retentionHours = 0.0).isEmpty)
+    // explicit override is honored
+    spark.conf.set("spark.graft.vacuum.orphanRetentionCheck", "false")
+    try assert(DeltaTableOps.vacuum(spark, path, retentionHours = 0.0,
+      includeOrphans = true).isEmpty)
+    finally spark.conf.unset("spark.graft.vacuum.orphanRetentionCheck")
   }
 
   test("distributed listing (threshold 0) finds the same orphans as driver-side") {
