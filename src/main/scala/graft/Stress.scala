@@ -412,6 +412,42 @@ object Stress {
     require(heapAfter - heapBefore < 4096,
       s"1M-file snapshot must fit in 4 GB of driver heap, measured ${heapAfter - heapBefore} MB")
 
+    // ---- snapshot-cache pins at 1M-file width (r13 VERDICT #1) ----------
+    // (a) a SECOND snapshot of the unchanged table costs one _delta_log
+    // listing and ZERO action reads — not another 17 s replay
+    locally {
+      val (c0, k0, l0) = (graft.delta.DeltaLog.commitReadCount.get(),
+        graft.delta.DeltaLog.checkpointReadCount.get(),
+        graft.delta.DeltaLog.logListCount.get())
+      t0 = System.nanoTime()
+      val again = log1M.snapshot(None)
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(again eq snap1M, "unchanged 1M-file table must serve the cached snapshot")
+      require(graft.delta.DeltaLog.commitReadCount.get() == c0 &&
+        graft.delta.DeltaLog.checkpointReadCount.get() == k0,
+        "cache hit must re-read no action files")
+      require(graft.delta.DeltaLog.logListCount.get() == l0 + 1,
+        s"cache hit costs exactly one listing, saw ${graft.delta.DeltaLog.logListCount.get() - l0}")
+      println(f"[stress] snapshot-cache hit on the 1M-file table: $secs%.3f s " +
+        f"(one listing, zero action reads)")
+      // (b) an append advances the cache by exactly ONE tail commit
+      log1M.writeCommit(10L, Seq(
+        graft.delta.CommitInfo(System.currentTimeMillis(), "APPEND"),
+        graft.delta.AddFile(path = "part-tail-cache.parquet", size = 1L << 20,
+          modificationTime = 0L, dataChange = true)))
+      val c1 = graft.delta.DeltaLog.commitReadCount.get()
+      t0 = System.nanoTime()
+      val tailSnap = log1M.snapshot(None)
+      require(tailSnap.version == 10L && tailSnap.activeFiles.size == nFiles1M + 1)
+      require(graft.delta.DeltaLog.commitReadCount.get() == c1 + 1,
+        "post-append snapshot must read exactly the one tail commit")
+      println(f"[stress] post-append incremental snapshot (1M files + 1 tail commit): " +
+        f"${(System.nanoTime()-t0)/1e9}%.3f s")
+      // undo the probe commit so the checkpoint segment below sees v0..v9
+      log1M.fs.delete(log1M.commitFile(10L), false)
+      log1M.invalidateCache()
+    }
+
     // (b) multi-part classic checkpoint: 1M adds at 500k actions/part →
     // ≥ 2 parts; replay must succeed through the checkpoint ALONE
     t0 = System.nanoTime()
@@ -422,7 +458,8 @@ object Stress {
     require(cpParts.size >= 2, s"expected a multi-part checkpoint, got ${cpParts.size}")
     (0L to 9L).foreach(v => log1M.fs.delete(log1M.commitFile(v), false))
     t0 = System.nanoTime()
-    val viaCp = graft.delta.DeltaLog.forTable(spark, snap1MPath).snapshot(None)
+    // fresh uncached handle: this measures a COLD checkpoint-only replay
+    val viaCp = new graft.delta.DeltaLog(spark, snap1MPath).snapshot(None)
     require(viaCp.activeFiles.size == nFiles1M,
       s"checkpoint-only replay lost files: ${viaCp.activeFiles.size}")
     val perFileCp = viaCp.activeFiles
@@ -444,7 +481,8 @@ object Stress {
       f"${(System.nanoTime()-t0)/1e9}%.1f s")
     (0L to 9L).foreach(v => logV2.fs.delete(logV2.commitFile(v), false))
     t0 = System.nanoTime()
-    val viaV2 = graft.delta.DeltaLog.forTable(spark, v2Path).snapshot(None)
+    // fresh uncached handle: a COLD V2-checkpoint-only replay
+    val viaV2 = new graft.delta.DeltaLog(spark, v2Path).snapshot(None)
     require(viaV2.activeFiles.size == nFiles1M,
       s"V2-checkpoint-only replay lost files: ${viaV2.activeFiles.size}")
     println(f"[stress] V2-checkpoint-only replay of 1M files " +

@@ -57,23 +57,27 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def tableExists: Boolean =
     fs.exists(logPath) && listCommitVersions.nonEmpty
 
+  /** One `_delta_log` listing, counted — the cache-hit cost unit the
+    * scale pins assert on. Missing directory → empty. */
+  private def listLogStatuses(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    DeltaLog.logListCount.incrementAndGet()
+    try fs.listStatus(logPath).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
   /** Versions of JSON commit files present in the log directory. */
   def listCommitVersions: Seq[Long] =
-    if (!fs.exists(logPath)) Nil
-    else
-      fs.listStatus(logPath)
-        .iterator
-        .map(_.getPath.getName)
-        .collect { case CommitFileRe(v) => v.toLong }
-        .toSeq
-        .sorted
+    listLogStatuses()
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case CommitFileRe(v) => v.toLong }
+      .toSeq
+      .sorted
 
-  /** Checkpoint versions present: classic single-file, multi-part
-    * (`N.checkpoint.i.n.parquet`) when every declared part exists, and
-    * V2 uuid-named (`N.checkpoint.<uuid>.parquet|json`). */
-  def listCheckpointVersions: Seq[Long] = {
-    if (!fs.exists(logPath)) return Nil
-    val names = fs.listStatus(logPath).iterator.map(_.getPath.getName).toSeq
+  /** Checkpoint versions in a log-directory name listing: classic
+    * single-file, multi-part (`N.checkpoint.i.n.parquet`) when every
+    * declared part exists, and V2 uuid-named. */
+  private def checkpointVersionsIn(names: Seq[String]): Seq[Long] = {
     val single = names.collect { case CheckpointFileRe(v) => v.toLong }
     val multi = names
       .collect { case MultiPartCheckpointRe(v, _, n) => (v.toLong, n.toInt) }
@@ -82,6 +86,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val v2 = names.collect { case V2CheckpointFileRe(v, _, _) => v.toLong }
     (single ++ multi ++ v2).distinct.sorted
   }
+
+  /** Checkpoint versions present: classic single-file, multi-part
+    * (`N.checkpoint.i.n.parquet`) when every declared part exists, and
+    * V2 uuid-named (`N.checkpoint.<uuid>.parquet|json`). */
+  def listCheckpointVersions: Seq[Long] =
+    checkpointVersionsIn(listLogStatuses().map(_.getPath.getName))
 
   /** V2 top-level checkpoint files for `v` (several uuids possible when
     * writers raced — any one is a complete, equivalent checkpoint). */
@@ -200,6 +210,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.parquet")
 
   def readCommitActions(v: Long): Seq[Action] = {
+    DeltaLog.commitReadCount.incrementAndGet()
     val in = fs.open(commitFile(v))
     val lines =
       try Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -225,6 +236,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * a missing part would otherwise silently drop that part's add actions
     * — an incomplete snapshot a later writeCheckpoint would persist. */
   def readCheckpointActions(v: Long): Seq[Action] = {
+    DeltaLog.checkpointReadCount.incrementAndGet()
     val parts = checkpointPartFiles(v)
     if (parts.isEmpty) {
       val v2 = v2CheckpointFiles(v)
@@ -330,6 +342,118 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
   }
 
+  // ---- snapshot cache: incremental tail replay (r14) -------------------
+  /** Replay state retained across `snapshot()` calls, so a repeat query
+    * of an unchanged table pays ONE `_delta_log` listing instead of a
+    * full checkpoint + JSON-tail re-read, and a query after an append
+    * applies exactly the new tail commits (delta-spark caches snapshots
+    * per (path, session) the same way — at 1M-file width a cold replay
+    * costs ~17 s of driver time PER QUERY without this).
+    *
+    * Stats are compacted AT INSERT (`compact = true`) with the keep-set
+    * of the metadata in force when the file's action replays — the state
+    * then retains the same < 200 B/file bound a built snapshot does
+    * (holding raw verbose foreign stats would cost ~1 KB/file, a GB at
+    * 1M files). Compaction only DROPS stats (kept bounds stay verbatim),
+    * so pruning stays sound whichever metadata generation compacted a
+    * file. Checkpoint writes need VERBATIM stats and therefore bypass
+    * this state entirely (throwaway uncompacted full replay).
+    * Guarded by the log's monitor. */
+  private final class ReplayState(val compact: Boolean) {
+    var version: Long = -1L
+    // (len, mtime) of `version`'s commit file when the state last
+    // advanced — a cheap staleness tripwire for foreign history surgery
+    // (rm-rf + re-create landing on the same version). -1 = the version
+    // had no commit JSON (checkpoint-only tail after log cleanup).
+    var tailLen: Long = -1L
+    var tailMtime: Long = -1L
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
+    val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
+    val domains = mutable.LinkedHashMap.empty[String, String]
+    var metadata: Option[MetadataAction] = None
+    var protocol: Protocol = Protocol()
+    /** Built compactStats=true Snapshot at `version` (null = not built). */
+    var built: Snapshot = null
+    // per-metadata-generation stats keep-set, derived lazily
+    private var keepForMeta: MetadataAction = null
+    private var keepSet: String => Boolean = _ => true
+    def statsKeep(): String => Boolean = metadata match {
+      case Some(m) =>
+        if (m ne keepForMeta) {
+          val prefix = DeltaWrite.statsSchemaOf(
+            m.schema, m.partitionColumns, m.configuration)
+          // logical AND physical names: foreign writers key stats
+          // physically under mapping, but a sloppy one may key logically
+          keepSet = (prefix.fieldNames ++
+            prefix.fields.map(DeltaRead.physicalNameOf)).toSet
+          keepForMeta = m
+        }
+        keepSet
+      case None => _ => true // adds before any metaData: keep verbatim
+    }
+  }
+  private var replay: ReplayState = null
+
+  /** Drop the retained replay state — foreign surgery on the log dir
+    * that preserves (version, len, mtime) is otherwise undetectable. */
+  def invalidateCache(): Unit = synchronized { replay = null }
+
+  private def dvIdOf(d: Option[DeletionVectorDescriptor]): String =
+    d.map(DeltaLog.dvUniqueId).getOrElse("")
+
+  // With deletion vectors a path can have several INCARNATIONS (same
+  // data file, different bitmap): reconciliation is keyed by
+  // (path, DV uniqueId) — the protocol's logical-file identity. Each
+  // commit (and the checkpoint) is reconciled as a BATCH, removes
+  // before adds, because the protocol declares actions within a commit
+  // unordered: a DV-supersede commit (remove old incarnation + re-add
+  // with the union bitmap) must keep the new add active whichever order
+  // a writer emitted the lines in, and a checkpoint's tombstones must
+  // never cancel the reconciled adds beside them. A remove WITH a
+  // descriptor evicts only the same incarnation; a remove WITHOUT one
+  // (a foreign full-file delete that didn't copy the DV descriptor)
+  // evicts the path outright — leaving it active would silently
+  // resurrect deleted rows. Superseded incarnations' tombstones
+  // survive for vacuum's DV-file reclamation.
+  private def applyBatch(st: ReplayState, actions: Seq[Action]): Unit = {
+    actions.foreach {
+      case f: RemoveFile =>
+        val rid = dvIdOf(f.deletionVector)
+        if (f.deletionVector.isEmpty ||
+            st.active.get(f.path).exists(a0 => dvIdOf(a0.deletionVector) == rid))
+          st.active.remove(f.path)
+        st.removed((f.path, rid)) = f
+      case m: MetadataAction => st.metadata = Some(m)
+      case p: Protocol => st.protocol = p
+      // latest per appId — idempotent-writer state (e.g. streaming sinks)
+      // must survive replay and checkpointing or writers re-apply batches
+      case t: SetTransaction => st.txns(t.appId) = t
+      // latest per domain; removed=true evicts (row tracking's id
+      // watermark and any foreign system metadata ride these)
+      case d: DomainMetadata =>
+        if (d.removed) st.domains.remove(d.domain)
+        else st.domains(d.domain) = d.configuration
+      case _ => ()
+    }
+    actions.foreach {
+      case f: AddFile =>
+        st.removed.remove((f.path, dvIdOf(f.deletionVector)))
+        // Bound the driver bytes retained per active file: verbose
+        // foreign stats strings (pretty-printed logs, stats over
+        // hundreds of non-indexed columns, unbounded string bounds)
+        // canonicalize down to the indexed-column prefix. Our own
+        // writer's stats are already minimal and skip this entirely
+        // (CompactThreshold).
+        st.active(f.path) = f.stats match {
+          case Some(s) if st.compact && s.length > StatsPruning.CompactThreshold =>
+            f.copy(stats = Some(StatsPruning.compactStats(s, st.statsKeep())))
+          case _ => f
+        }
+      case _ => ()
+    }
+  }
+
   /** Build the snapshot at `version` (None = latest).
     *
     * `compactStats = false` retains every add's stats string VERBATIM —
@@ -338,15 +462,70 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * truncation) into the durable log: foreign readers and a later
     * increase of dataSkippingNumIndexedCols keep the full stats, like
     * delta-spark. The verbatim copy lives only for the duration of the
-    * checkpoint write; steady-state snapshots stay compacted. */
-  def snapshot(version: Option[Long] = None, compactStats: Boolean = true): Snapshot = {
-    val latest = latestVersion
+    * checkpoint write; steady-state snapshots stay compacted.
+    *
+    * Serving discipline (all under the log's monitor):
+    *  1. one listing decides everything — latest version, tail presence,
+    *     checkpoint availability, staleness fingerprint;
+    *  2. cached state at `target` with a matching fingerprint → the
+    *     already-built Snapshot, zero action reads;
+    *  3. cached state BEHIND `target` with every intermediate commit
+    *     JSON present → apply exactly the tail commits;
+    *  4. anything else — version regression (foreign truncation /
+    *     re-create), a missing tail commit (log cleaned past us), a
+    *     fingerprint mismatch — falls back to full checkpoint + tail
+    *     replay and re-seeds the state. */
+  def snapshot(version: Option[Long] = None, compactStats: Boolean = true): Snapshot = synchronized {
+    val statuses = listLogStatuses()
+    val commitSt: Map[Long, org.apache.hadoop.fs.FileStatus] =
+      statuses.flatMap(s => s.getPath.getName match {
+        case CommitFileRe(v) => Some(v.toLong -> s)
+        case _ => None
+      }).toMap
+    val cpVs = checkpointVersionsIn(statuses.map(_.getPath.getName))
+    if (commitSt.isEmpty && cpVs.isEmpty)
+      throw new IllegalArgumentException(s"Not a Delta table (no commits): $tablePath")
+    val latest = (commitSt.keysIterator ++ cpVs.iterator).max
     val target = version.getOrElse(latest)
     if (target > latest || target < 0)
       throw new IllegalArgumentException(
         s"Invalid version $target for $tablePath (latest: $latest)")
 
-    // Checkpoint-accelerated replay (SURVEY.md §2 ④): prefer
+    def fingerprintOk(st: ReplayState): Boolean =
+      st.tailLen < 0 || commitSt.get(st.version).forall(c =>
+        c.getLen == st.tailLen && c.getModificationTime == st.tailMtime)
+    def stamp(st: ReplayState, v: Long): Unit = {
+      st.version = v
+      commitSt.get(v) match {
+        case Some(c) => st.tailLen = c.getLen; st.tailMtime = c.getModificationTime
+        case None => st.tailLen = -1L; st.tailMtime = -1L
+      }
+    }
+
+    // compactStats=false (checkpoint writes) needs VERBATIM stats: the
+    // cached state compacts at insert, so it can neither serve nor be
+    // seeded here — fall straight through to an uncached full replay
+    val st0 = if (compactStats) replay else null
+    // (2) exact hit: nothing to read at all
+    if (st0 != null && st0.version == target &&
+        st0.built != null && fingerprintOk(st0))
+      return st0.built
+    // (3) incremental: extend the retained state along the JSON tail
+    if (st0 != null && st0.version >= 0 && target > st0.version && fingerprintOk(st0) &&
+        ((st0.version + 1) to target).forall(commitSt.contains)) {
+      ((st0.version + 1) to target).foreach { v =>
+        // readCommitActions throws on a torn body — the state then still
+        // sits consistently at v-1 and the next call retries the tail
+        applyBatch(st0, readCommitActions(v))
+        stamp(st0, v)
+        st0.built = null
+      }
+      val snap = buildSnapshot(st0, target)
+      st0.built = snap
+      return snap
+    }
+
+    // (4) full replay. Checkpoint-accelerated (SURVEY.md §2 ④): prefer
     // _last_checkpoint, fall back to listed checkpoints ≤ target.
     // Candidates are tried NEWEST-FIRST and an unreadable one (a
     // concurrent writer's clear-then-rename install window, or genuine
@@ -360,7 +539,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     // near-complete active map live simultaneously — ~2× peak driver
     // memory at 1M-file widths.
     var cpLoaded: (Long, Seq[Action]) = {
-      val listed = listCheckpointVersions.filter(_ <= target).sorted(Ordering[Long].reverse)
+      val listed = cpVs.filter(_ <= target).sorted(Ordering[Long].reverse)
       val cands =
         (readLastCheckpoint().map(_.version).filter(_ <= target).toSeq ++ listed).distinct
       cands.iterator.flatMap { cv =>
@@ -376,68 +555,33 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
     val cpVersion: Option[Long] = Option(cpLoaded).map(_._1)
 
-    val active = mutable.LinkedHashMap.empty[String, AddFile]
-    val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
-    val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
-    val domains = mutable.LinkedHashMap.empty[String, String]
-    var metadata: Option[MetadataAction] = None
-    var protocol: Protocol = Protocol()
-
-    // With deletion vectors a path can have several INCARNATIONS (same
-    // data file, different bitmap): reconciliation is keyed by
-    // (path, DV uniqueId) — the protocol's logical-file identity. Each
-    // commit (and the checkpoint) is reconciled as a BATCH, removes
-    // before adds, because the protocol declares actions within a commit
-    // unordered: a DV-supersede commit (remove old incarnation + re-add
-    // with the union bitmap) must keep the new add active whichever order
-    // a writer emitted the lines in, and a checkpoint's tombstones must
-    // never cancel the reconciled adds beside them. A remove WITH a
-    // descriptor evicts only the same incarnation; a remove WITHOUT one
-    // (a foreign full-file delete that didn't copy the DV descriptor)
-    // evicts the path outright — leaving it active would silently
-    // resurrect deleted rows. Superseded incarnations' tombstones
-    // survive for vacuum's DV-file reclamation.
-    def dvIdOf(d: Option[DeletionVectorDescriptor]): String = d.map(DeltaLog.dvUniqueId).getOrElse("")
-    def applyBatch(actions: Seq[Action]): Unit = {
-      actions.foreach {
-        case f: RemoveFile =>
-          val rid = dvIdOf(f.deletionVector)
-          if (f.deletionVector.isEmpty ||
-              active.get(f.path).exists(a0 => dvIdOf(a0.deletionVector) == rid))
-            active.remove(f.path)
-          removed((f.path, rid)) = f
-        case m: MetadataAction => metadata = Some(m)
-        case p: Protocol => protocol = p
-        // latest per appId — idempotent-writer state (e.g. streaming sinks)
-        // must survive replay and checkpointing or writers re-apply batches
-        case t: SetTransaction => txns(t.appId) = t
-        // latest per domain; removed=true evicts (row tracking's id
-        // watermark and any foreign system metadata ride these)
-        case d: DomainMetadata =>
-          if (d.removed) domains.remove(d.domain) else domains(d.domain) = d.configuration
-        case _ => ()
-      }
-      actions.foreach {
-        case f: AddFile =>
-          removed.remove((f.path, dvIdOf(f.deletionVector)))
-          active(f.path) = f
-        case _ => ()
-      }
-    }
-
+    val st = new ReplayState(compact = compactStats)
     if (cpLoaded != null) {
-      applyBatch(cpLoaded._2)
+      applyBatch(st, cpLoaded._2)
       cpLoaded = null // drop the checkpoint action list before the JSON tail
     }
     val startV = cpVersion.map(_ + 1).getOrElse(0L)
-    val present = listCommitVersions.toSet
     (startV to target).foreach { v =>
-      if (present.contains(v)) applyBatch(readCommitActions(v))
+      if (commitSt.contains(v)) applyBatch(st, readCommitActions(v))
       else if (cpVersion.isEmpty || v > cpVersion.get)
         throw new IllegalStateException(
           s"Missing commit file version $v in $tablePath/_delta_log")
     }
+    stamp(st, target)
+    val snap = buildSnapshot(st, target)
+    if (compactStats) {
+      st.built = snap
+      replay = st
+    }
+    snap
+  }
 
+  /** Validate the reader gate and materialize an immutable Snapshot from
+    * replay state (stats were already compacted at insert for cached
+    * states; verbatim for checkpoint-write replays). */
+  private def buildSnapshot(st: ReplayState, target: Long): Snapshot = {
+    val metadata = st.metadata
+    val protocol = st.protocol
     val meta = metadata.getOrElse(
       throw new IllegalStateException(s"No metaData action found for $tablePath @ v$target"))
     // Reader-version gate: reader 2 = column mapping, which this replay
@@ -470,29 +614,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           s"reader ≤ 2 with mapping mode none/name/id, or reader 3 whose features " +
           s"are all in ${DeltaLog.SupportedReaderFeatures.mkString("{", ",", "}")}")
     }
-    // Bound the driver bytes retained per active file: verbose foreign
-    // stats strings (pretty-printed logs, stats over hundreds of
-    // non-indexed columns, unbounded string bounds) canonicalize down to
-    // the indexed-column prefix. Our own writer's stats are already
-    // minimal and skip this entirely (CompactThreshold).
-    val statsKeep: String => Boolean = {
-      val prefix = DeltaWrite.statsSchemaOf(
-        meta.schema, meta.partitionColumns, meta.configuration)
-      // logical AND physical names: foreign writers key stats physically
-      // under mapping, but a sloppy one may key logically — keep both
-      (prefix.fieldNames ++ prefix.fields.map(DeltaRead.physicalNameOf)).toSet
-    }
-    val activeFiles =
-      if (!compactStats) active.values.toSeq
-      else active.values.toSeq.map { f =>
-        f.stats match {
-          case Some(s) if s.length > StatsPruning.CompactThreshold =>
-            f.copy(stats = Some(StatsPruning.compactStats(s, statsKeep)))
-          case _ => f
-        }
-      }
-    Snapshot(target, meta, protocol, activeFiles, removed.values.toSeq,
-      txns.values.toSeq, domains.toMap)
+    Snapshot(target, meta, protocol, st.active.values.toSeq,
+      st.removed.values.toSeq, st.txns.values.toSeq, st.domains.toMap)
   }
 
   /** CommitInfo actions, newest version first — the history surface
@@ -1046,6 +1169,11 @@ object DeltaLog {
       // appends/DML go through the current (widened) schema and the scan
       // widens older narrow files
       "typeWidening",
+      // v2 checkpoints: writeCheckpoint emits the uuid+sidecar form
+      // whenever the reader feature is on — the writer obligation (only
+      // V2 checkpoints on a v2Checkpoint table) is exactly what the
+      // protocol asks of a feature-listing writer
+      "v2Checkpoint",
       // VARIANT columns write through Spark's native parquet variant
       // encoder; the write path stamps the feature whenever the schema
       // carries a variant (DeltaWrite.typeFeaturesOf)
@@ -1095,5 +1223,46 @@ object DeltaLog {
       """([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})""" +
       """\.(parquet|json)""").r
 
-  def forTable(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
+  /** Observability for the scale pins: every commit-JSON body read,
+    * every checkpoint action read, every `_delta_log` listing. The
+    * snapshot-cache contract is asserted in these units — a second
+    * snapshot of an unchanged table must cost ONE listing and ZERO
+    * action reads; a post-append snapshot exactly the tail's commits. */
+  val commitReadCount = new java.util.concurrent.atomic.AtomicLong
+  val checkpointReadCount = new java.util.concurrent.atomic.AtomicLong
+  val logListCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Handle cache: ONE DeltaLog — hence one retained replay state — per
+    * (session, normalized path). Bounded LRU (access-order): a session
+    * touching many tables evicts the coldest handle, which simply
+    * full-replays on next use. 16 tables ≈ the interactive working set;
+    * `spark.graft.snapshotCache.tables` overrides. */
+  private val handles =
+    new java.util.LinkedHashMap[(SparkSession, String), DeltaLog](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DeltaLog]): Boolean =
+        size() > maxHandles
+    }
+  @volatile private var maxHandles = 16
+
+  def forTable(spark: SparkSession, path: String): DeltaLog = {
+    val key = (spark, new Path(path).toString)
+    handles.synchronized {
+      maxHandles =
+        try spark.conf.get("spark.graft.snapshotCache.tables", "16").toInt
+        catch { case scala.util.control.NonFatal(_) => 16 }
+      if (maxHandles <= 0) return new DeltaLog(spark, path) // cache disabled
+      val cur = handles.get(key)
+      if (cur != null) cur
+      else {
+        val log = new DeltaLog(spark, path)
+        handles.put(key, log)
+        log
+      }
+    }
+  }
+
+  /** Drop every cached handle and its replay state (tests; foreign
+    * surgery on log directories this process can't observe). */
+  def clearCache(): Unit = handles.synchronized(handles.clear())
 }

@@ -1429,8 +1429,19 @@ object DeltaTableOps {
     // near-universal confusion
     val feature =
       if (feature0 == "inCommitTimestamps") "inCommitTimestamp" else feature0
-    val supported =
-      Set("deletionVectors", "changeDataFeed", "inCommitTimestamp", "rowTracking")
+    // named refusal (not an unknown-feature error): dropping column
+    // mapping would strand data files whose parquet columns are keyed by
+    // mapped physical names/ids — every file would need a rewrite to
+    // logical names before a mapping-unaware reader could match columns.
+    // No rewrite path is provided; delta-spark gates the same drop behind
+    // its own full-rewrite machinery.
+    require(feature != "columnMapping",
+      "DROP FEATURE columnMapping is not supported: data files are keyed " +
+        "by mapped physical column names/ids and would all need rewriting " +
+        "to logical names first. Create a mapping-free copy instead " +
+        "(CREATE TABLE … AS SELECT, or DEEP CLONE into a fresh table).")
+    val supported = Set("deletionVectors", "changeDataFeed", "inCommitTimestamp",
+      "rowTracking", "v2Checkpoint", "typeWidening")
     require(supported.contains(feature),
       s"DROP FEATURE supports: ${supported.toSeq.sorted.mkString(", ")} (got '$feature0')")
     val log = DeltaLog.forTable(spark, path)
@@ -1469,6 +1480,58 @@ object DeltaTableOps {
           s"Feature $feature has materialized row-id columns " +
             s"(${RowTracking.MaterializedRowIdProp}) — files carry physical id " +
             "columns a feature-less writer would corrupt; rewrite them first")
+      // v2Checkpoint is a capability, never baked into data files: the
+      // drop commits the downgrade and the checkpoint written right after
+      // it is CLASSIC (writeCheckpoint keys on the new protocol), so a
+      // feature-less reader replays the head without ever touching a
+      // uuid-named file. Superseded v2 checkpoints below the drop stay
+      // until log cleanup; a feature-less time-traveler that cannot read
+      // them falls back to plain JSON replay — availability at worst,
+      // never a misread (checkpoints are an optimization).
+      case "v2Checkpoint" => ()
+      // typeWidening IS baked into data files: a file written before the
+      // widening keeps its narrow physical type, and only the feature
+      // tells a reader to upcast. The gate proves no active file is
+      // narrow-backed — a distributed footer probe (one small-footer read
+      // per file, fans out as a Spark job; never a data scan).
+      case "typeWidening" =>
+        val widened = snap.schema.fields
+          .filter(_.metadata.contains("delta.typeChanges"))
+          .map(f => DeltaRead.physicalNameOf(f) -> f.dataType)
+        if (widened.nonEmpty && snap.activeFiles.nonEmpty) {
+          val files = snap.activeFiles.map(f => DeltaRead.resolvePath(path, f.path))
+          val confBc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+          val expect = widened.map { case (n, dt) => n -> dt.json }.toMap
+          val narrow = spark.sparkContext
+            .parallelize(files, math.min(64, files.size))
+            .flatMap { fp =>
+              val p = new Path(fp)
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(p, confBc.value.value)
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              val msg =
+                try reader.getFooter.getFileMetaData.getSchema
+                finally reader.close()
+              expect.flatMap { case (colName, dtJson) =>
+                val dt = org.apache.spark.sql.types.DataType.fromJson(dtJson)
+                if (!msg.containsField(colName)) None // absent → null-filled, wide-safe
+                else {
+                  val t = msg.getType(Seq(colName): _*)
+                  val ok = t.isPrimitive &&
+                    physicalMatchesDeclared(t.asPrimitiveType(), dt)
+                  if (ok) None else Some(p.getName)
+                }
+              }.headOption
+            }
+            .take(5)
+          require(narrow.isEmpty,
+            s"Feature $feature is in use: active file(s) still carry " +
+              s"pre-widening physical types (e.g. ${narrow.mkString(", ")}) — " +
+              s"rewrite them first (OPTIMIZE delta.`$path` after a full " +
+              "compaction, or REORG), then retry")
+        }
     }
     // retained-history trace gates — only traces a FOREIGN consumer could
     // misread require truncation:
@@ -1500,6 +1563,24 @@ object DeltaTableOps {
       case "changeDataFeed" =>
         log.listCommitVersions.filter(v =>
           log.readCommitActions(v).exists(_.isInstanceOf[AddCDCFile]))
+      //  - typeWidening: any retained metaData whose schema carries
+      //    `delta.typeChanges` (the widening commit itself, every commit
+      //    after it, and any checkpoint of that span) — a feature-less
+      //    reader time-traveling there sees a schema obliging upcasts it
+      //    does not implement. The head's metadata is stripped by THIS
+      //    drop, so post-truncation replay is trace-free.
+      case "typeWidening" =>
+        val commitTraces = log.listCommitVersions.filter(v =>
+          log.readCommitActions(v).exists {
+            case m: MetadataAction => m.schemaString.contains("delta.typeChanges")
+            case _ => false
+          })
+        val checkpointTraces = log.listCheckpointVersions.filter(v =>
+          log.readCheckpointActions(v).exists {
+            case m: MetadataAction => m.schemaString.contains("delta.typeChanges")
+            case _ => false
+          })
+        (commitTraces ++ checkpointTraces).distinct.sorted
       case _ => Nil
     }
     require(traceVersions.isEmpty || truncateHistory,
@@ -1521,9 +1602,25 @@ object DeltaTableOps {
       case _ => Nil
     }
     val newConfig = snap.metadata.configuration -- strippedProps
+    // typeWidening's bookkeeping lives in the SCHEMA (per-field
+    // delta.typeChanges metadata), not in table properties — strip it in
+    // the same commit so the downgraded table reads foreign-plain
+    val strippedSchema: Option[StructType] =
+      if (feature != "typeWidening") None
+      else {
+        val cleaned = StructType(snap.schema.fields.map { f =>
+          if (!f.metadata.contains("delta.typeChanges")) f
+          else StructField(f.name, f.dataType, f.nullable,
+            new MetadataBuilder().withMetadata(f.metadata)
+              .remove("delta.typeChanges").build())
+        })
+        Some(cleaned).filter(_ != snap.schema)
+      }
     val metaAction: Option[MetadataAction] =
-      if (newConfig == snap.metadata.configuration) None
-      else Some(snap.metadata.copy(configuration = newConfig))
+      if (newConfig == snap.metadata.configuration && strippedSchema.isEmpty) None
+      else Some(snap.metadata.copy(
+        configuration = newConfig,
+        schemaString = strippedSchema.map(_.json).getOrElse(snap.metadata.schemaString)))
     val domainAction: Option[DomainMetadata] =
       if (feature == "rowTracking" && snap.domainMetadata.contains(RowTracking.Domain))
         Some(DomainMetadata(RowTracking.Domain, "", removed = true))
@@ -1571,6 +1668,39 @@ object DeltaTableOps {
         n
       }
     DropFeatureResult(version, checkpointed = true, removed)
+  }
+
+  /** Does a parquet footer column already match the declared (widened)
+    * Spark type — i.e. would a typeWidening-unaware reader read it
+    * natively, no protocol upcast needed? Conservative: anything
+    * unrecognized counts as a mismatch for widening-target types, and
+    * decimals require the exact annotation (precision AND scale) — a
+    * smaller-precision backing may ride a different physical width. */
+  private[delta] def physicalMatchesDeclared(
+      pt: org.apache.parquet.schema.PrimitiveType,
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val prim = pt.getPrimitiveTypeName
+    val ann = pt.getLogicalTypeAnnotation
+    def plainInt = ann == null ||
+      ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+    dt match {
+      case d: DecimalType => ann match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          a.getPrecision == d.precision && a.getScale == d.scale
+        case _ => false
+      }
+      case LongType => prim == INT64 && plainInt
+      case IntegerType | ShortType | ByteType => prim == INT32 && plainInt
+      case DoubleType => prim == DOUBLE
+      case FloatType => prim == FLOAT
+      case DateType => prim == INT32 &&
+        ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case TimestampNTZType => prim == INT64 &&
+        ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+      case _ => true // not a widening-target family: never blocks a drop
+    }
   }
 
   /** Stamp fresh column-mapping ids + physical names onto new fields

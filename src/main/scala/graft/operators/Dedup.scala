@@ -786,6 +786,88 @@ object Dedup {
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
   }
 
+  /** Exact-substring span REMOVAL — completes the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * pipeline: [[duplicatedSpanStats]] measures duplicated spans; this
+    * operator CUTS them. Every `spanLen`-char span occurrence that is
+    * not the corpus-FIRST occurrence of its span text (first = smallest
+    * (doc_id, start), within-document repeats included) is removed; a
+    * character survives iff no removed span covers it; each document is
+    * reassembled from its surviving characters in order.
+    *
+    * Output: (doc_id, orig_len, kept_len, text_kept) — exact strings and
+    * integer lengths, bit-for-bit mirrorable in SQL. Docs shorter than
+    * `spanLen` have no spans and survive whole.
+    *
+    * Scale: never a self-join, never a pair blowup — like t38, a
+    * boilerplate span shared by 10^8 docs contributes one first-owner
+    * row, not pairs. Stages: (1) span keys per position (the same
+    * codegen'd O(n) `RollingHash60` pass; exact substrings only when the
+    * oracle needs literal strings), (2) first-occurrence `min(struct)`
+    * aggregation — partial-combines map-side, so hot spans fold before
+    * the exchange, (3) hash join back to tag non-first occurrences, (4)
+    * per-doc interval union via a running covered-max window (one
+    * shuffle on doc_id; O(cut spans) per doc, never O(len·spanLen)
+    * position explosion), (5) ordered gap reassembly through substr on
+    * the original text. A hash collision in hashed mode can only merge
+    * two span groups — i.e. over-cut, never resurrect (p < 1e-10 at
+    * realistic span vocabularies). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 40, hashedShingles: Boolean = true): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive: $spanLen")
+    val t = col("__t")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(t.isNotNull)
+    val spanned = base.filter(length(t) >= spanLen)
+    val pos =
+      if (hashedShingles)
+        spanned.select(col("doc_id"), posexplode(
+            org.apache.spark.sql.graft.VectorBridge.rollingHash60(t, spanLen)))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+            col("col").as("k"))
+      else
+        spanned.select(col("doc_id"), posexplode(
+            transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
+              i => t.substr(i, lit(spanLen)))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+            col("col").as("k"))
+    val firsts = pos.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+    val cuts = pos.join(firsts, Seq("k"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
+      .select(col("doc_id"), col("s"), (col("s") + spanLen).as("e"))
+    // interval union per doc: running covered-max over start-ordered cut
+    // spans; a kept gap opens wherever the next cut starts past it
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gaps = cuts
+      .withColumn("prevCov", coalesce(max(col("e")).over(w), lit(1L)))
+      .filter(col("s") > col("prevCov"))
+      .select(col("doc_id"), col("prevCov").as("segStart"),
+        (col("s") - col("prevCov")).as("segLen"))
+    val covs = cuts.groupBy("doc_id").agg(max(col("e")).as("cov"))
+    val tailSegs = covs
+      .join(base.select(col("doc_id"), length(t).cast("long").as("len")), Seq("doc_id"))
+      .filter(col("cov") <= col("len"))
+      .select(col("doc_id"), col("cov").as("segStart"),
+        (col("len") - col("cov") + 1).as("segLen"))
+    val segArr = gaps.unionByName(tailSegs).groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("segStart"), col("segLen")))).as("segs"))
+    base
+      .join(covs, Seq("doc_id"), "left")
+      .join(segArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(t).cast("long").as("orig_len"),
+        // cov null = no cut span touches this doc → kept whole; cut docs
+        // with no surviving segment (segs null) collapse to ""
+        when(col("cov").isNull, t).otherwise(coalesce(
+          expr("array_join(transform(segs, x -> substr(__t, " +
+            "CAST(x.segStart AS INT), CAST(x.segLen AS INT))), '')"),
+          lit(""))).as("text_kept"))
+      .select(col("doc_id"), col("orig_len"),
+        length(col("text_kept")).cast("long").as("kept_len"), col("text_kept"))
+  }
+
   /** Near-dup clusters by identical SimHash band (15-bit quarters over
     * the 60 effective signature bits — polyhash60 features leave bits
     * 60-63 always clear, so 16-bit quarters would waste a quarter of

@@ -1060,6 +1060,81 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // DROP FEATURE for the file-format-coupled features (r13 VERDICT #4):
+    // full lifecycle — enable v2Checkpoint (protocol upgrade) and USE it
+    // (uuid+sidecar checkpoint on disk), widen s_suppkey int→long and USE
+    // that (a long-backed post-widening append beside narrow-backed v0
+    // files), then drop gate by gate: typeWidening with narrow-backed
+    // active files → refuse naming the rewrite; after a full OPTIMIZE
+    // rewrite, without TRUNCATE HISTORY → refuse (retained schema traces);
+    // with TRUNCATE HISTORY → downgrade + per-field delta.typeChanges
+    // stripped; v2Checkpoint drop → downgrade + the NEXT checkpoint is
+    // CLASSIC; columnMapping → the named structural refusal. The table
+    // then reads foreign-plain.
+    "d59_drop_format_features" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d59")
+      val sup = t(s, dir, "supplier")
+      GraftDelta.toDelta(
+        sup.select($"s_suppkey".cast("int").as("s_suppkey"), $"s_name",
+          $"s_nationkey", $"s_acctbal").repartitionByRange(2, $"s_suppkey"),
+        path)                                                            // v0
+      val log0 = DeltaLog.forTable(s, path)
+      val sn0 = log0.snapshot(None)
+      log0.writeCommit(sn0.version + 1, Seq(
+        CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+        Protocol(3, 7,
+          readerFeatures = Some(Seq("v2Checkpoint")),
+          writerFeatures = Some(
+            (DeltaLog.legacyWriterFeatures(sn0.protocol) :+ "v2Checkpoint")
+              .distinct))))                                              // v1
+      log0.writeCheckpoint(sn0.version + 1) // USE: uuid+sidecar on disk
+      def uuidCheckpoints(): Seq[String] =
+        new java.io.File(path, "_delta_log").listFiles()
+          .map(_.getName).filter(_.matches(
+            """\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""")).toSeq
+      require(uuidCheckpoints().nonEmpty, "v2 checkpoint must be in use")
+      DeltaTableOps.widenColumnType(s, path, "s_suppkey",
+        org.apache.spark.sql.types.LongType)                             // v2
+      GraftDelta.toDelta(
+        sup.select(($"s_suppkey" + 10000L).as("s_suppkey"), $"s_name",
+          $"s_nationkey", $"s_acctbal"),
+        path, mode = "append")                                           // v3
+      // gate 1: narrow-backed v0 files still active → refuse, name the fix
+      val e0 = try { DeltaTableOps.dropFeature(s, path, "typeWidening"); "" }
+               catch { case ex: IllegalArgumentException => ex.getMessage }
+      require(e0.contains("pre-widening physical types"), e0)
+      DeltaMaintenance.compact(s, path, minFilesToCompact = 1)           // v4
+      // gate 2: footer probe now passes, retained traces still refuse
+      val e1 = try { DeltaTableOps.dropFeature(s, path, "typeWidening"); "" }
+               catch { case ex: IllegalArgumentException => ex.getMessage }
+      require(e1.contains("TRUNCATE HISTORY"), e1)
+      val rTw = DeltaTableOps.dropFeature(s, path, "typeWidening",
+        truncateHistory = true)                                          // v5
+      require(rTw.removedLogFiles > 0)
+      // v2Checkpoint drop: no rewrite, no truncation — downgrade + the
+      // checkpoint written at the drop version must be CLASSIC
+      val uuidBefore = uuidCheckpoints().size
+      DeltaTableOps.dropFeature(s, path, "v2Checkpoint")                 // v6
+      require(uuidCheckpoints().size == uuidBefore,
+        "v2Checkpoint drop must checkpoint CLASSIC, not another uuid file")
+      // the named structural refusal
+      val e2 = try { DeltaTableOps.dropFeature(s, path, "columnMapping"); "" }
+               catch { case ex: IllegalArgumentException => ex.getMessage }
+      require(e2.contains("not supported") && e2.contains("rewriting"), e2)
+      val snap = DeltaLog.forTable(s, path).snapshot(None)
+      val feats = snap.protocol.readerFeatures.toSeq.flatten ++
+        snap.protocol.writerFeatures.toSeq.flatten
+      require(!feats.exists(Set("typeWidening", "v2Checkpoint")), feats.toString)
+      require(!snap.metadata.schemaString.contains("delta.typeChanges"),
+        "typeChanges metadata must be stripped with the drop")
+      require(snap.schema("s_suppkey").dataType ==
+        org.apache.spark.sql.types.LongType, "widened type survives the drop")
+      GraftDelta.readDelta(s, path)
+        .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("bal_c"))
+        .orderBy($"s_suppkey")
+    }),
+
     // Complex types END-TO-END through the engine's own paths: ArrayType,
     // MapType, DecimalType(38,6) + (18,2), and a struct-of-array column
     // go write → stats harvest (decimal JSON encoding is the known hard
@@ -1743,6 +1818,13 @@ object DeltaQ {
       """SELECT s_suppkey, s_nationkey,
         | CAST(CASE WHEN s_suppkey <= 5 THEN 1 ELSE 0 END AS BIGINT) AS upd
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "d59_drop_format_features" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |       CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal_c FROM supplier
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 10000 AS BIGINT), s_name,
+        |       CAST(ROUND(s_acctbal*100) AS BIGINT) FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
     "d57_complex_types" ->
       """WITH m AS (SELECT CAST(MAX(c_custkey) AS BIGINT) AS mx FROM customer)
         |SELECT c_custkey,

@@ -562,6 +562,20 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // Exact-substring span REMOVAL (Lee et al. dedup, the cut step t38
+    // only measures): non-first occurrences of every duplicated 40-char
+    // span are cut, docs reassembled from the surviving characters.
+    // Scale mode (rolling-hash span keys, no substring materialization);
+    // the oracle rebuilds the same window hash bit-for-bit, then mirrors
+    // first-occurrence → interval-union → ordered gap reassembly, so the
+    // reassembled TEXT itself is hash-compared.
+    "t48_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 40, hashedShingles = true)
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal: binary content + stubbed decode → feature extraction.
     // Multimodal with a REAL codec: text bytes become genuine one-row
     // grayscale PNGs (pixel i = byte i, lossless), decoded back through
@@ -1238,6 +1252,53 @@ object PipelineQ {
         |       dupc.dup_positions AS dup_positions
         |FROM documents d JOIN dupc USING (doc_id)
         |WHERE dupc.dup_positions > 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "t48_span_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 31 + x) % 1000000007)
+        |    + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 131 + x) % 998244353) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40)
+        |),
+        |cuts AS (
+        |  SELECT doc_id, s, s + 40 AS e FROM (
+        |    SELECT doc_id, s,
+        |           row_number() OVER (PARTITION BY k ORDER BY doc_id, s) AS rn
+        |    FROM pos)
+        |  WHERE rn > 1),
+        |gaps AS (
+        |  SELECT doc_id, prevcov AS segstart, s - prevcov AS seglen FROM (
+        |    SELECT doc_id, s,
+        |           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS prevcov
+        |    FROM cuts)
+        |  WHERE s > prevcov),
+        |covs AS (SELECT doc_id, max(e) AS cov FROM cuts GROUP BY doc_id),
+        |tails AS (
+        |  SELECT c.doc_id, c.cov AS segstart, length(d.text) - c.cov + 1 AS seglen
+        |  FROM covs c JOIN documents d USING (doc_id)
+        |  WHERE c.cov <= length(d.text)),
+        |segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+        |kept AS (
+        |  SELECT sg.doc_id,
+        |         string_agg(substr(d.text, CAST(sg.segstart AS INT), CAST(sg.seglen AS INT)),
+        |                    '' ORDER BY sg.segstart) AS text_kept
+        |  FROM segs sg JOIN documents d USING (doc_id) GROUP BY sg.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(length(d.text) AS BIGINT) AS orig_len,
+        |       CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+        |                        ELSE coalesce(k.text_kept, '') END) AS BIGINT) AS kept_len,
+        |       CASE WHEN c.doc_id IS NULL THEN d.text
+        |            ELSE coalesce(k.text_kept, '') END AS text_kept
+        |FROM documents d
+        |LEFT JOIN covs c USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "t12_stream_backfill" ->
       """SELECT event_type,

@@ -583,4 +583,81 @@ class ProtocolFeatureSpec extends GraftSuite {
       GraftDelta.readDelta(spark, path, version = Some(1L)).count())
     assert(GraftDelta.readDelta(spark, path).count() == 26)
   }
+
+  test("DROP FEATURE v2Checkpoint: downgrade checkpoints CLASSIC, reads survive") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val log0 = DeltaLog.forTable(spark, path)
+    val sn0 = log0.snapshot(None)
+    log0.writeCommit(sn0.version + 1, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("v2Checkpoint")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(sn0.protocol) :+ "v2Checkpoint").distinct))))
+    log0.writeCheckpoint(1L) // obligation: V2 while the feature is on
+    def names(): Seq[String] =
+      new java.io.File(path, "_delta_log").listFiles().map(_.getName).toSeq
+    val UuidRe = """\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""".r
+    assert(names().exists(n => UuidRe.pattern.matcher(n).matches()),
+      "v2 table must write uuid-named checkpoints")
+    val r = DeltaTableOps.dropFeature(spark, path, "v2Checkpoint")       // v2
+    assert(r.checkpointed)
+    // the drop's checkpoint is CLASSIC — writeCheckpoint keys on the new
+    // protocol — so a feature-less reader replays the head without ever
+    // touching a uuid-named file
+    assert(names().contains(f"${2L}%020d.checkpoint.parquet"),
+      s"drop must checkpoint classic: ${names().sorted}")
+    val p = DeltaLog.forTable(spark, path).snapshot(None).protocol
+    assert(!(p.readerFeatures.toSeq.flatten ++ p.writerFeatures.toSeq.flatten)
+      .contains("v2Checkpoint"), p.toString)
+    assert(GraftDelta.readDelta(spark, path).count() == 30)
+    // later checkpoints stay classic
+    GraftDelta.toDelta(Seq((100L, "x")).toDF("id", "v"), path, mode = "append")
+    DeltaLog.forTable(spark, path).writeCheckpoint(3L)
+    assert(names().contains(f"${3L}%020d.checkpoint.parquet"))
+    assert(GraftDelta.readDelta(spark, path).count() == 31)
+  }
+
+  test("DROP FEATURE typeWidening: footer gate, trace gate, metadata strip") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"), path) // v0: int
+    DeltaTableOps.widenColumnType(spark, path, "id",
+      org.apache.spark.sql.types.LongType)                               // v1
+    // narrow-backed v0 files still active → the distributed footer probe
+    // must refuse and name the rewrite
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "typeWidening"))
+    assert(e0.getMessage.contains("pre-widening physical types"), e0.getMessage)
+    DeltaMaintenance.compact(spark, path, minFilesToCompact = 1)         // v2: rewrite
+    // rewritten long-backed, but retained metaData still carries
+    // delta.typeChanges → refuse without TRUNCATE HISTORY
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "typeWidening"))
+    assert(e1.getMessage.contains("TRUNCATE HISTORY"), e1.getMessage)
+    val r = DeltaTableOps.dropFeature(spark, path, "typeWidening",
+      truncateHistory = true)                                            // v3
+    assert(r.removedLogFiles > 0)
+    val snap = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(!(snap.protocol.readerFeatures.toSeq.flatten ++
+      snap.protocol.writerFeatures.toSeq.flatten).contains("typeWidening"))
+    assert(!snap.metadata.schemaString.contains("delta.typeChanges"),
+      "the drop must strip the per-field bookkeeping")
+    assert(snap.schema("id").dataType == org.apache.spark.sql.types.LongType,
+      "the widened type itself survives")
+    assert(GraftDelta.readDelta(spark, path).agg(
+      org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 210L)
+  }
+
+  test("DROP FEATURE columnMapping refuses by name with the structural reason") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "columnMapping"))
+    assert(e.getMessage.contains("not supported") &&
+      e.getMessage.contains("physical column names"), e.getMessage)
+  }
 }

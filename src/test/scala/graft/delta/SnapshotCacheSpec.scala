@@ -1,0 +1,167 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Snapshot cache with incremental tail replay (r13 VERDICT next-round
+  * #1): a repeat snapshot of an unchanged table costs one `_delta_log`
+  * listing and ZERO action reads; a post-append snapshot applies exactly
+  * the new tail commits; foreign truncation / re-creation / torn tails
+  * invalidate rather than serve stale state. */
+class SnapshotCacheSpec extends GraftSuite {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_sc")
+    d.toFile.deleteOnExit()
+    s"$d/tbl"
+  }
+
+  private case class Counts(commits: Long, checkpoints: Long, listings: Long)
+  private def counts(): Counts = Counts(
+    DeltaLog.commitReadCount.get(),
+    DeltaLog.checkpointReadCount.get(),
+    DeltaLog.logListCount.get())
+  private def delta(before: Counts): Counts = {
+    val now = counts()
+    Counts(now.commits - before.commits,
+      now.checkpoints - before.checkpoints,
+      now.listings - before.listings)
+  }
+
+  test("repeat snapshot costs one listing, zero action reads; append applies one tail commit") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 100L).toDF("k"), path)                      // v0
+    GraftDelta.toDelta((101L to 110L).toDF("k"), path, mode = "append")   // v1
+
+    val log = DeltaLog.forTable(spark, path)
+    assert(log eq DeltaLog.forTable(spark, path),
+      "forTable must return the cached handle for the same (session, path)")
+
+    val s1 = log.snapshot(None)
+    assert(s1.version == 1L)
+    // exact hit: same Snapshot instance, one listing, zero reads
+    val c0 = counts()
+    val s2 = log.snapshot(None)
+    val d0 = delta(c0)
+    assert(s2 eq s1, "unchanged table must serve the built snapshot")
+    assert(d0.commits == 0 && d0.checkpoints == 0,
+      s"cache hit must read no action files: $d0")
+    assert(d0.listings == 1, s"cache hit costs exactly one listing: $d0")
+
+    // append → exactly ONE tail commit read, no checkpoint re-read
+    GraftDelta.toDelta((111L to 120L).toDF("k"), path, mode = "append")   // v2
+    val c1 = counts()
+    val s3 = log.snapshot(None)
+    val d1 = delta(c1)
+    assert(s3.version == 2L && s3.activeFiles.nonEmpty)
+    assert(d1.commits == 1 && d1.checkpoints == 0,
+      s"post-append snapshot must apply exactly the tail commit: $d1")
+    assert(GraftDelta.readDelta(spark, path).count() == 120)
+
+    // the previously served snapshot is immutable — still v1's view
+    assert(s2.version == 1L)
+  }
+
+  test("incremental tail equals full replay (DML, DV, metadata change in the tail)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    log.snapshot(None) // seed the cache at v0
+
+    // tail with a DV delete (incarnation reconciliation), an update, and
+    // a schema change (metadata action) — the hard replay cases
+    GraftDelta.deleteWhereWithDv(spark, path,
+      Seq(Seq(Predicate("id", "<=", 10L))))                               // v1
+    GraftDelta.updateWhere(spark, path,
+      Seq(Seq(Predicate("id", ">", 45L))), Map("v" -> lit("upd")))        // v2
+    DeltaTableOps.addColumn(spark, path, "extra",
+      org.apache.spark.sql.types.StringType)                              // v3
+
+    val inc = log.snapshot(None) // incremental: v1..v3 applied on cache
+    val full = new DeltaLog(spark, path).snapshot(None) // cold full replay
+    assert(inc.version == full.version)
+    def fileIds(s: Snapshot) =
+      s.activeFiles.map(f => (f.path, f.deletionVector.map(DeltaLog.dvUniqueId))).toSet
+    assert(fileIds(inc) == fileIds(full),
+      "incremental active set must equal full replay")
+    assert(inc.tombstones.map(_.path).toSet == full.tombstones.map(_.path).toSet)
+    assert(inc.metadata.schema == full.metadata.schema,
+      "metadata change in the tail must land")
+    assert(inc.domainMetadata == full.domainMetadata)
+    assert(GraftDelta.readDelta(spark, path).count() == 40)
+  }
+
+  test("foreign truncation and re-creation invalidate; checkpoint-cleaned tail full-replays") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((0L, "a")).toDF("id", "v"), path, checkpointInterval = 2)
+    (1 to 4).foreach(i => GraftDelta.toDelta(Seq((i.toLong, s"b$i")).toDF("id", "v"),
+      path, mode = "append", checkpointInterval = 2))                     // v0..v4, cps at 2,4
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.snapshot(None).version == 4L)
+
+    // log cleanup removes the pre-checkpoint tail: cached state (v4) is
+    // still valid and serves; a COLD handle replays from the checkpoint
+    DeltaMaintenance.cleanupLog(spark, path, retentionHours = 0.0, dryRun = false)
+    assert(log.snapshot(None).version == 4L)
+    assert(GraftDelta.readDelta(spark, path).count() == 5)
+
+    // foreign rm-rf + re-create at a LOWER version: version regression
+    // must invalidate (full replay of the new table, not stale state)
+    val dir = new java.io.File(path)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(dir)
+    GraftDelta.toDelta(Seq((100L, "z")).toDF("id", "v"), path)            // fresh v0
+    val fresh = log.snapshot(None)
+    assert(fresh.version == 0L)
+    assert(GraftDelta.readDelta(spark, path).as[(Long, String)].collect().toSeq ==
+      Seq((100L, "z")), "stale cache would resurrect the old table")
+
+    // re-creation landing on the SAME version with different content:
+    // the (len, mtime) fingerprint must catch it (longer stats strings
+    // guarantee a different commit-file length)
+    rmrf(dir)
+    GraftDelta.toDelta(
+      Seq((200L, "yyyy"), (201L, "xxxx"), (202L, "wwww")).toDF("id", "v"), path)
+    val again = log.snapshot(None)
+    assert(again.version == 0L)
+    assert(GraftDelta.readDelta(spark, path).count() == 3,
+      "same-version re-create must not serve the cached file set")
+  }
+
+  test("time travel serves from cache without poisoning the head") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((11L to 20L).toDF("k"), path, mode = "append")     // v1
+    GraftDelta.toDelta((21L to 30L).toDF("k"), path, mode = "append")     // v2
+    val log = DeltaLog.forTable(spark, path)
+    assert(log.snapshot(Some(0L)).activeFiles.nonEmpty)
+    assert(log.snapshot(None).version == 2L)
+    assert(GraftDelta.readDelta(spark, path, version = Some(1L)).count() == 20)
+    assert(GraftDelta.readDelta(spark, path).count() == 30)
+    // pinned old version again — cache may full-replay; result exact
+    assert(GraftDelta.readDelta(spark, path, version = Some(0L)).count() == 10)
+    assert(GraftDelta.readDelta(spark, path).count() == 30)
+  }
+
+  test("checkpoint write (verbatim stats) bypasses the built cache but stays coherent") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 40L).toDF("k"), path)
+    val log = DeltaLog.forTable(spark, path)
+    val compact = log.snapshot(None)
+    val verbatim = log.snapshot(None, compactStats = false)
+    assert(verbatim ne compact)
+    assert(verbatim.activeFiles.map(_.path).toSet == compact.activeFiles.map(_.path).toSet)
+    // after the verbatim call the cached head still serves correctly
+    assert(log.snapshot(None).activeFiles.map(_.path).toSet ==
+      compact.activeFiles.map(_.path).toSet)
+  }
+}

@@ -355,6 +355,54 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (4L, 5L, 0L)), got.toString)
   }
 
+  /** dedupSpans semantics on a hand-computed corpus: non-first span
+    * occurrences cut (within-doc repeats included), overlapping cut
+    * spans union, heads/gaps/tails reassemble in order, short docs and
+    * cut-free docs survive whole, fully-covered docs collapse to "". */
+  test("dedupSpans cuts exactly the non-first span occurrences (hand-computed)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ABCDEFGH"),    // every span first → kept whole
+      (2L, "XXABCDEFYY"),  // ABCDE@3 + BCDEF@4 non-first → cut [3,9) → "XXYY"
+      (3L, "ABCDE"),       // its only span is non-first → fully cut → ""
+      (4L, "ABC"),         // shorter than spanLen → kept whole
+      (5L, "PQRSTPQRST")   // within-doc repeat: PQRST@6 cut → "PQRST"
+    ).toDF("doc_id", "text")
+    val expected = Seq(
+      (1L, 8L, 8L, "ABCDEFGH"),
+      (2L, 10L, 4L, "XXYY"),
+      (3L, 5L, 0L, ""),
+      (4L, 3L, 3L, "ABC"),
+      (5L, 10L, 5L, "PQRST"))
+    Seq(false, true).foreach { hashed =>
+      val got = Dedup.dedupSpans(docs, "doc_id", "text",
+          spanLen = 5, hashedShingles = hashed)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(got == expected, s"hashed=$hashed: $got")
+    }
+  }
+
+  /** dedupSpans on the real corpus: modes agree bit-for-bit (keys AND
+    * reassembled text) and cutting is monotone (kept_len ≤ orig_len,
+    * kept text length consistent). No cross-check against t38 coverage:
+    * t38 counts DOCUMENT frequency (within-doc repeats don't count)
+    * while dedupSpans cuts within-doc repeats too — the semantics
+    * deliberately differ there. */
+  test("dedupSpans agrees across hashed and exact modes on the corpus") {
+    val d = spark.read.parquet(docs)
+    def run(hashed: Boolean) =
+      Dedup.dedupSpans(d, "doc_id", "text", spanLen = 40, hashedShingles = hashed)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    val exact = run(false)
+    assert(exact == run(true), "hashed span keys drifted from exact strings")
+    assert(exact.exists(r => r._3 < r._2), "pin is vacuous: nothing was cut")
+    assert(exact.forall(r => r._3 >= 0 && r._3 <= r._2 && r._4.length == r._3))
+  }
+
   /** Hashed-key mode (the 100 TB shuffle-width default) must agree with
     * exact string keys on a real corpus, and the duplicate-key probe must
     * stay a partial-aggregating join — no Window over the span key. */
