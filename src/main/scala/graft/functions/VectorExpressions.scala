@@ -67,6 +67,12 @@ object VectorFunctions {
   def alnumRunCount(s: Column): Column =
     org.apache.spark.sql.graft.VectorBridge.alnumRunCount(s)
 
+  /** Greedy longest-match BPE-vocabulary tokenization statistics
+    * `[n_tokens, Σ idx·tokenLen]` in one codegen'd walk — tokenizer-
+    * accurate counts for packing budgets (oracle-exact integers). */
+  def bpeStatsQ(s: Column, vocab: IndexedSeq[String]): Column =
+    org.apache.spark.sql.graft.VectorBridge.bpeStatsQ(s, vocab)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

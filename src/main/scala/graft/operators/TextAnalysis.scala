@@ -27,6 +27,38 @@ object TextAnalysis {
   private[operators] def regexTokenCountViaSplit(text: Column): Column =
     size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0))
 
+  /** Fixed byte-BPE merged vocabulary for tokenizer-ACCURATE counting
+    * (t49): the multi-character entries a trained English byte-BPE
+    * resolves to first (single characters are implicit base tokens).
+    * Greedy longest-match against this table is the inference-time walk
+    * of BPE-family tokenizers; a production deployment swaps in its own
+    * trained merges — the kernel, the walk, and the oracle contract are
+    * vocabulary-agnostic. ASCII-only, every entry ≥ 2 chars, broadcast
+    * into the codegen'd kernel as a literal table. */
+  val BpeVocab: Seq[String] = Seq(
+    " the", " and", "tion", "ing ",
+    "the", "ing", "ion", "ent", "and", "ed ", " th", "er ",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to", "nt",
+    "se", "ha", "as", "ou", "le", "ve", "e ", "s ", "d ", "t ", ", ",
+    ". ", " a", " s", " o", " w", " c")
+
+  /** Per-document tokenizer-accurate statistics: greedy longest-match
+    * over [[BpeVocab]] in one codegen'd pass. Output (doc_id, n_chars,
+    * bpe_tokens, bpe_checksum) — the checksum (Σ tokenIndex·tokenLen) is
+    * order-sensitive, so an oracle that replays the walk catches any
+    * boundary drift, not just count drift. Narrow map over the corpus:
+    * no shuffle, scan-speed. */
+  def bpeTokenStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val stats = graft.functions.VectorFunctions.bpeStatsQ(col(textCol), BpeVocab.toIndexedSeq)
+    df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"), stats.as("__st"))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(col("__st"), 1).as("bpe_tokens"),
+        element_at(col("__st"), 2).as("bpe_checksum"))
+  }
+
   /** Count of tokens belonging to an English stopword set. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   def stopwordCount(text: Column): Column = stopwordCountOfWords(split(text, " "))

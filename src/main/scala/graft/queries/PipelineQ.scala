@@ -576,6 +576,18 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // Tokenizer-ACCURATE token counts (t18's packing budgets use the
+    // alnum-run approximation; this is the real greedy longest-match
+    // walk over a BPE merged vocabulary, as one codegen'd kernel). The
+    // order-sensitive checksum (Σ tokenIndex·tokenLen) makes the oracle
+    // replay every token BOUNDARY, not just the count — DuckDB walks the
+    // same vocabulary through a recursive CTE.
+    "t49_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal: binary content + stubbed decode → feature extraction.
     // Multimodal with a REAL codec: text bytes become genuine one-row
     // grayscale PNGs (pixel i = byte i, lossless), decoded back through
@@ -1300,6 +1312,29 @@ object PipelineQ {
         |LEFT JOIN covs c USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t49_bpe_tokens" -> {
+      val vocabVals = TextAnalysis.BpeVocab
+        .map(v => s"('${v.replace("'", "''")}')").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (VALUES $vocabVals),
+         |walk(doc_id, pos, ntok, ck) AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    w.pos + coalesce((SELECT max(length(t.v)) FROM vocab t
+         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1),
+         |    w.ntok + 1,
+         |    w.ck + (w.ntok + 1) * coalesce((SELECT max(length(t.v)) FROM vocab t
+         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1)
+         |  FROM walk w JOIN documents d USING (doc_id)
+         |  WHERE w.pos <= length(d.text))
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       f.ntok AS bpe_tokens, f.ck AS bpe_checksum
+         |FROM documents d
+         |JOIN (SELECT doc_id, max(ntok) AS ntok, max(ck) AS ck
+         |      FROM walk GROUP BY doc_id) f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "t12_stream_backfill" ->
       """SELECT event_type,
         | CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,

@@ -922,6 +922,92 @@ object AlnumRunCount {
   }
 }
 
+/** Greedy longest-match tokenization statistics over a fixed merged
+  * vocabulary — tokenizer-ACCURATE token counting (the BPE vocabulary
+  * walk production tokenizers resolve to after training), replacing the
+  * alnum-run approximation where budgets must match a real tokenizer.
+  * At each position the longest vocabulary entry matching wins; no
+  * entry → one code point. Returns `[n_tokens, checksum]` with
+  * `checksum = Σ tokenIndex₁ₓ · tokenLen` — order-sensitive integer
+  * arithmetic an oracle engine replays exactly (the t49 contract).
+  *
+  * One generated pass per row; the per-length hash-set probe is
+  * O(maxEntryLen) per position (a byte-trie is the drop-in upgrade at
+  * vocabulary sizes where the set probe dominates — the walk shape and
+  * the emitted statistics are unchanged). ASCII-only vocabulary keeps
+  * UTF-16 offsets and code-point positions in lockstep, so a SQL mirror
+  * stepping by code points agrees on every boundary. */
+case class BpeStatsQ(child: Expression, vocab: IndexedSeq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty && vocab.forall(v => v.length >= 2 && v.forall(_ < 0x80)),
+    "vocab entries must be ASCII with length >= 2 (single chars are implicit)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_stats_q"
+
+  @transient private lazy val table: BpeStatsQ.Table = BpeStatsQ.buildTable(vocab)
+
+  override def nullSafeEval(a: Any): Any =
+    BpeStatsQ.compute(a.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table,
+      "org.apache.spark.sql.graft.BpeStatsQ.Table")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.BpeStatsQ.compute($a, $tRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeStatsQ {
+  /** Per-length entry sets, lengths 2..maxLen. */
+  final class Table(val maxLen: Int,
+      val byLen: Array[java.util.HashSet[String]]) extends Serializable
+
+  def buildTable(vocab: Seq[String]): Table = {
+    val maxLen = vocab.map(_.length).max
+    val byLen = new Array[java.util.HashSet[String]](maxLen + 1)
+    vocab.foreach { v =>
+      if (byLen(v.length) == null) byLen(v.length) = new java.util.HashSet[String]()
+      byLen(v.length).add(v)
+    }
+    new Table(maxLen, byLen)
+  }
+
+  def compute(s: UTF8String, t: Table): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var ntok = 0L
+    var ck = 0L
+    while (i < n) {
+      var matched = 0
+      var len = math.min(t.maxLen, n - i)
+      while (len >= 2 && matched == 0) {
+        val set = t.byLen(len)
+        if (set != null && set.contains(str.substring(i, i + len))) matched = len
+        len -= 1
+      }
+      ntok += 1
+      if (matched > 0) {
+        ck += ntok * matched
+        i += matched
+      } else {
+        // single code point: ASCII vocab keeps UTF-16 and code-point
+        // positions aligned, so the fallback advances one code point
+        ck += ntok
+        i += Character.charCount(str.codePointAt(i))
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(ntok, ck))
+  }
+}
+
 /** Per-document DISTINCT word n-gram STRINGS in one byte pass — the
   * fused form of the shingling shape itself,
   * `array_distinct(transform(sequence(...), i → concat_ws(" ",
@@ -1107,6 +1193,9 @@ object VectorBridge {
 
   def polyhash60(s: Column): Column =
     ExpressionUtils.column(PolyHash60(ExpressionUtils.expression(s)))
+
+  def bpeStatsQ(s: Column, vocab: IndexedSeq[String]): Column =
+    ExpressionUtils.column(BpeStatsQ(ExpressionUtils.expression(s), vocab))
 
   def rollingHash60(s: Column, spanLen: Int): Column =
     ExpressionUtils.column(RollingHash60(ExpressionUtils.expression(s), spanLen))

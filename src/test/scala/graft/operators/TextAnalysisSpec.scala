@@ -134,4 +134,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq("join"), 10).as[(Long, Long)].collect().toSeq
     assert(shuffled == got)
   }
+
+  /** Pure-Scala greedy longest-match reference — the contract the
+    * codegen'd BpeStatsQ kernel must hit bit-for-bit. */
+  private def bpeRef(s: String, vocab: Seq[String]): (Long, Long) = {
+    val maxLen = vocab.map(_.length).max
+    val set = vocab.toSet
+    var i = 0; var ntok = 0L; var ck = 0L
+    while (i < s.length) {
+      val matched = (math.min(maxLen, s.length - i) to 2 by -1)
+        .find(l => set.contains(s.substring(i, i + l))).getOrElse(0)
+      ntok += 1
+      if (matched > 0) { ck += ntok * matched; i += matched }
+      else { ck += ntok; i += Character.charCount(s.codePointAt(i)) }
+    }
+    (ntok, ck)
+  }
+
+  test("bpeTokenStats: kernel is bit-equal to the pure-Scala reference") {
+    import spark.implicits._
+    // hand-picked shapes: vocab hits at start/middle/end, overlapping
+    // candidates where longest must win (" the" over " t"/"th"), ties
+    // through punctuation entries (", ", ". "), empty and vocab-free text
+    val texts = Seq(
+      "the cat sat on the mat.",
+      "running and jumping, resting.",
+      "xyzq",                       // no vocab entry at all → all singles
+      "thethethe",                  // back-to-back matches
+      " the the",                   // leading-space entries
+      "",                           // empty → (0, 0)
+      "zzéthe"                 // non-ASCII single before a match
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == bpeRef(t, TextAnalysis.BpeVocab),
+        s"kernel drifted from reference on '$t'")
+    }
+    // the corpus too — every doc, not just the shapes above
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val ks = TextAnalysis.bpeTokenStats(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val texts2 = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ks.foreach { case (id, n, ck) =>
+      assert((n, ck) == bpeRef(texts2(id), TextAnalysis.BpeVocab), s"doc $id drifted")
+    }
+    // longest-match sanity: "the cat..." must tokenize "the" as ONE token
+    // (not t+h+e) — count strictly below character count
+    assert(got(0L)._1 < texts(0).length)
+  }
 }
