@@ -489,17 +489,20 @@ object Stress {
       f"${(System.nanoTime()-t0)/1e9}%.1f s")
 
     // ---- orphan-vacuum at directory-listing width -----------------------
-    // 200 partition dirs × 250 PHYSICAL files (50k on disk): half
+    // 500 partition dirs × 2000 PHYSICAL files (1M on disk): half
     // referenced by the log, half planted as aged crashed-write debris.
-    // Measures the full orphan pass — referenced-set build (one commit
-    // read), visible-dir BFS, the per-directory file listing as a SPARK
-    // JOB (threshold 0), and the subtraction — and requires it to name
-    // EXACTLY the 25k orphans. The driver-vs-distributed equivalence is
-    // spec-pinned (VacuumOrphanSpec); this is the width/time point.
+    // Measures the full orphan pass — the referenced-paths FRAME read by
+    // Spark's own json/parquet sources, visible-dir BFS, the
+    // per-directory file listing as a SPARK JOB (threshold 0), and the
+    // distributed left-anti subtraction — and requires it to name
+    // EXACTLY the 500k orphans under a measured driver-heap bound:
+    // nothing O(#table-files) may return to the driver, only the orphan
+    // list itself. The driver-vs-distributed equivalence is spec-pinned
+    // (VacuumOrphanSpec); this is the width/time/heap point.
     val ovPath =
       java.nio.file.Files.createTempDirectory("graft_stress_orphan").toString + "/t"
     locally {
-      val nDirs = 200; val perDir = 250
+      val nDirs = 500; val perDir = 2000
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType)))
@@ -534,15 +537,27 @@ object Stress {
         }
       println(f"[stress] orphan probe: ${referenced.size + orphans.size}%,d physical " +
         f"files staged in ${(System.nanoTime()-t0)/1e9}%.1f s")
+      val ovHeapBefore = usedHeapMb()
       t0 = System.nanoTime()
       val named = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
         retentionHours = 168.0, dryRun = true,
         includeOrphans = true, distributedListThreshold = 0)
+      val ovSecs = (System.nanoTime() - t0) / 1e9
+      val ovHeapAfter = usedHeapMb()
       require(named.size == orphans.size,
         s"orphan pass must name exactly the debris: ${named.size} vs ${orphans.size}")
-      println(f"[stress] orphan dry-run over 50k files / $nDirs dirs " +
-        f"(distributed listing): ${named.size}%,d orphans in " +
-        f"${(System.nanoTime()-t0)/1e9}%.1f s")
+      // driver-heap bound: the listed (path, mtime) pairs of all 1M files
+      // stay on executors; the driver retains the table snapshot (500k
+      // adds — held by any query on this table) plus the 500k-entry
+      // orphan list the call RETURNS. 1.5 GB bounds both with room;
+      // the pre-r14 full-listing collect would hold 1M paths + mtimes on
+      // top and was the scale debt this probe pins closed.
+      require(ovHeapAfter - ovHeapBefore < 1536,
+        s"orphan dry-run must stay O(dirs + orphans) on the driver, " +
+          s"measured ${ovHeapAfter - ovHeapBefore} MB")
+      println(f"[stress] orphan dry-run over ${nDirs * perDir}%,d files / $nDirs dirs " +
+        f"(distributed listing + anti-join): ${named.size}%,d orphans in " +
+        f"$ovSecs%.1f s, driver heap +${ovHeapAfter - ovHeapBefore} MB")
       t0 = System.nanoTime()
       val deleted = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
         retentionHours = 168.0, dryRun = false,
@@ -552,6 +567,24 @@ object Stress {
       require(new java.io.File(root, referenced.head).exists())
       println(f"[stress] orphan delete (distributed fan-out): " +
         f"${deleted.size}%,d files in ${(System.nanoTime()-t0)/1e9}%.1f s")
+      // dry-run parity with the driver-sided small-table branch, pinned
+      // at width on a SAMPLE dir: re-plant a handful of orphans and
+      // compare both branches on the now-clean table
+      (0 until 3).foreach { i =>
+        val f = new java.io.File(root, f"g=7/part-replant-$i.parquet")
+        val out = new java.io.FileOutputStream(f)
+        out.write(1); out.close()
+        f.setLastModified(oldMs)
+      }
+      val viaDriver = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
+        retentionHours = 168.0, dryRun = true,
+        includeOrphans = true, distributedListThreshold = Int.MaxValue)
+      val viaSparkJob = graft.delta.DeltaTableOps.vacuum(spark, ovPath,
+        retentionHours = 168.0, dryRun = true,
+        includeOrphans = true, distributedListThreshold = 0)
+      require(viaDriver == viaSparkJob && viaDriver.size == 3,
+        s"branch parity at width: driver=${viaDriver.size} dist=${viaSparkJob.size}")
+      println(s"[stress] orphan branch parity at width: ${viaDriver.size} orphans, equal lists")
     }
     spark.stop()
   }
