@@ -1554,11 +1554,11 @@ object DeltaTableOps {
             case r: RemoveFile => r.deletionVector.isDefined
             case _ => false
           })
-        val checkpointTraces = log.listCheckpointVersions.filter(v =>
-          log.readCheckpointActions(v).exists {
-            case a: AddFile => a.deletionVector.isDefined
-            case _ => false
-          })
+        val dvClip = StructType(Seq(StructField("add", StructType(Seq(
+          StructField("deletionVector", StructType(Seq(
+            StructField("storageType", StringType)))))))))
+        val checkpointTraces = checkpointTraceVersions(spark, log, dvClip,
+          col("add.deletionVector.storageType").isNotNull)
         (commitTraces ++ checkpointTraces).distinct.sorted
       case "changeDataFeed" =>
         log.listCommitVersions.filter(v =>
@@ -1575,11 +1575,10 @@ object DeltaTableOps {
             case m: MetadataAction => m.schemaString.contains("delta.typeChanges")
             case _ => false
           })
-        val checkpointTraces = log.listCheckpointVersions.filter(v =>
-          log.readCheckpointActions(v).exists {
-            case m: MetadataAction => m.schemaString.contains("delta.typeChanges")
-            case _ => false
-          })
+        val twClip = StructType(Seq(StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType))))))
+        val checkpointTraces = checkpointTraceVersions(spark, log, twClip,
+          col("metaData.schemaString").contains("delta.typeChanges"))
         (commitTraces ++ checkpointTraces).distinct.sorted
       case _ => Nil
     }
@@ -1669,6 +1668,31 @@ object DeltaTableOps {
       }
     DropFeatureResult(version, checkpointed = true, removed)
   }
+
+  /** Versions of retained checkpoints whose action set satisfies `cond`,
+    * decided EXECUTOR-side: each probe reads the checkpoint's parquet
+    * parts / V2 tops / sidecars (and json-flavor V2 manifests) through
+    * Spark's own sources with a CLIPPED requested schema and stops at
+    * the first hit — never materializing O(#files) checkpoint actions on
+    * the driver. A full checkpoint at 10M-file width is GBs of driver
+    * actions; a trace CHECK needs one boolean per checkpoint. */
+  private def checkpointTraceVersions(
+      spark: SparkSession, log: DeltaLog,
+      clipped: StructType, cond: org.apache.spark.sql.Column): Seq[Long] =
+    log.listCheckpointVersions.filter { v =>
+      val parts = log.checkpointPartFiles(v)
+      val v2Tops = log.v2CheckpointFiles(v)
+      val (v2Json, v2Pq) = v2Tops.partition(_.getName.endsWith(".json"))
+      val sidecarDir = new Path(log.logPath, "_sidecars")
+      val sidecars = (parts ++ v2Tops).flatMap(log.v2SidecarRefs)
+        .distinct.map(n => new Path(sidecarDir, n))
+      val pq = (parts ++ v2Pq ++ sidecars).map(_.toString)
+      val js = v2Json.map(_.toString)
+      (pq.nonEmpty && !spark.read.schema(clipped).parquet(pq: _*)
+        .where(cond).isEmpty) ||
+        (js.nonEmpty && !spark.read.schema(clipped).json(js: _*)
+          .where(cond).isEmpty)
+    }
 
   /** Does a parquet footer column already match the declared (widened)
     * Spark type — i.e. would a typeWidening-unaware reader read it

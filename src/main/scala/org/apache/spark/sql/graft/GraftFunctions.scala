@@ -73,6 +73,9 @@ object GraftFunctions {
     ("sorted_intersect_count", "sorted_intersect_count(a, b) - distinct common values of two sorted BIGINT arrays",
       args => { arity(args, "sorted_intersect_count", 2)
         SortedIntersectCountQ(args.head, args(1)) }),
+    ("bpe_stats", "bpe_stats(s) - [n_tokens, checksum] of the greedy longest-match walk over the engine BPE vocabulary",
+      args => { arity(args, "bpe_stats", 1)
+        BpeStatsQ(args.head, graft.operators.TextAnalysis.BpeVocab.toIndexedSeq) }),
     ("dot_q", "dot_q(a, b) - exact BIGINT dot product of two quantized vectors",
       args => { arity(args, "dot_q", 2); DotProductQ(args.head, args(1)) }))
 

@@ -39,13 +39,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val df = Seq("the quick brown fox jumps over the dog").toDF("s")
     val sqlSide = df.selectExpr(
       "word_gram_xxhash64(s, 3) AS h", "minhash_sig(word_gram_xxhash64(s, 3)) AS sig",
-      "fingerprint31(s) AS fp", "simhash64(word_gram_hash60(s, 3)) AS sh")
+      "fingerprint31(s) AS fp", "simhash64(word_gram_hash60(s, 3)) AS sh",
+      "bpe_stats(s) AS bpe")
     val facadeSide = df.select(
       VectorFunctions.wordGramXxhash64($"s", 3).as("h"),
       { val (a, b, p) = graft.operators.Dedup.signatureParams
         VectorFunctions.minhashSigQ(VectorFunctions.wordGramXxhash64($"s", 3), a, b, p).as("sig") },
       VectorFunctions.fingerprint31($"s").as("fp"),
-      VectorFunctions.simhash64(VectorFunctions.wordGramHash60($"s", 3)).as("sh"))
+      VectorFunctions.simhash64(VectorFunctions.wordGramHash60($"s", 3)).as("sh"),
+      VectorFunctions.bpeStatsQ($"s",
+        graft.operators.TextAnalysis.BpeVocab.toIndexedSeq).as("bpe"))
     assert(sqlSide.head() == facadeSide.head())
   }
 
