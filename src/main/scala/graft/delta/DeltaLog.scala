@@ -155,8 +155,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
 
   def latestVersion: Long = {
-    val vs = listCommitVersions
-    val cps = listCheckpointVersions
+    // one listing, not two — this sits in every commit-retry loop
+    val names = listLogStatuses().map(_.getPath.getName)
+    val vs = names.collect { case CommitFileRe(v) => v.toLong }
+    val cps = checkpointVersionsIn(names)
     if (vs.isEmpty && cps.isEmpty)
       throw new IllegalArgumentException(s"Not a Delta table (no commits): $tablePath")
     (vs ++ cps).max
