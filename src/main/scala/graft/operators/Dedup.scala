@@ -837,33 +837,36 @@ object Dedup {
       .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
       .select(col("doc_id"), col("s"), (col("s") + spanLen).as("e"))
     // interval union per doc: running covered-max over start-ordered cut
-    // spans; a kept gap opens wherever the next cut starts past it
+    // spans; a kept gap opens wherever the next cut starts past it. The
+    // gap extraction, the per-doc covered-max, and the segment-list
+    // build all ride the WINDOW's doc_id exchange — one shuffle for the
+    // whole reassembly plan, not one per stage (the groupBy below
+    // reuses the window's hash partitioning, no second exchange).
     val w = Window.partitionBy("doc_id").orderBy("s", "e")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val gaps = cuts
+    val perDoc = cuts
       .withColumn("prevCov", coalesce(max(col("e")).over(w), lit(1L)))
-      .filter(col("s") > col("prevCov"))
-      .select(col("doc_id"), col("prevCov").as("segStart"),
-        (col("s") - col("prevCov")).as("segLen"))
-    val covs = cuts.groupBy("doc_id").agg(max(col("e")).as("cov"))
-    val tailSegs = covs
-      .join(base.select(col("doc_id"), length(t).cast("long").as("len")), Seq("doc_id"))
-      .filter(col("cov") <= col("len"))
-      .select(col("doc_id"), col("cov").as("segStart"),
-        (col("len") - col("cov") + 1).as("segLen"))
-    val segArr = gaps.unionByName(tailSegs).groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("segStart"), col("segLen")))).as("segs"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("e")).as("cov"),
+        // collect_list drops nulls: non-gap rows contribute nothing
+        array_sort(collect_list(when(col("s") > col("prevCov"),
+          struct(col("prevCov").as("segStart"),
+            (col("s") - col("prevCov")).as("segLen"))))).as("gaps"))
     base
-      .join(covs, Seq("doc_id"), "left")
-      .join(segArr, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         length(t).cast("long").as("orig_len"),
-        // cov null = no cut span touches this doc → kept whole; cut docs
-        // with no surviving segment (segs null) collapse to ""
-        when(col("cov").isNull, t).otherwise(coalesce(
-          expr("array_join(transform(segs, x -> substr(__t, " +
+        // cov null = no cut span touches this doc → kept whole; the tail
+        // segment [cov, len] derives inline; a fully-covered doc has no
+        // gaps and cov > len → ""
+        when(col("cov").isNull, t).otherwise(concat(
+          expr("array_join(transform(gaps, x -> substr(__t, " +
             "CAST(x.segStart AS INT), CAST(x.segLen AS INT))), '')"),
-          lit(""))).as("text_kept"))
+          when(col("cov") <= length(t),
+            substr(t, col("cov").cast("int"),
+              (length(t).cast("long") - col("cov") + 1).cast("int")))
+            .otherwise(lit("")))).as("text_kept"))
       .select(col("doc_id"), col("orig_len"),
         length(col("text_kept")).cast("long").as("kept_len"), col("text_kept"))
   }
