@@ -89,6 +89,9 @@ object DeltaQ {
         (0L to 10L).foreach(v => log.fs.delete(log.commitFile(v), false))
         p
       })
+      // the query's CONTRACT is a replay that can only succeed through
+      // the checkpoint — a snapshot-cache hit would bypass the scenario
+      DeltaLog.clearCache()
       GraftDelta.readDelta(s, path)
         .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
         .orderBy($"s_suppkey")
@@ -527,6 +530,9 @@ object DeltaQ {
       val log = DeltaLog.forTable(s, path)
       log.writeCheckpoint(3L)
       (0L to 2L).foreach(v => log.fs.delete(log.commitFile(v), false))
+      // replay must succeed through the V2 checkpoint ALONE — clear the
+      // snapshot cache so a hit can't stand in for the uuid+sidecar read
+      DeltaLog.clearCache()
       GraftDelta.readDelta(s, path)
         .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"))
         .orderBy($"s_suppkey")
@@ -938,6 +944,9 @@ object DeltaQ {
         try { GraftDelta.readDelta(s, path, version = Some(0L)).count(); false }
         catch { case _: Exception => true }
       require(travelRefused, "time travel into truncated history must refuse")
+      // the pin is a replay STARTING at the drop-version checkpoint with
+      // every earlier commit gone — not a snapshot-cache hit
+      DeltaLog.clearCache()
       GraftDelta.readDelta(s, path)
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           cents($"o_totalprice").as("total_c"))

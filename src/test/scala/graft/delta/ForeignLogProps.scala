@@ -174,7 +174,8 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
       log.writeCheckpoint(cv.toLong)
       // the tail at or before the checkpoint is no longer needed
       (0 to cv).foreach(v => log.fs.delete(log.commitFile(v.toLong), false))
-      val fresh = DeltaLog.forTable(spark, log.tablePath)
+      // explicitly uncached: the property IS the cold checkpoint replay
+      val fresh = new DeltaLog(spark, log.tablePath)
       val latestOk =
         observed(fresh.snapshot(None)) == modelAt(commits, commits.size - 1)
       val atCpOk =
@@ -188,10 +189,11 @@ object ForeignLogProps extends Properties("ForeignLogReplay") {
       val last = (commits.size - 1).toLong
       log.writeCheckpoint(last)
       (0L to last).foreach(v => log.fs.delete(log.commitFile(v), false))
-      // second checkpoint built purely FROM the first
-      val fresh = DeltaLog.forTable(spark, log.tablePath)
+      // second checkpoint built purely FROM the first (uncached handles:
+      // the property is replay-through-checkpoint, not cache service)
+      val fresh = new DeltaLog(spark, log.tablePath)
       fresh.writeCheckpoint(last)
-      val again = DeltaLog.forTable(spark, log.tablePath)
+      val again = new DeltaLog(spark, log.tablePath)
       observed(again.snapshot(None)) == modelAt(commits, commits.size - 1)
     }
 

@@ -165,9 +165,11 @@ class LogStoreFuzzSpec extends GraftSuite {
     (0L to head).foreach { v =>
       assert(log.readCommitActions(v).nonEmpty, s"version $v must parse")
     }
-    // 3. checkpoint at head survives deleting the whole JSON tail
+    // 3. checkpoint at head survives deleting the whole JSON tail —
+    // caches cleared: the pin is the COLD checkpoint-only replay
     log.writeCheckpoint(head)
     (0L to head).foreach(v => log.fs.delete(log.commitFile(v), false))
+    DeltaLog.clearCache()
     val viaCp = DeltaLog.forTable(spark, table).snapshot(None)
     assert(viaCp.version == head, s"checkpoint replay at $head, got ${viaCp.version}")
     val gotCp = GraftDelta.readDelta(spark, table).select($"id").as[Long].collect().toSet

@@ -283,6 +283,7 @@ class MaintenanceSpec extends GraftSuite {
       .collect().head.getString(0)
     assert(cpStats == verbose,
       s"checkpoint must carry the original stats verbatim, got: $cpStats")
+    DeltaLog.clearCache() // the pin is the CHECKPOINT-ONLY replay's compaction
     val replayed = DeltaLog.forTable(spark, path).snapshot(None).activeFiles.head.stats.get
     assert(replayed.length < 200 && !replayed.contains("ghost"),
       s"checkpoint-only replay must still compact in memory: $replayed")
@@ -596,6 +597,7 @@ class MaintenanceSpec extends GraftSuite {
     out.close()
     // delete commits covered by the checkpoint: replay MUST use the parts
     (0L to 2L).foreach(v => log.fs.delete(log.commitFile(v), false))
+    DeltaLog.clearCache() // the pin is a COLD multi-part replay, not a cache hit
     assert(DeltaLog.forTable(spark, path).listCheckpointVersions == Seq(3L))
     assert(GraftDelta.readDelta(spark, path).count() == 100)
   }
@@ -613,6 +615,7 @@ class MaintenanceSpec extends GraftSuite {
     assert(log.checkpointPartFiles(1L).size > 1)
     assert(log.readLastCheckpoint().exists(_.parts.exists(_ > 1)))
     (0L to 1L).foreach(v => log.fs.delete(log.commitFile(v), false))
+    DeltaLog.clearCache() // cold replay through the parts, not a cache hit
     val back = GraftDelta.readDelta(spark, path)
     assert(back.count() == 300)
     assert(back.agg(sum($"id")).head().getLong(0) == (0 until 300).map(_.toLong).sum)

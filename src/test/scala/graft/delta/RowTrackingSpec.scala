@@ -145,6 +145,7 @@ class RowTrackingSpec extends GraftSuite {
     // delete pre-checkpoint commits: replay now STARTS at the checkpoint
     (0L until log.latestVersion).foreach(v =>
       log.fs.delete(log.commitFile(v), false))
+    DeltaLog.clearCache() // the pin is checkpoint-only replay, not a cache hit
     val snap = DeltaLog.forTable(spark, path).snapshot(None)
     assert(snap.activeFiles.forall(_.baseRowId.isDefined),
       "baseRowId must survive the checkpoint")
@@ -226,6 +227,7 @@ class RowTrackingSpec extends GraftSuite {
     val wmBefore = RowTracking.highWaterMark(log.snapshot(None))
     log.writeCheckpoint(log.latestVersion)
     (0L until log.latestVersion).foreach(v => log.fs.delete(log.commitFile(v), false))
+    DeltaLog.clearCache() // checkpoint-only replay, not a cache hit
     val snap2 = DeltaLog.forTable(spark, path).snapshot(None)
     assert(RowTracking.highWaterMark(snap2) == wmBefore,
       "watermark must survive checkpoint-only replay")

@@ -160,7 +160,9 @@ class V2CheckpointSpec extends GraftSuite {
       .listFiles().map(_.getName).toSet
     assert(liveRefs.subsetOf(sidecarsLeft),
       s"live checkpoint's sidecars must survive: refs=$liveRefs left=$sidecarsLeft")
-    // the table still reads through the surviving checkpoint
+    // the table still reads through the surviving checkpoint (cache
+    // cleared: the pin is the cold post-cleanup replay)
+    DeltaLog.clearCache()
     assert(GraftDelta.readDelta(spark, path).count() == 20L)
   }
 
@@ -218,7 +220,8 @@ class V2CheckpointSpec extends GraftSuite {
     assert(removed.exists(_.startsWith(f"${1L}%020d.checkpoint.")),
       s"superseded cp A top must be reclaimed: $removed")
     // cp B is classic-named: its sidecars must survive the orphan sweep,
-    // or the live checkpoint becomes unreadable
+    // or the live checkpoint becomes unreadable (cold replay pinned)
+    DeltaLog.clearCache()
     assert(GraftDelta.readDelta(spark, path).as[Long].collect().sorted.toSeq ==
       (1L to 20L))
   }
