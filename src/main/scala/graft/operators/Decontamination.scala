@@ -163,4 +163,47 @@ object Decontamination {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_flagged_grams"))
   }
+
+  /** Between-SOURCES overlap matrix: for every unordered pair of corpus
+    * sources, how many distinct word n-grams they share — the
+    * contamination diagnostic BETWEEN subsets of one corpus
+    * ([[flagContaminated]] is the eval-vs-train special case; this is
+    * the all-pairs audit over the `source` partitioning a curation
+    * pipeline runs before mixing subsets). Output one row per pair
+    * (src_a < src_b): shared distinct grams, each side's distinct gram
+    * total, and the integer-exact Jaccard permyriad
+    * `shared·10000 DIV (a + b − shared)` — engine-portable arithmetic.
+    *
+    * Scale: the corpus collapses to DISTINCT (source, gramHash) rows in
+    * one partial-aggregated pass (vocabulary-sized per source — document
+    * text never shuffles); the pair join keys on the 8-byte gram hash,
+    * so a gram shared by k sources contributes C(k,2) rows with
+    * k = #sources, a handful — never a document-level pair blowup; the
+    * matrix and the totals are each one more map-side-combined
+    * aggregation. No driver state. */
+  def sourceOverlap(
+      df: DataFrame, srcCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val sg = df
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.VectorFunctions.wordGramHash31(col(textCol), n)).as("g"))
+      .distinct()
+      .persist()
+    val totals = sg.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val pairs = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val result = pairs
+      .join(totals.select(col("src").as("src_a"), col("n_grams").as("grams_a")), Seq("src_a"))
+      .join(totals.select(col("src").as("src_b"), col("n_grams").as("grams_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        expr("shared_grams * 10000L DIV (grams_a + grams_b - shared_grams)")
+          .as("jaccard_pm"))
+    // small result (|sources|² rows), large upstream: materialize, free
+    val out = result.persist()
+    out.count()
+    sg.unpersist(blocking = false)
+    out
+  }
 }

@@ -576,6 +576,20 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // Between-sources overlap matrix: the contamination audit BETWEEN
+    // subsets of one corpus (t16/t32 are the eval-vs-train special
+    // case) — per unordered source pair, shared distinct 13-grams and
+    // the integer-exact Jaccard permyriad. The corpus collapses to
+    // distinct (source, gramHash) rows; the pair join keys on the gram
+    // hash (a gram shared by k sources yields C(k,2) rows, k = #sources
+    // — never a doc-level blowup). Oracle rebuilds the poly31 gram hash
+    // and the whole matrix.
+    "t50_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Decontamination.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 13)
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -1312,6 +1326,28 @@ object PipelineQ {
         |LEFT JOIN covs c USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t50_source_overlap" -> {
+      import graft.operators.Decontamination.gramHashSql
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT source,
+         |  CASE WHEN len(ws) >= 13
+         |   THEN list_distinct([array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws)-12)])
+         |   ELSE [array_to_string(ws, ' ')] END AS sh FROM w),
+         |sg AS (SELECT DISTINCT source AS src, ${gramHashSql("gram")} AS g
+         |       FROM (SELECT source, unnest(sh) AS gram FROM g)),
+         |tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY src),
+         |pairs AS (SELECT a.src AS src_a, b.src AS src_b,
+         |                 CAST(COUNT(*) AS BIGINT) AS shared_grams
+         |          FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+         |          GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.shared_grams,
+         |       ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+         |       CAST(p.shared_grams * 10000 // (ta.n_grams + tb.n_grams - p.shared_grams) AS BIGINT) AS jaccard_pm
+         |FROM pairs p
+         |JOIN tot ta ON ta.src = p.src_a
+         |JOIN tot tb ON tb.src = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin
+    },
     "t49_bpe_tokens" -> {
       val vocabVals = TextAnalysis.BpeVocab
         .map(v => s"('${v.replace("'", "''")}')").mkString(", ")

@@ -158,4 +158,37 @@ class DecontaminationSpec extends AnyFunSuite {
     // a hit here means the probe arithmetic is broken, not bad luck
     assert(!flagged.contains(2L), s"clean doc false-flagged: $flagged")
   }
+
+  test("sourceOverlap matches a hand-computed matrix (n=3, distinct-gram semantics)") {
+    import spark.implicits._
+    // n=3 grams per doc (docs under 3 words contribute their whole text):
+    //   A1 "a b c d"    → {abc, bcd}
+    //   A2 "a b c"      → {abc}         (within-source duplicate gram: distinct)
+    //   B1 "a b c x"    → {abc, bcx}
+    //   C1 "p q"        → {pq}          (whole-text gram, shared with C-only)
+    //   B2 "p q"        → {pq}
+    // totals: A={abc,bcd}=2, B={abc,bcx,pq}=3, C={pq}=1
+    // shared: (A,B)={abc}=1 → 10000/(2+3-1)=2500
+    //         (B,C)={pq}=1  → 10000/(3+1-1)=3333 ; (A,C)=∅ → no row
+    val docs = Seq(
+      ("A", "a b c d"), ("A", "a b c"),
+      ("B", "a b c x"), ("B", "p q"),
+      ("C", "p q")
+    ).toDF("source", "text")
+    val got = Decontamination.sourceOverlap(docs, "source", "text", n = 3)
+      .orderBy("src_a", "src_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 2L, 3L, 2500L),
+      ("B", "C", 1L, 3L, 1L, 3333L)), got.toString)
+    // repartition-invariant (pure hash/aggregation arithmetic)
+    val shuffled = Decontamination.sourceOverlap(
+        docs.repartition(7), "source", "text", n = 3)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(shuffled == got)
+  }
 }
