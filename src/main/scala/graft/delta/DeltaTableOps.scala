@@ -1495,15 +1495,30 @@ object DeltaTableOps {
       // narrow-backed — a distributed footer probe (one small-footer read
       // per file, fans out as a Spark job; never a data scan).
       case "typeWidening" =>
-        val widened = snap.schema.fields
-          .filter(_.metadata.contains("delta.typeChanges"))
-          .map(f => DeltaRead.physicalNameOf(f) -> f.dataType)
+        // a foreign writer may record type changes ANYWHERE in the schema
+        // tree: on nested struct fields (metadata on the StructField at
+        // depth) or inside array/map types (a `fieldPath` entry on the
+        // nearest named field, or typeChanges on a collection-typed field).
+        // Nested struct paths probe like top-level ones — struct nesting
+        // maps 1:1 to parquet group paths — but collection elements hide
+        // behind writer-dependent repetition wrappers (list.element /
+        // key_value.*); refuse those conservatively rather than risk a
+        // mis-probe passing a narrow-backed file.
+        val changed = collectTypeChangedFields(snap.schema)
+        val inCollection = changed.filter { case (_, _, c) => c }
+        require(inCollection.isEmpty,
+          s"Feature $feature records type changes inside array/map types " +
+            s"(${inCollection.map(_._1.mkString(".")).mkString(", ")}) — the " +
+            "footer probe cannot verify collection-element backing; rewrite " +
+            s"the files first (OPTIMIZE delta.`$path` after a full " +
+            "compaction, or REORG), then retry")
+        val widened = changed.map { case (segs, dt, _) => segs -> dt }
         if (widened.nonEmpty && snap.activeFiles.nonEmpty) {
           val files = snap.activeFiles.map(f => DeltaRead.resolvePath(path, f.path))
           val confBc = spark.sparkContext.broadcast(
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()))
-          val expect = widened.map { case (n, dt) => n -> dt.json }.toMap
+          val expect = widened.map { case (segs, dt) => segs -> dt.json }
           val narrow = spark.sparkContext
             .parallelize(files, math.min(64, files.size))
             .flatMap { fp =>
@@ -1514,13 +1529,26 @@ object DeltaTableOps {
               val msg =
                 try reader.getFooter.getFileMetaData.getSchema
                 finally reader.close()
-              expect.flatMap { case (colName, dtJson) =>
+              expect.flatMap { case (segs, dtJson) =>
                 val dt = org.apache.spark.sql.types.DataType.fromJson(dtJson)
-                if (!msg.containsField(colName)) None // absent → null-filled, wide-safe
+                // walk the group nesting to the leaf; a primitive where the
+                // schema expects more nesting is a shape divergence — flag
+                // it as suspect rather than pass it
+                var cur: org.apache.parquet.schema.Type = msg
+                var absent = false
+                var diverged = false
+                for (seg <- segs if !absent && !diverged) {
+                  if (cur.isPrimitive) diverged = true
+                  else {
+                    val g = cur.asGroupType()
+                    if (!g.containsField(seg)) absent = true
+                    else cur = g.getType(seg)
+                  }
+                }
+                if (absent) None // absent → null-filled, wide-safe
                 else {
-                  val t = msg.getType(Seq(colName): _*)
-                  val ok = t.isPrimitive &&
-                    physicalMatchesDeclared(t.asPrimitiveType(), dt)
+                  val ok = !diverged && cur.isPrimitive &&
+                    physicalMatchesDeclared(cur.asPrimitiveType(), dt)
                   if (ok) None else Some(p.getName)
                 }
               }.headOption
@@ -1606,15 +1634,7 @@ object DeltaTableOps {
     // the same commit so the downgraded table reads foreign-plain
     val strippedSchema: Option[StructType] =
       if (feature != "typeWidening") None
-      else {
-        val cleaned = StructType(snap.schema.fields.map { f =>
-          if (!f.metadata.contains("delta.typeChanges")) f
-          else StructField(f.name, f.dataType, f.nullable,
-            new MetadataBuilder().withMetadata(f.metadata)
-              .remove("delta.typeChanges").build())
-        })
-        Some(cleaned).filter(_ != snap.schema)
-      }
+      else Some(stripTypeChanges(snap.schema)).filter(_ != snap.schema)
     val metaAction: Option[MetadataAction] =
       if (newConfig == snap.metadata.configuration && strippedSchema.isEmpty) None
       else Some(snap.metadata.copy(
@@ -1700,6 +1720,65 @@ object DeltaTableOps {
     * unrecognized counts as a mismatch for widening-target types, and
     * decimals require the exact annotation (precision AND scale) — a
     * smaller-precision backing may ride a different physical width. */
+  /** Recursively collect schema fields carrying `delta.typeChanges`
+    * bookkeeping, as (physical path segments, declared type,
+    * insideCollection). `insideCollection` marks changes the footer probe
+    * cannot address by a plain group path: the field sits under an
+    * ArrayType/MapType, the field's own type is a collection, or a change
+    * entry names a `fieldPath` into one (the protocol's encoding for
+    * element/key/value widenings). */
+  private[delta] def collectTypeChangedFields(schema: StructType)
+      : Seq[(Seq[String], org.apache.spark.sql.types.DataType, Boolean)] = {
+    import org.apache.spark.sql.types._
+    def hasFieldPathEntry(f: StructField): Boolean =
+      f.metadata.getMetadataArray("delta.typeChanges").exists(_.contains("fieldPath"))
+    def walkType(dt: DataType, prefix: Seq[String], underColl: Boolean)
+        : Seq[(Seq[String], DataType, Boolean)] = dt match {
+      case s: StructType => walkStruct(s, prefix, underColl)
+      case a: ArrayType => walkType(a.elementType, prefix :+ "element", underColl = true)
+      case m: MapType =>
+        walkType(m.keyType, prefix :+ "key", underColl = true) ++
+          walkType(m.valueType, prefix :+ "value", underColl = true)
+      case _ => Nil
+    }
+    def walkStruct(st: StructType, prefix: Seq[String], underColl: Boolean)
+        : Seq[(Seq[String], DataType, Boolean)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = prefix :+ DeltaRead.physicalNameOf(f)
+        val here =
+          if (!f.metadata.contains("delta.typeChanges")) Nil
+          else {
+            val collTyped = f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType]
+            Seq((p, f.dataType, underColl || collTyped || hasFieldPathEntry(f)))
+          }
+        here ++ walkType(f.dataType, p, underColl)
+      }
+    walkStruct(schema, Nil, underColl = false)
+  }
+
+  /** Strip `delta.typeChanges` bookkeeping from every field at any depth
+    * (struct nesting AND fields inside array/map element types) — the
+    * widened types themselves stay. */
+  private[delta] def stripTypeChanges(schema: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    def stripDt(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(stripField))
+      case a: ArrayType => a.copy(elementType = stripDt(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = stripDt(m.keyType), valueType = stripDt(m.valueType))
+      case other => other
+    }
+    def stripField(f: StructField): StructField = {
+      val md =
+        if (!f.metadata.contains("delta.typeChanges")) f.metadata
+        else new MetadataBuilder().withMetadata(f.metadata)
+          .remove("delta.typeChanges").build()
+      StructField(f.name, stripDt(f.dataType), f.nullable, md)
+    }
+    StructType(schema.fields.map(stripField))
+  }
+
   private[delta] def physicalMatchesDeclared(
       pt: org.apache.parquet.schema.PrimitiveType,
       dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -2255,11 +2334,20 @@ object DeltaTableOps {
                 $"remove.deletionVector.pathOrInlineDv".as("dvp")))).as("f"))
             .select($"f.rp".as("rp"), $"f.st".as("st"), $"f.dvp".as("dvp"))
             .where($"rp".isNotNull)
-          val jsonRefs = refsOf(spark.read.schema(actT).json(jsonPaths: _*))
+          // FAILFAST, not the default PERMISSIVE: a malformed/torn commit
+          // line must ABORT the vacuum, not silently become an all-null
+          // row whose add/remove refs drop out of the referenced set —
+          // that would name still-referenced data files as orphans. The
+          // driver-side branch (readCommitActions) throws on the same
+          // corruption; the distributed branch must too. Likewise the
+          // checkpoint reads must not skip corrupt parts.
+          val jsonRefs = refsOf(spark.read.schema(actT)
+            .option("mode", "FAILFAST").json(jsonPaths: _*))
           val allRefs =
             if (pqPaths.isEmpty) jsonRefs
             else jsonRefs.unionByName(
-              refsOf(spark.read.schema(actT).parquet(pqPaths: _*)))
+              refsOf(spark.read.schema(actT)
+                .option("ignoreCorruptFiles", "false").parquet(pqPaths: _*)))
           val tablePath0 = path
           val referencedDf = allRefs
             .as[(String, Option[String], Option[String])]

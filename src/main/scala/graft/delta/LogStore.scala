@@ -90,20 +90,41 @@ object LogStore {
         catch {
           case e: java.nio.file.FileAlreadyExistsException => throw e
           case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // No hard links: keep CREATE_NEW's strict exclusivity by
-            // copying the temp's bytes through an exclusive open of the
-            // destination (exists+ATOMIC_MOVE would let two racers both
-            // pass the check and the second move overwrite the first).
-            // Content atomicity is weaker on this path (stream-into-
-            // destination), but exclusivity — the property Delta's
-            // version protocol depends on — is preserved.
-            val dst = java.nio.file.Files.newOutputStream(p,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            try dst.write(java.nio.file.Files.readAllBytes(tmp))
-            finally dst.close()
+            publishNoHardlink(p, tmp)
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+
+    /** No hard links: reserve exclusivity with a ZERO-BYTE CREATE_NEW of
+      * the destination, then ATOMIC_MOVE the full temp over the
+      * reservation. Racers still fail the CREATE_NEW; readers never
+      * observe partial CONTENT — the old stream-into-destination shape
+      * let a truncation landing on a newline boundary parse as a
+      * valid-but-incomplete commit (silently wrong snapshot). The
+      * residual window is a zero-byte destination, which
+      * readCommitActions refuses LOUDLY (zero-action bodies), and whose
+      * length change the snapshot-cache fingerprint catches — fail-stop,
+      * never silent. */
+    private[delta] def publishNoHardlink(
+        p: java.nio.file.Path, tmp: java.nio.file.Path): Unit = {
+      java.nio.file.Files.newOutputStream(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE).close()
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.AtomicMoveNotSupportedException =>
+          // no atomic move either (exotic FS): the reservation is
+          // already ours — stream into it; content atomicity is
+          // honestly lost but exclusivity holds
+          val dst = java.nio.file.Files.newOutputStream(p,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          try dst.write(java.nio.file.Files.readAllBytes(tmp))
+          finally dst.close()
+      }
     }
   }
 

@@ -651,6 +651,90 @@ class ProtocolFeatureSpec extends GraftSuite {
       org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 210L)
   }
 
+  test("DROP FEATURE typeWidening gates and strips NESTED struct fields (ADVICE r14)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val path = tmp()
+    // v0: s.k written physically int
+    GraftDelta.toDelta(
+      (1 to 10).map(i => (i, s"v$i")).toDF("k0", "v")
+        .select(struct($"k0".as("k")).as("s"), $"v").coalesce(1), path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    // a foreign writer widens the NESTED s.k int→long: typeChanges
+    // metadata on the nested StructField, feature on the protocol
+    val widened = StructType(snap.schema.fields.map {
+      case f if f.name == "s" =>
+        val inner = f.dataType.asInstanceOf[StructType]
+        StructField("s", StructType(inner.fields.map {
+          case g if g.name == "k" =>
+            StructField("k", LongType, nullable = true,
+              new MetadataBuilder().withMetadata(g.metadata)
+                .putMetadataArray("delta.typeChanges", Array(
+                  new MetadataBuilder().putString("fromType", "integer")
+                    .putString("toType", "long").build())).build())
+          case g => g
+        }), f.nullable, f.metadata)
+      case f => f
+    })
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "WIDEN"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("typeWidening")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "typeWidening").distinct)),
+      snap.metadata.copy(schemaString = widened.json)))                   // v1
+    // narrow-backed v0 file still active → the footer probe must walk the
+    // nested group path and refuse (pre-fix it passed: only top-level
+    // fields were collected)
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "typeWidening"))
+    assert(e0.getMessage.contains("pre-widening physical types"), e0.getMessage)
+    // rewrite through the widened schema, then drop with history truncated
+    DeltaMaintenance.compact(spark, path, minFilesToCompact = 1)          // v2
+    DeltaTableOps.dropFeature(spark, path, "typeWidening",
+      truncateHistory = true)                                             // v3
+    val snap2 = DeltaLog.forTable(spark, path).snapshot(None)
+    assert(!snap2.metadata.schemaString.contains("delta.typeChanges"),
+      "the drop must strip NESTED per-field bookkeeping too")
+    assert(snap2.schema("s").dataType.asInstanceOf[StructType]("k").dataType == LongType)
+    assert(GraftDelta.readDelta(spark, path)
+      .agg(org.apache.spark.sql.functions.sum($"s.k")).head().getLong(0) == 55L)
+  }
+
+  test("DROP FEATURE typeWidening refuses changes recorded inside array/map types") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((Seq(1L, 2L), "a"), (Seq(3L), "b")).toDF("arr", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    // foreign writer records an ELEMENT widening: typeChanges with a
+    // fieldPath entry on the array-typed field (the protocol's encoding)
+    val widened = StructType(snap.schema.fields.map {
+      case f if f.name == "arr" =>
+        StructField("arr", f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putMetadataArray("delta.typeChanges", Array(
+              new MetadataBuilder().putString("fromType", "integer")
+                .putString("toType", "long")
+                .putString("fieldPath", "element").build())).build())
+      case f => f
+    })
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "WIDEN"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("typeWidening")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(snap.protocol) :+ "typeWidening").distinct)),
+      snap.metadata.copy(schemaString = widened.json)))
+    // the footer probe cannot verify collection-element backing — the
+    // drop must refuse conservatively, never pass a narrow-backed file
+    val e = intercept[IllegalArgumentException](
+      DeltaTableOps.dropFeature(spark, path, "typeWidening"))
+    assert(e.getMessage.contains("inside array/map types"), e.getMessage)
+  }
+
   test("DROP FEATURE columnMapping refuses by name with the structural reason") {
     import spark.implicits._
     val path = tmp()

@@ -151,6 +151,82 @@ class SnapshotCacheSpec extends GraftSuite {
     assert(GraftDelta.readDelta(spark, path).count() == 30)
   }
 
+  test("time-travel read does not evict a newer still-valid cached state (ADVICE r14)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 10L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((11L to 20L).toDF("k"), path, mode = "append")     // v1
+    GraftDelta.toDelta((21L to 30L).toDF("k"), path, mode = "append")     // v2
+    val log = DeltaLog.forTable(spark, path)
+    val head = log.snapshot(None)                                          // cache at v2
+    assert(head.version == 2L)
+    // a historical read full-replays but must NOT re-seed the cache with
+    // the old state — the head would then re-replay its whole tail
+    assert(log.snapshot(Some(0L)).version == 0L)
+    val c0 = counts()
+    val again = log.snapshot(None)
+    val d0 = delta(c0)
+    assert(again eq head, "head must still be served from cache after time travel")
+    assert(d0.commits == 0 && d0.checkpoints == 0,
+      s"time travel must not evict the newer cached state: $d0")
+  }
+
+  test("incremental advance expires tombstones past the retention window (ADVICE r14)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 100L).toDF("k").repartition(4), path)        // v0
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 50L)))) // v1
+    val log = DeltaLog.forTable(spark, path)
+    val atDelete = log.snapshot(None)
+    // default 7 d window: young tombstones survive incremental advances
+    assert(atDelete.tombstones.nonEmpty, "the delete must tombstone rewritten files")
+    GraftDelta.toDelta((101L to 110L).toDF("k"), path, mode = "append")    // v2 (tail apply)
+    assert(log.snapshot(None).tombstones.nonEmpty,
+      "in-retention tombstones must survive a tail apply")
+    Thread.sleep(10)
+    // shrink the window to 0 h: the property lands in the same tail batch
+    // and the advance prunes with the NEW window
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))     // v3
+    val advanced = log.snapshot(None)
+    assert(advanced.version == 3L)
+    assert(advanced.tombstones.isEmpty,
+      s"cached state must expire aged tombstones on tail apply: " +
+        s"${advanced.tombstones.map(_.path)}")
+    assert(GraftDelta.readDelta(spark, path).count() == 60)
+    // the already-served older snapshot is immutable
+    assert(atDelete.tombstones.nonEmpty)
+  }
+
+  test("checkpoint drops tombstones past the retention window (ADVICE r14)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 100L).toDF("k").repartition(4), path)        // v0
+    DeltaTableOps.setTableProperties(spark, path,
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))     // v1
+    GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<=", 50L)))) // v2
+    Thread.sleep(10)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(2L)
+    // a COLD replay anchored at the checkpoint reconstructs no expired
+    // tombstones — the checkpoint did not persist them
+    val fresh = new DeltaLog(spark, path)
+    val snap = fresh.snapshot(None)
+    assert(snap.version == 2L)
+    assert(snap.tombstones.isEmpty,
+      s"checkpoint must not persist expired tombstones: ${snap.tombstones.map(_.path)}")
+    assert(GraftDelta.readDelta(spark, path).count() == 50)
+    // young tombstones (default 7 d window) DO persist: vacuum's
+    // tombstone-driven mode depends on them
+    val path2 = tmp()
+    GraftDelta.toDelta((1L to 100L).toDF("k").repartition(4), path2)
+    GraftDelta.deleteWhere(spark, path2, Seq(Seq(Predicate("k", "<=", 50L))))
+    val log2 = DeltaLog.forTable(spark, path2)
+    log2.writeCheckpoint(1L)
+    assert(new DeltaLog(spark, path2).snapshot(None).tombstones.nonEmpty,
+      "in-retention tombstones must survive the checkpoint")
+  }
+
   test("checkpoint write (verbatim stats) bypasses the built cache but stays coherent") {
     import spark.implicits._
     val path = tmp()

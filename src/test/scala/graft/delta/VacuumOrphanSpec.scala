@@ -142,6 +142,33 @@ class VacuumOrphanSpec extends GraftSuite {
     finally spark.conf.unset("spark.graft.vacuum.orphanRetentionCheck")
   }
 
+  test("distributed orphan vacuum ABORTS on a torn commit body (ADVICE r14)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 20L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((21L to 30L).toDF("k"), path, mode = "append")     // v1
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(1L)
+    GraftDelta.toDelta((31L to 40L).toDF("k"), path, mode = "append")     // v2
+    // tear v0's body: the driver replay anchors at the checkpoint and
+    // never reads it, but the distributed reference read scans EVERY
+    // commit JSON — in PERMISSIVE mode the torn line silently became an
+    // all-null row and v0's add dropped out of the referenced set,
+    // naming a still-referenced file an orphan
+    val v0 = new java.io.File(log.commitFile(0L).toUri.getPath)
+    val out = new java.io.FileOutputStream(v0, /*append=*/ true)
+    try out.write("{\"add\":{\"pa".getBytes) finally out.close()
+    log.invalidateCache()
+    val e = intercept[Exception] {
+      DeltaTableOps.vacuum(spark, path, retentionHours = 168.0,
+        dryRun = true, includeOrphans = true, distributedListThreshold = 0)
+    }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("malformed") || msg.contains("failfast") ||
+      msg.contains("parse"), s"expected a FAILFAST parse abort, got: $e")
+  }
+
   test("distributed listing (threshold 0) finds the same orphans as driver-side") {
     import spark.implicits._
     val path = tmp()
