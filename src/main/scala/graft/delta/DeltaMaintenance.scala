@@ -335,16 +335,37 @@ object DeltaMaintenance {
     // every copied row's OLD id rides the materialized columns written
     // above, so reader-visible ids are preserved. First preserving
     // OPTIMIZE also pins the minted column names in table config.
-    val (rtAdds, rtDomain) = RowTracking.assign(rtEnabled,
-      RowTracking.highWaterMark(snap), adds, snap.version + 1)
     val metaActs = if (!mintedMatCols) Nil else {
       val (rid, rcv) = matCols.get
       Seq(snap.metadata.copy(configuration = snap.metadata.configuration +
         (RowTracking.MaterializedRowIdProp -> rid) +
         (RowTracking.MaterializedCommitVersionProp -> rcv)))
     }
-    log.writeCommit(snap.version + 1,
-      Seq(commitInfo) ++ metaActs ++ rtDomain ++ rtAdds ++ removes)
+    // OPTIMIZE/REORG is dataChange=false: it makes no claim about rows it
+    // did not read, so a concurrent APPEND never conflicts — the new files
+    // simply stay uncompacted. A lost race rebases through the same
+    // conflict matrix as DML (commitDmlWithRetry) with addMayConflict
+    // pinned false; genuine conflicts — a winner removing one of OUR
+    // input files (concurrent DML/OPTIMIZE on the same files), or a
+    // metadata/protocol/domain change (stale plan, stale row-id
+    // watermark) — still abort, and the staged rewrites are cleaned up.
+    // Versioned bits (readVersion, row-id assignment) recompute per
+    // attempt; the watermark BASE from `snap` stays valid because any
+    // winner that moved it carries a DomainMetadata action, which aborts.
+    def actionsAt(readV: Long): Seq[Action] = {
+      val (rtAdds, rtDomain) = RowTracking.assign(rtEnabled,
+        RowTracking.highWaterMark(snap), adds, readV + 1)
+      Seq(commitInfo.copy(readVersion = Some(readV))) ++
+        metaActs ++ rtDomain ++ rtAdds ++ removes
+    }
+    try DeltaDml.commitDmlWithRetry(log, path, snap.version + 1,
+      rv => actionsAt(rv), removes.map(_.path).toSet, _ => false)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        adds.foreach(a =>
+          fs.delete(new Path(DeltaRead.resolvePath(path, a.path)), false))
+        throw e
+    }
     (snap.activeFiles.size, snap.activeFiles.size - removes.size + adds.size)
   }
 

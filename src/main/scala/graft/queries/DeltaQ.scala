@@ -1144,6 +1144,79 @@ object DeltaQ {
         .orderBy($"s_suppkey")
     }),
 
+    // Multi-writer conflict resolution (VERDICT r14 next-round #1): an
+    // append and a partition-disjoint DELETE race the same version and
+    // BOTH must commit — the loser detects no logical conflict with the
+    // winner (the appended file's partition values exclude the DELETE's
+    // predicate; the DELETE's removed files are untouched by the append)
+    // and rebases at the new head instead of aborting. The race is
+    // staged deterministically: a watcher thread fires the append the
+    // moment the DELETE's rewrite staging dir appears — i.e. INSIDE the
+    // window between the DELETE's snapshot and its commit attempt — and
+    // either loser rebases, so the merged result is order-independent.
+    "d60_concurrent_rebase" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d60")
+      val base = t(s, dir, "customer").select(
+        $"c_custkey".cast("long").as("c_custkey"), $"c_name",
+        cents($"c_acctbal").as("bal_c"),
+        ($"c_custkey" % 4).cast("string").as("p"))
+      GraftDelta.toDelta(base, path, partitionBy = Seq("p"))             // v0
+      val log = DeltaLog.forTable(s, path)
+      val maxKey = base.agg(max($"c_custkey")).head().getLong(0)
+      val k = maxKey / 2
+      // the winner's REAL parquet file, fully staged before the race
+      val stage = java.nio.file.Files.createTempDirectory("graft_d60_app")
+      base.filter($"p" === "3")
+        .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name", $"bal_c")
+        .coalesce(1).write.parquet(s"$stage/p")
+      val part = new java.io.File(s"$stage/p").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val appended = new java.io.File(s"$path/p=3", "appended-d60.parquet")
+      java.nio.file.Files.move(part.toPath, appended.toPath)
+      val appendedAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val watcher = new Thread(() => {
+        val root = new java.io.File(path)
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline &&
+          !Option(root.listFiles()).exists(_.exists(
+            _.getName.startsWith(".graft_dml_")))) Thread.sleep(1)
+        var v = log.latestVersion + 1
+        var done = false
+        while (!done) {
+          try {
+            log.writeCommit(v, Seq(
+              CommitInfo(System.currentTimeMillis(), "WRITE",
+                operationParameters = Map("mode" -> "Append"),
+                readVersion = Some(v - 1), isBlindAppend = Some(true)),
+              AddFile("p=3/appended-d60.parquet", Map("p" -> "3"),
+                size = appended.length(),
+                modificationTime = appended.lastModified(), dataChange = true)))
+            appendedAt.set(v); done = true
+          } catch { // lost its own race → the append rebases too
+            case _: java.util.ConcurrentModificationException =>
+              v = log.latestVersion + 1
+          }
+        }
+      })
+      watcher.start()
+      // partition-0 partial DELETE: rewrites files, so the staging dir
+      // opens the race window the watcher keys on
+      GraftDelta.deleteWhere(s, path,
+        Seq(Seq(Predicate("p", "==", "0"), Predicate("c_custkey", "<=", k))))
+      watcher.join()
+      // BOTH landed: v1+v2 are the append and the DELETE in either order
+      require(log.latestVersion == 2L,
+        s"append and DELETE must both commit (head=${log.latestVersion})")
+      require(appendedAt.get() > 0L, "the append must have committed")
+      val ops = DeltaTableOps.history(s, path).select("operation")
+        .as[String].collect().toSet
+      require(ops.contains("DELETE") && ops.contains("WRITE"), ops.toString)
+      GraftDelta.readDelta(s, path)
+        .select($"c_custkey", $"c_name", $"bal_c", $"p")
+        .orderBy($"c_custkey")
+    }),
+
     // Complex types END-TO-END through the engine's own paths: ArrayType,
     // MapType, DecimalType(38,6) + (18,2), and a struct-of-array column
     // go write → stats harvest (decimal JSON encoding is the known hard
@@ -1594,6 +1667,18 @@ object DeltaQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "d60_concurrent_rebase" ->
+      """WITH m AS (SELECT CAST(MAX(c_custkey) AS BIGINT) // 2 AS k FROM customer)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
+        |       CAST(c_custkey % 4 AS VARCHAR) AS p
+        |FROM customer, m
+        |WHERE NOT (c_custkey % 4 = 0 AND c_custkey <= m.k)
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_name,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT), '3'
+        |FROM customer WHERE c_custkey % 4 = 3
+        |ORDER BY c_custkey""".stripMargin,
     "d01_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,
         | CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_c

@@ -144,6 +144,93 @@ class ConcurrencySpec extends GraftSuite {
     assert(attempt(6) == 7L)
   }
 
+  /** Start a watcher that fires `winner` the moment compact's staging dir
+    * appears under the table root — i.e. deterministically INSIDE the
+    * window between OPTIMIZE's snapshot and its commit attempt. */
+  private def raceIntoCompactWindow(path: String)(winner: => Unit): Thread = {
+    val t = new Thread(() => {
+      val root = new java.io.File(path)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !Option(root.listFiles()).exists(_.exists(
+          _.getName.startsWith(".graft_compact_")))) Thread.sleep(1)
+      winner
+    })
+    t.start()
+    t
+  }
+
+  test("OPTIMIZE rebases past a concurrent disjoint append; BOTH commit (VERDICT r14 #1)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path)               // v0
+    GraftDelta.toDelta(Seq((2L, "b")).toDF("id", "v"), path, mode = "append") // v1
+    GraftDelta.toDelta(Seq((3L, "c")).toDF("id", "v"), path, mode = "append") // v2
+    val log = DeltaLog.forTable(spark, path)
+    // a REAL parquet file for the winner's append, staged before the race
+    val stage = Files.createTempDirectory("graft_cc_app")
+    Seq((100L, "x")).toDF("id", "v").coalesce(1).write.parquet(s"$stage/p")
+    val part = new java.io.File(s"$stage/p").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val appended = new java.io.File(path, "appended.parquet")
+    Files.move(part.toPath, appended.toPath)
+    val watcher = raceIntoCompactWindow(path) {
+      log.writeCommit(3L, Seq(
+        CommitInfo(Instant.now().toEpochMilli, "WRITE",
+          operationParameters = Map("mode" -> "Append"),
+          readVersion = Some(2L), isBlindAppend = Some(true)),
+        AddFile("appended.parquet", Map.empty, size = appended.length(),
+          modificationTime = appended.lastModified(), dataChange = true)))
+    }
+    // OPTIMIZE snapshots at v2, loses v3 to the append, REBASES to v4:
+    // dataChange=false makes the concurrent append a non-conflict — the
+    // new file simply stays uncompacted
+    DeltaMaintenance.compact(spark, path, minFilesToCompact = 1)
+    watcher.join()
+    assert(log.latestVersion == 4L,
+      s"append at v3 and rebased OPTIMIZE at v4 must BOTH commit (head=${log.latestVersion})")
+    val hist = DeltaTableOps.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(hist(3L) == "WRITE" && hist(4L) == "OPTIMIZE", hist.toString)
+    assert(GraftDelta.readDelta(spark, path)
+      .select(org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 106L,
+      "no rows lost on either side of the race")
+  }
+
+  test("OPTIMIZE aborts when a winner removes one of its input files (incl. DV re-add)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("id", "v"), path)               // v0
+    GraftDelta.toDelta(Seq((2L, "b")).toDF("id", "v"), path, mode = "append") // v1
+    val log = DeltaLog.forTable(spark, path)
+    val victim = log.snapshot(None).activeFiles.head
+    // the winner DVs the victim: remove + same-path re-add with a DV
+    // descriptor — the protocol shape of a concurrent DV DELETE. The
+    // write-write rule must catch the remove of OPTIMIZE's input file.
+    val watcher = raceIntoCompactWindow(path) {
+      log.writeCommit(2L, Seq(
+        CommitInfo(Instant.now().toEpochMilli, "DELETE",
+          readVersion = Some(1L), isBlindAppend = Some(false)),
+        RemoveFile(victim.path, Some(Instant.now().toEpochMilli),
+          dataChange = true, partitionValues = victim.partitionValues),
+        AddFile(victim.path, victim.partitionValues, size = victim.size,
+          modificationTime = victim.modificationTime, dataChange = true,
+          deletionVector = Some(DeletionVectorDescriptor(
+            storageType = "i", pathOrInlineDv = "EAEAAAE=",
+            sizeInBytes = 5, cardinality = 1)))))
+    }
+    val e = intercept[java.util.ConcurrentModificationException](
+      DeltaMaintenance.compact(spark, path, minFilesToCompact = 1))
+    watcher.join()
+    assert(e.getMessage.contains("Write-write") ||
+      Option(e.getCause).exists(_.getMessage.contains("Write-write")), e.toString)
+    // staged rewrites were cleaned up — no orphan .c.snappy.parquet debris
+    val debris = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".c.snappy.parquet"))
+    assert(debris.isEmpty, s"aborted OPTIMIZE must clean its staged files: ${debris.toSeq}")
+    assert(log.latestVersion == 2L)
+  }
+
   /** Identity allocation and row-id allocation are version-dependent and
     * watermark-based, so their appends are NON-retriable by design: a
     * racing allocator either wins its version or aborts loudly — it can

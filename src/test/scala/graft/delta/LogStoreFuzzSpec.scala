@@ -83,7 +83,7 @@ class LogStoreFuzzSpec extends GraftSuite {
         val live = mutable.SortedSet.empty[Long]
         var nextId = (t + 1) * 1000000L
         (0 until OpsPerThread).foreach { _ =>
-          rnd.nextInt(8) match {
+          rnd.nextInt(9) match {
             case 0 | 1 | 2 => // append a batch of 10 owned keys
               val ids = (nextId until nextId + 10L); nextId += 10
               try {
@@ -142,6 +142,21 @@ class LogStoreFuzzSpec extends GraftSuite {
                 case _: java.util.ConcurrentModificationException =>
                   aborted.incrementAndGet()
                 case _: IllegalStateException => ()
+              }
+            case 8 => // UPDATE rewrite of the oldest live owned batch —
+              // a REBASING DML (r15): value-idempotent (t := t), so the
+              // ledger is untouched whichever interleaving lands, but the
+              // commit is a genuine dataChange rewrite racing everything
+              if (live.nonEmpty) {
+                val lo = live.head
+                try GraftDelta.updateWhere(spark, table, Seq(Seq(
+                  Predicate("id", ">=", lo), Predicate("id", "<", lo + 10L),
+                  Predicate("t", "==", t))),
+                  Map("t" -> org.apache.spark.sql.functions.lit(t)))
+                catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    aborted.incrementAndGet()
+                }
               }
           }
         }
