@@ -36,6 +36,25 @@ object Stress {
     val nc = clusters.select("cluster_id").distinct().count()
     println(f"[stress] clusters: $nc in ${(System.nanoTime()-t0)/1e9}%.1f s")
 
+    // ---- O(log n) CC at 1M-pair chain width (VERDICT r14 #3) ------------
+    // diameter 10^6 — min-label propagation would need 10^6 rounds;
+    // large-star/small-star must land inside the 2·log2(n)+4 bound, with
+    // the round count ASSERTED, not just timed
+    t0 = System.nanoTime()
+    val chainN = 1000001L
+    val chain = spark.range(1L, chainN)
+      .select($"id".as("doc_a"), ($"id" + 1L).as("doc_b"))
+    val (chainLabels, ccRounds) =
+      graft.operators.Dedup.nearDupClustersWithRounds(chain)
+    val chainBound = 2 * (math.log(chainN.toDouble) / math.log(2)).ceil.toInt + 4
+    val chainOk = chainLabels.agg(
+      count(lit(1)), sum(when($"cluster_id" === 1L, 1L).otherwise(0L))).head()
+    require(ccRounds <= chainBound, s"CC rounds $ccRounds > bound $chainBound")
+    require(chainOk.getLong(0) == chainN && chainOk.getLong(1) == chainN,
+      s"all $chainN chain nodes must label to cluster 1: $chainOk")
+    println(f"[stress] chain CC: ${chainOk.getLong(0)}%,d nodes, $ccRounds rounds " +
+      f"(bound $chainBound) in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
     // ---- duplicated-span coverage at 20× --------------------------------
     // hashed span keys (the scale default; 8-byte shuffle rows) over
     // ~corpus-chars exploded positions. Every copy shares its original's

@@ -303,20 +303,97 @@ object Dedup {
 
   /** Connected components over a near-dup pair list: every doc is labeled
     * with the smallest doc_id reachable through pairs (its cluster
-    * representative). Iterated min-label propagation — each round is one
-    * join + aggregation over the edge list (hash-partitioned on id,
-    * partial aggregation applies), converging in O(graph diameter)
-    * rounds; near-dup clusters are clique-like (diameter 1-2), so a
-    * handful of rounds suffices. `maxIters` bounds adversarial chain
-    * graphs, and non-convergence within the bound raises rather than
-    * returning silently-wrong clusters. (The O(log n) upgrade path at
-    * extreme diameters is large-star/small-star contraction — not needed
-    * for near-dup shapes.)
+    * representative).
+    *
+    * Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * groupBy+join passes over the edge list, and the edge set converges
+    * to per-component stars in O(log n) rounds INDEPENDENT of graph
+    * diameter — a pathological near-dup chain (doc A ~ B ~ C ~ …, common
+    * in crawl data) converges where min-label propagation needs
+    * O(diameter) rounds. Per round:
+    *   large-star: every node's LARGER neighbors attach to the minimum
+    *     of its closed neighborhood (keeps connectivity, points all
+    *     edges downward);
+    *   small-star: every node and its smaller neighbors attach to the
+    *     smallest of them (contracts chains by halving).
+    * Non-convergence within `maxIters` raises rather than returning
+    * silently-wrong clusters. The previous min-label propagation survives
+    * as [[nearDupClustersPropagation]] — the semantics oracle DedupSpec
+    * cross-checks on random graphs.
     *
     * Input: (doc_a, doc_b) pairs (e.g. minhashNearDups). Output:
     * (doc_id, cluster_id) for every doc appearing in at least one pair.
     * Pair this with an anti-join to drop all but each cluster's keeper. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    nearDupClustersWithRounds(pairs, maxIters)._1
+
+  /** [[nearDupClusters]] + the round count it converged in (pinned by
+    * DedupSpec/Stress against the O(log n) bound). */
+  private[graft] def nearDupClustersWithRounds(
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    // canonical downward edges u → v with v < u; self-pairs drop here and
+    // are re-labeled as singletons at the end
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      // localCheckpoint (eager) after every round TRUNCATES LINEAGE — the
+      // iterative-join pattern otherwise grows the logical plan by one
+      // full round per iteration and Catalyst analysis time explodes
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      // LARGE-STAR over the bidirectional view: for each node u with
+      // closed-neighborhood min m, attach every neighbor v > u to m.
+      // m ≤ u < v, so outputs stay strictly downward (no self-loops).
+      val bidir = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = bidir.filter(col("v") > col("u"))
+        .join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR over the downward edges: for each node u with parent
+      // set N(u) (all < u) and m = min(N(u)), attach u and every other
+      // parent to m. v ≠ m ⇒ v > m, so outputs stay strictly downward.
+      val minsS = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(minsS, "u")
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point = identical edge set (two cheap anti-join probes)
+      val changed =
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
+          edges.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      edges = next
+      converged = !changed
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds — raise maxIters")
+    // at the fixed point the edges are stars: every non-root points at its
+    // component min. Roots and self-pair-only docs label themselves.
+    val children = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = nodes.join(children, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (materialized(labels), i)
+  }
+
+  /** Min-label propagation — O(graph diameter) rounds; kept as the
+    * semantics ORACLE for the large-star/small-star path above (clusters
+    * must agree on any graph both converge on). */
+  private[graft] def nearDupClustersPropagation(
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // undirected edges, both directions; labels start as each node's id
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).persist()
