@@ -35,6 +35,12 @@ object VectorFunctions {
   def wordGramHash60(s: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorBridge.wordGramHash60(s, n)
 
+  /** Fixed-weight hashed-linear score over word n-gram OCCURRENCES (the
+    * fastText/DCLM filter dot product): [score, n_grams] as longs, the
+    * weight table a codegen literal. */
+  def hashedLinearScore(s: Column, weights: IndexedSeq[Int], n: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.hashedLinearScoreQ(s, weights, n)
+
   /** xxhash64 sibling: per-doc DISTINCT word-n-gram xxhash64 values (the
     * MinHash gram hashes — seed 42, the SQL `xxhash64`) in one byte-level
     * pass; distinct-by-string, first-occurrence order. */

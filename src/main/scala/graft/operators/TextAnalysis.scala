@@ -77,6 +77,42 @@ object TextAnalysis {
         .divide(toks.cast("long")).cast("long"))
   }
 
+  /** Fixed-weight quality CLASSIFIER — the fastText/DCLM curation-filter
+    * shape (VERDICT r14 #2), distinct from the heuristic [[qualityScore]]
+    * above: hashed unigram+bigram bag-of-features → fixed weight-table
+    * lookup → integer dot product, one codegen'd kernel per n
+    * (HashedLinearScoreQ; the weight table rides the generated code as a
+    * reference object — the broadcast-literal "model"). Production swaps
+    * in trained weights; the arithmetic is integer end-to-end so any
+    * weight table an oracle can rebuild makes the score strictly
+    * checkable. `keep` thresholds the UNNORMALIZED margin at
+    * threshold·n_feats — the integer form of mean-feature-score ≥
+    * threshold (a monotone transform of the sigmoid cut), division-free
+    * because Spark truncates and SQL engines floor on negatives.
+    *
+    * Output: (id, score, n_feats, keep). One scan, no shuffle, no gram
+    * strings — scan-bound at 100 TB. */
+  def qualityClassifier(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: IndexedSeq[Int], threshold: Long = 0L): DataFrame = {
+    import graft.functions.VectorFunctions.hashedLinearScore
+    df.select(col(idCol),
+        hashedLinearScore(col(textCol), weights, 1).as("__u"),
+        hashedLinearScore(col(textCol), weights, 2).as("__b"))
+      .select(col(idCol),
+        (element_at(col("__u"), 1) + element_at(col("__b"), 1)).as("score"),
+        (element_at(col("__u"), 2) + element_at(col("__b"), 2)).as("n_feats"))
+      .withColumn("keep",
+        (col("score") >= lit(threshold) * col("n_feats")).cast("int"))
+  }
+
+  /** A deterministic weight table for [[qualityClassifier]] — the t51
+    * "shipped model", rebuildable by formula in any SQL engine:
+    * w[b] = ((b·2654435761) mod 2³¹) mod 2001 − 1000 ∈ [−1000, 1000]. */
+  def defaultQualityWeights(d: Int = 4096): IndexedSeq[Int] =
+    IndexedSeq.tabulate(d)(b =>
+      (((b.toLong * 2654435761L) % 2147483648L) % 2001L - 1000L).toInt)
+
   /** Language-ID heuristic: stopword-profile vote over a tiny per-language
     * lexicon; ties and no-hits fall back to 'und'. Exactly expressible in
     * the SQL oracle (CASE over the same counts). */

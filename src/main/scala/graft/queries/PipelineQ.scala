@@ -590,6 +590,17 @@ object PipelineQ {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Fixed-weight quality classifier (the fastText/DCLM filter shape):
+    // hashed unigram+bigram features → weight-table lookup → integer dot,
+    // one codegen'd kernel per n. The oracle rebuilds hash, bucket,
+    // weight formula, and dot bit-for-bit.
+    "t51_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityClassifier(t(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.defaultQualityWeights())
+        .orderBy($"doc_id")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -1326,6 +1337,24 @@ object PipelineQ {
         |LEFT JOIN covs c USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t51_quality_classifier" -> {
+      import graft.operators.Decontamination.gramHashSql
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, gram FROM (
+         |    SELECT doc_id, unnest(ws) AS gram FROM w
+         |    UNION ALL
+         |    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN generate_series(1, len(ws)-1)]
+         |      ELSE [text] END) AS gram FROM w)),
+         |h AS (SELECT doc_id, ${gramHashSql("gram")} % 4096 AS b FROM g),
+         |sc AS (SELECT doc_id,
+         |         CAST(SUM(((b * 2654435761) % 2147483648) % 2001 - 1000) AS BIGINT) AS score,
+         |         CAST(COUNT(*) AS BIGINT) AS n_feats
+         |       FROM h GROUP BY doc_id)
+         |SELECT doc_id, score, n_feats, CAST(score >= 0 AS INT) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "t50_source_overlap" -> {
       import graft.operators.Decontamination.gramHashSql
       s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),

@@ -593,6 +593,88 @@ case class WordGramHash60(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fixed-weight hashed-linear quality score — the fastText/DCLM curation
+  * filter shape (VERDICT r14 #2): word n-grams of EXACTLY size `n`
+  * ([[WordGramHash31]]'s shinglesOfWords split semantics — literal-space
+  * split keeping empties; fewer than n words → one whole-text gram) hash
+  * with the same polyhash31, index a FIXED weight table
+  * (`weights[h mod weights.length]`, the table a codegen reference — the
+  * broadcast-literal "model"), and accumulate an integer dot product over
+  * gram OCCURRENCES (bag-of-features, not distinct — fastText counts).
+  * Returns [score, n_grams] as longs — integer-exact end to end, so a
+  * SQL oracle rebuilds the score bit-for-bit from the same fold. One
+  * O(len·n) pass; no gram strings materialize. */
+case class HashedLinearScoreQ(child: Expression, weights: IndexedSeq[Int], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive: $n")
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_linear_score_q"
+
+  @transient private lazy val w: Array[Int] = weights.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    HashedLinearScoreQ.compute(a.asInstanceOf[UTF8String].toString, w, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("qualityWeights", w, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashedLinearScoreQ.compute(" +
+        s"$a.toString(), $wRef, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedLinearScoreQ {
+  private val P1 = 1000000007L // polyhash31 modulus (shared with WordGramHash31)
+
+  def compute(s: String, w: Array[Int], n: Int): ArrayData = {
+    val len = s.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
+    val d = w.length
+    var score = 0L
+    var grams = 0L
+    if (nWords < n) {
+      // whole-text fallback gram (the shinglesOfWords short-doc contract)
+      var h = 0L; i = 0
+      while (i < len) {
+        val cp = s.codePointAt(i)
+        h = (31L * h + cp) % P1
+        i += Character.charCount(cp)
+      }
+      score = w((h % d).toInt)
+      grams = 1L
+    } else {
+      val starts = new Array[Int](nWords + 1)
+      var wi = 1; i = 0
+      while (i < len) { if (s.charAt(i) == ' ') { starts(wi) = i + 1; wi += 1 }; i += 1 }
+      starts(nWords) = len + 1 // sentinel: gram (k, k+n) = s[starts(k), starts(k+n)-1)
+      var k = 0
+      while (k + n <= nWords) {
+        val to = starts(k + n) - 1
+        var h = 0L
+        var j = starts(k)
+        while (j < to) {
+          val cp = s.codePointAt(j)
+          h = (31L * h + cp) % P1
+          j += Character.charCount(cp)
+        }
+        score += w((h % d).toInt)
+        grams += 1L
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(score, grams))
+  }
+}
+
 object WordGramHash31 {
   private val P1 = 1000000007L // polyhash31 modulus (the value emitted)
   private val P2 = 998244353L  // second prime: dedupe-key discriminator only
@@ -1202,6 +1284,9 @@ object VectorBridge {
 
   def wordGramHash31(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHash31(ExpressionUtils.expression(s), n))
+
+  def hashedLinearScoreQ(s: Column, weights: IndexedSeq[Int], n: Int): Column =
+    ExpressionUtils.column(HashedLinearScoreQ(ExpressionUtils.expression(s), weights, n))
 
   def wordGramHash60(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHash60(ExpressionUtils.expression(s), n))

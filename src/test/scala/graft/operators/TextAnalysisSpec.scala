@@ -135,6 +135,72 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  /** Pure-Scala reference for the hashed-linear classifier — split on
+    * literal ' ' keeping empties, whole-text fallback below n words,
+    * polyhash31 over code points, bucket = h mod D, occurrence counts. */
+  private def qcRef(s: String, w: IndexedSeq[Int], ns: Seq[Int]): (Long, Long) = {
+    val P = 1000000007L
+    def h31(g: String): Long = {
+      var h = 0L; var i = 0
+      while (i < g.length) {
+        val cp = g.codePointAt(i); h = (31L * h + cp) % P
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val words = s.split(" ", -1)
+    var score = 0L; var grams = 0L
+    ns.foreach { n =>
+      val gs = if (words.length < n) Seq(s)
+               else words.sliding(n).map(_.mkString(" ")).toSeq
+      gs.foreach { g => score += w((h31(g) % w.length).toInt); grams += 1 }
+    }
+    (score, grams)
+  }
+
+  test("qualityClassifier: kernel is bit-equal to the pure-Scala reference") {
+    import spark.implicits._
+    val w = TextAnalysis.defaultQualityWeights()
+    val texts = Seq(
+      "the cat sat on the mat",
+      "single",                     // 1 word → bigram falls back to whole text
+      "",                           // empty → unigram [''], bigram whole-text ''
+      "a  b",                       // double space → empty middle word
+      "zz éthe ünicode grams here"  // non-ASCII code points
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == qcRef(t, w, Seq(1, 2)),
+        s"kernel drifted from reference on '$t'")
+    }
+    // the corpus too, plus repartition invariance (row-local arithmetic)
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val base = TextAnalysis.qualityClassifier(corpus, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    val texts2 = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    base.foreach { case (id, sc, nf, keep) =>
+      val (rs, rn) = qcRef(texts2(id), w, Seq(1, 2))
+      assert((sc, nf) == (rs, rn), s"doc $id drifted")
+      assert(keep == (if (sc >= 0) 1 else 0))
+    }
+    assert(base.exists(_._4 == 0) && base.exists(_._4 == 1),
+      "threshold must actually split the corpus (weights span negative and positive)")
+    val shuffled = TextAnalysis.qualityClassifier(
+      corpus.repartition(7), "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    assert(shuffled == base)
+    // codegen compiles loudly: fallback off would surface a broken doGenCode
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val again = TextAnalysis.qualityClassifier(docs, "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(again == got)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   /** Pure-Scala greedy longest-match reference — the contract the
     * codegen'd BpeStatsQ kernel must hit bit-for-bit. */
   private def bpeRef(s: String, vocab: Seq[String]): (Long, Long) = {
