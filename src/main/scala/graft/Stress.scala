@@ -449,21 +449,25 @@ object Stress {
         s"cache hit costs exactly one listing, saw ${graft.delta.DeltaLog.logListCount.get() - l0}")
       println(f"[stress] snapshot-cache hit on the 1M-file table: $secs%.3f s " +
         f"(one listing, zero action reads)")
-      // (b) an append advances the cache by exactly ONE tail commit
+      // (b) an append + next snapshot advance the cache by exactly ONE
+      // tail commit read TOTAL (the N.crc write inside the commit path
+      // performs the tail apply; the explicit snapshot after it is free)
+      val c1 = graft.delta.DeltaLog.commitReadCount.get()
       log1M.writeCommit(10L, Seq(
         graft.delta.CommitInfo(System.currentTimeMillis(), "APPEND"),
         graft.delta.AddFile(path = "part-tail-cache.parquet", size = 1L << 20,
           modificationTime = 0L, dataChange = true)))
-      val c1 = graft.delta.DeltaLog.commitReadCount.get()
       t0 = System.nanoTime()
       val tailSnap = log1M.snapshot(None)
       require(tailSnap.version == 10L && tailSnap.activeFiles.size == nFiles1M + 1)
       require(graft.delta.DeltaLog.commitReadCount.get() == c1 + 1,
-        "post-append snapshot must read exactly the one tail commit")
+        "append + post-append snapshot must read exactly the one tail commit")
       println(f"[stress] post-append incremental snapshot (1M files + 1 tail commit): " +
         f"${(System.nanoTime()-t0)/1e9}%.3f s")
-      // undo the probe commit so the checkpoint segment below sees v0..v9
+      // undo the probe commit (and its crc) so the checkpoint segment
+      // below sees v0..v9
       log1M.fs.delete(log1M.commitFile(10L), false)
+      log1M.fs.delete(log1M.crcFile(10L), false)
       log1M.invalidateCache()
     }
 

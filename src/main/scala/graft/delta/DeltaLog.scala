@@ -369,6 +369,10 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     // had no commit JSON (checkpoint-only tail after log cleanup).
     var tailLen: Long = -1L
     var tailMtime: Long = -1L
+    // the last N.crc file validated against this state, by (len, mtime) —
+    // re-validation only when the sibling checksum file changes
+    var crcLen: Long = -1L
+    var crcMtime: Long = -1L
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.LinkedHashMap.empty[(String, String), RemoveFile]
     val txns = mutable.LinkedHashMap.empty[String, SetTransaction]
@@ -504,14 +508,40 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     }
 
+    // the sibling version checksum (`N.crc`, ours or delta-spark's): the
+    // cache's EXTERNAL corruption tripwire. A cached state that disagrees
+    // with it is discarded and replayed cold; a crc that disagrees even
+    // with the cold replay is the liar (stale/corrupt) and only warns —
+    // the log is the authority. Validation is per (len, mtime) of the crc
+    // file, so steady-state cache hits never re-read it.
+    val crcSt = statuses.find(_.getPath.getName == f"$target%020d.crc")
+    def crcTrips(st: ReplayState, snap: Snapshot): Boolean = crcSt match {
+      case None => false
+      case Some(c) =>
+        if (c.getLen == st.crcLen && c.getModificationTime == st.crcMtime) false
+        else DeltaLog.crcMismatch(readSmallFile(c.getPath), snap) match {
+          case Some(why) =>
+            DeltaLog.logger.warn(
+              s"Version checksum ${c.getPath.getName} in $logPath disagrees with " +
+                s"the cached state ($why) — discarding the snapshot cache and " +
+                "replaying cold")
+            true
+          case None =>
+            st.crcLen = c.getLen; st.crcMtime = c.getModificationTime
+            false
+        }
+    }
+
     // compactStats=false (checkpoint writes) needs VERBATIM stats: the
     // cached state compacts at insert, so it can neither serve nor be
     // seeded here — fall straight through to an uncached full replay
-    val st0 = if (compactStats) replay else null
+    var st0 = if (compactStats) replay else null
     // (2) exact hit: nothing to read at all
     if (st0 != null && st0.version == target &&
-        st0.built != null && fingerprintOk(st0))
-      return st0.built
+        st0.built != null && fingerprintOk(st0)) {
+      if (!crcTrips(st0, st0.built)) return st0.built
+      replay = null; st0 = null
+    }
     // (3) incremental: extend the retained state along the JSON tail
     if (st0 != null && st0.version >= 0 && target > st0.version && fingerprintOk(st0) &&
         ((st0.version + 1) to target).forall(commitSt.contains)) {
@@ -529,8 +559,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       // bound on a high-churn table
       pruneExpired(st0)
       val snap = buildSnapshot(st0, target)
-      st0.built = snap
-      return snap
+      if (!crcTrips(st0, snap)) {
+        st0.built = snap
+        return snap
+      }
+      replay = null; st0 = null // fall through to the cold replay below
     }
 
     // (4) full replay. Checkpoint-accelerated (SURVEY.md §2 ④): prefer
@@ -577,6 +610,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
     stamp(st, target)
     val snap = buildSnapshot(st, target)
+    // cold replay is the authority: a crc that still disagrees only warns
+    crcSt.foreach { c =>
+      DeltaLog.crcMismatch(readSmallFile(c.getPath), snap).foreach { why =>
+        DeltaLog.logger.warn(
+          s"Version checksum ${c.getPath.getName} in $logPath still disagrees " +
+            s"after a cold replay ($why) — the checksum is stale or corrupt; " +
+            "serving the log-derived state")
+      }
+      st.crcLen = c.getLen; st.crcMtime = c.getModificationTime
+    }
     if (compactStats) {
       st.built = snap
       // never let a TIME-TRAVEL read evict a newer still-valid cached
@@ -590,17 +633,25 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     snap
   }
 
-  /** Expire aged bookkeeping from a cached replay state, mirroring what a
-    * checkpoint written under the table's retention windows would drop:
-    * tombstones past `delta.deletedFileRetentionDuration` (default 7 d)
-    * and SetTransactions past `delta.setTransactionRetentionDuration`
-    * (retained forever when unset, the protocol default). Removes without
-    * a deletionTimestamp are kept — their age cannot be proven, and
-    * vacuum treats a missing timestamp as expired, so pruning them here
-    * would hide them from reclamation. */
+  /** Expire aged bookkeeping from a cached replay state so a long-lived
+    * handle stays bounded: tombstones past `deletedFileRetentionDuration`
+    * PLUS `logRetentionDuration` (once the remove's commit JSON itself
+    * ages out of the log, no replay could rebuild the tombstone — the
+    * natural retention horizon), and SetTransactions past
+    * `setTransactionRetentionDuration` (retained forever when unset, the
+    * protocol default). The log-retention LAG — unlike the checkpoint's
+    * exact-window drop — keeps expired-but-unreclaimed tombstones visible
+    * to vacuum's tombstone mode for the whole log-retention window.
+    * Removes without a deletionTimestamp are kept — their age cannot be
+    * proven, and vacuum treats a missing timestamp as expired, so pruning
+    * them here would hide them from reclamation. */
   private def pruneExpired(st: ReplayState): Unit = {
     val now = System.currentTimeMillis()
-    val tombCut = now - DeltaLog.tombstoneWindowMs(st.metadata)
+    val logW = st.metadata
+      .flatMap(_.configuration.get("delta.logRetentionDuration"))
+      .flatMap(DeltaMaintenance.parseRetentionHours).getOrElse(720.0)
+    val tombCut = now - DeltaLog.tombstoneWindowMs(st.metadata) -
+      (logW * 3600 * 1000).toLong
     st.removed.filterInPlace((_, r) => r.deletionTimestamp.forall(_ >= tombCut))
     DeltaLog.txnWindowMs(st.metadata).foreach { w =>
       st.txns.filterInPlace((_, t) => t.lastUpdated.forall(_ >= now - w))
@@ -757,6 +808,26 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => conflict(e)
       case e: java.io.IOException if fs.exists(target) => conflict(e)
     }
+    // per-version checksum (delta-spark's `N.crc` sibling files): table
+    // size, file count, protocol, metadata id — the snapshot cache's
+    // external corruption tripwire, and what foreign delta-spark logs
+    // carry next to every commit. Strictly best-effort: the commit is
+    // already durable, and a crc failure (reader-gated protocol, torn
+    // concurrent state, FS hiccup) must never fail it. The snapshot call
+    // is the cheap cached tail apply when this writer is current.
+    try {
+      val snap = snapshot(Some(version))
+      val out = fs.create(crcFile(version), /*overwrite=*/ true)
+      try out.write(DeltaLog.crcJson(snap).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  def crcFile(v: Long): Path = new Path(logPath, f"$v%020d.crc")
+
+  private def readSmallFile(p: Path): String = {
+    val in = fs.open(p)
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
   /** Write a checkpoint for `version` plus `_last_checkpoint`, bounding
@@ -1119,6 +1190,43 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 object DeltaLog {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.delta")
+
+  /** The `N.crc` version-checksum body for a snapshot — the delta-spark
+    * sibling-file convention (table size, file count, protocol, metadata
+    * id). One JSON line; integers only, so any engine can re-derive it. */
+  private[delta] def crcJson(snap: Snapshot): String = {
+    val sizeBytes = snap.activeFiles.iterator.map(_.size).sum
+    s"""{"tableSizeBytes":$sizeBytes,"numFiles":${snap.activeFiles.size},""" +
+      s""""numMetadata":1,"numProtocol":1,""" +
+      s""""protocol":{"minReaderVersion":${snap.protocol.minReaderVersion},""" +
+      s""""minWriterVersion":${snap.protocol.minWriterVersion}},""" +
+      s""""metadataId":"${snap.metadata.id}"}"""
+  }
+
+  /** Compare a (possibly foreign) crc body against a snapshot. Lenient by
+    * design: only fields BOTH sides can state are compared (tableSizeBytes,
+    * numFiles, protocol versions), unknown fields and unparseable bodies
+    * are tolerated — a foreign writer's crc conventions must never brick a
+    * readable table. Returns Some(reason) on a genuine disagreement. */
+  private[delta] def crcMismatch(body: String, snap: Snapshot): Option[String] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      def lng(f: String): Option[Long] =
+        Option(node.get(f)).filter(_.isNumber).map(_.asLong())
+      val sizeBytes = snap.activeFiles.iterator.map(_.size).sum
+      lng("numFiles").filter(_ != snap.activeFiles.size.toLong)
+        .map(n => s"numFiles $n vs ${snap.activeFiles.size}")
+        .orElse(lng("tableSizeBytes").filter(_ != sizeBytes)
+          .map(n => s"tableSizeBytes $n vs $sizeBytes"))
+        .orElse(Option(node.get("protocol")).flatMap { pn =>
+          def iv(f: String): Option[Int] =
+            Option(pn.get(f)).filter(_.isNumber).map(_.asInt())
+          iv("minReaderVersion").filter(_ != snap.protocol.minReaderVersion)
+            .map(v => s"minReaderVersion $v vs ${snap.protocol.minReaderVersion}")
+            .orElse(iv("minWriterVersion").filter(_ != snap.protocol.minWriterVersion)
+              .map(v => s"minWriterVersion $v vs ${snap.protocol.minWriterVersion}"))
+        })
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The table's tombstone-retention window
     * (`delta.deletedFileRetentionDuration`, default 7 days) in millis. */

@@ -455,6 +455,8 @@ object DeltaMaintenance {
     val CpRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
     val V2JsonRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.json""".r
     val V2AnyRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(?:parquet|json)""".r
+    // version checksums (ours or delta-spark's) age out WITH their commit
+    val CrcRe = """(\d{20})\.crc""".r
     val allLog = fs.listStatus(log.logPath).toSeq
     // Crash debris: LogStore's content-atomic publish stages hidden
     // `.<name>.tmp-<uuid8>` siblings; a crash between staging and publish
@@ -478,6 +480,7 @@ object DeltaMaintenance {
         case CommitRe(v) => v.toLong < keepFrom && old
         case CpRe(v, _) => v.toLong < keepFrom && old
         case V2JsonRe(v) => v.toLong < keepFrom && old
+        case CrcRe(v) => v.toLong < keepFrom && old
         case _ => false
       }
     }.map(_.getPath).toSeq

@@ -576,6 +576,18 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // MAXIMAL duplicated spans: t48's fixed windows, merged — adjacent/
+    // overlapping duplicated window positions chain into variable-length
+    // maximal spans (the Lee et al. "maximal duplicated substring"
+    // regions at window granularity). The oracle rebuilds the rolling
+    // hash and replays the merge with the same window functions.
+    "t52_maximal_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.maximalDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 40, hashedShingles = true)
+        .orderBy($"doc_id")
+    }),
+
     // Between-sources overlap matrix: the contamination audit BETWEEN
     // subsets of one corpus (t16/t32 are the eval-vs-train special
     // case) — per unordered source pair, shared distinct 13-grams and
@@ -1289,6 +1301,42 @@ object PipelineQ {
         |       dupc.dup_positions AS dup_positions
         |FROM documents d JOIN dupc USING (doc_id)
         |WHERE dupc.dup_positions > 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "t52_maximal_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 31 + x) % 1000000007)
+        |    + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 131 + x) % 998244353) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40)
+        |),
+        |dupk AS (SELECT k FROM pos GROUP BY k HAVING COUNT(*) > 1),
+        |d AS (SELECT doc_id, s FROM pos JOIN dupk USING (k)),
+        |m AS (SELECT doc_id, s,
+        |        coalesce(max(s + 40) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevcov
+        |      FROM d),
+        |b AS (SELECT doc_id, s, prevcov,
+        |        CASE WHEN s > prevcov THEN 1 ELSE 0 END AS brk FROM m),
+        |r AS (SELECT doc_id, s, prevcov, brk,
+        |        max(CASE WHEN brk = 1 THEN s END)
+        |          OVER (PARTITION BY doc_id ORDER BY s) AS spanstart
+        |      FROM b),
+        |agg AS (SELECT doc_id,
+        |        CAST(SUM(brk) AS BIGINT) AS n_spans,
+        |        CAST(SUM(s + 40 - greatest(prevcov, s)) AS BIGINT) AS dup_chars,
+        |        CAST(MAX(s + 40 - spanstart) AS BIGINT) AS max_span
+        |      FROM r GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+        |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |       CAST(coalesce(a.max_span, 0) AS BIGINT) AS max_span
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "t48_span_dedup" ->
       """WITH pos AS (

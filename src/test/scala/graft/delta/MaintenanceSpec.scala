@@ -534,6 +534,27 @@ class MaintenanceSpec extends GraftSuite {
     assert(DeltaMaintenance.parseRetentionHours("soon").isEmpty)
   }
 
+  test("cleanupLog sweeps aged version checksums with their commits") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta(Seq((1L, "a")).toDF("k", "v"), path,
+      configuration = Map("delta.logRetentionDuration" -> "interval 0 hours"))
+    GraftDelta.toDelta(Seq((2L, "b")).toDF("k", "v"), path, mode = "append")
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCheckpoint(1L)
+    assert(log.fs.exists(log.crcFile(0L)) && log.fs.exists(log.crcFile(1L)),
+      "commits must write sibling N.crc files")
+    val swept = DeltaMaintenance.cleanupLog(spark, path, dryRun = false)
+    assert(swept.contains("00000000000000000000.json") &&
+      swept.contains("00000000000000000000.crc"),
+      s"the aged crc must age out WITH its commit: $swept")
+    assert(!log.fs.exists(log.crcFile(0L)))
+    // the checkpoint-version crc survives (still time-travelable)
+    assert(log.fs.exists(log.crcFile(1L)))
+    log.invalidateCache()
+    assert(GraftDelta.readDelta(spark, path).count() == 2)
+  }
+
   test("delta.checkpointInterval table property drives the checkpoint cadence") {
     import spark.implicits._
     val path = tmp()

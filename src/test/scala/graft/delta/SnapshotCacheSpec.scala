@@ -50,14 +50,17 @@ class SnapshotCacheSpec extends GraftSuite {
       s"cache hit must read no action files: $d0")
     assert(d0.listings == 1, s"cache hit costs exactly one listing: $d0")
 
-    // append → exactly ONE tail commit read, no checkpoint re-read
-    GraftDelta.toDelta((111L to 120L).toDF("k"), path, mode = "append")   // v2
+    // append + next snapshot → exactly ONE tail commit read TOTAL, no
+    // checkpoint re-read. (The commit path itself advances the cache —
+    // the N.crc write snapshots at the new version — so the read happens
+    // inside the append and the explicit snapshot after it is free.)
     val c1 = counts()
+    GraftDelta.toDelta((111L to 120L).toDF("k"), path, mode = "append")   // v2
     val s3 = log.snapshot(None)
     val d1 = delta(c1)
     assert(s3.version == 2L && s3.activeFiles.nonEmpty)
     assert(d1.commits == 1 && d1.checkpoints == 0,
-      s"post-append snapshot must apply exactly the tail commit: $d1")
+      s"append + post-append snapshot must apply exactly the tail commit: $d1")
     assert(GraftDelta.readDelta(spark, path).count() == 120)
 
     // the previously served snapshot is immutable — still v1's view
@@ -184,10 +187,13 @@ class SnapshotCacheSpec extends GraftSuite {
     assert(log.snapshot(None).tombstones.nonEmpty,
       "in-retention tombstones must survive a tail apply")
     Thread.sleep(10)
-    // shrink the window to 0 h: the property lands in the same tail batch
-    // and the advance prunes with the NEW window
+    // shrink BOTH windows to 0 h (the cache prune lags tombstone expiry
+    // by the log-retention window so vacuum keeps its prey — see
+    // pruneExpired): the properties land in the same tail batch and the
+    // advance prunes with the NEW windows
     DeltaTableOps.setTableProperties(spark, path,
-      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours"))     // v3
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 hours",
+        "delta.logRetentionDuration" -> "interval 0 hours"))               // v3
     val advanced = log.snapshot(None)
     assert(advanced.version == 3L)
     assert(advanced.tombstones.isEmpty,
@@ -225,6 +231,50 @@ class SnapshotCacheSpec extends GraftSuite {
     log2.writeCheckpoint(1L)
     assert(new DeltaLog(spark, path2).snapshot(None).tombstones.nonEmpty,
       "in-retention tombstones must survive the checkpoint")
+  }
+
+  test("version checksums: written per commit, validated clean, doctored crc forces a cold replay") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 50L).toDF("k"), path)                       // v0
+    GraftDelta.toDelta((51L to 60L).toDF("k"), path, mode = "append")     // v1
+    val log = DeltaLog.forTable(spark, path)
+    // every commit wrote its sibling N.crc with the delta-spark fields
+    (0L to 1L).foreach { v =>
+      val body = {
+        val in = log.fs.open(log.crcFile(v))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(body.contains("\"tableSizeBytes\"") && body.contains("\"numFiles\""), body)
+      // a clean round-trip: the crc must agree with the snapshot it describes
+      assert(DeltaLog.crcMismatch(body, log.snapshot(Some(v))).isEmpty, body)
+    }
+    // steady state: a matching crc costs nothing after its first check
+    log.snapshot(None)
+    val c0 = counts()
+    log.snapshot(None)
+    val dHit = delta(c0)
+    assert(dHit.commits == 0 && dHit.checkpoints == 0, dHit.toString)
+
+    // doctor the crc (foreign corruption / a checkpointed lie): the next
+    // snapshot must DISCARD the cache and replay cold — the tripwire —
+    // then serve the log-derived state (the log is the authority)
+    val out = log.fs.create(log.crcFile(1L), true)
+    try out.write("""{"tableSizeBytes":1,"numFiles":999}""".getBytes("UTF-8"))
+    finally out.close()
+    val c1 = counts()
+    val snap = log.snapshot(None)
+    val dCold = delta(c1)
+    assert(dCold.commits >= 2,
+      s"a doctored crc must force a cold replay of the whole tail: $dCold")
+    assert(snap.version == 1L)
+    assert(GraftDelta.readDelta(spark, path).count() == 60,
+      "the log-derived state is served despite the lying checksum")
+    // the lying crc is remembered by (len, mtime): hits are cheap again
+    val c2 = counts()
+    log.snapshot(None)
+    val dAgain = delta(c2)
+    assert(dAgain.commits == 0, s"validated-once crc must not re-trip: $dAgain")
   }
 
   test("checkpoint write (verbatim stats) bypasses the built cache but stays coherent") {

@@ -250,6 +250,51 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maximalDupSpans: hand-computed merge of adjacent duplicated windows") {
+    import spark.implicits._
+    // spanLen 5. A and B are exact copies → every window duplicated →
+    // ONE maximal span covering the whole doc. C shares only "abcde"
+    // (one window). D's single window is unique. E is sub-window. F has
+    // two dup regions separated by a unique gap → TWO spans.
+    val docs = Seq(
+      (1L, "abcdefghij"),     // = B: span [1,11) → 1 span, 10 chars
+      (2L, "abcdefghij"),
+      (3L, "zzabcdezz"),      // "abcde" at pos 3 → [3,8): 1 span, 5
+      (4L, "qqqqq"),          // unique window → 0 spans
+      (5L, "pq"),             // shorter than spanLen → 0 spans
+      (6L, "abcde1234fghij")  // [1,6) + [10,15): 2 spans, 10 chars, max 5
+    ).toDF("doc_id", "text")
+    val expect = Map(
+      1L -> (10L, 1L, 10L, 10L),
+      2L -> (10L, 1L, 10L, 10L),
+      3L -> (9L, 1L, 5L, 5L),
+      4L -> (5L, 0L, 0L, 0L),
+      5L -> (2L, 0L, 0L, 0L),
+      6L -> (14L, 2L, 10L, 5L))
+    Seq(true, false).foreach { hashed =>
+      val got = Dedup.maximalDupSpans(docs, "doc_id", "text",
+        spanLen = 5, hashedShingles = hashed)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expect, s"hashed=$hashed: $got")
+    }
+    // within-doc repeats count as duplicated positions too — one doc,
+    // "XXXXX" at both ends: two spans of 5 (the middle 'b' gap is unique)
+    val self = Seq((9L, "XXXXXbXXXXX")).toDF("doc_id", "text")
+    val gotSelf = Dedup.maximalDupSpans(self, "doc_id", "text", spanLen = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
+    // windows: XXXXX(1) XXXXb(2) XXXbX(3) XXbXX(4) XbXXX(5) bXXXX(6) XXXXX(7)
+    // only "XXXXX" (pos 1, 7) duplicated → spans [1,6) and [7,12)
+    assert(gotSelf == (11L, 2L, 10L, 5L), gotSelf.toString)
+    // repartition invariance
+    val a = Dedup.maximalDupSpans(docs.repartition(5), "doc_id", "text", spanLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = Dedup.maximalDupSpans(docs.coalesce(1), "doc_id", "text", spanLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a == b)
+  }
+
   /** Prefix filtering is LOSSLESS: the n-gram Jaccard join must equal
     * brute-force all-pairs Jaccard exactly — on a corpus with planted
     * near-dups (tight edits), exact duplicates (ties in the global
