@@ -55,9 +55,8 @@ object DeltaScaleProbe {
     // rest, insert brand-new keys past maxKey)
     time("merge_multi") {
       val srcDf = orders.filter($"o_orderkey" % 7 === 0)
-        .select($"o_orderkey", $"o_totalprice")
         .unionByName(orders.filter($"o_orderkey" % 13 === 0)
-          .select(($"o_orderkey" + maxKey).as("o_orderkey"), $"o_totalprice"))
+          .withColumn("o_orderkey", $"o_orderkey" + maxKey))
       val r = DeltaDml.mergeClauses(spark, path, srcDf, Seq("o_orderkey"),
         matched = Seq(
           DeltaDml.MatchedClause(DeltaDml.WhenMatched.Delete,
