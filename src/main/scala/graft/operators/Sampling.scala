@@ -211,4 +211,33 @@ object Sampling {
     * `LEAST(cnt, perSqrt * CAST(FLOOR(SQRT(cnt)) AS BIGINT))`. */
   def temperatureQuotaSql(cntExpr: String, perSqrt: Int): String =
     s"LEAST($cntExpr, $perSqrt * CAST(FLOOR(SQRT(CAST($cntExpr AS DOUBLE))) AS BIGINT))"
+
+  /** TOKEN-BUDGET mixture sampling — the Pile/DoReMi-style mixture
+    * construction step: per group (source/domain), keep a deterministic
+    * hash-ordered sample of documents until the group's TOKEN budget is
+    * reached (training mixtures are specified in tokens, not documents —
+    * [[temperatureRebalance]]'s row quotas can't hit a token target).
+    * Ordering by ([[shuffleKey]], id) makes the sample uniform-ish,
+    * repartition-invariant, and reproducible; a document whose tokens
+    * would cross the budget is dropped (cum ≤ budget stays within).
+    *
+    * Output: (id, group, n_tokens, cum_tokens) for kept docs. Scale: the
+    * running token sum rides ONE window over the group partitioning —
+    * one shuffle, no collect, no per-group second pass. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, defaultBudget: Long,
+      budgets: Map[String, Long] = Map.empty, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(defaultBudget >= 0, s"budget must be non-negative: $defaultBudget")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(groupCol).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        shuffleKey(col(idCol), seed).as("__h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+      .drop("__h")
+  }
 }

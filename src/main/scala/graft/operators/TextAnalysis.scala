@@ -179,6 +179,48 @@ object TextAnalysis {
         .as("dup_3gram_pm"))
   }
 
+  /** Gopher-style TOP-n-gram repetition coverage — the other half of the
+    * Gopher repetition rules ([[repetitionStats]] covers duplicate-word /
+    * duplicate-3-gram fractions): the per-myriad fraction of a document's
+    * CHARACTERS covered by occurrences of its single most frequent word
+    * 2-gram and 3-gram (cov = count·len(gram)·10000 DIV len(text)), with
+    * the Gopher keep thresholds (top-2-gram ≤ 20 %, top-3-gram ≤ 18 %).
+    * Ties break (count desc, gram asc) — total order, oracle-mirrorable.
+    *
+    * Scale: explode → map-side-combined count per (doc, gram) → per-doc
+    * top-1 via row_number window (the groupBy and the window share the
+    * doc-keyed exchange); never corpus-global state. */
+  def topNgramCoverage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+      split(col(textCol), " ").as("__w"))
+    def covFor(n: Int): DataFrame = {
+      val grams = base
+        .filter(size(col("__w")) >= n)
+        .select(col(idCol), length(col("__t")).cast("long").as("__nc"),
+          explode(transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+            i => array_join(slice(col("__w"), i, lit(n)), " "))).as("gram"))
+      val counts = grams.groupBy(col(idCol), col("gram"), col("__nc"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(idCol).orderBy(col("c").desc, col("gram").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol),
+          when(col("__nc") === 0, 0L)
+            .otherwise((col("c") * length(col("gram")).cast("long") * 10000L)
+              .divide(col("__nc")).cast("long"))
+            .as(s"top${n}gram_pm"))
+    }
+    base.select(col(idCol), length(col("__t")).cast("long").as("n_chars"))
+      .join(covFor(2), Seq(idCol), "left")
+      .join(covFor(3), Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("top2gram_pm"), lit(0L)).as("top2gram_pm"),
+        coalesce(col("top3gram_pm"), lit(0L)).as("top3gram_pm"))
+      .withColumn("keep",
+        (col("top2gram_pm") <= 2000L && col("top3gram_pm") <= 1800L).cast("int"))
+  }
+
   // ---- Vocabulary extraction --------------------------------------------
 
   /** Corpus-wide term frequencies, top `k` by (count desc, word asc) —

@@ -613,6 +613,26 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // Gopher top-n-gram repetition coverage: per-myriad fraction of a
+    // doc's characters covered by its single most frequent word 2-/3-gram
+    // + the Gopher keep thresholds. Ties break (count desc, gram asc) —
+    // total order, so the oracle replays the exact same top-1.
+    "t53_topngram_coverage" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.topNgramCoverage(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Token-budget mixture sampling: per source, hash-ordered docs kept
+    // until an 800-token budget — the mixture-construction step training
+    // recipes specify in tokens. Deterministic, repartition-invariant.
+    "t54_token_budget_mix" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text",
+        "source", defaultBudget = 800L)
+        .orderBy($"source", $"cum_tokens")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -1385,6 +1405,43 @@ object PipelineQ {
         |LEFT JOIN covs c USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t53_topngram_coverage" ->
+      """WITH w AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nc,
+        |                  string_split(text, ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, nc, array_to_string(ws[i:i+1], ' ') AS gram
+        |       FROM (SELECT doc_id, nc, ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |             FROM w WHERE len(ws) >= 2)),
+        |c2 AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT doc_id, CAST(c * length(gram) * 10000 // nc AS BIGINT) AS pm,
+        |              row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY c DESC, gram ASC) AS rn FROM c2),
+        |g3 AS (SELECT doc_id, nc, array_to_string(ws[i:i+2], ' ') AS gram
+        |       FROM (SELECT doc_id, nc, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |             FROM w WHERE len(ws) >= 3)),
+        |c3 AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3),
+        |t3 AS (SELECT doc_id, CAST(c * length(gram) * 10000 // nc AS BIGINT) AS pm,
+        |              row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY c DESC, gram ASC) AS rn FROM c3)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |       CAST(coalesce(a2.pm, 0) AS BIGINT) AS top2gram_pm,
+        |       CAST(coalesce(a3.pm, 0) AS BIGINT) AS top3gram_pm,
+        |       CAST(coalesce(a2.pm, 0) <= 2000 AND coalesce(a3.pm, 0) <= 1800 AS INT) AS keep
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, pm FROM t2 WHERE rn = 1) a2 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, pm FROM t3 WHERE rn = 1) a3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "t54_token_budget_mix" -> {
+      import graft.operators.Sampling.shuffleKeySql
+      s"""WITH w AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             ${shuffleKeySql("doc_id", 7L)} AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+         |          AS cum_tokens FROM w)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 800
+         |ORDER BY source, cum_tokens""".stripMargin
+    },
     "t51_quality_classifier" -> {
       import graft.operators.Decontamination.gramHashSql
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

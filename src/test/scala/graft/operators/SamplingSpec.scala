@@ -174,4 +174,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id"), e.getMessage)
     out.unpersist()
   }
+
+  test("tokenBudgetSample: budget binds per group, deterministic, never crosses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 200L).map { id =>
+      val words = 5 + rnd.nextInt(20)
+      (id, Seq.fill(words)("w" + rnd.nextInt(50)).mkString(" "), s"src${id % 4}")
+    }.toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+      defaultBudget = 120L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every group present, every group's cum stays within budget, and the
+    // budget BINDS (not everything kept — each group carries ~700 tokens)
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup.keySet == Set("src0", "src1", "src2", "src3"))
+    byGroup.foreach { case (g, rows) =>
+      val maxCum = rows.map(_._4).max
+      assert(maxCum <= 120L, s"$g crossed its budget: $maxCum")
+      // the NEXT doc would have crossed: cum + min token count > budget is
+      // not provable per-row, but the kept set must be a strict subset
+      assert(rows.length < 50, s"$g: budget must bind (kept ${rows.length}/50)")
+      // cum_tokens is the running sum of n_tokens in output order
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sum == sorted.last._4)
+    }
+    // deterministic + repartition-invariant
+    val again = Sampling.tokenBudgetSample(docs.repartition(7), "doc_id", "text",
+      "source", defaultBudget = 120L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // per-group budget overrides: src0 gets 0 tokens → absent entirely
+    val zeroed = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+      defaultBudget = 120L, budgets = Map("src0" -> 0L))
+      .select("source").as[String].collect().toSet
+    assert(zeroed == Set("src1", "src2", "src3"))
+  }
 }

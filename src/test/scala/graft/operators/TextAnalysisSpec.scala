@@ -135,6 +135,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("topNgramCoverage: hand-computed Gopher top-gram coverage + thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b" ×3,
+      // len 11 → 3*3*10000/11 = 8181; 3-grams top "a b a" ×2 (ties: "a b a"
+      // beats "b a b" at count 2 by gram asc) → 2*5*10000/11 = 9090
+      (1L, "a b a b a b"),
+      // no repeated 2-gram: top count 1 → "quick brown" (len 11) over len 45
+      // ... any count-1 gram; ties break gram-asc so the SMALLEST gram wins
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "single"),          // < 2 words → both coverages 0
+      (4L, "two words")        // one 2-gram ×1, no 3-gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramCoverage(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) == (11L, 3L * 3 * 10000 / 11, 2L * 5 * 10000 / 11, 0),
+      got(1L).toString)
+    assert(got(3L) == (6L, 0L, 0L, 1), got(3L).toString)
+    assert(got(4L) == (9L, 1L * 9 * 10000 / 9, 0L, 0), got(4L).toString)
+    // doc 2: every 2-gram count 1; smallest gram asc = "brown fox" (9 ch,
+    // len 44): 1*9*10000/44 = 2045 — verify the TIE-BREAK is total
+    val t2 = "the quick brown fox jumps over the lazy dog"
+    val w2 = t2.split(" ", -1)
+    val g2 = w2.sliding(2).map(_.mkString(" ")).toSeq
+    val top2 = g2.groupBy(identity).toSeq.map { case (g, os) => (os.size, g) }
+      .sortBy { case (c, g) => (-c, g) }.head
+    assert(got(2L)._2 == top2._1.toLong * top2._2.length * 10000 / t2.length)
+    // repartition invariance (doc-local + per-doc agg)
+    val a = TextAnalysis.topNgramCoverage(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = TextAnalysis.topNgramCoverage(docs.coalesce(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a == b)
+  }
+
   /** Pure-Scala reference for the hashed-linear classifier — split on
     * literal ' ' keeping empties, whole-text fallback below n words,
     * polyhash31 over code points, bucket = h mod D, occurrence counts. */
