@@ -30,7 +30,20 @@ object ScaleProbe {
         operators.Dedup.minhashNearDups(table("documents"), "doc_id", "text", 0.5).count()),
       "dup_spans" -> (() =>
         operators.Dedup.duplicatedSpanStats(table("documents"), "doc_id", "text", 40)
-          .agg(org.apache.spark.sql.functions.sum("dup_positions")).head().getLong(0)))
+          .agg(org.apache.spark.sql.functions.sum("dup_positions")).head().getLong(0)),
+      "maximal_spans" -> (() =>
+        operators.Dedup.maximalDupSpans(table("documents"), "doc_id", "text", 40)
+          .agg(org.apache.spark.sql.functions.sum("dup_chars")).head().getLong(0)),
+      "quality_classifier" -> (() =>
+        operators.TextAnalysis.qualityClassifier(table("documents"), "doc_id", "text",
+            operators.TextAnalysis.defaultQualityWeights())
+          .agg(org.apache.spark.sql.functions.sum("keep")).head().getLong(0)),
+      "topngram_coverage" -> (() =>
+        operators.TextAnalysis.topNgramCoverage(table("documents"), "doc_id", "text")
+          .agg(org.apache.spark.sql.functions.sum("keep")).head().getLong(0)),
+      "token_budget_mix" -> (() =>
+        operators.Sampling.tokenBudgetSample(table("documents"), "doc_id", "text",
+            "source", defaultBudget = 800L).count()))
 
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (name, f) =>
       val t0 = System.nanoTime()
