@@ -206,4 +206,38 @@ object Decontamination {
     sg.unpersist(blocking = false)
     out
   }
+
+  /** SPAN-level eval decontamination — the surgical form of
+    * [[decontaminate]]: doc-level drops lose the WHOLE document when one
+    * eval passage leaked into it; this cuts exactly the leaked spans
+    * (every `spanLen`-char window of a corpus doc whose text appears
+    * anywhere in the eval set) and reassembles each doc from the
+    * surviving characters — the Lee et al. span-removal machinery (t48)
+    * pointed at an eval corpus instead of at first occurrences.
+    *
+    * Output: (doc_id, orig_len, kept_len, text_kept). Docs shorter than
+    * `spanLen` (and eval docs shorter than `spanLen`, which define no
+    * spans) are untouched.
+    *
+    * Scale: the corpus explodes to (doc_id, s, k) span keys via the
+    * codegen'd O(n) rolling hash and LEFT-SEMI joins the BROADCAST
+    * distinct eval-span keys — corpus text never shuffles for the match
+    * (the eval set is contract-small, like [[decontaminate]]'s grams);
+    * the interval-union reassembly is one doc_id exchange. A hash
+    * collision in hashed mode can only over-cut, never leak. */
+  def removeEvalSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      spanLen: Int = 40, hashedShingles: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull)
+    val pos = Dedup.spanPositions(docs, idCol, textCol, spanLen, hashedShingles)
+    val evalKeys = Dedup.spanPositions(
+        evalDocs.select(lit(0L).as("__eid"), col(evalTextCol).as("__etext")),
+        "__eid", "__etext", spanLen, hashedShingles)
+      .select(col("k")).distinct()
+    val cuts = pos.join(broadcast(evalKeys), Seq("k"), "left_semi")
+      .select(col("doc_id"), col("s"), (col("s") + spanLen).as("e"))
+    Dedup.reassembleAfterCuts(base, cuts)
+  }
 }

@@ -890,19 +890,7 @@ object Dedup {
     val t = col("__t")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(t.isNotNull)
-    val spanned = base.filter(length(t) >= spanLen)
-    val pos =
-      if (hashedShingles)
-        spanned.select(col("doc_id"), posexplode(
-            org.apache.spark.sql.graft.VectorBridge.rollingHash60(t, spanLen)))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-            col("col").as("k"))
-      else
-        spanned.select(col("doc_id"), posexplode(
-            transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
-              i => t.substr(i, lit(spanLen)))))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-            col("col").as("k"))
+    val pos = spanPositions(df, idCol, textCol, spanLen, hashedShingles)
     val dupKeys = pos.groupBy(col("k"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("k")
     val dups = pos.join(dupKeys, Seq("k")).select(col("doc_id"), col("s"))
@@ -956,33 +944,53 @@ object Dedup {
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 40, hashedShingles: Boolean = true): DataFrame = {
     require(spanLen > 0, s"spanLen must be positive: $spanLen")
-    val t = col("__t")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .filter(t.isNotNull)
-    val spanned = base.filter(length(t) >= spanLen)
-    val pos =
-      if (hashedShingles)
-        spanned.select(col("doc_id"), posexplode(
-            org.apache.spark.sql.graft.VectorBridge.rollingHash60(t, spanLen)))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-            col("col").as("k"))
-      else
-        spanned.select(col("doc_id"), posexplode(
-            transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
-              i => t.substr(i, lit(spanLen)))))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-            col("col").as("k"))
+      .filter(col("__t").isNotNull)
+    val pos = spanPositions(df, idCol, textCol, spanLen, hashedShingles)
     val firsts = pos.groupBy(col("k"))
       .agg(min(struct(col("doc_id"), col("s"))).as("f"))
     val cuts = pos.join(firsts, Seq("k"))
       .filter(!(col("doc_id") === col("f.doc_id") && col("s") === col("f.s")))
       .select(col("doc_id"), col("s"), (col("s") + spanLen).as("e"))
-    // interval union per doc: running covered-max over start-ordered cut
-    // spans; a kept gap opens wherever the next cut starts past it. The
-    // gap extraction, the per-doc covered-max, and the segment-list
-    // build all ride the WINDOW's doc_id exchange — one shuffle for the
-    // whole reassembly plan, not one per stage (the groupBy below
-    // reuses the window's hash partitioning, no second exchange).
+    reassembleAfterCuts(base, cuts)
+  }
+
+  /** Every `spanLen`-char span occurrence of every doc with len ≥ spanLen:
+    * (doc_id, s, k), s 1-based; k is the codegen'd O(n) `RollingHash60`
+    * key at scale, or the exact substring when the caller needs literal
+    * strings. Shared by [[dedupSpans]] (t48), [[maximalDupSpans]] (t52)
+    * and Decontamination.removeEvalSpans (t55). */
+  private[graft] def spanPositions(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, hashedShingles: Boolean): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive: $spanLen")
+    val t = col("__t")
+    val spanned = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(t.isNotNull)
+      .filter(length(t) >= spanLen)
+    if (hashedShingles)
+      spanned.select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graft.VectorBridge.rollingHash60(t, spanLen)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+          col("col").as("k"))
+    else
+      spanned.select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), length(t) - lit(spanLen - 1)),
+            i => t.substr(i, lit(spanLen)))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+          col("col").as("k"))
+  }
+
+  /** Interval-union removal + ordered gap reassembly (the t48 tail):
+    * given cut spans (doc_id, s, e) over `base` (doc_id, __t), every
+    * character covered by any cut is removed and each doc reassembles
+    * from its surviving segments — running covered-max over start-ordered
+    * cuts; the gap extraction, the per-doc covered-max, and the
+    * segment-list build all ride the WINDOW's doc_id exchange (one
+    * shuffle for the whole reassembly plan; the groupBy reuses the
+    * window's hash partitioning). Output: (doc_id, orig_len, kept_len,
+    * text_kept). */
+  private[graft] def reassembleAfterCuts(base: DataFrame, cuts: DataFrame): DataFrame = {
+    val t = col("__t")
     val w = Window.partitionBy("doc_id").orderBy("s", "e")
       .rowsBetween(Window.unboundedPreceding, -1)
     val perDoc = cuts

@@ -613,6 +613,20 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // SPAN-level eval decontamination: every 40-char window of a corpus
+    // doc whose text appears anywhere in the eval set (doc_id < 10) is
+    // cut and the doc reassembles from surviving characters — t16 drops
+    // whole contaminated docs; this keeps the clean remainder. The
+    // oracle rebuilds the rolling hash on BOTH sides and replays the
+    // cut + interval union + reassembly, hash-comparing the text.
+    "t55_eval_span_removal" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Decontamination.removeEvalSpans(d, "doc_id", "text",
+        d.filter($"doc_id" < 10), "text", spanLen = 40, hashedShingles = true)
+        .orderBy($"doc_id")
+    }),
+
     // Gopher top-n-gram repetition coverage: per-myriad fraction of a
     // doc's characters covered by its single most frequent word 2-/3-gram
     // + the Gopher keep thresholds. Ties break (count desc, gram asc) —
@@ -1377,6 +1391,50 @@ object PipelineQ {
         |           row_number() OVER (PARTITION BY k ORDER BY doc_id, s) AS rn
         |    FROM pos)
         |  WHERE rn > 1),
+        |gaps AS (
+        |  SELECT doc_id, prevcov AS segstart, s - prevcov AS seglen FROM (
+        |    SELECT doc_id, s,
+        |           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS prevcov
+        |    FROM cuts)
+        |  WHERE s > prevcov),
+        |covs AS (SELECT doc_id, max(e) AS cov FROM cuts GROUP BY doc_id),
+        |tails AS (
+        |  SELECT c.doc_id, c.cov AS segstart, length(d.text) - c.cov + 1 AS seglen
+        |  FROM covs c JOIN documents d USING (doc_id)
+        |  WHERE c.cov <= length(d.text)),
+        |segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+        |kept AS (
+        |  SELECT sg.doc_id,
+        |         string_agg(substr(d.text, CAST(sg.segstart AS INT), CAST(sg.seglen AS INT)),
+        |                    '' ORDER BY sg.segstart) AS text_kept
+        |  FROM segs sg JOIN documents d USING (doc_id) GROUP BY sg.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(length(d.text) AS BIGINT) AS orig_len,
+        |       CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+        |                        ELSE coalesce(k.text_kept, '') END) AS BIGINT) AS kept_len,
+        |       CASE WHEN c.doc_id IS NULL THEN d.text
+        |            ELSE coalesce(k.text_kept, '') END AS text_kept
+        |FROM documents d
+        |LEFT JOIN covs c USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "t55_eval_span_removal" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 31 + x) % 1000000007)
+        |    + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+        |      (a, x) -> (a * 131 + x) % 998244353) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40)
+        |),
+        |ev AS (SELECT DISTINCT k FROM pos WHERE doc_id < 10),
+        |cuts AS (
+        |  SELECT p.doc_id, p.s, p.s + 40 AS e FROM pos p JOIN ev USING (k)),
         |gaps AS (
         |  SELECT doc_id, prevcov AS segstart, s - prevcov AS seglen FROM (
         |    SELECT doc_id, s,

@@ -191,4 +191,34 @@ class DecontaminationSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(shuffled == got)
   }
+
+  test("removeEvalSpans: hand-computed span cuts against an eval set") {
+    import spark.implicits._
+    // spanLen 5. Eval doc "HELLO" defines exactly one 5-char span.
+    val eval = Seq((100L, "HELLO"), (101L, "hi")).toDF("eid", "etext") // "hi" < spanLen: no spans
+    val docs = Seq(
+      (1L, "xxHELLOyy"),        // one cut [3,8) → "xx" + "yy"
+      (2L, "HELLOHELLO"),       // cuts at 1 and 6 → fully covered → ""
+      (3L, "clean text here"),  // no eval span → untouched
+      (4L, "hi"),               // shorter than spanLen → untouched
+      (5L, "xHELLO")            // cut [2,7) covers through end → "x"
+    ).toDF("doc_id", "text")
+    Seq(true, false).foreach { hashed =>
+      val got = Decontamination.removeEvalSpans(docs, "doc_id", "text",
+        eval, "etext", spanLen = 5, hashedShingles = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got(1L) == (9L, 4L, "xxyy"), s"hashed=$hashed: ${got(1L)}")
+      assert(got(2L) == (10L, 0L, ""), s"hashed=$hashed: ${got(2L)}")
+      assert(got(3L) == (15L, 15L, "clean text here"), s"hashed=$hashed: ${got(3L)}")
+      assert(got(4L) == (2L, 2L, "hi"), s"hashed=$hashed: ${got(4L)}")
+      assert(got(5L) == (6L, 1L, "x"), s"hashed=$hashed: ${got(5L)}")
+    }
+    // the plan matches the corpus against BROADCAST eval keys — the
+    // corpus never shuffles for the match
+    val plan = Decontamination.removeEvalSpans(docs, "doc_id", "text",
+      eval, "etext", spanLen = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval keys must broadcast:\n$plan")
+  }
 }
