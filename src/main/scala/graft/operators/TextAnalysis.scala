@@ -187,9 +187,10 @@ object TextAnalysis {
     * the Gopher keep thresholds (top-2-gram ≤ 20 %, top-3-gram ≤ 18 %).
     * Ties break (count desc, gram asc) — total order, oracle-mirrorable.
     *
-    * Scale: explode → map-side-combined count per (doc, gram) → per-doc
-    * top-1 via row_number window (the groupBy and the window share the
-    * doc-keyed exchange); never corpus-global state. */
+    * Scale: explode → map-side-combined count per (doc, gram) — the only
+    * corpus-sized exchange — then the per-doc top-1 window re-keys on
+    * doc_id over the already-collapsed distinct-gram rows (a second,
+    * much smaller exchange); never corpus-global state. */
   def topNgramCoverage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), col(textCol).as("__t"),
