@@ -212,6 +212,70 @@ object Sampling {
   def temperatureQuotaSql(cntExpr: String, perSqrt: Int): String =
     s"LEAST($cntExpr, $perSqrt * CAST(FLOOR(SQRT(CAST($cntExpr AS DOUBLE))) AS BIGINT))"
 
+  /** DSIR-shaped importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): hashed unigram+bigram
+    * feature counts from a small TARGET sample vs the RAW corpus, as a
+    * fixed integer weight table the [[importanceSelect]] scoring kernel
+    * consumes. Integer-exact rational form —
+    * `w[b] = min(IntMax, (targetCount[b]+1)·scale DIV (rawCount[b]+1))`
+    * — a monotone per-feature transform of DSIR's probability ratio
+    * (the log is a float; the strict oracle needs arithmetic any engine
+    * reproduces bit-for-bit, and the ratio-SUM score this induces is the
+    * honest integer stand-in for the log-ratio sum).
+    *
+    * The gram multiset matches HashedLinearScoreQ's contract exactly
+    * (unigrams = literal-space words incl. empties; bigrams with the
+    * whole-text fallback below 2 words), so the learned table plugs into
+    * the same codegen'd kernel t51 uses. Driver state: 2·d counts —
+    * the "model", contract-small like the classifier's weights. */
+  def importanceWeights(target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String,
+      d: Int = 4096, scale: Long = 1000L): IndexedSeq[Int] = {
+    require(d > 0 && scale > 0)
+    def counts(df: DataFrame, c: String): Map[Int, Long] = {
+      val w = split(col(c), " ")
+      val bi = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => array_join(slice(w, i, lit(2)), " ")))
+        .otherwise(array(col(c)))
+      df.filter(col(c).isNotNull)
+        .select(explode(concat(w, bi)).as("gram"))
+        .select((Decontamination.gramHash(col("gram")) % d).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    }
+    val tc = counts(target, targetTextCol)
+    val rc = counts(raw, rawTextCol)
+    IndexedSeq.tabulate(d) { b =>
+      val t = tc.getOrElse(b, 0L)
+      val r = rc.getOrElse(b, 0L)
+      math.min(Int.MaxValue.toLong, (t + 1L) * scale / (r + 1L)).toInt
+    }
+  }
+
+  /** DSIR-shaped data selection: score every corpus doc with the learned
+    * [[importanceWeights]] through the SAME codegen'd hashed-linear
+    * kernel the quality classifier uses, normalize per feature
+    * (norm = score·1000 DIV n_feats), and keep the global top `k` by
+    * (norm desc, id asc) — TakeOrderedAndProject, never a global sort.
+    * Output: (id, score, n_feats, norm) for the selected docs. */
+  def importanceSelect(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      d: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.hashedLinearScore
+    val wts = importanceWeights(target, targetTextCol, df, textCol, d)
+    df.select(col(idCol),
+        hashedLinearScore(col(textCol), wts, 1).as("__u"),
+        hashedLinearScore(col(textCol), wts, 2).as("__b"))
+      .select(col(idCol),
+        (element_at(col("__u"), 1) + element_at(col("__b"), 1)).as("score"),
+        (element_at(col("__u"), 2) + element_at(col("__b"), 2)).as("n_feats"))
+      .withColumn("norm",
+        (col("score") * 1000L).divide(col("n_feats")).cast("long"))
+      .orderBy(col("norm").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** TOKEN-BUDGET mixture sampling — the Pile/DoReMi-style mixture
     * construction step: per group (source/domain), keep a deterministic
     * hash-ordered sample of documents until the group's TOKEN budget is

@@ -613,6 +613,20 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // DSIR-shaped importance selection: hashed unigram+bigram feature
+    // counts from a target sample (doc_id < 25) vs the raw corpus learn
+    // an integer weight table; every doc scores through the SAME
+    // codegen'd kernel as t51; global top-50 by per-feature-normalized
+    // score via TakeOrderedAndProject. The oracle rebuilds counts,
+    // weights, dot, normalization, and the (norm desc, id) cut.
+    "t56_importance_select" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Sampling.importanceSelect(d, "doc_id", "text",
+        d.filter($"doc_id" < 25), "text", k = 50)
+        .orderBy($"doc_id")
+    }),
+
     // SPAN-level eval decontamination: every 40-char window of a corpus
     // doc whose text appears anywhere in the eval set (doc_id < 10) is
     // cut and the doc reassembles from surviving characters — t16 drops
@@ -1419,6 +1433,31 @@ object PipelineQ {
         |LEFT JOIN covs c USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t56_importance_select" -> {
+      import graft.operators.Decontamination.gramHashSql
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, gram FROM (
+         |    SELECT doc_id, unnest(ws) AS gram FROM w
+         |    UNION ALL
+         |    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN generate_series(1, len(ws)-1)]
+         |      ELSE [text] END) AS gram FROM w)),
+         |hb AS (SELECT doc_id, ${gramHashSql("gram")} % 4096 AS b FROM g),
+         |tc AS (SELECT b, COUNT(*) AS c FROM hb WHERE doc_id < 25 GROUP BY b),
+         |rc AS (SELECT b, COUNT(*) AS c FROM hb GROUP BY b),
+         |wt AS (SELECT rc.b,
+         |         LEAST(2147483647, (coalesce(tc.c, 0) + 1) * 1000 // (rc.c + 1)) AS w
+         |       FROM rc LEFT JOIN tc USING (b)),
+         |sc AS (SELECT hb.doc_id, CAST(SUM(wt.w) AS BIGINT) AS score,
+         |              CAST(COUNT(*) AS BIGINT) AS n_feats
+         |       FROM hb JOIN wt USING (b) GROUP BY hb.doc_id),
+         |nr AS (SELECT doc_id, score, n_feats,
+         |              CAST(score * 1000 // n_feats AS BIGINT) AS norm FROM sc)
+         |SELECT doc_id, score, n_feats, norm
+         |FROM (SELECT * FROM nr ORDER BY norm DESC, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin
+    },
     "t55_eval_span_removal" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS s,

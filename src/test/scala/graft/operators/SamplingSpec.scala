@@ -175,6 +175,56 @@ class SamplingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("importanceSelect: weights match a pure-Scala reference; target-like docs rank first") {
+    import spark.implicits._
+    // two dialects: A-docs share a vocabulary with the target, B-docs don't
+    val aWords = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val bWords = Array("omega", "sigma", "tau", "rho", "phi")
+    val rnd = new scala.util.Random(5)
+    def doc(vocab: Array[String], seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(12)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val docs = ((1L to 10L).map(i => (i, doc(aWords, i.toInt))) ++
+      (11L to 40L).map(i => (i, doc(bWords, i.toInt)))).toDF("doc_id", "text")
+    val target = (100L to 104L).map(i => (i, doc(aWords, i.toInt))).toDF("tid", "ttext")
+
+    // weight table vs a pure-Scala reference (same gram contract as the
+    // t51 kernel: literal-space unigrams + bigrams with whole-text fallback)
+    val P = 1000000007L
+    def h31(g: String): Long = {
+      var h = 0L; var i = 0
+      while (i < g.length) { h = (31L * h + g.codePointAt(i)) % P; i += Character.charCount(g.codePointAt(i)) }
+      h
+    }
+    def gramsOf(s: String): Seq[String] = {
+      val ws = s.split(" ", -1)
+      ws.toSeq ++ (if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Seq(s))
+    }
+    val d = 256
+    def refCounts(rows: Seq[String]): Map[Int, Long] =
+      rows.flatMap(gramsOf).groupBy(g => (h31(g) % d).toInt)
+        .map { case (b, gs) => b -> gs.size.toLong }
+    val tcRef = refCounts(target.select("ttext").as[String].collect().toSeq)
+    val rcRef = refCounts(docs.select("text").as[String].collect().toSeq)
+    val expect = IndexedSeq.tabulate(d) { b =>
+      math.min(Int.MaxValue.toLong,
+        (tcRef.getOrElse(b, 0L) + 1L) * 1000L / (rcRef.getOrElse(b, 0L) + 1L)).toInt
+    }
+    assert(Sampling.importanceWeights(target, "ttext", docs, "text", d = d) == expect)
+
+    // top-10 selection = exactly the A-dialect (target-like) docs
+    val selected = Sampling.importanceSelect(docs, "doc_id", "text",
+      target, "ttext", k = 10, d = d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selected == (1L to 10L).toSet, s"selected $selected")
+    // repartition-invariant
+    val again = Sampling.importanceSelect(docs.repartition(7), "doc_id", "text",
+      target, "ttext", k = 10, d = d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == selected)
+  }
+
   test("tokenBudgetSample: budget binds per group, deterministic, never crosses") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
