@@ -43,7 +43,20 @@ object ScaleProbe {
           .agg(org.apache.spark.sql.functions.sum("keep")).head().getLong(0)),
       "token_budget_mix" -> (() =>
         operators.Sampling.tokenBudgetSample(table("documents"), "doc_id", "text",
-            "source", defaultBudget = 800L).count()))
+            "source", defaultBudget = 800L).count()),
+      "eval_span_removal" -> (() => {
+        import org.apache.spark.sql.functions.{col, sum}
+        val d = table("documents")
+        operators.Decontamination.removeEvalSpans(d, "doc_id", "text",
+            d.filter(col("doc_id") % 1000 < 2), "text", spanLen = 40)
+          .agg(sum("kept_len")).head().getLong(0)
+      }),
+      "importance_select" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val d = table("documents")
+        operators.Sampling.importanceSelect(d, "doc_id", "text",
+          d.filter(col("doc_id") % 1000 < 25), "text", k = 50).count()
+      }))
 
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (name, f) =>
       val t0 = System.nanoTime()
