@@ -277,6 +277,36 @@ class SnapshotCacheSpec extends GraftSuite {
     assert(dAgain.commits == 0, s"validated-once crc must not re-trip: $dAgain")
   }
 
+  test("a delta-spark-shaped foreign crc (extra fields) validates; junk crc is tolerated") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1L to 30L).toDF("k"), path)                        // v0
+    val log = DeltaLog.forTable(spark, path)
+    val snap = log.snapshot(None)
+    val size = snap.activeFiles.map(_.size).sum
+    // delta-spark's VersionChecksum carries many fields we don't write —
+    // agreement on the shared ones must validate, unknowns ignored
+    val foreign =
+      s"""{"txnId":"00000000-0000-0000-0000-000000000000","tableSizeBytes":$size,""" +
+        s""""numFiles":${snap.activeFiles.size},"numMetadata":1,"numProtocol":1,""" +
+        s""""inCommitTimestampOpt":null,"setTransactions":[],""" +
+        s""""metadata":{"id":"${snap.metadata.id}","format":{"provider":"parquet"}},""" +
+        s""""protocol":{"minReaderVersion":${snap.protocol.minReaderVersion},""" +
+        s""""minWriterVersion":${snap.protocol.minWriterVersion}},""" +
+        s""""histogramOpt":{"sortedBinBoundaries":[0],"fileCounts":[1],"totalBytes":[$size]},""" +
+        s""""allFiles":[]}"""
+    val out = log.fs.create(log.crcFile(0L), true)
+    try out.write(foreign.getBytes("UTF-8")) finally out.close()
+    val c0 = counts()
+    assert(log.snapshot(None) eq snap, "agreeing foreign crc must not trip the cache")
+    assert(delta(c0).commits == 0)
+    // unparseable junk is tolerated (foreign conventions never brick a table)
+    val out2 = log.fs.create(log.crcFile(0L), true)
+    try out2.write("not json at all".getBytes("UTF-8")) finally out2.close()
+    assert(log.snapshot(None).version == 0L)
+    assert(GraftDelta.readDelta(spark, path).count() == 30)
+  }
+
   test("checkpoint write (verbatim stats) bypasses the built cache but stays coherent") {
     import spark.implicits._
     val path = tmp()
