@@ -51,6 +51,28 @@ object ScaleProbe {
             d.filter(col("doc_id") % 1000 < 2), "text", spanLen = 40)
           .agg(sum("kept_len")).head().getLong(0)
       }),
+      "dup_segments" -> (() => {
+        import org.apache.spark.sql.functions.{col, regexp_replace, sum}
+        val lined = table("documents").select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"),
+            "((?:[^\n]*\n){2})", "$1\n").as("text"))
+        operators.TextAnalysis.duplicateSegmentStats(lined, "doc_id", "text")
+          .agg(sum("dup_line_pm")).head().getLong(0)
+      }),
+      "line_filter" -> (() => {
+        import org.apache.spark.sql.functions.{col, regexp_replace, sum}
+        val lined = table("documents").select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        operators.TextAnalysis.filterLines(lined, "doc_id", "text",
+            minWords = 5, banned = Seq("customer"), minKeptLines = 2)
+          .agg(sum("kept_lines")).head().getLong(0)
+      }),
+      "normalized_dedup" -> (() =>
+        operators.Dedup.normalizedExact(table("documents"), "text", "doc_id").count()),
+      "chunk_overlap" -> (() =>
+        operators.Packing.chunkWithOverlap(table("documents"), "doc_id", "text",
+          chunkTokens = 12, stride = 8).count()),
       "importance_select" -> (() => {
         import org.apache.spark.sql.functions.col
         val d = table("documents")

@@ -43,6 +43,35 @@ object Dedup {
       .drop("__rn")
   }
 
+  // ---- Normalization-based exact dedup -----------------------------------
+
+  /** Canonical text form for normalization-based exact dedup (the
+    * RefinedWeb/Falcon "exact dedup after normalization" pass): lowercase,
+    * every non-alphanumeric character to a space, runs of spaces
+    * collapsed, ends trimmed. Case, punctuation, and whitespace variants
+    * of the same text map to one key; pure per-row expression. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup on the NORMALIZED text: keeps the min-`orderCol` row per
+    * normalized key and reports how many variants collapsed into it.
+    * Catches the near-misses raw exact dedup leaves behind (case flips,
+    * punctuation, doubled spaces) without any pairwise machinery.
+    *
+    * Scale shape: identical to [[exact]] — one hash aggregate on the
+    * normalized key with map-side combine (`min_by(struct)` + count), so
+    * a key duplicated 10^6 times collapses per partition before the
+    * single shuffle. The normalization itself is scan-local. */
+  def normalizedExact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
+    df.withColumn("__norm", normalizedText(col(textCol)))
+      .groupBy(col("__norm"))
+      .agg(
+        min_by(struct(df.columns.toIndexedSeq.map(col): _*),
+          struct(col(orderCol).isNull.as("n"), col(orderCol).as("v"))).as("__row"),
+        count(lit(1)).as("n_variants"))
+      .select(col("__row.*"), col("n_variants"))
+
   // ---- MinHash-LSH near-dedup -------------------------------------------
 
   /** Number of minhash functions and the LSH banding (bands × rowsPerBand

@@ -33,6 +33,43 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Split long documents into fixed-size overlapping token windows —
+    * the long-context/RAG counterpart of [[sequentialPack]] (packing
+    * joins short docs; chunking cuts long ones). Chunk `i` starts at
+    * token `i·stride + 1` (1-based) and takes up to `chunkTokens`
+    * whitespace tokens; starts advance while the PREVIOUS chunk did not
+    * already reach the end of the document, so every token lands in at
+    * least one chunk, consecutive chunks overlap by `chunkTokens −
+    * stride` tokens, and a doc with ≤ `chunkTokens` tokens yields exactly
+    * one chunk. Docs with no tokens yield no rows. Returns
+    * (id, chunk_id, start_tok, n_tok, chunk_text).
+    *
+    * Scale shape: the split, the start sequence, and the slices are all
+    * scan-local expressions feeding one generator (posexplode) — ZERO
+    * shuffles, output size corpus·(1/stride) rows, no per-doc state off
+    * the scan. */
+  def chunkWithOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens: chunkTokens=$chunkTokens stride=$stride")
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val n = size(words)
+    // last start index i satisfies i·stride + chunkTokens < n + stride,
+    // i.e. maxI = ceil((n − chunkTokens) / stride) clamped at 0
+    val maxI = greatest(lit(0),
+      ceil((n - chunkTokens).cast("double") / stride).cast("int"))
+    df.filter(n > 0)
+      .select(col(idCol), words.as("__w"),
+        posexplode(transform(sequence(lit(0), maxI), i => i * stride)))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        (col("col") + 1).cast("long").as("start_tok"),
+        least(lit(chunkTokens), size(col("__w")) - col("col")).cast("long").as("n_tok"),
+        array_join(slice(col("__w"), col("col") + 1,
+          least(lit(chunkTokens), size(col("__w")) - col("col"))), " ").as("chunk_text"))
+  }
+
   /** Per-pack roll-up (doc count + token total) — the pack manifest a
     * downstream concat/tokenize job consumes. */
   def packManifest(

@@ -222,6 +222,84 @@ object TextAnalysis {
         (col("top2gram_pm") <= 2000L && col("top3gram_pm") <= 1800L).cast("int"))
   }
 
+  /** Within-document duplicate LINE / PARAGRAPH fractions — the remaining
+    * Gopher repetition rules ([[repetitionStats]] covers duplicate words /
+    * 3-grams, [[topNgramCoverage]] the top-n-gram char coverage): the
+    * per-myriad fraction of line (resp. paragraph) OCCURRENCES that are
+    * repeats of an earlier identical segment, and the per-myriad fraction
+    * of segment CHARACTERS inside those repeat occurrences. Paragraphs
+    * split on `paraSep`, lines on `lineSep`; empty segments (produced by
+    * adjacent separators) are ignored at both levels. `keep` applies the
+    * Gopher thresholds (dup-fraction ≤ 30 %, dup-char-fraction ≤ 20 %,
+    * both levels).
+    *
+    * The duplicate-char identity that keeps this shuffle-free: chars in
+    * repeat occurrences = Σ_occurrences len − Σ_distinct len, so both
+    * fractions come from `array_distinct` + two `aggregate` folds over
+    * the split arrays — a single scan-local pass per document, ZERO
+    * exchanges, safe at any corpus size. */
+  def duplicateSegmentStats(
+      df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n", paraSep: String = "\n\n"): DataFrame = {
+    def nonEmpty(segs: Column): Column = filter(segs, s => length(s) > 0)
+    def charSum(segs: Column): Column =
+      aggregate(segs, lit(0L), (acc, s) => acc + length(s).cast("long"))
+    def pm(num: Column, den: Column): Column =
+      when(den === 0, 0L).otherwise((num * 10000L).divide(den).cast("long"))
+    def statsFor(sep: String, tag: String): Seq[Column] = {
+      val segs = nonEmpty(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      val dist = array_distinct(segs)
+      val n = size(segs).cast("long")
+      val d = size(dist).cast("long")
+      val tc = charSum(segs)
+      val dc = charSum(dist)
+      Seq(n.as(s"n_${tag}s"),
+        pm(n - d, n).as(s"dup_${tag}_pm"),
+        pm(tc - dc, tc).as(s"dup_${tag}_char_pm"))
+    }
+    df.select(col(idCol) +: (statsFor(lineSep, "line") ++ statsFor(paraSep, "para")): _*)
+      .withColumn("keep",
+        (col("dup_line_pm") <= 3000L && col("dup_line_char_pm") <= 2000L &&
+          col("dup_para_pm") <= 3000L && col("dup_para_char_pm") <= 2000L).cast("int"))
+  }
+
+  /** C4/FineWeb-style LINE-level filtering with document reassembly: a
+    * line survives iff it has at least `minWords` whitespace words, does
+    * not contain any banned phrase (substring match — the C4 "javascript"
+    * / "cookie policy" / "lorem ipsum" rule), and (optionally) ends in
+    * terminal punctuation (`. ! ? "`). Documents keeping fewer than
+    * `minKeptLines` surviving lines are dropped entirely. Returns
+    * (id, clean_text, kept_lines, dropped_lines) for surviving docs, with
+    * surviving lines rejoined in original order.
+    *
+    * Unlike [[stripBoilerplateLines]] (cross-document document-frequency
+    * — needs one corpus exchange), every rule here is a pure function of
+    * the line, so the whole operator is scan-local HOFs over the split
+    * array: ZERO shuffles, safe at any corpus size. */
+  def filterLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, banned: Seq[String],
+      requireTerminalPunct: Boolean = false,
+      minKeptLines: Int = 1): DataFrame = {
+    def lineOk(l: Column): Column = {
+      val words = size(filter(split(l, " "), w => length(w) > 0)) >= minWords
+      val clean = banned.foldLeft(lit(true))((acc, b) =>
+        acc && !l.contains(lit(b)))
+      val punct = if (requireTerminalPunct)
+        l.rlike("[.!?\"]$") else lit(true)
+      words && clean && punct
+    }
+    val lines = split(col(textCol), "\n")
+    df.select(col(idCol),
+        size(lines).cast("long").as("__n"),
+        filter(lines, lineOk _).as("__kept"))
+      .filter(size(col("__kept")) >= minKeptLines)
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("kept_lines"),
+        (col("__n") - size(col("__kept"))).as("dropped_lines"))
+  }
+
   // ---- Vocabulary extraction --------------------------------------------
 
   /** Corpus-wide term frequencies, top `k` by (count desc, word asc) —

@@ -661,6 +661,58 @@ object PipelineQ {
         .orderBy($"source", $"cum_tokens")
     }),
 
+    // Within-doc duplicate line/paragraph fractions (the remaining Gopher
+    // repetition rules): lines synthesized every 2 words (~35% of docs
+    // carry a within-doc repeat at this width), paragraphs every 2 lines;
+    // occurrence- and char-level repeat fractions as exact per-myriad
+    // integers + the Gopher keep flag. Zero-shuffle HOF pass.
+    "t57_dup_segments" -> ((s, dir) => {
+      import s.implicits._
+      val lined = t(s, dir, "documents").select($"doc_id",
+        regexp_replace(
+          regexp_replace($"text", "(\\S+ \\S+) ", "$1\n"),
+          "((?:[^\n]*\n){2})", "$1\n").as("text"))
+      TextAnalysis.duplicateSegmentStats(lined, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // C4-style line filtering + reassembly: lines synthesized every 5
+    // words; a line survives with >= 5 words and no banned phrase, docs
+    // need >= 2 surviving lines. Scan-local (unlike t43's cross-doc df).
+    "t58_line_filter" -> ((s, dir) => {
+      import s.implicits._
+      val lined = t(s, dir, "documents").select($"doc_id",
+        regexp_replace($"text", "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      TextAnalysis.filterLines(lined, "doc_id", "text",
+          minWords = 5, banned = Seq("customer"), minKeptLines = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // Normalization-based exact dedup: a perturbed copy of every doc
+    // (case flip / trailing punctuation / doubled spaces by doc_id % 3)
+    // unions with the corpus; dedup on the canonical form collapses each
+    // pair back to the original (min doc_id) with n_variants = 2.
+    "t59_normalized_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+      val variants = d.select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 3 === 0, upper($"text"))
+          .when($"doc_id" % 3 === 1, concat($"text", lit(" !!")))
+          .otherwise(regexp_replace($"text", " ", "  ")).as("text"))
+      Dedup.normalizedExact(d.unionAll(variants), "text", "doc_id")
+        .select($"doc_id", $"n_variants")
+        .orderBy($"doc_id")
+    }),
+
+    // Overlapping token-window chunking (long-doc -> training chunks):
+    // 12-token chunks, stride 8, tail clamped so every token is covered.
+    "t60_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Packing.chunkWithOverlap(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 12, stride = 8)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -1527,6 +1579,92 @@ object PipelineQ {
         |LEFT JOIN (SELECT doc_id, pm FROM t2 WHERE rn = 1) a2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, pm FROM t3 WHERE rn = 1) a3 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t57_dup_segments" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g'),
+        |      '((?:[^\n]*\n){2})', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), s -> len(s) > 0) AS ls,
+        |    list_filter(string_split(text, chr(10) || chr(10)), s -> len(s) > 0) AS ps
+        |  FROM src),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(len(list_distinct(ls)) AS BIGINT) AS dl,
+        |    CAST(list_sum(list_transform(ls, s -> length(s))) AS BIGINT) AS lc,
+        |    CAST(list_sum(list_transform(list_distinct(ls), s -> length(s))) AS BIGINT) AS ldc,
+        |    CAST(len(ps) AS BIGINT) AS np,
+        |    CAST(len(list_distinct(ps)) AS BIGINT) AS dp,
+        |    CAST(list_sum(list_transform(ps, s -> length(s))) AS BIGINT) AS pc,
+        |    CAST(list_sum(list_transform(list_distinct(ps), s -> length(s))) AS BIGINT) AS pdc
+        |  FROM segs),
+        |pm AS (
+        |  SELECT doc_id, nl AS n_lines,
+        |    CASE WHEN nl = 0 THEN 0 ELSE (nl - dl) * 10000 // nl END AS dup_line_pm,
+        |    CASE WHEN lc = 0 THEN 0 ELSE (lc - ldc) * 10000 // lc END AS dup_line_char_pm,
+        |    np AS n_paras,
+        |    CASE WHEN np = 0 THEN 0 ELSE (np - dp) * 10000 // np END AS dup_para_pm,
+        |    CASE WHEN pc = 0 THEN 0 ELSE (pc - pdc) * 10000 // pc END AS dup_para_char_pm
+        |  FROM c)
+        |SELECT doc_id, n_lines, CAST(dup_line_pm AS BIGINT) AS dup_line_pm,
+        |  CAST(dup_line_char_pm AS BIGINT) AS dup_line_char_pm,
+        |  n_paras, CAST(dup_para_pm AS BIGINT) AS dup_para_pm,
+        |  CAST(dup_para_char_pm AS BIGINT) AS dup_para_char_pm,
+        |  CAST(dup_line_pm <= 3000 AND dup_line_char_pm <= 2000
+        |       AND dup_para_pm <= 3000 AND dup_para_char_pm <= 2000 AS INT) AS keep
+        |FROM pm ORDER BY doc_id""".stripMargin,
+    "t58_line_filter" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ',
+        |                   '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+        |           AND strpos(l, 'customer') = 0) AS kept
+        |  FROM src)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS kept_lines,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS dropped_lines
+        |FROM f WHERE len(kept) >= 2 ORDER BY doc_id""".stripMargin,
+    "t59_normalized_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |         WHEN doc_id % 3 = 1 THEN text || ' !!'
+        |         ELSE regexp_replace(text, ' ', '  ', 'g') END
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM c)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_variants
+        |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "t60_chunk_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 12 THEN 0 ELSE (len(ws) - 12 + 7) // 8 END AS maxi
+        |  FROM w WHERE len(ws) > 0),
+        |c AS (
+        |  SELECT doc_id, ws, n, i AS chunk_id, i * 8 AS s
+        |  FROM b, LATERAL UNNEST(generate_series(0, maxi)) AS t(i))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(s + 1 AS BIGINT) AS start_tok,
+        |  CAST(least(12, n - s) AS BIGINT) AS n_tok,
+        |  array_to_string(ws[s + 1 : s + least(12, n - s)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t54_token_budget_mix" -> {
       import graft.operators.Sampling.shuffleKeySql
       s"""WITH w AS (SELECT doc_id, source,

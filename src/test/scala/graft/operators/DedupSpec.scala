@@ -653,4 +653,28 @@ class DedupSpec extends AnyFunSuite {
     // no self-pairs, no short words
     assert(got.forall { case (a, b) => a < b && a.length >= 4 && b.length >= 4 })
   }
+
+  test("normalizedExact: case/punct/whitespace variants collapse to the min-id keeper") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),     // whitespace + case variant of 1
+      (3L, "HELLO WORLD."),      // case + punct variant of 1
+      (4L, "hello world again"), // NOT a variant (extra word)
+      (5L, "totally different")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(df, "text", "doc_id")
+      .select("doc_id", "text", "n_variants")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "Hello, World!", 3L),
+      (4L, "hello world again", 1L),
+      (5L, "totally different", 1L)))
+    // the canonical form itself
+    val norm = df.select(Dedup.normalizedText(col("text")).as("n"))
+      .orderBy("n").collect().map(_.getString(0))
+    assert(norm.toSeq == Seq("hello world", "hello world", "hello world",
+      "hello world again", "totally different"))
+  }
 }

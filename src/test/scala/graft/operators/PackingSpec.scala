@@ -45,4 +45,48 @@ class PackingSpec extends AnyFunSuite {
       .filter(col("tok_sum") >= 2048L + 510L).count()
     assert(over == 0, s"$over packs exceed budget + max doc size")
   }
+
+  test("chunkWithOverlap: hand-computed windows, tail clamp, short/empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 stride 2 -> starts 0,2,4,6
+      (2L, "a b c"),               // 3 tokens  -> one whole-doc chunk
+      (3L, ""),                    // no tokens -> no rows
+      (4L, "a  b   c d e")         // repeated spaces: 5 tokens after empty-filter
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(df, "doc_id", "text", chunkTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 4L, "a b c d"), (1L, 1L, 3L, 4L, "c d e f"),
+      (1L, 2L, 5L, 4L, "e f g h"), (1L, 3L, 7L, 4L, "g h i j"),
+      (2L, 0L, 1L, 3L, "a b c"),
+      (4L, 0L, 1L, 4L, "a b c d"), (4L, 1L, 3L, 3L, "c d e")))
+  }
+
+  test("chunkWithOverlap: every token covered, overlap = chunk - stride, no shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val df = (1L to 300L)
+      .map(i => (i, (1 to (1 + rnd.nextInt(40))).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(df, "doc_id", "text", chunkTokens = 12, stride = 8)
+    // coverage: per doc, max(start_tok + n_tok - 1) == token count, min start == 1,
+    // and consecutive starts differ by exactly the stride
+    val bad = out.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok") - 1).as("covered"),
+        min(col("start_tok")).as("first"),
+        max(col("start_tok")).as("last"),
+        count(lit(1)).as("k"))
+      .join(df.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .filter(col("covered") =!= col("n") || col("first") =!= 1L ||
+        col("last") =!= (col("k") - 1L) * 8L + 1L)
+      .count()
+    assert(bad == 0, s"$bad docs with coverage/stride violations")
+    // scan-local: the physical plan must contain no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }

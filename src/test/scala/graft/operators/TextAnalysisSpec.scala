@@ -288,4 +288,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     // (not t+h+e) — count strictly below character count
     assert(got(0L)._1 < texts(0).length)
   }
+
+  test("duplicateSegmentStats: hand-computed fractions and Gopher keep flag") {
+    import spark.implicits._
+    val df = Seq(
+      // lines: [ab, cd, ab, ef] -> 4 lines, 1 dup occurrence (2500 pm),
+      // chars 8, dup chars 2 (2500 pm > the 2000 char threshold -> keep 0);
+      // paras: [ab\ncd, ab\nef] distinct
+      (1L, "ab\ncd\n\nab\nef"),
+      // all four lines identical: dup 3/4 = 7500 pm, char dup 7500 pm;
+      // paras both "xx\nxx": dup 1/2 = 5000 pm -> keep = 0
+      (2L, "xx\nxx\n\nxx\nxx"),
+      // single line, single para, empties from adjacent separators ignored
+      (3L, "solo\n\n"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSegmentStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2500L, 2500L, 2L, 0L, 0L, 0),
+      (2L, 4L, 7500L, 7500L, 2L, 5000L, 5000L, 0),
+      (3L, 1L, 0L, 0L, 1L, 0L, 0L, 1),
+      (4L, 0L, 0L, 0L, 0L, 0L, 0L, 1)))
+    // zero-shuffle contract
+    val plan = TextAnalysis.duplicateSegmentStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be scan-local:\n$plan")
+  }
+
+  test("filterLines: word minimum, banned phrases, punctuation rule, doc drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three.\nshort\nfour five six!\nbad cookie line here."),
+      (2L, "only one surviving line here.\ntoo short"), // < 2 kept -> dropped
+      (3L, "no punct but enough words\nanother fine line here?")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterLines(df, "doc_id", "text",
+        minWords = 3, banned = Seq("cookie"),
+        requireTerminalPunct = true, minKeptLines = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "one two three.\nfour five six!", 2L, 2L)))
+    // without the punctuation rule doc 3 survives with both lines
+    val noPunct = TextAnalysis.filterLines(df, "doc_id", "text",
+        minWords = 3, banned = Seq("cookie"),
+        requireTerminalPunct = false, minKeptLines = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(noPunct.toSeq == Seq((1L, 2L), (3L, 2L)))
+    val plan = TextAnalysis.filterLines(df, "doc_id", "text", 3, Seq("cookie"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be scan-local:\n$plan")
+  }
 }
