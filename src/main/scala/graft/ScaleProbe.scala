@@ -73,6 +73,12 @@ object ScaleProbe {
       "chunk_overlap" -> (() =>
         operators.Packing.chunkWithOverlap(table("documents"), "doc_id", "text",
           chunkTokens = 12, stride = 8).count()),
+      "winnow_fp" -> (() =>
+        operators.Dedup.winnowFingerprints(table("documents"), "doc_id", "text",
+          spanLen = 40, window = 8).count()),
+      "winnow_pairs" -> (() =>
+        operators.Dedup.winnowCandidates(table("documents"), "doc_id", "text",
+          spanLen = 40, window = 8, minShared = 1, maxDocFreq = 50).count()),
       "importance_select" -> (() => {
         import org.apache.spark.sql.functions.col
         val d = table("documents")

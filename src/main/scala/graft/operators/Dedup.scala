@@ -984,6 +984,98 @@ object Dedup {
     reassembleAfterCuts(base, cuts)
   }
 
+  // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme) --
+
+  /** Winnowing document fingerprints: over the doc's `spanLen`-char
+    * rolling-hash sequence, every length-`window` window contributes its
+    * minimum hash (ties → RIGHTMOST position — the standard winnowing
+    * tie-break), and the fingerprint set is the distinct selected
+    * (position, hash) pairs. Guarantee (Schleimer et al.): any substring
+    * of length ≥ `window + spanLen − 1` shared between two documents
+    * shares at least one fingerprint HASH — so fingerprints are a
+    * density-bounded candidate index (expected 2/(window+1) of positions)
+    * for plagiarism/overlap detection. Docs shorter than a full window
+    * of hashes contribute their global minimum (one fingerprint); docs
+    * shorter than `spanLen` contribute nothing. Returns
+    * (doc_id, fp_pos, fp_k), fp_pos 1-based.
+    *
+    * Scale shape: per-window argmin is `min(struct(k, −s))` over a
+    * sliding rows frame — the frame, the doc-size max, and the start
+    * validity all ride ONE doc_id sort-exchange; the closing distinct
+    * aggregates the already-thinned selections (~2·positions/(window+1)
+    * rows). Never a per-window explode: O(n) rows regardless of
+    * `window`. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 40, window: Int = 8,
+      hashedShingles: Boolean = true): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    if (hashedShingles) {
+      // scale path: the codegen'd O(m) monotonic-deque kernel selects
+      // per-doc positions with ZERO exchanges — selection is a pure
+      // array computation over the rolling-hash sequence, already
+      // position-distinct, so the whole corpus winnows scan-side
+      val b = org.apache.spark.sql.graft.VectorBridge
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+        .filter(col("__t").isNotNull && length(col("__t")) >= spanLen)
+        .select(col("doc_id"), b.rollingHash60(col("__t"), spanLen).as("__hs"))
+        .select(col("doc_id"), col("__hs"),
+          explode(b.winnowSelect(col("__hs"), window)).as("fp_pos"))
+        .select(col("doc_id"), col("fp_pos"),
+          element_at(col("__hs"), col("fp_pos").cast("int")).as("fp_k"))
+    } else
+      winnowViaWindow(spanPositions(df, idCol, textCol, spanLen, hashedShingles = false),
+        window)
+  }
+
+  /** Generic window-frame winnowing over (doc_id, s, k) position rows —
+    * the semantics reference for [[winnowFingerprints]]'s kernel path
+    * (pinned equal in DedupSpec) and the plan for non-long span keys
+    * (exact substrings). One doc_id sort-exchange; O(m·window) frame
+    * recomputation — correct at any scale, but the kernel path is the
+    * one to use when keys are rolling hashes. */
+  private[operators] def winnowViaWindow(pos: DataFrame, window: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("s").rowsBetween(Window.currentRow, window - 1)
+    pos.select(col("doc_id"), col("s"),
+        min(struct(col("k"), (-col("s")).as("ns"))).over(frame).as("__sel"),
+        max(col("s")).over(byDoc).as("__m"))
+      // full windows only; a doc with fewer than `window` hashes keeps
+      // its s=1 row, whose short frame spans the whole doc (global min)
+      .filter(col("s") === 1 || col("s") <= col("__m") - (window - 1))
+      .select(col("doc_id"),
+        (-col("__sel.ns")).as("fp_pos"), col("__sel.k").as("fp_k"))
+      .distinct()
+  }
+
+  /** Winnowing candidate pairs: documents sharing ≥ `minShared` distinct
+    * fingerprint hashes, with hashes present in more than `maxDocFreq`
+    * documents dropped first (MOSS's boilerplate guard — a fingerprint
+    * every doc carries indicts nothing and would otherwise create a
+    * quadratic hot bucket). Returns (doc_a, doc_b, shared_fps), a < b.
+    *
+    * Scale shape: the doc-frequency aggregate partial-combines map-side;
+    * the self-join keys on the 8-byte fingerprint hash whose per-key
+    * width is ≤ maxDocFreq BY CONSTRUCTION, so pair fan-out per hash is
+    * capped at C(maxDocFreq, 2); text never shuffles. */
+  def winnowCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 40, window: Int = 8,
+      minShared: Int = 1, maxDocFreq: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, spanLen, window)
+      .select(col("doc_id"), col("fp_k")).distinct()
+    val rare = fps.groupBy("fp_k")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp_k")
+    val kept = fps.join(rare, Seq("fp_k"), "left_semi")
+    kept.as("x").join(kept.as("y"),
+        col("x.fp_k") === col("y.fp_k") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Every `spanLen`-char span occurrence of every doc with len ≥ spanLen:
     * (doc_id, s, k), s 1-based; k is the codegen'd O(n) `RollingHash60`
     * key at scale, or the exact substring when the caller needs literal

@@ -713,6 +713,27 @@ object PipelineQ {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // Winnowing fingerprints (Schleimer et al. / MOSS): per doc, every
+    // 8-window of the 40-char rolling-hash sequence selects its minimum
+    // (ties -> rightmost); distinct (pos, hash) selections are the
+    // fingerprint set. One doc_id exchange; ~2/(w+1) selection density.
+    "t61_winnow_fp" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          spanLen = 40, window = 8)
+        .orderBy($"doc_id", $"fp_pos", $"fp_k")
+    }),
+
+    // Winnowing candidate pairs: docs sharing >= 1 rare fingerprint hash
+    // (document frequency <= 50 — MOSS's boilerplate guard), the
+    // inverted-index overlap-detection step winnowing exists for.
+    "t62_winnow_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text",
+          spanLen = 40, window = 8, minShared = 1, maxDocFreq = 50)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -875,6 +896,34 @@ object PipelineQ {
 
   private val quantList =
     "[CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
+
+  /** Winnowing selection pipeline shared by the fingerprint (t61) and
+    * candidate-pair (t62) oracles: `pos` = the 40-char rolling-hash
+    * sequence (same polynomial pair as t38/t48/t52), `fps` = the distinct
+    * per-window (min-hash, rightmost-tie) selections over full 8-windows,
+    * with short docs contributing their global minimum via the s=1 row. */
+  private val winnowFpCte =
+    """pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+      |      (a, x) -> (a * 31 + x) % 1000000007)
+      |    + 1073741824 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(text[j]) AS BIGINT) FOR j IN generate_series(CAST(i AS INT), CAST(i AS INT) + 39)]),
+      |      (a, x) -> (a * 131 + x) % 998244353) AS k
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text) - 39)) AS i
+      |        FROM documents WHERE length(text) >= 40)),
+      |mm AS (SELECT doc_id, MAX(s) AS m FROM pos GROUP BY doc_id),
+      |starts AS (SELECT p.doc_id, p.s AS p FROM pos p JOIN mm USING (doc_id)
+      |           WHERE p.s = 1 OR p.s <= mm.m - 7),
+      |win AS (SELECT st.doc_id, st.p, po.s, po.k,
+      |          row_number() OVER (PARTITION BY st.doc_id, st.p
+      |                             ORDER BY po.k ASC, po.s DESC) AS rn
+      |        FROM starts st JOIN pos po ON po.doc_id = st.doc_id
+      |          AND po.s BETWEEN st.p AND st.p + 7),
+      |fps AS (SELECT DISTINCT doc_id, s AS fp_pos, k AS fp_k
+      |        FROM win WHERE rn = 1)""".stripMargin
 
   /** Exact word-3-gram Jaccard pair pipeline shared by the minhash pair
     * (t03) and cluster (t14) oracles: `it` = intersection counts per
@@ -1579,6 +1628,22 @@ object PipelineQ {
         |LEFT JOIN (SELECT doc_id, pm FROM t2 WHERE rn = 1) a2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, pm FROM t3 WHERE rn = 1) a3 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t61_winnow_fp" ->
+      s"""WITH $winnowFpCte
+         |SELECT doc_id, fp_pos, fp_k FROM fps
+         |ORDER BY doc_id, fp_pos, fp_k""".stripMargin,
+    "t62_winnow_pairs" ->
+      s"""WITH $winnowFpCte,
+         |dfp AS (SELECT DISTINCT doc_id, fp_k FROM fps),
+         |rare AS (SELECT fp_k FROM dfp GROUP BY fp_k HAVING COUNT(*) <= 50),
+         |kept AS (SELECT doc_id, fp_k FROM dfp SEMI JOIN rare USING (fp_k))
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |FROM kept x JOIN kept y
+         |  ON x.fp_k = y.fp_k AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "t57_dup_segments" ->
       """WITH src AS (
         |  SELECT doc_id,

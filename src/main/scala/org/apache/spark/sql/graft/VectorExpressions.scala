@@ -520,6 +520,90 @@ case class RollingHash60(child: Expression, spanLen: Int)
     copy(child = newChild)
 }
 
+/** Winnowing selection (Schleimer/Wilkerson/Aiken) over a document's
+  * rolling-hash sequence: every length-`window` window contributes its
+  * minimum hash with RIGHTMOST tie-break, and the result is the distinct
+  * selected positions (1-based, ascending) — `element_at(hashes, pos)`
+  * recovers the fingerprint value. Arrays shorter than a full window
+  * select their global (rightmost) minimum; empty arrays select nothing.
+  *
+  * One monotonic-deque pass — O(m) regardless of `window`, vs the
+  * O(m·window) per-row frame recomputation of a `min(...) OVER (ROWS
+  * BETWEEN CURRENT ROW AND window−1 FOLLOWING)` plan, and crucially with
+  * NO doc_id sort-exchange: selection is a pure per-row array
+  * computation, so winnowing an entire corpus is scan-local. The deque
+  * pops on `>=` so an equal later hash evicts an earlier one — exactly
+  * the rightmost-of-the-minima rule. */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1, s"window must be >= 1: $window")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val m = hs.length
+    val sel = new Array[Boolean](m)
+    val dq = new Array[Int](m + 1)
+    var head = 0; var tail = 0
+    val first = math.min(window, m) - 1
+    var i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - window) head += 1
+      if (i >= first) sel(dq(head)) = true
+      i += 1
+    }
+    var n = 0; i = 0
+    while (i < m) { if (sel(i)) n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var j = 0; i = 0
+    while (i < m) { if (sel(i)) { out(j) = i + 1L; j += 1 }; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hs = ctx.freshName("hs")
+      val m = ctx.freshName("m")
+      val sel = ctx.freshName("sel")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val first = ctx.freshName("first")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |final long[] $hs = $a.toLongArray();
+         |final int $m = $hs.length;
+         |final boolean[] $sel = new boolean[$m];
+         |final int[] $dq = new int[$m + 1];
+         |int $head = 0, $tail = 0;
+         |final int $first = java.lang.Math.min($window, $m) - 1;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  while ($tail > $head && $hs[$dq[$tail - 1]] >= $hs[$i]) $tail--;
+         |  $dq[$tail++] = $i;
+         |  if ($dq[$head] <= $i - $window) $head++;
+         |  if ($i >= $first) $sel[$dq[$head]] = true;
+         |}
+         |int $n = 0;
+         |for (int $i = 0; $i < $m; $i++) if ($sel[$i]) $n++;
+         |final long[] $out = new long[$n];
+         |for (int $i = 0, $j = 0; $i < $m; $i++) if ($sel[$i]) $out[$j++] = $i + 1L;
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document DISTINCT word-n-gram polyhash31 values in ONE O(len)
   * pass — the fused form of
   * `explode(array_distinct(word n-gram strings))` → `polyhash31(gram)`
@@ -1281,6 +1365,9 @@ object VectorBridge {
 
   def rollingHash60(s: Column, spanLen: Int): Column =
     ExpressionUtils.column(RollingHash60(ExpressionUtils.expression(s), spanLen))
+
+  def winnowSelect(hs: Column, window: Int): Column =
+    ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hs), window))
 
   def wordGramHash31(s: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHash31(ExpressionUtils.expression(s), n))

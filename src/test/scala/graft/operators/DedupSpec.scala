@@ -553,6 +553,7 @@ class DedupSpec extends AnyFunSuite {
       val b = org.apache.spark.sql.graft.VectorBridge
       val out = df.select(
           b.rollingHash60($"s", 10).as("rh"),
+          b.winnowSelect(b.rollingHash60($"s", 10), 3).as("ws"),
           b.wordGramHash31($"s", 3).as("wg"),
           b.polyhash31($"s").as("p31"),
           b.polyhash60($"s").as("p60"),
@@ -562,7 +563,7 @@ class DedupSpec extends AnyFunSuite {
           b.wordGrams($"s", 3).as("wgs"),
           b.fingerprint31($"s").as("fp"),
           b.alnumRunCount($"s").as("arc"))
-        .selectExpr("size(rh)", "size(wg)", "p31", "p60", "sh", "size(ms)",
+        .selectExpr("size(rh)", "size(ws)", "size(wg)", "p31", "p60", "sh", "size(ms)",
           "size(wgs)", "fp", "arc")
         .collect()
       assert(out.length == 2)
@@ -652,6 +653,99 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(("abcd", "abdc")))
     // no self-pairs, no short words
     assert(got.forall { case (a, b) => a < b && a.length >= 4 && b.length >= 4 })
+  }
+
+  test("winnowFingerprints matches a pure-Scala winnowing reference") {
+    import spark.implicits._
+    // reference: rolling hashes (the rollingHash60 polynomial pair), then
+    // per full window the min hash with rightmost tie-break; short docs
+    // (fewer hashes than a window) keep their global minimum
+    def hashes(s: String, L: Int): Seq[Long] =
+      if (s.length < L) Nil
+      else (0 to s.length - L).map { i =>
+        var h1 = 0L; var h2 = 0L
+        s.substring(i, i + L).foreach { c =>
+          h1 = (31L * h1 + c) % 1000000007L
+          h2 = (131L * h2 + c) % 998244353L
+        }
+        h2 * 1073741824L + h1
+      }
+    def refWinnow(s: String, L: Int, w: Int): Set[(Long, Long)] = {
+      val hs = hashes(s, L)
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w) {
+        val m = hs.min
+        Set((hs.lastIndexOf(m) + 1L, m))
+      } else
+        (0 to hs.length - w).map { p =>
+          val win = hs.slice(p, p + w)
+          val m = win.min
+          (p + win.lastIndexOf(m) + 1L, m)
+        }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab cd" // tiny alphabet forces hash ties inside windows
+    val docs = (1L to 60L).map { i =>
+      val len = 38 + rnd.nextInt(120) // straddles the 40-char span floor
+      (i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val kernel = Dedup.winnowFingerprints(df, "doc_id", "text",
+      spanLen = 40, window = 8)
+    val got = kernel.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    val want = docs.map { case (id, s) => id -> refWinnow(s, 40, 8) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+    // the kernel path must be fully scan-local (no doc_id sort-exchange)
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kernel winnowing must not shuffle:\n$plan")
+    // and agree row-for-row with the generic window-frame plan
+    val viaWindow = Dedup.winnowViaWindow(
+        Dedup.spanPositions(df, "doc_id", "text", 40, hashedShingles = true), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernelSet = kernel.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernelSet == viaWindow)
+  }
+
+  test("winnowing guarantee: a shared substring >= window+spanLen-1 chars shares a hash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def blob(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(8 + 40 - 1) // exactly the guarantee threshold
+    val docs = Seq(
+      (1L, blob(90) + shared + blob(70)),
+      (2L, blob(55) + shared + blob(111)),
+      (3L, blob(200)) // no planted overlap
+    ).toDF("doc_id", "text")
+    val byDoc = Dedup.winnowFingerprints(docs, "doc_id", "text", 40, 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a w+k-1 substring must share a fingerprint hash")
+    // and the candidate generator surfaces exactly that pair
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text", 40, 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("winnowCandidates drops boilerplate fingerprints past the doc-frequency cap") {
+    import spark.implicits._
+    // every doc shares one 47-char boilerplate banner; with maxDocFreq
+    // below the corpus size the banner's fingerprints indict nothing
+    val rnd = new scala.util.Random(29)
+    def blob(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val banner = blob(47)
+    // a doc-unique char right after the banner keeps every
+    // boundary-crossing span distinct across docs, so the ONLY shared
+    // hashes are pure-banner ones (df = 12 > the cap)
+    val docs = (1L to 12L).map(i =>
+      (i, banner + ('A' + i).toChar + blob(80))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text", 40, 8,
+      minShared = 1, maxDocFreq = 5)
+    assert(pairs.count() == 0, "banner-only overlap must be suppressed by the df cap")
   }
 
   test("normalizedExact: case/punct/whitespace variants collapse to the min-id keeper") {
