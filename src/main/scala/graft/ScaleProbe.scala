@@ -73,6 +73,16 @@ object ScaleProbe {
       "chunk_overlap" -> (() =>
         operators.Packing.chunkWithOverlap(table("documents"), "doc_id", "text",
           chunkTokens = 12, stride = 8).count()),
+      "hll_registers" -> (() => {
+        import org.apache.spark.sql.functions.sum
+        operators.Sketches.hllGramRegisters(table("documents"), "text", 3)
+          .agg(sum("max_rho")).head().getLong(0)
+      }),
+      "countmin" -> (() => {
+        import org.apache.spark.sql.functions.sum
+        operators.Sketches.countMinCounters(table("documents"), "text")
+          .agg(sum("n")).head().getLong(0)
+      }),
       "winnow_fp" -> (() =>
         operators.Dedup.winnowFingerprints(table("documents"), "doc_id", "text",
           spanLen = 40, window = 8).count()),

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable corpus sketches — the statistics a 100 TB curation run needs
+  * WITHOUT the exact computation's shuffle:
+  *
+  *  - [[hllGramRegisters]]: HyperLogLog-style cardinality registers over
+  *    word-n-gram hashes ("how many distinct 3-grams does the corpus
+  *    hold?" — vocabulary growth, dedup-rate forecasting). An exact
+  *    distinct is a corpus-wide exchange of every gram; the sketch
+  *    partial-aggregates to 256 (register, max-rank) rows per partition
+  *    before ONE tiny shuffle.
+  *  - [[countMinCounters]]: Count-Min frequency sketch over word
+  *    occurrences ("approximate term frequencies without materializing
+  *    the vocabulary") — d×w integer counters, overestimate-only error,
+  *    mergeable across shards by cell-wise addition.
+  *
+  * Both are DETERMINISTIC (fixed polynomial hashes, integer arithmetic
+  * end to end) and engine-portable: a SQL oracle rebuilds registers and
+  * counters bit-for-bit — unlike `approx_count_distinct`'s opaque HLL++
+  * buffers. Hash family: the repo-standard polyhash60 pair
+  * (h = h2·2³⁰ + h1 < 2⁶⁰, primes 1e9+7 / 998244353), already mirrored
+  * in DuckDB throughout the oracle suite. */
+object Sketches {
+
+  /** m = 2⁸ registers: index = low 8 hash bits, rank over the top 52. */
+  val HllRegisterBits = 8
+  val HllRegisters: Int = 1 << HllRegisterBits
+
+  /** rho when the shifted hash is zero (can't happen in practice; keeps
+    * the estimate's geometric tail well-defined). */
+  val HllZeroRank = 45L
+
+  /** Register index / rank columns for a 60-bit hash column. Rank is
+    * the Flajolet–Martin rho: TRAILING zeros of the shifted hash + 1 =
+    * `length(bin(rest & -rest))`, exact in both engines (identical
+    * `bin` builtin, no float log2). Trailing zeros, not leading: the
+    * polyhash60 pair is uniform in its LOW bits but its top bits stop at
+    * the primes' product (< the next power of two), which would bias a
+    * leading-zero rank (measured +22% vs +5% error on the corpus). The
+    * low 8 bits feed the register index, so rho reads bits 8+ —
+    * independent of the register. */
+  def hllReg(h: Column): Column = h.bitwiseAND(lit((HllRegisters - 1).toLong))
+  def hllRank(h: Column): Column = {
+    val rest = shiftright(h, HllRegisterBits)
+    when(rest === 0, lit(HllZeroRank))
+      .otherwise(length(bin(rest.bitwiseAND(-rest))).cast("long"))
+  }
+
+  /** HLL registers over the corpus's word-n-gram hashes: 256 rows
+    * (reg, max_rho), max_rho = 0 for untouched registers. The gram
+    * hashes come from the one-pass `WordGramHash60` kernel (per-doc
+    * distinct — harmless: registers take a MAX, so occurrence
+    * multiplicity never matters). The explode feeds a map-side-combined
+    * max aggregate: each partition collapses to ≤ 256 rows before the
+    * only (tiny) shuffle. */
+  def hllGramRegisters(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val b = org.apache.spark.sql.graft.VectorBridge
+    val regs = df
+      .select(explode(b.wordGramHash60(col(textCol), n)).as("h"))
+      .select(hllReg(col("h")).as("reg"), hllRank(col("h")).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+    df.sparkSession.range(HllRegisters).select(col("id").as("reg"))
+      .join(regs, Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+  }
+
+  /** Standard HLL estimate from a register→rank map (driver-side — the
+    * registers are 256 values): harmonic mean with the small-range
+    * linear-counting correction. */
+  def hllEstimate(regs: Map[Long, Long]): Double = {
+    val m = HllRegisters.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val sum = (0 until HllRegisters)
+      .map(r => math.pow(2.0, -regs.getOrElse(r.toLong, 0L).toDouble)).sum
+    val e = alpha * m * m / sum
+    val zeros = (0 until HllRegisters).count(r => regs.getOrElse(r.toLong, 0L) == 0L)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+  }
+
+  // ---- Count-Min ----------------------------------------------------------
+
+  val CmDepth = 4
+  val CmWidth = 1024
+  private val CmP = 1000000007L
+  /** Fixed row-hash coefficients: pos_j = ((h mod P)·a_j + b_j) mod P
+    * mod width. All intermediates < 2³⁴ — ANSI-safe, SQL-mirrorable. */
+  val CmCoefs: IndexedSeq[(Long, Long)] =
+    IndexedSeq((3L, 17L), (5L, 29L), (7L, 43L), (11L, 61L))
+
+  def cmPos(h: Column, j: Int): Column = {
+    val (a, b) = CmCoefs(j)
+    ((h % CmP) * a + b) % CmP % CmWidth
+  }
+  def cmPosSql(hExpr: String, j: Int): String = {
+    val (a, b) = CmCoefs(j)
+    s"(((($hExpr) % $CmP) * $a + $b) % $CmP) % $CmWidth"
+  }
+
+  /** The d×w counter table over word OCCURRENCES of `textCol`: rows
+    * (row, pos, n) for non-zero cells only. Each word explodes to d
+    * (row, pos) cells; the count partial-aggregates map-side, so every
+    * partition collapses to ≤ d·w rows (4096 here) before the one tiny
+    * shuffle — corpus text never shuffles. */
+  def countMinCounters(df: DataFrame, textCol: String): DataFrame = {
+    val b = org.apache.spark.sql.graft.VectorBridge
+    val h = b.polyhash60(col("__w"))
+    df.select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("__w"))
+      .select(posexplode(array(CmCoefs.indices.map(j => cmPos(h, j)): _*)))
+      .select(col("pos").cast("long").as("row"), col("col").as("pos"))
+      .groupBy("row", "pos").agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query estimates for `terms`: est(t) = min_j counter[j][pos_j
+    * (t)] — the Count-Min guarantee is est ≥ true count, with
+    * overestimate bounded by collisions. Returns (term, cms_est). The
+    * terms frame is contract-small (a probe list) and broadcasts. */
+  def cmEstimates(counters: DataFrame, terms: DataFrame, termCol: String): DataFrame = {
+    val b = org.apache.spark.sql.graft.VectorBridge
+    val h = b.polyhash60(col(termCol))
+    val cells = terms.select(col(termCol).as("term"),
+        posexplode(array(CmCoefs.indices.map(j => cmPos(h, j)): _*)))
+      .select(col("term"), col("pos").cast("long").as("row"), col("col").as("pos"))
+    cells.join(counters, Seq("row", "pos"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.delta.GraftDelta
-import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Harness queries for the LLM-training-data pipeline operators
@@ -734,6 +734,52 @@ object PipelineQ {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // HLL-style distinct-3-gram cardinality registers: 256 (reg, max_rho)
+    // rows from one map-side-combined max — the exact distinct is a
+    // corpus-wide exchange this sketch replaces. In-query require pins
+    // the harmonic estimate within 15% of the exact count (HLL-256
+    // standard error is ~6.5%); the register table itself is the strict
+    // oracle surface.
+    "t63_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val regs = Sketches.hllGramRegisters(d, "text", n = 3)
+      if (!skipInQueryOracles) {
+        val m = regs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val est = Sketches.hllEstimate(m)
+        val b = org.apache.spark.sql.graft.VectorBridge
+        val exact = d.select(explode(b.wordGramHash60($"text", 3)).as("h"))
+          .select("h").distinct().count()
+        require(math.abs(est - exact) / exact <= 0.15,
+          f"HLL estimate $est%.0f vs exact $exact drifted past 15%%")
+      }
+      regs.orderBy($"reg")
+    }),
+
+    // Count-Min term-frequency sketch: 4x1024 counters over word
+    // occurrences (map-side-combined; text never shuffles), probed for a
+    // fixed term list incl. an absent term. In-query require pins the
+    // one-sided guarantee (never underestimates); the probe estimates
+    // are integer-exact and strictly oracle-checked.
+    "t64_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val counters = Sketches.countMinCounters(d, "text")
+      val probes = Seq("the", "a", "table", "row", "scan", "merge",
+        "window", "customer", "vector", "zzz_absent").toDF("term")
+      val est = Sketches.cmEstimates(counters, probes, "term")
+      val exact = d.select(explode(
+          filter(split($"text", " "), w => length(w) > 0)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact_n"))
+      val out = est.join(exact, Seq("term"), "left")
+        .select($"term", coalesce($"exact_n", lit(0L)).as("exact_n"), $"cms_est")
+      if (!skipInQueryOracles) {
+        val viol = out.filter($"cms_est" < $"exact_n").count()
+        require(viol == 0, s"Count-Min must never underestimate: $viol violations")
+      }
+      out.orderBy($"term")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -896,6 +942,16 @@ object PipelineQ {
 
   private val quantList =
     "[CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT) FOR x IN embedding]"
+
+  /** DuckDB mirror of the polyhash60 pair over a string expression —
+    * h2·2³⁰ + h1, the same value `PolyHash60`/`WordGramHash60` emit. */
+  private def poly60Sql(e: String): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(($e)[i]) AS BIGINT) FOR i IN generate_series(1, length($e))]), " +
+      s"(a, x) -> (a * 131 + x) % 998244353) * 1073741824 + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(($e)[i]) AS BIGINT) FOR i IN generate_series(1, length($e))]), " +
+      s"(a, x) -> (a * 31 + x) % 1000000007))"
 
   /** Winnowing selection pipeline shared by the fingerprint (t61) and
     * candidate-pair (t62) oracles: `pos` = the 40-char rolling-hash
@@ -1628,6 +1684,48 @@ object PipelineQ {
         |LEFT JOIN (SELECT doc_id, pm FROM t2 WHERE rn = 1) a2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, pm FROM t3 WHERE rn = 1) a3 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t63_hll_distinct" ->
+      s"""WITH w AS (SELECT text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT CASE WHEN len(ws) >= 3
+         |        THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |              FOR i IN generate_series(1, len(ws)-2)]
+         |        ELSE [text] END AS gs FROM w),
+         |e AS (SELECT unnest(gs) AS gram FROM g),
+         |h AS (SELECT ${poly60Sql("gram")} AS h FROM e),
+         |rr AS (SELECT h & 255 AS reg,
+         |         CASE WHEN (h >> 8) = 0 THEN 45
+         |              ELSE length(bin((h >> 8) & (-(h >> 8)))) END AS rho FROM h),
+         |regs AS (SELECT reg, MAX(rho) AS max_rho FROM rr GROUP BY reg)
+         |SELECT CAST(t.r AS BIGINT) AS reg,
+         |       CAST(COALESCE(regs.max_rho, 0) AS BIGINT) AS max_rho
+         |FROM generate_series(0, 255) AS t(r)
+         |LEFT JOIN regs ON regs.reg = t.r
+         |ORDER BY reg""".stripMargin,
+    "t64_countmin" -> {
+      import graft.operators.Sketches.cmPosSql
+      val cellCase = (0 until 4).map(j =>
+        s"WHEN $j THEN ${cmPosSql("h", j)}").mkString(" ")
+      s"""WITH wds AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |               x -> len(x) > 0)) AS w FROM documents),
+         |wh AS (SELECT w, ${poly60Sql("w")} AS h FROM wds),
+         |cells AS (SELECT CAST(j AS BIGINT) AS row,
+         |            CASE j $cellCase END AS pos
+         |          FROM wh, LATERAL UNNEST(generate_series(0, 3)) AS t(j)),
+         |counters AS (SELECT row, pos, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT unnest(['the','a','table','row','scan','merge',
+         |             'window','customer','vector','zzz_absent']) AS term),
+         |ph AS (SELECT term, ${poly60Sql("term")} AS h FROM probes),
+         |pcells AS (SELECT term, CAST(j AS BIGINT) AS row,
+         |             CASE j $cellCase END AS pos
+         |           FROM ph, LATERAL UNNEST(generate_series(0, 3)) AS t(j)),
+         |est AS (SELECT term, MIN(COALESCE(n, 0)) AS cms_est
+         |        FROM pcells LEFT JOIN counters USING (row, pos) GROUP BY term),
+         |exact AS (SELECT w AS term, COUNT(*) AS exact_n FROM wds GROUP BY 1)
+         |SELECT p.term, CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n,
+         |       CAST(e.cms_est AS BIGINT) AS cms_est
+         |FROM probes p JOIN est e USING (term) LEFT JOIN exact x USING (term)
+         |ORDER BY term""".stripMargin
+    },
     "t61_winnow_fp" ->
       s"""WITH $winnowFpCte
          |SELECT doc_id, fp_pos, fp_k FROM fps
