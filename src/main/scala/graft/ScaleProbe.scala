@@ -83,6 +83,10 @@ object ScaleProbe {
         operators.Sketches.countMinCounters(table("documents"), "text")
           .agg(sum("n")).head().getLong(0)
       }),
+      "kmv_jaccard" -> (() => {
+        val sk = operators.Sketches.kmvSketches(table("documents"), "text", "source", 256)
+        operators.Sketches.kmvJaccard(sk, 256).count()
+      }),
       "winnow_fp" -> (() =>
         operators.Dedup.winnowFingerprints(table("documents"), "doc_id", "text",
           spanLen = 40, window = 8).count()),

@@ -79,6 +79,12 @@ object VectorFunctions {
   def bpeStatsQ(s: Column, vocab: IndexedSeq[String]): Column =
     org.apache.spark.sql.graft.VectorBridge.bpeStatsQ(s, vocab)
 
+  /** Winnowing-selected positions (min hash per length-`window` window,
+    * rightmost ties; 1-based) over a rolling-hash array — one codegen'd
+    * O(m) monotonic-deque pass. */
+  def winnowSelect(hs: Column, window: Int): Column =
+    org.apache.spark.sql.graft.VectorBridge.winnowSelect(hs, window)
+
   /** PQ encode: per-subspace nearest-codebook indices (fused codegen
     * loop over the literal codebook table). */
   def pqEncodeQ(v: Column, codebooks: IndexedSeq[Long],

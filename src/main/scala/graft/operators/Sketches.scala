@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable corpus sketches — the statistics a 100 TB curation run needs
@@ -78,6 +79,82 @@ object Sketches {
     val e = alpha * m * m / sum
     val zeros = (0 until HllRegisters).count(r => regs.getOrElse(r.toLong, 0L) == 0L)
     if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+  }
+
+  // ---- KMV (bottom-k) per-source sketches --------------------------------
+
+  /** K-minimum-values sketch per source: the k smallest DISTINCT
+    * word-n-gram hashes of each source — rows (source, rank, h),
+    * rank 1..k by ascending hash. Deterministic (a pure function of the
+    * source's gram set), mergeable, and the basis for pairwise Jaccard
+    * estimates ([[kmvJaccard]]) without ever joining full gram sets.
+    *
+    * Scale shape — the naive per-source `row_number() <= k` sorts EVERY
+    * distinct hash of a source inside one window task; this runs two
+    * bounded rounds instead: (1) a per-source power-of-two histogram of
+    * hash bit-lengths (≤ 61 rows per source — control-plane) picks the
+    * smallest threshold 2^B whose cumulative count ≥ k; (2) only hashes
+    * below the broadcast per-source threshold — O(k) rows expected per
+    * source for uniform hashes — reach the rank window. The result is
+    * EXACTLY the k smallest (the threshold keeps ≥ k rows by
+    * construction), never an all-hash sort. */
+  def kmvSketches(df: DataFrame, textCol: String, sourceCol: String,
+      k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val b = org.apache.spark.sql.graft.VectorBridge
+    val sh = df.select(col(sourceCol).as("source"),
+        explode(b.wordGramHash60(col(textCol), n)).as("h"))
+      .distinct()
+    // round 1: bit-length histogram; h < 2^bitlength(h), bin(0) -> "0"
+    // (length 1) lumps h = 0 into the first bucket harmlessly
+    val hist = sh.groupBy(col("source"), length(bin(col("h"))).as("bl"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // <= sources x 61 rows — control plane, never data
+    val thresholds = hist.groupBy(_.getString(0)).map { case (s, rows) =>
+      val byBl = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+      var cum = 0L
+      val cut = byBl.collectFirst {
+        case (bl, c) if { cum += c; cum >= k } => 1L << bl
+      }
+      s -> cut.getOrElse(Long.MaxValue) // fewer than k distinct: keep all
+    }.toSeq
+    val thrDf = df.sparkSession.createDataFrame(thresholds)
+      .toDF("source", "__thr")
+    val w = Window.partitionBy("source").orderBy("h")
+    sh.join(broadcast(thrDf), Seq("source"))
+      .filter(col("h") < col("__thr"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("h"))
+  }
+
+  /** Pairwise Jaccard estimates from KMV sketches: for each source pair,
+    * the k smallest hashes of the sketch UNION are inspected and the
+    * fraction present in BOTH sketches estimates J(A, B) — rows
+    * (src_a, src_b, k_used, inter_k, jaccard_pm), jaccard_pm =
+    * inter_k·10000 DIV k_used. Operates on sketch rows only (k per
+    * source), so the pair computation costs O(pairs·k) regardless of
+    * corpus size. */
+  def kmvJaccard(sketches: DataFrame, k: Int): DataFrame = {
+    val srcs = sketches.select("source").distinct()
+    val prs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val member = sketches.select(col("source"), col("h"))
+    val sideA = prs.join(member.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"))
+    val sideB = prs.join(member.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"))
+    val uni = sideA.unionAll(sideB)
+      .groupBy("src_a", "src_b", "h").agg(count(lit(1)).as("__both"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    uni.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("__both") === 2, 1L).otherwise(0L)).as("inter_k"))
+      .withColumn("jaccard_pm",
+        (col("inter_k") * 10000L).divide(col("k_used")).cast("long"))
   }
 
   // ---- Count-Min ----------------------------------------------------------

@@ -780,6 +780,41 @@ object PipelineQ {
       out.orderBy($"term")
     }),
 
+    // KMV (bottom-k) per-source sketches + pairwise Jaccard estimates:
+    // t50 computes cross-source overlap EXACTLY (distinct-gram join);
+    // this answers the same question at sketch cost — k=256 hashes per
+    // source, O(pairs*k) estimation. In-query require pins each
+    // estimate within 0.12 absolute of the exact Jaccard (sigma at
+    // k=256 is <= 0.031).
+    "t65_kmv_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val k = 256
+      val sk = Sketches.kmvSketches(d, "text", "source", k)
+      val est = Sketches.kmvJaccard(sk, k)
+      if (!skipInQueryOracles) {
+        val b = org.apache.spark.sql.graft.VectorBridge
+        val sh = d.select($"source", explode(b.wordGramHash60($"text", 3)).as("h"))
+          .distinct()
+        val sz = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val inter = sh.as("x").join(sh.as("y"),
+            $"x.h" === $"y.h" && $"x.source" < $"y.source")
+          .groupBy($"x.source".as("sa"), $"y.source".as("sb"))
+          .agg(count(lit(1)).as("i"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        est.collect().foreach { r =>
+          val (sa, sb) = (r.getString(0), r.getString(1))
+          val i = inter.getOrElse((sa, sb), 0L).toDouble
+          val j = i / (sz(sa) + sz(sb) - i)
+          val e = r.getLong(4) / 10000.0
+          require(math.abs(e - j) <= 0.12,
+            f"KMV estimate $e%.3f vs exact $j%.3f for ($sa,$sb) drifted")
+        }
+      }
+      est.orderBy($"src_a", $"src_b")
+    }),
+
     // Tokenizer-ACCURATE token counts (t18's packing budgets use the
     // alnum-run approximation; this is the real greedy longest-match
     // walk over a BPE merged vocabulary, as one codegen'd kernel). The
@@ -1684,6 +1719,33 @@ object PipelineQ {
         |LEFT JOIN (SELECT doc_id, pm FROM t2 WHERE rn = 1) a2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, pm FROM t3 WHERE rn = 1) a3 USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "t65_kmv_jaccard" ->
+      s"""WITH w AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT source, CASE WHEN len(ws) >= 3
+         |        THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |              FOR i IN generate_series(1, len(ws)-2)]
+         |        ELSE [text] END AS gs FROM w),
+         |sh AS (SELECT DISTINCT source, ${poly60Sql("gram")} AS h
+         |       FROM (SELECT source, unnest(gs) AS gram FROM g)),
+         |sk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+         |       FROM sh QUALIFY rank <= 256),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |prs AS (SELECT a.source AS src_a, b.source AS src_b
+         |        FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uni AS (SELECT src_a, src_b, h, COUNT(*) AS cnt2 FROM (
+         |          SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_a
+         |          UNION ALL
+         |          SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_b)
+         |        GROUP BY 1, 2, 3),
+         |topk AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |                                      ORDER BY h) AS rn
+         |         FROM uni QUALIFY rn <= 256)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |       CAST(SUM(CASE WHEN cnt2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_k,
+         |       CAST(SUM(CASE WHEN cnt2 = 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+         |            AS BIGINT) AS jaccard_pm
+         |FROM topk GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "t63_hll_distinct" ->
       s"""WITH w AS (SELECT text, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT CASE WHEN len(ws) >= 3

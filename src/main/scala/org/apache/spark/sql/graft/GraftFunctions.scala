@@ -66,6 +66,9 @@ object GraftFunctions {
     ("rolling_hash60", "rolling_hash60(s, span_len) - polyhash60 of every span_len-char window",
       args => { arity(args, "rolling_hash60", 2)
         RollingHash60(args.head, intLit(args(1), "rolling_hash60", 2)) }),
+    ("winnow_select", "winnow_select(hash_array, window) - winnowing-selected positions (min per window, rightmost ties), 1-based",
+      args => { arity(args, "winnow_select", 2)
+        WinnowSelect(args.head, intLit(args(1), "winnow_select", 2)) }),
     ("fingerprint31", "fingerprint31(s) - position-weighted code-point checksum mod 1e9+7",
       args => { arity(args, "fingerprint31", 1); Fingerprint31(args.head) }),
     ("alnum_run_count", "alnum_run_count(s) - count of maximal ASCII-alnum runs",

@@ -40,7 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val sqlSide = df.selectExpr(
       "word_gram_xxhash64(s, 3) AS h", "minhash_sig(word_gram_xxhash64(s, 3)) AS sig",
       "fingerprint31(s) AS fp", "simhash64(word_gram_hash60(s, 3)) AS sh",
-      "bpe_stats(s) AS bpe")
+      "bpe_stats(s) AS bpe", "winnow_select(rolling_hash60(s, 10), 4) AS ws")
     val facadeSide = df.select(
       VectorFunctions.wordGramXxhash64($"s", 3).as("h"),
       { val (a, b, p) = graft.operators.Dedup.signatureParams
@@ -48,7 +48,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       VectorFunctions.fingerprint31($"s").as("fp"),
       VectorFunctions.simhash64(VectorFunctions.wordGramHash60($"s", 3)).as("sh"),
       VectorFunctions.bpeStatsQ($"s",
-        graft.operators.TextAnalysis.BpeVocab.toIndexedSeq).as("bpe"))
+        graft.operators.TextAnalysis.BpeVocab.toIndexedSeq).as("bpe"),
+      VectorFunctions.winnowSelect(
+        org.apache.spark.sql.graft.VectorBridge.rollingHash60($"s", 10), 4).as("ws"))
     assert(sqlSide.head() == facadeSide.head())
   }
 

@@ -104,6 +104,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(under == 0, "Count-Min must never underestimate")
   }
 
+  test("kmvSketches equals the naive per-source k-smallest; repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 64
+    val got = Sketches.kmvSketches(docs, "text", "source", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // naive reference: full distinct (source, h) then row_number <= k
+    val b = org.apache.spark.sql.graft.VectorBridge
+    val sh = docs.select($"source", explode(b.wordGramHash60($"text", 3)).as("h")).distinct()
+    val w = Window.partitionBy("source").orderBy("h")
+    val want = sh.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    assert(got == want)
+    val re = Sketches.kmvSketches(docs.repartition(17), "text", "source", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got, "sketches must not depend on partitioning")
+  }
+
+  test("kmvJaccard recovers a planted overlap fraction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def word() = (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val sharedW = (1 to 2000).map(_ => word())
+    val onlyA = (1 to 2000).map(_ => word())
+    val onlyB = (1 to 2000).map(_ => word())
+    // single-word docs -> whole-text grams: J = |shared| / |union| = 2000/6000
+    val docs = (sharedW ++ onlyA).map(("a", _)) ++ (sharedW ++ onlyB).map(("b", _))
+    val df = docs.toDF("source", "text")
+    val k = 256
+    val est = Sketches.kmvJaccard(Sketches.kmvSketches(df, "text", "source", k), k)
+      .collect()
+    assert(est.length == 1)
+    val pm = est.head.getLong(4)
+    assert(math.abs(pm - 3333) <= 1000,
+      s"planted J=1/3 estimated at $pm per-myriad (k=256 sigma ~300)")
+  }
+
   test("Count-Min counters merge across shards by cell-wise addition") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
