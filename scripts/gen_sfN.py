@@ -49,9 +49,28 @@ def want(table):
 def copy(table, select_fn):
     if not want(table):
         return
-    parts = [select_fn(k) for k in range(K)]
-    union = " UNION ALL ".join(parts)
-    con.execute(f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+    # chunk the replica union: a K-way UNION ALL trips DuckDB's
+    # expression-depth limit past a few hundred branches, so write
+    # replica batches to temp parquet parts and concatenate via glob
+    batch = 200
+    if K <= batch:
+        parts = [select_fn(k) for k in range(K)]
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+    else:
+        tmp = f"{out}/__{table}_parts"
+        os.makedirs(tmp, exist_ok=True)
+        for b0 in range(0, K, batch):
+            parts = [select_fn(k) for k in range(b0, min(b0 + batch, K))]
+            union = " UNION ALL ".join(parts)
+            con.execute(
+                f"COPY ({union}) TO '{tmp}/part{b0}.parquet' (FORMAT PARQUET)")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{tmp}/part*.parquet')) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        for f in os.listdir(tmp):
+            os.remove(f"{tmp}/{f}")
+        os.rmdir(tmp)
     n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
