@@ -710,6 +710,50 @@ class DedupSpec extends AnyFunSuite {
     assert(kernelSet == viaWindow)
   }
 
+  test("WinnowSelect kernel: brute-force per-window reference over adversarial arrays") {
+    import spark.implicits._
+    // brute force: every full window's (value asc, index desc) argmin;
+    // arrays shorter than a window select their global rightmost min
+    def ref(hs: Seq[Long], w: Int): Seq[Long] = {
+      if (hs.isEmpty) Seq.empty
+      else {
+        val wins =
+          if (hs.length < w) Seq(hs.indices)
+          else (0 to hs.length - w).map(p => p until p + w)
+        wins.map { win =>
+          val m = win.map(hs).min
+          win.filter(i => hs(i) == m).max + 1L
+        }.distinct.sorted
+      }
+    }
+    val rnd = new scala.util.Random(97)
+    // adversarial shapes: tiny value alphabets (dense ties), all-equal
+    // runs, strictly increasing/decreasing, empties, length < window
+    val cases: Seq[(Seq[Long], Int)] =
+      (1 to 120).map { i =>
+        val len = rnd.nextInt(40)
+        val alpha = 1 + rnd.nextInt(4) // values in [0, alpha)
+        val w = 1 + rnd.nextInt(10)
+        ((0 until len).map(_ => rnd.nextInt(alpha).toLong), w)
+      } ++ Seq(
+        (Seq.empty[Long], 3),
+        (Seq(7L), 5),
+        (Seq.fill(12)(42L), 4),
+        ((1L to 20L), 6),
+        ((1L to 20L).reverse, 6))
+    cases.groupBy(_._2).foreach { case (w, group) =>
+      val df = group.zipWithIndex.map { case ((hs, _), i) => (i.toLong, hs) }
+        .toDF("id", "hs")
+      val got = df.select($"id",
+          graft.functions.VectorFunctions.winnowSelect($"hs", w).as("sel"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      group.zipWithIndex.foreach { case ((hs, _), i) =>
+        assert(got(i.toLong) == ref(hs, w),
+          s"window=$w hs=$hs: got ${got(i.toLong)}, want ${ref(hs, w)}")
+      }
+    }
+  }
+
   test("winnowing guarantee: a shared substring >= window+spanLen-1 chars shares a hash") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
