@@ -124,22 +124,31 @@ object Bench {
     val total = good.map(_._2).sum
     val errJson = errors.distinct
       .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    // headline fields lead AND trail: downstream log capture keeps only
-    // the tail of the line, and the per-query map is wider than that
-    // window — duplicating the totals at the end keeps them recoverable
-    // from either side (duplicate JSON keys resolve to the last value,
-    // identical here).
     // "oracles":"skipped" makes the workload mode visible IN the artifact:
     // timed runs skip the in-query O(N²) verification oracles (see the
     // skipInQueryOracles note above), so round-over-round and baseline
     // comparisons can account for the definition change (ADVICE r11).
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""stat":"median","passes":$passes,"raw":$rawJson,"load":$loadJson,""" +
-        s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+    val common =
+      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
         s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
         s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
-        s""""n_errors":${errors.distinct.size},"oracles":"skipped",""" +
+        s""""n_errors":${errors.distinct.size},"oracles":"skipped""""
+    // The three per-pass arrays × every query overflowed the driver's
+    // tail capture, leaving BENCH_r15.json unparseable (VERDICT r15
+    // "What's wrong" #2) — raw passes + per-pass loadavgs now land in a
+    // SIDECAR file, and the single stdout line carries only totals +
+    // per-query medians (compact by construction: ~25 bytes/query).
+    val sidecar = new java.io.File("target/bench_sidecar.json")
+    Option(sidecar.getParentFile).foreach(_.mkdirs())
+    val sw = new java.io.PrintWriter(sidecar, "UTF-8")
+    try sw.println(
+      s"""{"stat":"raw_passes","passes":$passes,"raw":$rawJson,""" +
+        s""""load":$loadJson,$common}""")
+    finally sw.close()
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stat":"median","passes":$passes,""" +
+        s""""sidecar":"${sidecar.getPath}",$common,""" +
         s""""metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }

@@ -47,24 +47,38 @@ object Dedup {
 
   /** Canonical text form for normalization-based exact dedup (the
     * RefinedWeb/Falcon "exact dedup after normalization" pass): lowercase,
-    * every non-alphanumeric character to a space, runs of spaces
-    * collapsed, ends trimmed. Case, punctuation, and whitespace variants
-    * of the same text map to one key; pure per-row expression. */
+    * every character outside Unicode letters/digits/space to a space,
+    * runs of spaces collapsed, ends trimmed. Case, punctuation, and
+    * whitespace variants of the same text map to one key; pure per-row
+    * expression. Unicode classes (`\p{L}\p{N}`), not `[a-z0-9]`: an
+    * ASCII-only class strips every non-Latin letter, collapsing distinct
+    * accented/Cyrillic/CJK documents into one (often empty) key
+    * (ADVICE r15) — both Spark (Java regex) and DuckDB (RE2) support the
+    * same classes, so the oracle mirrors exactly. */
   def normalizedText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
 
   /** Exact dedup on the NORMALIZED text: keeps the min-`orderCol` row per
     * normalized key and reports how many variants collapsed into it.
     * Catches the near-misses raw exact dedup leaves behind (case flips,
     * punctuation, doubled spaces) without any pairwise machinery.
     *
+    * Documents whose normalized form is EMPTY (symbol/punctuation-only
+    * text) carry no signal for normalization equivalence — they dedup on
+    * their RAW text instead (a `\u0001`-prefixed key no normalized form
+    * can collide with), so two distinct symbol-only documents are never
+    * merged as "variants" of each other (ADVICE r15).
+    *
     * Scale shape: identical to [[exact]] — one hash aggregate on the
     * normalized key with map-side combine (`min_by(struct)` + count), so
     * a key duplicated 10^6 times collapses per partition before the
     * single shuffle. The normalization itself is scan-local. */
   def normalizedExact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
-    df.withColumn("__norm", normalizedText(col(textCol)))
+    df.withColumn("__norm", {
+        val n = normalizedText(col(textCol))
+        when(n === "", concat(lit("\u0001"), col(textCol))).otherwise(n)
+      })
       .groupBy(col("__norm"))
       .agg(
         min_by(struct(df.columns.toIndexedSeq.map(col): _*),

@@ -31,8 +31,12 @@ object Sketches {
   val HllRegisters: Int = 1 << HllRegisterBits
 
   /** rho when the shifted hash is zero (can't happen in practice; keeps
-    * the estimate's geometric tail well-defined). */
-  val HllZeroRank = 45L
+    * the estimate's geometric tail well-defined). A zero rest is MAXIMAL
+    * evidence, so the sentinel sits one past the highest attainable rho —
+    * trailing zeros of the 52-bit shifted hash give rho up to 52, so 53
+    * can never be weakened by (or weaken) a real observation (ADVICE
+    * r15: the old 45 was below the attainable maximum). */
+  val HllZeroRank = 53L
 
   /** Register index / rank columns for a 60-bit hash column. Rank is
     * the Flajolet–Martin rho: TRAILING zeros of the shifted hash + 1 =
@@ -102,19 +106,30 @@ object Sketches {
       k: Int, n: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val b = org.apache.spark.sql.graft.VectorBridge
-    val sh = df.select(col(sourceCol).as("source"),
+    // The source key round-trips through the driver for the threshold
+    // pick — cast to string so ANY source type survives the getString
+    // (ADVICE r15); sketches are therefore keyed by the source's string
+    // form. Persisted: both rounds (histogram + ranked pass) read this
+    // frame, and without the persist the expensive distinct-gram explode
+    // runs twice (ADVICE r15). The caller/bench clears the cache.
+    val sh = df.select(col(sourceCol).cast("string").as("source"),
         explode(b.wordGramHash60(col(textCol), n)).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 1: bit-length histogram; h < 2^bitlength(h), bin(0) -> "0"
-    // (length 1) lumps h = 0 into the first bucket harmlessly
+    // (length 1) lumps h = 0 into the first bucket harmlessly. The
+    // collect is control-plane by construction: <= sources x 61 rows
+    // (the source column is a corpus label — contract-low cardinality).
     val hist = sh.groupBy(col("source"), length(bin(col("h"))).as("bl"))
       .agg(count(lit(1)).as("c"))
-      .collect() // <= sources x 61 rows — control plane, never data
+      .collect()
     val thresholds = hist.groupBy(_.getString(0)).map { case (s, rows) =>
       val byBl = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
-      var cum = 0L
-      val cut = byBl.collectFirst {
-        case (bl, c) if { cum += c; cum >= k } => 1L << bl
+      // explicit prefix-sum scan, not a side-effecting pattern guard
+      // (ADVICE r15: a guard mutating `cum` double-counts under any
+      // isDefinedAt+apply evaluation order)
+      val cut = byBl.zip(byBl.scanLeft(0L)(_ + _._2).tail).collectFirst {
+        case ((bl, _), cum) if cum >= k => 1L << bl
       }
       s -> cut.getOrElse(Long.MaxValue) // fewer than k distinct: keep all
     }.toSeq

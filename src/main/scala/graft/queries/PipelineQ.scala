@@ -1755,7 +1755,7 @@ object PipelineQ {
          |e AS (SELECT unnest(gs) AS gram FROM g),
          |h AS (SELECT ${poly60Sql("gram")} AS h FROM e),
          |rr AS (SELECT h & 255 AS reg,
-         |         CASE WHEN (h >> 8) = 0 THEN 45
+         |         CASE WHEN (h >> 8) = 0 THEN 53
          |              ELSE length(bin((h >> 8) & (-(h >> 8)))) END AS rho FROM h),
          |regs AS (SELECT reg, MAX(rho) AS max_rho FROM rr GROUP BY reg)
          |SELECT CAST(t.r AS BIGINT) AS reg,
@@ -1868,12 +1868,13 @@ object PipelineQ {
         |         ELSE regexp_replace(text, ' ', '  ', 'g') END
         |  FROM documents),
         |n AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM c)
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_variants
-        |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin,
+        |FROM n GROUP BY CASE WHEN norm = '' THEN chr(1) || text ELSE norm END
+        |ORDER BY doc_id""".stripMargin,
     "t60_chunk_overlap" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws

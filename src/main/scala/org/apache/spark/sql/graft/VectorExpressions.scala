@@ -543,6 +543,25 @@ case class WinnowSelect(child: Expression, window: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_select"
 
+  // The deque kernel reads the input via toLongArray(), which requires
+  // containsNull = false — reject nullable-element arrays AT ANALYSIS
+  // (the public `winnow_select` SQL function would otherwise NPE at
+  // runtime on e.g. array(1L, NULL); ADVICE r15). Element nullability is
+  // a static property, so this is a clean resolution-time gate.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> with non-nullable elements " +
+            s"(the kernel reads a primitive long[]), got ${other.catalogString}")
+    }
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val hs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
     val m = hs.length

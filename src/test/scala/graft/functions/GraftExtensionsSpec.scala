@@ -54,6 +54,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlSide.head() == facadeSide.head())
   }
 
+  test("winnow_select rejects nullable-element arrays at analysis (ADVICE r15)") {
+    // the kernel reads a primitive long[]; array(1L, NULL) used to NPE at
+    // runtime — now a named analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT winnow_select(array(1L, CAST(NULL AS BIGINT)), 3)").collect()
+    }
+    assert(e.getMessage.contains("non-nullable"), e.getMessage)
+    // non-nullable arrays keep working
+    // windows [3,1] and [1,2] both select the 1 at position 2
+    val ok = spark.sql("SELECT winnow_select(array(3L, 1L, 2L), 2) AS s").head()
+    assert(ok.getSeq[Long](0) == Seq(2L))
+  }
+
   test("config-time extensions hook registers without error; bad calls fail loudly") {
     new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val e1 = intercept[Exception](spark.sql("SELECT word_grams('a b c', id) FROM range(1)").head())

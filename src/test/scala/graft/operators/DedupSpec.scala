@@ -815,4 +815,22 @@ class DedupSpec extends AnyFunSuite {
     assert(norm.toSeq == Seq("hello world", "hello world", "hello world",
       "hello world again", "totally different"))
   }
+
+  test("normalizedExact: non-Latin letters survive; symbol-only docs never merge (ADVICE r15)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Café au lait"),
+      (2L, "café  au, lait!"),          // accent-preserving variant of 1
+      (3L, "Привет, мир"),
+      (4L, "привет мир"),                    // Cyrillic variant of 3
+      (5L, "Пока мир"),                      // distinct Cyrillic doc
+      (6L, "!!!"),                           // symbol-only: empty normalized form
+      (7L, "???")                            // distinct symbol-only — must NOT merge with 6
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(df, "text", "doc_id")
+      .select("doc_id", "n_variants").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 2L, 5L -> 1L, 6L -> 1L, 7L -> 1L),
+      s"ASCII-only normalization would collapse non-Latin/symbol docs: $got")
+  }
 }

@@ -260,4 +260,97 @@ class SamplingSpec extends AnyFunSuite {
       .select("source").as[String].collect().toSet
     assert(zeroed == Set("src1", "src2", "src3"))
   }
+
+  test("tokenBudgetSample: exact vs brute-force prefix incl. zero-token boundary docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // empty texts (0 tokens) interleave with real docs, so the
+    // exact-budget boundary + zero-mass-row edge of the threshold bound
+    // is exercised: a zero-token doc sitting right AT cum == budget must
+    // keep/drop identically to the unbounded window formula
+    val docs = (1L to 400L).map { id =>
+      val words = if (id % 7 == 0) 0 else 1 + rnd.nextInt(12)
+      (id, Seq.fill(words)("w" + rnd.nextInt(30)).mkString(" "), s"s${id % 3}")
+    }.toDF("doc_id", "text", "source")
+    for (budget <- Seq(0L, 37L, 200L, 100000L)) {
+      val got = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+          defaultBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // brute-force reference: full per-group sort + running sum in Scala
+      val proj = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          Sampling.shuffleKey(col("doc_id"), 7L).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val want = proj.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budget) Some((r._1, g, r._3, cum)) else None
+        }
+      }.toSet
+      assert(got == want, s"budget $budget drifted from the brute-force prefix")
+    }
+  }
+
+  test("bounded-window plan pin: threshold bounds the window input (VERDICT r15 #1)") {
+    import spark.implicits._
+    // one hot source with ~25k tokens against an 800-token budget: the
+    // running-sum window must see ~the kept prefix, not the whole source
+    val docs = (1L to 5000L).map(id =>
+      (id, Seq.fill(5)("w" + id % 97).mkString(" "), "hot")).toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+      defaultBudget = 800L)
+    // 1) the physical plan carries the broadcast threshold filter — the
+    //    window's input is the thresholded join, not the raw scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__thr"), s"threshold filter missing from plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"threshold must arrive via broadcast:\n$plan")
+    // 2) behavioral bound: the frame actually entering the window is a
+    //    small multiple of the kept set, never the whole group
+    val proj = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Sampling.shuffleKey(col("doc_id"), 7L).as("__h"))
+      .withColumn("__m", col("n_tokens"))
+    val boundedRows = Sampling.boundedPrefix(proj, "source", (_, _) => 800L).count()
+    val kept = out.count()
+    assert(kept >= 100, s"budget should keep ~160 five-token docs, got $kept")
+    assert(boundedRows < 5000 / 4,
+      s"window input $boundedRows must be far below the 5000-row group")
+    assert(boundedRows.toDouble / kept < 4.0,
+      s"window input $boundedRows vs kept $kept — threshold too loose")
+    // 3) stratified + temperature ride the same bound
+    val stratPlan = Sampling.stratifiedSample(
+      docs.withColumn("g", lit("hot")), "g", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(stratPlan.contains("__thr"), "stratifiedSample lost the threshold bound")
+    val tempPlan = Sampling.temperatureRebalance(
+      docs.withColumn("g", lit("hot")), "g", "doc_id", perSqrt = 2)
+      .queryExecution.executedPlan.toString
+    assert(tempPlan.contains("__thr"), "temperatureRebalance lost the threshold bound")
+  }
+
+  test("stratified/temperature exactness vs the unbounded window formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 6000L).map(id => (s"g${rnd.nextInt(5)}", id)).toDF("g", "id")
+    // reference: full sort by (bucket, id) in Scala, take quota
+    val proj = df.select(col("g"), col("id"),
+        Sampling.hashBucket(col("id"), 1 << 20).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def refTake(quota: Map[String, Long]): Set[(String, Long)] =
+      proj.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(quota(g).toInt).map(r => (g, r._2))
+      }.toSet
+    val sizes = proj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val gotStrat = Sampling.stratifiedSample(df, "g", "id", 100)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(gotStrat == refTake(sizes.view.mapValues(n => math.min(n, 100L)).toMap))
+    val gotTemp = Sampling.temperatureRebalance(df, "g", "id", perSqrt = 3)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val tempQuota = sizes.view.mapValues(n =>
+      math.min(n, 3L * math.floor(math.sqrt(n.toDouble)).toLong)).toMap
+    assert(gotTemp == refTake(tempQuota))
+  }
 }
