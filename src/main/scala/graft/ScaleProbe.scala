@@ -98,7 +98,39 @@ object ScaleProbe {
         val d = table("documents")
         operators.Sampling.importanceSelect(d, "doc_id", "text",
           d.filter(col("doc_id") % 1000 < 25), "text", k = 50).count()
-      }))
+      }),
+      // the CC trio (t14/t23/t47 shapes — VERDICT r15 #7): minhash pairs
+      // feed the O(log n) large-star/small-star closure, then the keeper
+      // pick / leakage-safe split ride the cluster map
+      "cc_clusters" -> (() => {
+        val pairs = operators.Dedup.minhashNearDups(
+          table("documents"), "doc_id", "text", 0.5)
+        operators.Dedup.nearDupClusters(pairs).count()
+      }),
+      "cluster_keepers" -> (() => {
+        import org.apache.spark.sql.functions.{col, length}
+        val d = table("documents")
+        val pairs = operators.Dedup.minhashNearDups(d, "doc_id", "text", 0.5)
+        val clusters = operators.Dedup.nearDupClusters(pairs)
+        operators.Dedup.clusterKeepers(
+          d.select(col("doc_id"), length(col("text")).cast("long").as("pref")),
+          clusters, "doc_id", "pref").count()
+      }),
+      "groupaware_split" -> (() => {
+        val d = table("documents")
+        val pairs = operators.Dedup.minhashNearDups(d, "doc_id", "text", 0.5)
+        val clusters = operators.Dedup.nearDupClusters(pairs)
+        operators.Sampling.groupAwareSplit(d, "doc_id", clusters, 8000, 1000)
+          .groupBy("split").count().count()
+      }),
+      // the de-serialized sampling family (VERDICT r15 #1): wall must
+      // track the BUDGET/QUOTA, not the source size — compare decades
+      "stratified_sample" -> (() =>
+        operators.Sampling.stratifiedSample(
+          table("documents"), "source", "doc_id", 100).count()),
+      "temperature_mix" -> (() =>
+        operators.Sampling.temperatureRebalance(
+          table("documents"), "source", "doc_id", perSqrt = 2).count()))
 
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (name, f) =>
       val t0 = System.nanoTime()

@@ -39,9 +39,11 @@ object Stress {
     // ---- O(log n) CC at 1M-pair chain width (VERDICT r14 #3) ------------
     // diameter 10^6 — min-label propagation would need 10^6 rounds;
     // large-star/small-star must land inside the 2·log2(n)+4 bound, with
-    // the round count ASSERTED, not just timed
+    // the round count ASSERTED, not just timed. args(1) scales the chain
+    // in millions of pairs (VERDICT r15 #6: 10 = the decade-up probe).
     t0 = System.nanoTime()
-    val chainN = 1000001L
+    val chainN = args.drop(1).headOption.map(_.toLong * 1000000L + 1L)
+      .getOrElse(1000001L)
     val chain = spark.range(1L, chainN)
       .select($"id".as("doc_a"), ($"id" + 1L).as("doc_b"))
     val (chainLabels, ccRounds) =

@@ -1350,7 +1350,21 @@ object DeltaLog {
       // write surface always supplies every column, and the SQL INSERT
       // surface fills declared defaults for omitted columns — the
       // feature's writer obligation is honored on every path
-      "allowColumnDefaults")
+      "allowColumnDefaults",
+      // checkpointProtection (Delta 4.x, VERDICT r15 #5): the feature
+      // constrains HISTORY REWRITERS only — a table property
+      // (delta.requireCheckpointProtectionBeforeVersion = V) marks
+      // versions below V as protected from partial log truncation.
+      // Appends/DML/OPTIMIZE never truncate history, so every ordinary
+      // write path is compliant by construction; the one obligated
+      // surface, metadata cleanup, honors the contract in
+      // DeltaMaintenance.cleanupLog — truncation whose checkpoint
+      // boundary falls BELOW the protected version refuses by name
+      // (cleanup that reaches a boundary ≥ V in one pass stays allowed,
+      // the protocol's option for non-feature-aware writers). If a
+      // malformed foreign log lists this under readerFeatures, the
+      // generic reader refusal stands — the spec scopes it writer-side.
+      "checkpointProtection")
 
   /** The checkpoint cadence a table asks for: the
     * `delta.checkpointInterval` table property when set (the delta-spark

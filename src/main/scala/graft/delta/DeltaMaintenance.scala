@@ -444,7 +444,8 @@ object DeltaMaintenance {
     // the delta.logRetentionDuration table property is the authority
     // when present (the delta-spark contract — log retention is a table
     // attribute, not a caller choice); the parameter is the fallback
-    val effectiveHours = log.snapshot(None).metadata.configuration
+    val tableConfig = log.snapshot(None).metadata.configuration
+    val effectiveHours = tableConfig
       .get("delta.logRetentionDuration").flatMap(parseRetentionHours)
       .getOrElse(retentionHours)
     val cutoff =
@@ -484,6 +485,26 @@ object DeltaMaintenance {
         case _ => false
       }
     }.map(_.getPath).toSeq
+    // checkpointProtection (Delta 4.x, VERDICT r15 #5): versions below
+    // delta.requireCheckpointProtectionBeforeVersion are protected from
+    // PARTIAL truncation — cleanup is allowed only when its surviving
+    // checkpoint boundary (keepFrom) has reached the protected version,
+    // i.e. the whole protected range goes in one pass with a checkpoint
+    // at (or past) the boundary — the protocol's escape hatch for
+    // writers; a boundary inside the protected range refuses by name
+    // (this applies to DROP FEATURE ... TRUNCATE HISTORY too: a
+    // protection-carrying table's history must not half-vanish).
+    val protectBefore = tableConfig
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(0L)
+    if (keepFrom < protectBefore && candidates.nonEmpty)
+      throw new IllegalStateException(
+        s"checkpointProtection: table protects history below version " +
+          s"$protectBefore (delta.requireCheckpointProtectionBeforeVersion) and " +
+          s"the newest checkpoint is at $keepFrom — truncating inside the " +
+          s"protected range is forbidden; write a checkpoint at version ≥ " +
+          s"$protectBefore first, then clean up the range in one pass")
     // v2 sidecar GC: sidecars referenced by any SURVIVING top file stay
     // (the live checkpoint reads through them); the rest, aged past
     // retention, are orphans of superseded checkpoints. Classic-NAMED

@@ -54,6 +54,23 @@ object DeltaWrite {
     * invariant another writer relies on). */
   private[delta] def requireWriterSupported(snap: Snapshot): Unit = {
     val p = snap.protocol
+    // NAMED refusal for collations (Delta 4.x, VERDICT r15 #5) ahead of
+    // the generic unknown-feature message: the feature declares
+    // non-binary comparison semantics on string columns, and this
+    // engine's DML predicates, CHECK constraints, and dedup keys all
+    // compare with BINARY semantics — a write could satisfy a constraint
+    // (or match a predicate) the table's declared collation says it
+    // shouldn't. Reads are unaffected and stay open: collations is
+    // writer-scoped, the parquet bytes are plain strings, and the read
+    // gate never consults writerFeatures.
+    if (p.minWriterVersion == 7 &&
+        p.writerFeatures.exists(fs => fs.exists(_.startsWith("collations"))))
+      throw new IllegalStateException(
+        "Table carries the 'collations' writer feature: its string columns " +
+          "declare non-binary comparison semantics that this writer's DML " +
+          "predicates, constraints, and dedup keys would evaluate with binary " +
+          "semantics — refusing to write (reads remain supported; the feature " +
+          "is writer-scoped)")
     val ok = p.minWriterVersion <= MaxSupportedWriterVersion ||
       (p.minWriterVersion == 7 &&
         p.writerFeatures.exists(_.forall(DeltaLog.SupportedWriterFeatures.contains)))
@@ -239,7 +256,76 @@ object DeltaWrite {
     } finally {
       if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     }
+    // ---- write-path auto-maintenance (VERDICT r15 #3) -------------------
+    // delta.autoOptimize.autoCompact (public delta-spark behavior): after
+    // the commit lands, a table whose partitions accreted enough small
+    // files compacts them in a follow-up dataChange=false commit — a
+    // streaming-ingest table no longer grows unbounded small files until
+    // a manual OPTIMIZE. The property set consulted is the one THIS
+    // commit made effective (caller's on create/schema-replace, the
+    // stored table properties on append — the statsConfig decision).
+    val effectiveConfig =
+      if (existing.isEmpty || (mode == "overwrite" && overwriteSchema)) configuration
+      else existing.map(_.metadata.configuration).getOrElse(Map.empty)
+    autoCompactIfNeeded(spark, path, effectiveConfig)
   }
+
+  /** True when a table property holds the string `true` (delta property
+    * convention: values are strings). */
+  private[delta] def boolProp(config: Map[String, String], key: String): Boolean =
+    config.get(key).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Target output file size for auto-maintenance:
+    * `delta.targetFileSize` in BYTES (numeric form only), default
+    * 128 MiB (the delta-spark auto-optimize bin size). */
+  private[delta] def targetFileBytesOf(config: Map[String, String]): Long =
+    config.get("delta.targetFileSize")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(128L * 1024 * 1024)
+
+  /** delta.autoOptimize.optimizeWrite (VERDICT r15 #3): coalesce the
+    * staged output to ~[[targetFileBytesOf]]-sized files BEFORE the data
+    * lands, so a 200-task upstream plan appending 10 MB does not commit
+    * 200 tiny files. The file count comes from the optimizer's size
+    * estimate over a ~3× in-memory-to-parquet compression factor; a plan
+    * with no usable estimate (sizeInBytes at the defaultSizeInBytes
+    * sentinel) keeps its shape rather than guessing. Partitioned tables
+    * repartition ON the partition columns so each hive partition's rows
+    * land in few tasks — one output file per (task, partition value),
+    * the delta-spark optimized-write layout. */
+  private def optimizeWriteShape(df: DataFrame, partitionBy: Seq[String],
+      config: Map[String, String]): DataFrame = {
+    if (!boolProp(config, "delta.autoOptimize.optimizeWrite")) df
+    else {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) df
+      else {
+        val target = targetFileBytesOf(config)
+        val n = ((est / 3 + target - 1) / target).toLong.max(1L).min(1 << 12).toInt
+        if (partitionBy.nonEmpty) df.repartition(n, partitionBy.map(col): _*)
+        else df.repartition(n)
+      }
+    }
+  }
+
+  /** Post-commit half of auto-maintenance: when the effective properties
+    * carry `delta.autoOptimize.autoCompact=true`, partitions that
+    * accreted ≥ minNumFiles files averaging below the target size
+    * compact through the standard OPTIMIZE path (dataChange=false
+    * commit; partitions below the threshold are untouched — compact's
+    * own qualification). minNumFiles: session conf
+    * `spark.graft.autoCompact.minNumFiles`, default 50 (the public
+    * auto-compact default). */
+  private def autoCompactIfNeeded(spark: SparkSession, path: String,
+      config: Map[String, String]): Unit =
+    if (boolProp(config, "delta.autoOptimize.autoCompact")) {
+      val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
+        .map(_.toInt).getOrElse(50)
+      DeltaMaintenance.compact(spark, path,
+        targetFileBytes = targetFileBytesOf(config),
+        minFilesToCompact = math.max(2, minN))
+    }
 
   /** Rename a logical frame to its on-disk shape under column mapping:
     * top-level columns take their physicalName (with `parquet.field.id`
@@ -299,7 +385,10 @@ object DeltaWrite {
     val statsConfig =
       if (existing.isEmpty || (mode == "overwrite" && overwriteSchema)) configuration
       else existing.map(_.metadata.configuration).getOrElse(Map.empty)
-    val adds = stageAndMove(df, spark, fs, path, stagingDir, stagePartitionBy, version,
+    // pre-commit half of auto-maintenance: optimizeWrite coalesces the
+    // staged shape under the same effective-property decision
+    val dfShaped = optimizeWriteShape(df, stagePartitionBy, statsConfig)
+    val adds = stageAndMove(dfShaped, spark, fs, path, stagingDir, stagePartitionBy, version,
       stageConstraints, statsConfig)
 
     // ---- control plane: single atomic commit ---------------------------

@@ -410,10 +410,17 @@ object Dedup {
           col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixed point = identical edge set (two cheap anti-join probes)
-      val changed =
-        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
-          edges.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      // fixed point = identical edge set. ONE full-outer probe over the
+      // two checkpointed sets replaces the former pair of anti-join
+      // probes (VERDICT r15 #6: at 10M+ pairs the per-round driver
+      // actions are the overhead to shave — this is 3 actions/round:
+      // two star checkpoints + one probe): a row with either side
+      // missing proves the sets differ, and limit(1) stops the scan at
+      // the first difference.
+      val changed = next.withColumn("__n", lit(1))
+        .join(edges.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__n").isNull || col("__e").isNull)
+        .limit(1).count() > 0
       edges = next
       converged = !changed
       i += 1

@@ -1217,6 +1217,69 @@ object DeltaQ {
         .orderBy($"c_custkey")
     }),
 
+    // Write-path auto-maintenance (VERDICT r15 #3): a table carrying
+    // delta.autoOptimize.optimizeWrite coalesces every write's staged
+    // shape (a 16-task create lands ONE file), and autoCompact fires a
+    // follow-up dataChange=false OPTIMIZE commit once a partition
+    // accretes minNumFiles small files — the small-file counts and the
+    // compaction commit are pinned in-query, the surviving content (the
+    // whole nation table, written once across five slices) strictly
+    // against the oracle.
+    "d61_auto_optimize" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp("d61")
+      val n = t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+      val props = Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true")
+      val prevMin = s.conf.getOption("spark.graft.autoCompact.minNumFiles")
+      s.conf.set("spark.graft.autoCompact.minNumFiles", "4")
+      try {
+        def nFiles: Int =
+          DeltaLog.forTable(s, path).snapshot(None).activeFiles.size
+        // CREATE from a deliberately 16-task plan: optimizeWrite must
+        // coalesce the landed shape to ONE file
+        GraftDelta.toDelta(n.filter($"n_nationkey" % 5 === 0).repartition(16),
+          path, configuration = props)
+        require(nFiles == 1, s"optimizeWrite create must land 1 file, got $nFiles")
+        // four appends (slices 1-4, each an 8-task plan → 1 coalesced
+        // file each); at the 4th file the table crosses minNumFiles=4
+        // and auto-compacts back to one, so the final count is 2
+        (1 to 4).foreach { i =>
+          GraftDelta.toDelta(n.filter($"n_nationkey" % 5 === i).repartition(8),
+            path, mode = "append")
+        }
+        require(nFiles == 2, s"autoCompact must leave 2 files (1 compacted + last append), got $nFiles")
+        // the compaction is an OPTIMIZE commit whose adds carry
+        // dataChange=false (readers of the change feed see no rows)
+        val hist = DeltaTableOps.history(s, path)
+          .select($"version".cast("long"), $"operation")
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+        val optVersions = hist.filter(_._2 == "OPTIMIZE").map(_._1)
+        require(optVersions.length == 1, s"exactly one auto OPTIMIZE: ${hist.mkString(", ")}")
+        val optJson = java.nio.file.Paths.get(path, "_delta_log",
+          f"${optVersions.head}%020d.json")
+        val addLines = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(optJson)).asScala
+          .filter(_.contains("\"add\""))
+        require(addLines.nonEmpty &&
+          addLines.forall(_.contains("\"dataChange\":false")),
+          "auto-compaction adds must carry dataChange=false")
+        GraftDelta.readDelta(s, path)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+          .withColumn("files_after_create", lit(1L))
+          .withColumn("files_final", lit(nFiles.toLong))
+          .withColumn("n_optimize_commits", lit(optVersions.length.toLong))
+          .orderBy($"n_nationkey")
+      } finally {
+        prevMin match {
+          case Some(v) => s.conf.set("spark.graft.autoCompact.minNumFiles", v)
+          case None => s.conf.unset("spark.graft.autoCompact.minNumFiles")
+        }
+      }
+    }),
+
     // Complex types END-TO-END through the engine's own paths: ArrayType,
     // MapType, DecimalType(38,6) + (18,2), and a struct-of-array column
     // go write → stats harvest (decimal JSON encoding is the known hard
@@ -1667,6 +1730,12 @@ object DeltaQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "d61_auto_optimize" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(1 AS BIGINT) AS files_after_create,
+        | CAST(2 AS BIGINT) AS files_final,
+        | CAST(1 AS BIGINT) AS n_optimize_commits
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "d60_concurrent_rebase" ->
       """WITH m AS (SELECT CAST(MAX(c_custkey) AS BIGINT) // 2 AS k FROM customer)
         |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,

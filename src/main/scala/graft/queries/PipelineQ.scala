@@ -33,6 +33,37 @@ object PipelineQ {
   private[graft] def skipInQueryOracles: Boolean =
     java.lang.Boolean.getBoolean("graft.bench.skipInQueryOracles")
 
+  /** Merge-round count shared by the t66/t67 queries and their oracles. */
+  private val BpeTrainMergeCount = 8
+
+  /** The BPE-training replay as DuckDB CTEs (w0, s0, then p/b/s per
+    * round): words encode as strings of individually chr(31)-wrapped
+    * symbols, so one `replace` of the wrapped pair pattern is exactly
+    * the greedy left-to-right non-overlapping merge; b<k> holds round
+    * k's winning (l, r, cnt) under the total (count desc, l, r)
+    * tie-break. Callers append their own final SELECT. */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val sep = "chr(31)"
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS (SELECT ls[i] AS l, ls[i+1] AS r, c
+         |  FROM (SELECT list_filter(string_split(s, $sep), x -> len(x) > 0) AS ls, c
+         |        FROM s${k - 1}) t,
+         |       LATERAL UNNEST(generate_series(1, len(ls)-1)) AS u(i)),
+         |b$k AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM p$k GROUP BY l, r
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$k AS (SELECT replace(t.s, $sep || b.l || $sep || $sep || b.r || $sep,
+         |                       $sep || b.l || b.r || $sep) AS s, t.c
+         |        FROM s${k - 1} t CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT array_to_string([$sep || word[i] || $sep
+       |          FOR i IN generate_series(1, length(word))], '') AS s, c FROM w0),
+       |$rounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on full text: counts in vs out (identity on this corpus).
     "t01_dedup_exact" -> ((s, dir) => {
@@ -824,6 +855,55 @@ object PipelineQ {
     "t49_bpe_tokens" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.bpeTokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // BPE merge-rule TRAINING (Sennrich ACL'16) — the step upstream of
+    // t49: the 8 most-frequent adjacent symbol pairs, learned round by
+    // round from the corpus word-frequency table with a total
+    // (count desc, left, right) tie-break. The oracle replays EVERY
+    // round — pair counting, winner selection, greedy merge application —
+    // as unrolled SQL over a delimiter-wrapped symbol-string encoding.
+    "t66_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", BpeTrainMergeCount)
+        .orderBy($"merge_rank")
+    }),
+
+    // PII redaction (the rewrite t17's pii stats only measure): PII is
+    // SEEDED deterministically into the corpus (emails on doc_id%3=0,
+    // phones on %4=1, IPv4 on %5=2 — some docs carry several, most
+    // none), then emails → <EMAIL>, phones → <PHONE>, IPs → <IP>
+    // sequentially with per-type counts. The oracle mirrors seeding,
+    // the RE2-safe patterns, and the sequential count/replace chain, so
+    // the redacted TEXT itself is hash-compared.
+    "t68_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val seeded = t(s, dir, "documents").select($"doc_id", concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" reach user"), $"doc_id", lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 === 1,
+          concat(lit(" call +1 (555) 010-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 2,
+          concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPiiTyped(seeded, "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Train-then-apply end to end (the "t49 rerun on the learned
+    // vocabulary"): the 8 learned merges become the vocabulary for the
+    // SAME codegen'd greedy longest-match walk kernel t49 runs; the
+    // oracle replays training AND the per-character walk.
+    "t67_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val vocab = TextAnalysis.bpeTrainMerges(d, "text", BpeTrainMergeCount)
+        .map { case (_, l, r, _) => l + r }.distinct.toIndexedSeq
+      TextAnalysis.bpeTokenStats(d, "doc_id", "text", vocab)
         .orderBy($"doc_id")
     }),
 
@@ -1947,6 +2027,76 @@ object PipelineQ {
       val vocabVals = TextAnalysis.BpeVocab
         .map(v => s"('${v.replace("'", "''")}')").mkString(", ")
       s"""WITH RECURSIVE vocab(v) AS (VALUES $vocabVals),
+         |walk(doc_id, pos, ntok, ck) AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    w.pos + coalesce((SELECT max(length(t.v)) FROM vocab t
+         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1),
+         |    w.ntok + 1,
+         |    w.ck + (w.ntok + 1) * coalesce((SELECT max(length(t.v)) FROM vocab t
+         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1)
+         |  FROM walk w JOIN documents d USING (doc_id)
+         |  WHERE w.pos <= length(d.text))
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       f.ntok AS bpe_tokens, f.ck AS bpe_checksum
+         |FROM documents d
+         |JOIN (SELECT doc_id, max(ntok) AS ntok, max(ck) AS ck
+         |      FROM walk GROUP BY doc_id) f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // BPE training replay: each word encodes as a string of
+    // individually chr(31)-wrapped symbols (every symbol carries its OWN
+    // delimiter pair, so one `replace` of the wrapped pair pattern is
+    // exactly the greedy left-to-right non-overlapping merge — adjacent
+    // occurrences never share a delimiter). 8 unrolled rounds of
+    // count → top-1 → merge mirror the engine's loop bit-for-bit.
+    "t66_bpe_train" -> {
+      val unioned = (1 to BpeTrainMergeCount).map(k =>
+        s"SELECT $k AS k, l, r, cnt FROM b$k").mkString("\n  UNION ALL ")
+      s"""WITH ${bpeTrainCtes(BpeTrainMergeCount)}
+         |SELECT CAST(k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+         |       cnt AS pair_count
+         |FROM ($unioned)
+         |ORDER BY merge_rank""".stripMargin
+    },
+    "t68_pii_redact" -> {
+      import graft.operators.TextAnalysis.{EmailRe, PhoneRe, Ipv4Re}
+      def esc(re: String) = re.replace("'", "''")
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 1
+         |      THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 2
+         |      THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '${esc(EmailRe)}')) AS BIGINT) AS n_emails,
+         |         regexp_replace(text, '${esc(EmailRe)}', '<EMAIL>', 'g') AS t1
+         |       FROM seeded),
+         |r2 AS (SELECT doc_id, n_emails,
+         |         CAST(len(regexp_extract_all(t1, '${esc(PhoneRe)}')) AS BIGINT) AS n_phones,
+         |         regexp_replace(t1, '${esc(PhoneRe)}', '<PHONE>', 'g') AS t2
+         |       FROM r1)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '${esc(Ipv4Re)}', '<IP>', 'g') AS clean_text,
+         |  n_emails, n_phones,
+         |  CAST(len(regexp_extract_all(t2, '${esc(Ipv4Re)}')) AS BIGINT) AS n_ips
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
+    // Train-then-apply: the same 8 training rounds produce the learned
+    // vocabulary, which then drives t49's greedy longest-match recursive
+    // walk — the full tokenizer pipeline (learn merges -> tokenize the
+    // corpus) replayed end to end in one oracle.
+    "t67_bpe_apply" -> {
+      val vocab = (1 to BpeTrainMergeCount).map(k =>
+        s"SELECT l || r AS v FROM b$k").mkString("\n  UNION ")
+      s"""WITH RECURSIVE ${bpeTrainCtes(BpeTrainMergeCount)},
+         |vocab AS ($vocab),
          |walk(doc_id, pos, ntok, ck) AS (
          |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |  FROM documents

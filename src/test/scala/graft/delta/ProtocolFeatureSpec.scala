@@ -199,6 +199,79 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(e.getMessage.contains("collations-preview"), e.getMessage)
   }
 
+  test("collations: reads stay open, writes refuse BY NAME (VERDICT r15 #5)") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 9).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path) // v0
+    val log = DeltaLog.forTable(spark, path)
+    // foreign upgrade: writer-7 with the collations feature (correctly
+    // writer-scoped — readerFeatures untouched)
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(1, 7, writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+ "collations")
+          .distinct))))
+    // read side: collation metadata never changes the parquet bytes
+    assert(GraftDelta.readDelta(spark, path).count() == 9L,
+      "collations is writer-scoped; reads must stay open")
+    // write side: a NAMED refusal explaining the comparison-semantics
+    // hazard, not the generic unknown-feature message
+    val e = intercept[IllegalStateException] {
+      GraftDelta.toDelta(Seq((100L, "x")).toDF("k", "v"), path, mode = "append")
+    }
+    assert(e.getMessage.contains("collations") &&
+      e.getMessage.contains("binary"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<", 5L)))))
+    assert(e2.getMessage.contains("collations"), e2.getMessage)
+  }
+
+  test("checkpointProtection: writes pass, partial log truncation refuses by name") {
+    import spark.implicits._
+    val path = tmp()
+    val df = (1 to 6).map(i => (i.toLong, s"s$i")).toDF("k", "v")
+    GraftDelta.toDelta(df, path)                                           // v0
+    val log = DeltaLog.forTable(spark, path)
+    // foreign upgrade: writer-7 + checkpointProtection, history below
+    // version 4 protected
+    val meta0 = log.snapshot(None).metadata
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(1, 7, writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+
+          "checkpointProtection").distinct)),
+      meta0.copy(configuration = meta0.configuration +
+        ("delta.requireCheckpointProtectionBeforeVersion" -> "4"))))       // v1
+    // ordinary writes never truncate history → they pass the gate
+    GraftDelta.toDelta(df.withColumn("k", $"k" + 100L), path, mode = "append") // v2
+    GraftDelta.toDelta(df.withColumn("k", $"k" + 200L), path, mode = "append") // v3
+    assert(GraftDelta.readDelta(spark, path).count() == 18L)
+    // a checkpoint INSIDE the protected range (< 4) must not authorize
+    // truncating below it — named refusal, both retention modes
+    log.writeCheckpoint(2L)
+    val e = intercept[IllegalStateException](
+      DeltaMaintenance.cleanupLog(spark, path, retentionHours = 0.0, dryRun = true))
+    assert(e.getMessage.contains("checkpointProtection") &&
+      e.getMessage.contains("4"), e.getMessage)
+    val eTrunc = intercept[IllegalStateException](
+      DeltaMaintenance.cleanupLog(spark, path, retentionHours = 0.0,
+        dryRun = false, ignoreRetention = true))
+    assert(eTrunc.getMessage.contains("checkpointProtection"), eTrunc.getMessage)
+    // nothing was deleted by the refused calls
+    assert(log.listCommitVersions.min == 0L, "protected commits must survive")
+    // the protocol's escape hatch: a checkpoint AT/PAST the protected
+    // version lets the whole range clean up in one pass
+    GraftDelta.toDelta(df.withColumn("k", $"k" + 300L), path, mode = "append") // v4
+    log.writeCheckpoint(4L)
+    Thread.sleep(5) // ms-granularity mtimes must fall strictly below the cutoff
+    val removed = DeltaMaintenance.cleanupLog(spark, path,
+      retentionHours = 0.0, dryRun = false)
+    assert(removed.exists(_.startsWith("00000000000000000000")),
+      s"one-pass cleanup past the boundary must proceed: $removed")
+    assert(GraftDelta.readDelta(spark, path).count() == 24L,
+      "table reads fine from the post-boundary checkpoint")
+  }
+
   test("typeWidening tables read files through the current (widened) schema") {
     import org.apache.spark.sql.types._
     import spark.implicits._

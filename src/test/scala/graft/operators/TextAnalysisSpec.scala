@@ -289,6 +289,103 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0L)._1 < texts(0).length)
   }
 
+  test("bpeTrainMerges matches a pure-Scala trainer; learned vocab drives the walk (VERDICT r15 #2)") {
+    import spark.implicits._
+    // reference trainer: word-frequency weighting, total (count desc,
+    // left, right) tie-break, greedy left-to-right scan-with-skip merge
+    def refTrain(texts: Seq[String], m: Int): Seq[(Long, String, String, Long)] = {
+      def merge(syms: Vector[String], l: String, r: String): Vector[String] = {
+        val b = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.result()
+      }
+      var words: Seq[(Vector[String], Long)] =
+        texts.flatMap(_.split(" ").filter(_.nonEmpty))
+          .groupBy(identity).toSeq
+          .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var rank = 1L
+      var go = true
+      while (rank <= m && go) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) += c) }
+        if (counts.isEmpty) go = false
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((rank, l, r, c))
+          words = words.map { case (syms, n) => merge(syms, l, r) -> n }
+          rank += 1
+        }
+      }
+      out.toSeq
+    }
+    // engineered shapes: tied counts (lexicographic break must decide),
+    // same-symbol runs (overlap handling), repeated words
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the mat the cat the hat",
+      "banana bandana cabana",
+      "aaaa aaa aa",
+      "zz zz zz zz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(df, "text", 6)
+    assert(got == refTrain(texts, 6), s"trainer drifted:\n$got\nvs\n${refTrain(texts, 6)}")
+    // the real corpus — every round, not just toy shapes
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSeq
+    val gotC = TextAnalysis.bpeTrainMerges(corpus, "text", 8)
+    assert(gotC == refTrain(corpusTexts, 8), "corpus training drifted")
+    assert(gotC.size == 8)
+    // t49 rerun on the LEARNED vocabulary: the trained merges feed the
+    // same greedy longest-match kernel, checked against the pure-Scala
+    // walk reference per doc
+    val learnedVocab = gotC.map { case (_, l, r, _) => l + r }.distinct.toIndexedSeq
+    assert(learnedVocab.forall(_.length >= 2))
+    val walked = TextAnalysis.bpeTokenStats(corpus, "doc_id", "text", learnedVocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    corpus.select("doc_id", "text").collect().foreach { r =>
+      assert(walked(r.getLong(0)) == bpeRef(r.getString(1), learnedVocab),
+        s"learned-vocab walk drifted on doc ${r.getLong(0)}")
+    }
+  }
+
+  test("redactPii: hand-computed counts, sequential redaction, RE2-safe patterns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c_d@x-y.co.uk now"),
+      (2L, "call +1 (555) 010-1234 soon"),
+      (3L, "host 192.168.0.1 and 10.0.0.7"),
+      (4L, "u1@a.io or u2@b.org, tel 555 123 4567, ip 8.8.8.8"),
+      (5L, "no pii here 12 34"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPiiTyped(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "mail <EMAIL> now", 1L, 0L, 0L),
+      (2L, "call <PHONE> soon", 0L, 1L, 0L),
+      (3L, "host <IP> and <IP>", 0L, 0L, 2L),
+      (4L, "<EMAIL> or <EMAIL>, tel <PHONE>, ip <IP>", 2L, 1L, 1L),
+      (5L, "no pii here 12 34", 0L, 0L, 0L),
+      (6L, "", 0L, 0L, 0L)), got.mkString("\n"))
+    // idempotence: redacting redacted text changes nothing (placeholders
+    // carry no digits or @)
+    val again = TextAnalysis.redactPiiTyped(
+        TextAnalysis.redactPiiTyped(df, "doc_id", "text")
+          .select($"doc_id", $"clean_text".as("text")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.map(_._2).toSeq == got.map(_._2).toSeq)
+    assert(again.forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L))
+  }
+
   test("duplicateSegmentStats: hand-computed fractions and Gopher keep flag") {
     import spark.implicits._
     val df = Seq(
