@@ -130,7 +130,16 @@ object ScaleProbe {
           table("documents"), "source", "doc_id", 100).count()),
       "temperature_mix" -> (() =>
         operators.Sampling.temperatureRebalance(
-          table("documents"), "source", "doc_id", perSqrt = 2).count()))
+          table("documents"), "source", "doc_id", perSqrt = 2).count()),
+      "bpe_train" -> (() =>
+        operators.TextAnalysis.bpeTrainMerges(table("documents"), "text", 8)
+          .map(_._4).sum),
+      "pii_redact" -> (() => {
+        import org.apache.spark.sql.functions.sum
+        operators.TextAnalysis.redactPiiTyped(table("documents"), "doc_id", "text")
+          .agg(sum("n_emails") + sum("n_phones") + sum("n_ips"))
+          .head().getLong(0)
+      }))
 
     probes.filter(p => only.forall(_.contains(p._1))).foreach { case (name, f) =>
       val t0 = System.nanoTime()

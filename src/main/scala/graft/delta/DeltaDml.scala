@@ -340,6 +340,11 @@ object DeltaDml {
     if (checkpointInterval > 0 && committed %
       DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
+    // DML rewrites produce files too — a delta.autoOptimize.autoCompact
+    // table compacts after DML exactly like after appends (delta-spark
+    // behavior); a separate dataChange=false commit, inert without the
+    // property
+    DeltaWrite.autoCompactIfNeeded(spark, path, snap.metadata.configuration)
     DmlResult(affected, fullRemoves.size, 0, readds.size + newAdds.size)
   }
 
@@ -589,6 +594,7 @@ object DeltaDml {
     if (checkpointInterval > 0 && committed %
       DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
+    DeltaWrite.autoCompactIfNeeded(spark, path, snap.metadata.configuration)
     DmlResult(affected, removes.size, partial.size, adds.size)
   }
 
@@ -1157,6 +1163,7 @@ object DeltaDml {
     if (checkpointInterval > 0 && committed %
       DeltaLog.checkpointIntervalOf(snap.metadata, checkpointInterval) == 0)
       log.writeCheckpoint(committed)
+    DeltaWrite.autoCompactIfNeeded(spark, path, snap.metadata.configuration)
     MergeResult(matchedRows, math.max(inserted, 0L), removes.size, adds.size)
   }
 

@@ -317,7 +317,7 @@ object DeltaWrite {
     * own qualification). minNumFiles: session conf
     * `spark.graft.autoCompact.minNumFiles`, default 50 (the public
     * auto-compact default). */
-  private def autoCompactIfNeeded(spark: SparkSession, path: String,
+  private[delta] def autoCompactIfNeeded(spark: SparkSession, path: String,
       config: Map[String, String]): Unit =
     if (boolProp(config, "delta.autoOptimize.autoCompact")) {
       val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")

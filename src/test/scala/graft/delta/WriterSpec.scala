@@ -406,6 +406,29 @@ class WriterSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
   }
 
+  test("autoCompact triggers after DML too (MERGE inserts cross the threshold)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "4")
+    try {
+      val p = tmp()
+      val base = (0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      GraftDelta.toDelta(base.coalesce(1), p,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
+      // an 8-task insert-only MERGE lands many small files, crossing
+      // minNumFiles — the post-DML hook must compact them
+      val src = (100 until 140).map(i => (i.toLong, s"n$i")).toDF("k", "v").repartition(8)
+      GraftDelta.mergeInto(spark, p, src, on = Seq("k"))
+      val log = DeltaLog.forTable(spark, p)
+      assert(log.snapshot(None).activeFiles.size <= 2,
+        s"post-MERGE autoCompact must collapse the inserts: " +
+          s"${log.snapshot(None).activeFiles.size} files")
+      val hist = DeltaTableOps.history(spark, p)
+        .select("operation").collect().map(_.getString(0))
+      assert(hist.contains("OPTIMIZE") && hist.contains("MERGE"), hist.mkString(", "))
+      assert(GraftDelta.readDelta(spark, p).count() == 60)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+  }
+
   test("replaceWhere overwrites only the matching partitions' files") {
     import spark.implicits._
     val path = tmp()

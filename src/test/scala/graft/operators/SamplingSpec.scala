@@ -331,6 +331,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(tempPlan.contains("__thr"), "temperatureRebalance lost the threshold bound")
   }
 
+  test("bounded samplers keep NULL and non-string groups intact") {
+    import spark.implicits._
+    // a NULL group must survive the broadcast threshold join (equality
+    // join would silently drop it — the NullGroupKey sentinel keeps it
+    // as its own partition, matching window semantics)
+    val docs = (1L to 300L).map { id =>
+      val g = if (id % 3 == 0) null else s"s${id % 2}"
+      (id, Seq.fill(4)("w").mkString(" "), g)
+    }.toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+        defaultBudget = 40L)
+      .collect().map(r => (Option(r.getString(1)), r.getLong(3)))
+    val byG = out.groupBy(_._1)
+    assert(byG.keySet == Set(None, Some("s0"), Some("s1")),
+      s"null group lost: ${byG.keySet}")
+    byG.foreach { case (g, rows) =>
+      assert(rows.map(_._2).max == 40L, s"$g must fill its 40-token budget")
+    }
+    // non-string group column: the histogram round-trips through the
+    // driver as a string — an INT group must not ClassCastException
+    val intGrouped = (1L to 200L).map(id => (id, "a b c", (id % 4).toInt))
+      .toDF("doc_id", "text", "grp")
+    val got = Sampling.stratifiedSample(intGrouped, "grp", "doc_id", 10)
+      .groupBy("grp").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L), got.toString)
+  }
+
   test("stratified/temperature exactness vs the unbounded window formula") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
