@@ -134,6 +134,9 @@ object ScaleProbe {
       "bpe_train" -> (() =>
         operators.TextAnalysis.bpeTrainMerges(table("documents"), "text", 8)
           .map(_._4).sum),
+      "bpe_train_batched" -> (() =>
+        operators.TextAnalysis.bpeTrainMergesBatched(table("documents"), "text",
+          8, batch = 8).map(_._4).sum),
       "pii_redact" -> (() => {
         import org.apache.spark.sql.functions.sum
         operators.TextAnalysis.redactPiiTyped(table("documents"), "doc_id", "text")

@@ -70,29 +70,52 @@ object TextAnalysis {
     *
     * Returns the merge table rows (rank 1.., left, right, pair count). */
   def bpeTrainMerges(df: DataFrame, textCol: String,
-      numMerges: Int): Seq[(Long, String, String, Long)] = {
+      numMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeTrainMergesBatched(df, textCol, numMerges, batch = 1)
+
+  /** The greedy left-to-right merge of one rule (l, r) as a fold:
+    * replace the accumulator's LAST symbol when (last, current) = (l, r).
+    * Equivalent to the scan-with-skip formulation because a merged
+    * token l+r can never equal l (r is non-empty), so a token produced
+    * by this round's rule never re-matches as the left side of itself. */
+  private def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, c) =>
+        when(slice(acc, -1, 1) === array(lit(l)) && c === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(c))))
+
+  /** BATCHED BPE training — the scale path to production-size merge
+    * lists: real vocabularies carry 10^4–10^5 merges, and one Spark
+    * round per merge would mean that many serial pair-count passes over
+    * the word table. This variant takes up to `batch` SYMBOL-DISJOINT
+    * merges from each round's pair counts: within one round, rule j is
+    * the top (count desc, l, r) pair sharing NO symbol with rules 1..j−1
+    * of the same round. Disjoint merges commute exactly — neither the
+    * occurrence counts nor the application result of one is affected by
+    * the other — so each round's rules apply in rank order with no
+    * recount, and the expensive stage (the pair-count aggregation over
+    * the word table) runs merges/batch times instead of merges times.
+    *
+    * `batch = 1` IS sequential BPE (pinned in TextAnalysisSpec). For
+    * `batch > 1` the learned rule SET can differ from sequential BPE's
+    * exactly where a token minted mid-round would have outranked a
+    * lower-ranked batch member — the standard frequency-batched
+    * trade-off; the algorithm stays fully deterministic and an oracle
+    * replays it round for round. */
+  def bpeTrainMergesBatched(df: DataFrame, textCol: String,
+      numMerges: Int, batch: Int): Seq[(Long, String, String, Long)] = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges must be in [1, 64]: $numMerges")
-    // the greedy left-to-right merge of one rule (l, r) as a fold:
-    // replace the accumulator's LAST symbol when (last, current) = (l, r).
-    // Equivalent to the scan-with-skip formulation because a merged
-    // token l+r can never equal l (r is non-empty), so a token produced
-    // by this round's rule never re-matches as the left side of itself.
-    def mergeOnce(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, c) =>
-          when(slice(acc, -1, 1) === array(lit(l)) && c === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(c))))
+    require(batch >= 1 && batch <= 8, s"batch must be in [1, 8]: $batch")
     var words = df
       .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(filter(split(col("w"), ""), s => s =!= "").as("syms"), col("c"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var rank = 1
     var exhausted = false
-    while (rank <= numMerges && !exhausted) {
+    while (merges.size < numMerges && !exhausted) {
       val pairs = words.select(col("c"), explode(
           when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
@@ -101,19 +124,36 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("c")).as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .persist()
+      val take = math.min(batch, numMerges - merges.size)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var j = 0
+      var roundDone = false
+      while (j < take && !roundDone) {
+        val used = picked.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+        val cand =
+          if (used.isEmpty) pairs
+          else pairs.filter(!col("l").isin(used: _*) && !col("r").isin(used: _*))
+        val best = cand.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) roundDone = true
+        else picked += ((best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
+        j += 1
+      }
+      pairs.unpersist(blocking = false)
+      if (picked.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank.toLong, l, r, cnt))
-        // localCheckpoint blocks from superseded rounds are reclaimed by
-        // the ContextCleaner once unreferenced (and the bench harness
-        // unpersists all persistent RDDs between queries)
-        words = words
-          .select(mergeOnce(col("syms"), l, r).as("syms"), col("c"))
-          .localCheckpoint()
-        rank += 1
+        picked.foreach { case (l, r, cnt) =>
+          merges += ((merges.size + 1L, l, r, cnt))
+        }
+        // apply the round's disjoint rules in rank order inside ONE
+        // rewrite + checkpoint (localCheckpoint blocks from superseded
+        // rounds are reclaimed by the ContextCleaner once unreferenced;
+        // the bench harness unpersists between queries)
+        val newSyms = picked.foldLeft(col("syms")) {
+          case (c, (l, r, _)) => mergeOnce(c, l, r)
+        }
+        words = words.select(newSyms.as("syms"), col("c")).localCheckpoint()
       }
     }
     merges.toSeq
@@ -123,6 +163,13 @@ object TextAnalysis {
     * (merge_rank, lhs, rhs, pair_count), ordered by rank. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
     df.sparkSession.createDataFrame(bpeTrainMerges(df, textCol, numMerges))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+
+  /** [[bpeTrainMergesBatched]] as a harness-checkable frame. */
+  def bpeTrainBatched(df: DataFrame, textCol: String,
+      numMerges: Int, batch: Int): DataFrame =
+    df.sparkSession.createDataFrame(
+        bpeTrainMergesBatched(df, textCol, numMerges, batch))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
 
   /** Per-document tokenizer-accurate statistics: greedy longest-match

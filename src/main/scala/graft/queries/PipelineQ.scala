@@ -894,6 +894,18 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // BATCHED BPE training (the scale path to 10^4-merge vocabularies):
+    // 2 symbol-disjoint merges per pair-count round — the expensive
+    // word-table aggregation runs 4 times for 8 rules instead of 8.
+    // Disjoint merges commute exactly; the oracle replays each round's
+    // top-1 + disjoint-top-1 selection and both replaces.
+    "t69_bpe_train_batched" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), "text",
+          BpeTrainMergeCount, batch = 2)
+        .orderBy($"merge_rank")
+    }),
+
     // Train-then-apply end to end (the "t49 rerun on the learned
     // vocabulary"): the 8 learned merges become the vocabulary for the
     // SAME codegen'd greedy longest-match walk kernel t49 runs; the
@@ -2058,6 +2070,51 @@ object PipelineQ {
       s"""WITH ${bpeTrainCtes(BpeTrainMergeCount)}
          |SELECT CAST(k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
          |       cnt AS pair_count
+         |FROM ($unioned)
+         |ORDER BY merge_rank""".stripMargin
+    },
+    // Batched-training replay: per round, c{k}1 = the global top pair
+    // and c{k}2 = the top pair sharing NO symbol with c{k}1; both apply
+    // via the same delimiter-wrapped replace (disjoint rules commute, so
+    // nested replaces = rank-order application). A LEFT JOIN ON TRUE
+    // keeps the round alive when no disjoint second pair exists; the
+    // final row_number over (round, slot) renumbers compactly, exactly
+    // like the engine's sequential rank assignment.
+    "t69_bpe_train_batched" -> {
+      val sep = "chr(31)"
+      val rounds = BpeTrainMergeCount / 2
+      val roundCtes = (1 to rounds).map { k =>
+        s"""p$k AS (SELECT ls[i] AS l, ls[i+1] AS r, c
+           |  FROM (SELECT list_filter(string_split(s, $sep), x -> len(x) > 0) AS ls, c
+           |        FROM s${k - 1}) t,
+           |       LATERAL UNNEST(generate_series(1, len(ls)-1)) AS u(i)),
+           |a$k AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM p$k GROUP BY l, r),
+           |c${k}x AS (SELECT l, r, cnt FROM a$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |c${k}y AS (SELECT a.l, a.r, a.cnt FROM a$k a, c${k}x b
+           |           WHERE a.l <> b.l AND a.l <> b.r AND a.r <> b.l AND a.r <> b.r
+           |           ORDER BY a.cnt DESC, a.l, a.r LIMIT 1),
+           |s$k AS (
+           |  SELECT CASE WHEN b2.l IS NULL THEN t1.r1
+           |         ELSE replace(t1.r1, $sep || b2.l || $sep || $sep || b2.r || $sep,
+           |                      $sep || b2.l || b2.r || $sep) END AS s, t1.c
+           |  FROM (SELECT replace(t.s, $sep || b1.l || $sep || $sep || b1.r || $sep,
+           |                       $sep || b1.l || b1.r || $sep) AS r1, t.c
+           |        FROM s${k - 1} t CROSS JOIN c${k}x b1) t1
+           |  LEFT JOIN c${k}y b2 ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val unioned = (1 to rounds).flatMap(k => Seq(
+        s"SELECT $k AS rnd, 1 AS slot, l, r, cnt FROM c${k}x",
+        s"SELECT $k AS rnd, 2 AS slot, l, r, cnt FROM c${k}y"))
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |s0 AS (SELECT array_to_string([$sep || word[i] || $sep
+         |          FOR i IN generate_series(1, length(word))], '') AS s, c FROM w0),
+         |$roundCtes
+         |SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT) AS merge_rank,
+         |       l AS lhs, r AS rhs, cnt AS pair_count
          |FROM ($unioned)
          |ORDER BY merge_rank""".stripMargin
     },

@@ -355,6 +355,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrainMergesBatched: batch=1 IS sequential BPE; batch=2 matches a batched reference") {
+    import spark.implicits._
+    def merge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    // pure-Scala batched reference: per round, greedy symbol-disjoint
+    // top picks from ONE count pass, applied in rank order
+    def refBatched(texts: Seq[String], m: Int, k: Int): Seq[(Long, String, String, Long)] = {
+      var words: Seq[(Vector[String], Long)] =
+        texts.flatMap(_.split(" ").filter(_.nonEmpty))
+          .groupBy(identity).toSeq
+          .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var go = true
+      while (out.size < m && go) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        words.foreach { case (s, c) => s.zip(s.tail).foreach(p => counts(p) += c) }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var j = 0
+        var stop = false
+        while (j < math.min(k, m - out.size) && !stop) {
+          val used = picked.flatMap(p => Seq(p._1, p._2)).toSet
+          val cands = counts.toSeq.filter { case ((l, r), _) =>
+            !used.contains(l) && !used.contains(r) }
+          if (cands.isEmpty) stop = true
+          else {
+            val ((l, r), c) = cands.minBy { case ((a, b), n) => (-n, a, b) }
+            picked += ((l, r, c))
+          }
+          j += 1
+        }
+        if (picked.isEmpty) go = false
+        else {
+          picked.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, c)) }
+          words = words.map { case (s, c) =>
+            picked.foldLeft(s) { case (acc, (l, r, _)) => merge(acc, l, r) } -> c }
+        }
+      }
+      out.toSeq
+    }
+    val texts = Seq(
+      "the cat sat on the mat", "the mat the cat the hat",
+      "banana bandana cabana", "aaaa aaa aa", "zz zz zz zz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // batch=1 must equal the sequential trainer EXACTLY
+    assert(TextAnalysis.bpeTrainMergesBatched(df, "text", 6, batch = 1) ==
+      TextAnalysis.bpeTrainMerges(df, "text", 6))
+    // batch=2 matches the batched reference on toy + real corpus
+    assert(TextAnalysis.bpeTrainMergesBatched(df, "text", 6, batch = 2) ==
+      refBatched(texts, 6, 2))
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSeq
+    val gotC = TextAnalysis.bpeTrainMergesBatched(corpus, "text", 8, batch = 2)
+    assert(gotC == refBatched(corpusTexts, 8, 2), "batched corpus training drifted")
+    assert(gotC.size == 8)
+  }
+
   test("redactPii: hand-computed counts, sequential redaction, RE2-safe patterns") {
     import spark.implicits._
     val df = Seq(
