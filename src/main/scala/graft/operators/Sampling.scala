@@ -154,7 +154,17 @@ object Sampling {
   /** Join-key sentinel for a NULL group in [[boundedPrefix]]'s broadcast
     * threshold join (equality join drops nulls; the sentinel keeps a
     * null group as its own partition, matching window semantics). */
-  private val NullGroupKey = " <null-group>"
+  private val NullGroupKey = "\u0000<null-group>"
+
+  /** The bounded samplers add internal scaffolding columns; an input
+    * frame already carrying one would be silently overwritten and then
+    * dropped -- refuse loudly instead. */
+  private def requireNoScaffolding(df: DataFrame, fn: String): Unit = {
+    val clash = df.columns.toSet
+      .intersect(Set("__h", "__m", "__gs", "__thr", "__need", "__rk"))
+    require(clash.isEmpty,
+      s"$fn uses internal column(s) ${clash.mkString(", ")} -- rename them in the input frame")
+  }
 
   /** Two-round broadcast-threshold bound for per-group prefix selections
     * (VERDICT r15 #1 — the same shape as the KMV sketch's threshold,
@@ -225,6 +235,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
       buckets: Int = 1 << 20): DataFrame = {
     require(n > 0, s"n must be positive: $n")
+    requireNoScaffolding(df, "stratifiedSample")
     val proj = df.withColumn("__h", hashBucket(col(idCol), buckets))
       .withColumn("__m", lit(1L))
     val bounded = boundedPrefix(proj, groupCol, (_, _) => n - 1L)
@@ -263,6 +274,7 @@ object Sampling {
   def temperatureRebalance(df: DataFrame, groupCol: String, idCol: String,
       perSqrt: Int, buckets: Int = 1 << 20): DataFrame = {
     require(perSqrt > 0, s"perSqrt must be positive: $perSqrt")
+    requireNoScaffolding(df, "temperatureRebalance")
     val proj = df.withColumn("__h", hashBucket(col(idCol), buckets))
       .withColumn("__m", lit(1L))
     def quota(ng: Long): Long =
@@ -371,6 +383,7 @@ object Sampling {
     require(defaultBudget >= 0, s"budget must be non-negative: $defaultBudget")
     require(budgets.values.forall(_ >= 0L),
       s"budgets must be non-negative: $budgets")
+    requireNoScaffolding(df, "tokenBudgetSample")
     val proj = df.select(col(idCol), col(groupCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         shuffleKey(col(idCol), seed).as("__h"))

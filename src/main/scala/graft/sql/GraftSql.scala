@@ -85,7 +85,7 @@ object GraftSql {
 
   private val DvHint = """(?is)/\*\+\s*DV\s*\*/"""
 
-  /** Mask the contents of '…' and "…" literals with , preserving
+  /** Mask the contents of '…' and "…" literals with \u0001, preserving
     * length, so the statement-shape regexes can't match keywords hiding
     * inside string literals (`UPDATE t SET s = 'a WHERE b'` must not
     * split at the quoted WHERE). Positions in the masked text equal
@@ -106,9 +106,9 @@ object GraftSql {
       val c = sb.charAt(i)
       if (inQ != 0) {
         if (c == '\\' && i + 1 < sb.length) {
-          sb.setCharAt(i, ''); i += 1; sb.setCharAt(i, '')
+          sb.setCharAt(i, '\u0001'); i += 1; sb.setCharAt(i, '\u0001')
         } else if (c == inQ) inQ = 0
-        else sb.setCharAt(i, '')
+        else sb.setCharAt(i, '\u0001')
       }
       else if (c == '\'' || c == '"') inQ = c
       i += 1
