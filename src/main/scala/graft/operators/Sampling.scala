@@ -156,6 +156,11 @@ object Sampling {
     * null group as its own partition, matching window semantics). */
   private val NullGroupKey = "\u0000<null-group>"
 
+  /** Histogram-row ceiling for the driver-side threshold pick: 2^20
+    * rows (~16k groups x 62 bit-length buckets, ~32 MB collected) -- far
+    * past any corpus-label cardinality, far below driver OOM. */
+  private val MaxControlPlaneRows = 1 << 20
+
   /** The bounded samplers add internal scaffolding columns; an input
     * frame already carrying one would be silently overwritten and then
     * dropped -- refuse loudly instead. */
@@ -203,10 +208,18 @@ object Sampling {
     val persisted = proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gs = coalesce(col(groupCol).cast("string"), lit(NullGroupKey))
     // bin(0) = "0" (length 1) lumps key 0 into the first bucket harmlessly
+    // the collect is control-plane by CONTRACT (groups are corpus
+    // labels); a mistakenly high-cardinality group column must refuse
+    // loudly, not OOM the driver -- limit+check bounds the fetch itself
     val hist = persisted
       .groupBy(gs.as("__gs"), length(bin(col("__h"))).as("bl"))
       .agg(sum(col("__m")).as("m"))
+      .limit(MaxControlPlaneRows + 1)
       .collect()
+    require(hist.length <= MaxControlPlaneRows,
+      s"group column cardinality exceeds the broadcast-threshold design " +
+        s"(> ${MaxControlPlaneRows / 62} groups): the per-group histogram must stay " +
+        "control-plane small -- shard the sampling or pre-bucket the groups")
     val entries = hist.groupBy(_.getString(0)).map { case (g, rows) =>
       val byBl = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
       val needed = need(g, byBl.map(_._2).sum)

@@ -122,7 +122,11 @@ object Sketches {
     // (the source column is a corpus label — contract-low cardinality).
     val hist = sh.groupBy(col("source"), length(bin(col("h"))).as("bl"))
       .agg(count(lit(1)).as("c"))
+      .limit((1 << 20) + 1)
       .collect()
+    require(hist.length <= (1 << 20),
+      "source column cardinality exceeds the KMV sketch design (> ~16k " +
+        "sources): the per-source histogram must stay control-plane small")
     val thresholds = hist.groupBy(_.getString(0)).map { case (s, rows) =>
       val byBl = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
       // explicit prefix-sum scan, not a side-effecting pattern guard
