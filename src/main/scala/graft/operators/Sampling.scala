@@ -198,14 +198,21 @@ object Sampling {
     * window computes identical ranks/sums on the survivors.
     *
     * Input contract: `proj` carries `__h` (non-negative long order key)
-    * and `__m` (non-negative long per-row mass). `proj` is persisted —
-    * both the histogram and the returned frame read it, and without the
-    * persist the upstream scan runs twice. Output: `proj`'s columns plus
-    * `__need` = the group's need value (so callers cut by `need` without
-    * a second per-group lookup); callers drop the scaffolding. */
+    * and `__m` (non-negative long per-row mass). `proj` is materialized
+    * ONCE via eager localCheckpoint — both the histogram and the
+    * returned frame read the blocks, and without the materialization the
+    * upstream scan runs twice. localCheckpoint over a cache-manager
+    * persist (ADVICE r16): persisted entries are pinned until an
+    * explicit unpersist/clearCache, so repeated library calls would
+    * accumulate session-lifetime cache; checkpoint blocks are reclaimed
+    * by the ContextCleaner as soon as the caller's result frame is
+    * unreferenced — precise release with no caller contract. Output:
+    * `proj`'s columns plus `__need` = the group's need value (so callers
+    * cut by `need` without a second per-group lookup); callers drop the
+    * scaffolding. */
   private[graft] def boundedPrefix(proj: DataFrame, groupCol: String,
       need: (String, Long) => Long): DataFrame = {
-    val persisted = proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = proj.localCheckpoint(true)
     val gs = coalesce(col(groupCol).cast("string"), lit(NullGroupKey))
     // bin(0) = "0" (length 1) lumps key 0 into the first bucket harmlessly
     // the collect is control-plane by CONTRACT (groups are corpus

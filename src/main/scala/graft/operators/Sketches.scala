@@ -109,13 +109,17 @@ object Sketches {
     // The source key round-trips through the driver for the threshold
     // pick — cast to string so ANY source type survives the getString
     // (ADVICE r15); sketches are therefore keyed by the source's string
-    // form. Persisted: both rounds (histogram + ranked pass) read this
-    // frame, and without the persist the expensive distinct-gram explode
-    // runs twice (ADVICE r15). The caller/bench clears the cache.
+    // form. Materialized ONCE via eager localCheckpoint: both rounds
+    // (histogram + ranked pass) read the blocks, and without it the
+    // expensive distinct-gram explode runs twice (ADVICE r15).
+    // localCheckpoint over a cache-manager persist (ADVICE r16): the
+    // ContextCleaner reclaims the blocks once the returned sketch frame
+    // is unreferenced, so repeated library calls don't accumulate
+    // session-lifetime cache entries.
     val sh = df.select(col(sourceCol).cast("string").as("source"),
         explode(b.wordGramHash60(col(textCol), n)).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // round 1: bit-length histogram; h < 2^bitlength(h), bin(0) -> "0"
     // (length 1) lumps h = 0 into the first bucket harmlessly. The
     // collect is control-plane by construction: <= sources x 61 rows

@@ -91,29 +91,83 @@ object TextAnalysis {
     * the word table. This variant takes up to `batch` SYMBOL-DISJOINT
     * merges from each round's pair counts: within one round, rule j is
     * the top (count desc, l, r) pair sharing NO symbol with rules 1..j−1
-    * of the same round. Disjoint merges commute exactly — neither the
-    * occurrence counts nor the application result of one is affected by
-    * the other — so each round's rules apply in rank order with no
-    * recount, and the expensive stage (the pair-count aggregation over
-    * the word table) runs merges/batch times instead of merges times.
+    * of the same round. Disjointness is STRING identity over the round's
+    * symbols, so the round's rules apply in rank order with no recount —
+    * note the reported pair_count of rule j is the count BEFORE the
+    * round's earlier rules applied: an earlier rule's concatenated
+    * product can string-equal a later rule's operand when that product
+    * already exists as a symbol from a prior round, in which case the
+    * later rule also merges tokens minted mid-round and its
+    * post-application count would differ (ADVICE r16). Behavior stays
+    * fully deterministic; the oracle and the pure-Scala reference replay
+    * the same pre-application counts.
+    *
+    * Cost shape: the expensive stage (the pair-count aggregation over
+    * the word table) runs merges/batch times instead of merges times,
+    * and the per-round rule picks cost ONE top-K TakeOrdered collect
+    * (K = 4·batch, driver-side greedy disjoint selection) fused with the
+    * aggregation — a filtered re-query runs only when the top-K prefix
+    * is saturated by overlapping symbols, which preserves exactness
+    * without paying `batch` serial jobs per round (VERDICT r16 #2;
+    * TextAnalysisSpec pins the two-jobs-per-round shape).
     *
     * `batch = 1` IS sequential BPE (pinned in TextAnalysisSpec). For
     * `batch > 1` the learned rule SET can differ from sequential BPE's
     * exactly where a token minted mid-round would have outranked a
     * lower-ranked batch member — the standard frequency-batched
     * trade-off; the algorithm stays fully deterministic and an oracle
-    * replays it round for round. */
+    * replays it round for round.
+    *
+    * `mergeTablePath` (restart safety at production merge counts): when
+    * set, learned rules append to a Delta table (merge_rank, lhs, rhs,
+    * pair_count) through the engine's own transactional writer after
+    * every round, and a rerun RESUMES — prior rules are read back in
+    * rank order, re-applied to the freshly-built word table (chunked
+    * folds, no pair-count rounds), and training continues from the next
+    * rank. A training already at or past `numMerges` returns the stored
+    * prefix without touching the corpus. */
   def bpeTrainMergesBatched(df: DataFrame, textCol: String,
-      numMerges: Int, batch: Int): Seq[(Long, String, String, Long)] = {
-    require(numMerges >= 1 && numMerges <= 64,
-      s"numMerges must be in [1, 64]: $numMerges")
-    require(batch >= 1 && batch <= 8, s"batch must be in [1, 8]: $batch")
+      numMerges: Int, batch: Int,
+      mergeTablePath: Option[String] = None): Seq[(Long, String, String, Long)] = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges must be in [1, 100000]: $numMerges")
+    require(batch >= 1 && batch <= 64, s"batch must be in [1, 64]: $batch")
+    val spark = df.sparkSession
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // resume: a prior run's rules are authoritative — validate the rank
+    // sequence, then short-circuit if the stored table already covers the
+    // request (bounded control-plane collect: ≤ numMerges + 1 rows)
+    mergeTablePath.filter(p =>
+        graft.delta.DeltaLog.forTable(spark, p).tableExists).foreach { p =>
+      val prior = graft.delta.DeltaRead.load(spark, p)
+        .orderBy("merge_rank").limit(numMerges + 1).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      prior.zipWithIndex.foreach { case ((rank, _, _, _), i) =>
+        require(rank == i + 1L,
+          s"merge table at $p is not a contiguous rank sequence (rank $rank at position ${i + 1})")
+      }
+      merges ++= prior.take(numMerges)
+    }
+    if (merges.size >= numMerges) return merges.toSeq
     var words = df
       .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(filter(split(col("w"), ""), s => s =!= "").as("syms"), col("c"))
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // apply `rules` in rank order as chunked folds + one checkpoint per
+    // chunk — a chunk bounds the nested-HOF expression depth so codegen
+    // never sees an unboundedly deep tree; sequential rank-order
+    // application reproduces the batched state exactly (disjoint rules
+    // commute with later same-round rules by construction)
+    def applyRules(ws: DataFrame, rules: Seq[(String, String)]): DataFrame =
+      rules.grouped(8).foldLeft(ws) { (acc, chunk) =>
+        val newSyms = chunk.foldLeft(col("syms")) {
+          case (c, (l, r)) => mergeOnce(c, l, r)
+        }
+        acc.select(newSyms.as("syms"), col("c")).localCheckpoint()
+      }
+    if (merges.nonEmpty)
+      words = applyRules(words, merges.toSeq.map(m => (m._2, m._3)))
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
       val pairs = words.select(col("c"), explode(
@@ -127,33 +181,63 @@ object TextAnalysis {
         .persist()
       val take = math.min(batch, numMerges - merges.size)
       val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var j = 0
-      var roundDone = false
-      while (j < take && !roundDone) {
-        val used = picked.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
-        val cand =
-          if (used.isEmpty) pairs
-          else pairs.filter(!col("l").isin(used: _*) && !col("r").isin(used: _*))
-        val best = cand.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
-        if (best.isEmpty) roundDone = true
-        else picked += ((best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
-        j += 1
+      // ONE top-K collect; greedy driver-side disjoint scan of the sorted
+      // prefix is EXACTLY the serial filtered-TakeOrdered semantics as
+      // long as the scan stays inside the collected prefix
+      val k = math.max(32, 4 * take)
+      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val used = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (picked.size < take && i < top.length) {
+        val (l, r, cnt) = top(i)
+        if (!used.contains(l) && !used.contains(r)) {
+          picked += ((l, r, cnt)); used += l; used += r
+        }
+        i += 1
+      }
+      // exact fallback: the collected prefix ran out while MORE pairs may
+      // exist beyond it (saturated by overlapping symbols) — finish the
+      // round with the filtered TakeOrdered form; when top.length < k the
+      // prefix WAS the whole pair set and the greedy scan is complete
+      if (picked.size < take && top.length == k) {
+        var roundDone = false
+        while (picked.size < take && !roundDone) {
+          val usedSeq = used.toSeq
+          val best = pairs
+            .filter(!col("l").isin(usedSeq: _*) && !col("r").isin(usedSeq: _*))
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+          if (best.isEmpty) roundDone = true
+          else {
+            val (l, r) = (best(0).getString(0), best(0).getString(1))
+            picked += ((l, r, best(0).getLong(2))); used += l; used += r
+          }
+        }
       }
       pairs.unpersist(blocking = false)
       if (picked.isEmpty) exhausted = true
       else {
-        picked.foreach { case (l, r, cnt) =>
-          merges += ((merges.size + 1L, l, r, cnt))
+        val newRows = picked.toSeq.zipWithIndex.map { case ((l, r, cnt), j) =>
+          (merges.size + j + 1L, l, r, cnt)
+        }
+        merges ++= newRows
+        // restart safety: the round's rules commit to the Delta merge
+        // table BEFORE the word rewrite, so a kill at any point resumes
+        // at a round boundary (re-applying the committed rules is
+        // idempotent on the rebuilt word table)
+        mergeTablePath.foreach { p =>
+          graft.delta.DeltaWrite.write(
+            spark.createDataFrame(newRows)
+              .toDF("merge_rank", "lhs", "rhs", "pair_count"),
+            p, mode = "append")
         }
         // apply the round's disjoint rules in rank order inside ONE
         // rewrite + checkpoint (localCheckpoint blocks from superseded
         // rounds are reclaimed by the ContextCleaner once unreferenced;
         // the bench harness unpersists between queries)
-        val newSyms = picked.foldLeft(col("syms")) {
-          case (c, (l, r, _)) => mergeOnce(c, l, r)
-        }
-        words = words.select(newSyms.as("syms"), col("c")).localCheckpoint()
+        words = applyRules(words, picked.toSeq.map(pk => (pk._1, pk._2)))
       }
     }
     merges.toSeq
@@ -167,9 +251,10 @@ object TextAnalysis {
 
   /** [[bpeTrainMergesBatched]] as a harness-checkable frame. */
   def bpeTrainBatched(df: DataFrame, textCol: String,
-      numMerges: Int, batch: Int): DataFrame =
+      numMerges: Int, batch: Int,
+      mergeTablePath: Option[String] = None): DataFrame =
     df.sparkSession.createDataFrame(
-        bpeTrainMergesBatched(df, textCol, numMerges, batch))
+        bpeTrainMergesBatched(df, textCol, numMerges, batch, mergeTablePath))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
 
   /** Per-document tokenizer-accurate statistics: greedy longest-match

@@ -1244,13 +1244,17 @@ object DeltaQ {
           path, configuration = props)
         require(nFiles == 1, s"optimizeWrite create must land 1 file, got $nFiles")
         // four appends (slices 1-4, each an 8-task plan → 1 coalesced
-        // file each); at the 4th file the table crosses minNumFiles=4
-        // and auto-compacts back to one, so the final count is 2
+        // file each); the DEBOUNCED hook (VERDICT r16 #6) re-qualifies
+        // every ⌈minNumFiles/2⌉ = 2 commits, so the v2 boundary sees 3
+        // files (below threshold) and the v4 boundary sees all 5 — one
+        // compaction of everything down to ONE file, never a compaction
+        // per commit
         (1 to 4).foreach { i =>
           GraftDelta.toDelta(n.filter($"n_nationkey" % 5 === i).repartition(8),
             path, mode = "append")
         }
-        require(nFiles == 2, s"autoCompact must leave 2 files (1 compacted + last append), got $nFiles")
+        require(nFiles == 1,
+          s"the v4 debounce boundary must compact all 5 small files to one, got $nFiles")
         // the compaction is an OPTIMIZE commit whose adds carry
         // dataChange=false (readers of the change feed see no rows)
         val hist = DeltaTableOps.history(s, path)
@@ -1733,7 +1737,7 @@ object DeltaQ {
     "d61_auto_optimize" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         | CAST(1 AS BIGINT) AS files_after_create,
-        | CAST(2 AS BIGINT) AS files_final,
+        | CAST(1 AS BIGINT) AS files_final,
         | CAST(1 AS BIGINT) AS n_optimize_commits
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "d60_concurrent_rebase" ->

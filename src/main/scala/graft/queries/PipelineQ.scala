@@ -36,6 +36,51 @@ object PipelineQ {
   /** Merge-round count shared by the t66/t67 queries and their oracles. */
   private val BpeTrainMergeCount = 8
 
+  /** The BATCHED-BPE replay (batch = 2, [[BpeTrainMergeCount]] rules) as
+    * one DuckDB query — per round: c{k}x = the global top pair, c{k}y =
+    * the top pair sharing NO symbol with it, both applied via the
+    * delimiter-wrapped replace in rank order. Shared verbatim by t69
+    * (the one-shot batched training) and t70 (the Delta-merge-table
+    * RESUME — its contract is bit-equality with the one-shot run). */
+  private lazy val batchedBpeOracleSql: String = {
+    val sep = "chr(31)"
+    val rounds = BpeTrainMergeCount / 2
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT ls[i] AS l, ls[i+1] AS r, c
+         |  FROM (SELECT list_filter(string_split(s, $sep), x -> len(x) > 0) AS ls, c
+         |        FROM s${k - 1}) t,
+         |       LATERAL UNNEST(generate_series(1, len(ls)-1)) AS u(i)),
+         |a$k AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM p$k GROUP BY l, r),
+         |c${k}x AS (SELECT l, r, cnt FROM a$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |c${k}y AS (SELECT a.l, a.r, a.cnt FROM a$k a, c${k}x b
+         |           WHERE a.l <> b.l AND a.l <> b.r AND a.r <> b.l AND a.r <> b.r
+         |           ORDER BY a.cnt DESC, a.l, a.r LIMIT 1),
+         |s$k AS (
+         |  SELECT CASE WHEN b2.l IS NULL THEN t1.r1
+         |         ELSE replace(t1.r1, $sep || b2.l || $sep || $sep || b2.r || $sep,
+         |                      $sep || b2.l || b2.r || $sep) END AS s, t1.c
+         |  FROM (SELECT replace(t.s, $sep || b1.l || $sep || $sep || b1.r || $sep,
+         |                       $sep || b1.l || b1.r || $sep) AS r1, t.c
+         |        FROM s${k - 1} t CROSS JOIN c${k}x b1) t1
+         |  LEFT JOIN c${k}y b2 ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to rounds).flatMap(k => Seq(
+      s"SELECT $k AS rnd, 1 AS slot, l, r, cnt FROM c${k}x",
+      s"SELECT $k AS rnd, 2 AS slot, l, r, cnt FROM c${k}y"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT array_to_string([$sep || word[i] || $sep
+       |          FOR i IN generate_series(1, length(word))], '') AS s, c FROM w0),
+       |$roundCtes
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT) AS merge_rank,
+       |       l AS lhs, r AS rhs, cnt AS pair_count
+       |FROM ($unioned)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The BPE-training replay as DuckDB CTEs (w0, s0, then p/b/s per
     * round): words encode as strings of individually chr(31)-wrapped
     * symbols, so one `replace` of the wrapped pair pattern is exactly
@@ -903,6 +948,27 @@ object PipelineQ {
       import s.implicits._
       TextAnalysis.bpeTrainBatched(t(s, dir, "documents"), "text",
           BpeTrainMergeCount, batch = 2)
+        .orderBy($"merge_rank")
+    }),
+
+    // RESUMED batched training (the production restart contract, VERDICT
+    // r16 #2): the first run learns rules 1-4 into a DELTA merge table
+    // (committed through the engine's own transactional writer, one
+    // commit per round); the second run reads them back, validates the
+    // rank sequence, RE-APPLIES them to a freshly built word table, and
+    // trains only rounds 3-4. The output must be bit-identical to one
+    // uninterrupted batch=2 training — so the ORACLE IS T69'S VERBATIM:
+    // DuckDB replays the one-shot rounds and the hash compare proves
+    // resume ≡ one-shot (4 is a round boundary for batch=2, the
+    // granularity the trainer commits at).
+    "t70_bpe_train_resume" -> ((s, dir) => {
+      import s.implicits._
+      val mergeTable = tmp("t70_merges")
+      val d = t(s, dir, "documents")
+      TextAnalysis.bpeTrainMergesBatched(d, "text",
+        BpeTrainMergeCount / 2, batch = 2, mergeTablePath = Some(mergeTable))
+      TextAnalysis.bpeTrainBatched(d, "text",
+          BpeTrainMergeCount, batch = 2, mergeTablePath = Some(mergeTable))
         .orderBy($"merge_rank")
     }),
 
@@ -2080,44 +2146,11 @@ object PipelineQ {
     // keeps the round alive when no disjoint second pair exists; the
     // final row_number over (round, slot) renumbers compactly, exactly
     // like the engine's sequential rank assignment.
-    "t69_bpe_train_batched" -> {
-      val sep = "chr(31)"
-      val rounds = BpeTrainMergeCount / 2
-      val roundCtes = (1 to rounds).map { k =>
-        s"""p$k AS (SELECT ls[i] AS l, ls[i+1] AS r, c
-           |  FROM (SELECT list_filter(string_split(s, $sep), x -> len(x) > 0) AS ls, c
-           |        FROM s${k - 1}) t,
-           |       LATERAL UNNEST(generate_series(1, len(ls)-1)) AS u(i)),
-           |a$k AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM p$k GROUP BY l, r),
-           |c${k}x AS (SELECT l, r, cnt FROM a$k ORDER BY cnt DESC, l, r LIMIT 1),
-           |c${k}y AS (SELECT a.l, a.r, a.cnt FROM a$k a, c${k}x b
-           |           WHERE a.l <> b.l AND a.l <> b.r AND a.r <> b.l AND a.r <> b.r
-           |           ORDER BY a.cnt DESC, a.l, a.r LIMIT 1),
-           |s$k AS (
-           |  SELECT CASE WHEN b2.l IS NULL THEN t1.r1
-           |         ELSE replace(t1.r1, $sep || b2.l || $sep || $sep || b2.r || $sep,
-           |                      $sep || b2.l || b2.r || $sep) END AS s, t1.c
-           |  FROM (SELECT replace(t.s, $sep || b1.l || $sep || $sep || b1.r || $sep,
-           |                       $sep || b1.l || b1.r || $sep) AS r1, t.c
-           |        FROM s${k - 1} t CROSS JOIN c${k}x b1) t1
-           |  LEFT JOIN c${k}y b2 ON TRUE)""".stripMargin
-      }.mkString(",\n")
-      val unioned = (1 to rounds).flatMap(k => Seq(
-        s"SELECT $k AS rnd, 1 AS slot, l, r, cnt FROM c${k}x",
-        s"SELECT $k AS rnd, 2 AS slot, l, r, cnt FROM c${k}y"))
-        .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
-         |        FROM documents)
-         |  GROUP BY word),
-         |s0 AS (SELECT array_to_string([$sep || word[i] || $sep
-         |          FOR i IN generate_series(1, length(word))], '') AS s, c FROM w0),
-         |$roundCtes
-         |SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT) AS merge_rank,
-         |       l AS lhs, r AS rhs, cnt AS pair_count
-         |FROM ($unioned)
-         |ORDER BY merge_rank""".stripMargin
-    },
+    "t69_bpe_train_batched" -> batchedBpeOracleSql,
+    // resume ≡ one-shot: t70's Spark side trains through a kill/restart
+    // boundary; its contract is bit-equality with the uninterrupted
+    // batch=2 training, so the oracle is the same replay
+    "t70_bpe_train_resume" -> batchedBpeOracleSql,
     "t68_pii_redact" -> {
       import graft.operators.TextAnalysis.{EmailRe, PhoneRe, Ipv4Re}
       def esc(re: String) = re.replace("'", "''")

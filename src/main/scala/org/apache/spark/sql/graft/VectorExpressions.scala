@@ -544,26 +544,31 @@ case class WinnowSelect(child: Expression, window: Int)
   override def prettyName: String = "winnow_select"
 
   // The deque kernel reads the input via toLongArray(), which requires
-  // containsNull = false — reject nullable-element arrays AT ANALYSIS
-  // (the public `winnow_select` SQL function would otherwise NPE at
-  // runtime on e.g. array(1L, NULL); ADVICE r15). Element nullability is
-  // a static property, so this is a clean resolution-time gate.
-  override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val base = super.checkInputDataTypes()
-    if (!base.isSuccess) base
-    else child.dataType match {
-      case ArrayType(LongType, false) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<bigint> with non-nullable elements " +
-            s"(the kernel reads a primitive long[]), got ${other.catalogString}")
-    }
+  // null-free elements. NULLABLE-TYPED arrays are ACCEPTED — transform()/
+  // element_at()-built arrays are routinely typed containsNull = true
+  // even when provably null-free, and an analysis-time rejection broke
+  // those working queries (ADVICE r16) — but an ACTUAL null element
+  // raises a descriptive runtime error instead of the kernel's bare NPE
+  // (ADVICE r15). Declared-non-nullable inputs skip the runtime scan.
+  private def nullElementError(pos: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: null element at position ${pos + 1} — rolling-hash " +
+        "arrays must be null-free (filter(h, x -> x IS NOT NULL) the " +
+        "input, or fix the producer)")
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   override def nullSafeEval(a: Any): Any = {
-    val hs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (elementsNullable) {
+      var p = 0
+      val len = ad.numElements()
+      while (p < len) { if (ad.isNullAt(p)) nullElementError(p); p += 1 }
+    }
+    val hs = ad.toLongArray()
     val m = hs.length
     val sel = new Array[Boolean](m)
     val dq = new Array[Int](m + 1)
@@ -598,7 +603,22 @@ case class WinnowSelect(child: Expression, window: Int)
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      // mirror of the interpreted path's null-element scan: only emitted
+      // for nullable-TYPED inputs, so declared-null-free arrays keep the
+      // guard-free kernel
+      val guard = if (!elementsNullable) "" else
+        s"""
+           |for (int $p = 0; $p < $a.numElements(); $p++) {
+           |  if ($a.isNullAt($p)) {
+           |    throw new IllegalArgumentException(
+           |      "winnow_select: null element at position " + ($p + 1) +
+           |      " - rolling-hash arrays must be null-free (filter(h, x -> x IS NOT NULL) the input, or fix the producer)");
+           |  }
+           |}
+         """.stripMargin
       s"""
+         |$guard
          |final long[] $hs = $a.toLongArray();
          |final int $m = $hs.length;
          |final boolean[] $sel = new boolean[$m];

@@ -472,6 +472,62 @@ class MaintenanceSpec extends GraftSuite {
       Map("app-1" -> 1L, "app-2" -> 0L))
   }
 
+  test("autoCompact debounce: checks run at the commit interval, one compaction per crossing (VERDICT r16 #6)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "8") // debounce interval = 4 commits
+    try {
+      val path = tmp()
+      def append(i: Int): Unit = GraftDelta.toDelta(
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), path,
+        mode = if (i == 0) "error" else "append",
+        configuration = if (i == 0)
+          Map("delta.autoOptimize.autoCompact" -> "true") else Map.empty)
+      def optimizes(): Int = DeltaTableOps.history(spark, path)
+        .select("operation").collect().count(_.getString(0) == "OPTIMIZE")
+      // v0..v7 accrete 8 small files; the threshold is crossed at v7 but
+      // the debounced hook does NOT re-qualify on every commit (its last
+      // check fell at v4), so no OPTIMIZE lands yet — the undebounced
+      // shape compacted here
+      (0 until 8).foreach(append)
+      assert(optimizes() == 0, "mid-interval commits must not re-qualify the table")
+      // the next check boundary (v8) catches the crossing: exactly one
+      // compaction, at most half a threshold late
+      append(8)
+      assert(optimizes() == 1, "the crossing must compact at the next check boundary")
+      assert(DeltaLog.forTable(spark, path).snapshot(None).activeFiles.size == 1)
+      // further sub-threshold appends never re-compact
+      (9 until 13).foreach(append)
+      assert(optimizes() == 1, "sub-threshold accretion must not re-compact")
+      assert(GraftDelta.readDelta(spark, path).count() == 13)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+  }
+
+  test("micro-batch sink with autoCompact: compaction commits stay bounded, not per-trigger (VERDICT r16 #6)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "6") // debounce interval = 3 commits
+    try {
+      val path = tmp()
+      GraftDelta.toDelta(Seq((-1L, "seed")).toDF("id", "v").coalesce(1), path,
+        configuration = Map("delta.autoOptimize.autoCompact" -> "true"))
+      (0 until 18).foreach { b =>
+        val batch = Seq((b.toLong, s"b$b")).toDF("id", "v").coalesce(1)
+        assert(DeltaSink.addBatch(batch, path, "compact-app", b.toLong))
+      }
+      val ops = DeltaTableOps.history(spark, path).select("operation")
+        .collect().map(_.getString(0))
+      val nOpt = ops.count(_ == "OPTIMIZE")
+      // 19 data commits at threshold 6: compaction still happens, but the
+      // hook fires at check boundaries only — never once per trigger
+      assert(nOpt >= 1, s"compaction must still happen: ${ops.mkString(", ")}")
+      assert(nOpt <= 4, s"compaction must be debounced: $nOpt OPTIMIZE in ${ops.length} commits")
+      assert(GraftDelta.readDelta(spark, path).count() == 19)
+      // exactly-once survives the interleaved maintenance commits
+      assert(!DeltaSink.addBatch(Seq((99L, "dup")).toDF("id", "v"), path,
+        "compact-app", 17L))
+      assert(GraftDelta.readDelta(spark, path).count() == 19)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+  }
+
   test("FSCK REPAIR drops entries for manually-deleted files, keeps the rest") {
     import spark.implicits._
     val path = tmp()

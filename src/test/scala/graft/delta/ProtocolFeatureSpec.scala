@@ -226,6 +226,37 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(e2.getMessage.contains("collations"), e2.getMessage)
   }
 
+  test("icebergCompatV1/V2 (UniForm): reads stay open, writes refuse BY NAME (VERDICT r16 #3)") {
+    import spark.implicits._
+    Seq("icebergCompatV1", "icebergCompatV2").foreach { feature =>
+      val path = tmp()
+      GraftDelta.toDelta((1 to 7).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path) // v0
+      val log = DeltaLog.forTable(spark, path)
+      // foreign upgrade: writer-7 with the UniForm feature (correctly
+      // writer-scoped — readerFeatures untouched; a real UniForm table
+      // also lists columnMapping, which the engine supports, so the
+      // NAMED refusal must fire even when every other feature is known)
+      log.writeCommit(1L, Seq(
+        CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+        Protocol(1, 7, writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+ feature)
+            .distinct))))
+      // read side: the data files are ordinary parquet
+      assert(GraftDelta.readDelta(spark, path).count() == 7L,
+        s"$feature is writer-scoped; reads must stay open")
+      // write side: NAMED refusal citing the Iceberg-metadata sync
+      // obligation, not the generic unknown-feature message
+      val e = intercept[IllegalStateException] {
+        GraftDelta.toDelta(Seq((100L, "x")).toDF("k", "v"), path, mode = "append")
+      }
+      assert(e.getMessage.contains(feature) &&
+        e.getMessage.contains("Iceberg"), e.getMessage)
+      val e2 = intercept[IllegalStateException](
+        GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<", 5L)))))
+      assert(e2.getMessage.contains(feature), e2.getMessage)
+    }
+  }
+
   test("checkpointProtection: writes pass, partial log truncation refuses by name") {
     import spark.implicits._
     val path = tmp()

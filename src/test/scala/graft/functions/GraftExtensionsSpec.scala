@@ -54,14 +54,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlSide.head() == facadeSide.head())
   }
 
-  test("winnow_select rejects nullable-element arrays at analysis (ADVICE r15)") {
-    // the kernel reads a primitive long[]; array(1L, NULL) used to NPE at
-    // runtime — now a named analysis error
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
+  test("winnow_select: nullable-TYPED inputs work when null-free; an actual null errors descriptively (ADVICE r16)") {
+    // transform()/element_at-built arrays are nullable-typed even when
+    // provably null-free — those must keep working (the r15 analysis
+    // gate broke them)
+    val viaTransform = spark.sql(
+      "SELECT winnow_select(transform(array(3L, 1L, 2L), x -> x + 0L), 2) AS s").head()
+    assert(viaTransform.getSeq[Long](0) == Seq(2L))
+    // an ACTUAL null element raises the named runtime error (never the
+    // kernel's bare NPE), pointing at the offending position
+    val e = intercept[Exception] {
       spark.sql("SELECT winnow_select(array(1L, CAST(NULL AS BIGINT)), 3)").collect()
     }
-    assert(e.getMessage.contains("non-nullable"), e.getMessage)
-    // non-nullable arrays keep working
+    val rootMsg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg.contains("null element at position 2"), rootMsg)
+    assert(rootMsg.contains("null-free"), rootMsg)
+    // non-nullable arrays keep working guard-free
     // windows [3,1] and [1,2] both select the 1 at position 2
     val ok = spark.sql("SELECT winnow_select(array(3L, 1L, 2L), 2) AS s").head()
     assert(ok.getSeq[Long](0) == Seq(2L))
