@@ -140,9 +140,69 @@ object ScaleProbe {
       // production merge count (VERDICT r16 #2): 1024 rules at batch=32 =
       // 32 pair-count rounds; wall must track the Heaps-law word table,
       // not the corpus byte count
-      "bpe_train_1k" -> (() =>
-        operators.TextAnalysis.bpeTrainMergesBatched(table("documents"), "text",
-          1024, batch = 32).map(_._4).sum),
+      "bpe_train_1k" -> (() => {
+        val m = operators.TextAnalysis.bpeTrainMergesBatched(
+          table("documents"), "text", 1024, batch = 32)
+        println(s"[scale-probe] bpe_train_1k learned=${m.size} rules")
+        m.map(_._4).sum
+      }),
+      // deep-vocabulary shape: 8192 merges at batch=64 = up to 128
+      // pair-count rounds — the round loop itself must stay flat into
+      // the thousands; reports the actually-learned count (the trainer
+      // stops early if the corpus pair space exhausts first)
+      "bpe_train_8k" -> (() => {
+        val m = operators.TextAnalysis.bpeTrainMergesBatched(
+          table("documents"), "text", 8192, batch = 64)
+        println(s"[scale-probe] bpe_train_8k learned=${m.size} rules")
+        m.map(_._4).sum
+      }),
+      // the restart contract AT SCALE: train the first half into a Delta
+      // merge table, resume to the full 1024, and assert bit-equality
+      // with the uninterrupted run — the t70 harness pin probed at the
+      // bench SF (the resume pays re-application passes, never
+      // pair-count rounds, so wall should sit well under 2x one-shot)
+      "bpe_resume_debug" -> (() => {
+        val d = table("documents")
+        val tbl = java.nio.file.Files.createTempDirectory("graft_dbg_bpe")
+          .toString + "/merges"
+        val m = sys.env.getOrElse("SPARK_GRAFT_DBG_M", "64").toInt
+        val bt = sys.env.getOrElse("SPARK_GRAFT_DBG_BATCH", "8").toInt
+        val oneShot = operators.TextAnalysis.bpeTrainMergesBatched(d, "text", m, batch = bt)
+        operators.TextAnalysis.bpeTrainMergesBatched(d, "text", m / 2, batch = bt,
+          mergeTablePath = Some(tbl))
+        val resumed = operators.TextAnalysis.bpeTrainMergesBatched(d, "text", m, batch = bt,
+          mergeTablePath = Some(tbl))
+        println(s"[dbg] oneShot=${oneShot.size} resumed=${resumed.size}")
+        def roundStarts(ms: Seq[(Long, String, String, Long)]): Seq[Int] =
+          1 +: (1 until ms.size).collect {
+            case i if ms(i)._4 > ms(i - 1)._4 => i + 1 }
+        println(s"[dbg] oneShot count-jump ranks: ${roundStarts(oneShot).mkString(",")}")
+        println(s"[dbg] resumed count-jump ranks: ${roundStarts(resumed).mkString(",")}")
+        oneShot.zip(resumed).find { case (a, b) => a != b } match {
+          case Some((a, b)) =>
+            val r = a._1.toInt
+            println(s"[dbg] FIRST DIFF at rank $r")
+            ((r - 3).max(0) until (r + 9).min(oneShot.size)).foreach { i =>
+              println(s"[dbg]   one=${oneShot(i)} res=${resumed(i)}")
+            }
+          case None => println("[dbg] prefix equal; sizes " +
+            s"${oneShot.size} vs ${resumed.size}")
+        }
+        oneShot.size.toLong
+      }),
+      "bpe_train_resume_1k" -> (() => {
+        val d = table("documents")
+        val tbl = java.nio.file.Files.createTempDirectory("graft_probe_bpe")
+          .toString + "/merges"
+        val oneShot = operators.TextAnalysis.bpeTrainMergesBatched(
+          d, "text", 1024, batch = 32)
+        operators.TextAnalysis.bpeTrainMergesBatched(
+          d, "text", 512, batch = 32, mergeTablePath = Some(tbl))
+        val resumed = operators.TextAnalysis.bpeTrainMergesBatched(
+          d, "text", 1024, batch = 32, mergeTablePath = Some(tbl))
+        require(resumed == oneShot, "resumed training drifted from one-shot")
+        resumed.map(_._4).sum
+      }),
       // the 10M-pair chain re-probe (VERDICT r16 #4): diameter 10^7, the
       // worst case for per-round latency — wall here is dominated by the
       // O(log n) rounds' driver actions, exactly what the fused

@@ -118,14 +118,31 @@ object TextAnalysis {
     * trade-off; the algorithm stays fully deterministic and an oracle
     * replays it round for round.
     *
+    * Rounds always run FULL (up to `batch` disjoint picks; fewer only
+    * when the pair space itself runs out of disjoint candidates — e.g.
+    * round 1 of a 26-letter corpus caps at 13), and `numMerges` only
+    * truncates the RETURNED prefix. This makes the learned rule
+    * sequence a pure function of (corpus, batch), independent of
+    * `numMerges` — the greedy-prefix property keeps the returned rules
+    * identical to a per-request-truncated last round, and it is the
+    * invariant that makes RESUME exact: a request that lands mid-round
+    * must not change which rules that round contains (first observed as
+    * sf10 drift where `numMerges` cut a round short in the first
+    * training and the resumed continuation re-counted from the partial
+    * state).
+    *
     * `mergeTablePath` (restart safety at production merge counts): when
     * set, learned rules append to a Delta table (merge_rank, lhs, rhs,
     * pair_count) through the engine's own transactional writer after
-    * every round, and a rerun RESUMES — prior rules are read back in
-    * rank order, re-applied to the freshly-built word table (chunked
-    * folds, no pair-count rounds), and training continues from the next
-    * rank. A training already at or past `numMerges` returns the stored
-    * prefix without touching the corpus. */
+    * every round — FULL rounds, possibly beyond `numMerges`, so the
+    * stored sequence always ends at a round boundary — and a rerun
+    * RESUMES: prior rules are read back in rank order, re-applied to
+    * the freshly-built word table (chunked folds, no pair-count
+    * rounds), and training continues from the next round. Resume
+    * assumes the same `batch` as the run that wrote the table (the
+    * round structure is batch-dependent). A table already at or past
+    * `numMerges` returns the stored prefix without touching the
+    * corpus. */
   def bpeTrainMergesBatched(df: DataFrame, textCol: String,
       numMerges: Int, batch: Int,
       mergeTablePath: Option[String] = None): Seq[(Long, String, String, Long)] = {
@@ -139,16 +156,19 @@ object TextAnalysis {
     // request (bounded control-plane collect: ≤ numMerges + 1 rows)
     mergeTablePath.filter(p =>
         graft.delta.DeltaLog.forTable(spark, p).tableExists).foreach { p =>
+      // read the whole stored sequence up to the most a continuation can
+      // need: the table always ends at a round boundary, so at most
+      // batch-1 rules past numMerges are relevant
       val prior = graft.delta.DeltaRead.load(spark, p)
-        .orderBy("merge_rank").limit(numMerges + 1).collect()
+        .orderBy("merge_rank").limit(numMerges + batch).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       prior.zipWithIndex.foreach { case ((rank, _, _, _), i) =>
         require(rank == i + 1L,
           s"merge table at $p is not a contiguous rank sequence (rank $rank at position ${i + 1})")
       }
-      merges ++= prior.take(numMerges)
+      merges ++= prior
     }
-    if (merges.size >= numMerges) return merges.toSeq
+    if (merges.size >= numMerges) return merges.toSeq.take(numMerges)
     var words = df
       .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -179,7 +199,10 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("c")).as("cnt"))
         .persist()
-      val take = math.min(batch, numMerges - merges.size)
+      // FULL round — numMerges never truncates a round (see scaladoc:
+      // the learned sequence must be numMerges-independent for resume
+      // exactness); the surplus is trimmed from the returned prefix
+      val take = batch
       val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       // ONE top-K collect; greedy driver-side disjoint scan of the sorted
       // prefix is EXACTLY the serial filtered-TakeOrdered semantics as
@@ -240,7 +263,7 @@ object TextAnalysis {
         words = applyRules(words, picked.toSeq.map(pk => (pk._1, pk._2)))
       }
     }
-    merges.toSeq
+    merges.toSeq.take(numMerges)
   }
 
   /** [[bpeTrainMerges]] as a harness-checkable frame:

@@ -956,11 +956,12 @@ object PipelineQ {
     // (committed through the engine's own transactional writer, one
     // commit per round); the second run reads them back, validates the
     // rank sequence, RE-APPLIES them to a freshly built word table, and
-    // trains only rounds 3-4. The output must be bit-identical to one
-    // uninterrupted batch=2 training — so the ORACLE IS T69'S VERBATIM:
-    // DuckDB replays the one-shot rounds and the hash compare proves
-    // resume ≡ one-shot (4 is a round boundary for batch=2, the
-    // granularity the trainer commits at).
+    // trains only the remaining rounds. The output must be bit-identical
+    // to one uninterrupted batch=2 training — so the ORACLE IS T69'S
+    // VERBATIM: DuckDB replays the one-shot rounds and the hash compare
+    // proves resume ≡ one-shot. ANY cut point resumes exactly: the table
+    // stores FULL rounds (the learned sequence is numMerges-independent),
+    // so a request landing mid-round can't reshape the round it cut.
     "t70_bpe_train_resume" -> ((s, dir) => {
       import s.implicits._
       val mergeTable = tmp("t70_merges")
