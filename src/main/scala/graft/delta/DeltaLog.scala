@@ -678,6 +678,41 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       meta.configuration.getOrElse("delta.columnMapping.mode", "none")
     val mappingOk =
       mappingMode == "none" || mappingMode == "name" || mappingMode == "id"
+    // NAMED read refusals (VERDICT r17 #2) ahead of the generic
+    // unknown-feature message — each explains WHY a filesystem-only
+    // replay cannot serve the table, not just that a name is unknown:
+    //
+    //  - catalogOwned / coordinatedCommits (Delta 4.x managed commits):
+    //    the table's commit sequence is owned by a commit coordinator /
+    //    owning catalog, and the newest commits may exist ONLY in the
+    //    coordinator (as unbackfilled uuid-named staged commits) — a
+    //    replay of `_delta_log` alone can present a STALE version as
+    //    latest, silently missing acknowledged writes. This is the one
+    //    place the read gate deliberately consults writerFeatures too:
+    //    coordinatedCommits is writer-scoped in the protocol, but its
+    //    staleness hazard is a READ hazard.
+    //  - redirectReaderWriter (table redirect): the log at this path is
+    //    a tombstone pointing at the table's new location; serving rows
+    //    from it would read a frozen, possibly truncated copy.
+    val managedCommitFeatures =
+      (protocol.readerFeatures.toSeq.flatten ++ protocol.writerFeatures.toSeq.flatten)
+        .filter(f => f.startsWith("catalogOwned") || f.startsWith("coordinatedCommits"))
+        .distinct.sorted
+    if (managedCommitFeatures.nonEmpty)
+      throw new IllegalStateException(
+        s"Table $tablePath carries the '${managedCommitFeatures.mkString("', '")}' " +
+          "feature(s): its commits are managed by a commit coordinator / owning " +
+          "catalog, and the latest commits may not be backfilled into _delta_log — " +
+          "a filesystem-only replay could serve a stale snapshot as latest. This " +
+          "engine does not speak the coordinator protocol; refusing to read or write")
+    val redirectFeatures = protocol.readerFeatures.toSeq.flatten
+      .filter(_.startsWith("redirectReaderWriter")).distinct.sorted
+    if (redirectFeatures.nonEmpty)
+      throw new IllegalStateException(
+        s"Table $tablePath carries the '${redirectFeatures.mkString("', '")}' " +
+          "feature(s): this log is a redirect stub — the live table has moved and " +
+          "rows served from here would come from a frozen copy. This engine does " +
+          "not resolve redirect metadata; read the table at its target location")
     val readerSupported = protocol.minReaderVersion match {
       case v if v <= 1 => true
       case 2 => mappingOk

@@ -71,15 +71,17 @@ object DeltaWrite {
           "predicates, constraints, and dedup keys would evaluate with binary " +
           "semantics — refusing to write (reads remain supported; the feature " +
           "is writer-scoped)")
-    // NAMED refusal for icebergCompatV1/V2 (UniForm, VERDICT r16 #3),
+    // NAMED refusal for icebergCompatV1/V2/V3 (UniForm; V1/V2 VERDICT
+    // r16 #3, V3 VERDICT r17 #2 — the prefix match covers every version),
     // same posture: the features obligate every commit to preserve the
     // table's Iceberg-convertible layout (column-mapping + int64-timestamp
-    // + no-deletion-vector invariants) AND to keep the companion Iceberg
-    // metadata in sync — obligations this writer does not implement, so a
-    // commit could silently strand the table's Iceberg readers on a stale
-    // snapshot. Reads stay open: both features are writer-scoped and the
-    // data files are ordinary parquet (the read gate never consults
-    // writerFeatures).
+    // + no-deletion-vector invariants — V3 additionally row-lineage
+    // materialization) AND to keep the companion Iceberg metadata in
+    // sync — obligations this writer does not implement, so a commit
+    // could silently strand the table's Iceberg readers on a stale
+    // snapshot. Reads stay open: the features are writer-scoped and the
+    // data files are ordinary parquet (the read gate consults
+    // writerFeatures only for the managed-commit staleness hazard).
     val icebergCompat = p.writerFeatures.toSeq.flatten
       .filter(_.startsWith("icebergCompat")).sorted
     if (p.minWriterVersion == 7 && icebergCompat.nonEmpty)
@@ -89,6 +91,25 @@ object DeltaWrite {
           "to Iceberg metadata and regenerate that metadata — this writer does " +
           "not uphold the sync obligation, refusing to write (reads remain " +
           "supported; the features are writer-scoped)")
+    // NAMED refusal for table redirects (Delta 4.x, VERDICT r17 #2):
+    // redirectWriterOnly keeps READS open at this path (the data here is
+    // still the live data) but routes every WRITE to the table's new
+    // location — a commit landed here would fork the table's history
+    // behind its redirected writers. (redirectReaderWriter refuses at
+    // the read gate already; listed here too for the defense-in-depth
+    // case of a malformed log that scopes it writer-side only.)
+    val redirects = p.writerFeatures.toSeq.flatten
+      .filter(f => f.startsWith("redirectWriterOnly") ||
+        f.startsWith("redirectReaderWriter")).distinct.sorted
+    if (p.minWriterVersion == 7 && redirects.nonEmpty)
+      throw new IllegalStateException(
+        s"Table carries the '${redirects.mkString("', '")}' writer feature(s): " +
+          "the table has been redirected and writes must land at its new " +
+          "location — a commit here would fork the history behind the " +
+          "redirect. This engine does not resolve redirect metadata; " +
+          "refusing to write" +
+          (if (redirects.exists(_.startsWith("redirectWriterOnly")))
+            " (reads at this path remain supported)" else ""))
     val ok = p.minWriterVersion <= MaxSupportedWriterVersion ||
       (p.minWriterVersion == 7 &&
         p.writerFeatures.exists(_.forall(DeltaLog.SupportedWriterFeatures.contains)))
@@ -345,17 +366,30 @@ object DeltaWrite {
     * output splits to the TABLE's target file size instead of the
     * session-wide advisory default; restored afterwards (the conf is read
     * at EXECUTION time by AQE, so it must span the staging action, not
-    * the plan construction). */
+    * the plan construction).
+    *
+    * The set/run/restore is SERIALIZED per session (ADVICE r17): two
+    * interleaved optimized writes on one session would otherwise restore
+    * each other's stale advisory. The override is still visible to
+    * UNRELATED queries running on the same session during the staging
+    * action — session confs are session-global by definition; callers
+    * that need full isolation should write through a cloned session
+    * (documented single-optimized-writer-per-session assumption). */
+  private val advisoryLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Object]())
   private def withAdvisoryBytes[T](spark: SparkSession, bytes: Option[Long])(body: => T): T =
     bytes match {
       case None => body
       case Some(b) =>
-        val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, b.toString)
-        try body finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
+        val lock = advisoryLocks.computeIfAbsent(spark, _ => new Object)
+        lock.synchronized {
+          val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, b.toString)
+          try body finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
         }
     }
 
@@ -382,9 +416,27 @@ object DeltaWrite {
     * POST-COMMIT CACHED snapshot, never a fresh listing). The memo is
     * deliberately session-local (no table state): two writers debounce
     * independently, which only means an extra qualification check,
-    * never a missed crossing. */
-  private val lastAutoCompactCheck =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    * never a missed crossing.
+    *
+    * Memo hygiene (ADVICE r17): keyed by a stable per-session UUID
+    * (weak-keyed so it dies with the session; `identityHashCode` could
+    * collide after GC and leak debounce state across unrelated
+    * sessions), refreshed from the
+    * POST-compaction snapshot after compact() runs (the pre-compaction
+    * file count is stale once compact shrinks the table: the bulk-path
+    * delta would be measured against an inflated baseline and a full
+    * threshold of fresh small files would wait out the slow path), and
+    * bounded by an LRU cap so a long-lived JVM writing many temp tables
+    * never grows it without bound. */
+  private val lastAutoCompactCheck = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long)]): Boolean = size() > 1024
+    })
+  private val sessionUuids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionUuid(spark: SparkSession): String =
+    sessionUuids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
   private[delta] def autoCompactIfNeeded(spark: SparkSession, path: String,
       config: Map[String, String]): Unit =
     if (boolProp(config, "delta.autoOptimize.autoCompact")) {
@@ -392,16 +444,20 @@ object DeltaWrite {
         .map(_.toInt).getOrElse(50)
       val log = DeltaLog.forTable(spark, path)
       val snap = log.snapshot(None)
-      val key = s"${System.identityHashCode(spark)}:${log.tablePath}"
+      val key = s"${sessionUuid(spark)}:${log.tablePath}"
       val thr = math.max(1, minN / 2)
       val last = lastAutoCompactCheck.get(key)
       val due = last == null || snap.version - last._1 >= thr ||
         snap.activeFiles.size - last._2 >= thr
       if (due) {
-        lastAutoCompactCheck.put(key, (snap.version, snap.activeFiles.size.toLong))
         DeltaMaintenance.compact(spark, path,
           targetFileBytes = targetFileBytesOf(config),
           minFilesToCompact = math.max(2, minN))
+        // memo the POST-compaction state: compact may have landed a new
+        // version and shrunk the file count, and the next bulk-path
+        // delta must measure against that baseline
+        val after = log.snapshot(None)
+        lastAutoCompactCheck.put(key, (after.version, after.activeFiles.size.toLong))
       }
     }
 

@@ -226,9 +226,10 @@ class ProtocolFeatureSpec extends GraftSuite {
     assert(e2.getMessage.contains("collations"), e2.getMessage)
   }
 
-  test("icebergCompatV1/V2 (UniForm): reads stay open, writes refuse BY NAME (VERDICT r16 #3)") {
+  test("icebergCompatV1/V2/V3 (UniForm): reads stay open, writes refuse BY NAME " +
+      "(VERDICT r16 #3; V3 r17 #2)") {
     import spark.implicits._
-    Seq("icebergCompatV1", "icebergCompatV2").foreach { feature =>
+    Seq("icebergCompatV1", "icebergCompatV2", "icebergCompatV3").foreach { feature =>
       val path = tmp()
       GraftDelta.toDelta((1 to 7).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path) // v0
       val log = DeltaLog.forTable(spark, path)
@@ -847,5 +848,98 @@ class ProtocolFeatureSpec extends GraftSuite {
       DeltaTableOps.dropFeature(spark, path, "columnMapping"))
     assert(e.getMessage.contains("not supported") &&
       e.getMessage.contains("physical column names"), e.getMessage)
+  }
+
+  // ---- Delta 4.x managed commits + redirects (VERDICT r17 #2) -------------
+
+  test("catalogOwned: reads AND writes refuse BY NAME with the coordinator reason") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    // foreign upgrade: catalogOwned is a reader+writer feature pair
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("catalogOwned-preview")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+
+            "catalogOwned-preview").distinct))))
+    val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, path).count())
+    assert(e.getMessage.contains("catalogOwned-preview") &&
+      e.getMessage.contains("coordinator") && e.getMessage.contains("stale"),
+      s"named refusal must explain the coordinator staleness hazard: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      GraftDelta.toDelta(Seq((100L, "x")).toDF("k", "v"), path, mode = "append")
+    }
+    assert(e2.getMessage.contains("catalogOwned-preview"), e2.getMessage)
+  }
+
+  test("coordinatedCommits (writer-scoped): READS refuse too — unbackfilled commits " +
+      "make a filesystem snapshot stale") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    // correctly writer-scoped: readerFeatures untouched — the read gate
+    // must still refuse, because the newest commits may live only in the
+    // coordinator (this is the one deliberate writerFeatures consult on
+    // the read path)
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(1, 7, writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+
+          "coordinatedCommits-preview").distinct))))
+    val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, path).count())
+    assert(e.getMessage.contains("coordinatedCommits-preview") &&
+      e.getMessage.contains("backfilled"),
+      s"named refusal must explain unbackfilled commits: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      GraftDelta.toDelta(Seq((100L, "x")).toDF("k", "v"), path, mode = "append")
+    }
+    assert(e2.getMessage.contains("coordinatedCommits-preview"), e2.getMessage)
+  }
+
+  test("redirectReaderWriter: reads refuse BY NAME with the moved-table reason") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 5).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(3, 7,
+        readerFeatures = Some(Seq("redirectReaderWriter-preview")),
+        writerFeatures = Some(
+          (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+
+            "redirectReaderWriter-preview").distinct))))
+    val e = intercept[IllegalStateException](GraftDelta.readDelta(spark, path).count())
+    assert(e.getMessage.contains("redirectReaderWriter-preview") &&
+      e.getMessage.contains("moved"),
+      s"named refusal must explain the redirect: ${e.getMessage}")
+  }
+
+  test("redirectWriterOnly: reads stay OPEN, writes refuse BY NAME") {
+    import spark.implicits._
+    val path = tmp()
+    GraftDelta.toDelta((1 to 8).map(i => (i.toLong, s"s$i")).toDF("k", "v"), path)
+    val log = DeltaLog.forTable(spark, path)
+    // writer-scoped: the data at this path is still live for readers;
+    // only writes must land at the redirect target
+    log.writeCommit(1L, Seq(
+      CommitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"),
+      Protocol(1, 7, writerFeatures = Some(
+        (DeltaLog.legacyWriterFeatures(log.snapshot(None).protocol) :+
+          "redirectWriterOnly-preview").distinct))))
+    assert(GraftDelta.readDelta(spark, path).count() == 8L,
+      "redirectWriterOnly is writer-scoped; reads at this path must stay open")
+    val e = intercept[IllegalStateException] {
+      GraftDelta.toDelta(Seq((100L, "x")).toDF("k", "v"), path, mode = "append")
+    }
+    assert(e.getMessage.contains("redirectWriterOnly-preview") &&
+      e.getMessage.contains("redirect") &&
+      e.getMessage.contains("reads at this path remain supported"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      GraftDelta.deleteWhere(spark, path, Seq(Seq(Predicate("k", "<", 5L)))))
+    assert(e2.getMessage.contains("redirectWriterOnly-preview"), e2.getMessage)
   }
 }
