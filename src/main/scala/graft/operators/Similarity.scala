@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -395,6 +395,228 @@ object Similarity {
       it += 1
     }
     centers
+  }
+
+  // ---- Persisted IVF-PQ index lifecycle (VERDICT r17 #3) -----------------
+
+  /** The model plane of a persisted ANN index: coarse centroids +
+    * per-subspace PQ codebooks, all in exact integer micro-units so
+    * encode/probe/ADC arithmetic is bit-identical across build, load,
+    * and append. Size: nlist×dim + m×2^nbits×(dim/m) longs — driver
+    * trivial by construction. */
+  final case class AnnIndexModel(
+      nlist: Int, m: Int, nbits: Int, dim: Int,
+      centersQ: IndexedSeq[IndexedSeq[Long]],
+      codebooksQ: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) {
+    def codes: Int = 1 << nbits
+    def w: Int = dim / m
+    def coarseFlat: IndexedSeq[Long] = centersQ.flatten
+    def flatCodebooks: IndexedSeq[Long] = codebooksQ.flatten.flatten
+  }
+
+  private def modelPath(indexPath: String): String = s"$indexPath/model"
+  private def codesPath(indexPath: String): String = s"$indexPath/codes"
+
+  /** Encode a corpus under an EXISTING model — the shared no-fit kernel
+    * of build and append: quantize, exact norm, coarse-cell assignment
+    * and PQ codes through the codegen'd PqEncodeQ kernel. One scan, no
+    * shuffle. */
+  private def encodeWithModel(df: DataFrame, idCol: String, vecCol: String,
+      model: AnnIndexModel): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n", normQ(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        element_at(graft.functions.VectorFunctions.pqEncodeQ(
+          col("v"), model.coarseFlat, 1, model.nlist, model.dim), 1).as("cell"),
+        graft.functions.VectorFunctions.pqEncodeQ(
+          col("v"), model.flatCodebooks, model.m, model.codes, model.w).as("codes"))
+
+  /** Build a persisted IVF-PQ index ONCE (VERDICT r17 #3): fit the
+    * coarse quantizer + PQ codebooks exactly as [[ivfPqTopK]] does, then
+    * persist BOTH planes as Delta tables under `indexPath` through the
+    * engine's own transactional writer:
+    *
+    *  - `<indexPath>/model` — the tiny model plane: one row per coarse
+    *    centroid (kind='coarse') and per codebook entry
+    *    (kind='codebook'), parameters stamped as table properties;
+    *  - `<indexPath>/codes` — the large vector plane: (id, cell, codes,
+    *    v, n), hive-PARTITIONED BY cell so a query's nprobe cell filter
+    *    prunes at the Delta LOG level — unprobed cells are never listed,
+    *    planned, or opened (the 100 TB path: each batch touches
+    *    ~nprobe/nlist of the index). `codes` is the m-byte ADC plane;
+    *    `v`/`n` back the exact re-rank (the refine plane — a codes-only
+    *    index would drop them for dim×8÷m compression at the cost of
+    *    approximate final ranks).
+    *
+    * Many query batches then run against the stored tables with ZERO
+    * fit work ([[queryIndex]]), and arriving vectors append under the
+    * frozen model ([[appendToIndex]]) — the vector twin of the t22
+    * persisted signature index. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, nlist: Int = 16, m: Int = 8,
+      nbits: Int = 5): AnnIndexModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    require(nbits >= 1 && nbits <= 8, s"nbits in [1,8]: $nbits")
+    val fitSample = df.select(col(idCol).as("id"),
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .orderBy(col("id")).limit(IvfFitSampleCap).persist()
+    val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(fitSample.select("features"))
+    val dim = coarse.clusterCenters.head.size
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+    val sampleRows = fitSample.select("features")
+      .collect().map(_.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+      .take(PqFitSampleCap)
+    fitSample.unpersist(blocking = false)
+    val codebooksQ = (0 until m).map { j =>
+      val sub = sampleRows.map(r => r.slice(j * w, (j + 1) * w))
+      lloydCodebook(sub, 1 << nbits, iters = 10)
+        .map(_.toIndexedSeq.map(d => math.round(d * 1e6))).toIndexedSeq
+    }
+    val centersQ = coarse.clusterCenters.toIndexedSeq
+      .map(_.toArray.toIndexedSeq.map(d => math.round(d * 1e6)))
+    val model = AnnIndexModel(nlist, m, nbits, dim, centersQ, codebooksQ.toIndexedSeq)
+    writeModel(spark, indexPath, model)
+    // optimizeWrite stamped at creation: the AQE REBALANCE staging shape
+    // sizes per-cell output from measured bytes — small cells coalesce,
+    // a hot cell splits across files instead of serializing into one —
+    // and appendToIndex inherits the property from the stored table
+    graft.delta.DeltaWrite.write(
+      encodeWithModel(df, idCol, vecCol, model),
+      codesPath(indexPath), mode = "overwrite", partitionBy = Seq("cell"),
+      overwriteSchema = true,
+      configuration = Map("delta.autoOptimize.optimizeWrite" -> "true"))
+    model
+  }
+
+  private def writeModel(spark: SparkSession, indexPath: String,
+      model: AnnIndexModel): Unit = {
+    import spark.implicits._
+    val coarseRows = model.centersQ.zipWithIndex.map { case (c, ci) =>
+      ("coarse", -1, ci, c) }
+    val cbRows = for {
+      (cb, j) <- model.codebooksQ.zipWithIndex
+      (c, code) <- cb.zipWithIndex
+    } yield ("codebook", j, code, c)
+    graft.delta.DeltaWrite.write(
+      (coarseRows ++ cbRows).toDF("kind", "sub", "idx", "vals"),
+      modelPath(indexPath), mode = "overwrite", overwriteSchema = true,
+      configuration = Map(
+        "graft.ann.nlist" -> model.nlist.toString,
+        "graft.ann.m" -> model.m.toString,
+        "graft.ann.nbits" -> model.nbits.toString,
+        "graft.ann.dim" -> model.dim.toString))
+  }
+
+  /** Load the model plane of a persisted index — a bounded control-plane
+    * read (nlist + m·2^nbits rows), never the codes plane. */
+  def loadAnnIndex(spark: SparkSession, indexPath: String): AnnIndexModel = {
+    val meta = graft.delta.DeltaLog.forTable(spark, modelPath(indexPath))
+      .snapshot(None).metadata.configuration
+    def p(key: String): Int = meta.getOrElse(s"graft.ann.$key",
+      throw new IllegalStateException(
+        s"${modelPath(indexPath)} is not a graft ANN index (missing table " +
+          s"property graft.ann.$key)")).toInt
+    val (nlist, m, nbits, dim) = (p("nlist"), p("m"), p("nbits"), p("dim"))
+    val rows = graft.delta.DeltaRead.load(spark, modelPath(indexPath))
+      .select("kind", "sub", "idx", "vals").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Long](3).toIndexedSeq))
+    val centersQ = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4).toIndexedSeq
+    require(centersQ.length == nlist,
+      s"model plane lists ${centersQ.length} coarse centroids, expected $nlist")
+    val codebooksQ = (0 until m).map { j =>
+      val cb = rows.filter(r => r._1 == "codebook" && r._2 == j)
+        .sortBy(_._3).map(_._4).toIndexedSeq
+      require(cb.length == (1 << nbits),
+        s"codebook $j has ${cb.length} entries, expected ${1 << nbits}")
+      cb
+    }
+    AnnIndexModel(nlist, m, nbits, dim, centersQ, codebooksQ.toIndexedSeq)
+  }
+
+  /** Append arriving vectors to a persisted index under the FROZEN
+    * model — assignment + PQ encode with the stored centroids/codebooks,
+    * NO refit (the model table is untouched; its version is the spec's
+    * zero-fit witness). Append-skew note: new vectors landing in a hot
+    * cell only grow that cell's partition; rebuilding cell balance is an
+    * explicit re-[[buildIvfPqIndex]], never an implicit side effect. */
+  def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val model = loadAnnIndex(df.sparkSession, indexPath)
+    graft.delta.DeltaWrite.write(
+      encodeWithModel(df, idCol, vecCol, model),
+      codesPath(indexPath), mode = "append")
+  }
+
+  /** Query a persisted index with ZERO fit work: the stored model probes
+    * `nprobe` cells per query, the codes plane is read under a cell
+    * filter that prunes at the Delta LOG level (unprobed partitions are
+    * never listed), ADC ranks candidates against broadcast per-query
+    * LUTs, and the stored refine plane re-ranks the ADC top refine·k by
+    * exact quantized cosine. Queries are a small batch by contract
+    * (bounded driver collect, hard require) — the arithmetic is the
+    * bit-exact twin of [[ivfPqTopK]]'s, so recall characteristics carry
+    * over. Returns (query_id, rank, vec_id). */
+  def queryIndex(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, nprobe: Int = 4, refine: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val model = loadAnnIndex(spark, indexPath)
+    val qRows = queries.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("n", normQ(col("v")))
+      .as[(Long, Array[Long], Long)].collect()
+    require(qRows.length <= 4096,
+      s"queryIndex is a per-batch probe (got ${qRows.length} queries, cap 4096)")
+    val probePairs = qRows.toSeq.flatMap { case (qid, qv, _) =>
+      model.centersQ.zipWithIndex
+        .map { case (c, ci) =>
+          (ci, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy(_._2).take(nprobe).map { case (ci, _) => (qid, ci) }
+    }
+    val luts: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map { case (qid, qv, _) =>
+      qid -> (0 until model.m).map { j =>
+        val qs = qv.slice(j * model.w, (j + 1) * model.w)
+        model.codebooksQ(j).map(c =>
+          c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val probedCells = probePairs.map(_._2).distinct.sorted
+    // log-level partition pruning: only probed cells' files are listed
+    val stored = graft.delta.DeltaRead.load(spark, codesPath(indexPath),
+      filters = probedCells.map(c => Seq(graft.delta.Predicate("cell", "==", c))))
+    val probes = probePairs.toDF("query_id", "cell")
+    val qlut = luts.toDF("query_id", "lut")
+    val qv = qRows.toSeq.toDF("query_id", "qv", "qn")
+    val cands0 = stored.join(broadcast(probes), "cell")
+    val cands1 =
+      if (excludeSelf) cands0.filter(col("id") =!= col("query_id")) else cands0
+    val cands = cands1
+      .join(broadcast(qlut), "query_id")
+      .withColumn("adc",
+        graft.functions.VectorFunctions.adcLookupQ(col("codes"), col("lut")))
+      .select(col("query_id"), col("id").as("vec_id"), col("adc"))
+      .distinct()
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = cands.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= refine * k)
+      .select("query_id", "vec_id")
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(stored.select(col("id").as("vec_id"), col("v").as("cv"), col("n").as("cn")),
+        "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", cosinePre(dotQ(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id")
   }
 
   // ---- Random-hyperplane LSH (scale path) -------------------------------

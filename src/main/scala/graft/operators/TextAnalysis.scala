@@ -138,10 +138,13 @@ object TextAnalysis {
     * stored sequence always ends at a round boundary — and a rerun
     * RESUMES: prior rules are read back in rank order, re-applied to
     * the freshly-built word table (chunked folds, no pair-count
-    * rounds), and training continues from the next round. Resume
-    * assumes the same `batch` as the run that wrote the table (the
-    * round structure is batch-dependent). A table already at or past
-    * `numMerges` returns the stored prefix without touching the
+    * rounds), and training continues from the next round. The `batch`
+    * that produced the table is PERSISTED as a table property
+    * (`graft.bpe.batch`, stamped at table creation) and resume REFUSES
+    * a mismatched `batch` loudly — the round structure is
+    * batch-dependent, so a silent mismatch would yield a rule sequence
+    * matching neither one-shot run (ADVICE r17). A table already at or
+    * past `numMerges` returns the stored prefix without touching the
     * corpus. */
   def bpeTrainMergesBatched(df: DataFrame, textCol: String,
       numMerges: Int, batch: Int,
@@ -156,6 +159,14 @@ object TextAnalysis {
     // request (bounded control-plane collect: ≤ numMerges + 1 rows)
     mergeTablePath.filter(p =>
         graft.delta.DeltaLog.forTable(spark, p).tableExists).foreach { p =>
+      // resume-exactness gate: the stored rules are only a valid prefix
+      // under the SAME round structure, i.e. the same batch
+      val storedBatch = graft.delta.DeltaLog.forTable(spark, p)
+        .snapshot(None).metadata.configuration.get("graft.bpe.batch")
+      require(storedBatch.contains(batch.toString),
+        s"merge table at $p was trained with batch=${storedBatch.getOrElse("<unstamped>")}; " +
+          s"resuming with batch=$batch would change the round structure and yield a rule " +
+          "sequence matching neither run — retrain or pass the original batch")
       // read the whole stored sequence up to the most a continuation can
       // need: the table always ends at a round boundary, so at most
       // batch-1 rules past numMerges are relevant
@@ -251,10 +262,14 @@ object TextAnalysis {
         // at a round boundary (re-applying the committed rules is
         // idempotent on the rebuilt word table)
         mergeTablePath.foreach { p =>
+          // configuration is installed only at table CREATION (appends
+          // keep the stored properties), so the first round stamps the
+          // batch the whole table is trained under
           graft.delta.DeltaWrite.write(
             spark.createDataFrame(newRows)
               .toDF("merge_rank", "lhs", "rhs", "pair_count"),
-            p, mode = "append")
+            p, mode = "append",
+            configuration = Map("graft.bpe.batch" -> batch.toString))
         }
         // apply the round's disjoint rules in rank order inside ONE
         // rewrite + checkpoint (localCheckpoint blocks from superseded
@@ -296,6 +311,56 @@ object TextAnalysis {
         element_at(col("__st"), 1).as("bpe_tokens"),
         element_at(col("__st"), 2).as("bpe_checksum"))
   }
+
+  // ---- tokenizer interchange (VERDICT r17 #4) ----------------------------
+
+  /** Export learned merge rules as a GPT-2-style `merges.txt`: a
+    * `#version` header line, then one `lhs rhs` pair per line in rank
+    * order — the interchange format every BPE stack reads (tokenizers,
+    * tiktoken-style loaders), so a vocabulary trained here can drive a
+    * foreign tokenizer and vice versa. Symbols never contain spaces
+    * (training splits on them), so the two-field line is lossless. */
+  def exportMergesTxt(rules: Seq[(Long, String, String, Long)], path: String): Unit = {
+    val sb = new StringBuilder("#version: 0.2\n")
+    rules.sortBy(_._1).foreach { case (rank, l, r, _) =>
+      require(!l.contains(' ') && !r.contains(' ') && l.nonEmpty && r.nonEmpty,
+        s"merge rule $rank ('$l', '$r') is not merges.txt-expressible")
+      sb.append(l).append(' ').append(r).append('\n')
+    }
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Import a GPT-2-style `merges.txt` into ranked merge rules —
+    * the inverse of [[exportMergesTxt]], accepting any conforming
+    * foreign file (`#`-comment and blank lines skipped; rank = order of
+    * appearance). Malformed lines refuse loudly with their line
+    * number. */
+  def importMergesTxt(path: String): Seq[(Long, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+    val rules = lines.zipWithIndex
+      .filterNot { case (ln, _) => ln.startsWith("#") || ln.trim.isEmpty }
+      .map { case (ln, i) =>
+        val parts = ln.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"merges.txt line ${i + 1} is not 'lhs rhs': '$ln'")
+        (parts(0), parts(1))
+      }.toSeq
+    rules.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) }
+  }
+
+  /** The token vocabulary a merge-rule sequence induces, for the greedy
+    * longest-match walk of [[bpeTokenStats]] — each rule contributes its
+    * merged token `lhs+rhs` (duplicates collapse, first rank wins). The
+    * bridge from interchange rules (self-trained or imported foreign)
+    * to the apply kernel. */
+  def vocabFromMerges(rules: Seq[(Long, String, String)]): IndexedSeq[String] =
+    rules.sortBy(_._1).map { case (_, l, r) => l + r }.distinct.toIndexedSeq
 
   /** Count of tokens belonging to an English stopword set. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -36,6 +36,40 @@ object PipelineQ {
   /** Merge-round count shared by the t66/t67 queries and their oracles. */
   private val BpeTrainMergeCount = 8
 
+  /** A FOREIGN BPE vocabulary for the interchange query (t72): fixed
+    * English-bigram merge rules this engine never trained, shipped
+    * through a real GPT-2-style merges.txt round trip. */
+  private val ForeignMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("o", "n"), ("e", "r"), ("r", "e"))
+
+  /** The greedy longest-match tokenizer walk as a DuckDB recursive CTE,
+    * parameterized by the token vocabulary — shared by t49 (built-in
+    * vocab) and t72 (imported foreign vocab). */
+  private def bpeWalkOracleSql(vocab: Seq[String]): String = {
+    val vocabVals = vocab
+      .map(v => s"('${v.replace("'", "''")}')").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (VALUES $vocabVals),
+       |walk(doc_id, pos, ntok, ck) AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |    w.pos + coalesce((SELECT max(length(t.v)) FROM vocab t
+       |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1),
+       |    w.ntok + 1,
+       |    w.ck + (w.ntok + 1) * coalesce((SELECT max(length(t.v)) FROM vocab t
+       |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1)
+       |  FROM walk w JOIN documents d USING (doc_id)
+       |  WHERE w.pos <= length(d.text))
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |       f.ntok AS bpe_tokens, f.ck AS bpe_checksum
+       |FROM documents d
+       |JOIN (SELECT doc_id, max(ntok) AS ntok, max(ck) AS ck
+       |      FROM walk GROUP BY doc_id) f USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The BATCHED-BPE replay (batch = 2, [[BpeTrainMergeCount]] rules) as
     * one DuckDB query — per round: c{k}x = the global top pair, c{k}y =
     * the top pair sharing NO symbol with it, both applied via the
@@ -263,6 +297,49 @@ object PipelineQ {
       }
       Seq((qids.size.toLong, 10L, 40L, 1L))
         .toDF("n_queries", "k", "recall_floor_pct", "meets_floor")
+    }),
+
+    // Persisted ANN index lifecycle (VERDICT r17 #3): the IVF-PQ index
+    // is built ONCE as two Delta tables (tiny model plane + codes plane
+    // hive-partitioned by coarse cell), queried, grown by a FROZEN-model
+    // append (the queries' exact duplicates under shifted ids — no
+    // refit; queryIndex/appendToIndex only ever read the stored model),
+    // and queried again. The second query must surface each appended
+    // duplicate in its top ranks (cos = 1 beats every distinct vector),
+    // and query-1 recall vs in-query brute force has a hard floor.
+    // Emitted row is a pinned constant checked by a VALUES oracle.
+    "t71_ann_index" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val queries = emb.filter($"vec_id".isin(qids.map(Long.box): _*))
+        .select($"vec_id", $"embedding")
+      val idx = tmp("t71_idx")
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx)
+      val r1 = Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10)
+      val shift = 1000000L
+      Similarity.appendToIndex(
+        queries.select(($"vec_id" + shift).as("vec_id"), $"embedding"),
+        "vec_id", "embedding", idx)
+      val r2 = Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10)
+      // an identical vector is assigned to the query's own first-probe
+      // cell by construction (same quantized argmin), so the appended
+      // copy must rank at the very top — ≤ 2 tolerates one pre-existing
+      // exact corpus duplicate with a smaller id
+      val dupHits = r2.filter($"vec_id" === $"query_id" + shift && $"rank" <= 2).count()
+      require(dupHits == qids.size,
+        s"appended exact duplicates in top-2: $dupHits/${qids.size}")
+      if (skipInQueryOracles) r1.count() // bench: force query 1, skip the truth set
+      else {
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 10)
+        val hits = r1.select($"query_id", $"vec_id")
+          .join(bf.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+          .count()
+        val recallPct = hits * 100.0 / (qids.size * 10)
+        require(recallPct >= 40.0, s"indexed IVF-PQ recall@10 = $recallPct% < 40%")
+      }
+      Seq((qids.size.toLong, 10L, 40L, qids.size.toLong, 1L))
+        .toDF("n_queries", "k", "recall_floor_pct", "dup_hits", "meets_floor")
     }),
 
     // Per-label embedding centroids in exact integer micro-units
@@ -903,6 +980,28 @@ object PipelineQ {
         .orderBy($"doc_id")
     }),
 
+    // Tokenizer INTERCHANGE (VERDICT r17 #4): the corpus tokenizes under
+    // a vocabulary this engine did NOT train — fixed foreign merge rules
+    // shipped through a real GPT-2-style merges.txt write → import round
+    // trip (rank = line order), then the same codegen'd longest-match
+    // walk as t49. The oracle replays the identical rules.
+    "t72_bpe_import" -> ((s, dir) => {
+      import s.implicits._
+      val f = java.nio.file.Files.createTempDirectory("graft_t72")
+        .resolve("merges.txt")
+      f.getParent.toFile.deleteOnExit()
+      java.nio.file.Files.write(f,
+        ("#version: 0.2\n" + ForeignMerges.map { case (l, r) => s"$l $r" }
+          .mkString("", "\n", "\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val imported = TextAnalysis.importMergesTxt(f.toString)
+      require(imported.map(m => (m._2, m._3)) == ForeignMerges,
+        "merges.txt import drifted from the file's rules")
+      TextAnalysis.bpeTokenStats(t(s, dir, "documents"), "doc_id", "text",
+          TextAnalysis.vocabFromMerges(imported))
+        .orderBy($"doc_id")
+    }),
+
     // BPE merge-rule TRAINING (Sennrich ACL'16) — the step upstream of
     // t49: the 8 most-frequent adjacent symbol pairs, learned round by
     // round from the corpus word-frequency table with a total
@@ -1408,6 +1507,13 @@ object PipelineQ {
     "t40_sim_ivfpq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         | CAST(40 AS BIGINT) AS recall_floor_pct, CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
+    // t71 verifies itself in-query (appended-duplicate top-rank require +
+    // recall floor vs in-query brute force); the oracle pins the
+    // constants the query may only emit by passing those checks.
+    "t71_ann_index" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        | CAST(40 AS BIGINT) AS recall_floor_pct, CAST(5 AS BIGINT) AS dup_hits,
+        | CAST(1 AS BIGINT) AS meets_floor""".stripMargin,
     "t42_group_centroids" ->
       s"""WITH q AS (SELECT label, $quantList AS qv FROM embeddings),
          |n AS (SELECT label, COUNT(*) AS n FROM q GROUP BY 1),
@@ -2102,29 +2208,12 @@ object PipelineQ {
          |JOIN tot tb ON tb.src = p.src_b
          |ORDER BY p.src_a, p.src_b""".stripMargin
     },
-    "t49_bpe_tokens" -> {
-      val vocabVals = TextAnalysis.BpeVocab
-        .map(v => s"('${v.replace("'", "''")}')").mkString(", ")
-      s"""WITH RECURSIVE vocab(v) AS (VALUES $vocabVals),
-         |walk(doc_id, pos, ntok, ck) AS (
-         |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT w.doc_id,
-         |    w.pos + coalesce((SELECT max(length(t.v)) FROM vocab t
-         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1),
-         |    w.ntok + 1,
-         |    w.ck + (w.ntok + 1) * coalesce((SELECT max(length(t.v)) FROM vocab t
-         |      WHERE substr(d.text, CAST(w.pos AS INT), length(t.v)) = t.v), 1)
-         |  FROM walk w JOIN documents d USING (doc_id)
-         |  WHERE w.pos <= length(d.text))
-         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
-         |       f.ntok AS bpe_tokens, f.ck AS bpe_checksum
-         |FROM documents d
-         |JOIN (SELECT doc_id, max(ntok) AS ntok, max(ck) AS ck
-         |      FROM walk GROUP BY doc_id) f USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "t49_bpe_tokens" -> bpeWalkOracleSql(TextAnalysis.BpeVocab),
+    // same per-character walk replay, under the IMPORTED foreign
+    // vocabulary — the oracle replays the identical merges.txt rules
+    "t72_bpe_import" -> bpeWalkOracleSql(
+      TextAnalysis.vocabFromMerges(
+        ForeignMerges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) })),
     // BPE training replay: each word encodes as a string of
     // individually chr(31)-wrapped symbols (every symbol carries its OWN
     // delimiter pair, so one `replace` of the wrapped pair pattern is

@@ -1386,6 +1386,11 @@ object MinhashSigQ {
 }
 
 object VectorBridge {
+  /** The Catalyst expression a Column wraps — `ExpressionUtils` is
+    * `private[sql]`, so engine code outside this package (the MERGE
+    * by-source bound extractor) reaches it through this bridge. */
+  def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
   def dotQ(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductQ(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -217,6 +217,74 @@ class MergeSpec extends GraftSuite {
     assert(out(4L) == (("aged", 10L)), "surviving unmatched row aged by clause 1")
   }
 
+  test("by-source narrowing: an out-of-span cold file survives by identity under " +
+      "a bounded by-source delete (VERDICT r17 #6)") {
+    import spark.implicits._
+    val path = tmp()
+    // range-clustered: 5 files of ~200 ids each, stats confine each span
+    GraftDelta.toDelta(
+      (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(5, $"id"),
+      path)
+    val before = activePaths(path)
+    // source matches ids 0..49; the by-source delete is BOUNDED to
+    // id < 100 — rows 100+ are by-source-unmatched but provably outside
+    // the clause bound, so their files must survive by identity
+    val src = (0 until 50).map(i => (i.toLong, s"s$i")).toDF("id", "v")
+    val r = DeltaDml.mergeClauses(spark, path, src, Seq("id"),
+      matched = Seq(DeltaDml.MatchedClause(DeltaDml.WhenMatched.UpdateAll)),
+      insertNotMatched = false,
+      bySource = Seq(DeltaDml.BySourceClause(DeltaDml.BySourceAction.Delete,
+        Some(col("id") < 100L))))
+    assert(r.matchedRows == 50, s"$r")
+    assert(r.removedFiles == 1,
+      s"only the file overlapping key span + clause bound rewrites: $r")
+    assert((before & activePaths(path)).size == before.size - 1,
+      "cold files must survive by identity")
+    val out = GraftDelta.readDelta(spark, path)
+    assert(out.count() == 950)
+    assert(out.filter($"id" >= 50L && $"id" < 100L).count() == 0, "bounded deletes applied")
+    assert(out.filter($"id" < 50L && !$"v".startsWith("s")).count() == 0, "matches upserted")
+    // an INEXPRESSIBLE condition falls back soundly to the full rewrite
+    // set (same final rows — the condition never holds here)
+    val before2 = activePaths(path)
+    val r2 = DeltaDml.mergeClauses(spark, path, src, Seq("id"),
+      matched = Nil, insertNotMatched = false,
+      bySource = Seq(DeltaDml.BySourceClause(
+        DeltaDml.BySourceAction.Update(Map("v" -> lit("boiler"))),
+        Some(length($"v") > lit(100)))))
+    assert((before2 & activePaths(path)).isEmpty,
+      "inexpressible bound must keep the conservative full-set rewrite")
+    assert(GraftDelta.readDelta(spark, path).count() == 950)
+    assert(GraftDelta.readDelta(spark, path).filter($"v" === "boiler").count() == 0)
+  }
+
+  test("conditionToDnf: attribute-vs-literal bounds convert (both orders, AND/OR, " +
+      "IN); anything else refuses to None") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("a", "int").add("b", "string").add("c", "long").add("v", "string")
+    def dnf(cond: org.apache.spark.sql.Column) =
+      DeltaDml.conditionToDnf(spark, schema, cond)
+    assert(dnf(col("a") < 5 && col("b") === "x")
+      .contains(Seq(Seq(Predicate("a", "<", 5), Predicate("b", "==", "x")))))
+    assert(dnf(lit(5) > col("a"))
+      .contains(Seq(Seq(Predicate("a", "<", 5)))))
+    assert(dnf(col("a") < 5 || col("c") >= 7L)
+      .contains(Seq(Seq(Predicate("a", "<", 5)), Seq(Predicate("c", ">=", 7L)))))
+    assert(dnf(col("a").isin(1, 2, 3))
+      .contains(Seq(Seq(Predicate("a", "in", Seq(1, 2, 3))))))
+    // resolution coerces the literal to the COLUMN type, so the emitted
+    // bound compares in the stats domain
+    assert(dnf(col("c") < 5).contains(Seq(Seq(Predicate("c", "<", 5L)))))
+    assert(dnf(length(col("v")) > 2).isEmpty,
+      "computed left side is not stats-expressible")
+    assert(dnf(col("a") === col("c")).isEmpty,
+      "attribute-vs-attribute is not stats-expressible")
+    assert(dnf(col("a") < 5 && length(col("v")) > 2).isEmpty,
+      "one inexpressible conjunct poisons the conjunction")
+    assert(dnf(col("nope") < 5).isEmpty, "an unresolvable column refuses to None")
+  }
+
   test("multi-clause CDF records per-clause deletes and update images") {
     import spark.implicits._
     val path = tmp()

@@ -571,6 +571,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       corpus.limit(0), "text", 16, batch = 8, mergeTablePath = Some(path))
     assert(prefix == oneShot.take(16))
     assert(graft.delta.DeltaRead.load(spark, path).count() == storedBefore)
+    // resume with a DIFFERENT batch refuses loudly (ADVICE r17): the
+    // round structure is batch-dependent, and a silent mismatch would
+    // yield a rule sequence matching neither one-shot run — the table
+    // property stamped at creation is the guard
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainMergesBatched(corpus, "text", 24, batch = 4,
+        mergeTablePath = Some(path))
+    }
+    assert(e.getMessage.contains("batch=8") && e.getMessage.contains("batch=4"),
+      e.getMessage)
+  }
+
+  test("merges.txt interchange: export → import round-trips the trained rules " +
+      "bit-exactly; foreign files parse; malformed lines refuse (VERDICT r17 #4)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = TextAnalysis.bpeTrainMerges(corpus, "text", 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_merges")
+    val path = s"$dir/merges.txt"
+    TextAnalysis.exportMergesTxt(rules, path)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.get(0).startsWith("#version:"), "GPT-2-style header line")
+    assert(lines.size == rules.size + 1)
+    val imported = TextAnalysis.importMergesTxt(path)
+    assert(imported == rules.map(r => (r._1, r._2, r._3)),
+      "export → import must round-trip the in-memory rules exactly")
+    assert(TextAnalysis.vocabFromMerges(imported) ==
+      rules.map { case (_, l, r, _) => l + r }.distinct.toIndexedSeq)
+    // a FOREIGN file (comments, blank lines, rules we never trained)
+    val foreign = s"$dir/foreign.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(foreign),
+      "#version: 0.2\nq u\nqu e\n\n# comment\nx y\n".getBytes("UTF-8"))
+    assert(TextAnalysis.importMergesTxt(foreign) ==
+      Seq((1L, "q", "u"), (2L, "qu", "e"), (3L, "x", "y")))
+    // malformed line refuses with its line number
+    val bad = s"$dir/bad.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "a b\nc b d\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](TextAnalysis.importMergesTxt(bad))
+    assert(e.getMessage.contains("line 2"), e.getMessage)
   }
 
   test("redactPii: hand-computed counts, sequential redaction, RE2-safe patterns") {
