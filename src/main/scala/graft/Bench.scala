@@ -17,6 +17,16 @@ object Bench {
     System.setProperty("graft.bench.skipInQueryOracles", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Host quiescence sampled BEFORE the JVM does any work: loadavg_start
+    // below is read after the warmup pass, so it includes the bench's own
+    // 32-thread self-load even on an idle machine (measured: prelaunch
+    // 0.13 → post-warmup 4.13 with zero co-tenants). THIS field is the
+    // co-tenant signal a quiet-run gate should read.
+    val loadPrelaunch: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Exception => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,7 +139,8 @@ object Bench {
     // skipInQueryOracles note above), so round-over-round and baseline
     // comparisons can account for the definition change (ADVICE r11).
     val common =
-      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+      s""""loadavg_prelaunch":$loadPrelaunch,""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
         s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
         s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
         s""""n_errors":${errors.distinct.size},"oracles":"skipped""""
