@@ -216,6 +216,16 @@ class SimilaritySpec extends AnyFunSuite {
     val r1 = topkSet(Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10))
     val r2 = topkSet(Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10))
     assert(r1 == r2, "repeated index queries must be identical")
+    // LOG-level pruning witness: the codes plane is hive-partitioned by
+    // cell, and a cell-filtered load must touch ONLY that cell's files —
+    // the property queryIndex's nprobe filter rides at 100 TB
+    val fullFiles = graft.delta.DeltaRead.load(spark, s"$idx/codes").inputFiles
+    val oneCell = graft.delta.DeltaRead.load(spark, s"$idx/codes",
+      filters = Seq(Seq(graft.delta.Predicate("cell", "==", 0)))).inputFiles
+    assert(oneCell.nonEmpty && oneCell.forall(_.contains("cell=0")),
+      s"cell filter must prune to the cell's partition dirs: ${oneCell.take(3).mkString(",")}")
+    assert(oneCell.length < fullFiles.length,
+      "pruned load must plan strictly fewer files than the full scan")
     val exact = topkSet(Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, 10))
     val recalls = qids.map(q => r1.getOrElse(q, Set.empty).intersect(exact(q)).size / 10.0)
     val mean = recalls.sum / recalls.size
