@@ -552,6 +552,19 @@ object Similarity {
       codesPath(indexPath), mode = "append")
   }
 
+  /** Maintenance for a long-lived index: compact the codes plane's
+    * accumulated append files through the engine's OPTIMIZE
+    * (dataChange=false — readers see identical rows, queries just plan
+    * fewer files per probed cell; per-cell qualification means a cell
+    * below `minFilesToCompact` is untouched). The model plane never
+    * needs maintenance — one tiny overwrite per build. Returns
+    * (filesRemoved, filesAdded). */
+  def optimizeIndex(spark: SparkSession, indexPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 2): (Int, Int) =
+    graft.delta.DeltaMaintenance.compact(spark, codesPath(indexPath),
+      targetFileBytes = targetFileBytes, minFilesToCompact = minFilesToCompact)
+
   /** Query a persisted index with ZERO fit work: the stored model probes
     * `nprobe` cells per query, the codes plane is read under a cell
     * filter that prunes at the Delta LOG level (unprobed partitions are

@@ -260,5 +260,20 @@ class SimilaritySpec extends AnyFunSuite {
       val hit = r.find(x => x._1 == q && x._3 == q + shift)
       assert(hit.exists(_._2 <= 2), s"appended duplicate of $q not in top-2: $hit")
     }
+    // lifecycle maintenance: after more appends, OPTIMIZE shrinks the
+    // codes plane's file count WITHOUT changing any query result
+    Similarity.appendToIndex(
+      queries.select((col("vec_id") + 2 * shift).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", idx)
+    val before = graft.delta.DeltaRead.load(spark, s"$idx/codes").inputFiles.length
+    val preOpt = Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val (removed, added) = Similarity.optimizeIndex(spark, idx)
+    assert(removed > 0 && added > 0 && added < removed,
+      s"compaction must shrink the codes plane: removed=$removed added=$added")
+    assert(graft.delta.DeltaRead.load(spark, s"$idx/codes").inputFiles.length < before)
+    val postOpt = Similarity.queryIndex(queries, "vec_id", "embedding", idx, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(postOpt == preOpt, "OPTIMIZE must not change query results")
   }
 }
