@@ -23,7 +23,9 @@ object EventsIO {
     * always set. */
   def raw(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    // Spread.adaptive: single-row-group testdata parquet plans as one
+    // scan task (guide §2.5); no-op when splits ≥ defaultParallelism.
+    graft.operators.Spread.adaptive(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** events with `ts` replaced by an epoch-microseconds long `ts_us`.

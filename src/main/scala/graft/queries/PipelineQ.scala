@@ -11,8 +11,12 @@ import graft.streaming.EventStreams
   * `documents` and `embeddings` testdata tables. */
 object PipelineQ {
 
+  // Spread.adaptive: the testdata tables are single-row-group parquet
+  // files — ONE scan task — so every per-doc kernel (codecs, shingling,
+  // scoring) would otherwise run on one core (guide §2.5). No-op when the
+  // scan already has ≥ defaultParallelism splits (the production case).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.operators.Spread.adaptive(s.read.parquet(s"$dir/$name.parquet"))
 
   private def tmp(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$prefix")

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  // Spread.adaptive: single-row-group testdata parquet plans as one scan
+  // task (guide §2.5); no-op when splits ≥ defaultParallelism.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.operators.Spread.adaptive(s.read.parquet(s"$dir/$name.parquet"))
 
   /** events with `ts` normalized to an epoch-µs long `ts_us`, whatever
     * physical type the generator used this round (see [[EventsIO]]). */
